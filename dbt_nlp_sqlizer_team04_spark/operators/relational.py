@@ -1,0 +1,508 @@
+"""Relational operator surface — SURVEY.md §2.B (B1-B17).
+
+The reference *generates and validates* this SQL surface and ships it to
+PostgreSQL (NLP_SQLizer/backend/app/ai/nl2sql.py:65-76 system prompt;
+app/ai/query_intent.py:324-353 per-intent patterns; app/ai/nl2sql.py:178-278
+validators). Here each operator is executed natively by Spark as a
+declarative DataFrame/Spark SQL plan so Catalyst does pushdown, pruning,
+join selection and AQE does runtime re-planning.
+
+Every builder takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names/aliases exactly match the DuckDB oracle SQL registered in
+``queries.py`` (the driver hash-compares values under sorted column
+names).
+
+Determinism rules used throughout (so Spark and the oracle agree bit-for-bit):
+- float aggregates are ``round()``-ed (2dp for money sums, 4dp for avgs) —
+  parallel summation order differs between engines in the low bits;
+- every LIMIT is preceded by a total ORDER BY with a unique tie-break key;
+- timestamps in output are formatted to strings to dodge tz/precision drift.
+
+Scale notes are given per operator; the general ones:
+- nation/region/supplier are broadcast-size at any SF — Catalyst already
+  broadcasts under the 10MB threshold, AQE converts to broadcast at runtime
+  when post-filter size shrinks;
+- groupBy aggregations are partial (map-side combine) automatically;
+- global windows (ORDER BY without PARTITION BY) are pre-trimmed with
+  TakeOrderedAndProject where the query allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table, register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- B7/B8/B11
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style grouped aggregation (B7 agg functions, B8 GROUP BY,
+    B11 ORDER BY) — the aggregation surface enforced by the reference's
+    validator (app/ai/nl2sql.py:178-214, app/ai/query_intent.py:61-91).
+
+    Scale: single shuffle on (l_returnflag, l_linestatus) — 6 groups, so
+    partial aggregation collapses ~all rows map-side; filter + 7-column
+    projection push down to the parquet scan.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ------------------------------------------------------------ B1/B2/B11/B12
+def q02_filter_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicates (=, BETWEEN, IN) + ORDER BY + LIMIT —
+    B1/B2/B11/B12 (FILTERED/COMPLEX_FILTER intents,
+    app/ai/query_intent.py:123-146; LIMIT injection nl2sql.py:299-306).
+
+    Scale: filter and 4-column projection reach the parquet reader
+    (PushedFilters); ORDER BY+LIMIT plans as TakeOrderedAndProject —
+    no global sort materialization.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_totalprice").between(50000, 100000)
+            & F.col("o_orderstatus").isin("O", "F")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------- B6/B7/B8/B11/B12
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style 3-way FK join + grouped agg + top-N — the explicit
+    JOIN..ON surface the reference enforces (app/ai/nl2sql.py:70,231-245;
+    FK-join template inference.py:236-244).
+
+    Scale: the filtered customer side shrinks ~5x (one mktsegment) — AQE
+    re-plans the orders⨝customer join to broadcast when the build side
+    fits; lineitem joins orders on its natural key so bucketing both on
+    orderkey would make it shuffle-free on a real cluster.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ----------------------------------------------------------------------- B3
+def q04_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text match LIKE/ILIKE with wildcards — B3 (TEXT_SEARCH intent,
+    app/ai/query_intent.py:197-207).
+
+    Scale: LIKE '%..%' can't push to parquet min/max stats but stays in
+    whole-stage codegen; for selective prefixes Spark pushes StringStartsWith.
+    """
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").ilike("%red%") | F.col("p_name").like("%blue%"))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+# ------------------------------------------------------------------- B4/B6
+def q05_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL predicate over an outer join — B4 (NULL_HANDLING intent,
+    app/ai/query_intent.py:244-254): customers with no pending ('P') order.
+
+    Scale: the pending-orders side is filtered then distinct-ed before the
+    join (small build side → broadcast); equivalently expressible as
+    left_anti (q16) which Spark turns into a broadcast anti join.
+    """
+    c = _t(spark, sf_dir, "customer")
+    pending = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(pending, c.c_custkey == pending.o_custkey, "left")
+        .filter(F.col("o_custkey").isNull())
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ------------------------------------------------------------------- B5/B8
+def q06_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range filter + month truncation rollup — B5 (DATE_TIME intent,
+    app/ai/query_intent.py:183-195).
+
+    Scale: the shipdate range predicate pushes down to parquet row-group
+    min/max pruning; on a date-partitioned lake layout this is partition
+    pruning (reads 1/7 of the table here).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("month", F.col("l_shipdate")), "yyyy-MM").alias(
+                "ship_month"
+            )
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ----------------------------------------------------------------------- B9
+def q07_window_partition_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows alongside a partitioned window aggregate — B9 (WINDOW_FUNCTION
+    intent "along with/compared to", app/ai/query_intent.py:93-104;
+    AVG() OVER (PARTITION BY ...) pattern inference.py:171-178).
+
+    Scale: one shuffle on the partition key; no global sort. Skewed
+    partition keys would engage AQE skew handling.
+    """
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.avg("c_acctbal").over(w), 4).alias("nation_avg_bal"),
+    ).orderBy("c_custkey")
+
+
+# ----------------------------------------------------------- B10/B11/B12
+def q08_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows RANK()/ROW_NUMBER() OVER (ORDER BY ...) — B10
+    (RANKING intent, app/ai/query_intent.py:221-230).
+
+    Scale: a global ORDER BY window is a single-partition sort — at 100 TB
+    you'd first TakeOrderedAndProject the top slice (as the trailing
+    orderBy+limit lets AQE do here) or rank within partitions. rank() uses
+    the raw price so engine tie semantics match; row_number carries a
+    unique tie-break.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.rank().over(Window.orderBy(F.desc("o_totalprice"))).alias("price_rank"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
+            .alias("rn"),
+        )
+        .orderBy("rn")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------- B13
+def q09_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — B13 (DISTINCT intent, app/ai/query_intent.py:233-242;
+    enforced at nl2sql.py:269-278).
+
+    Scale: distinct on a low-cardinality column is a partial-agg shuffle of
+    ~#distinct rows per partition, not the data size.
+    """
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------- B14
+def q10_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of customer and supplier names — B14 (UNION intent,
+    app/ai/query_intent.py:257-272; sg.exp.Union admitted nl2sql.py:288).
+    SQL UNION == df.union().distinct(); UNION ALL == df.union().
+    """
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return c.union(s).distinct().orderBy("name")
+
+
+# ---------------------------------------------------------------------- B15
+def q11_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery comparison — B15 (COMPARISON intent,
+    app/ai/query_intent.py:274-283): orders above the average total price.
+    Runs through spark.sql so Catalyst's subquery machinery is exercised.
+
+    Scale: the scalar subquery is an independent 1-row agg broadcast into
+    the filter — two scans of orders; at scale you'd cache or pre-compute
+    the aggregate (the profiler's stats store covers this).
+    """
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# ------------------------------------------------------------------ B16/B6
+def q12_cte_nation_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE (WITH) over a 3-way join — B16 (sg.exp.With admitted,
+    app/ai/nl2sql.py:288).
+
+    Scale: nation (25 rows) broadcasts; orders⨝customer shuffles on the FK
+    key — bucketing both by custkey makes it co-located.
+    """
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        WITH nation_sales AS (
+          SELECT n_name, sum(o_totalprice) AS ts, count(*) AS n_orders
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT n_name, round(ts, 2) AS total_sales, n_orders
+        FROM nation_sales
+        ORDER BY total_sales DESC, n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------- B17
+def q13_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation — B17 (keyword admitted by the SQL
+    extractor, app/ai/nl2sql.py:121).
+    """
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return (
+        o.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ------------------------------------------------------------------- B7/B8
+def q14_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING — grouped aggregation with a post-agg filter
+    (GROUPED_AGGREGATION intent, app/ai/query_intent.py:78-91).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .filter(F.col("n_items") > 10)
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------- B15
+def q15_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi join — B15 (SUBQUERY intent,
+    app/ai/query_intent.py:209-219): customers with ≥1 urgent order.
+
+    Scale: left_semi avoids materializing the join multiplicity; Spark
+    plans broadcast-semi when the filtered side is small.
+    """
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------- B15
+def q16_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join: parts never shipped in quantity ≥ 49."""
+    p = _t(spark, sf_dir, "part")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        p.join(big, p.p_partkey == big.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# ------------------------------------------------------------- A3/A5/A7
+def q17_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler-style single-pass stats (row count A3, distinct count A5,
+    min/max/avg A7 — app/schema/crawler.py:200-271) batched into ONE
+    aggregation pass, unlike the reference's one-query-per-stat crawl.
+
+    Scale: exact COUNT(DISTINCT) shuffles; the profiler proper
+    (operators/profiler.py) uses approx_count_distinct — here exact is kept
+    because the oracle must match bit-for-bit.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------- A6
+def q18_categorical_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical domain enumeration — SELECT DISTINCT c ORDER BY c LIMIT
+    100 when distinct count is small (app/schema/crawler.py:248-252).
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("value"))
+        .distinct()
+        .orderBy("value")
+        .limit(100)
+    )
+
+
+# ------------------------------------------------------- B5/B7/B8 (events)
+def q19_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (hourly) aggregation over the events table — the
+    batch equivalent of the Structured Streaming path (SURVEY.md §2.D);
+    streaming/events.py runs the same plan with readStream + watermark.
+
+    Scale: single shuffle on (hour, event_type); on a real stream this is
+    incremental state, here date_trunc keeps it a plain groupBy.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# ----------------------------------------------------- semi-structured JSON
+def q20_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column — the Mongo-analog
+    semi-structured path (nested values stored as JSON strings, mirroring
+    app/ai/nl2mongo.py:220-222's flattening).
+    """
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_mod"), "value")
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+# ------------------------------------------------------------------ pivot
+def q21_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (CASE WHEN inside SUM) — the
+    portable form of df.groupBy().pivot(); B7/B17 combination.
+    """
+    o = _t(spark, sf_dir, "orders")
+
+    def status_total(s: str):
+        return F.round(
+            F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        )
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            status_total("O").alias("open_total"),
+            status_total("F").alias("fulfilled_total"),
+            status_total("P").alias("pending_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ----------------------------------------------------------------- rollup
+def q22_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over the region→nation hierarchy — beyond the
+    reference's generated surface (SURVEY.md §2.D notes grouping sets as
+    absent there), native in Spark and required of a complete engine.
+
+    Scale: rollup = grouping-sets expansion before the shuffle; broadcast
+    joins for the two dim tables keep it one fact-table pass.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )

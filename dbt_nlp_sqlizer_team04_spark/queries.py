@@ -1,0 +1,232 @@
+"""Central registry: query name -> (spark builder, DuckDB oracle SQL).
+
+``__spark_entry__.py`` exposes these to the driver. Each oracle string is
+ANSI/DuckDB SQL over the pre-registered views (region nation customer
+supplier part orders lineitem events documents embeddings) producing the
+SAME column names and (rounded) values as the Spark builder.
+
+Oracle SQL is ``None`` for genuinely non-SQL-expressible operators
+(MinHash-LSH banding, SimHash, streaming state) — the driver records a
+rows-only check for those, per the contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> spark builder
+SPARK_QUERIES: dict[str, QueryFn] = {
+    "q01_pricing_summary": R.q01_pricing_summary,
+    "q02_filter_topn": R.q02_filter_topn,
+    "q03_top_revenue_orders": R.q03_top_revenue_orders,
+    "q04_like_search": R.q04_like_search,
+    "q05_null_handling": R.q05_null_handling,
+    "q06_date_rollup": R.q06_date_rollup,
+    "q07_window_partition_avg": R.q07_window_partition_avg,
+    "q08_rank_orders": R.q08_rank_orders,
+    "q09_distinct_segments": R.q09_distinct_segments,
+    "q10_union_names": R.q10_union_names,
+    "q11_scalar_subquery": R.q11_scalar_subquery,
+    "q12_cte_nation_sales": R.q12_cte_nation_sales,
+    "q13_case_when": R.q13_case_when,
+    "q14_group_having": R.q14_group_having,
+    "q15_exists_semi": R.q15_exists_semi,
+    "q16_not_exists_anti": R.q16_not_exists_anti,
+    "q17_profile_stats": R.q17_profile_stats,
+    "q18_categorical_domain": R.q18_categorical_domain,
+    "q19_events_hourly": R.q19_events_hourly,
+    "q20_events_json_props": R.q20_events_json_props,
+    "q21_pivot_status": R.q21_pivot_status,
+    "q22_rollup_region_nation": R.q22_rollup_region_nation,
+}
+
+# name -> DuckDB oracle SQL (None => rows-only check)
+ORACLE_SQL: dict[str, str | None] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_filter_topn": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_totalprice BETWEEN 50000 AND 100000
+          AND o_orderstatus IN ('O', 'F')
+        ORDER BY o_orderkey
+        LIMIT 100
+    """,
+    "q03_top_revenue_orders": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d')                       AS orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)       AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "q04_like_search": """
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE p_name ILIKE '%red%' OR p_name LIKE '%blue%'
+        ORDER BY p_partkey
+    """,
+    "q05_null_handling": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P') p
+          ON c_custkey = p.o_custkey
+        WHERE p.o_custkey IS NULL
+        ORDER BY c_custkey
+    """,
+    "q06_date_rollup": """
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+               round(sum(l_quantity), 2)                          AS sum_qty,
+               count(*)                                           AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY ship_month
+        ORDER BY ship_month
+    """,
+    "q07_window_partition_avg": """
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               round(avg(c_acctbal) OVER (PARTITION BY c_nationkey), 4) AS nation_avg_bal
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    "q08_rank_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               rank()       OVER (ORDER BY o_totalprice DESC)             AS price_rank,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+        ORDER BY rn
+        LIMIT 50
+    """,
+    "q09_distinct_segments": """
+        SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment
+    """,
+    "q10_union_names": """
+        SELECT c_name AS name FROM customer
+        UNION
+        SELECT s_name AS name FROM supplier
+        ORDER BY name
+    """,
+    "q11_scalar_subquery": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+    """,
+    "q12_cte_nation_sales": """
+        WITH nation_sales AS (
+          SELECT n_name, sum(o_totalprice) AS ts, count(*) AS n_orders
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT n_name, round(ts, 2) AS total_sales, n_orders
+        FROM nation_sales
+        ORDER BY total_sales DESC, n_name
+    """,
+    "q13_case_when": """
+        SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    ELSE 'large' END        AS bucket,
+               count(*)                     AS n_orders,
+               round(sum(o_totalprice), 2)  AS total
+        FROM orders
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    "q14_group_having": """
+        SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING count(*) > 10
+        ORDER BY l_suppkey
+    """,
+    "q15_exists_semi": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """,
+    "q16_not_exists_anti": """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        ORDER BY p_partkey
+    """,
+    "q17_profile_stats": """
+        SELECT count(*)                            AS n_rows,
+               count(DISTINCT l_partkey)           AS n_parts,
+               round(min(l_extendedprice), 2)      AS min_price,
+               round(max(l_extendedprice), 2)      AS max_price,
+               round(avg(l_extendedprice), 4)      AS avg_price,
+               round(sum(l_quantity), 2)           AS sum_qty
+        FROM lineitem
+    """,
+    "q18_categorical_domain": """
+        SELECT DISTINCT o_orderpriority AS value FROM orders ORDER BY value LIMIT 100
+    """,
+    "q19_events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               count(*)              AS n_events,
+               round(sum(value), 2)  AS sum_value,
+               round(avg(value), 4)  AS avg_value
+        FROM events
+        GROUP BY hour_start, event_type
+        ORDER BY hour_start, event_type
+    """,
+    "q20_events_json_props": """
+        SELECT (json_extract_string(props, '$.k')::INT) % 10 AS k_mod,
+               count(*)             AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY k_mod
+        ORDER BY k_mod
+    """,
+    "q21_pivot_status": """
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS fulfilled_total,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS pending_total
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q22_rollup_region_nation": """
+        SELECT r_name, n_name,
+               count(*)                  AS n_customers,
+               round(sum(c_acctbal), 2)  AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+}

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+The reference connects to an external DBMS per request
+(NLP_SQLizer/backend/app/main.py:95-133); here the "connection" is a
+SparkSession configured for the execution profile we want at scale:
+
+- AQE on (runtime re-plan: skew joins, dynamic coalesce) — replaces the
+  reference's reliance on the remote planner.
+- CBO on — the profiler (operators/profiler.py) doubles as stats
+  collection so the cost gate (plans/cost_gate.py) has row estimates,
+  mirroring the reference's EXPLAIN gate (app/routes_ai.py:279-285).
+- shuffle.partitions sized for the deployment (32 locally; on a real
+  cluster set ~2-3x total executor cores, or rely on AQE coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dbt-nlp-sqlizer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,70 @@
+"""Parquet source registry for the driver's testdata star schema.
+
+The reference discovers tables dynamically via SQLAlchemy's inspector
+(NLP_SQLizer/backend/app/ai/nl2sql.py:14-21); here the analog is
+registering parquet-backed DataFrames as temp views so the whole engine
+(SQL safety layer, executor, profiler) sees a normal Spark catalog.
+
+Scale note: at 100 TB these would be partitioned/bucketed external
+tables (e.g. orders bucketed by o_custkey, lineitem by l_orderkey) so
+FK joins co-locate without a shuffle; parquet scans still get predicate
+pushdown + column pruning from Catalyst either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table, normalizing physical-type quirks.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; we read it as raw nanos
+    (``nanosAsLong``) and truncate to microseconds — the same truncation
+    DuckDB applies, so both engines see identical values.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> list[str]:
+    """Register every available parquet table as a temp view; returns names."""
+    registered = []
+    for t in tables:
+        if os.path.exists(table_path(sf_dir, t)):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            registered.append(t)
+    return registered
