@@ -1,0 +1,202 @@
+"""Schema profiler — the Spark-native crawler (SURVEY.md §2.A, A2-A8).
+
+The reference crawls a live DB with one SQL query per statistic
+(row count crawler.py:200-201, per-column distinct :243-246, categorical
+domain :248-252, numeric min/max/avg :254-271, samples :204-220). Here the
+whole per-table profile is ONE DataFrame aggregation pass (all columns
+batched into a single ``agg``), plus one bounded pass for categorical
+domains — at 100 TB that's one scan instead of O(columns) scans.
+
+Differences by design:
+- ``approx_count_distinct`` (HLL) instead of exact COUNT(DISTINCT) — at
+  scale an exact distinct per column is a full shuffle each; HLL is a
+  map-side sketch. ``exact_distinct=True`` restores parity for tests.
+- PK/FK are *inferred* (parquet has no declared constraints): PK = a
+  ``*key``/``id``-named column whose distinct count == row count; FK by
+  TPC-H-style naming convention (x_nationkey → nation.n_nationkey),
+  mirroring how the reference gets them from the DB inspector
+  (crawler.py:176-199).
+
+The profile doubles as the stats source for the cost gate
+(plans/cost_gate.py), the role ANALYZE TABLE plays for CBO.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog.metadata import ColumnInfo, FKRelationship, SchemaMetadata, TableInfo
+from ..sources.parquet import TABLES, load_table
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+MAX_CATEGORICAL = 100  # crawler.py:248 keeps domains only when ≤100 distinct
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC_TYPES)
+
+
+def profile_table(
+    df: DataFrame,
+    name: str,
+    sample_size: int = 100,
+    exact_distinct: bool = False,
+) -> TableInfo:
+    """Profile one table in a single aggregation pass (+1 for domains)."""
+    fields = df.schema.fields
+    distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for f in fields:
+        c = f.name
+        atomic = isinstance(f.dataType, T.AtomicType)
+        if atomic:
+            aggs.append(distinct_fn(F.col(c)).alias(f"__dc__{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nc__{c}"))
+        if _is_numeric(f.dataType):
+            aggs.append(F.min(c).alias(f"__min__{c}"))
+            aggs.append(F.max(c).alias(f"__max__{c}"))
+            aggs.append(F.avg(c).alias(f"__avg__{c}"))
+    stats = df.agg(*aggs).collect()[0].asDict()
+    row_count = stats["__rows"]
+
+    cols: list[ColumnInfo] = []
+    categorical_candidates: list[str] = []
+    for f in fields:
+        c = f.name
+        dc = int(stats.get(f"__dc__{c}", -1))  # -1: complex type, not profiled
+        info = ColumnInfo(
+            name=c,
+            type_str=f.dataType.simpleString(),
+            nullable=f.nullable,
+            distinct_count=dc,
+            null_count=int(stats[f"__nc__{c}"]),
+            min_value=stats.get(f"__min__{c}"),
+            max_value=stats.get(f"__max__{c}"),
+            avg_value=stats.get(f"__avg__{c}"),
+        )
+        if isinstance(f.dataType, T.StringType) and 0 < dc <= MAX_CATEGORICAL:
+            categorical_candidates.append(c)
+        cols.append(info)
+
+    # Categorical domains (crawler.py:248-252): one pass for all candidates
+    # via collect_set on the *filtered* small-cardinality columns.
+    if categorical_candidates:
+        domain_aggs = [
+            F.array_sort(F.collect_set(c)).alias(c) for c in categorical_candidates
+        ]
+        domains = df.agg(*domain_aggs).collect()[0].asDict()
+        by_name = {c.name: c for c in cols}
+        for c in categorical_candidates:
+            by_name[c].unique_values = list(domains[c])[:MAX_CATEGORICAL]
+
+    # PK inference: *key/id-named column with distinct == rows, no nulls.
+    pk: list[str] = []
+    for c in cols:
+        if (
+            re.search(r"(key|id)$", c.name)
+            and c.distinct_count == row_count
+            and (c.null_count or 0) == 0
+        ):
+            c.is_primary_key = True
+            pk = [c.name]
+            break
+
+    samples = [r.asDict() for r in df.limit(sample_size).collect()]
+    return TableInfo(
+        name=name, columns=cols, primary_key=pk,
+        sample_rows=samples, row_count=row_count,
+    )
+
+
+def infer_relationships(tables: dict[str, TableInfo]) -> list[FKRelationship]:
+    """Convention-based FK graph: a column ``x_<stem>key`` in table A points
+    at table B when B is named like the stem and has PK ``<p>_<stem>key``.
+    Replaces the DB inspector's declared-FK walk (crawler.py:176-199).
+    """
+    rels: list[FKRelationship] = []
+    pk_by_stem: dict[str, tuple[str, str]] = {}
+    for tname, info in tables.items():
+        for pkcol in info.primary_key:
+            stem = re.sub(r"^[a-z]+_", "", pkcol)
+            pk_by_stem[stem] = (tname, pkcol)
+    for tname, info in tables.items():
+        for col in info.columns:
+            stem = re.sub(r"^[a-z]+_", "", col.name)
+            target = pk_by_stem.get(stem)
+            if target and target[0] != tname and not col.is_primary_key:
+                col.is_foreign_key = True
+                rels.append(FKRelationship(tname, col.name, target[0], target[1]))
+    return rels
+
+
+def extract_synonyms(metadata: SchemaMetadata) -> dict[str, list[str]]:
+    """Name-variant synonym mining (crawler.py:278-311 behavior): snake_case
+    → spaced, plural↔singular, trailing ``_id``/key-prefix stripping.
+    Driver-side pure Python — the input is metadata-sized, not data-sized.
+    """
+    syn: dict[str, list[str]] = {}
+
+    def variants(name: str) -> list[str]:
+        out = set()
+        spaced = name.replace("_", " ").strip()
+        if spaced != name:
+            out.add(spaced)
+        if name.endswith("s") and len(name) > 2:
+            out.add(name[:-1])
+        else:
+            out.add(name + "s")
+        if name.endswith("_id"):
+            out.add(name[:-3])
+        m = re.match(r"^[a-z]{1,2}_(.+)$", name)  # TPC-H prefixes: o_, l_, c_…
+        if m:
+            out.add(m.group(1))
+        out.discard(name)
+        return sorted(out)
+
+    for tname, info in metadata.tables.items():
+        v = variants(tname)
+        if v:
+            syn[tname] = v
+        for col in info.columns:
+            v = variants(col.name)
+            if v:
+                syn[col.name] = v
+    return syn
+
+
+def crawl_schema(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+    sample_size: int = 100,
+    exact_distinct: bool = False,
+) -> SchemaMetadata:
+    """Full crawl (crawler.py:142-234 behavior): profile every table, infer
+    the FK graph, mine synonyms."""
+    import os
+
+    from ..sources.parquet import table_path
+
+    infos: dict[str, TableInfo] = {}
+    for t in tables:
+        if not os.path.exists(table_path(sf_dir, t)):
+            continue
+        infos[t] = profile_table(
+            load_table(spark, sf_dir, t), t,
+            sample_size=sample_size, exact_distinct=exact_distinct,
+        )
+    meta = SchemaMetadata(tables=infos)
+    meta.relationships = infer_relationships(infos)
+    for t, info in infos.items():
+        info.foreign_keys = [r for r in meta.relationships if r.from_table == t]
+    meta.synonyms = extract_synonyms(meta)
+    return meta

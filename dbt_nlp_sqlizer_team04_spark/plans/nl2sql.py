@@ -1,0 +1,322 @@
+"""NL→SQL pipeline — A15-A18 over Spark SQL (SURVEY.md §3.1).
+
+The reference's flow (app/routes_ai.py:91-317): schema link → intent →
+candidates (LLM with 90 s timeout, template fallback) → rank → validate →
+cost-gate → execute, with a retry ladder across candidates. Here the
+executor is Spark and the *template tier is intent-driven*: instead of
+only ``SELECT first-5-cols LIMIT 100`` (inference.py:215-246), templates
+compile the detected intent (agg function, group column, sort, limit,
+distinct) against profiled metadata into real SQL — so the deterministic
+no-LLM path answers the reference's eval questions (FIXTURES.md §6).
+
+Determinism contract for cross-engine checks: template aggregates are
+wrapped in ROUND (4dp for AVG, 2dp for SUM) with predictable aliases
+(``avg_<col>``, ``sum_<col>``, ``cnt``), so results hash-match a DuckDB
+oracle running the same SQL.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ..catalog.metadata import SchemaMetadata
+from .executor import (
+    DEFAULT_LIMIT,
+    DEFAULT_TIMEOUT_MS,
+    ExecutionResult,
+    run_readonly,
+)
+from .intent import IntentAnalysis, QueryIntent, analyze_query_intent, build_enhanced_prompt
+from .linking import partial_ratio, select_relevant
+from .llm import LLMNotConfigured, chat_complete
+from .safety import extract_sql_from_response
+
+_NUMERIC_SUBSTR = ("int", "numeric", "decimal", "float", "double", "real", "long")
+# crawler.py:255's numeric-type substring set, extended with Spark's names.
+
+SYS_PROMPT = (
+    "Generate ONLY SQL SELECT queries. NO explanations, NO markdown. "
+    "Start with SELECT. SELECT only (no INSERT/UPDATE/DELETE/DDL). "
+    "Use explicit JOIN ... ON. Use exact column names from the schema. "
+    "Spark SQL syntax."
+)
+
+
+@dataclass
+class Candidate:
+    sql: str
+    method: str
+    confidence: float
+    meta: dict = field(default_factory=dict)
+
+
+class NL2SQLEngine:
+    """Generate + execute pipeline bound to a SparkSession and a profiled
+    schema (the SchemaMetadata sidecar is the 'trained model' analog)."""
+
+    def __init__(self, spark: SparkSession, metadata: SchemaMetadata):
+        self.spark = spark
+        self.metadata = metadata
+        self.schema = metadata.schema_dict()
+
+    @classmethod
+    def from_sf_dir(cls, spark: SparkSession, sf_dir: str, tables=None, **kw):
+        from ..operators.profiler import crawl_schema
+        from ..sources.parquet import TABLES, register_views
+
+        tables = tables or TABLES
+        register_views(spark, sf_dir, tables)
+        meta = crawl_schema(spark, sf_dir, tables, **kw)
+        return cls(spark, meta)
+
+    # ---------------- column selection helpers ----------------
+    def _cols(self, table: str):
+        return self.metadata.tables[table].columns if table in self.metadata.tables else []
+
+    def _best_column(self, table: str, question: str, numeric: bool | None = None) -> str | None:
+        """Highest fuzzy-scoring column, optionally restricted to
+        numeric/non-numeric types; synonym-aware via the profiler's
+        synonym map (A8)."""
+        best, best_score = None, -1.0
+        for c in self._cols(table):
+            is_num = any(s in c.type_str.lower() for s in _NUMERIC_SUBSTR)
+            if numeric is True and not is_num:
+                continue
+            if numeric is False and is_num:
+                continue
+            score = partial_ratio(c.name, question)
+            for syn in self.metadata.synonyms.get(c.name, []):
+                score = max(score, partial_ratio(syn, question))
+            if score > best_score:
+                best, best_score = c.name, score
+        return best
+
+    def _group_column(self, table: str, question: str) -> str | None:
+        """Grouping key: prefer low-cardinality (categorical) columns,
+        fuzzy-matched against the question."""
+        best, best_score = None, -1.0
+        for c in self._cols(table):
+            score = partial_ratio(c.name, question)
+            for syn in self.metadata.synonyms.get(c.name, []):
+                score = max(score, partial_ratio(syn, question))
+            if c.unique_values is not None:  # profiled categorical
+                score += 15.0
+            if c.is_primary_key:
+                score -= 30.0
+            if score > best_score:
+                best, best_score = c.name, score
+        return best
+
+    # ---------------- candidate generation ----------------
+    def template_candidates(
+        self, question: str, analysis: IntentAnalysis, relevant: dict[str, list[str]]
+    ) -> list[Candidate]:
+        """Deterministic intent-compiled templates (extends
+        inference.py:215-246's two templates)."""
+        out: list[Candidate] = []
+        tables = list(relevant)
+        if not tables:
+            return out
+        t = tables[0]
+        all_cols = [c.name for c in self._cols(t)]
+        limit_n = analysis.limit_n
+
+        def order_clause(col: str | None) -> str:
+            if col is None:
+                return ""
+            return f" ORDER BY {col}" + (" DESC" if analysis.sort_desc else "")
+
+        # --- grouped aggregation: SELECT g, F(c) FROM t GROUP BY g ---
+        if analysis.agg_func and (
+            QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
+            or QueryIntent.AGGREGATION in analysis.all_intents
+        ):
+            g = self._group_column(t, question) if (
+                QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
+            ) else None
+            func = analysis.agg_func
+            if func == "COUNT":
+                expr, alias = "COUNT(*)", "cnt"
+            else:
+                c = self._best_column(t, question, numeric=True)
+                if c is None:
+                    expr, alias = "COUNT(*)", "cnt"
+                    func = "COUNT"
+                elif func == "AVG":
+                    expr, alias = f"ROUND(AVG({c}), 4)", f"avg_{c}"
+                elif func == "SUM":
+                    expr, alias = f"ROUND(SUM({c}), 2)", f"sum_{c}"
+                else:
+                    expr, alias = f"{func}({c})", f"{func.lower()}_{c}"
+            if g:
+                sql = f"SELECT {g}, {expr} AS {alias} FROM {t} GROUP BY {g}"
+                if QueryIntent.SORTED in analysis.all_intents:
+                    sql += f" ORDER BY {alias}" + (" DESC" if analysis.sort_desc else "")
+                else:
+                    sql += f" ORDER BY {g}"
+                if limit_n:
+                    sql += f" LIMIT {limit_n}"
+                out.append(Candidate(sql, "template_grouped_agg", 0.75))
+            else:
+                sql = f"SELECT {expr} AS {alias} FROM {t}"
+                out.append(Candidate(sql, "template_global_agg", 0.7))
+
+        # --- window function: rows alongside partitioned aggregate ---
+        if QueryIntent.WINDOW_FUNCTION in analysis.all_intents and analysis.agg_func:
+            g = self._group_column(t, question)
+            c = self._best_column(t, question, numeric=True)
+            if g and c and g != c:
+                sql = (
+                    f"SELECT {', '.join(all_cols[:4])}, "
+                    f"ROUND({analysis.agg_func}({c}) OVER (PARTITION BY {g}), 4) "
+                    f"AS {analysis.agg_func.lower()}_{c}_per_{g} FROM {t}"
+                )
+                out.append(Candidate(sql, "template_window", 0.7))
+
+        # --- distinct values ---
+        if QueryIntent.DISTINCT in analysis.all_intents:
+            c = self._best_column(t, question, numeric=False) or all_cols[0]
+            sql = f"SELECT DISTINCT {c} FROM {t} ORDER BY {c}"
+            out.append(Candidate(sql, "template_distinct", 0.7))
+
+        # --- ranking / sorted top-N ---
+        if (
+            QueryIntent.RANKING in analysis.all_intents
+            or QueryIntent.SORTED in analysis.all_intents
+        ) and analysis.intent not in (QueryIntent.GROUPED_AGGREGATION,):
+            c = self._best_column(t, question, numeric=True)
+            if c:
+                sql = (
+                    f"SELECT {', '.join(all_cols[:5])} FROM {t}"
+                    f"{order_clause(c)} LIMIT {limit_n or 100}"
+                )
+                out.append(Candidate(sql, "template_sorted", 0.6))
+
+        # --- reference parity templates (inference.py:215-246) ---
+        cols5 = ", ".join(all_cols[:5])
+        out.append(Candidate(f"SELECT {cols5} FROM {t} LIMIT 100", "template", 0.5))
+        if len(tables) >= 2 and self.metadata.relationships:
+            for rel in self.metadata.relationships:
+                if rel.from_table in tables and rel.to_table in tables:
+                    sql = (
+                        f"SELECT * FROM {rel.from_table} f "
+                        f"JOIN {rel.to_table} t ON f.{rel.from_column} = t.{rel.to_column} "
+                        f"LIMIT 100"
+                    )
+                    out.append(Candidate(sql, "template_join", 0.6))
+                    break
+        return out
+
+    def llm_candidates(
+        self, question: str, analysis: IntentAnalysis, relevant: dict[str, list[str]]
+    ) -> list[Candidate]:
+        prompt = build_enhanced_prompt(question, relevant, analysis)
+        try:
+            resp = chat_complete(SYS_PROMPT, prompt)
+        except LLMNotConfigured:
+            return []
+        except Exception:
+            return []  # network failure → template fallback (routes_ai.py:205-226)
+        sql = extract_sql_from_response(resp)
+        return [Candidate(sql, "llm", 0.8)] if sql.lower().startswith("select") else []
+
+    def rank(self, candidates: list[Candidate], relevant: dict[str, list[str]]) -> list[Candidate]:
+        """Confidence heuristics port (inference.py:283-313): +0.1 per
+        relevant table referenced, +0.1 for JOIN, sort desc."""
+        for cand in candidates:
+            s = cand.sql.lower()
+            score = cand.confidence
+            for table in relevant:
+                if re.search(rf"\b{re.escape(table)}\b", s):
+                    score += 0.1
+            if "join" in s:
+                score += 0.1
+            cand.confidence = min(score, 1.0)
+        return sorted(candidates, key=lambda c: -c.confidence)
+
+    def generate(self, question: str, max_candidates: int = 5) -> list[Candidate]:
+        relevant = select_relevant(self.schema, question)
+        analysis = analyze_query_intent(question, relevant)
+        cands = self.llm_candidates(question, analysis, relevant)
+        cands += self.template_candidates(question, analysis, relevant)
+        return self.rank(cands, relevant)[:max_candidates]
+
+    def query_df(self, question: str, limit: int = DEFAULT_LIMIT):
+        """Generate-only verb (the reference's /ai/nl2sql split endpoint,
+        app/main.py:262-296): returns the lazy (DataFrame, final_sql) for
+        the best candidate that passes validation + Spark analysis —
+        collection is left to the caller."""
+        from .safety import validate
+
+        relevant = select_relevant(self.schema, question)
+        last_err: Exception | None = None
+        for cand in self.generate(question):
+            try:
+                final = validate(
+                    cand.sql,
+                    question=question,
+                    allowed_tables=list(self.schema),
+                    max_rows=limit,
+                    schema_context=relevant,
+                )
+                df = self.spark.sql(final)
+                df.schema  # force analysis so bad candidates fall through
+                return df, final
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+        raise ValueError(f"no viable candidate for {question!r}: {last_err}")
+
+    def ask(
+        self,
+        question: str,
+        limit: int = DEFAULT_LIMIT,
+        timeout_ms: int = DEFAULT_TIMEOUT_MS,
+    ) -> ExecutionResult:
+        """Full pipeline with the candidate retry ladder
+        (routes_ai.py:205-226): first candidate that validates + executes
+        wins."""
+        relevant = select_relevant(self.schema, question)
+        candidates = self.generate(question)
+        last: ExecutionResult | None = None
+        for cand in candidates:
+            res = run_readonly(
+                self.spark,
+                cand.sql,
+                question=question,
+                allowed_tables=list(self.schema),
+                limit=limit,
+                timeout_ms=timeout_ms,
+                schema_context=relevant,
+            )
+            if res.ok:
+                res.explain = f"[{cand.method} conf={cand.confidence:.2f}] " + (
+                    explain_query(cand.sql, self.schema) or ""
+                )
+                return res
+            last = res
+        return last or ExecutionResult(ok=False, sql="", error="no candidates generated")
+
+
+def explain_query(sql: str, schema: dict[str, list[str]]) -> str:
+    """Template prose explanation (inference.py:337-369 parity)."""
+    s = sql.lower()
+    parts = []
+    for t in schema:
+        if re.search(rf"\b{re.escape(t)}\b", s):
+            parts.append(f"queries the {t} table")
+    if "join" in s:
+        parts.append("joins related tables")
+    if any(op in s for op in ("count(", "sum(", "avg(", "max(", "min(")):
+        parts.append("performs aggregations")
+    if "where" in s:
+        parts.append("applies filters")
+    if "group by" in s:
+        parts.append("groups results")
+    if "order by" in s:
+        parts.append("sorts results")
+    if parts:
+        return "This query " + ", ".join(parts) + "."
+    return "This query retrieves data from the database."

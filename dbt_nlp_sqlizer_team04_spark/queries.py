@@ -20,6 +20,34 @@ from .operators import relational as R
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# ---------------------------------------------------------------------------
+# NL2SQL end-to-end entries: the full pipeline (schema crawl → fuzzy link →
+# intent → template candidates → safety gates → Spark SQL) run on a fixed
+# question; the oracle is the gold SQL the pipeline must deterministically
+# produce. This is the engine-level analog of the reference's NL↔SQL eval
+# harness (SURVEY.md §5).
+_ENGINE_CACHE: dict = {}
+
+
+def _engine_for(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        from .plans.nl2sql import NL2SQLEngine
+
+        eng = NL2SQLEngine.from_sf_dir(spark, sf_dir, sample_size=5)
+        _ENGINE_CACHE[key] = eng
+    return eng
+
+
+def _nl2sql(question: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df, _sql = _engine_for(spark, sf_dir).query_df(question)
+        return df
+
+    fn.__doc__ = f"NL2SQL pipeline on: {question!r}"
+    return fn
+
 # name -> spark builder
 SPARK_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": R.q01_pricing_summary,
@@ -44,6 +72,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q20_events_json_props": R.q20_events_json_props,
     "q21_pivot_status": R.q21_pivot_status,
     "q22_rollup_region_nation": R.q22_rollup_region_nation,
+    # NL2SQL pipeline end-to-end (deterministic template tier, no LLM)
+    "nl01_count_per_priority": _nl2sql("count of orders per orderpriority"),
+    "nl02_avg_balance_per_segment": _nl2sql(
+        "average acctbal per mktsegment in customer"
+    ),
+    "nl03_distinct_segments": _nl2sql("unique mktsegment values from customer"),
 }
 
 # name -> DuckDB oracle SQL (None => rows-only check)
@@ -228,5 +262,16 @@ ORACLE_SQL: dict[str, str | None] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    "nl01_count_per_priority": """
+        SELECT o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "nl02_avg_balance_per_segment": """
+        SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_c_acctbal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "nl03_distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
     """,
 }

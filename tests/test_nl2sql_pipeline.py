@@ -1,0 +1,114 @@
+"""End-to-end NL2SQL pipeline (SURVEY.md §3.1) incl. executor gates —
+re-creation of the reference's pilot eval (BASELINE.md: success ≥83%,
+unsafe rate 0)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_nlp_sqlizer_team04_spark.plans.executor import run_readonly
+from dbt_nlp_sqlizer_team04_spark.plans.nl2sql import NL2SQLEngine, explain_query
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_smoke):
+    return NL2SQLEngine.from_sf_dir(spark, sf_smoke, sample_size=5)
+
+
+EVAL_QUESTIONS = [
+    "count of orders per orderpriority",
+    "average acctbal per mktsegment in customer",
+    "unique mktsegment values from customer",
+    "show me all customers",
+    "top 5 orders by totalprice",
+    "how many lineitem rows are there",
+    "sum of totalprice per orderstatus in orders",
+    "max acctbal per nationkey in customer",
+]
+
+
+def test_eval_success_rate(engine):
+    ok = 0
+    for q in EVAL_QUESTIONS:
+        res = engine.ask(q)
+        if res.ok and res.rowcount >= 1:
+            ok += 1
+    # reference pilot: 10/12 (83%) — require >= 85% here
+    assert ok / len(EVAL_QUESTIONS) >= 0.85, f"only {ok}/{len(EVAL_QUESTIONS)} succeeded"
+
+
+def test_grouped_count_sql_shape(engine):
+    res = engine.ask("count of orders per orderpriority")
+    assert res.ok
+    assert "GROUP BY o_orderpriority" in res.sql
+    assert res.rowcount == 5
+    assert res.columns == ["o_orderpriority", "cnt"]
+
+
+def test_unsafe_rate_zero(engine, spark):
+    """Adversarial probes through the run (execute) verb must all fail
+    closed — the 10/10 blocked parity."""
+    probes = [
+        "DROP TABLE customer",
+        "DELETE FROM orders",
+        "INSERT INTO orders VALUES (1)",
+        "UPDATE customer SET c_acctbal = 0",
+        "TRUNCATE TABLE lineitem",
+        "CREATE TABLE x (a INT)",
+        "ALTER TABLE orders ADD y INT",
+        "MERGE INTO orders USING orders ON 1=1",
+        "SELECT 1; DROP TABLE orders",
+        "GRANT ALL ON orders TO PUBLIC",
+    ]
+    blocked = sum(
+        1
+        for p in probes
+        if not run_readonly(spark, p, allowed_tables=["orders", "customer"]).ok
+    )
+    assert blocked == len(probes)
+
+
+def test_unbounded_select_gets_limit(engine, spark):
+    res = run_readonly(spark, "SELECT * FROM lineitem", allowed_tables=["lineitem"])
+    assert res.ok
+    assert res.rowcount <= 100
+    assert "LIMIT 100" in res.sql
+
+
+def test_table_allowlist_enforced(spark):
+    res = run_readonly(spark, "SELECT * FROM lineitem", allowed_tables=["orders"])
+    assert not res.ok
+    assert "not allowed" in res.error
+
+
+def test_jsonable_rows(engine):
+    res = engine.ask("show me all orders")
+    assert res.ok
+    # o_orderdate must be ISO string, not datetime
+    date_idx = res.columns.index("o_orderdate")
+    assert isinstance(res.rows[0][date_idx], str)
+
+
+def test_explain_prose():
+    txt = explain_query(
+        "SELECT n_name, count(*) FROM orders JOIN nation ON 1=1 GROUP BY n_name",
+        {"orders": [], "nation": []},
+    )
+    assert "joins related tables" in txt and "groups results" in txt
+
+
+def test_cost_gate_rejects_huge_estimate(spark, sf_check):
+    """A deliberately unbounded cross join must trip the S7 gate."""
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import register_views
+
+    register_views(spark, sf_check, ("lineitem", "orders"))
+    res = run_readonly(
+        spark,
+        "SELECT * FROM lineitem a JOIN orders b LIMIT 200",
+        allowed_tables=["lineitem", "orders"],
+        max_estimated_rows=100_000,
+    )
+    # either blocked by the cost gate or (if stats estimate is tiny) runs
+    # bounded — but it must never return unbounded output
+    if res.ok:
+        assert res.rowcount <= 200

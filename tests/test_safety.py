@@ -1,0 +1,123 @@
+"""Safety layer (S1-S6) — mirrors the reference's adversarial probes
+(BASELINE.md: 10/10 DDL/WRITE blocked, 10/10 unbounded SELECT bounded)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbt_nlp_sqlizer_team04_spark.plans.safety import (
+    SQLSafetyError,
+    enforce_limit,
+    ensure_select_only,
+    ensure_tables_allowed,
+    extract_sql_from_response,
+    referenced_tables,
+    validate,
+    validate_aggregation_requirements,
+    validate_query_structure,
+)
+
+ADVERSARIAL = [
+    "DROP TABLE students",
+    "DELETE FROM orders",
+    "DELETE all orders",
+    "UPDATE customer SET c_name = 'x'",
+    "INSERT INTO orders VALUES (1)",
+    "TRUNCATE TABLE lineitem",
+    "ALTER TABLE orders ADD COLUMN x INT",
+    "CREATE TABLE evil (x INT)",
+    "MERGE INTO orders USING x ON 1=1",
+    "GRANT ALL ON orders TO PUBLIC",
+    "SELECT 1; DROP TABLE orders",
+    "SELECT * FROM orders; DELETE FROM orders",
+]
+
+
+@pytest.mark.parametrize("sql", ADVERSARIAL)
+def test_adversarial_blocked(sql):
+    with pytest.raises(SQLSafetyError):
+        ensure_select_only(sql)
+
+
+def test_blocked_keyword_in_string_literal_ok():
+    ensure_select_only("SELECT 'please DROP TABLE x' AS note FROM orders")
+
+
+def test_replace_function_allowed():
+    ensure_select_only("SELECT replace(c_name, 'a', 'b') FROM customer")
+
+
+def test_comment_smuggling_blocked():
+    with pytest.raises(SQLSafetyError):
+        ensure_select_only("SELECT 1 /* */ ; DROP TABLE x")
+
+
+def test_cte_and_union_allowed():
+    ensure_select_only("WITH x AS (SELECT 1 AS a) SELECT * FROM x")
+    ensure_select_only("SELECT c_name FROM customer UNION SELECT s_name FROM supplier")
+
+
+def test_referenced_tables():
+    assert referenced_tables("SELECT * FROM orders JOIN customer ON 1=1") == [
+        "customer",
+        "orders",
+    ]
+    # CTE names are not base tables
+    assert referenced_tables(
+        "WITH x AS (SELECT * FROM orders) SELECT * FROM x JOIN nation ON 1=1"
+    ) == ["nation", "orders"]
+    # dotted names resolve to the last segment
+    assert referenced_tables("SELECT * FROM db.orders") == ["orders"]
+
+
+def test_allowlist():
+    ensure_tables_allowed("SELECT * FROM orders", ["orders", "customer"])
+    with pytest.raises(SQLSafetyError):
+        ensure_tables_allowed("SELECT * FROM secret", ["orders"])
+
+
+def test_limit_injection():
+    assert enforce_limit("SELECT * FROM orders").endswith("LIMIT 100")
+    assert enforce_limit("SELECT * FROM orders LIMIT 5") == "SELECT * FROM orders LIMIT 5"
+    # LIMIT inside a subquery does not count as top-level
+    out = enforce_limit("SELECT * FROM (SELECT * FROM orders LIMIT 5) t")
+    assert out.endswith("LIMIT 100")
+
+
+def test_extract_sql_from_markdown():
+    resp = "Here you go:\n```sql\nSELECT a\nFROM t\n```\nHope that helps!"
+    assert extract_sql_from_response(resp) == "SELECT a FROM t"
+
+
+def test_extract_sql_with_prose():
+    resp = "SELECT a FROM t WHERE x = 1;\nThis query filters by x."
+    assert extract_sql_from_response(resp) == "SELECT a FROM t WHERE x = 1"
+
+
+def test_aggregation_requirements():
+    validate_aggregation_requirements(
+        "average price per category", "SELECT category, AVG(price) FROM t GROUP BY category"
+    )
+    with pytest.raises(SQLSafetyError):
+        validate_aggregation_requirements("average price", "SELECT price FROM t")
+    with pytest.raises(SQLSafetyError):
+        validate_aggregation_requirements("how many orders", "SELECT * FROM orders")
+    # 'totalprice' must NOT trigger the sum requirement (word-boundary fix)
+    validate_aggregation_requirements(
+        "top orders by totalprice", "SELECT o_orderkey FROM orders ORDER BY o_totalprice"
+    )
+
+
+def test_structure_distinct_required():
+    with pytest.raises(SQLSafetyError):
+        validate_query_structure("unique segments", "SELECT c_mktsegment FROM customer")
+    validate_query_structure("unique segments", "SELECT DISTINCT c_mktsegment FROM customer")
+
+
+def test_validate_full_gate():
+    out = validate(
+        "SELECT c_name FROM customer",
+        question="show customers",
+        allowed_tables=["customer"],
+    )
+    assert out.endswith("LIMIT 100")
