@@ -72,13 +72,15 @@ def profile_table(
     categorical_candidates: list[str] = []
     for f in fields:
         c = f.name
-        dc = int(stats.get(f"__dc__{c}", -1))  # -1: complex type, not profiled
+        dc_raw = stats.get(f"__dc__{c}", -1)  # -1: complex type, not profiled
+        dc = int(dc_raw) if dc_raw is not None else -1
         info = ColumnInfo(
             name=c,
             type_str=f.dataType.simpleString(),
             nullable=f.nullable,
             distinct_count=dc,
-            null_count=int(stats[f"__nc__{c}"]),
+            # F.sum over zero rows is NULL → coerce to 0 (empty table)
+            null_count=int(stats[f"__nc__{c}"] or 0),
             min_value=stats.get(f"__min__{c}"),
             max_value=stats.get(f"__max__{c}"),
             avg_value=stats.get(f"__avg__{c}"),
@@ -99,13 +101,26 @@ def profile_table(
             by_name[c].unique_values = list(domains[c])[:MAX_CATEGORICAL]
 
     # PK inference: *key/id-named column with distinct == rows, no nulls.
+    # Under HLL (exact_distinct=False, ~5% rsd) the estimate rarely equals
+    # row_count exactly beyond small tables, so candidates within 10% are
+    # confirmed with ONE exact countDistinct — O(1) extra passes instead
+    # of silently losing the PK (and with it the FK graph) at scale.
     pk: list[str] = []
     for c in cols:
-        if (
-            re.search(r"(key|id)$", c.name)
-            and c.distinct_count == row_count
-            and (c.null_count or 0) == 0
-        ):
+        if row_count <= 0 or not re.search(r"(key|id)$", c.name):
+            continue
+        if (c.null_count or 0) != 0 or c.distinct_count < 0:
+            continue
+        if exact_distinct:
+            is_pk = c.distinct_count == row_count
+        elif c.distinct_count >= 0.9 * row_count:
+            exact = df.agg(F.countDistinct(F.col(c.name)).alias("dc")).collect()[0]["dc"]
+            is_pk = exact == row_count
+            if is_pk:
+                c.distinct_count = exact
+        else:
+            is_pk = False
+        if is_pk:
             c.is_primary_key = True
             pk = [c.name]
             break

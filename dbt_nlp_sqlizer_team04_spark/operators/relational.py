@@ -215,26 +215,38 @@ def q08_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking windows RANK()/ROW_NUMBER() OVER (ORDER BY ...) — B10
     (RANKING intent, app/ai/query_intent.py:221-230).
 
-    Scale: a global ORDER BY window is a single-partition sort — at 100 TB
-    you'd first TakeOrderedAndProject the top slice (as the trailing
-    orderBy+limit lets AQE do here) or rank within partitions. rank() uses
-    the raw price so engine tie semantics match; row_number carries a
-    unique tie-break.
+    Scale: a bare ``Window.orderBy`` sorts the ENTIRE table on one
+    partition. Instead we pre-trim with orderBy+limit — Spark plans it as
+    TakeOrderedAndProject (each partition keeps its local top-50, the
+    driver merges) — and rank only the 50-row slice. Global ranks survive
+    the trim: rank() counts rows with strictly greater price, and every
+    such row sorts ahead of the slice member in (price DESC, orderkey)
+    order, so it is already inside the slice; boundary ties outside the
+    slice never affect in-slice ranks. The window runs partitionBy(lit)
+    over the trimmed slice — a deliberate single 50-row partition, with
+    no WindowExec "moving all data to a single partition" hazard.
     """
     o = _t(spark, sf_dir, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            "o_custkey",
-            "o_totalprice",
-            F.rank().over(Window.orderBy(F.desc("o_totalprice"))).alias("price_rank"),
-            F.row_number()
-            .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
-            .alias("rn"),
-        )
-        .orderBy("rn")
+    top = (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(50)
     )
+    # partition key that is 0 everywhere but NOT foldable: a literal
+    # lit(0) gets constant-folded out of the window spec and WindowExec
+    # then warns about (and plans) a global single-partition sort again.
+    one = F.col("o_orderkey") * F.lit(0)
+    return top.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank()
+        .over(Window.partitionBy(one).orderBy(F.desc("o_totalprice")))
+        .alias("price_rank"),
+        F.row_number()
+        .over(Window.partitionBy(one).orderBy(F.desc("o_totalprice"), "o_orderkey"))
+        .alias("rn"),
+    ).orderBy("rn")
 
 
 # ---------------------------------------------------------------------- B13

@@ -47,6 +47,7 @@ class Token:
     kind: str  # 'word' | 'num' | 'str' | 'op' | 'punct'
     value: str  # lowercased for words
     depth: int  # paren nesting depth at this token
+    end: int = -1  # end offset in the source SQL (for tail-safe rewrites)
 
 
 _TOKEN_RE = re.compile(
@@ -83,7 +84,7 @@ def tokenize(sql: str) -> list[Token]:
             continue
         if kind == "punct":
             if text == "(":
-                tokens.append(Token("punct", text, depth))
+                tokens.append(Token("punct", text, depth, pos))
                 depth += 1
                 continue
             if text == ")":
@@ -91,11 +92,13 @@ def tokenize(sql: str) -> list[Token]:
                 if depth < 0:
                     raise SQLSafetyError("Unbalanced parentheses in SQL")
         if kind == "word":
-            tokens.append(Token("word", text.lower(), depth))
+            tokens.append(Token("word", text.lower(), depth, pos))
         elif kind == "qident":
-            tokens.append(Token("word", text[1:-1].replace('""', '"').lower(), depth))
+            tokens.append(
+                Token("word", text[1:-1].replace('""', '"').lower(), depth, pos)
+            )
         else:
-            tokens.append(Token(kind, text, depth))
+            tokens.append(Token(kind, text, depth, pos))
     if depth != 0:
         raise SQLSafetyError("Unbalanced parentheses in SQL")
     return tokens
@@ -127,36 +130,96 @@ def ensure_select_only(sql: str) -> list[Token]:
     return tokens
 
 
+def _skip_parens(tokens: list[Token], i: int) -> int:
+    """Given tokens[i] == '(', return the index just past its matching ')'.
+
+    The tokenizer records '(' at the pre-increment depth and ')' at the
+    post-decrement depth, so the matching close is the first ')' with the
+    same depth as the open.
+    """
+    d = tokens[i].depth
+    j = i + 1
+    n = len(tokens)
+    while j < n and not (
+        tokens[j].kind == "punct" and tokens[j].value == ")" and tokens[j].depth == d
+    ):
+        j += 1
+    return j + 1
+
+
+# Keywords that cannot be a table alias in FROM-list position; seeing one
+# ends the comma-separated FROM item scan.
+_FROM_STOP_WORDS = frozenset({
+    "where", "join", "inner", "left", "right", "full", "cross", "outer",
+    "on", "using", "group", "order", "having", "limit", "offset", "union",
+    "intersect", "except", "window", "qualify", "lateral", "natural",
+    "semi", "anti", "when", "then", "else", "end", "and", "or",
+})
+
+
+def _harvest_ctes(tokens: list[Token]) -> set[str]:
+    """Collect CTE names from the WITH prologue ONLY.
+
+    A name is registered only when it is followed by an optional column
+    list and ``AS (``; scanning continues past a CTE body only when a
+    top-level comma appears immediately after its closing paren. This
+    prevents identifiers elsewhere in the statement (e.g. the SELECT
+    list) from being excused from the table allowlist.
+    """
+    ctes: set[str] = set()
+    if not (tokens and tokens[0].kind == "word" and tokens[0].value == "with"):
+        return ctes
+    i = 1
+    if i < len(tokens) and tokens[i].kind == "word" and tokens[i].value == "recursive":
+        i += 1
+    while i < len(tokens):
+        if tokens[i].kind != "word":
+            break
+        name = tokens[i].value
+        i += 1
+        # optional explicit column list: name (c1, c2) AS (...)
+        if i < len(tokens) and tokens[i].kind == "punct" and tokens[i].value == "(":
+            i = _skip_parens(tokens, i)
+        if not (i < len(tokens) and tokens[i].kind == "word" and tokens[i].value == "as"):
+            break  # prologue over (or malformed): stop harvesting
+        i += 1
+        if not (i < len(tokens) and tokens[i].kind == "punct" and tokens[i].value == "("):
+            break
+        ctes.add(name)
+        i = _skip_parens(tokens, i)
+        # continue only for "…) , next_cte AS (…" — comma immediately after
+        if (
+            i < len(tokens)
+            and tokens[i].kind == "punct"
+            and tokens[i].value == ","
+            and tokens[i].depth == 0
+        ):
+            i += 1
+            continue
+        break
+    return ctes
+
+
 def referenced_tables(sql: str) -> list[str]:
     """S2 support — tables referenced in FROM/JOIN position, minus CTE
-    names (nl2sql.py:292-297 referenced_tables parity, CTE-aware)."""
+    names (nl2sql.py:292-297 referenced_tables parity, CTE-aware).
+    Handles comma-separated FROM lists and skips derived-table
+    subqueries (their inner FROMs are scanned by the same loop)."""
     tokens = ensure_select_only(sql)
     names: set[str] = set()
-    ctes: set[str] = set()
+    ctes = _harvest_ctes(tokens)
 
     for i, t in enumerate(tokens):
-        # CTE definitions: WITH a AS (...) , b AS (...)
-        if t.kind == "word" and t.value == "with":
-            j = i + 1
-            while j < len(tokens):
-                if tokens[j].kind == "word" and tokens[j].value not in ("recursive",):
-                    ctes.add(tokens[j].value)
-                    # skip to matching AS ( ... ) then check for comma
-                    k = j + 1
-                    while k < len(tokens) and not (
-                        tokens[k].kind == "punct"
-                        and tokens[k].value == ","
-                        and tokens[k].depth == tokens[j].depth
-                    ):
-                        k += 1
-                    if k >= len(tokens):
-                        break
-                    j = k + 1
-                else:
-                    break
-        if t.kind == "word" and t.value in ("from", "join"):
-            j = i + 1
-            if j < len(tokens) and tokens[j].kind == "word":
+        if not (t.kind == "word" and t.value in ("from", "join")):
+            continue
+        from_depth = t.depth
+        j = i + 1
+        while j < len(tokens):
+            if tokens[j].kind == "punct" and tokens[j].value == "(":
+                # derived table / subquery: its tables are harvested when
+                # the outer loop reaches the inner FROM token
+                j = _skip_parens(tokens, j)
+            elif tokens[j].kind == "word":
                 name = tokens[j].value
                 # dotted: db.table — take last part
                 while (
@@ -168,6 +231,29 @@ def referenced_tables(sql: str) -> list[str]:
                     j += 2
                     name = tokens[j].value
                 names.add(name)
+                j += 1
+            else:
+                break
+            # optional alias: [AS] word (stop words end the FROM item)
+            if j < len(tokens) and tokens[j].kind == "word" and tokens[j].value == "as":
+                j += 1
+            if (
+                j < len(tokens)
+                and tokens[j].kind == "word"
+                and tokens[j].value not in _FROM_STOP_WORDS
+            ):
+                j += 1
+            # comma at the FROM's own depth → another table in the list
+            if (
+                t.value == "from"
+                and j < len(tokens)
+                and tokens[j].kind == "punct"
+                and tokens[j].value == ","
+                and tokens[j].depth == from_depth
+            ):
+                j += 1
+                continue
+            break
     return sorted(names - ctes)
 
 
@@ -180,15 +266,43 @@ def ensure_tables_allowed(sql: str, allowed) -> None:
 
 
 def enforce_limit(sql: str, max_rows: int = 100) -> str:
-    """S3 — LIMIT injection (nl2sql.py:299-306 parity): append
-    ``LIMIT max_rows`` when the statement has no top-level LIMIT."""
+    """S3 — LIMIT injection (nl2sql.py:299-306 parity): bound the whole
+    statement at ``max_rows`` unless an existing top-level LIMIT already
+    does.
+
+    Robustness fixes over the naive "append if no LIMIT token":
+    - the statement body is cut at the last real token (trailing line
+      comments and semicolons can't swallow the appended LIMIT);
+    - the appended LIMIT goes on its own line;
+    - a top-level LIMIT only counts when it appears *after* the last
+      top-level set operator — ``SELECT … LIMIT 5 UNION SELECT …`` binds
+      the LIMIT to one branch, so the whole union gets wrapped in a
+      bounded outer SELECT instead.
+    """
     tokens = ensure_select_only(sql)
-    has_top_limit = any(
-        t.kind == "word" and t.value == "limit" and t.depth == 0 for t in tokens
-    )
-    if has_top_limit:
-        return sql.rstrip().rstrip(";")
-    return f"{sql.rstrip().rstrip(';')} LIMIT {max_rows}"
+    # cut at the last non-semicolon token: comments/';' after it vanish
+    body_tokens = list(tokens)
+    while body_tokens and body_tokens[-1].kind == "punct" and body_tokens[-1].value == ";":
+        body_tokens.pop()
+    if not body_tokens:
+        raise SQLSafetyError("Empty SQL")
+    base = sql[: body_tokens[-1].end].strip()
+
+    set_op_idx = -1
+    limit_idx = -1
+    for i, t in enumerate(body_tokens):
+        if t.kind != "word" or t.depth != 0:
+            continue
+        if t.value in ("union", "intersect", "except"):
+            set_op_idx = i
+        elif t.value == "limit":
+            limit_idx = i
+    if limit_idx >= 0 and limit_idx > set_op_idx:
+        return base  # statement-tail LIMIT bounds everything
+    if limit_idx >= 0:
+        # LIMIT binds to an earlier branch only: bound the whole statement
+        return f"SELECT * FROM (\n{base}\n) AS __bounded\nLIMIT {max_rows}"
+    return f"{base}\nLIMIT {max_rows}"
 
 
 # ---------------------------------------------------------------- S6

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read as raw nanos (sources/parquet.py truncates
+        # to micros). Set at session build, not inside read functions.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -43,13 +43,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects; we read it as raw nanos
-    (``nanosAsLong``) and truncate to microseconds — the same truncation
-    DuckDB applies, so both engines see identical values.
+    (``nanosAsLong``, set in session.py's factory) and truncate to
+    microseconds — the same truncation DuckDB applies, so both engines
+    see identical values. For sessions not built by ``get_spark`` (e.g.
+    the driver harness) the conf is set here once, narrowly, before the
+    only read that needs it.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if name == "events" and spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn(

@@ -64,3 +64,27 @@ def test_metadata_roundtrip(spark, sf_smoke):
     assert again.schema_dict() == meta.schema_dict()
     assert generate_schema_id(again) == generate_schema_id(meta)
     assert len(generate_schema_id(meta)) == 16
+
+
+def test_profile_empty_table(spark):
+    # ADVICE(low): F.sum over zero rows is NULL — empty tables must
+    # profile to zeros, not crash.
+    from dbt_nlp_sqlizer_team04_spark.operators.profiler import profile_table
+
+    df = spark.createDataFrame([], "a_key long, name string, val double")
+    info = profile_table(df, "empty")
+    assert info.row_count == 0
+    assert all((c.null_count or 0) == 0 for c in info.columns)
+    assert info.primary_key == []
+
+
+def test_pk_inference_survives_approx_distinct(spark, sf_smoke):
+    # ADVICE(low): HLL estimates rarely equal row_count exactly; the PK
+    # (and the FK graph built on it) must survive exact_distinct=False.
+    from dbt_nlp_sqlizer_team04_spark.operators.profiler import profile_table
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    info = profile_table(
+        load_table(spark, sf_smoke, "orders"), "orders", exact_distinct=False
+    )
+    assert info.primary_key == ["o_orderkey"]

@@ -121,3 +121,49 @@ def test_validate_full_gate():
         allowed_tables=["customer"],
     )
     assert out.endswith("LIMIT 100")
+
+
+# ---------------------------------------------------------------- round-2
+# regression tests for the judge/advisor findings (VERDICT.md, ADVICE.md)
+
+def test_cte_scan_does_not_excuse_select_list_identifiers():
+    # ADVICE(high): identifiers after a comma in the SELECT list must NOT
+    # be harvested as CTE names (table-allowlist bypass).
+    sql = "WITH a AS (SELECT 1) SELECT o_orderkey, secret.x FROM secret"
+    assert referenced_tables(sql) == ["secret"]
+    with pytest.raises(SQLSafetyError):
+        ensure_tables_allowed(sql, ["orders", "customer"])
+
+
+def test_cte_chain_still_excused():
+    sql = (
+        "WITH a AS (SELECT * FROM orders), b AS (SELECT * FROM a) "
+        "SELECT * FROM b JOIN customer ON 1=1"
+    )
+    assert referenced_tables(sql) == ["customer", "orders"]
+
+
+def test_comma_from_list_all_tables_collected():
+    sql = "SELECT * FROM orders o, customer c WHERE o.o_custkey = c.c_custkey"
+    assert referenced_tables(sql) == ["customer", "orders"]
+    with pytest.raises(SQLSafetyError):
+        ensure_tables_allowed("SELECT * FROM orders, secret", ["orders"])
+
+
+def test_enforce_limit_survives_trailing_comment():
+    # ADVICE(medium): LIMIT must not be swallowed by a trailing -- comment
+    out = enforce_limit("SELECT * FROM orders -- note")
+    assert out.endswith("LIMIT 100")
+    assert "-- note" not in out.rsplit("LIMIT", 1)[-1]
+    out2 = enforce_limit("SELECT * FROM orders; -- note")
+    assert out2.endswith("LIMIT 100") and ";" not in out2
+
+
+def test_enforce_limit_union_branch_gap_closed():
+    # VERDICT "What's wrong" #2: LIMIT bound to one union branch must not
+    # suppress the outer bound.
+    out = enforce_limit("SELECT 1 LIMIT 5 UNION SELECT 2")
+    assert out.strip().lower().startswith("select * from (")
+    assert out.rstrip().endswith("LIMIT 100")
+    # tail LIMIT after the set-op already bounds the whole statement
+    assert enforce_limit("SELECT 1 UNION SELECT 2 LIMIT 5").rstrip().endswith("LIMIT 5")
