@@ -1,0 +1,304 @@
+"""Deduplication operators over a document corpus — builder-brief
+extension (no reference analog; the reference's nearest concept is the
+schema-element similarity search, app/models/inference.py:70-118).
+
+Tiers, cheapest to fuzziest, all over ``documents.parquet``
+(doc_id, text, lang, source, n_chars):
+
+- exact:      content-hash (md5) groupBy — one shuffle on the hash, at
+              100 TB hash first so the shuffle moves 16-byte keys + ids,
+              never the text bodies.
+- normalized: same after lower/trim/whitespace-collapse.
+- MinHash+LSH near-dup: word-shingles → k seeded min-hashes → banded
+              bucket ids → candidate pairs ONLY within buckets (bucket
+              self-join, never all-pairs) → exact n-gram Jaccard
+              re-check. Everything is JVM column expressions
+              (xxhash64 / transform / aggregate) — no Python UDFs.
+- SimHash:    64-bit sign-sum fingerprint per doc; near-dups = pairs
+              sharing a 16-bit band with Hamming distance ≤ k
+              (F.bit_count(xor) re-check).
+
+Scale notes: every pairwise step is bucket-bounded; the only global
+shuffles are groupBy(hash) and the band equi-joins, both on small keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+
+MINHASH_K = 16          # number of min-hash functions
+MINHASH_BANDS = 4       # bands of MINHASH_K // MINHASH_BANDS rows each
+SHINGLE_N = 3           # word-shingle width
+JACCARD_THRESHOLD = 0.5
+SIMHASH_HAMMING_MAX = 8
+
+
+# ------------------------------------------------------------- exact tier
+def content_hash(col: Column) -> Column:
+    """Stable 128-bit content fingerprint (md5 — same function exists in
+    the DuckDB oracle, so this tier is hash-compare checkable)."""
+    return F.md5(col)
+
+
+def normalized_text(col: Column) -> Column:
+    """lower + trim + collapse runs of whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group stats per distinct content hash: copies + canonical doc.
+
+    One shuffle, partial-agg (map-side combine) on the 32-hex key.
+    """
+    return (
+        df.groupBy(content_hash(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", normalize: bool = False
+) -> DataFrame:
+    """Keep one canonical row (min doc_id) per distinct content.
+
+    Implemented as min_by over the full row struct in a single groupBy —
+    no second join pass over the corpus.
+    """
+    key = F.col(text_col)
+    if normalize:
+        key = normalized_text(key)
+    out = (
+        df.groupBy(content_hash(key).alias("__h"))
+        .agg(F.min_by(F.struct(*df.columns), F.col("doc_id")).alias("r"))
+        .select("r.*")
+        .orderBy("doc_id")
+    )
+    return out
+
+
+# ----------------------------------------------------------- MinHash tier
+def tokens_expr(text_col: Column) -> Column:
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def shingles_expr(text_col: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingle set (distinct), JVM-side.
+
+    Documents shorter than n tokens fall back to one whole-text shingle.
+    """
+    toks = tokens_expr(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def _seeded_hash(seed: int):
+    """One-arg lambda factory: a default-arg lambda (``lambda s, j=j``)
+    would be introspected by PySpark as a TWO-parameter higher-order
+    function and receive the array index as its second argument —
+    silently collapsing every seed to the same hash family."""
+
+    def fn(s: Column) -> Column:
+        return F.xxhash64(F.lit(seed), s)
+
+    return fn
+
+
+def minhash_expr(shingles: Column, k: int = MINHASH_K) -> Column:
+    """k seeded min-hashes of the shingle set: h_j = min over shingles of
+    xxhash64(j, shingle). Array of k longs per row, pure codegen."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, _seeded_hash(j))) for j in range(k)]
+    )
+
+
+def minhash_band_hashes(
+    mh: Column, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+) -> Column:
+    """Fold the k min-hashes into per-band bucket ids (band index mixed
+    in so buckets never collide across bands)."""
+    per = k // bands
+    cols = []
+    for b in range(bands):
+        cols.append(
+            F.xxhash64(
+                F.lit(b), *[F.element_at(mh, b * per + i + 1) for i in range(per)]
+            )
+        )
+    return F.array(*cols)
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs: banded MinHash buckets → in-bucket pairs →
+    exact shingle-Jaccard ≥ threshold.
+
+    Plan: one scan computing (id, shingles, band ids); explode bands;
+    shuffle on bucket id; pairs generated per bucket only; distinct;
+    exact verify. At 100 TB the explode/join keys are (long, long) — the
+    shingle arrays travel only for rows that reach a candidate pair, and
+    a salted repartition would handle a pathological hot bucket.
+    """
+    sh = df.select(
+        F.col(id_col),
+        shingles_expr(F.col(text_col)).alias("sh"),
+    ).withColumn("bands", minhash_band_hashes(minhash_expr(F.col("sh"), k), k, bands))
+    ex = sh.select(id_col, "sh", F.explode("bands").alias("bkt"))
+    l = ex.select(F.col("bkt"), F.col(id_col).alias("id_a"), F.col("sh").alias("sa"))
+    r = ex.select(F.col("bkt"), F.col(id_col).alias("id_b"), F.col("sh").alias("sb"))
+    return (
+        l.join(r, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(jaccard_expr("sa", "sb"), 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ----------------------------------------------------------- SimHash tier
+def simhash_votes_expr(text_col: Column, bits: int = 64) -> Column:
+    """Per-bit +1/-1 vote sums for the SimHash of a text column.
+
+    Per token hash xxhash64(token); for each of the 64 bit positions the
+    token votes +1 (bit set) or -1. Bit positions are unrolled as Python
+    ints (shiftright takes a literal count); the per-token hash repeats
+    per position but Catalyst's subexpression elimination collapses it
+    in codegen.
+    """
+    toks = tokens_expr(text_col)
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * F.lit(2)
+                    - F.lit(1)
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+
+
+def fold_votes_to_simhash(votes: Column, bits: int = 64) -> Column:
+    """Fold the sign of each vote into a 64-bit signed long. Bit 63
+    contributes the two's-complement min-long value instead of 1<<63
+    (which would overflow a signed literal)."""
+    terms = []
+    for b in range(bits):
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        terms.append(
+            F.when(F.element_at(votes, b + 1) >= 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """Attach the 64-bit SimHash; votes materialize once via withColumn
+    so the fold doesn't replicate the aggregate 64 times."""
+    return (
+        df.withColumn("__votes", simhash_votes_expr(F.col(text_col)))
+        .withColumn(out_col, fold_votes_to_simhash(F.col("__votes")))
+        .drop("__votes")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return with_simhash(df, text_col).select(id_col, "simhash").orderBy(id_col)
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+) -> DataFrame:
+    """SimHash near-dups: pairs sharing one of four 16-bit bands, then
+    exact Hamming (bit_count of xor) ≤ max_hamming. Band join bounds the
+    candidate set; 2 such bands must match for distance ≤ 16 by
+    pigeonhole, so recall at small distances is high."""
+    sh = with_simhash(df, text_col).select(id_col, "simhash")
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+            for b in range(4)
+        ]
+    )
+    ex = sh.withColumn("bkt", F.explode(bands)).select(id_col, "simhash", "bkt")
+    l = ex.select(F.col("bkt"), F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"))
+    r = ex.select(F.col("bkt"), F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        l.join(r, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ----------------------------------------------------- registry queries
+def q26_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup group stats per content hash (oracle: DuckDB md5)."""
+    return exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q27_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical rows surviving normalized exact dedup (oracle-checked)."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"), normalize=True)
+
+
+def q28_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with exact Jaccard ≥ 0.5
+    (rows-only: xxhash64 has no DuckDB analog; pytest asserts behavior
+    on seeded near-duplicates)."""
+    return near_dup_pairs_minhash(load_table(spark, sf_dir, "documents"))
+
+
+def q29_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash fingerprints (rows-only)."""
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))

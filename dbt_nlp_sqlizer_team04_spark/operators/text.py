@@ -1,0 +1,223 @@
+"""Text analysis operators — builder-brief extension for LLM training
+data pipelines (no reference analog; the reference's text handling stops
+at schema-name synonym mining, app/schema/crawler.py:278-311).
+
+All per-document statistics are pure JVM column expressions (split /
+transform / filter / aggregate) so the hot path stays inside whole-stage
+codegen — no Python UDFs anywhere. The ``documents`` table (doc_id,
+text, lang, source, n_chars) is the target corpus.
+
+Operators:
+- ``text_stats``        per-doc token/char/punctuation/stopword counts
+                        (DuckDB-oracle checkable: both engines run the
+                        same regex + list arithmetic).
+- ``quality_scores``    deterministic quality score in [0,1] from the
+                        stats — the pretraining-corpus filter signal.
+- ``lang_id``           stopword-profile + CJK-codepoint language
+                        heuristic (en/de/fr/es/zh).
+- ``tfidf_terms``       corpus-level TF-IDF term ranking via explode +
+                        two aggregations (shuffle keys are terms, never
+                        documents).
+- ``doc_fingerprints``  md5 fingerprint of normalized text (exact-dup
+                        and provenance key; oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .dedup import normalized_text, tokens_expr
+
+# Kept deliberately small and embedded in both the Spark expressions and
+# the generated DuckDB oracle SQL so the two stay in lock-step.
+STOPWORDS_EN = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "that", "it",
+    "was", "for", "on", "with", "as", "at", "by", "this", "from",
+)
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "was", "with", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "que", "pour", "une", "vous"),
+    "es": ("el", "los", "las", "es", "en", "una", "por", "como", "pero", "sus"),
+}
+
+
+# ------------------------------------------------------------- per-doc stats
+def n_tokens_expr(text_col: Column) -> Column:
+    return F.size(tokens_expr(text_col))
+
+
+def punct_count_expr(text_col: Column) -> Column:
+    return F.length(text_col) - F.length(F.regexp_replace(text_col, PUNCT_CLASS, ""))
+
+
+def stopword_count_expr(
+    text_col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN
+) -> Column:
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens_expr(text_col), lambda t: F.array_contains(sw, t)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats in one projection (single scan, codegen)."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_actual"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, F.length),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        punct_count_expr(t).cast("long").alias("n_punct"),
+        stopword_count_expr(t).cast("long").alias("n_stopwords"),
+    ).orderBy("doc_id")
+
+
+def quality_score_expr(text_col: Column) -> Column:
+    """Deterministic [0,1] quality signal: length credit + low-punct
+    credit + stopword-presence credit (a natural-language-ness proxy).
+    Mirrored verbatim in the DuckDB oracle SQL."""
+    toks = tokens_expr(text_col)
+    n_tok = F.size(toks)
+    punct_ratio = punct_count_expr(text_col) / F.greatest(F.length(text_col), F.lit(1))
+    stop_ratio = stopword_count_expr(text_col) / F.greatest(n_tok, F.lit(1))
+    length_credit = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    return F.round(
+        length_credit * 0.5 + (F.lit(1.0) - punct_ratio) * 0.3 + stop_ratio * 0.2, 6
+    )
+
+
+def quality_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-filter view: average quality and doc count per source.
+    One scan + one partial-agg shuffle on the 20-value source key."""
+    return (
+        df.select("source", quality_score_expr(F.col(text_col)).alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------------------------ lang id
+def lang_id_expr(text_col: Column) -> Column:
+    """Heuristic language ID: CJK codepoints → zh; otherwise the
+    stopword profile with the most hits wins (ties break by profile
+    order). Pure expressions — at 100 TB this is a projection."""
+    toks = tokens_expr(text_col)
+
+    def contains(words: tuple[str, ...]):
+        # closure factory: a default-arg lambda would be introspected as
+        # a 2-param higher-order function and receive the array index
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {
+        lang: F.size(F.filter(toks, contains(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = None
+    best_score = None
+    for lang, sc in scores.items():
+        if best is None:
+            best, best_score = F.lit(lang), sc
+        else:
+            cond = sc > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, sc).otherwise(best_score)
+    return F.when(
+        text_col.rlike("[一-鿿]"), F.lit("zh")
+    ).otherwise(F.when(best_score > 0, best).otherwise(F.lit("und")))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", lang_id_expr(F.col(text_col)))
+
+
+# -------------------------------------------------------------------- tfidf
+def tfidf_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 20
+) -> DataFrame:
+    """Corpus-level TF-IDF term ranking.
+
+    explode(tokens) → one aggregation keyed by term computing both total
+    term frequency and document frequency (approx-free; countDistinct
+    per term), score = tf * ln(N/df). The only shuffle moves (term,
+    doc_id) pairs — at 100 TB you would pre-aggregate (term, doc) counts
+    map-side first, which Catalyst's partial aggregation already does.
+    """
+    n_docs = df.count()  # metadata-sized driver value, feeds the literal
+    terms = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct(id_col).cast("long").alias("df"),
+        )
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy(F.desc("tfidf"), "term")
+        .limit(top_k)
+    )
+
+
+# ------------------------------------------------------------- fingerprints
+def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5 fingerprint of whitespace-normalized text per document."""
+    return df.select(
+        "doc_id", F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ----------------------------------------------------- registry queries
+def q30_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char/punct/stopword stats (oracle-checked)."""
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q31_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average quality score per source (oracle-checked)."""
+    return quality_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def q32_lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-language distribution over documents (rows-only; the
+    pytest checks accuracy on a real multilingual fixture)."""
+    return (
+        lang_id(load_table(spark, sf_dir, "documents"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q33_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus TF-IDF terms (oracle-checked)."""
+    return tfidf_terms(load_table(spark, sf_dir, "documents"))
+
+
+def q34_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprints of normalized text (oracle-checked)."""
+    return doc_fingerprints(load_table(spark, sf_dir, "documents"))

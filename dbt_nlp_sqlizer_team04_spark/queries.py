@@ -16,9 +16,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import dedup as D
 from .operators import relational as R
+from .operators import similarity as V
+from .operators import text as X
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# DuckDB list literal mirroring the Spark-side stopword constants — the
+# oracle SQL is generated from the same tuples so both engines always
+# agree on the word sets.
+_SW_EN = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
+_DUCK_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
 
 # ---------------------------------------------------------------------------
 # NL2SQL end-to-end entries: the full pipeline (schema crawl → fuzzy link →
@@ -72,6 +81,21 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q20_events_json_props": R.q20_events_json_props,
     "q21_pivot_status": R.q21_pivot_status,
     "q22_rollup_region_nation": R.q22_rollup_region_nation,
+    # Similarity search (A13 at data scale + ANN extension)
+    "q23_cosine_topk": V.q23_cosine_topk,
+    "q24_ann_lsh_topk": V.q24_ann_lsh_topk,
+    "q25_sim_pairs_blocked": V.q25_sim_pairs_blocked,
+    # Deduplication tiers
+    "q26_exact_dup_groups": D.q26_exact_dup_groups,
+    "q27_dedup_normalized": D.q27_dedup_normalized,
+    "q28_near_dup_minhash": D.q28_near_dup_minhash,
+    "q29_simhash_fingerprints": D.q29_simhash_fingerprints,
+    # Text analysis
+    "q30_text_stats": X.q30_text_stats,
+    "q31_quality_by_source": X.q31_quality_by_source,
+    "q32_lang_id_dist": X.q32_lang_id_dist,
+    "q33_tfidf_top_terms": X.q33_tfidf_top_terms,
+    "q34_doc_fingerprints": X.q34_doc_fingerprints,
     # NL2SQL pipeline end-to-end (deterministic template tier, no LLM)
     "nl01_count_per_priority": _nl2sql("count of orders per orderpriority"),
     "nl02_avg_balance_per_segment": _nl2sql(
@@ -273,5 +297,100 @@ ORACLE_SQL: dict[str, str | None] = {
     """,
     "nl03_distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    # -------------------------------------------------- similarity search
+    "q23_cosine_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    """,
+    "q24_ann_lsh_topk": None,  # LSH bucketing: rows-only (pytest checks recall)
+    "q25_sim_pairs_blocked": """
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.25
+        ORDER BY id_a, id_b
+    """,
+    # --------------------------------------------------------------- dedup
+    "q26_exact_dup_groups": """
+        SELECT md5(text) AS content_hash,
+               count(*)  AS n_copies,
+               min(doc_id) AS canonical_id
+        FROM documents
+        GROUP BY content_hash
+        ORDER BY canonical_id
+    """,
+    "q27_dedup_normalized": """
+        SELECT d.*
+        FROM documents d
+        JOIN (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+                     min(doc_id) AS m
+              FROM documents GROUP BY h) g
+          ON md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) = g.h
+         AND d.doc_id = g.m
+        ORDER BY d.doc_id
+    """,
+    "q28_near_dup_minhash": None,     # xxhash64 MinHash: rows-only
+    "q29_simhash_fingerprints": None,  # xxhash64 SimHash: rows-only
+    # -------------------------------------------------------- text analysis
+    "q30_text_stats": f"""
+        SELECT doc_id,
+               len({_DUCK_TOKENS}) AS n_tokens,
+               length(text) AS n_chars_actual,
+               round(list_sum(list_transform({_DUCK_TOKENS}, x -> length(x)))
+                     / len({_DUCK_TOKENS}), 4) AS avg_token_len,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS n_punct,
+               len(list_filter({_DUCK_TOKENS}, x -> list_contains({_SW_EN}, x)))
+                   AS n_stopwords
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "q31_quality_by_source": f"""
+        WITH s AS (
+          SELECT source,
+                 len({_DUCK_TOKENS}) AS n_tok,
+                 (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / greatest(length(text), 1) AS punct_ratio,
+                 len(list_filter({_DUCK_TOKENS}, x -> list_contains({_SW_EN}, x)))
+                     / greatest(len({_DUCK_TOKENS}), 1) AS stop_ratio
+          FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               round(avg(round(least(n_tok / 50.0, 1.0) * 0.5
+                               + (1.0 - punct_ratio) * 0.3
+                               + stop_ratio * 0.2, 6)), 6) AS avg_quality
+        FROM s GROUP BY source ORDER BY source
+    """,
+    "q32_lang_id_dist": None,  # heuristic lang-id: rows-only (pytest accuracy)
+    "q33_tfidf_top_terms": f"""
+        WITH terms AS (
+          SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+        ), t AS (
+          SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+          FROM terms WHERE term <> '' GROUP BY term
+        )
+        SELECT term, tf, df,
+               round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 4)
+                   AS tfidf
+        FROM t
+        ORDER BY tfidf DESC, term
+        LIMIT 20
+    """,
+    "q34_doc_fingerprints": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM documents
+        ORDER BY doc_id
     """,
 }

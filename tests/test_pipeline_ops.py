@@ -1,0 +1,146 @@
+"""Behavioral tests for the LLM-data-pipeline operators (dedup,
+similarity, text analysis) — the rows-only entries that the DuckDB
+oracle can't hash-check (xxhash64/LSH have no DuckDB analog)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_nlp_sqlizer_team04_spark.operators import dedup as D
+from dbt_nlp_sqlizer_team04_spark.operators import similarity as V
+from dbt_nlp_sqlizer_team04_spark.operators import text as X
+from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs20(spark, sf_check):
+    return (
+        load_table(spark, sf_check, "documents")
+        .limit(20)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_with_neardups(docs20):
+    """20 originals + 20 copies with one appended word (near-dups) +
+    one exact duplicate of doc 0."""
+    tweaked = docs20.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    exact = docs20.filter(F.col("doc_id") == 0).select(
+        F.lit(2000).cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs20.union(tweaked).union(exact).cache()
+
+
+# ----------------------------------------------------------------- dedup
+def test_exact_dedup_removes_duplicate(docs_with_neardups):
+    out = D.dedup_exact(docs_with_neardups).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2000 not in ids  # exact copy of doc 0 dropped
+    assert 0 in ids and 1000 in ids  # near-dup (different text) kept
+    assert len(ids) == 40
+
+
+def test_exact_dup_groups_counts(docs_with_neardups):
+    groups = D.exact_dup_groups(docs_with_neardups).collect()
+    by_canonical = {r["canonical_id"]: r["n_copies"] for r in groups}
+    assert by_canonical[0] == 2  # doc 0 + its exact copy
+    assert by_canonical[1] == 1
+
+
+def test_minhash_near_dups_recovered(docs_with_neardups):
+    pairs = D.near_dup_pairs_minhash(docs_with_neardups).collect()
+    truth = {(i, i + 1000) for i in range(20)}
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    # every seeded near-dup pair must be found with high Jaccard
+    assert truth <= found
+    jac = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+    assert all(jac[t] > 0.8 for t in truth)
+    # and the exact copy is found at Jaccard 1.0
+    assert jac.get((0, 2000)) == 1.0
+
+
+def test_simhash_properties(spark, docs_with_neardups):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs_with_neardups).collect()}
+    assert fp[0] == fp[2000]  # identical text → identical fingerprint
+    pairs = D.near_dup_pairs_simhash(docs_with_neardups).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    truth = {(i, i + 1000) for i in range(20)}
+    # one appended word flips few bits: most near-dups within hamming 8
+    assert len(found & truth) >= 15
+    assert (0, 2000) in found
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "two words")], "doc_id int, text string")
+    row = df.select(D.shingles_expr(F.col("text")).alias("s")).collect()[0]
+    assert row["s"] == ["two words"]
+
+
+# ------------------------------------------------------------- similarity
+def test_ann_lsh_recall_and_pruning(spark, sf_check):
+    emb = load_table(spark, sf_check, "embeddings")
+    q = V._query_vector(spark, sf_check, 0)
+    exact = [r["vec_id"] for r in V.cosine_topk(emb, q, k=10, exclude_id=0).collect()]
+    ann = [r["vec_id"] for r in V.ann_topk_lsh(emb, q, k=10, exclude_id=0).collect()]
+    recall = len(set(ann) & set(exact)) / 10
+    assert recall >= 0.5
+    # the candidate set must actually prune (bucketed, not a full scan)
+    sig = V.with_lsh_signature(emb)
+    qb = V.band_hashes(V.signature_bits(q, V.hyperplanes()))
+    ncand = sig.filter(
+        F.arrays_overlap(F.col("bands"), F.array(*[F.lit(b) for b in qb]))
+    ).count()
+    assert ncand < emb.count() * 0.5
+
+
+def test_cosine_self_similarity(spark, sf_check):
+    emb = load_table(spark, sf_check, "embeddings")
+    q = V._query_vector(spark, sf_check, 0)
+    top = V.cosine_topk(emb, q, k=1).collect()[0]
+    assert top["vec_id"] == 0 and top["cosine"] == 1.0
+
+
+def test_similar_pairs_lsh_subset_of_blocked_exact(spark, sf_check):
+    emb = load_table(spark, sf_check, "embeddings").limit(100)
+    lsh_pairs = V.similar_pairs_lsh(emb, threshold=0.3).collect()
+    # exact check: every reported pair really is >= threshold (the LSH
+    # step only prunes candidates; the cosine re-check is exact)
+    assert all(p["cosine"] >= 0.3 for p in lsh_pairs)
+
+
+# ---------------------------------------------------------- text analysis
+def test_lang_id_multilingual_fixture(spark):
+    rows = [
+        (1, "the cat and the dog went to the house and it was good for it", "en"),
+        (2, "der hund und die katze sind nicht mit dem ball zu haus ein tag", "de"),
+        (3, "le chat et la maison est dans les champs que vous aimez pour une vie", "fr"),
+        (4, "el perro y los gatos es en las casas por una vida como pero sus amigos", "es"),
+        (5, "今天天气很好我们去公园散步", "zh"),
+    ]
+    fx = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    pred = X.lang_id(fx).collect()
+    assert all(r["lang_pred"] == r["lang"] for r in pred)
+
+
+def test_quality_score_bounds(spark, sf_check):
+    docs = load_table(spark, sf_check, "documents")
+    qs = docs.select(X.quality_score_expr(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in qs)
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    rows = [(1, "common common common rare"), (2, "common common"), (3, "common")]
+    fx = spark.createDataFrame(rows, "doc_id int, text string")
+    terms = {r["term"]: r for r in X.tfidf_terms(fx, top_k=10).collect()}
+    # 'common' appears in every doc → idf = ln(1) = 0 → tfidf 0
+    assert terms["common"]["tfidf"] == 0.0
+    assert terms["rare"]["tfidf"] > 0.0
