@@ -1,0 +1,431 @@
+"""Document (Mongo-analog) dataflow — C1-C9 of SURVEY.md §2.C.
+
+The reference executes LLM-generated MongoDB query dicts against pymongo
+(find: NLP_SQLizer/backend/app/ai/nl2mongo.py:178-189; pipelines
+:168-177 with $limit injection :171-174; result flattening :195-226;
+schema inference by sampling app/mongodb_adapter.py:97-148; explain
+:229-297; collection discovery app/mongodb_adapter.py:75-95).
+
+Here a "collection" is any DataFrame registered with the
+:class:`DocumentStore`; the SAME query-dict dialect is translated to
+native DataFrame operators, so Catalyst plans them (filter pushdown,
+partial aggregation, TakeOrderedAndProject) instead of a document DB:
+
+- find filter   → ``df.filter``  ($eq/$ne/$gt/$gte/$lt/$lte/$in/$nin/
+                  $regex/$exists/$and/$or/$not)
+- projection    → ``df.select`` (include or exclude specs)
+- sort          → ``df.orderBy`` (insertion-ordered spec, 1/-1)
+- limit         → ``df.limit`` — injected at 100 when absent, matching
+                  nl2mongo.py:171-174's $limit injection
+- pipeline      → $match/$group/$sort/$limit/$project/$count/$unwind
+                  mapped to filter/groupBy().agg()/orderBy/limit/
+                  select/count/explode
+
+Flattening keeps the reference's display contract: columns = union of
+fields with ``_id`` first, nested structs/maps/arrays rendered as JSON
+strings (``F.to_json``), scalars untouched.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_LIMIT = 100  # nl2mongo.py:171-174 / :188
+
+
+class DocumentQueryError(ValueError):
+    """Raised for malformed query dicts (bad operator, unknown field)."""
+
+
+# ---------------------------------------------------------- filter (C1)
+_CMP_OPS = {
+    "$eq": lambda c, v: c == F.lit(v),
+    "$ne": lambda c, v: c != F.lit(v),
+    "$gt": lambda c, v: c > F.lit(v),
+    "$gte": lambda c, v: c >= F.lit(v),
+    "$lt": lambda c, v: c < F.lit(v),
+    "$lte": lambda c, v: c <= F.lit(v),
+    "$in": lambda c, v: c.isin(list(v)),
+    "$nin": lambda c, v: ~c.isin(list(v)),
+    "$regex": lambda c, v: c.rlike(v),
+}
+
+
+def _field_condition(field: str, spec: Any) -> Column:
+    col = F.col(field)
+    if isinstance(spec, dict):
+        conds: list[Column] = []
+        for op, val in spec.items():
+            if op in _CMP_OPS:
+                conds.append(_CMP_OPS[op](col, val))
+            elif op == "$exists":
+                conds.append(col.isNotNull() if val else col.isNull())
+            elif op == "$not":
+                conds.append(~_field_condition(field, val))
+            else:
+                raise DocumentQueryError(f"Unsupported filter operator: {op}")
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    return col == F.lit(spec)
+
+
+def filter_condition(filter_dict: dict[str, Any]) -> Column:
+    """Translate a Mongo-style filter document into one boolean Column."""
+    if not filter_dict:
+        return F.lit(True)
+    conds: list[Column] = []
+    for key, spec in filter_dict.items():
+        if key == "$and":
+            sub = [filter_condition(s) for s in spec]
+            c = sub[0]
+            for s in sub[1:]:
+                c = c & s
+            conds.append(c)
+        elif key == "$or":
+            sub = [filter_condition(s) for s in spec]
+            c = sub[0]
+            for s in sub[1:]:
+                c = c | s
+            conds.append(c)
+        elif key.startswith("$"):
+            raise DocumentQueryError(f"Unsupported top-level operator: {key}")
+        else:
+            conds.append(_field_condition(key, spec))
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+# ------------------------------------------------------ projection (C2)
+def apply_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFrame:
+    """Mongo projection: {f:1,...} include (insertion order), {f:0,...}
+    exclude. Mixed include/exclude is rejected like pymongo does."""
+    if not projection:
+        return df
+    includes = [f for f, v in projection.items() if v]
+    excludes = [f for f, v in projection.items() if not v]
+    if includes and excludes:
+        raise DocumentQueryError("Projection cannot mix include and exclude")
+    if includes:
+        return df.select(*includes)
+    return df.drop(*excludes)
+
+
+# ------------------------------------------------------------ sort (C3)
+def apply_sort(df: DataFrame, sort: dict[str, int] | None) -> DataFrame:
+    if not sort:
+        return df
+    cols = [F.col(f).asc() if d >= 0 else F.col(f).desc() for f, d in sort.items()]
+    return df.orderBy(*cols)
+
+
+# ----------------------------------------------------- $group stage (C5)
+def _acc_to_agg(alias: str, spec: dict[str, Any]) -> Column:
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise DocumentQueryError(f"Bad accumulator for {alias!r}: {spec!r}")
+    op, arg = next(iter(spec.items()))
+    if op == "$sum":
+        if arg == 1:
+            return F.count(F.lit(1)).alias(alias)
+        return F.sum(_ref(arg)).alias(alias)
+    if op == "$avg":
+        return F.avg(_ref(arg)).alias(alias)
+    if op == "$min":
+        return F.min(_ref(arg)).alias(alias)
+    if op == "$max":
+        return F.max(_ref(arg)).alias(alias)
+    if op == "$count":
+        return F.count(F.lit(1)).alias(alias)
+    raise DocumentQueryError(f"Unsupported accumulator: {op}")
+
+
+def _ref(arg: Any) -> Column:
+    """'$field' → column reference; literals pass through."""
+    if isinstance(arg, str) and arg.startswith("$"):
+        return F.col(arg[1:])
+    return F.lit(arg)
+
+
+def apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$group: {_id: None | "$f" | {alias: "$f", ...}, out: {$acc: arg}}.
+
+    Maps to groupBy().agg() — partial (map-side) aggregation for free.
+    The group key is exposed as ``_id`` (scalar) or ``_id.<alias>``
+    struct (dict spec), matching Mongo's result shape.
+    """
+    if "_id" not in spec:
+        raise DocumentQueryError("$group requires _id")
+    id_spec = spec["_id"]
+    aggs = [_acc_to_agg(a, s) for a, s in spec.items() if a != "_id"]
+    if not aggs:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        drop_n = True
+    else:
+        drop_n = False
+    if id_spec is None:
+        out = df.agg(*aggs).withColumn("_id", F.lit(None).cast("string"))
+        out = out.select("_id", *[c for c in out.columns if c != "_id"])
+    elif isinstance(id_spec, str):
+        out = df.groupBy(_ref(id_spec).alias("_id")).agg(*aggs)
+    elif isinstance(id_spec, dict):
+        key = F.struct(*[_ref(v).alias(k) for k, v in id_spec.items()])
+        out = df.groupBy(key.alias("_id")).agg(*aggs)
+    else:
+        raise DocumentQueryError(f"Bad $group _id: {id_spec!r}")
+    return out.drop("__n") if drop_n else out
+
+
+# ---------------------------------------------------------------- store
+class DocumentStore:
+    """Collections = named DataFrames; the Mongo-analog façade (C9).
+
+    The reference discovers databases/collections via pymongo
+    (mongodb_adapter.py:75-95); here registration is explicit or via
+    JSON-lines ingestion (schema inferred by Spark's JSON reader, the
+    C7 analog of 100-doc sampling).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._collections: dict[str, DataFrame] = {}
+
+    # -- discovery (C9)
+    def register(self, name: str, df: DataFrame) -> None:
+        self._collections[name] = df
+
+    def register_json(self, name: str, json_docs: list[str]) -> DataFrame:
+        """Ingest JSON documents with schema inference (C7): Spark's JSON
+        reader plays the role of the reference's 100-doc type-union
+        sampling — at scale it samples rather than scanning everything."""
+        df = self.spark.read.json(self.spark.sparkContext.parallelize(json_docs))
+        self.register(name, df)
+        return df
+
+    def list_collections(self) -> list[str]:
+        return sorted(self._collections)
+
+    def collection(self, name: str) -> DataFrame:
+        try:
+            return self._collections[name]
+        except KeyError:
+            raise DocumentQueryError(f"Unknown collection: {name}") from None
+
+    # -- schema inference by sampling (C7, mongodb_adapter.py:97-148)
+    def collection_schema(self, name: str, sample_size: int = 100) -> dict:
+        """Field → union of observed Python type names + nullability from
+        a bounded sample, plus the exact row count — the same output
+        shape the reference builds from 100 sampled documents."""
+        df = self.collection(name)
+        sample = df.limit(sample_size).collect()
+        field_types: dict[str, set[str]] = {}
+        field_nullable: dict[str, bool] = {}
+        for row in sample:
+            d = row.asDict()
+            for k, v in d.items():
+                field_types.setdefault(k, set())
+                if v is None:
+                    field_nullable[k] = True
+                else:
+                    field_types[k].add(type(v).__name__)
+        columns = [
+            {
+                "name": f,
+                "type": ", ".join(sorted(ts)) if ts else "unknown",
+                "nullable": field_nullable.get(f, False),
+            }
+            for f, ts in sorted(field_types.items())
+        ]
+        return {"name": name, "columns": columns, "row_count": df.count()}
+
+    # -- find (C1-C4)
+    def find(
+        self,
+        collection: str,
+        filter_dict: dict | None = None,
+        projection: dict | None = None,
+        sort: dict | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        df = self.collection(collection)
+        if filter_dict:
+            df = df.filter(filter_condition(filter_dict))
+        df = apply_projection(df, projection)
+        df = apply_sort(df, sort)
+        return df.limit(limit if limit is not None else DEFAULT_LIMIT)
+
+    # -- aggregate (C5)
+    def aggregate(self, collection: str, pipeline: list[dict]) -> DataFrame:
+        df = self.collection(collection)
+        has_limit = any("$limit" in st for st in pipeline if isinstance(st, dict))
+        for stage in pipeline:
+            if not isinstance(stage, dict) or len(stage) != 1:
+                raise DocumentQueryError(f"Bad pipeline stage: {stage!r}")
+            op, spec = next(iter(stage.items()))
+            if op == "$match":
+                df = df.filter(filter_condition(spec))
+            elif op == "$group":
+                df = apply_group(df, spec)
+            elif op == "$sort":
+                df = apply_sort(df, spec)
+            elif op == "$limit":
+                df = df.limit(int(spec))
+            elif op == "$project":
+                df = apply_projection(df, spec)
+            elif op == "$count":
+                df = df.agg(F.count(F.lit(1)).alias(str(spec)))
+            elif op == "$unwind":
+                field = spec[1:] if isinstance(spec, str) else spec["path"][1:]
+                df = df.withColumn(field, F.explode(F.col(field)))
+            else:
+                raise DocumentQueryError(f"Unsupported pipeline stage: {op}")
+        if not has_limit:
+            df = df.limit(DEFAULT_LIMIT)  # $limit injection, nl2mongo.py:171-174
+        return df
+
+    # -- query-dict entry point (nl2mongo.py:116-193 shape)
+    def execute(self, query_dict: dict) -> DataFrame:
+        name = query_dict.get("collection")
+        if not name:
+            raise DocumentQueryError("Query must specify a collection")
+        if "." in name:  # db.collection → collection (nl2mongo.py:135-139)
+            name = name.split(".", 1)[1]
+        if "pipeline" in query_dict:
+            return self.aggregate(name, query_dict["pipeline"])
+        if "find" in query_dict:
+            return self.find(
+                name,
+                query_dict["find"],
+                query_dict.get("projection"),
+                query_dict.get("sort"),
+                query_dict.get("limit"),
+            )
+        raise DocumentQueryError("Query must have either 'pipeline' or 'find'")
+
+    # -- explain (C8, nl2mongo.py:229-297 → Spark's own planner)
+    def explain(self, query_dict: dict) -> str:
+        df = self.execute(query_dict)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+
+
+# ----------------------------------------------------- flattening (C6)
+def flatten_for_display(df: DataFrame) -> DataFrame:
+    """Reference display contract (nl2mongo.py:195-226): ``_id`` first,
+    remaining columns sorted, nested structs/maps/arrays as JSON
+    strings, scalars untouched."""
+    cols = sorted(df.columns)
+    if "_id" in cols:
+        cols = ["_id"] + [c for c in cols if c != "_id"]
+    out = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.StructType, T.MapType, T.ArrayType)):
+            out.append(F.to_json(F.col(c)).alias(c))
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
+
+
+def parse_query_json(text: str) -> dict:
+    """Tolerant JSON extraction (nl2mongo.py:86-112): strip fences, fall
+    back to the first JSON object found in prose."""
+    text = text.strip()
+    if text.startswith("```"):
+        lines = text.split("\n")
+        if len(lines) > 2:
+            text = "\n".join(lines[1:-1] if lines[-1].strip().startswith("```") else lines[1:])
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        import re
+
+        m = re.search(r"\{.*\}", text, re.DOTALL)
+        if m:
+            try:
+                return json.loads(m.group(0))
+            except json.JSONDecodeError:
+                pass
+        raise DocumentQueryError(f"Failed to parse query JSON: {text[:120]!r}") from None
+
+
+# ----------------------------------------------------- registry queries
+def _store(spark: SparkSession, sf_dir: str) -> DocumentStore:
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    return store
+
+
+def q35_doc_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find + projection + sort + limit over the documents collection
+    (C1-C4; oracle-checked)."""
+    return _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "find": {"lang": "en", "n_chars": {"$gt": 200}},
+            "projection": {"doc_id": 1, "source": 1, "n_chars": 1},
+            "sort": {"n_chars": -1, "doc_id": 1},
+            "limit": 50,
+        }
+    )
+
+
+def q36_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$match/$group/$sort aggregation pipeline over events (C5;
+    oracle-checked; $limit injected automatically). Float aggregates are
+    rounded post-pipeline so the hash compare is stable across
+    summation orders."""
+    df = _store(spark, sf_dir).execute(
+        {
+            "collection": "events",
+            "pipeline": [
+                {"$match": {"event_type": {"$in": ["click", "view"]}}},
+                {
+                    "$group": {
+                        "_id": "$event_type",
+                        "n": {"$sum": 1},
+                        "total": {"$sum": "$value"},
+                        "avg_value": {"$avg": "$value"},
+                    }
+                },
+                {"$sort": {"_id": 1}},
+            ],
+        }
+    )
+    return df.select(
+        "_id",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("avg_value", 4).alias("avg_value"),
+    )
+
+
+def q37_doc_find_or_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$or + $regex + $exists find over documents (C1 operator breadth;
+    oracle-checked)."""
+    return _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "find": {
+                "$or": [
+                    {"source": {"$regex": "^src1$"}},
+                    {"n_chars": {"$lt": 120}},
+                ],
+                "text": {"$exists": True},
+            },
+            "projection": {"doc_id": 1, "lang": 1, "source": 1, "n_chars": 1},
+            "sort": {"doc_id": 1},
+            "limit": 500,
+        }
+    )

@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup as D
+from .operators import documents as DOC
 from .operators import relational as R
 from .operators import similarity as V
 from .operators import text as X
@@ -96,6 +97,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q32_lang_id_dist": X.q32_lang_id_dist,
     "q33_tfidf_top_terms": X.q33_tfidf_top_terms,
     "q34_doc_fingerprints": X.q34_doc_fingerprints,
+    # Document / Mongo-analog path (C1-C9)
+    "q35_doc_find": DOC.q35_doc_find,
+    "q36_doc_pipeline": DOC.q36_doc_pipeline,
+    "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
     # NL2SQL pipeline end-to-end (deterministic template tier, no LLM)
     "nl01_count_per_priority": _nl2sql("count of orders per orderpriority"),
     "nl02_avg_balance_per_segment": _nl2sql(
@@ -392,5 +397,31 @@ ORACLE_SQL: dict[str, str | None] = {
                    AS fingerprint
         FROM documents
         ORDER BY doc_id
+    """,
+    # ------------------------------------------------------ document path
+    "q35_doc_find": """
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE lang = 'en' AND n_chars > 200
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 50
+    """,
+    "q36_doc_pipeline": """
+        SELECT event_type AS _id,
+               count(*) AS n,
+               round(sum(value), 2) AS total,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY _id
+        ORDER BY _id
+    """,
+    "q37_doc_find_or_regex": """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE (regexp_matches(source, '^src1$') OR n_chars < 120)
+          AND text IS NOT NULL
+        ORDER BY doc_id
+        LIMIT 500
     """,
 }

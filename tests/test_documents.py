@@ -1,0 +1,154 @@
+"""Document (Mongo-analog) path — C1-C9 behavior tests, mirroring the
+reference's find/aggregate/flatten/infer semantics
+(app/ai/nl2mongo.py, app/mongodb_adapter.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+    DEFAULT_LIMIT,
+    DocumentQueryError,
+    DocumentStore,
+    flatten_for_display,
+    parse_query_json,
+)
+from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_check):
+    s = DocumentStore(spark)
+    s.register("documents", load_table(spark, sf_check, "documents"))
+    s.register("events", load_table(spark, sf_check, "events"))
+    return s
+
+
+def test_find_filter_operators(store):
+    out = store.find(
+        "documents",
+        {"lang": {"$in": ["en", "de"]}, "n_chars": {"$gte": 100, "$lte": 300}},
+        limit=1000,
+    ).collect()
+    assert out
+    assert all(r["lang"] in ("en", "de") and 100 <= r["n_chars"] <= 300 for r in out)
+
+
+def test_find_default_limit_injected(store):
+    # nl2mongo.py:188 parity: no limit → DEFAULT_LIMIT
+    assert store.find("documents").count() == DEFAULT_LIMIT
+
+
+def test_pipeline_limit_injected(store):
+    out = store.aggregate("events", [{"$match": {"value": {"$gt": 0}}}])
+    assert out.count() == DEFAULT_LIMIT
+
+
+def test_not_and_exists(store):
+    out = store.find(
+        "documents", {"lang": {"$not": {"$eq": "en"}}, "text": {"$exists": True}},
+        limit=10000,
+    ).collect()
+    assert out and all(r["lang"] != "en" for r in out)
+
+
+def test_group_struct_id_and_null_id(store, spark):
+    # dict _id → struct key
+    df = store.aggregate(
+        "events",
+        [
+            {"$group": {"_id": {"et": "$event_type"}, "n": {"$sum": 1}}},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+    rows = df.collect()
+    assert rows and rows[0]["_id"].asDict().keys() == {"et"}
+    # _id: None → single global group
+    tot = store.aggregate("events", [{"$group": {"_id": None, "n": {"$sum": 1}}}])
+    r = tot.collect()
+    assert len(r) == 1 and r[0]["_id"] is None and r[0]["n"] == 10000
+
+
+def test_unwind_and_project(spark):
+    s = DocumentStore(spark)
+    s.register_json(
+        "posts",
+        [
+            json.dumps({"_id": 1, "tags": ["a", "b"], "meta": {"k": 1}}),
+            json.dumps({"_id": 2, "tags": ["c"], "meta": {"k": 2}}),
+        ],
+    )
+    out = s.aggregate(
+        "posts", [{"$unwind": "$tags"}, {"$project": {"_id": 1, "tags": 1}}]
+    ).collect()
+    assert sorted((r["_id"], r["tags"]) for r in out) == [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_flatten_for_display(spark):
+    s = DocumentStore(spark)
+    s.register_json(
+        "posts", [json.dumps({"_id": 1, "zz": 5, "meta": {"k": 1}, "tags": ["a"]})]
+    )
+    flat = flatten_for_display(s.collection("posts"))
+    # _id first, rest sorted; nested rendered as JSON strings
+    assert flat.columns == ["_id", "meta", "tags", "zz"]
+    row = flat.collect()[0]
+    assert json.loads(row["meta"]) == {"k": 1}
+    assert json.loads(row["tags"]) == ["a"]
+    assert row["zz"] == 5
+
+
+def test_schema_inference_by_sampling(spark):
+    s = DocumentStore(spark)
+    s.register_json(
+        "posts",
+        [
+            json.dumps({"_id": 1, "title": "x", "score": 3}),
+            json.dumps({"_id": 2, "title": None, "score": 4}),
+        ],
+    )
+    schema = s.collection_schema("posts")
+    cols = {c["name"]: c for c in schema["columns"]}
+    assert schema["row_count"] == 2
+    assert cols["title"]["nullable"] is True
+    assert "int" in cols["score"]["type"]
+
+
+def test_execute_db_prefix_and_errors(store):
+    # db.collection prefix accepted (nl2mongo.py:135-139)
+    assert store.execute(
+        {"collection": "app.documents", "find": {"lang": "en"}}
+    ).count() > 0
+    with pytest.raises(DocumentQueryError):
+        store.execute({"collection": "nope", "find": {}})
+    with pytest.raises(DocumentQueryError):
+        store.execute({"collection": "documents"})
+    with pytest.raises(DocumentQueryError):
+        store.find("documents", {"lang": {"$frob": 1}})
+
+
+def test_explain_returns_plan(store):
+    plan = store.explain({"collection": "documents", "find": {"lang": "en"}})
+    assert "Physical Plan" in plan or "Scan" in plan
+
+
+def test_parse_query_json_fenced_and_prose():
+    q = parse_query_json('```json\n{"collection": "c", "find": {}}\n```')
+    assert q["collection"] == "c"
+    q2 = parse_query_json('Here you go: {"collection": "d", "find": {"a": 1}} done')
+    assert q2["collection"] == "d"
+    with pytest.raises(DocumentQueryError):
+        parse_query_json("no json here")
+
+
+def test_find_filter_pushed_to_parquet(store):
+    # the Mongo-dialect filter must reach the parquet scan as a pushed
+    # predicate — the whole point of translating to native DataFrame ops
+    df = store.find("documents", {"lang": "en"}, {"doc_id": 1, "lang": 1})
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "lang" in plan
