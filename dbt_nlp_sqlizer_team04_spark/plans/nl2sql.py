@@ -57,10 +57,18 @@ class NL2SQLEngine:
     """Generate + execute pipeline bound to a SparkSession and a profiled
     schema (the SchemaMetadata sidecar is the 'trained model' analog)."""
 
-    def __init__(self, spark: SparkSession, metadata: SchemaMetadata):
+    def __init__(self, spark: SparkSession, metadata: SchemaMetadata, model=None):
         self.spark = spark
         self.metadata = metadata
         self.schema = metadata.schema_dict()
+        # Trained-model path (routes_ai.py:173-226): when a SchemaModel is
+        # attached, linking goes semantic-first with fuzzy fallback.
+        self.model = model
+        self._linker = None
+        if model is not None:
+            from ..models.inference import SemanticLinker
+
+            self._linker = SemanticLinker(model)
 
     @classmethod
     def from_sf_dir(cls, spark: SparkSession, sf_dir: str, tables=None, **kw):
@@ -72,14 +80,61 @@ class NL2SQLEngine:
         meta = crawl_schema(spark, sf_dir, tables, **kw)
         return cls(spark, meta)
 
+    def attach_model(self, model) -> None:
+        from ..models.inference import SemanticLinker
+
+        self.model = model
+        self._linker = SemanticLinker(model)
+
+    def _relevant(self, question: str) -> dict[str, list[str]]:
+        """Linking ladder: trained semantic tier (top-20 cosine ≥ 0.3,
+        inference.py:70-118) when a model is attached, else — or when the
+        semantic tier finds nothing — the fuzzy tier (nl2sql.py:23-46).
+
+        Side effect: stashes the linker's raw per-column cosines so the
+        template tier can rank columns on semantic evidence even when it
+        fell below the linking threshold."""
+        self._col_scores: dict[str, dict[str, float]] = {}
+        if self._linker is not None:
+            rel = self._linker.relevant(question)
+            self._col_scores = rel.column_scores()
+            slice_ = rel.as_slice()
+            if slice_:
+                return slice_
+        return select_relevant(self.schema, question)
+
     # ---------------- column selection helpers ----------------
     def _cols(self, table: str):
         return self.metadata.tables[table].columns if table in self.metadata.tables else []
 
-    def _best_column(self, table: str, question: str, numeric: bool | None = None) -> str | None:
-        """Highest fuzzy-scoring column, optionally restricted to
-        numeric/non-numeric types; synonym-aware via the profiler's
-        synonym map (A8)."""
+    def _column_score(
+        self, table: str, name: str, fuzzy: float, preferred: list[str] | None
+    ) -> float:
+        """Blend the linking evidence into a 0-100-ish column score.
+
+        Trained-model path: the trained cosine is the primary signal and
+        character fuzz is halved — the reference's trained path doesn't
+        consult fuzzy matching at all (inference.py:70-118), we keep it
+        only as a tie-breaker. No model: fuzzy score plus a positional
+        boost for slice membership."""
+        scores = getattr(self, "_col_scores", {}).get(table)
+        if scores:
+            return 0.5 * fuzzy + 100.0 * max(scores.get(name, 0.0), 0.0)
+        if preferred and name in preferred:
+            return fuzzy + 25.0 - 2.0 * preferred.index(name)
+        return fuzzy
+
+    def _best_column(
+        self,
+        table: str,
+        question: str,
+        numeric: bool | None = None,
+        preferred: list[str] | None = None,
+    ) -> str | None:
+        """Highest-scoring column: fuzzy score (synonym-aware via the
+        profiler's A8 map) plus a boost for columns the linking tier
+        already ranked relevant; optionally restricted to numeric/
+        non-numeric types."""
         best, best_score = None, -1.0
         for c in self._cols(table):
             is_num = any(s in c.type_str.lower() for s in _NUMERIC_SUBSTR)
@@ -87,21 +142,25 @@ class NL2SQLEngine:
                 continue
             if numeric is False and is_num:
                 continue
-            score = partial_ratio(c.name, question)
+            fuzzy = partial_ratio(c.name, question)
             for syn in self.metadata.synonyms.get(c.name, []):
-                score = max(score, partial_ratio(syn, question))
+                fuzzy = max(fuzzy, partial_ratio(syn, question))
+            score = self._column_score(table, c.name, fuzzy, preferred)
             if score > best_score:
                 best, best_score = c.name, score
         return best
 
-    def _group_column(self, table: str, question: str) -> str | None:
+    def _group_column(
+        self, table: str, question: str, preferred: list[str] | None = None
+    ) -> str | None:
         """Grouping key: prefer low-cardinality (categorical) columns,
-        fuzzy-matched against the question."""
+        fuzzy-matched against the question, linking-slice boosted."""
         best, best_score = None, -1.0
         for c in self._cols(table):
-            score = partial_ratio(c.name, question)
+            fuzzy = partial_ratio(c.name, question)
             for syn in self.metadata.synonyms.get(c.name, []):
-                score = max(score, partial_ratio(syn, question))
+                fuzzy = max(fuzzy, partial_ratio(syn, question))
+            score = self._column_score(table, c.name, fuzzy, preferred)
             if c.unique_values is not None:  # profiled categorical
                 score += 15.0
             if c.is_primary_key:
@@ -134,14 +193,14 @@ class NL2SQLEngine:
             QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
             or QueryIntent.AGGREGATION in analysis.all_intents
         ):
-            g = self._group_column(t, question) if (
+            g = self._group_column(t, question, preferred=relevant.get(t)) if (
                 QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
             ) else None
             func = analysis.agg_func
             if func == "COUNT":
                 expr, alias = "COUNT(*)", "cnt"
             else:
-                c = self._best_column(t, question, numeric=True)
+                c = self._best_column(t, question, numeric=True, preferred=relevant.get(t))
                 if c is None:
                     expr, alias = "COUNT(*)", "cnt"
                     func = "COUNT"
@@ -166,8 +225,8 @@ class NL2SQLEngine:
 
         # --- window function: rows alongside partitioned aggregate ---
         if QueryIntent.WINDOW_FUNCTION in analysis.all_intents and analysis.agg_func:
-            g = self._group_column(t, question)
-            c = self._best_column(t, question, numeric=True)
+            g = self._group_column(t, question, preferred=relevant.get(t))
+            c = self._best_column(t, question, numeric=True, preferred=relevant.get(t))
             if g and c and g != c:
                 sql = (
                     f"SELECT {', '.join(all_cols[:4])}, "
@@ -178,7 +237,7 @@ class NL2SQLEngine:
 
         # --- distinct values ---
         if QueryIntent.DISTINCT in analysis.all_intents:
-            c = self._best_column(t, question, numeric=False) or all_cols[0]
+            c = self._best_column(t, question, numeric=False, preferred=relevant.get(t)) or all_cols[0]
             sql = f"SELECT DISTINCT {c} FROM {t} ORDER BY {c}"
             out.append(Candidate(sql, "template_distinct", 0.7))
 
@@ -187,7 +246,7 @@ class NL2SQLEngine:
             QueryIntent.RANKING in analysis.all_intents
             or QueryIntent.SORTED in analysis.all_intents
         ) and analysis.intent not in (QueryIntent.GROUPED_AGGREGATION,):
-            c = self._best_column(t, question, numeric=True)
+            c = self._best_column(t, question, numeric=True, preferred=relevant.get(t))
             if c:
                 sql = (
                     f"SELECT {', '.join(all_cols[:5])} FROM {t}"
@@ -238,7 +297,7 @@ class NL2SQLEngine:
         return sorted(candidates, key=lambda c: -c.confidence)
 
     def generate(self, question: str, max_candidates: int = 5) -> list[Candidate]:
-        relevant = select_relevant(self.schema, question)
+        relevant = self._relevant(question)
         analysis = analyze_query_intent(question, relevant)
         cands = self.llm_candidates(question, analysis, relevant)
         cands += self.template_candidates(question, analysis, relevant)
@@ -251,7 +310,7 @@ class NL2SQLEngine:
         collection is left to the caller."""
         from .safety import validate
 
-        relevant = select_relevant(self.schema, question)
+        relevant = self._relevant(question)
         last_err: Exception | None = None
         for cand in self.generate(question):
             try:
@@ -278,7 +337,7 @@ class NL2SQLEngine:
         """Full pipeline with the candidate retry ladder
         (routes_ai.py:205-226): first candidate that validates + executes
         wins."""
-        relevant = select_relevant(self.schema, question)
+        relevant = self._relevant(question)
         candidates = self.generate(question)
         last: ExecutionResult | None = None
         for cand in candidates:
