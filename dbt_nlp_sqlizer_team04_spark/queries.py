@@ -50,6 +50,12 @@ def _engine_for(spark: SparkSession, sf_dir: str):
     return eng
 
 
+def _stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import q38_events_stream_rollup
+
+    return q38_events_stream_rollup(spark, sf_dir)
+
+
 def _nl2sql(question: str) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, _sql = _engine_for(spark, sf_dir).query_df(question)
@@ -101,6 +107,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q35_doc_find": DOC.q35_doc_find,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
     "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
+    # Structured Streaming (engine extension, SURVEY.md §2.D)
+    "q38_events_stream_rollup": _stream_rollup,
     # NL2SQL pipeline end-to-end (deterministic template tier, no LLM)
     "nl01_count_per_priority": _nl2sql("count of orders per orderpriority"),
     "nl02_avg_balance_per_segment": _nl2sql(
@@ -397,6 +405,17 @@ ORACLE_SQL: dict[str, str | None] = {
                    AS fingerprint
         FROM documents
         ORDER BY doc_id
+    """,
+    # ---------------------------------------------- streaming (q19 parity)
+    "q38_events_stream_rollup": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               count(*)              AS n_events,
+               round(sum(value), 2)  AS sum_value,
+               round(avg(value), 4)  AS avg_value
+        FROM events
+        GROUP BY hour_start, event_type
+        ORDER BY hour_start, event_type
     """,
     # ------------------------------------------------------ document path
     "q35_doc_find": """

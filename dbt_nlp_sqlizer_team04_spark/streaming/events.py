@@ -1,0 +1,127 @@
+"""Structured Streaming over events — the incremental twin of
+q19_events_hourly (operators/relational.py).
+
+The reference has no streaming surface (SURVEY.md §2.D), so this is the
+engine extension the builder brief calls for: the SAME tumbling-window
+aggregation expressed over ``readStream``, with ``withWatermark`` to
+bound state and admit late data up to the watermark delay.
+
+Design notes for scale:
+- the aggregation is shared with the batch path (``hourly_agg``), so
+  batch backfill and streaming tail produce identical schemas/values —
+  the classic kappa pattern;
+- state is keyed by (window, event_type); the watermark expires windows
+  older than ``delay``, so state size is bounded by (#event_types ×
+  windows-in-delay), independent of stream length;
+- ``F.window`` (not date_trunc) is used in streaming mode because the
+  watermark operator needs a true window column for state cleanup; the
+  batch path's date_trunc produces the same hour buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """nanos-long → microsecond timestamp (same truncation as
+    sources/parquet.py:load_table, so batch and stream agree)."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def hourly_agg(events: DataFrame, streaming: bool, watermark: str = "2 hours") -> DataFrame:
+    """Shared tumbling-window rollup: (hour_start, event_type) →
+    count / sum / avg. In streaming mode the watermark bounds state and
+    late-data admission."""
+    e = _normalize_ts(events)
+    if streaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch here; on a real deployment this is a Kafka/file-drop
+    directory with the same schema).
+
+    The file source requires a *directory*, and the testdata dir mixes
+    all tables — so the events file is linked into a scratch directory,
+    the file-drop layout a stream would really use.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(stage, "events.parquet"),
+    )
+    return spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
+
+
+def hourly_rollup_stream(spark: SparkSession, sf_dir: str, watermark: str = "2 hours") -> DataFrame:
+    """The streaming query: readStream → watermark → tumbling window."""
+    return hourly_agg(read_events_stream(spark, sf_dir), streaming=True, watermark=watermark)
+
+
+def run_to_memory_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "events_hourly_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Execute the streaming rollup into an in-memory sink until the
+    source is exhausted (complete mode: windows re-emit as they close);
+    returns the sink contents as a DataFrame. Test/demo harness — a real
+    deployment writes append-mode to a table/queue."""
+    q = (
+        hourly_rollup_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return spark.table(table_name)
+
+
+def q38_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: run the watermarked streaming rollup to a memory
+    sink and return the materialized result — hash-checked against the
+    SAME DuckDB oracle as batch q19 (kappa parity is the correctness
+    contract, not a weaker rows-only check)."""
+    out = run_to_memory_sink(spark, sf_dir, table_name="q38_sink")
+    return out.orderBy("hour_start", "event_type")
