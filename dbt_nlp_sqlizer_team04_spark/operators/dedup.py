@@ -36,6 +36,22 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_HAMMING_MAX = 8
 
 
+def bind(col: Column, fn) -> Column:
+    """Optimizer-proof 'let': evaluate ``col`` ONCE per row and feed it
+    to ``fn`` as a bound lambda variable.
+
+    Catalyst's ProjectCollapsing re-inlines projected expressions into
+    every downstream reference (withColumn/select give no sharing), and
+    there is no subexpression elimination inside higher-order functions
+    — so an expensive expression referenced k times is computed k times.
+    Wrapping it as the element of a 1-element array and transforming
+    binds it to a real lambda variable, which IS evaluated exactly once.
+    Measured: 100×+ on MinHash banding (16 references to the shingle
+    array) and SimHash folding (64 references to the vote array).
+    """
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 # ------------------------------------------------------------- exact tier
 def content_hash(col: Column) -> Column:
     """Stable 128-bit content fingerprint (md5 — same function exists in
@@ -92,17 +108,23 @@ def shingles_expr(text_col: Column, n: int = SHINGLE_N) -> Column:
     """Word n-gram shingle set (distinct), JVM-side.
 
     Documents shorter than n tokens fall back to one whole-text shingle.
+    The token array is bound once via :func:`bind` — the naive form
+    re-splits the text for every ``element_at`` reference (3n+2 regex
+    splits per row).
     """
-    toks = tokens_expr(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+
+    def build(ts: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ts, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(ts) >= n, F.array_distinct(grams)).otherwise(
+            F.array(F.concat_ws(" ", ts))
+        )
+
+    return bind(tokens_expr(text_col), build)
 
 
 def _seeded_hash(seed: int):
@@ -117,28 +139,39 @@ def _seeded_hash(seed: int):
     return fn
 
 
+def minhash_cols(shingles: Column, k: int = MINHASH_K) -> list[Column]:
+    """k seeded min-hash expressions: h_j = min over shingles of
+    xxhash64(j, shingle). Returned as a LIST so downstream folds can use
+    each expression exactly once — wrapping them in an array and reading
+    back via element_at duplicates the entire k-hash tree per access
+    (Catalyst has no subexpression elimination inside higher-order
+    functions; measured 100× slowdown at sf0.1)."""
+    return [F.array_min(F.transform(shingles, _seeded_hash(j))) for j in range(k)]
+
+
 def minhash_expr(shingles: Column, k: int = MINHASH_K) -> Column:
-    """k seeded min-hashes of the shingle set: h_j = min over shingles of
-    xxhash64(j, shingle). Array of k longs per row, pure codegen."""
-    return F.array(
-        *[F.array_min(F.transform(shingles, _seeded_hash(j))) for j in range(k)]
-    )
+    """The k min-hashes as one array<long> column (for persistence)."""
+    return F.array(*minhash_cols(shingles, k))
 
 
 def minhash_band_hashes(
-    mh: Column, k: int = MINHASH_K, bands: int = MINHASH_BANDS
+    mh: list[Column] | Column, k: int = MINHASH_K, bands: int = MINHASH_BANDS
 ) -> Column:
-    """Fold the k min-hashes into per-band bucket ids (band index mixed
-    in so buckets never collide across bands)."""
+    """Fold k min-hashes into per-band bucket ids (band index mixed in
+    so buckets never collide across bands). Accepts the expression list
+    from ``minhash_cols`` (preferred — single-use expansion) or an
+    already-materialized array column."""
     per = k // bands
-    cols = []
-    for b in range(bands):
-        cols.append(
-            F.xxhash64(
-                F.lit(b), *[F.element_at(mh, b * per + i + 1) for i in range(per)]
-            )
-        )
-    return F.array(*cols)
+    if isinstance(mh, Column):
+        parts = [F.element_at(mh, i + 1) for i in range(k)]
+    else:
+        parts = mh
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), *parts[b * per : (b + 1) * per])
+            for b in range(bands)
+        ]
+    )
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
@@ -156,24 +189,44 @@ def near_dup_pairs_minhash(
     """Near-duplicate pairs: banded MinHash buckets → in-bucket pairs →
     exact shingle-Jaccard ≥ threshold.
 
-    Plan: one scan computing (id, shingles, band ids); explode bands;
-    shuffle on bucket id; pairs generated per bucket only; distinct;
-    exact verify. At 100 TB the explode/join keys are (long, long) — the
-    shingle arrays travel only for rows that reach a candidate pair, and
-    a salted repartition would handle a pathological hot bucket.
+    Plan: one scan computing (id, shingles); band ids fold directly over
+    the min-hash expression list (``minhash_cols``) so each of the k
+    hash trees appears exactly once in the projection — see
+    ``minhash_cols`` for why array+element_at is 100× slower.
+    The bucket self-join carries ONLY (bucket, id) — candidate pairs
+    dedupe on slim rows, then the shingle arrays are fetched back by two
+    id equi-joins for the exact Jaccard re-check. At 100 TB: shuffle
+    keys are (long, long); shingles travel only for rows that reach a
+    surviving candidate pair; a salted repartition would handle a
+    pathological hot bucket.
     """
     sh = df.select(
         F.col(id_col),
         shingles_expr(F.col(text_col)).alias("sh"),
-    ).withColumn("bands", minhash_band_hashes(minhash_expr(F.col("sh"), k), k, bands))
-    ex = sh.select(id_col, "sh", F.explode("bands").alias("bkt"))
-    l = ex.select(F.col("bkt"), F.col(id_col).alias("id_a"), F.col("sh").alias("sa"))
-    r = ex.select(F.col("bkt"), F.col(id_col).alias("id_b"), F.col("sh").alias("sb"))
-    return (
+    )
+    # bind the shingle array so all k min-hash trees share ONE evaluation
+    # (a plain column reference would be re-inlined k times)
+    sig = sh.select(
+        F.col(id_col),
+        bind(
+            F.col("sh"),
+            lambda s: minhash_band_hashes(minhash_cols(s, k), k, bands),
+        ).alias("bands"),
+    )
+    ex = sig.select(F.col(id_col), F.explode("bands").alias("bkt"))
+    l = ex.select(F.col("bkt"), F.col(id_col).alias("id_a"))
+    r = ex.select(F.col("bkt"), F.col(id_col).alias("id_b"))
+    cand = (
         l.join(r, "bkt")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jaccard_expr("sa", "sb"), 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
@@ -191,20 +244,24 @@ def simhash_votes_expr(text_col: Column, bits: int = 64) -> Column:
     in codegen.
     """
     toks = tokens_expr(text_col)
-    return F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
+
+    def token_votes(t: Column) -> Column:
+        # bind the token hash: referencing xxhash64(t) in all 64 bit
+        # extractions would recompute it 64× (no CSE inside lambdas)
+        return bind(
+            F.xxhash64(t),
+            lambda h: F.array(
                 *[
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * F.lit(2)
-                    - F.lit(1)
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
                     for b in range(bits)
                 ]
             ),
-            lambda a, v: a + v,
-        ),
+        )
+
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
     )
 
 
@@ -229,12 +286,14 @@ def fold_votes_to_simhash(votes: Column, bits: int = 64) -> Column:
 def with_simhash(
     df: DataFrame, text_col: str = "text", out_col: str = "simhash"
 ) -> DataFrame:
-    """Attach the 64-bit SimHash; votes materialize once via withColumn
-    so the fold doesn't replicate the aggregate 64 times."""
-    return (
-        df.withColumn("__votes", simhash_votes_expr(F.col(text_col)))
-        .withColumn(out_col, fold_votes_to_simhash(F.col("__votes")))
-        .drop("__votes")
+    """Attach the 64-bit SimHash; the vote array is bound via
+    :func:`bind` so the 64-reference fold evaluates the aggregate once
+    (withColumn does NOT give sharing — ProjectCollapsing inlines it)."""
+    return df.withColumn(
+        out_col,
+        # single-arg lambda: passing fold_votes_to_simhash directly would
+        # expose its bits=64 default as a second lambda parameter
+        bind(simhash_votes_expr(F.col(text_col)), lambda v: fold_votes_to_simhash(v)),
     )
 
 

@@ -61,6 +61,19 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def normalized_expr(a: Column) -> Column:
+    """L2-normalize an array<double> column; the norm is bound once (a
+    plain reference would recompute the aggregate per element)."""
+    from .dedup import bind
+
+    return bind(
+        norm_expr(a),
+        lambda nrm: F.transform(
+            a, lambda x: F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0))
+        ),
+    )
+
+
 def _as_double(col) -> Column:
     return F.col(col).cast("array<double>") if isinstance(col, str) else col
 
@@ -200,18 +213,17 @@ def similar_pairs_blocked(
 
     The join is an equi-join on the block key — Catalyst shuffles both
     sides on ``block_col`` once and compares only co-bucketed rows;
-    there is no all-pairs cross join anywhere in the plan.
+    there is no all-pairs cross join anywhere in the plan. Vectors are
+    L2-normalized per ROW before the join, so the per-pair work is one
+    dot product instead of dot + two norms (3× on the quadratic stage).
     """
-    left = df.select(
+    normed = df.select(
         F.col(block_col).alias("b"),
-        F.col(id_col).alias("id_a"),
-        _as_double(emb_col).alias("ea"),
+        F.col(id_col).alias("id"),
+        normalized_expr(_as_double(emb_col)).alias("e"),
     )
-    right = df.select(
-        F.col(block_col).alias("b"),
-        F.col(id_col).alias("id_b"),
-        _as_double(emb_col).alias("eb"),
-    )
+    left = normed.select("b", F.col("id").alias("id_a"), F.col("e").alias("ea"))
+    right = normed.select("b", F.col("id").alias("id_b"), F.col("e").alias("eb"))
     return (
         left.join(right, "b")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -219,9 +231,62 @@ def similar_pairs_blocked(
             F.col("b").alias(block_col),
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+            F.round(dot_expr(F.col("ea"), F.col("eb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def similar_pairs_blocked_vectorized(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Blocked pairwise cosine via per-block numpy matmul
+    (``applyInPandas``) — the documented exception to the built-ins-only
+    rule: the quadratic pair stage is a dense matrix product, which
+    interpreted higher-order functions evaluate element-by-element
+    (~6-9 s at sf0.1) while one Arrow-batched BLAS matmul does it in
+    milliseconds. Each block must fit an executor's memory — at 100 TB
+    block keys are chosen (or salted / IVF-split) to keep blocks
+    bounded, which the pure-expression variant above does not need.
+
+    Results are identical to ``similar_pairs_blocked`` (same rounding,
+    same DuckDB oracle).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    out_schema = f"{block_col} int, id_a long, id_b long, cosine double"
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[emb_col]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sim = mn @ mn.T
+        iu = np.triu_indices(len(ids), k=1)
+        cos = np.round(sim[iu], 6)
+        keep = cos >= threshold
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame(
+            {
+                block_col: pdf[block_col].iloc[0],
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": cos[keep],
+            }
+        )
+
+    return (
+        df.select(block_col, id_col, emb_col)
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, out_schema)
         .orderBy("id_a", "id_b")
     )
 
@@ -238,21 +303,26 @@ def similar_pairs_lsh(
     """Near-neighbor pairs via banded bucket self-join: explode band ids,
     equi-join on the bucket (pairs exist only inside buckets), distinct,
     exact cosine re-check ≥ threshold. The 100 TB pattern: pair count is
-    bounded by bucket occupancy, never n²."""
+    bounded by bucket occupancy, never n² — and the bucket join moves
+    only (bucket, id) rows; vectors are fetched back by id equi-joins
+    for the surviving candidates only."""
     sig = with_lsh_signature(df, emb_col, n_bits=n_bits, n_bands=n_bands, seed=seed)
-    ex = sig.select(
-        F.col(id_col), _as_double(emb_col).alias("e"), F.explode("bands").alias("bkt")
-    )
-    l = ex.select(F.col("bkt"), F.col(id_col).alias("id_a"), F.col("e").alias("ea"))
-    r = ex.select(F.col("bkt"), F.col(id_col).alias("id_b"), F.col("e").alias("eb"))
-    pairs = (
+    ex = sig.select(F.col(id_col), F.explode("bands").alias("bkt"))
+    l = ex.select(F.col("bkt"), F.col(id_col).alias("id_a"))
+    r = ex.select(F.col("bkt"), F.col(id_col).alias("id_b"))
+    cand = (
         l.join(r, "bkt")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ea", "eb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    vec = df.select(F.col(id_col), _as_double(emb_col).alias("e"))
+    va = vec.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"))
+    vb = vec.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb"))
     return (
-        pairs.select(
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(cosine_expr(F.col("ea"), F.col("eb")), 6).alias("cosine"),
@@ -293,7 +363,10 @@ def q24_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q25_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-blocked exact pairwise cosine ≥ 0.25 (oracle-checked)."""
-    return similar_pairs_blocked(
+    """Label-blocked exact pairwise cosine ≥ 0.25 (oracle-checked).
+    Uses the vectorized per-block matmul path; the pure-expression
+    variant (``similar_pairs_blocked``) computes identical results and
+    is cross-checked in pytest."""
+    return similar_pairs_blocked_vectorized(
         load_table(spark, sf_dir, "embeddings"), threshold=0.25
     )

@@ -144,3 +144,10 @@ def test_tfidf_rare_term_outranks_common(spark):
     # 'common' appears in every doc → idf = ln(1) = 0 → tfidf 0
     assert terms["common"]["tfidf"] == 0.0
     assert terms["rare"]["tfidf"] > 0.0
+
+
+def test_blocked_pairs_vectorized_matches_expression_path(spark, sf_check):
+    emb = load_table(spark, sf_check, "embeddings")
+    a = [tuple(r) for r in V.similar_pairs_blocked(emb, threshold=0.25).collect()]
+    b = [tuple(r) for r in V.similar_pairs_blocked_vectorized(emb, threshold=0.25).collect()]
+    assert a == b and len(a) > 0
