@@ -518,3 +518,25 @@ def q22_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
+
+
+# ------------------------------------------------------------ set ops (§2.D)
+def q41_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — set-op beyond the reference's generated surface
+    (SURVEY.md §2.D: admitted by the S1 gate's Union kind, executed
+    natively). Nations having BOTH customers and suppliers.
+
+    Scale: INTERSECT plans as a left-semi join over distinct keys —
+    shuffle carries only the small distinct sets.
+    """
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+def q42_except_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — parts never appearing in any lineitem (anti-join plan,
+    the set-op twin of q16's NOT EXISTS)."""
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    l = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    return p.exceptAll(l.distinct()).orderBy("partkey")

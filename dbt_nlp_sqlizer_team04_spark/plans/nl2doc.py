@@ -1,0 +1,142 @@
+"""NL → document-query pipeline — the Mongo branch of the reference's
+/ai/ask (NLP_SQLizer/backend/app/routes_ai.py:150-156, 320-394).
+
+Mirrors the reference ladder on the DocumentStore executor:
+
+- A10 collection linking: fuzzy prune to top-k collections/fields with
+  ``_id`` always kept (app/ai/nl2mongo.py:37-59);
+- LLM tier: MONGO_SYS-style prompt asking for a query-dict JSON
+  (nl2mongo.py:62-74), tolerant JSON extraction (:86-112) — optional,
+  exactly like the SQL path;
+- deterministic template tier (the CI path): intent analysis compiles
+  count/grouped-count/find dicts, so no LLM is needed for the eval set;
+- execution via DocumentStore.execute (limit injection, safety by
+  construction: the dict dialect has no write verbs at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.documents import DocumentStore, flatten_for_display, parse_query_json
+from .intent import QueryIntent, analyze_query_intent
+from .linking import partial_ratio
+from .llm import LLMNotConfigured, chat_complete
+
+MONGO_SYS_PROMPT = (
+    'Generate ONLY MongoDB query JSON. NO explanations, NO markdown. '
+    'Format: {"collection": "name", "pipeline": [...]} OR '
+    '{"collection": "name", "find": {...}, "limit": 100} '
+    "Use pipeline for aggregations/grouping. Use find for simple queries. "
+    "READ-only. LIMIT 100."
+)
+
+
+def select_relevant_collections(
+    schema: dict[str, list[str]],
+    question: str,
+    k_collections: int = 4,
+    k_fields: int = 8,
+) -> dict[str, list[str]]:
+    """A10 — fuzzy collection/field pruning with ``_id`` kept
+    (nl2mongo.py:37-59 parity)."""
+    scored = []
+    for coll, fields in schema.items():
+        s = max(
+            partial_ratio(coll, question),
+            max((partial_ratio(f, question) for f in fields), default=0.0),
+        )
+        scored.append((coll, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    out: dict[str, list[str]] = {}
+    for coll, _ in scored[:k_collections]:
+        fields = schema[coll]
+        best = sorted(fields, key=lambda f: (-partial_ratio(f, question), f))[:k_fields]
+        if "_id" in fields and "_id" not in best:
+            best.insert(0, "_id")
+        out[coll] = best
+    return out
+
+
+class NL2DocEngine:
+    """Question → query dict → DataFrame over a DocumentStore."""
+
+    def __init__(self, store: DocumentStore):
+        self.store = store
+
+    def _schema(self) -> dict[str, list[str]]:
+        return {
+            name: self.store.collection(name).columns
+            for name in self.store.list_collections()
+        }
+
+    # ------------------------------------------------------- candidates
+    def template_query(self, question: str) -> dict:
+        """Deterministic template tier: intent-compiled query dicts."""
+        schema = self._schema()
+        relevant = select_relevant_collections(schema, question)
+        if not relevant:
+            raise ValueError("no collections registered")
+        coll = next(iter(relevant))
+        fields = schema[coll]
+        analysis = analyze_query_intent(question, relevant)
+
+        def best_field(exclude_id: bool = True) -> str | None:
+            cands = [f for f in fields if not (exclude_id and f.endswith("id"))]
+            if not cands:
+                return None
+            # ties (a short name fully contained in the question) break
+            # toward the longer, more specific field name
+            return max(cands, key=lambda f: (partial_ratio(f, question), len(f)))
+
+        if analysis.agg_func == "COUNT" or QueryIntent.AGGREGATION in analysis.all_intents:
+            if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents:
+                g = best_field()
+                return {
+                    "collection": coll,
+                    "pipeline": [
+                        {"$group": {"_id": f"${g}", "n": {"$sum": 1}}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+            return {
+                "collection": coll,
+                "pipeline": [{"$group": {"_id": None, "n": {"$sum": 1}}}],
+            }
+        if QueryIntent.SORTED in analysis.all_intents:
+            f = best_field()
+            return {
+                "collection": coll,
+                "find": {},
+                "sort": {f: -1 if analysis.sort_desc else 1},
+                "limit": analysis.limit_n or 100,
+            }
+        return {"collection": coll, "find": {}, "limit": analysis.limit_n or 100}
+
+    def llm_query(self, question: str) -> dict | None:
+        """LLM tier (optional, nl2mongo.py:76-112 ladder)."""
+        schema = self._schema()
+        relevant = select_relevant_collections(schema, question)
+        ctx = "\n".join(f"- {c}({', '.join(fs)})" for c, fs in relevant.items())
+        try:
+            resp = chat_complete(
+                MONGO_SYS_PROMPT,
+                f"Q: {question}\nSchema: {ctx}\nGenerate MongoDB query JSON only.",
+            )
+            return parse_query_json(resp)
+        except (LLMNotConfigured, Exception):  # noqa: BLE001
+            return None
+
+    # -------------------------------------------------------- execution
+    def ask(self, question: str, flatten: bool = True) -> tuple[DataFrame, dict]:
+        """LLM-first with template fallback (routes_ai.py ladder);
+        returns (DataFrame, query_dict actually executed)."""
+        for q in (self.llm_query(question), self.template_query(question)):
+            if q is None:
+                continue
+            try:
+                df = self.store.execute(q)
+                return (flatten_for_display(df) if flatten else df), q
+            except Exception:  # noqa: BLE001
+                continue
+        raise ValueError(f"no viable document query for {question!r}")

@@ -56,6 +56,32 @@ def _stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q38_events_stream_rollup(spark, sf_dir)
 
 
+def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import q39_media_decode_stats
+
+    return q39_media_decode_stats(spark, sf_dir)
+
+
+def _media_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import q40_media_embedding_topk
+
+    return q40_media_embedding_topk(spark, sf_dir)
+
+
+def _nl2doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL -> document-query pipeline on a fixed question; the oracle is
+    the SQL the deterministic template tier must compile to."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask("how many events per event_type")
+    return df
+
+
 def _nl2sql(question: str) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, _sql = _engine_for(spark, sf_dir).query_df(question)
@@ -109,6 +135,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
     # Structured Streaming (engine extension, SURVEY.md §2.D)
     "q38_events_stream_rollup": _stream_rollup,
+    # Multimodal binary columns (builder-brief extension; rows-only)
+    "q39_media_decode_stats": _media_stats,
+    "q40_media_embedding_topk": _media_topk,
+    # Set operations (SURVEY.md §2.D)
+    "q41_intersect_nations": R.q41_intersect_nations,
+    "q42_except_unordered_parts": R.q42_except_unordered_parts,
+    # NL2Doc pipeline end-to-end (deterministic template tier, no LLM)
+    "nl04_doc_count_per_type": _nl2doc_count,
     # NL2SQL pipeline end-to-end (deterministic template tier, no LLM)
     "nl01_count_per_priority": _nl2sql("count of orders per orderpriority"),
     "nl02_avg_balance_per_segment": _nl2sql(
@@ -311,6 +345,23 @@ ORACLE_SQL: dict[str, str | None] = {
     "nl03_distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
     """,
+    # ------------------------------------------------------------ set ops
+    "q41_intersect_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey
+    """,
+    "q42_except_unordered_parts": """
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT
+        SELECT l_partkey AS partkey FROM lineitem
+        ORDER BY partkey
+    """,
+    "nl04_doc_count_per_type": """
+        SELECT event_type AS _id, count(*) AS n
+        FROM events GROUP BY _id ORDER BY _id
+    """,
     # -------------------------------------------------- similarity search
     "q23_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
@@ -406,6 +457,9 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM documents
         ORDER BY doc_id
     """,
+    # ------------------------------------------- multimodal (synthesized)
+    "q39_media_decode_stats": None,   # media synthesized in-session: rows-only
+    "q40_media_embedding_topk": None,  # stub embeddings: rows-only
     # ---------------------------------------------- streaming (q19 parity)
     "q38_events_stream_rollup": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -152,3 +152,43 @@ def test_find_filter_pushed_to_parquet(store):
         df._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters" in plan and "lang" in plan
+
+
+# ------------------------------------------------------------- NL2Doc path
+def test_nl2doc_collection_linking_keeps_id(spark):
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import select_relevant_collections
+
+    schema = {
+        "events": ["_id", "event_type", "value", "ts"],
+        "documents": ["_id", "text", "lang"],
+    }
+    rel = select_relevant_collections(schema, "total value of events")
+    assert "events" in rel
+    assert rel["events"][0] == "_id" or "_id" in rel["events"]
+
+
+def test_nl2doc_template_grouped_count(store):
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    df, q = eng.ask("how many events per event_type")
+    assert q["collection"] == "events"
+    assert q["pipeline"][0]["$group"]["_id"] == "$event_type"
+    rows = {r["_id"]: r["n"] for r in df.collect()}
+    assert sum(rows.values()) == 10000 and len(rows) == 5
+
+
+def test_nl2doc_template_global_count(store):
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    df, q = NL2DocEngine(store).ask("how many documents are there")
+    assert q["collection"] == "documents"
+    assert df.collect()[0]["n"] == 10000 or df.collect()[0]["n"] == 500
+
+
+def test_nl2doc_find_fallback(store):
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    df, q = NL2DocEngine(store).ask("show me documents")
+    assert "find" in q
+    assert df.count() == 100  # default limit injected
