@@ -535,8 +535,14 @@ def q41_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q42_except_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT — parts never appearing in any lineitem (anti-join plan,
-    the set-op twin of q16's NOT EXISTS)."""
+    """EXCEPT — parts never shipped in a high-quantity (≥ 49) lineitem:
+    the set-op twin of q16's NOT EXISTS, planned as an anti join over
+    distinct keys (non-empty at every test SF, unlike parts-with-no-
+    lineitem which is empty above sf0.001)."""
     p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
-    l = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_partkey").alias("partkey"))
+    )
     return p.exceptAll(l.distinct()).orderBy("partkey")

@@ -355,7 +355,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q42_except_unordered_parts": """
         SELECT p_partkey AS partkey FROM part
         EXCEPT
-        SELECT l_partkey AS partkey FROM lineitem
+        SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 49
         ORDER BY partkey
     """,
     "nl04_doc_count_per_type": """
