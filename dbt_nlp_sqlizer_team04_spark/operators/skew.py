@@ -1,0 +1,78 @@
+"""Skew mitigation — salting utilities for the hot-key cases AQE can't
+fix (builder-brief scale requirement; no reference analog).
+
+AQE's skew-join splitting (enabled in session.py) handles most joins at
+runtime, but two shapes still bottleneck on one reducer at 100 TB:
+
+- aggregations with per-group state that partial aggregation can't
+  collapse (collect_list / countDistinct on a hot key) — one reducer
+  owns the whole hot group;
+- broadcast-ineligible joins where one fact key holds a double-digit
+  percentage of rows.
+
+Both are fixed by salting: spread the hot key over N sub-keys, do the
+heavy work per (key, salt), then combine. Everything below is pure
+DataFrame ops, and each utility is equality-tested against its naive
+counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salt_col(unique_col: Column, n: int = DEFAULT_SALTS) -> Column:
+    """Deterministic salt in [0, n) derived from any high-cardinality
+    column (deterministic > rand(): retries/speculative tasks stay
+    consistent and tests are reproducible)."""
+    return F.pmod(F.xxhash64(unique_col), F.lit(n)).cast("int")
+
+
+def salted_distinct_count(
+    df: DataFrame, key: str, value: str, n: int = DEFAULT_SALTS
+) -> DataFrame:
+    """countDistinct(value) per key via two-phase salting.
+
+    Phase 1 shuffles on (key, salt(value)) — the hot key's values spread
+    over n reducers, each computing a partial distinct set; because the
+    salt is derived FROM the value, a value lands in exactly one salt
+    bucket and partial distinct counts add up exactly.
+    """
+    partial = (
+        df.select(F.col(key), F.col(value), salt_col(F.col(value), n).alias("__salt"))
+        .groupBy(key, "__salt")
+        .agg(F.countDistinct(value).alias("__dc"))
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("__dc").cast("long").alias("n_distinct"))
+        .orderBy(key)
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n: int = DEFAULT_SALTS,
+    fact_unique: str | None = None,
+) -> DataFrame:
+    """Skew-proof equi-join: the fact side gets a salt derived from a
+    unique column (row spread), the dim side is replicated n times with
+    every salt value, and the join runs on (key, salt) — the hot key's
+    rows land on n reducers instead of one.
+
+    Dim replication costs n× a (small) dim — the standard trade. Output
+    columns match ``fact.join(dim, fact_key == dim_key)``.
+    """
+    uniq = F.col(fact_unique) if fact_unique else F.monotonically_increasing_id()
+    f = fact.withColumn("__salt", salt_col(uniq, n))
+    d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n)])))
+    out = f.join(
+        d, (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"])
+    )
+    return out.drop("__salt")
