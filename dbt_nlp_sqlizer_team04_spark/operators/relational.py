@@ -545,4 +545,7 @@ def q42_except_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") >= 49)
         .select(F.col("l_partkey").alias("partkey"))
     )
-    return p.exceptAll(l.distinct()).orderBy("partkey")
+    # subtract = EXCEPT DISTINCT → a single left-anti join (p_partkey is
+    # unique, so ALL vs DISTINCT semantics coincide); exceptAll would
+    # plan the generic union+count algorithm with three exchanges
+    return p.subtract(l).orderBy("partkey")

@@ -48,13 +48,17 @@ def select_relevant(
     fallbacks (nl2sql.py:23-46 parity; defaults 4/8 per BASELINE.md)."""
     table_scores = []
     for t, cols in schema.items():
-        score = max(
-            partial_ratio(t, question),
-            max((partial_ratio(c, question) for c in cols), default=0.0),
-        )
-        table_scores.append((t, score))
-    table_scores.sort(key=lambda x: (-x[1], x[0]))
-    chosen = [t for t, _ in table_scores[:k_tables]]
+        # track WHICH identifier matched best: a tie at score 100 between
+        # a 2-char column ("ts" ⊂ "parts") and a full table name ("part")
+        # must go to the longer, more specific identifier
+        best_name, score = t, partial_ratio(t, question)
+        for c in cols:
+            s = partial_ratio(c, question)
+            if s > score or (s == score and len(c) > len(best_name)):
+                best_name, score = c, s
+        table_scores.append((t, score, len(best_name)))
+    table_scores.sort(key=lambda x: (-x[1], -x[2], x[0]))
+    chosen = [t for t, _, _ in table_scores[:k_tables]]
 
     out: dict[str, list[str]] = {}
     for t in chosen:

@@ -151,12 +151,20 @@ class NL2SQLEngine:
         return best
 
     def _group_column(
-        self, table: str, question: str, preferred: list[str] | None = None
+        self,
+        table: str,
+        question: str,
+        preferred: list[str] | None = None,
+        exclude: str | None = None,
     ) -> str | None:
         """Grouping key: prefer low-cardinality (categorical) columns,
-        fuzzy-matched against the question, linking-slice boosted."""
+        fuzzy-matched against the question, linking-slice boosted.
+        ``exclude`` bars the aggregation measure from doubling as the
+        group key ("max acctbal per nation" must not GROUP BY acctbal)."""
         best, best_score = None, -1.0
         for c in self._cols(table):
+            if exclude is not None and c.name == exclude:
+                continue
             fuzzy = partial_ratio(c.name, question)
             for syn in self.metadata.synonyms.get(c.name, []):
                 fuzzy = max(fuzzy, partial_ratio(syn, question))
@@ -193,10 +201,10 @@ class NL2SQLEngine:
             QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
             or QueryIntent.AGGREGATION in analysis.all_intents
         ):
-            g = self._group_column(t, question, preferred=relevant.get(t)) if (
-                QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
-            ) else None
+            # measure first, THEN the group key excluding the measure —
+            # "max acctbal per nation" must not GROUP BY the measure
             func = analysis.agg_func
+            measure = None
             if func == "COUNT":
                 expr, alias = "COUNT(*)", "cnt"
             else:
@@ -204,12 +212,21 @@ class NL2SQLEngine:
                 if c is None:
                     expr, alias = "COUNT(*)", "cnt"
                     func = "COUNT"
-                elif func == "AVG":
-                    expr, alias = f"ROUND(AVG({c}), 4)", f"avg_{c}"
-                elif func == "SUM":
-                    expr, alias = f"ROUND(SUM({c}), 2)", f"sum_{c}"
                 else:
-                    expr, alias = f"{func}({c})", f"{func.lower()}_{c}"
+                    measure = c
+                    if func == "AVG":
+                        expr, alias = f"ROUND(AVG({c}), 4)", f"avg_{c}"
+                    elif func == "SUM":
+                        expr, alias = f"ROUND(SUM({c}), 2)", f"sum_{c}"
+                    else:
+                        expr, alias = f"{func}({c})", f"{func.lower()}_{c}"
+            g = (
+                self._group_column(
+                    t, question, preferred=relevant.get(t), exclude=measure
+                )
+                if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
+                else None
+            )
             if g:
                 sql = f"SELECT {g}, {expr} AS {alias} FROM {t} GROUP BY {g}"
                 if QueryIntent.SORTED in analysis.all_intents:
@@ -252,7 +269,14 @@ class NL2SQLEngine:
                     f"SELECT {', '.join(all_cols[:5])} FROM {t}"
                     f"{order_clause(c)} LIMIT {limit_n or 100}"
                 )
-                out.append(Candidate(sql, "template_sorted", 0.6))
+                # an explicit "top N" is a stronger signal than the
+                # generic FK-join fallback, whose rank self-inflates by
+                # +0.1 per table it itself joins — 0.8 ties it at the
+                # cap and wins on candidate order (intent templates are
+                # generated before fallbacks)
+                out.append(
+                    Candidate(sql, "template_sorted", 0.8 if limit_n else 0.6)
+                )
 
         # --- reference parity templates (inference.py:215-246) ---
         cols5 = ", ".join(all_cols[:5])

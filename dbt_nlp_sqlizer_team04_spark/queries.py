@@ -149,6 +149,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
         "average acctbal per mktsegment in customer"
     ),
     "nl03_distinct_segments": _nl2sql("unique mktsegment values from customer"),
+    "nl05_sum_price_per_status": _nl2sql("sum of totalprice per orderstatus"),
+    "nl06_top5_orders": _nl2sql("top 5 orders by totalprice"),
+    "nl07_max_balance_per_nation": _nl2sql("maximum acctbal per nation in customer"),
+    "nl08_count_parts_per_brand": _nl2sql("how many parts per brand"),
 }
 
 # name -> DuckDB oracle SQL (None => rows-only check)
@@ -344,6 +348,22 @@ ORACLE_SQL: dict[str, str | None] = {
     """,
     "nl03_distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    "nl05_sum_price_per_status": """
+        SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_o_totalprice
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "nl06_top5_orders": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders ORDER BY o_totalprice DESC LIMIT 5
+    """,
+    "nl07_max_balance_per_nation": """
+        SELECT c_nationkey, max(c_acctbal) AS max_c_acctbal
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "nl08_count_parts_per_brand": """
+        SELECT p_brand, count(*) AS cnt
+        FROM part GROUP BY p_brand ORDER BY p_brand
     """,
     # ------------------------------------------------------------ set ops
     "q41_intersect_nations": """
