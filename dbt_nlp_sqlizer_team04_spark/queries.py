@@ -68,6 +68,18 @@ def _media_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q40_media_embedding_topk(spark, sf_dir)
 
 
+def _q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q44_asof_last_click
+
+    return q44_asof_last_click(spark, sf_dir)
+
+
+def _q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q45_user_sessions
+
+    return q45_user_sessions(spark, sf_dir)
+
+
 def _nl2doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL -> document-query pipeline on a fixed question; the oracle is
     the SQL the deterministic template tier must compile to."""
@@ -139,6 +151,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Multimodal binary columns (builder-brief extension; rows-only)
     "q39_media_decode_stats": _media_stats,
     "q40_media_embedding_topk": _media_topk,
+    # Time-series operators (builder-brief custom operators)
+    "q44_asof_last_click": _q44,
+    "q45_user_sessions": _q45,
     # Set operations (SURVEY.md §2.D)
     "q41_intersect_nations": R.q41_intersect_nations,
     "q42_except_unordered_parts": R.q42_except_unordered_parts,
@@ -365,6 +380,36 @@ ORACLE_SQL: dict[str, str | None] = {
     "nl08_count_parts_per_brand": """
         SELECT p_brand, count(*) AS cnt
         FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    # -------------------------------------------------------- time series
+    "q44_asof_last_click": """
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               round(p.value, 2) AS value,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    "q45_user_sessions": """
+        WITH g AS (
+          SELECT user_id, ts,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+          FROM events
+        ), s AS (
+          SELECT user_id,
+                 sum(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        )
+        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        FROM s GROUP BY user_id ORDER BY user_id
     """,
     # ------------------------------------------------------------ set ops
     "q41_intersect_nations": """

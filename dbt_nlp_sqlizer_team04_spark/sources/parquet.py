@@ -57,9 +57,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set(key, "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: `/` promotes to double, and nanos-since-epoch
+        # (~1.7e18) exceeds double's exact-integer range (2^53), which
+        # skews individual timestamps by up to ±1 microsecond
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

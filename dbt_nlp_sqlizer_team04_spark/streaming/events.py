@@ -40,7 +40,8 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     """nanos-long → microsecond timestamp (same truncation as
     sources/parquet.py:load_table, so batch and stream agree)."""
     if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # `div` not `/`: double division skews nanos beyond 2^53 by ±1µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
