@@ -102,6 +102,79 @@ def sessionize(
     return df.withColumn(session_col, F.sum(new_session).over(run))
 
 
+def range_join_within(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    within_seconds: int,
+    left_id: str,
+    right_id: str,
+    extra_cond=None,
+) -> DataFrame:
+    """Banded range join: pairs (left, right) with |left.ts - right.ts|
+    ≤ within_seconds.
+
+    A naive range join is a cross join + filter (O(n²)). Here both
+    sides are binned into ``within_seconds``-wide buckets and the left
+    side probes its own and both neighbor buckets (explode of 3 ids) —
+    every qualifying pair shares one of those bucket pairs, so the join
+    is a plain equi-join on the bucket id with an exact range re-check.
+    Shuffle keys are (bucket, id); pair count is bounded by temporal
+    density, never n².
+    """
+    width_us = int(within_seconds) * 1_000_000
+
+    def bucket(col):
+        return F.expr(f"unix_micros({col}) div {width_us}")
+
+    l = left.select(
+        F.col(left_id), F.col(ts_col).alias("__lts"),
+        F.explode(
+            F.array(bucket(ts_col) - 1, bucket(ts_col), bucket(ts_col) + 1)
+        ).alias("__bkt"),
+    )
+    r = right.select(
+        F.col(right_id), F.col(ts_col).alias("__rts"), bucket(ts_col).alias("__bkt")
+    )
+    pairs = l.join(r, "__bkt").filter(
+        F.abs(F.unix_micros("__lts") - F.unix_micros("__rts")) <= F.lit(width_us)
+    )
+    if extra_cond is not None:
+        pairs = pairs.filter(extra_cond)
+    return pairs.select(left_id, right_id, "__lts", "__rts").dropDuplicates(
+        [left_id, right_id]
+    )
+
+
+def rollup_cascade(
+    df: DataFrame, ts_col: str, group_cols: list[str], value_col: str
+) -> dict[str, DataFrame]:
+    """Hypertable-style continuous aggregate cascade: minute → hour →
+    day, each level computed FROM the previous one (sum/count compose;
+    avg derives as sum/count at read time). The raw table is scanned
+    once; coarser grains aggregate the much smaller finer grain —
+    exactly how continuous aggregates refresh at scale.
+    """
+    minute = (
+        df.groupBy(
+            F.date_trunc("minute", F.col(ts_col)).alias("bucket"), *group_cols
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_v"),
+        )
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", F.col("bucket")).alias("bucket"), *group_cols)
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_v").alias("sum_v"))
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket"), *group_cols)
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_v").alias("sum_v"))
+    )
+    return {"minute": minute, "hour": hour, "day": day}
+
+
 # ----------------------------------------------------- registry queries
 def q44_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join over events: every purchase gains the same user's most
@@ -129,6 +202,57 @@ def q44_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_ts"
         ),
     ).orderBy("event_id")
+
+
+def q46_range_join_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: per purchase, how many OTHER-user events fall
+    within ±60 s (oracle: DuckDB inequality join). Left join semantics —
+    purchases with zero nearby events keep n_nearby = 0."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id").alias("l_user"), "ts"
+    )
+    others = e.select(
+        F.col("event_id").alias("r_event"), F.col("user_id").alias("r_user"), "ts"
+    )
+    pairs = range_join_within(
+        purchases.select("event_id", "ts"),
+        others,
+        "ts",
+        60,
+        "event_id",
+        "r_event",
+    )
+    # attach users, drop same-user pairs and self-pairs, count per purchase
+    pu = purchases.select("event_id", "l_user")
+    ru = others.select("r_event", "r_user")
+    counted = (
+        pairs.join(pu, "event_id")
+        .join(ru, "r_event")
+        .filter((F.col("l_user") != F.col("r_user")))
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
+    return (
+        purchases.select("event_id")
+        .join(counted, "event_id", "left")
+        .select("event_id", F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"))
+        .orderBy("event_id")
+    )
+
+
+def q47_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: the DAILY grain computed through the
+    minute→hour→day cascade must equal a direct daily aggregation
+    (oracle-checked) — the continuous-aggregate correctness property."""
+    e = load_table(spark, sf_dir, "events")
+    day = rollup_cascade(e, "ts", ["event_type"], "value")["day"]
+    return day.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.round("sum_v", 2).alias("sum_value"),
+    ).orderBy("day", "event_type")
 
 
 def q45_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

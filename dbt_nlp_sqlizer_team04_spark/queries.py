@@ -80,6 +80,18 @@ def _q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q45_user_sessions(spark, sf_dir)
 
 
+def _q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q46_range_join_nearby
+
+    return q46_range_join_nearby(spark, sf_dir)
+
+
+def _q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q47_rollup_cascade_daily
+
+    return q47_rollup_cascade_daily(spark, sf_dir)
+
+
 def _nl2doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL -> document-query pipeline on a fixed question; the oracle is
     the SQL the deterministic template tier must compile to."""
@@ -154,6 +166,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Time-series operators (builder-brief custom operators)
     "q44_asof_last_click": _q44,
     "q45_user_sessions": _q45,
+    "q46_range_join_nearby": _q46,
+    "q47_rollup_cascade_daily": _q47,
     # Set operations (SURVEY.md §2.D)
     "q41_intersect_nations": R.q41_intersect_nations,
     "q42_except_unordered_parts": R.q42_except_unordered_parts,
@@ -410,6 +424,26 @@ ORACLE_SQL: dict[str, str | None] = {
         )
         SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
         FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    "q46_range_join_nearby": """
+        SELECT p.event_id,
+               count(b.event_id) AS n_nearby
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN events b
+          ON b.user_id <> p.user_id
+         AND abs(epoch_us(b.ts) - epoch_us(p.ts)) <= 60 * 1000000
+        GROUP BY p.event_id
+        ORDER BY p.event_id
+    """,
+    "q47_rollup_cascade_daily": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY day, event_type
+        ORDER BY day, event_type
     """,
     # ------------------------------------------------------------ set ops
     "q41_intersect_nations": """

@@ -56,3 +56,41 @@ def test_sessionize_gap_boundaries(spark):
     assert by[(1, "2024-01-01T10:29:59")] == 1
     assert by[(1, "2024-01-01T11:00:00")] == 2
     assert by[(2, "2024-01-01T09:00:00")] == 1
+
+
+def test_range_join_bands_cover_boundaries(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.timeseries import range_join_within
+
+    l = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:01:00"))], "lid int, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 10:00:00")),  # exactly -60s (inclusive)
+            (11, _ts("2024-01-01 10:02:00")),  # exactly +60s (inclusive)
+            (12, _ts("2024-01-01 10:02:01")),  # out of range
+            (13, _ts("2024-01-01 09:59:59")),  # out of range
+            (14, _ts("2024-01-01 10:01:30")),  # in range, neighbor bucket
+        ],
+        "rid int, ts timestamp",
+    )
+    pairs = {p["rid"] for p in range_join_within(l, r, "ts", 60, "lid", "rid").collect()}
+    assert pairs == {10, 11, 14}
+
+
+def test_rollup_cascade_grains_consistent(spark, sf_smoke):
+    from dbt_nlp_sqlizer_team04_spark.operators.timeseries import rollup_cascade
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_smoke, "events")
+    grains = rollup_cascade(e, "ts", ["event_type"], "value")
+    totals = {
+        g: df.agg(F.sum("n").alias("n"), F.round(F.sum("sum_v"), 2).alias("s")).collect()[0]
+        for g, df in grains.items()
+    }
+    base = e.agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")).collect()[0]
+    for g, t in totals.items():
+        assert (t["n"], t["s"]) == (base["n"], base["s"]), g
+    # coarser grains must be strictly smaller materializations
+    assert grains["day"].count() < grains["hour"].count() < grains["minute"].count()
