@@ -39,6 +39,13 @@ STOPWORDS_EN = (
 
 PUNCT_CLASS = r"[.,!?;:]"
 
+# BPE-ish pre-tokenization pattern (GPT-2-style, simplified to the
+# lookahead-free subset both regex engines treat identically): letter
+# runs, digit runs, and single non-space symbols each count as one
+# token — the standard proxy for LLM token budgeting when the real
+# tokenizer isn't in the pipeline image.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "was", "with", "that", "for", "it"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
@@ -50,6 +57,11 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 # ------------------------------------------------------------- per-doc stats
 def n_tokens_expr(text_col: Column) -> Column:
     return F.size(tokens_expr(text_col))
+
+
+def bpe_token_count_expr(text_col: Column) -> Column:
+    """Approximate LLM-token count via the BPE-ish regex."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_PATTERN), 0))
 
 
 def punct_count_expr(text_col: Column) -> Column:
@@ -82,6 +94,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("avg_token_len"),
         punct_count_expr(t).cast("long").alias("n_punct"),
         stopword_count_expr(t).cast("long").alias("n_stopwords"),
+        bpe_token_count_expr(t).cast("long").alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 

@@ -515,7 +515,8 @@ ORACLE_SQL: dict[str, str | None] = {
                length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
                    AS n_punct,
                len(list_filter({_DUCK_TOKENS}, x -> list_contains({_SW_EN}, x)))
-                   AS n_stopwords
+                   AS n_stopwords,
+               len(regexp_extract_all(text, '{X.BPE_PATTERN}', 0)) AS n_bpe_tokens
         FROM documents
         ORDER BY doc_id
     """,
