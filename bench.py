@@ -4,8 +4,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Methodology (VERDICT r1 "What's wrong" #5):
-- a warm-up query runs OUTSIDE the timed region, so JVM/session/codegen
-  startup isn't billed to the first headline query;
+- session warm-up runs OUTSIDE the timed region, and each query's PLAN
+  is warmed once at the smallest SF before its timed run — whole-stage
+  codegen compiles per generated-code shape (~2s per distinct plan on
+  first execution), so without plan warm-up the benchmark measures the
+  Janino compiler, not the operator (measured: q01 first run 2.9s,
+  steady-state 0.7s at sf0.1);
 - every query is materialized with collect() — count() would let
   Catalyst prune unused projections and under-report non-aggregate
   queries. Collected rows are bounded (headline queries return small
@@ -57,11 +61,19 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000).collect()
     spark.sql("SELECT 1").collect()
 
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    can_warm = os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES.get(name)
         if fn is None:
             continue
+        if can_warm:
+            try:  # compile the plan's generated code on the tiny SF
+                fn(spark, warm_dir).collect()
+            except Exception:  # noqa: BLE001
+                pass
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         rows = df.collect()
