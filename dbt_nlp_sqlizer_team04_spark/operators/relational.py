@@ -549,3 +549,43 @@ def q42_except_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique, so ALL vs DISTINCT semantics coincide); exceptAll would
     # plan the generic union+count algorithm with three exchanges
     return p.subtract(l).orderBy("partkey")
+
+
+# -------------------------------------------------------- §2.D extensions
+def q48_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping-set combinations
+    in one pass (SURVEY.md §2.D: grouping sets never generated by the
+    reference, native in Spark). Partial aggregation expands grouping
+    ids map-side; one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def q49_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order status (B7 extension).
+
+    Scale note: exact percentiles sort each group's values — the
+    profiler-grade alternative is approx_percentile (t-digest sketch,
+    map-side mergeable); exact is kept here because the oracle must
+    match bit-for-bit.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -106,6 +106,40 @@ def _nl2doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_TRAINED_CACHE: dict = {}
+
+
+def _trained_engine_for(spark: SparkSession, sf_dir: str):
+    """NL2SQL engine with the TRAINED semantic-linking model attached —
+    the reference's headline path (routes_ai.py:173-226): crawl → train
+    (embeddings + examples + persistence) → semantic-first linking."""
+    key = (id(spark), sf_dir)
+    eng = _TRAINED_CACHE.get(key)
+    if eng is None:
+        import tempfile
+
+        from .models.trainer import ModelTrainer
+        from .operators.profiler import crawl_schema
+        from .plans.nl2sql import NL2SQLEngine
+        from .sources.parquet import register_views
+
+        register_views(spark, sf_dir)
+        meta = crawl_schema(spark, sf_dir, sample_size=5)
+        model = ModelTrainer(tempfile.mkdtemp(prefix="schema_model_")).train(meta)
+        eng = NL2SQLEngine(spark, meta, model=model)
+        _TRAINED_CACHE[key] = eng
+    return eng
+
+
+def _nl2sql_trained(question: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df, _sql = _trained_engine_for(spark, sf_dir).query_df(question)
+        return df
+
+    fn.__doc__ = f"Trained-model NL2SQL pipeline on: {question!r}"
+    return fn
+
+
 def _nl2sql(question: str) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, _sql = _engine_for(spark, sf_dir).query_df(question)
@@ -171,6 +205,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Set operations (SURVEY.md §2.D)
     "q41_intersect_nations": R.q41_intersect_nations,
     "q42_except_unordered_parts": R.q42_except_unordered_parts,
+    "q48_cube_status_priority": R.q48_cube_status_priority,
+    "q49_price_percentiles": R.q49_price_percentiles,
     # NL2Doc pipeline end-to-end (deterministic template tier, no LLM)
     "nl04_doc_count_per_type": _nl2doc_count,
     # NL2SQL pipeline end-to-end (deterministic template tier, no LLM)
@@ -183,6 +219,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl06_top5_orders": _nl2sql("top 5 orders by totalprice"),
     "nl07_max_balance_per_nation": _nl2sql("maximum acctbal per nation in customer"),
     "nl08_count_parts_per_brand": _nl2sql("how many parts per brand"),
+    # Trained-model path (semantic linking; the fuzzy tier cannot answer
+    # nl09's synonym phrasing — no identifier contains "balance")
+    "nl09_trained_balance_by_segment": _nl2sql_trained(
+        "average customer balance per market segment"
+    ),
+    "nl10_trained_count_per_priority": _nl2sql_trained(
+        "count of orders per orderpriority"
+    ),
 }
 
 # name -> DuckDB oracle SQL (None => rows-only check)
@@ -395,6 +439,14 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT p_brand, count(*) AS cnt
         FROM part GROUP BY p_brand ORDER BY p_brand
     """,
+    "nl09_trained_balance_by_segment": """
+        SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_c_acctbal
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "nl10_trained_count_per_priority": """
+        SELECT o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
     # -------------------------------------------------------- time series
     "q44_asof_last_click": """
         SELECT p.event_id, p.user_id,
@@ -461,6 +513,21 @@ ORACLE_SQL: dict[str, str | None] = {
     "nl04_doc_count_per_type": """
         SELECT event_type AS _id, count(*) AS n
         FROM events GROUP BY _id ORDER BY _id
+    """,
+    "q48_cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "q49_price_percentiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     # -------------------------------------------------- similarity search
     "q23_cosine_topk": """
