@@ -34,14 +34,38 @@ def normalize(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple
     return sorted_cols, out
 
 
-def run_oracle(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
+def run_oracle(
+    sf_dir: str, sql: str
+) -> tuple[list[str], list[tuple], dict[str, str]]:
     con = duckdb.connect()
     for t in TABLES:
         p = table_path(sf_dir, t)
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    rows = cur.fetchall()
+    # Re-fetch through pandas to capture the dtype the driver's comparison
+    # sees: DuckDB HUGEINT (e.g. windowed sum of ints) widens to float64
+    # there, turning 56 into 56.0 and breaking value hashes even though
+    # fetchall() returns ints. Kinds: i=int, f=float, O=object/str.
+    kinds = {c: str(d.kind) for c, d in con.execute(sql).fetchdf().dtypes.items()}
+    return cols, rows, kinds
+
+
+def _dtype_kind_diffs(spark_schema, oracle_kinds: dict[str, str]) -> list[str]:
+    """int-vs-float kind clashes between the Spark schema and the oracle's
+    pandas dtypes — the exact shape of the r2 q45 driver failure."""
+    numeric = {
+        "long": "i", "integer": "i", "int": "i", "short": "i", "byte": "i",
+        "double": "f", "float": "f",
+    }
+    diffs = []
+    for f in spark_schema.fields:
+        s_kind = numeric.get(f.dataType.typeName())
+        o_kind = oracle_kinds.get(f.name)
+        if s_kind and o_kind in ("i", "f") and s_kind != o_kind:
+            diffs.append(f"{f.name}: spark={s_kind} oracle={o_kind}")
+    return diffs
 
 
 def compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> dict:
@@ -52,11 +76,15 @@ def compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> dict:
     if oracle is None:
         res["status"] = "rows-only"
         return res
-    o_cols, o_rows = run_oracle(sf_dir, oracle)
+    o_cols, o_rows, o_kinds = run_oracle(sf_dir, oracle)
     nsc, nsr = normalize(s_cols, s_rows)
     noc, nor = normalize(o_cols, o_rows)
     res["oracle_rows"] = len(o_rows)
-    if nsc != noc:
+    kind_diffs = _dtype_kind_diffs(sdf.schema, o_kinds)
+    if kind_diffs:
+        res["status"] = "DTYPE-MISMATCH"
+        res["detail"] = str(kind_diffs)
+    elif nsc != noc:
         res["status"] = "SCHEMA-MISMATCH"
         res["detail"] = f"spark={nsc} oracle={noc}"
     elif len(nsr) != len(nor):

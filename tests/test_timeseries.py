@@ -58,6 +58,41 @@ def test_sessionize_gap_boundaries(spark):
     assert by[(2, "2024-01-01T09:00:00")] == 1
 
 
+def test_sessionize_microsecond_boundary(spark):
+    """Events planted at exactly the gap threshold and ±1 µs around it:
+    gap == 1800 s stays in-session (strict >), +1 µs starts a new one.
+    Guards the Spark-vs-oracle integer-µs boundary agreement (r2 q45)."""
+    base = _ts("2024-01-01 10:00:00")
+    rows = [
+        (1, base),
+        (1, _ts("2024-01-01 10:29:59.999999")),  # 1800s - 1µs: same session
+        (2, base),
+        (2, _ts("2024-01-01 10:30:00")),          # exactly 1800s: same session
+        (3, base),
+        (3, _ts("2024-01-01 10:30:00.000001")),   # 1800s + 1µs: NEW session
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    from pyspark.sql import functions as F
+
+    n = {
+        r["user_id"]: r["n"]
+        for r in s.groupBy("user_id").agg(F.max("session_id").alias("n")).collect()
+    }
+    assert n == {1: 1, 2: 1, 3: 2}
+
+
+def test_q45_oracle_stays_integer_typed(sf_smoke):
+    """The q45 oracle must fetch as integer dtypes through pandas — r2's
+    driver failure was DuckDB HUGEINT (windowed sum) widening to float64
+    ('56.0' vs '56' in the value hash)."""
+    from dbt_nlp_sqlizer_team04_spark.queries import ORACLE_SQL
+    from tests.oracle_harness import run_oracle
+
+    _cols, _rows, kinds = run_oracle(sf_smoke, ORACLE_SQL["q45_user_sessions"])
+    assert kinds == {"user_id": "i", "n_sessions": "i", "n_events": "i"}
+
+
 def test_range_join_bands_cover_boundaries(spark):
     from dbt_nlp_sqlizer_team04_spark.operators.timeseries import range_join_within
 
