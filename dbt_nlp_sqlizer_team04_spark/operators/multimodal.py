@@ -252,11 +252,16 @@ def q39_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q40_media_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media payload → stub embedding (mapInPandas) → exact cosine top-5
-    for media_id=0 via the shared similarity operator (rows-only)."""
+    for media_id=0 via the shared similarity operator (rows-only).
+
+    The embedding frame is cached before the query-vector collect so the
+    Arrow/mapInPandas stage executes ONCE — the collect materializes it,
+    and the top-k pass reads the cache (r2 verdict: the uncached form
+    re-ran the embedding stage over the full table)."""
     from .similarity import cosine_topk
 
     media = synthesize_media(spark, n=64)
-    emb = media_embeddings(media, dim=16)
+    emb = media_embeddings(media, dim=16).cache()
     q = emb.filter(F.col("media_id") == 0).collect()[0]["embedding"]
     return cosine_topk(emb, list(q), k=5, id_col="media_id", exclude_id=0)
 

@@ -172,8 +172,13 @@ def tfidf_terms(
     per term), score = tf * ln(N/df). The only shuffle moves (term,
     doc_id) pairs — at 100 TB you would pre-aggregate (term, doc) counts
     map-side first, which Catalyst's partial aggregation already does.
+
+    N (total docs, including token-less ones, matching the oracle's
+    ``count(*)``) joins in as a broadcast 1-row aggregate instead of a
+    separate eager ``df.count()`` — one composed job, no driver-side
+    barrier, and the count branch reads zero columns off parquet.
     """
-    n_docs = df.count()  # metadata-sized driver value, feeds the literal
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     terms = df.select(
         F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
@@ -183,11 +188,12 @@ def tfidf_terms(
             F.count(F.lit(1)).alias("tf"),
             F.countDistinct(id_col).cast("long").alias("df"),
         )
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "term",
             "tf",
             "df",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 4).alias(
                 "tfidf"
             ),
         )

@@ -92,3 +92,19 @@ def test_media_stats_never_touches_payload(media, spark, tmp_path):
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "payload" not in read_schema[0]
     assert "n_bytes" in read_schema[0]
+
+
+def test_q40_embedding_stage_runs_once(spark):
+    """q40 must read the cached embedding frame in its top-k pass — the
+    plan shows InMemoryTableScan, not a second mapInPandas over the
+    payloads (r2 verdict: the uncached form ran the Arrow stage twice)."""
+    out = M.q40_media_embedding_topk(spark, "unused")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "formatted"
+    )
+    # InMemoryTableScan = the top-k pass reads the cache. (The cache
+    # node prints its build lineage, so MapInPandas still appears in the
+    # text — inside the InMemoryRelation definition, not as a second
+    # executed stage.)
+    assert "InMemoryTableScan" in plan
+    assert len(out.collect()) == 5
