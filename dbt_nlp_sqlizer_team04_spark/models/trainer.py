@@ -101,6 +101,74 @@ def template_training_examples(metadata: SchemaMetadata, cap: int = 20) -> list[
     return examples[:cap]
 
 
+def describe_schema(metadata: SchemaMetadata) -> str:
+    """Compact schema description for the training-data prompt
+    (trainer.py:185-197 shape: one line per table with typed columns)."""
+    lines = []
+    for tname, info in metadata.tables.items():
+        cols = ", ".join(f"{c.name} ({c.type_str})" for c in info.columns)
+        lines.append(f"Table {tname}: {cols}")
+    for rel in metadata.relationships:
+        lines.append(
+            f"FK {rel.from_table}.{rel.from_column} -> "
+            f"{rel.to_table}.{rel.to_column}"
+        )
+    return "\n".join(lines)
+
+
+def llm_training_examples(
+    metadata: SchemaMetadata, chat=None, n: int = 20
+) -> list[dict] | None:
+    """A19: synthetic NL↔SQL training pairs from an LLM
+    (trainer.py:232-273 behavior): schema-grounded prompt asking for a
+    JSON array of {question, sql} pairs, tolerant parse (first [...]
+    span, entries missing either key dropped), and ``None`` on ANY
+    failure — unconfigured LLM, network error, unparseable response —
+    so the caller falls through to the deterministic templates (A20),
+    the same ladder the reference runs.
+
+    ``chat`` is injectable for tests; defaults to the configured client.
+    """
+    import re
+
+    from ..plans.llm import LLMNotConfigured, chat_complete
+
+    chat = chat or chat_complete
+    prompt = (
+        "You are generating training examples for a natural language to "
+        "SQL system.\n\nSchema:\n"
+        f"{describe_schema(metadata)}\n\n"
+        f"Generate {n} diverse natural language questions and their "
+        "corresponding SQL queries.\n"
+        'Format as JSON array: [{"question": "...", "sql": "..."}]\n\n'
+        "Rules:\n- Only SELECT queries\n- Use explicit JOINs\n"
+        "- Include WHERE, GROUP BY, ORDER BY as appropriate\n"
+        "- Questions should be realistic and diverse\n"
+        "- SQL should be valid ANSI SQL\n"
+    )
+    try:
+        resp = chat(
+            "You are a helpful assistant that generates training data.", prompt
+        )
+    except (LLMNotConfigured, Exception):  # noqa: BLE001
+        return None
+    m = re.search(r"\[.*\]", resp, re.DOTALL)
+    if not m:
+        return None
+    try:
+        parsed = json.loads(m.group(0))
+    except json.JSONDecodeError:
+        return None
+    if not isinstance(parsed, list):
+        return None
+    out = [
+        {"question": ex["question"], "sql": ex["sql"]}
+        for ex in parsed
+        if isinstance(ex, dict) and "question" in ex and "sql" in ex
+    ]
+    return out or None
+
+
 @dataclass
 class SchemaModel:
     """Trained artifact bundle (trainer.py:28-97 analog)."""
@@ -193,14 +261,25 @@ class ModelTrainer:
         self.model_dir = model_dir
 
     def train(
-        self, metadata: SchemaMetadata, llm_examples: list[dict] | None = None
+        self,
+        metadata: SchemaMetadata,
+        llm_examples: list[dict] | None = None,
+        chat=None,
+        use_llm: bool = True,
     ) -> SchemaModel:
+        """Train the schema model. Training-example ladder (A19→A20,
+        trainer.py:232-273): explicit ``llm_examples`` win; else the LLM
+        synthetic-data stage runs (``chat`` injectable; silently skipped
+        when unconfigured/failing/unparseable); else the deterministic
+        templates."""
         schema_id = generate_schema_id(metadata)
         try:
             progress.set_progress(schema_id, "training_data", 10, "generating examples")
-            # LLM synthetic stage is optional (trainer.py:232-273); the
-            # deterministic template fallback always runs (275-303).
-            examples = llm_examples or template_training_examples(metadata)
+            examples = llm_examples
+            if examples is None and use_llm:
+                examples = llm_training_examples(metadata, chat=chat)
+            if examples is None:
+                examples = template_training_examples(metadata)
 
             progress.set_progress(schema_id, "embeddings", 40, "encoding schema")
             texts = element_texts(metadata)

@@ -45,13 +45,16 @@ class DocumentQueryError(ValueError):
 # ---------------------------------------------------------- filter (C1)
 _CMP_OPS = {
     "$eq": lambda c, v: c == F.lit(v),
-    "$ne": lambda c, v: c != F.lit(v),
+    # Negated operators are null-safe: Mongo's $ne/$nin match documents
+    # where the field is null or missing, but `c != lit(v)` evaluates to
+    # NULL there and the row would be silently dropped.
+    "$ne": lambda c, v: ~c.eqNullSafe(F.lit(v)),
     "$gt": lambda c, v: c > F.lit(v),
     "$gte": lambda c, v: c >= F.lit(v),
     "$lt": lambda c, v: c < F.lit(v),
     "$lte": lambda c, v: c <= F.lit(v),
     "$in": lambda c, v: c.isin(list(v)),
-    "$nin": lambda c, v: ~c.isin(list(v)),
+    "$nin": lambda c, v: F.coalesce(~c.isin(list(v)), F.lit(True)),
     "$regex": lambda c, v: c.rlike(v),
 }
 
@@ -66,7 +69,10 @@ def _field_condition(field: str, spec: Any) -> Column:
             elif op == "$exists":
                 conds.append(col.isNotNull() if val else col.isNull())
             elif op == "$not":
-                conds.append(~_field_condition(field, val))
+                # Mongo's $not matches when the inner predicate does NOT
+                # match — including null/missing fields, where the inner
+                # condition evaluates to NULL rather than false.
+                conds.append(~F.coalesce(_field_condition(field, val), F.lit(False)))
             else:
                 raise DocumentQueryError(f"Unsupported filter operator: {op}")
         out = conds[0]
@@ -107,14 +113,18 @@ def filter_condition(filter_dict: dict[str, Any]) -> Column:
 # ------------------------------------------------------ projection (C2)
 def apply_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFrame:
     """Mongo projection: {f:1,...} include (insertion order), {f:0,...}
-    exclude. Mixed include/exclude is rejected like pymongo does."""
+    exclude. Mixed include/exclude is rejected like pymongo does, except
+    the pymongo-special ``{_id: 0}`` alongside includes; an include
+    projection keeps ``_id`` by default when the collection has one."""
     if not projection:
         return df
     includes = [f for f, v in projection.items() if v]
     excludes = [f for f, v in projection.items() if not v]
-    if includes and excludes:
+    if includes and [e for e in excludes if e != "_id"]:
         raise DocumentQueryError("Projection cannot mix include and exclude")
     if includes:
+        if "_id" in df.columns and "_id" not in projection:
+            includes = ["_id", *includes]
         return df.select(*includes)
     return df.drop(*excludes)
 

@@ -35,6 +35,7 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     tiebreak_col: str | None = None,
+    right_tiebreak_col: str | None = None,
     prefix: str = "asof_",
 ) -> DataFrame:
     """LEFT as-of join: each left row gains the right side's most recent
@@ -43,24 +44,40 @@ def asof_join(
 
     Ties at identical timestamps resolve right-row-first (the right row
     is visible to a left row with the same timestamp, matching ASOF
-    ``>=`` semantics), then by ``tiebreak_col`` among right rows.
+    ``>=`` semantics). When multiple RIGHT rows share a (partition, ts),
+    pass ``right_tiebreak_col`` to pick the one with the greatest
+    tiebreak value deterministically — without it the carried value
+    among exact right-side ties is whichever the sort surfaces last.
     """
     lcols = left.columns
     l = left
     for v in value_cols:
         l = l.withColumn(f"__r_{v}", F.lit(None).cast(right.schema[v].dataType))
+    if right_tiebreak_col is not None:
+        l = l.withColumn(
+            "__rtb", F.lit(None).cast(right.schema[right_tiebreak_col].dataType)
+        )
     l = l.withColumn("__side", F.lit(1))
 
     r = right.select(
         *partition_cols,
         F.col(ts_col),
         *[F.col(v).alias(f"__r_{v}") for v in value_cols],
+        *(
+            [F.col(right_tiebreak_col).alias("__rtb")]
+            if right_tiebreak_col is not None
+            else []
+        ),
     ).withColumn("__side", F.lit(0))
     for c in lcols:
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     order = [F.col(ts_col).asc(), F.col("__side").asc()]
+    if right_tiebreak_col is not None:
+        # orders right rows within an exact (partition, ts) tie so the
+        # running F.last deterministically carries the greatest tiebreak
+        order.append(F.col("__rtb").asc_nulls_first())
     if tiebreak_col is not None and tiebreak_col in left.columns:
         order.append(F.col(tiebreak_col).asc_nulls_first())
     w = (

@@ -41,8 +41,35 @@ SYS_PROMPT = (
     "Generate ONLY SQL SELECT queries. NO explanations, NO markdown. "
     "Start with SELECT. SELECT only (no INSERT/UPDATE/DELETE/DDL). "
     "Use explicit JOIN ... ON. Use exact column names from the schema. "
-    "Spark SQL syntax."
+    "Spark SQL syntax. If asked for multiple queries, prefix each line "
+    'with "QUERY:".'
 )
+
+MAX_LLM_CANDIDATES = 5  # inference.py:155's max_candidates cap
+
+
+def parse_llm_candidates(resp: str, max_candidates: int = MAX_LLM_CANDIDATES) -> list[str]:
+    """Parse N SQL candidates out of one LLM response
+    (inference.py:199-206 behavior): every line starting with ``QUERY:``
+    or ``SELECT`` is a candidate (prefix stripped, trailing semicolon
+    dropped). When no line matches — prose or fenced single-statement
+    responses — fall back to the S6 extractor for one candidate. Gives
+    the retry ladder the same number of rungs as the reference's."""
+    out: list[str] = []
+    for line in resp.split("\n"):
+        s = line.strip()
+        if s.upper().startswith("QUERY:"):
+            s = s[len("QUERY:"):].strip()
+        elif not s.lower().startswith("select"):
+            continue
+        s = s.rstrip(";").strip()
+        if s.lower().startswith("select") and s not in out:
+            out.append(s)
+    if not out:
+        single = extract_sql_from_response(resp)
+        if single.lower().startswith("select"):
+            out = [single]
+    return out[:max_candidates]
 
 
 @dataclass
@@ -303,8 +330,10 @@ class NL2SQLEngine:
             return []
         except Exception:
             return []  # network failure → template fallback (routes_ai.py:205-226)
-        sql = extract_sql_from_response(resp)
-        return [Candidate(sql, "llm", 0.8)] if sql.lower().startswith("select") else []
+        return [
+            Candidate(sql, "llm", 0.8)
+            for sql in parse_llm_candidates(resp, MAX_LLM_CANDIDATES)
+        ]
 
     def rank(self, candidates: list[Candidate], relevant: dict[str, list[str]]) -> list[Candidate]:
         """Confidence heuristics port (inference.py:283-313): +0.1 per

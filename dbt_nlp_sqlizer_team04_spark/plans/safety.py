@@ -298,7 +298,20 @@ def enforce_limit(sql: str, max_rows: int = 100) -> str:
         elif t.value == "limit":
             limit_idx = i
     if limit_idx >= 0 and limit_idx > set_op_idx:
-        return base  # statement-tail LIMIT bounds everything
+        # statement-tail LIMIT bounds everything — but only accept it
+        # when its operand is a plain number ≤ max_rows. Adversarial/LLM
+        # SQL like `... LIMIT 100000000` or `LIMIT ALL` would otherwise
+        # pass unbounded.
+        operand = (
+            body_tokens[limit_idx + 1] if limit_idx + 1 < len(body_tokens) else None
+        )
+        if (
+            operand is not None
+            and operand.kind == "num"
+            and float(operand.value) <= max_rows
+        ):
+            return base
+        return f"SELECT * FROM (\n{base}\n) AS __bounded\nLIMIT {max_rows}"
     if limit_idx >= 0:
         # LIMIT binds to an earlier branch only: bound the whole statement
         return f"SELECT * FROM (\n{base}\n) AS __bounded\nLIMIT {max_rows}"

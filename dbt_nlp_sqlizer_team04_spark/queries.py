@@ -116,6 +116,8 @@ def _trained_engine_for(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     eng = _TRAINED_CACHE.get(key)
     if eng is None:
+        import atexit
+        import shutil
         import tempfile
 
         from .models.trainer import ModelTrainer
@@ -125,7 +127,9 @@ def _trained_engine_for(spark: SparkSession, sf_dir: str):
 
         register_views(spark, sf_dir)
         meta = crawl_schema(spark, sf_dir, sample_size=5)
-        model = ModelTrainer(tempfile.mkdtemp(prefix="schema_model_")).train(meta)
+        model_dir = tempfile.mkdtemp(prefix="schema_model_")
+        atexit.register(shutil.rmtree, model_dir, ignore_errors=True)
+        model = ModelTrainer(model_dir).train(meta)
         eng = NL2SQLEngine(spark, meta, model=model)
         _TRAINED_CACHE[key] = eng
     return eng

@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# sf_dir -> staging dir for the file-source stream (atexit-cleaned)
+_STAGE_DIRS: dict[str, str] = {}
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -76,17 +79,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file source requires a *directory*, and the testdata dir mixes
     all tables — so the events file is linked into a scratch directory,
-    the file-drop layout a stream would really use.
+    the file-drop layout a stream would really use. The staging dir is
+    cached per sf_dir and removed at interpreter exit, so repeated
+    registry/bench/harness invocations don't leak temp directories.
     """
     import os
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(stage, "events.parquet"),
-    )
+    stage = _STAGE_DIRS.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        import atexit
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        _STAGE_DIRS[sf_dir] = stage
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
     return spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
 
 

@@ -192,3 +192,39 @@ def test_nl2doc_find_fallback(store):
     df, q = NL2DocEngine(store).ask("show me documents")
     assert "find" in q
     assert df.count() == 100  # default limit injected
+
+
+def test_negated_ops_match_null_fields(spark):
+    """Mongo null semantics (r2 ADVICE): $ne/$nin/$not match documents
+    whose field is null — Spark's != would drop them as NULL."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import filter_condition
+
+    fx = spark.createDataFrame(
+        [(1, "en"), (2, "fr"), (3, None)], "doc_id int, lang string"
+    )
+    ne = {r["doc_id"] for r in fx.filter(filter_condition({"lang": {"$ne": "en"}})).collect()}
+    assert ne == {2, 3}
+    nin = {r["doc_id"] for r in fx.filter(filter_condition({"lang": {"$nin": ["en", "fr"]}})).collect()}
+    assert nin == {3}
+    nt = {r["doc_id"] for r in fx.filter(filter_condition({"lang": {"$not": {"$eq": "en"}}})).collect()}
+    assert nt == {2, 3}
+
+
+def test_include_projection_keeps_id(spark):
+    """Mongo includes _id by default in include projections; {_id: 0}
+    alongside includes is the allowed pymongo special case."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentQueryError,
+        apply_projection,
+    )
+    import pytest as _pytest
+
+    fx = spark.createDataFrame([(1, "a", 2)], "_id int, name string, x int")
+    assert apply_projection(fx, {"name": 1}).columns == ["_id", "name"]
+    assert apply_projection(fx, {"name": 1, "_id": 0}).columns == ["name"]
+    # true mixes still rejected
+    with _pytest.raises(DocumentQueryError):
+        apply_projection(fx, {"name": 1, "x": 0})
+    # no _id column → unchanged behavior
+    fx2 = spark.createDataFrame([(1, "a")], "doc_id int, name string")
+    assert apply_projection(fx2, {"name": 1}).columns == ["name"]

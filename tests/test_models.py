@@ -144,3 +144,54 @@ def test_engine_uses_trained_model(spark, sf_smoke, metadata, model):
     df, sql = eng.query_df("average customer balance per market segment")
     rows = df.collect()
     assert rows and "c_mktsegment" in sql and "c_acctbal" in sql.lower()
+
+
+# ------------------------------------------------- A19 LLM training data
+def test_llm_training_examples_tolerant_parse(metadata):
+    """Canned LLM response: prose around a JSON array → parsed pairs,
+    entries missing a key dropped (trainer.py:232-273 behavior)."""
+    from dbt_nlp_sqlizer_team04_spark.models.trainer import llm_training_examples
+
+    canned = (
+        "Sure! Here are the training examples you asked for:\n"
+        '[{"question": "how many orders", "sql": "SELECT COUNT(*) FROM orders"},\n'
+        ' {"question": "incomplete entry only"},\n'
+        ' {"question": "top customers", "sql": "SELECT c_name FROM customer '
+        'ORDER BY c_acctbal DESC LIMIT 10"}]\n'
+        "Let me know if you need more."
+    )
+    ex = llm_training_examples(metadata, chat=lambda s, u: canned)
+    assert ex == [
+        {"question": "how many orders", "sql": "SELECT COUNT(*) FROM orders"},
+        {
+            "question": "top customers",
+            "sql": "SELECT c_name FROM customer ORDER BY c_acctbal DESC LIMIT 10",
+        },
+    ]
+
+
+def test_llm_training_examples_garbage_and_errors(metadata):
+    from dbt_nlp_sqlizer_team04_spark.models.trainer import llm_training_examples
+
+    def boom(s, u):
+        raise RuntimeError("connection refused")
+
+    assert llm_training_examples(metadata, chat=boom) is None
+    assert llm_training_examples(metadata, chat=lambda s, u: "no json here") is None
+    assert llm_training_examples(metadata, chat=lambda s, u: "[not valid json]") is None
+    assert llm_training_examples(metadata, chat=lambda s, u: "[]") is None
+
+
+def test_train_falls_back_to_templates_on_llm_garbage(metadata, tmp_path):
+    """The full ladder: LLM stage returns garbage → model trains on the
+    deterministic template examples (A20)."""
+    from dbt_nlp_sqlizer_team04_spark.models.trainer import template_training_examples
+
+    m = ModelTrainer(str(tmp_path)).train(metadata, chat=lambda s, u: "garbage")
+    assert m.training_examples == template_training_examples(metadata)
+
+
+def test_train_uses_llm_examples_when_parseable(metadata, tmp_path):
+    canned = '[{"question": "q1", "sql": "SELECT 1"}]'
+    m = ModelTrainer(str(tmp_path)).train(metadata, chat=lambda s, u: canned)
+    assert m.training_examples == [{"question": "q1", "sql": "SELECT 1"}]

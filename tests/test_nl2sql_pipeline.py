@@ -112,3 +112,36 @@ def test_cost_gate_rejects_huge_estimate(spark, sf_check):
     # bounded — but it must never return unbounded output
     if res.ok:
         assert res.rowcount <= 200
+
+
+def test_llm_multi_candidate_parsing(engine, monkeypatch):
+    """A 3-candidate QUERY:-prefixed response (inference.py:199-206
+    shape) must put all 3 into the ladder, ranked with the templates."""
+    from dbt_nlp_sqlizer_team04_spark.plans import nl2sql as N
+
+    canned = (
+        "QUERY: SELECT o_orderpriority, COUNT(*) AS cnt FROM orders "
+        "GROUP BY o_orderpriority;\n"
+        "QUERY: SELECT COUNT(*) FROM orders\n"
+        "SELECT o_orderkey FROM orders LIMIT 5\n"
+        "some trailing prose the parser must ignore\n"
+    )
+    monkeypatch.setattr(N, "chat_complete", lambda *a, **k: canned)
+    cands = engine.generate("count of orders per orderpriority")
+    llm = [c for c in cands if c.method == "llm"]
+    assert len(llm) == 3
+    assert any("GROUP BY o_orderpriority" in c.sql for c in llm)
+    # ladder still executes end-to-end with the LLM rungs present
+    res = engine.ask("count of orders per orderpriority")
+    assert res.ok
+
+
+def test_parse_llm_candidates_prose_fallback():
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2sql import parse_llm_candidates
+
+    prose = "```sql\nSELECT 1 AS x\n```"
+    assert parse_llm_candidates(prose) == ["SELECT 1 AS x"]
+    assert parse_llm_candidates("no sql at all") == []
+    # cap at 5
+    many = "\n".join(f"QUERY: SELECT {i}" for i in range(9))
+    assert len(parse_llm_candidates(many)) == 5

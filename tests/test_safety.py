@@ -167,3 +167,20 @@ def test_enforce_limit_union_branch_gap_closed():
     assert out.rstrip().endswith("LIMIT 100")
     # tail LIMIT after the set-op already bounds the whole statement
     assert enforce_limit("SELECT 1 UNION SELECT 2 LIMIT 5").rstrip().endswith("LIMIT 5")
+
+
+def test_enforce_limit_clamps_oversized_and_all():
+    """r2 ADVICE: a pre-existing top-level LIMIT larger than max_rows
+    (or LIMIT ALL) must be clamped, not trusted."""
+    from dbt_nlp_sqlizer_team04_spark.plans.safety import enforce_limit
+
+    out = enforce_limit("SELECT * FROM orders LIMIT 100000000", max_rows=100)
+    assert out.strip().endswith("LIMIT 100") and "__bounded" in out
+    out = enforce_limit("SELECT * FROM orders LIMIT ALL", max_rows=100)
+    assert out.strip().endswith("LIMIT 100") and "__bounded" in out
+    # small limits are left alone
+    out = enforce_limit("SELECT * FROM orders LIMIT 5", max_rows=100)
+    assert out.strip().endswith("LIMIT 5") and "__bounded" not in out
+    # equal to the cap is fine too
+    out = enforce_limit("SELECT * FROM orders LIMIT 100", max_rows=100)
+    assert "__bounded" not in out

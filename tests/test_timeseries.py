@@ -129,3 +129,25 @@ def test_rollup_cascade_grains_consistent(spark, sf_smoke):
         assert (t["n"], t["s"]) == (base["n"], base["s"]), g
     # coarser grains must be strictly smaller materializations
     assert grains["day"].count() < grains["hour"].count() < grains["minute"].count()
+
+
+def test_asof_join_right_tiebreak_deterministic(spark):
+    """Two right rows at the same (sym, ts): the carried value must be
+    the one with the greatest right_tiebreak_col, deterministically
+    (r2 ADVICE: without it F.last picks nondeterministically)."""
+    trades = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:00:05"))], "trade_id int, sym string, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0, 7),
+            ("A", _ts("2024-01-01 10:00:00"), 200.0, 9),
+            ("A", _ts("2024-01-01 10:00:00"), 150.0, 8),
+        ],
+        "sym string, ts timestamp, px double, seq int",
+    )
+    for _ in range(3):
+        out = asof_join(
+            trades, quotes, ["sym"], "ts", ["px"], right_tiebreak_col="seq"
+        ).collect()
+        assert out[0]["asof_px"] == 200.0  # seq=9 wins every run
