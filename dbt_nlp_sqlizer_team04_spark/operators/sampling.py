@@ -1,0 +1,175 @@
+"""Deterministic sampling / split operators — builder-brief extension
+for LLM training-data pipelines (no reference analog; SURVEY.md §2.D —
+the reference delegates all row selection to Postgres/Mongo and has no
+dataset-splitting notion).
+
+A training corpus needs reproducible train/val/test assignment and
+stratified subsampling that (a) never shuffles, (b) is stable across
+runs, cluster sizes, and partitionings, and (c) can be re-derived by any
+other engine auditing the corpus.  All operators here key off
+``md5(key)`` — a content-addressed bucket in [0, BUCKETS) computed as a
+pure JVM projection (``conv(substring(md5(k),1,8),16,10) % BUCKETS``),
+so at 100 TB the split is a narrow map over the scan with zero shuffle
+and zero state, and DuckDB/Postgres reproduce it bit-for-bit from the
+same expression (the oracle for q50/q51 does exactly that).
+
+Why md5 and not ``xxhash64``/``rand``: Spark's xxhash64 has no DuckDB
+analog (see the rows-only q24/q28 precedent), and ``rand`` is seed- and
+partitioning-dependent.  md5 is in every engine and the 8-hex-char
+prefix (32 bits) is plenty of resolution for million-bucket splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+
+# Bucket space for hash assignment.  2^32 hash values fold onto 1e6
+# buckets; the fold bias is < 0.025% per bucket — negligible against
+# the ±1/sqrt(n) sampling noise of any real stratum.
+BUCKETS = 1_000_000
+
+
+def hash_bucket_expr(key: Column, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from the md5 of ``key``.
+
+    Pure whole-stage-codegen expression; the DuckDB twin is
+    ``('0x' || substr(md5(k::varchar), 1, 8))::bigint % buckets``.
+    """
+    hex8 = F.substring(F.md5(key.cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("bigint") % buckets).alias("bucket")
+
+
+def hash_bucket_sql(key_sql: str, buckets: int = BUCKETS) -> str:
+    """DuckDB-side twin of :func:`hash_bucket_expr` (oracle building)."""
+    return f"(('0x' || substr(md5(({key_sql})::varchar), 1, 8))::bigint % {buckets})"
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: list[tuple[str, float]] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic train/val/test ``split`` column.
+
+    ``weights`` is an ordered list of (name, fraction); fractions must
+    sum to 1.  A row's split is decided solely by ``md5(key)`` — stable
+    under repartitioning, appends, and engine changes.  No shuffle: the
+    assignment is a projection fused into the scan.
+    """
+    weights = weights or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket_expr(F.col(key_col))
+    expr: Column | None = None
+    acc = 0.0
+    # CASE WHEN bucket < t1 THEN name1 WHEN bucket < t2 ... ELSE last.
+    for name, w in weights[:-1]:
+        acc += w
+        cond = bucket < int(round(acc * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def split_case_sql(
+    key_sql: str, weights: list[tuple[str, float]] | None = None
+) -> str:
+    """DuckDB CASE expression mirroring :func:`split_assign`."""
+    weights = weights or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    b = hash_bucket_sql(key_sql)
+    parts = ["CASE"]
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        parts.append(f"WHEN {b} < {int(round(acc * BUCKETS))} THEN '{name}'")
+    parts.append(f"ELSE '{weights[-1][0]}' END")
+    return " ".join(parts)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float | None = None,
+    strata_col: str | None = None,
+    strata_fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic (md5-keyed) sample; optionally per-stratum rates.
+
+    With ``fraction`` alone: keep rows whose bucket < fraction·BUCKETS —
+    a uniform, reproducible sample with no shuffle and no seed state.
+    With ``strata_col`` + ``strata_fractions``: per-stratum thresholds
+    via a literal map lookup (still a pure projection).  Unlisted strata
+    fall back to ``fraction`` (or 0.0 — dropped — when not given).
+
+    Unlike ``df.sample``, the selection is content-addressed: re-running
+    on a re-partitioned or appended corpus keeps the same rows, which is
+    what corpus reproducibility audits need.
+    """
+    bucket = hash_bucket_expr(F.col(key_col))
+    if strata_col is None:
+        if fraction is None:
+            raise ValueError("fraction required when strata_col is None")
+        return df.where(bucket < int(round(fraction * BUCKETS)))
+    strata_fractions = strata_fractions or {}
+    default = int(round((fraction or 0.0) * BUCKETS))
+    mapping: list[Column] = []
+    for k, v in sorted(strata_fractions.items()):
+        mapping.extend([F.lit(k), F.lit(int(round(v * BUCKETS)))])
+    thresh = (
+        F.coalesce(
+            F.create_map(*mapping)[F.col(strata_col)], F.lit(default)
+        )
+        if mapping
+        else F.lit(default)
+    )
+    return df.where(bucket < thresh)
+
+
+# ----------------------------------------------------------------- queries
+def q50_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus split audit: per-split doc count and exact char volume.
+
+    Oracle-checked — DuckDB re-derives the identical assignment from the
+    shared md5-bucket expression.  Plan shape: scan → project(split) →
+    partial agg → 3-group exchange; at 100 TB the only shuffled rows are
+    the per-partition partials.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def q51_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic 20% sample (src0 boosted to 50%), audited
+    as per-source kept-row counts + exact char volume. Oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "doc_id",
+        fraction=0.2,
+        strata_col="source",
+        strata_fractions={"src0": 0.5},
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import dedup as D
 from .operators import documents as DOC
 from .operators import relational as R
+from .operators import sampling as SMP
 from .operators import similarity as V
 from .operators import text as X
 
@@ -230,6 +231,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q45_user_sessions": _q45,
     "q46_range_join_nearby": _q46,
     "q47_rollup_cascade_daily": _q47,
+    # Deterministic sampling / dataset splits (builder-brief extension)
+    "q50_train_val_test_split": SMP.q50_train_val_test_split,
+    "q51_stratified_sample": SMP.q51_stratified_sample,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus two oracle entries redundant with checked
@@ -684,5 +688,26 @@ ORACLE_SQL: dict[str, str | None] = {
           AND text IS NOT NULL
         ORDER BY doc_id
         LIMIT 500
+    """,
+    # ------------------------------------ deterministic sampling / splits
+    "q50_train_val_test_split": f"""
+        SELECT {SMP.split_case_sql('doc_id')} AS split,
+               count(*)             AS n_docs,
+               sum(n_chars)::bigint AS total_chars,
+               min(doc_id)  AS min_doc_id,
+               max(doc_id)  AS max_doc_id
+        FROM documents
+        GROUP BY split
+        ORDER BY split
+    """,
+    "q51_stratified_sample": f"""
+        SELECT source,
+               count(*)             AS n_kept,
+               sum(n_chars)::bigint AS kept_chars
+        FROM documents
+        WHERE {SMP.hash_bucket_sql('doc_id')} <
+              CASE WHEN source = 'src0' THEN 500000 ELSE 200000 END
+        GROUP BY source
+        ORDER BY source
     """,
 }
