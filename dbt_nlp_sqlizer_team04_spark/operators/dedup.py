@@ -400,6 +400,80 @@ def near_dup_pairs_simhash(
     )
 
 
+# --------------------------------------- exact n-gram Jaccard (PPJoin-lite)
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs via prefix filtering — the
+    deterministic tier between exact-hash dedup and the probabilistic
+    MinHash/SimHash tiers (builder-brief dedup family; oracle-checkable
+    because the result is definitionally all pairs with J ≥ t).
+
+    Prefix-filter scheme (Chaudhuri et al. SSJoin / Xiao et al. PPJoin,
+    both public): order every document's shingle set by ascending global
+    document-frequency (rarest first); a pair with J(A,B) ≥ t must share
+    at least one shingle inside each side's (|S| - ⌈t·|S|⌉ + 1)-prefix,
+    so the candidate join only touches prefixes — dominated by RARE
+    shingles, so the per-gram join fan-out stays tiny even at 100 TB
+    (the frequent grams that would explode an all-grams self-join are
+    exactly the ones prefix filtering excludes). Candidates then get an
+    exact intersect/union re-check; no approximation anywhere.
+
+    Shuffles: gram-frequency agg (slim keys), row_number by doc id,
+    candidate equi-join on prefix grams, two id-equi-joins for the
+    re-check. Never an all-pairs product.
+    """
+    from pyspark.sql.window import Window
+
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(F.col(text_col), n).alias("grams"),
+    )
+    ex = sets.select("id", F.size("grams").alias("sz"),
+                     F.explode("grams").alias("gram"))
+    freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    pref = (
+        ex.join(freq, "gram")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("gram_df", "gram")
+            ),
+        )
+        .where(F.col("rk") <= prefix_len)
+        .select("gram", "id")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard_expr(F.col("ga"), F.col("gb")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ----------------------------------------------------- registry queries
 def q26_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup group stats per content hash (oracle: DuckDB md5)."""
@@ -433,3 +507,10 @@ def q28_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash fingerprints (rows-only)."""
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q52_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 pairs (oracle: DuckDB all-pairs over
+    the same shingle construction — the prefix filter must lose
+    nothing)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))

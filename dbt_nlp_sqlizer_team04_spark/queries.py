@@ -234,6 +234,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Deterministic sampling / dataset splits (builder-brief extension)
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
     "q51_stratified_sample": SMP.q51_stratified_sample,
+    # Exact n-gram Jaccard dedup tier (prefix-filtered, oracle-checked)
+    "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus two oracle entries redundant with checked
@@ -709,5 +711,26 @@ ORACLE_SQL: dict[str, str | None] = {
               CASE WHEN source = 'src0' THEN 500000 ELSE 200000 END
         GROUP BY source
         ORDER BY source
+    """,
+    # All-pairs reference for the prefix-filtered Spark plan: any pair
+    # the filter drops incorrectly shows up as a hash mismatch here.
+    "q52_ngram_jaccard_pairs": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN list_distinct(
+                        list_transform(range(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS grams
+          FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.grams, b.grams)) * 1.0
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) AS jaccard
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM p
+        WHERE jaccard >= 0.5
+        ORDER BY id_a, id_b
     """,
 }

@@ -228,3 +228,49 @@ def test_blocked_pairs_vectorized_string_block_key(spark):
     got = {(r["label"], r["id_a"], r["id_b"]) for r in out}
     assert got == {("g1", 1, 2), ("g2", 3, 4)}
     assert all(math.isclose(r["cosine"], 1.0) for r in out)
+
+
+# ------------------------------------------- exact n-gram Jaccard tier
+def test_ngram_jaccard_prefix_filter_lossless(spark, docs_with_neardups):
+    """The prefix-filtered plan must equal a naive all-pairs build —
+    the filter is an optimization, never an approximation."""
+    got = [
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in D.ngram_jaccard_pairs(docs_with_neardups).collect()
+    ]
+    sets = docs_with_neardups.select(
+        F.col("doc_id").alias("id"),
+        D.shingles_expr(F.col("text")).alias("grams"),
+    )
+    naive = (
+        sets.alias("a")
+        .join(sets.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            D.jaccard_expr(F.col("a.grams"), F.col("b.grams")).alias("j"),
+        )
+        .where(F.col("j") >= D.JACCARD_THRESHOLD)
+        .collect()
+    )
+    want = sorted((r["id_a"], r["id_b"], round(r["j"], 9)) for r in naive)
+    assert got == want
+    # seeded near-dups must be present
+    got_pairs = {(a, b) for a, b, _ in got}
+    assert (0, 2000) in got_pairs  # exact copy => J = 1.0
+    assert sum(1 for a, b in got_pairs if b == a + 1000) >= 18
+
+
+def test_ngram_jaccard_superset_of_minhash(spark, sf_check):
+    """Exact tier must find every pair the probabilistic tier reports
+    (MinHash can miss true pairs, never the reverse)."""
+    docs = load_table(spark, sf_check, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in D.near_dup_pairs_minhash(docs).collect()
+    }
+    assert mh <= exact
