@@ -490,6 +490,125 @@ def ivf_topk(
 
 
 # ----------------------------------------------------- registry queries
+# ------------------------------- exact all-pairs cosine (block-cross plan)
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """EXACT corpus-wide cosine ≥ threshold pairs — the embedding-space
+    near-duplicate detector of the dedup family (builder brief). Unlike
+    ``similar_pairs_blocked`` it needs no pre-existing blocking key and
+    misses nothing, unlike the LSH/IVF tiers.
+
+    Plan: the O(n²) pair space is tiled into (n_blocks² + n_blocks)/2
+    block-cross tasks. Each vector lands in block ``id % n_blocks``; a
+    broadcast task table (bi ≤ bj) replicates every row to its ~B tasks,
+    and a cogrouped Arrow stage runs ONE float64 BLAS matmul per tile.
+    Replication cost is O(n·B) rows shuffled against O(n²) pair work —
+    at 100 TB pick B ≈ sqrt(desired parallelism) so each tile fits
+    executor memory; the all-pairs product itself never materializes as
+    Spark rows, only tile-local numpy. Cosines are rounded to 6 before
+    the threshold compare, same convention as the q25 oracle.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(emb_col).alias("e"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    tasks = spark.createDataFrame(
+        [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
+        "bi int, bj int",
+    )
+    left = (
+        src.alias("sl")
+        .join(F.broadcast(tasks.alias("tl")), F.col("sl.blk") == F.col("tl.bi"))
+        .select(
+            F.col("tl.bi").alias("bi"), F.col("tl.bj").alias("bj"),
+            F.col("sl.id").alias("id"), F.col("sl.e").alias("e"),
+        )
+    )
+    right = (
+        src.alias("sr")
+        .join(F.broadcast(tasks.alias("tr")), F.col("sr.blk") == F.col("tr.bj"))
+        .select(
+            F.col("tr.bi").alias("bi"), F.col("tr.bj").alias("bj"),
+            F.col("sr.id").alias("id"), F.col("sr.e").alias("e"),
+        )
+    )
+
+    def tile(l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if l.empty or r.empty:
+            return empty
+        ida = l["id"].to_numpy()
+        idb = r["id"].to_numpy()
+        ma = np.asarray([np.asarray(v, dtype=np.float64) for v in l["e"]])
+        mb = np.asarray([np.asarray(v, dtype=np.float64) for v in r["e"]])
+        for m in (ma, mb):
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m /= norms[:, None]
+        cos = np.round(ma @ mb.T, 6)
+        same_block = int(l["bi"].iloc[0]) == int(l["bj"].iloc[0])
+        mask = cos >= threshold
+        if same_block:
+            mask &= ida[:, None] < idb[None, :]
+        ia, jb = np.nonzero(mask)
+        if not len(ia):
+            return empty
+        a, b = ida[ia], idb[jb]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b),
+             "id_b": np.maximum(a, b),
+             "cosine": cos[ia, jb]}
+        )
+
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(tile, "id_a long, id_b long, cosine double")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def cosine_near_dup_pairs_expr(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Pure-expression twin of :func:`cosine_near_dup_pairs` (self-join
+    + zip_with dot). Exists to cross-check the Arrow tile path in
+    pytest; quadratic row materialization makes it the wrong shape for
+    large corpora."""
+    normed = df.select(
+        F.col(id_col).alias("id"), normalized_expr(_as_double(emb_col)).alias("e")
+    )
+    a = normed.select(F.col("id").alias("id_a"), F.col("e").alias("ea"))
+    b = normed.select(F.col("id").alias("id_b"), F.col("e").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot_expr(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Fetch the fixed query vector (one row — metadata-sized collect)."""
     row = (
@@ -547,3 +666,9 @@ def q25_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similar_pairs_blocked_vectorized(
         load_table(spark, sf_dir, "embeddings"), threshold=0.25
     )
+
+
+def q53_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide cosine ≥ 0.4 near-dup pairs via the block-cross
+    tile plan (oracle: DuckDB all-pairs list_cosine_similarity)."""
+    return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))

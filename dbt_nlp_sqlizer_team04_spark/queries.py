@@ -236,6 +236,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q51_stratified_sample": SMP.q51_stratified_sample,
     # Exact n-gram Jaccard dedup tier (prefix-filtered, oracle-checked)
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
+    # Embedding-space near-dup pairs (block-cross exact all-pairs)
+    "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus two oracle entries redundant with checked
@@ -731,6 +733,18 @@ ORACLE_SQL: dict[str, str | None] = {
         )
         SELECT id_a, id_b, jaccard FROM p
         WHERE jaccard >= 0.5
+        ORDER BY id_a, id_b
+    """,
+    # All-pairs reference for the block-cross tile plan (same round-6
+    # convention as q25).
+    "q53_cosine_near_dup_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.4
         ORDER BY id_a, id_b
     """,
 }

@@ -274,3 +274,25 @@ def test_ngram_jaccard_superset_of_minhash(spark, sf_check):
         for r in D.near_dup_pairs_minhash(docs).collect()
     }
     assert mh <= exact
+
+
+# --------------------------------------- exact all-pairs cosine near-dup
+def test_cosine_near_dup_tile_matches_expression_twin(spark, sf_check):
+    emb = load_table(spark, sf_check, "embeddings")
+    tile = [
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in V.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    ]
+    expr = [
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in V.cosine_near_dup_pairs_expr(emb, threshold=0.4).collect()
+    ]
+    assert tile == expr and tile
+
+
+def test_cosine_near_dup_invariant_to_block_count(spark, sf_check):
+    """Tiling is a physical choice; the result set must not depend on it."""
+    emb = load_table(spark, sf_check, "embeddings")
+    a = [tuple(r) for r in V.cosine_near_dup_pairs(emb, n_blocks=3).collect()]
+    b = [tuple(r) for r in V.cosine_near_dup_pairs(emb, n_blocks=11).collect()]
+    assert a == b and a
