@@ -202,6 +202,52 @@ def tfidf_terms(
     )
 
 
+# ---------------------------------------------------------------- PII scrub
+# Patterns restricted to the syntax subset Java regex (Spark) and RE2
+# (DuckDB) treat identically: no lookarounds, no backrefs, explicit
+# character classes. Ordered so earlier scrubs can't create later
+# matches (emails carry dots but no dashes; phones dashes but no dots).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace every email/phone/IPv4 occurrence with a typed token.
+
+    Chained ``regexp_replace`` — pure JVM expressions, a narrow
+    projection at any scale (the standard pre-training privacy pass).
+    """
+    out = col
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_scrub_stats(
+    df: DataFrame, text_col: str, group_col: str = "source"
+) -> DataFrame:
+    """Per-group scrub audit: docs touched, per-type match counts, and
+    exact char volume before/after (all integers — hash-stable)."""
+    c = F.col(text_col)
+    counts = [
+        F.sum(F.regexp_count(c, F.lit(p))).alias(f"n_{name}")
+        for name, p, _ in PII_PATTERNS
+    ]
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *counts,
+            F.sum(F.length(c)).alias("chars_before"),
+            F.sum(F.length(scrub_pii(c))).alias("chars_after"),
+        )
+        .orderBy(group_col)
+    )
+
+
 # ------------------------------------------------------------- fingerprints
 def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """md5 fingerprint of whitespace-normalized text per document."""
@@ -240,3 +286,22 @@ def q33_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprints of normalized text (oracle-checked)."""
     return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q54_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (oracle-checked). The synthetic corpus carries no
+    PII, so the query fabricates a deterministic contact line per doc
+    (email + phone + IP derived from doc_id/source — the identical
+    expression exists in the DuckDB oracle) and audits the scrubber on
+    it: per-source match counts and exact before/after char volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    contact = F.concat(
+        F.lit("user"), d, F.lit("@"), F.col("source"), F.lit(".example.com"),
+        F.lit(" tel 555-"), F.lpad(F.pmod(F.col("doc_id"), 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), F.pmod(F.col("doc_id"), 256).cast("string"),
+        F.lit("."), F.pmod(F.col("doc_id"), 100).cast("string"),
+        F.lit(" note "), F.col("text"),
+    )
+    return pii_scrub_stats(docs.withColumn("contact", contact), "contact")

@@ -31,6 +31,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _SW_EN = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
 _DUCK_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
 
+# DuckDB twins of the q54 fabricated-contact expression and the chained
+# scrubber, generated from the same PII_PATTERNS tuples as the Spark side.
+_PII_CONTACT = (
+    "'user' || doc_id::varchar || '@' || source || '.example.com tel 555-'"
+    " || lpad((doc_id % 1000)::varchar, 3, '0') || '-'"
+    " || lpad((doc_id % 10000)::varchar, 4, '0')"
+    " || ' ip 10.0.' || (doc_id % 256)::varchar"
+    " || '.' || (doc_id % 100)::varchar || ' note ' || text"
+)
+_PII_SCRUBBED = "contact"
+for _name, _pat, _tok in X.PII_PATTERNS:
+    _PII_SCRUBBED = f"regexp_replace({_PII_SCRUBBED}, '{_pat}', '{_tok}', 'g')"
+_PII_COUNTS = ",\n               ".join(
+    f"sum(len(regexp_extract_all(contact, '{_pat}')))::bigint AS n_{_name}"
+    for _name, _pat, _tok in X.PII_PATTERNS
+)
+
 # ---------------------------------------------------------------------------
 # NL2SQL end-to-end entries: the full pipeline (schema crawl → fuzzy link →
 # intent → template candidates → safety gates → Spark SQL) run on a fixed
@@ -238,6 +255,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
     # Embedding-space near-dup pairs (block-cross exact all-pairs)
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
+    # PII scrubbing audit (builder-brief privacy pass)
+    "q54_pii_scrub_stats": X.q54_pii_scrub_stats,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus two oracle entries redundant with checked
@@ -746,5 +765,18 @@ ORACLE_SQL: dict[str, str | None] = {
         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                            b.embedding::DOUBLE[]), 6) >= 0.4
         ORDER BY id_a, id_b
+    """,
+    "q54_pii_scrub_stats": f"""
+        WITH c AS (
+          SELECT source, {_PII_CONTACT} AS contact FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               {_PII_COUNTS},
+               sum(length(contact))::bigint        AS chars_before,
+               sum(length({_PII_SCRUBBED}))::bigint AS chars_after
+        FROM c
+        GROUP BY source
+        ORDER BY source
     """,
 }

@@ -296,3 +296,30 @@ def test_cosine_near_dup_invariant_to_block_count(spark, sf_check):
     a = [tuple(r) for r in V.cosine_near_dup_pairs(emb, n_blocks=3).collect()]
     b = [tuple(r) for r in V.cosine_near_dup_pairs(emb, n_blocks=11).collect()]
     assert a == b and a
+
+
+# --------------------------------------------------------------- PII scrub
+def test_scrub_pii_replaces_all_occurrences(spark):
+    rows = [
+        (1, "mail a@b.com and c.d+x@e.org, call 555-123-4567 from 10.0.0.1"),
+        (2, "clean text with no identifiers at all"),
+        (3, "two ips 192.168.1.1 8.8.8.8 and 555-000-1111"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r["s"]
+        for r in df.select("id", X.scrub_pii(F.col("t")).alias("s")).collect()
+    }
+    assert out[1] == "mail <EMAIL> and <EMAIL>, call <PHONE> from <IP>"
+    assert out[2] == "clean text with no identifiers at all"
+    assert out[3] == "two ips <IP> <IP> and <PHONE>"
+
+
+def test_pii_scrub_stats_counts(spark):
+    rows = [(1, "g1", "a@b.com x 1.2.3.4"), (2, "g1", "nothing"),
+            (3, "g2", "555-111-2222")]
+    df = spark.createDataFrame(rows, "id long, g string, t string")
+    got = {r["g"]: r.asDict() for r in X.pii_scrub_stats(df, "t", "g").collect()}
+    assert got["g1"]["n_email"] == 1 and got["g1"]["n_ip"] == 1
+    assert got["g1"]["n_phone"] == 0 and got["g2"]["n_phone"] == 1
+    assert got["g2"]["chars_before"] == 12
