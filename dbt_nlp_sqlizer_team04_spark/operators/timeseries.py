@@ -119,6 +119,42 @@ def sessionize(
     return df.withColumn(session_col, F.sum(new_session).over(run))
 
 
+def sessionize_native(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    agg_exprs: list | None = None,
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` — the
+    idiomatic engine path (one ``SessionWindowStateStore``-style merge
+    agg instead of two window passes), and the same operator Structured
+    Streaming uses, so batch and streaming sessions share semantics.
+
+    Boundary convention (pinned by
+    ``test_native_session_window_boundary_convention``): an event
+    arriving EXACTLY at ``last_ts + gap`` still merges — containment is
+    inclusive — so sessions split only on gaps strictly ``> gap``,
+    matching the lag-based :func:`sessionize` tier; the two tiers are
+    interchangeable on session membership.
+
+    Returns one row per (key, session): start/end in integer epoch
+    micros (end = last event + gap, the native definition) plus the
+    requested aggregates. One shuffle on the key; state is bounded by
+    the gap, which is what makes the same plan watermark-safe in
+    streaming.
+    """
+    aggs = agg_exprs or [F.count(F.lit(1)).alias("n_events")]
+    win = F.session_window(F.col(ts_col), f"{int(gap_seconds)} seconds")
+    return (
+        df.groupBy(F.col(key_col), win)
+        .agg(*aggs)
+        .withColumn("start_us", F.unix_micros(F.col("session_window.start")))
+        .withColumn("end_us", F.unix_micros(F.col("session_window.end")))
+        .drop("session_window")
+    )
+
+
 def range_join_within(
     left: DataFrame,
     right: DataFrame,
@@ -284,4 +320,23 @@ def q45_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("user_id")
+    )
+
+
+def q55_session_window_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session detail rows from Spark's NATIVE session_window
+    operator (oracle-checked: lag/running-sum SQL with the native
+    ``>= gap`` split convention and ``end = last_ts + gap``)."""
+    e = load_table(spark, sf_dir, "events")
+    return sessionize_native(
+        e,
+        "user_id",
+        "ts",
+        gap_seconds=1800,
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    ).select("user_id", "start_us", "end_us", "n_events", "sum_value").orderBy(
+        "user_id", "start_us"
     )

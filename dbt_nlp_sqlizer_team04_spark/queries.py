@@ -98,6 +98,12 @@ def _q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q45_user_sessions(spark, sf_dir)
 
 
+def _q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q55_session_window_details
+
+    return q55_session_window_details(spark, sf_dir)
+
+
 def _q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import q46_range_join_nearby
 
@@ -257,6 +263,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
     # PII scrubbing audit (builder-brief privacy pass)
     "q54_pii_scrub_stats": X.q54_pii_scrub_stats,
+    # Native session_window sessionization (batch/streaming-shared op)
+    "q55_session_window_details": _q55,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus two oracle entries redundant with checked
@@ -778,5 +786,34 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM c
         GROUP BY source
         ORDER BY source
+    """,
+    # Native session_window convention, pinned by
+    # test_native_session_window_boundary_convention: an event at
+    # EXACTLY last_ts + gap still merges (inclusive containment), so the
+    # split condition is strictly `>` — same as the lag-based q45 tier —
+    # and end = last event + gap. Integer-microsecond comparisons on
+    # both sides (the q45 lesson).
+    "q55_session_window_details": """
+        WITH g AS (
+          SELECT user_id, ts, value, epoch_us(ts) AS us,
+                 epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+          FROM events
+        ), s AS (
+          SELECT user_id, us, value,
+                 sum(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        )
+        SELECT user_id,
+               min(us)::bigint                    AS start_us,
+               (max(us) + 1800 * 1000000)::bigint AS end_us,
+               count(*)                           AS n_events,
+               round(sum(value), 2)               AS sum_value
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, start_us
     """,
 }

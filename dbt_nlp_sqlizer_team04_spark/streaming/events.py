@@ -131,6 +131,64 @@ def run_to_memory_sink(
     return spark.table(table_name)
 
 
+def session_agg(
+    events: DataFrame,
+    streaming: bool,
+    gap_seconds: int = 1800,
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Shared gap-sessionization: the SAME ``session_window`` plan runs
+    in batch (q55) and under Structured Streaming — sessions merge as
+    events arrive and the watermark expires state for sessions whose
+    close time has passed, so state is bounded by (keys active inside
+    the watermark horizon), independent of stream length."""
+    e = _normalize_ts(events)
+    if streaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{int(gap_seconds)} seconds"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessions_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "events_sessions_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run the streaming sessionization to a memory sink until the file
+    source drains. Session-window aggregation admits append/complete
+    sinks only; complete mode re-emits the merged session set each
+    micro-batch, so after the source drains the sink holds exactly the
+    batch q55 result (the parity test asserts equality)."""
+    q = (
+        session_agg(read_events_stream(spark, sf_dir), streaming=True)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return spark.table(table_name)
+
+
 def q38_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: run the watermarked streaming rollup to a memory
     sink and return the materialized result — hash-checked against the

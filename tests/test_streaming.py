@@ -45,3 +45,81 @@ def test_hourly_agg_shared_shape(spark, sf_smoke):
         "hour_start", "event_type", "n_events", "sum_value", "avg_value",
     ]
     assert not batch_df.isStreaming
+
+
+def test_session_window_stream_matches_batch(spark, sf_smoke):
+    """Streaming session_window must produce exactly the batch q55
+    session set on the same data (kappa parity for sessions)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.timeseries import (
+        q55_session_window_details,
+    )
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import (
+        sessions_stream_to_memory,
+    )
+
+    batch = sorted(
+        tuple(r)
+        for r in q55_session_window_details(spark, sf_smoke).collect()
+    )
+    streamed = sessions_stream_to_memory(
+        spark, sf_smoke, table_name="t_sessions_parity"
+    )
+    got = sorted(
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"], r["sum_value"])
+        for r in streamed.collect()
+    )
+    assert got == batch and got
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, sf_smoke, tmp_path):
+    """Custom stateful operator: per-user running totals must carry
+    state ACROSS micro-batches — the events file is split into two
+    parquet drops replayed one file per trigger, and the final emitted
+    totals must equal a batch aggregation over the union."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import EVENTS_SCHEMA
+    from dbt_nlp_sqlizer_team04_spark.streaming.stateful import running_totals
+
+    events = load_table(spark, sf_smoke, "events").limit(2000).cache()
+    half = events.where(F.col("event_id") % 2 == 0)
+    other = events.where(F.col("event_id") % 2 == 1)
+    drop = tmp_path / "drops"
+    half.write.parquet(str(drop / "b0"))
+    other.write.parquet(str(drop / "b1"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(drop) + "/*")
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    # final state per user = the row with the highest running count
+    final: dict = {}
+    for r in spark.table("t_running_totals").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for u, (n, tv) in want.items():
+        assert final[u][0] == n
+        assert final[u][1] == _pytest.approx(tv, rel=1e-9)

@@ -151,3 +151,35 @@ def test_asof_join_right_tiebreak_deterministic(spark):
             trades, quotes, ["sym"], "ts", ["px"], right_tiebreak_col="seq"
         ).collect()
         assert out[0]["asof_px"] == 200.0  # seq=9 wins every run
+
+
+def test_native_session_window_boundary_convention(spark):
+    """A gap of EXACTLY gap_seconds splits under the native
+    session_window (strict `<` containment) but merges under the
+    lag-based tier (`> gap` split) — both pinned here so neither can
+    silently drift onto the other's convention."""
+    from datetime import datetime
+
+    from dbt_nlp_sqlizer_team04_spark.operators.timeseries import (
+        sessionize,
+        sessionize_native,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, datetime(2024, 1, 1, 0, 30, 0)),                  # +1800s exactly
+        (1, datetime(2024, 1, 1, 0, 59, 59, 999999)),         # +1799.999999s
+        (1, datetime(2024, 1, 1, 1, 30, 0)),                  # +1800.000001s
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    native = sessionize_native(df, "user_id", "ts", gap_seconds=1800)
+    # inclusive containment: events 2 (gap == 1800s exactly) and 3
+    # (< 1800s) merge into event 1's session; only event 4 (> 1800s)
+    # splits — so both tiers agree on session membership.
+    sessions = sorted(
+        (r["start_us"], r["n_events"]) for r in native.collect()
+    )
+    assert [n for _, n in sessions] == [3, 1]
+    lagged = sessionize(df, "user_id", "ts", gap_seconds=1800)
+    assert lagged.agg({"session_id": "max"}).collect()[0][0] == 2
