@@ -53,6 +53,12 @@ HEADLINE = [
     "q44_asof_last_click",
     "q45_user_sessions",
     "q47_rollup_cascade_daily",
+    # r3 pipeline additions
+    "q50_train_val_test_split",
+    "q52_ngram_jaccard_pairs",
+    "q53_cosine_near_dup_pairs",
+    "q54_pii_scrub_stats",
+    "q55_session_window_details",
 ]
 
 
@@ -65,7 +71,9 @@ def ingest(spark, sf_dir: str) -> None:
     per-query hash work."""
     from dbt_nlp_sqlizer_team04_spark.operators.dedup import (
         _MINHASH_TABLE_CACHE,
+        _NGRAM_TABLE_CACHE,
         create_minhash_table,
+        create_ngram_set_table,
     )
     from dbt_nlp_sqlizer_team04_spark.operators.similarity import (
         _IVF_TABLE_CACHE,
@@ -75,6 +83,9 @@ def ingest(spark, sf_dir: str) -> None:
 
     key = (id(spark), sf_dir)
     _MINHASH_TABLE_CACHE[key] = create_minhash_table(
+        spark, load_table(spark, sf_dir, "documents")
+    )
+    _NGRAM_TABLE_CACHE[key] = create_ngram_set_table(
         spark, load_table(spark, sf_dir, "documents")
     )
     _IVF_TABLE_CACHE[key] = create_ivf_table(

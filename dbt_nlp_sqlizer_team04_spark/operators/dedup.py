@@ -401,43 +401,40 @@ def near_dup_pairs_simhash(
 
 
 # --------------------------------------- exact n-gram Jaccard (PPJoin-lite)
-def ngram_jaccard_pairs(
+# Epsilon inside every ceil()/ratio compare: float rounding may land a
+# hair ABOVE an exact integer boundary, and over-estimating a bound
+# would prune a true pair. Subtracting eps can only weaken a filter —
+# losslessness is preserved, a boundary pair just costs one re-check.
+_PPJOIN_EPS = 1e-9
+
+
+def ngram_sets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = SHINGLE_N,
-    threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
-    """EXACT n-gram-Jaccard near-dup pairs via prefix filtering — the
-    deterministic tier between exact-hash dedup and the probabilistic
-    MinHash/SimHash tiers (builder-brief dedup family; oracle-checkable
-    because the result is definitionally all pairs with J ≥ t).
-
-    Prefix-filter scheme (Chaudhuri et al. SSJoin / Xiao et al. PPJoin,
-    both public): order every document's shingle set by ascending global
-    document-frequency (rarest first); a pair with J(A,B) ≥ t must share
-    at least one shingle inside each side's (|S| - ⌈t·|S|⌉ + 1)-prefix,
-    so the candidate join only touches prefixes — dominated by RARE
-    shingles, so the per-gram join fan-out stays tiny even at 100 TB
-    (the frequent grams that would explode an all-grams self-join are
-    exactly the ones prefix filtering excludes). Candidates then get an
-    exact intersect/union re-check; no approximation anywhere.
-
-    Shuffles: gram-frequency agg (slim keys), row_number by doc id,
-    candidate equi-join on prefix grams, two id-equi-joins for the
-    re-check. Never an all-pairs product.
-    """
-    from pyspark.sql.window import Window
-
-    sets = df.select(
+    """(id, grams) shingle-set frame — the ingest artifact the exact
+    Jaccard tier queries against (shingle construction is the regex +
+    array-build half of the cost; a deployment pays it once)."""
+    return df.select(
         F.col(id_col).alias("id"),
         shingles_expr(F.col(text_col), n).alias("grams"),
     )
-    ex = sets.select("id", F.size("grams").alias("sz"),
-                     F.explode("grams").alias("gram"))
+
+
+def ranked_grams(sets: DataFrame) -> DataFrame:
+    """(id, sz, gram, rk): every shingle with its rank in the global
+    ascending-document-frequency order WITHIN its document. Threshold-
+    independent — any Jaccard threshold's prefix is ``rk ≤ |S| -
+    ⌈t·|S|⌉ + 1`` over this one artifact, so ingest can persist it."""
+    from pyspark.sql.window import Window
+
+    ex = sets.select(
+        "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    )
     freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
-    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    pref = (
+    return (
         ex.join(freq, "gram")
         .withColumn(
             "rk",
@@ -445,15 +442,103 @@ def ngram_jaccard_pairs(
                 Window.partitionBy("id").orderBy("gram_df", "gram")
             ),
         )
-        .where(F.col("rk") <= prefix_len)
-        .select("gram", "id")
+        .select("id", "sz", "gram", "rk")
+    )
+
+
+def create_ngram_set_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str = "documents_ngram_sets",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    overwrite: bool = True,
+) -> str:
+    """ONE-TIME ingest step: persist the shingle-set table — same
+    amortization as ``create_minhash_table``/``create_ivf_table``;
+    queries skip the regex/array shingle build (half the inline cost).
+
+    Deliberately NOT persisted: the frequency-ranked explosion. Measured
+    at sf0.1, deriving it inline is ~2.5× faster than re-reading a
+    prebuilt copy, because the candidate self-join's two sides are then
+    IDENTICAL subplans — Catalyst computes the rank stage once and
+    ReusedExchange feeds both sides from one shuffle, while a persisted
+    table pays a low-parallelism scan + broadcast per side.
+    """
+    import os
+    import shutil
+
+    if overwrite:
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        loc = os.path.join(warehouse, table_name)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+    (
+        ngram_sets(df, text_col, id_col, n)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return table_name
+
+
+def ngram_jaccard_pairs_from_sets(
+    sets: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs via prefix + positional
+    filtering over a (id, grams) set frame — the deterministic tier
+    between exact-hash dedup and the probabilistic MinHash/SimHash
+    tiers (oracle-checkable: the result is definitionally all pairs
+    with J ≥ t).
+
+    Filter ladder (Chaudhuri et al. SSJoin / Xiao et al. PPJoin, both
+    public; every rung provably lossless, pinned by the naive-equality
+    pytest):
+    - prefix: order each set by ascending global document frequency
+      (rarest first); a J ≥ t pair must share a shingle inside each
+      side's (|S| - ⌈t·|S|⌉ + 1)-prefix, so the candidate join touches
+      only prefixes — dominated by RARE shingles, keeping per-gram
+      fan-out tiny at any scale;
+    - length: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|);
+    - positional: at a shared token ranked (pa, pb), overlap is at most
+      1 + min(|A|-pa, |B|-pb), which must reach ⌈t/(1+t)·(|A|+|B|)⌉ —
+      a true pair's FIRST shared prefix token always satisfies this, so
+      filtering every matched occurrence before the distinct loses no
+      pair (measured ~2× fewer candidates than prefix alone).
+    Survivors get an exact intersect/union re-check; no approximation
+    anywhere. Shuffles: gram-frequency agg (slim keys), row_number by
+    id, the prefix equi-join, two id-joins for the re-check. Never an
+    all-pairs product.
+    """
+    ranked = ranked_grams(sets)
+    alpha_self = F.ceil(F.lit(threshold) * F.col("sz") - _PPJOIN_EPS)
+    pref = ranked.where(F.col("rk") <= F.col("sz") - alpha_self + 1).select(
+        "gram", "id", "rk", "sz"
+    )
+    ratio = threshold / (1.0 + threshold)
+    alpha_pair = F.ceil(
+        F.lit(ratio) * (F.col("a.sz") + F.col("b.sz")) - _PPJOIN_EPS
     )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                - _PPJOIN_EPS
+            )
+            & (
+                1 + F.least(F.col("a.sz") - F.col("a.rk"),
+                            F.col("b.sz") - F.col("b.rk"))
+                >= alpha_pair
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -471,6 +556,22 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Inline convenience: build the shingle sets and run the filtered
+    pair search in one plan (shingles are computed per reference — use
+    ``create_ngram_set_table`` + ``ngram_jaccard_pairs_from_sets`` to
+    pay that once at ingest, as q52 and bench.py do)."""
+    return ngram_jaccard_pairs_from_sets(
+        ngram_sets(df, text_col, id_col, n), threshold
     )
 
 
@@ -509,8 +610,17 @@ def q29_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+_NGRAM_TABLE_CACHE: dict = {}
+
+
 def q52_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 pairs (oracle: DuckDB all-pairs over
-    the same shingle construction — the prefix filter must lose
-    nothing)."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    the same shingle construction — the filter ladder must lose
+    nothing). Runs against the PERSISTED shingle-set table, built once
+    per (session, sf) as ingest would."""
+    key = (id(spark), sf_dir)
+    if key not in _NGRAM_TABLE_CACHE:
+        _NGRAM_TABLE_CACHE[key] = create_ngram_set_table(
+            spark, load_table(spark, sf_dir, "documents")
+        )
+    return ngram_jaccard_pairs_from_sets(spark.table(_NGRAM_TABLE_CACHE[key]))
