@@ -494,7 +494,7 @@ def ivf_topk(
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
@@ -513,10 +513,21 @@ def cosine_near_dup_pairs(
     Spark rows, only tile-local numpy. Cosines are rounded to 6 before
     the threshold compare, same convention as the q25 oracle.
     """
+    import math  # noqa: PLC0415
+
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     spark = df.sparkSession
+    if n_blocks is None:
+        # Size tiles to ~1k vectors a side: big enough that the BLAS
+        # matmul dominates the per-task Arrow/Python overhead, small
+        # enough that a tile (2 × 1k × dim float64) stays far inside
+        # executor memory. Result is provably invariant to the choice
+        # (pytest pins it); only the task graph changes. The count is a
+        # parquet-metadata job, not a scan.
+        n = df.count()
+        n_blocks = max(1, min(64, math.ceil(n / 1000)))
     src = df.select(
         F.col(id_col).alias("id"),
         _as_double(emb_col).alias("e"),
