@@ -1,0 +1,111 @@
+"""Sequence packing — builder-brief extension (no reference analog):
+assign documents to fixed token-budget training sequences ("bins"), the
+standard pre-training step between dedup/filtering and tokenization.
+
+Packing is inherently order-dependent, so scalable packing = pick a
+DETERMINISTIC order and shard it: documents land in a content-addressed
+shard (md5(doc_id) % n_shards — same function as the split/sample
+operators, reproducible by any engine), and each shard packs greedily
+in doc_id order. Shards are independent → the operator is one shuffle
+on the shard key plus an Arrow stage per shard; at 100 TB you raise
+``n_shards`` so a shard's (doc_id, n_tokens) pairs fit comfortably in
+executor memory (the TEXT never moves — packing needs only the token
+counts).
+
+Greedy rule (identical in the Spark stage and the DuckDB recursive-CTE
+oracle): keep a running token total; a document that would overflow
+``capacity`` starts a new sequence; the first document of a shard (or
+one larger than capacity) always occupies its current sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .dedup import tokens_expr
+from .sampling import hash_bucket_expr, hash_bucket_sql
+
+DEFAULT_CAPACITY = 512
+DEFAULT_SHARDS = 8
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = DEFAULT_CAPACITY,
+    n_shards: int = DEFAULT_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, seq_id, n_tokens): greedy packing of documents
+    into ≤ capacity-token sequences, per content-addressed shard."""
+    import pandas as pd  # noqa: PLC0415
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        hash_bucket_expr(F.col(id_col), n_shards).cast("int").alias("shard"),
+        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs = []
+        seq, acc, first = 0, 0, True
+        for tok in pdf["n_tokens"]:
+            if first:
+                acc, first = tok, False
+            elif acc + tok > capacity:
+                seq += 1
+                acc = tok
+            else:
+                acc += tok
+            seqs.append(seq)
+        pdf["seq_id"] = pd.Series(seqs, dtype="int64")
+        return pdf[["doc_id", "shard", "seq_id", "n_tokens"]]
+
+    return (
+        src.groupBy("shard")
+        .applyInPandas(pack, "doc_id long, shard int, seq_id long, n_tokens long")
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences_oracle_sql(
+    capacity: int = DEFAULT_CAPACITY,
+    n_shards: int = DEFAULT_SHARDS,
+    tokens_sql: str = "len(string_split_regex(trim(lower(text)), '\\s+'))",
+) -> str:
+    """DuckDB twin: the same greedy rule as a recursive CTE stepping
+    through each shard in doc_id order."""
+    shard = hash_bucket_sql("doc_id", n_shards)
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id,
+                 ({shard})::int AS shard,
+                 ({tokens_sql})::bigint AS n_tokens,
+                 row_number() OVER (PARTITION BY ({shard})
+                                    ORDER BY doc_id) AS rn
+          FROM documents
+        ), rec AS (
+          SELECT shard, rn, doc_id, n_tokens,
+                 0::bigint AS seq_id, n_tokens AS acc
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+                 CASE WHEN r.acc + b.n_tokens > {capacity}
+                      THEN r.seq_id + 1 ELSE r.seq_id END,
+                 CASE WHEN r.acc + b.n_tokens > {capacity}
+                      THEN b.n_tokens ELSE r.acc + b.n_tokens END
+          FROM rec r JOIN base b ON b.shard = r.shard AND b.rn = r.rn + 1
+        )
+        SELECT doc_id, shard, seq_id, n_tokens
+        FROM rec
+        ORDER BY doc_id
+    """
+
+
+def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 512-token sequence packing over documents (oracle: DuckDB
+    recursive CTE replaying the identical greedy rule per shard)."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"))

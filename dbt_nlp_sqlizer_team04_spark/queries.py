@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup as D
 from .operators import documents as DOC
+from .operators import packing as PK
 from .operators import relational as R
 from .operators import sampling as SMP
 from .operators import similarity as V
@@ -226,7 +227,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q21_pivot_status": R.q21_pivot_status,
     "q22_rollup_region_nation": R.q22_rollup_region_nation,
     # Set operations (SURVEY.md §2.D)
-    "q42_except_unordered_parts": R.q42_except_unordered_parts,
     "q48_cube_status_priority": R.q48_cube_status_priority,
     "q49_price_percentiles": R.q49_price_percentiles,
     # Similarity search (A13 at data scale)
@@ -261,6 +261,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q54_pii_scrub_stats": X.q54_pii_scrub_stats,
     # Native session_window sessionization (batch/streaming-shared op)
     "q55_session_window_details": _q55,
+    # Greedy sequence packing into token budgets (builder-brief)
+    "q56_sequence_packing": PK.q56_sequence_packing,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus two oracle entries redundant with checked
@@ -273,6 +275,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q13_case_when": R.q13_case_when,
     "q18_categorical_domain": R.q18_categorical_domain,
     "q41_intersect_nations": R.q41_intersect_nations,
+    "q42_except_unordered_parts": R.q42_except_unordered_parts,
     "q24_ann_lsh_topk": V.q24_ann_lsh_topk,
     "q43_ann_ivf_topk": V.q43_ann_ivf_topk,
     "q28_near_dup_minhash": D.q28_near_dup_minhash,
@@ -818,4 +821,5 @@ ORACLE_SQL: dict[str, str | None] = {
         GROUP BY user_id, sid
         ORDER BY user_id, start_us
     """,
+    "q56_sequence_packing": PK.pack_sequences_oracle_sql(),
 }
