@@ -202,6 +202,53 @@ def tfidf_terms(
     )
 
 
+# ------------------------------------------------------- repetition signals
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc n-gram repetition signals — the Gopher-style quality
+    filter for boilerplate/spam (fraction of duplicated bigrams and the
+    share of the single most repeated bigram; both published rules).
+
+    Plan: bigram explode → (doc, gram) count → per-doc agg. Shuffle
+    keys are (doc_id, gram) then doc_id — partial aggregation does the
+    heavy lifting map-side; text never shuffles. Docs with < 2 tokens
+    have no bigrams and drop out (same semantics in the oracle's
+    unnest).
+    """
+    from .dedup import bind
+
+    def bigrams(ts: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ts, i), F.element_at(ts, i + 1)),
+        )
+        # sequence(1, 0) would count DOWN; guard short docs to an empty list
+        return F.when(F.size(ts) >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    g = df.select(
+        "doc_id",
+        F.explode(bind(tokens_expr(F.col(text_col)), bigrams)).alias("gram"),
+    )
+    per_gram = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("distinct_bigrams"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "distinct_bigrams",
+            (1 - F.col("distinct_bigrams") / F.col("n_bigrams")).alias("dup_frac"),
+            (F.col("top_count") / F.col("n_bigrams")).alias("top_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------- PII scrub
 # Patterns restricted to the syntax subset Java regex (Spark) and RE2
 # (DuckDB) treat identically: no lookarounds, no backrefs, explicit
@@ -286,6 +333,12 @@ def q33_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprints of normalized text (oracle-checked)."""
     return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q57_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram repetition signals (oracle-checked: DuckDB unnest
+    over the same bigram construction)."""
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
 def q54_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

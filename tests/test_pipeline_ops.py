@@ -323,3 +323,19 @@ def test_pii_scrub_stats_counts(spark):
     assert got["g1"]["n_email"] == 1 and got["g1"]["n_ip"] == 1
     assert got["g1"]["n_phone"] == 0 and got["g2"]["n_phone"] == 1
     assert got["g2"]["chars_before"] == 12
+
+
+# ------------------------------------------------------ repetition signals
+def test_repetition_stats_flags_repetitive_doc(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # one bigram repeated
+        (2, "a fresh line of fully distinct words"),   # all bigrams unique
+        (3, "solo"),                                   # < 2 tokens: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in X.repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 5 and got[1]["distinct_bigrams"] == 1
+    assert got[1]["dup_frac"] == 0.8 and got[1]["top_frac"] == 1.0
+    assert got[2]["dup_frac"] == 0.0
+    assert got[2]["top_frac"] == 1.0 / got[2]["n_bigrams"]
