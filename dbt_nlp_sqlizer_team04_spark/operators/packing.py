@@ -105,7 +105,69 @@ def pack_sequences_oracle_sql(
     """
 
 
+def materialize_sequences(
+    df: DataFrame,
+    capacity: int = DEFAULT_CAPACITY,
+    n_shards: int = DEFAULT_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """The export step: assemble each packed sequence into one training
+    row — (shard, seq_id, n_docs, n_tokens, text) with member documents
+    concatenated in doc_id order.
+
+    Text moves exactly once: the packing stage works on token counts
+    only, then one join + one groupBy(shard, seq_id) shuffle carries
+    each document body to its sequence. In-sequence order is made
+    deterministic JVM-side (array_sort over (doc_id, text) structs —
+    collect_list order is partition-dependent, sorting restores the
+    contract the oracle's ``string_agg ... ORDER BY doc_id`` states).
+    """
+    packed = pack_sequences(df, capacity, n_shards, id_col, text_col)
+    joined = packed.join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")),
+        "doc_id",
+    )
+    members = F.array_sort(F.collect_list(F.struct("doc_id", "__t")))
+    return (
+        joined.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.concat_ws(sep, F.transform(members, lambda s: s["__t"])).alias(
+                "text"
+            ),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+def materialize_sequences_oracle_sql(
+    capacity: int = DEFAULT_CAPACITY, n_shards: int = DEFAULT_SHARDS
+) -> str:
+    """DuckDB twin: the packing CTE as a derived table, string_agg in
+    doc_id order."""
+    pack = pack_sequences_oracle_sql(capacity, n_shards)
+    return f"""
+        SELECT p.shard, p.seq_id,
+               count(*)             AS n_docs,
+               sum(p.n_tokens)::bigint AS n_tokens,
+               string_agg(d.text, chr(10) ORDER BY p.doc_id) AS text
+        FROM ({pack}) p
+        JOIN documents d USING (doc_id)
+        GROUP BY p.shard, p.seq_id
+        ORDER BY p.shard, p.seq_id
+    """
+
+
 def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy 512-token sequence packing over documents (oracle: DuckDB
     recursive CTE replaying the identical greedy rule per shard)."""
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q58_materialized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed sequences assembled into training rows (oracle-checked:
+    string_agg over the recursive-CTE packing)."""
+    return materialize_sequences(load_table(spark, sf_dir, "documents"))

@@ -49,3 +49,34 @@ def test_packing_oversized_doc_gets_own_sequence(spark):
     assert out[0][1] == 0
     assert out[8][1] == 1     # overflow starts a new sequence
     assert out[16][1] == 2    # oversized seq is closed immediately after
+
+
+def test_materialize_sequences_consistent_with_packing(spark, sf_smoke):
+    from dbt_nlp_sqlizer_team04_spark.operators.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    packed = pack_sequences(docs)
+    seqs = materialize_sequences(docs)
+    # doc counts per sequence agree with the assignment
+    want = {
+        (r["shard"], r["seq_id"]): r["n"]
+        for r in packed.groupBy("shard", "seq_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r["shard"], r["seq_id"]): r["n_docs"] for r in seqs.collect()}
+    assert got == want
+    # concatenation is in ascending doc_id order (spot-check one multi-doc seq)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    multi = next(r for r in seqs.collect() if r["n_docs"] > 1)
+    members = sorted(
+        r["doc_id"]
+        for r in packed.where(
+            (F.col("shard") == multi["shard"])
+            & (F.col("seq_id") == multi["seq_id"])
+        ).collect()
+    )
+    assert multi["text"] == "\n".join(texts[d] for d in members)
