@@ -59,6 +59,9 @@ HEADLINE = [
     "q53_cosine_near_dup_pairs",
     "q54_pii_scrub_stats",
     "q55_session_window_details",
+    "q56_sequence_packing",
+    "q57_repetition_quality",
+    "q58_materialized_sequences",
 ]
 
 
