@@ -610,6 +610,40 @@ def q29_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------------- decontamination check
+def contamination_check(
+    corpus_sets: DataFrame,
+    probe_sets: DataFrame,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_overlap`` distinct shingles with any probe (eval/benchmark)
+    text — the standard pre-training leakage check.
+
+    Both inputs are (id, grams) frames from :func:`ngram_sets` (the
+    corpus side comes from the ingest-persisted table). The probe suite
+    is small by nature, so its exploded shingles BROADCAST; the corpus
+    explodes once and the overlap count is a single groupBy(doc, probe)
+    — shingle sets are distinct, so each shared shingle joins exactly
+    once and count(*) IS the intersection size. No pairwise set
+    operations, no all-pairs anything: cost is linear in corpus
+    shingles times the (tiny) probe-gram hit rate at any scale.
+    """
+    cex = corpus_sets.select(
+        F.col("id").alias("doc_id"), F.explode("grams").alias("gram")
+    )
+    pex = probe_sets.select(
+        F.col("id").alias("probe_id"), F.explode("grams").alias("gram")
+    )
+    return (
+        cex.join(F.broadcast(pex), "gram")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+        .orderBy("doc_id", "probe_id")
+    )
+
+
 _NGRAM_TABLE_CACHE: dict = {}
 
 
@@ -624,3 +658,14 @@ def q52_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, load_table(spark, sf_dir, "documents")
         )
     return ngram_jaccard_pairs_from_sets(spark.table(_NGRAM_TABLE_CACHE[key]))
+
+
+def q59_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: docs sharing ≥ 5 shingles with a 3-probe
+    "benchmark" (probe texts = documents 0-2, so each probe flags its
+    own source plus any near-copies). Oracle: DuckDB all-pairs
+    list_intersect over the same shingle construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = ngram_sets(docs)
+    probes = ngram_sets(docs.where(F.col("doc_id") < 3))
+    return contamination_check(corpus, probes)

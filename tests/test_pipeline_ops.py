@@ -339,3 +339,20 @@ def test_repetition_stats_flags_repetitive_doc(spark):
     assert got[1]["dup_frac"] == 0.8 and got[1]["top_frac"] == 1.0
     assert got[2]["dup_frac"] == 0.0
     assert got[2]["top_frac"] == 1.0 / got[2]["n_bigrams"]
+
+
+# --------------------------------------------------------- decontamination
+def test_contamination_check_flags_copies(spark, docs_with_neardups):
+    """A probe built from doc 0 must flag doc 0 itself, its exact copy
+    (2000), and its one-word-appended near-dup (1000)."""
+    corpus = D.ngram_sets(docs_with_neardups)
+    probes = D.ngram_sets(
+        docs_with_neardups.filter(F.col("doc_id") == 0)
+    )
+    hits = {
+        r["doc_id"]: r["n_shared"]
+        for r in D.contamination_check(corpus, probes, min_overlap=5).collect()
+    }
+    assert {0, 1000, 2000} <= set(hits)
+    assert hits[2000] == hits[0]          # exact copy shares everything
+    assert hits[1000] >= hits[0] - 3      # near-dup loses at most the tail shingles
