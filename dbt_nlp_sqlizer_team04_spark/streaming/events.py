@@ -189,6 +189,22 @@ def sessions_stream_to_memory(
     return spark.table(table_name)
 
 
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once-per-id dedup: ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` on ``event_id`` — the ingestion
+    guard an at-least-once source (Kafka redelivery, file re-drops)
+    needs. State holds one key per event_id seen inside the watermark
+    horizon and is expired past it, so memory is bounded by arrival
+    rate × delay, independent of stream length. Batch twin:
+    ``dropDuplicates(["event_id"])`` — the parity test replays a
+    doubled stream and asserts the sink equals the batch distinct."""
+    return _normalize_ts(events).withWatermark(
+        "ts", watermark
+    ).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def q38_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: run the watermarked streaming rollup to a memory
     sink and return the materialized result — hash-checked against the

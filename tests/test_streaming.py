@@ -123,3 +123,43 @@ def test_apply_in_pandas_with_state_running_totals(spark, sf_smoke, tmp_path):
     for u, (n, tv) in want.items():
         assert final[u][0] == n
         assert final[u][1] == _pytest.approx(tv, rel=1e-9)
+
+
+def test_stream_dedup_drops_redelivered_events(spark, sf_smoke, tmp_path):
+    """dropDuplicatesWithinWatermark: replay the same events file twice
+    (at-least-once delivery) — the deduped stream must equal the batch
+    single-copy event set."""
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import (
+        dedup_events_stream,
+    )
+
+    events = load_table(spark, sf_smoke, "events").limit(1000).cache()
+    drop = tmp_path / "redelivered"
+    raw = events.withColumn("ts", F.unix_micros("ts") * 1000)  # nanos-long layout
+    raw.write.parquet(str(drop / "d0"))
+    raw.write.parquet(str(drop / "d1"))  # the duplicate delivery
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(drop) + "/*")
+    )
+    q = (
+        dedup_events_stream(stream)
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = sorted(r["event_id"] for r in spark.table("t_dedup_stream").collect())
+    want = sorted(r["event_id"] for r in events.select("event_id").collect())
+    assert got == want
