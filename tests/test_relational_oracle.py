@@ -35,3 +35,42 @@ def test_registry_consistency():
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 20
+
+
+def test_registry_window_all_oracle_backed():
+    """The driver hash-checks only the FIRST 50 registry entries; every
+    slot in that window must carry an oracle (rows-only entries belong
+    in the tail). Guards the ordering against accidental edits."""
+    import __spark_entry__ as entry_mod
+
+    q = list(entry_mod.queries())
+    o = entry_mod.oracle_sql()
+    missing = [k for k in q[:50] if k not in o]
+    assert missing == [], f"window entries without oracle: {missing}"
+
+
+def test_plan_contracts(spark, sf_smoke):
+    """Executable plan contracts for the r3 pipeline queries: column
+    pruning reaches the scan, the probe side of the decontamination
+    join broadcasts, and no pair operator degenerates into a cartesian
+    or nested-loop product."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    def plan_of(name):
+        df = SPARK_QUERIES[name](spark, sf_smoke)
+        return df._jdf.queryExecution().toString()
+
+    # q50 assigns splits from md5(doc_id) only — text must never be read
+    p50 = plan_of("q50_train_val_test_split")
+    read = [l for l in p50.splitlines() if "ReadSchema" in l]
+    assert read and all("text" not in l for l in read)
+
+    # probe side of the contamination sweep broadcasts
+    p59 = plan_of("q59_contamination_check")
+    assert "BroadcastHashJoin" in p59 or "BroadcastExchange" in p59
+
+    # pair operators stay join-shaped
+    for name in ("q52_ngram_jaccard_pairs", "q53_cosine_near_dup_pairs"):
+        p = plan_of(name)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
