@@ -669,3 +669,110 @@ def q59_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = ngram_sets(docs)
     probes = ngram_sets(docs.where(F.col("doc_id") < 3))
     return contamination_check(corpus, probes)
+
+
+# ------------------------------------------- duplicate-cluster resolution
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair list → ``(id,
+    component)`` where ``component`` is the MINIMUM id reachable from
+    ``id``. This is the step every dedup tier needs after pair
+    generation: near-duplicate relations are not transitive, so keeping
+    "one of each pair" under- or over-deletes — the corpus must be
+    grouped into transitive-closure clusters first.
+
+    Pregel-style min-label propagation: each round every node adopts
+    ``min(own label, neighbours' labels)``; converges in O(graph
+    diameter) rounds (dedup graphs are near-cliques, so typically 2-3).
+    Per round: one equi-join of the slim ``(long, long)`` edge list
+    against the label frame, one groupBy(min) — both shuffle only
+    8-byte keys, never document payloads. The edge list is materialized
+    ONCE up front (``localCheckpoint``) so the upstream pair plan
+    (MinHash / Jaccard / cosine) is never re-executed, and each round's
+    labels are checkpointed to truncate lineage — without that the plan
+    doubles per iteration. The one driver-side action per round is a
+    converged-yet probe (LIMIT 1 over changed labels), the same
+    superstep barrier GraphX/Pregel uses; nothing row-sized ever hits
+    the driver. For graphs with big diameter at extreme scale, swap the
+    loop body for large-star/small-star (O(log n) rounds) — same
+    frame-in/frame-out contract.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("a", "id")
+        )
+        nxt = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("component"),
+            (F.col("nbr_min") < F.col("component")).alias("changed"),
+        ).localCheckpoint()
+        if nxt.where("changed").limit(1).count() == 0:
+            return nxt.select("id", "component")
+        labels = nxt.select("id", "component")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-dup pairs into per-document cluster assignments:
+    ``(doc_id, component, cluster_size, is_canonical)`` over ALL
+    documents (singletons form their own cluster). The canonical
+    survivor of each cluster is its minimum id — deterministic, so a
+    re-run keeps the same rows; ``is_canonical = 0`` is the delete
+    list. cluster_size is a window count over the component key (one
+    shuffle of (id, component) pairs — document text is never moved).
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col).cast("long")).alias(
+                "component"
+            ),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col(id_col) == F.col("component")).cast("int"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q60_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup clusters from the exact n-gram Jaccard
+    pairs (q52's persisted-shingle path), canonical = min doc_id.
+    Oracle: DuckDB recursive CTE over the identical pair SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_clusters(docs, q52_ngram_jaccard_pairs(spark, sf_dir))

@@ -225,7 +225,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q22_rollup_region_nation": R.q22_rollup_region_nation,
     # Set operations (SURVEY.md §2.D)
     "q48_cube_status_priority": R.q48_cube_status_priority,
-    "q49_price_percentiles": R.q49_price_percentiles,
     # Similarity search (A13 at data scale)
     "q23_cosine_topk": V.q23_cosine_topk,
     "q25_sim_pairs_blocked": V.q25_sim_pairs_blocked,
@@ -266,10 +265,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q58_materialized_sequences": PK.q58_materialized_sequences,
     # Benchmark decontamination (shared-shingle probe sweep)
     "q59_contamination_check": D.q59_contamination_check,
+    # Transitive-closure dup clusters (pairs → components → canonicals)
+    "q60_dup_clusters": D.q60_dup_clusters,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
-    # hash gate can't use, plus two oracle entries redundant with checked
-    # ones. All remain pytest-covered.
+    # hash gate can't use, plus oracle entries redundant with checked
+    # ones (q49 verified green in CORRECTNESS_r02). All remain
+    # pytest-covered.
+    "q49_price_percentiles": R.q49_price_percentiles,
     "q09_distinct_segments": R.q09_distinct_segments,
     "q34_doc_fingerprints": X.q34_doc_fingerprints,
     "q04_like_search": R.q04_like_search,
@@ -772,6 +775,44 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT id_a, id_b, jaccard FROM p
         WHERE jaccard >= 0.5
         ORDER BY id_a, id_b
+    """,
+    # Transitive closure of the q52 pair list via recursive CTE;
+    # component = min reachable doc_id, singletons are their own
+    # cluster, canonical survivor = min id.
+    "q60_dup_clusters": f"""
+        WITH RECURSIVE s AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN list_distinct(
+                        list_transform(range(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS grams
+          FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
+        ), p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+                / (len(a.grams) + len(b.grams)
+                   - len(list_intersect(a.grams, b.grams))) >= 0.5
+        ), e AS (
+          SELECT id_a AS a, id_b AS b FROM p
+          UNION
+          SELECT id_b AS a, id_a AS b FROM p
+        ), r(id, lbl) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id
+        ), comp AS (
+          SELECT id, min(lbl) AS component FROM r GROUP BY id
+        ), base AS (
+          SELECT d.doc_id,
+                 coalesce(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, component,
+               count(*) OVER (PARTITION BY component) AS cluster_size,
+               CAST(doc_id = component AS INT) AS is_canonical
+        FROM base
+        ORDER BY doc_id
     """,
     # All-pairs reference for the block-cross tile plan (same round-6
     # convention as q25).
