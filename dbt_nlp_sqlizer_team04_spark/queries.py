@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup as D
 from .operators import documents as DOC
+from .operators import funnel as FN
 from .operators import packing as PK
 from .operators import relational as R
 from .operators import sampling as SMP
@@ -223,8 +224,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q17_profile_stats": R.q17_profile_stats,
     "q19_events_hourly": R.q19_events_hourly,
     "q22_rollup_region_nation": R.q22_rollup_region_nation,
-    # Set operations (SURVEY.md §2.D)
-    "q48_cube_status_priority": R.q48_cube_status_priority,
     # Similarity search (A13 at data scale)
     "q23_cosine_topk": V.q23_cosine_topk,
     "q25_sim_pairs_blocked": V.q25_sim_pairs_blocked,
@@ -267,11 +266,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q59_contamination_check": D.q59_contamination_check,
     # Transitive-closure dup clusters (pairs → components → canonicals)
     "q60_dup_clusters": D.q60_dup_clusters,
+    # Five-stage corpus curation funnel (single-scan survivor report)
+    "q61_corpus_funnel": FN.q61_corpus_funnel,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus oracle entries redundant with checked
     # ones (q49 verified green in CORRECTNESS_r02). All remain
     # pytest-covered.
+    "q48_cube_status_priority": R.q48_cube_status_priority,
     "q49_price_percentiles": R.q49_price_percentiles,
     "q09_distinct_segments": R.q09_distinct_segments,
     "q34_doc_fingerprints": X.q34_doc_fingerprints,
@@ -813,6 +815,64 @@ ORACLE_SQL: dict[str, str | None] = {
                CAST(doc_id = component AS INT) AS is_canonical
         FROM base
         ORDER BY doc_id
+    """,
+    # Funnel signal definitions mirror q31 (quality), q57 (bigrams,
+    # list-expression form), q27 (normalized hash), q59 (shingle
+    # overlap) — cumulative conjunction over full-corpus flags.
+    "q61_corpus_funnel": f"""
+        WITH raw AS (
+          SELECT doc_id, lang, text, {_DUCK_TOKENS} AS t FROM documents
+        ), sig AS (
+          SELECT doc_id, lang, text, t,
+                 CASE WHEN len(t) >= 2 THEN list_transform(
+                        range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                      ELSE []::VARCHAR[] END AS bg,
+                 CASE WHEN len(t) >= 3 THEN list_distinct(
+                        list_transform(range(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS grams,
+                 (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / greatest(length(text), 1) AS punct_ratio,
+                 len(list_filter(t, x -> list_contains({_SW_EN}, x)))
+                     / greatest(len(t), 1) AS stop_ratio
+          FROM raw
+        ), base AS (
+          SELECT doc_id, grams,
+                 (lang = 'en') AS f_lang,
+                 (round(least(len(t) / 50.0, 1.0) * 0.5
+                        + (1.0 - punct_ratio) * 0.3
+                        + stop_ratio * 0.2, 6) >= 0.5) AS f_quality,
+                 (len(bg) = 0 OR
+                  1.0 - len(list_distinct(bg)) * 1.0 / len(bg) <= 0.2) AS f_rep,
+                 (doc_id = min(doc_id) OVER (PARTITION BY
+                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))))
+                     AS f_canon
+          FROM sig
+        ), dirty AS (
+          SELECT DISTINCT c.doc_id
+          FROM base c JOIN base p ON p.doc_id < 3
+          WHERE len(list_intersect(c.grams, p.grams)) >= 5
+        ), flags AS (
+          SELECT b.*, (d.doc_id IS NULL) AS f_clean
+          FROM base b LEFT JOIN dirty d ON b.doc_id = d.doc_id
+        ), agg AS (
+          SELECT count(*)::bigint AS n_total,
+                 sum(f_lang::int)::bigint AS n_lang,
+                 sum((f_lang AND f_quality)::int)::bigint AS n_quality,
+                 sum((f_lang AND f_quality AND f_rep)::int)::bigint AS n_rep,
+                 sum((f_lang AND f_quality AND f_rep AND f_canon)::int)::bigint
+                     AS n_canon,
+                 sum((f_lang AND f_quality AND f_rep AND f_canon
+                      AND f_clean)::int)::bigint AS n_clean
+          FROM flags
+        )
+        SELECT 0 AS stage_idx, 'total' AS stage, n_total AS n_kept FROM agg
+        UNION ALL SELECT 1, 'lang', n_lang FROM agg
+        UNION ALL SELECT 2, 'quality', n_quality FROM agg
+        UNION ALL SELECT 3, 'repetition', n_rep FROM agg
+        UNION ALL SELECT 4, 'exact_dedup', n_canon FROM agg
+        UNION ALL SELECT 5, 'decontaminated', n_clean FROM agg
+        ORDER BY stage_idx
     """,
     # All-pairs reference for the block-cross tile plan (same round-6
     # convention as q25).

@@ -356,3 +356,36 @@ def test_contamination_check_flags_copies(spark, docs_with_neardups):
     assert {0, 1000, 2000} <= set(hits)
     assert hits[2000] == hits[0]          # exact copy shares everything
     assert hits[1000] >= hits[0] - 3      # near-dup loses at most the tail shingles
+
+
+def test_repetition_pass_expr_boundaries(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.funnel import repetition_pass_expr
+
+    rows = [
+        ("one", "hello"),                       # <2 tokens: no evidence, passes
+        ("clean", "the quick brown fox jumps over the lazy dog"),
+        ("loop", "spam ham " * 40),             # one bigram repeated: fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: r["ok"]
+        for r in df.select(
+            "doc_id", repetition_pass_expr(F.col("text")).alias("ok")
+        ).collect()
+    }
+    assert got == {"one": True, "clean": True, "loop": False}
+
+
+def test_corpus_funnel_monotone_and_total(spark, sf_check):
+    from dbt_nlp_sqlizer_team04_spark.operators.funnel import corpus_funnel
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_check, "documents")
+    rows = corpus_funnel(docs).collect()
+    assert [r["stage"] for r in rows] == [
+        "total", "lang", "quality", "repetition", "exact_dedup", "decontaminated",
+    ]
+    counts = [r["n_kept"] for r in rows]
+    assert counts[0] == docs.count()
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[-1] > 0
