@@ -55,12 +55,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = "spark.sql.legacy.parquet.nanosAsLong"
     if name == "events" and spark.conf.get(key, "false") != "true":
         spark.conf.set(key, "true")
+    if name == "events" and spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        # the NTZ→timestamp normalization below reinterprets the naive
+        # wall-clock in the session timezone; the engine contract (and
+        # the DuckDB oracle's epoch_us) treats event timestamps as UTC,
+        # so pin it for driver-owned sessions that didn't use get_spark
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: `/` promotes to double, and nanos-since-epoch
         # (~1.7e18) exceeds double's exact-integer range (2^53), which
         # skews individual timestamps by up to ±1 microsecond
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # TIMESTAMP(MICROS) with isAdjustedToUTC=false infers as NTZ,
+        # which unix_micros/window-state functions reject; the session
+        # timezone is pinned to UTC so this cast is value-identical to
+        # what DuckDB's epoch_us sees.
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

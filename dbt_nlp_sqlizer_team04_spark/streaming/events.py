@@ -27,24 +27,47 @@ from pyspark.sql import types as T
 # sf_dir -> staging dir for the file-source stream (atexit-cleaned)
 _STAGE_DIRS: dict[str, str] = {}
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_stream_schema(path: str) -> T.StructType:
+    """Stream-source schema matching the file's actual ``ts`` layout.
+
+    The driver's testdata has shipped both TIMESTAMP(NANOS) (read as a
+    nanos long under ``nanosAsLong``, then truncated to micros by
+    ``_normalize_ts``) and plain TIMESTAMP(MICROS) (read natively as a
+    timestamp, no conversion). A file stream must declare its schema up
+    front, so probe the parquet footer once instead of assuming one
+    layout — assuming nanos silently shifts every micros timestamp
+    1000x toward the epoch.
+    """
+    import pyarrow.parquet as pa_pq
+    import pyarrow.types as pa_t
+
+    ts_arrow = pa_pq.ParquetFile(path).schema_arrow.field("ts").type
+    nanos_as_long = pa_t.is_integer(ts_arrow) or (
+        pa_t.is_timestamp(ts_arrow) and ts_arrow.unit == "ns"
+    )
+    ts_type = T.LongType() if nanos_as_long else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
-    """nanos-long → microsecond timestamp (same truncation as
-    sources/parquet.py:load_table, so batch and stream agree)."""
+    """nanos-long → microsecond timestamp, NTZ → UTC timestamp (same
+    normalizations as sources/parquet.py:load_table, so batch and
+    stream agree)."""
     if isinstance(df.schema["ts"].dataType, T.LongType):
         # `div` not `/`: double division skews nanos beyond 2^53 by ±1µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # session timezone is UTC, so the cast is value-identical
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
@@ -99,7 +122,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _STAGE_DIRS[sf_dir] = stage
         atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    return spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
+    schema = events_stream_schema(os.path.join(stage, "events.parquet"))
+    return spark.readStream.schema(schema).format("parquet").load(stage)
 
 
 def hourly_rollup_stream(spark: SparkSession, sf_dir: str, watermark: str = "2 hours") -> DataFrame:

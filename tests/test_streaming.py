@@ -80,7 +80,6 @@ def test_apply_in_pandas_with_state_running_totals(spark, sf_smoke, tmp_path):
     from pyspark.sql import functions as F
 
     from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
-    from dbt_nlp_sqlizer_team04_spark.streaming.events import EVENTS_SCHEMA
     from dbt_nlp_sqlizer_team04_spark.streaming.stateful import running_totals
 
     events = load_table(spark, sf_smoke, "events").limit(2000).cache()
