@@ -173,3 +173,118 @@ def q51_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def source_mixing_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    budget_num: int = 1,
+    budget_den: int = 4,
+) -> DataFrame:
+    """Temperature-weighted source mixing (sqrt scaling, α = 0.5).
+
+    Training corpora are never sampled uniformly: rare sources are
+    upweighted so the mixture follows ``p_s ∝ n_s^α`` with α < 1 (the
+    multilingual-sampling recipe popularized by mBERT/XLM-style
+    pipelines).  This operator keeps a deterministic, content-addressed
+    subsample of ``budget_num/budget_den`` of the corpus whose source
+    distribution follows α = 0.5.
+
+    Exactness contract: every quantity is integer arithmetic so DuckDB
+    reproduces the selection bit-for-bit —
+
+    - weight ``w_s = floor(sqrt(n_s))`` (IEEE sqrt of an exact int64 is
+      identical across engines for n < 2^52);
+    - ``T = (N · BUCKETS · budget_num) div (budget_den · Σw)``;
+    - per-source keep threshold ``t_s = min(BUCKETS, (T · w_s) div n_s)``;
+    - keep row iff ``md5-bucket(key) < t_s``.
+
+    Float ``pow``/rounding never enters, so there is no last-ulp
+    threshold flip between engines.  (At extreme corpus sizes the
+    intermediate products need DECIMAL widening — at 1e11 docs
+    ``N·BUCKETS`` is 1e17, still inside int64.)
+
+    Plan shape at 100 TB: one scan computes per-source counts (partial
+    agg, #sources rows shuffled), the tiny rate table cross-joins the
+    1-row Σw and broadcast-joins back to the corpus, and the keep
+    decision is a pure projection fused into the second scan — no
+    corpus-sized shuffle anywhere.
+    """
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    counts = counts.withColumn(
+        "w_s", F.floor(F.sqrt(F.col("n_s").cast("double"))).cast("bigint")
+    )
+    totals = counts.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w_s").alias("w_total")
+    )
+    rates = counts.crossJoin(broadcast(totals)).withColumn(
+        "thresh",
+        F.least(
+            F.lit(BUCKETS).cast("bigint"),
+            F.expr(
+                f"((n_total * {BUCKETS} * {int(budget_num)}) div"
+                f" ({int(budget_den)} * w_total) * w_s) div n_s"
+            ),
+        ),
+    )
+    bucket = hash_bucket_expr(F.col(key_col))
+    return (
+        df.join(broadcast(rates.select(source_col, "n_s", "thresh")), source_col)
+        .where(bucket < F.col("thresh"))
+    )
+
+
+def source_mixing_sql(
+    key_sql: str,
+    source_sql: str = "source",
+    table: str = "documents",
+    budget_num: int = 1,
+    budget_den: int = 4,
+) -> str:
+    """DuckDB twin of :func:`source_mixing_sample` (same integer math)."""
+    return f"""
+        WITH c AS (
+          SELECT {source_sql} AS src, count(*)::bigint AS n_s,
+                 floor(sqrt(count(*)::double))::bigint AS w_s
+          FROM {table} GROUP BY 1
+        ), t AS (
+          SELECT sum(n_s)::bigint AS n_total, sum(w_s)::bigint AS w_total FROM c
+        ), r AS (
+          SELECT src, n_s,
+                 least({BUCKETS}::bigint,
+                       ((n_total * {BUCKETS} * {int(budget_num)})
+                        // ({int(budget_den)} * w_total) * w_s) // n_s) AS thresh
+          FROM c, t
+        )
+        SELECT d.*, r.n_s, r.thresh
+        FROM {table} d JOIN r ON d.{source_sql} = r.src
+        WHERE {hash_bucket_sql(key_sql)} < r.thresh
+    """
+
+
+def q62_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing audit: per-source corpus size, kept count, kept share.
+
+    Oracle-checked — DuckDB re-derives the identical integer thresholds
+    and md5 selection. ``keep_per_million`` (exact integer) exposes the
+    upweighting: rare sources keep a larger fraction than big ones.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = source_mixing_sample(docs, "doc_id", "source")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        # integer div, not `/` + cast: double division can round up
+        # across an integer boundary where DuckDB's `//` floors
+        .withColumn(
+            "keep_per_million", F.expr(f"(n_kept * {BUCKETS}) div n_total")
+        )
+        .orderBy("source")
+    )

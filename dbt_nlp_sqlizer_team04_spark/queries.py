@@ -212,7 +212,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl04_doc_count_per_type": _nl2doc_count,
     # Relational SQL surface (B1-B17)
     "q01_pricing_summary": R.q01_pricing_summary,
-    "q02_filter_topn": R.q02_filter_topn,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q07_window_partition_avg": R.q07_window_partition_avg,
     "q08_rank_orders": R.q08_rank_orders,
@@ -268,6 +267,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q60_dup_clusters": D.q60_dup_clusters,
     # Five-stage corpus curation funnel (single-scan survivor report)
     "q61_corpus_funnel": FN.q61_corpus_funnel,
+    # Temperature-weighted source mixing (sqrt scaling, integer-exact)
+    "q62_source_mixing": SMP.q62_source_mixing,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus oracle entries redundant with checked
@@ -275,6 +276,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # pytest-covered.
     "q48_cube_status_priority": R.q48_cube_status_priority,
     "q49_price_percentiles": R.q49_price_percentiles,
+    # q02's filter/top-N shapes are subsumed by q03 + q08; moved out of
+    # the window for q62 (r2-green in CORRECTNESS_r02, still pytest-run)
+    "q02_filter_topn": R.q02_filter_topn,
     "q09_distinct_segments": R.q09_distinct_segments,
     "q34_doc_fingerprints": X.q34_doc_fingerprints,
     "q04_like_search": R.q04_like_search,
@@ -873,6 +877,19 @@ ORACLE_SQL: dict[str, str | None] = {
         UNION ALL SELECT 4, 'exact_dedup', n_canon FROM agg
         UNION ALL SELECT 5, 'decontaminated', n_clean FROM agg
         ORDER BY stage_idx
+    """,
+    # Same integer threshold arithmetic as source_mixing_sample — any
+    # float pow/rounding divergence would hash-mismatch here.
+    "q62_source_mixing": f"""
+        WITH kept AS ({SMP.source_mixing_sql('doc_id')})
+        SELECT source,
+               max(n_s)::bigint     AS n_total,
+               count(*)             AS n_kept,
+               sum(n_chars)::bigint AS kept_chars,
+               (count(*) * {SMP.BUCKETS}) // max(n_s) AS keep_per_million
+        FROM kept
+        GROUP BY source
+        ORDER BY source
     """,
     # All-pairs reference for the block-cross tile plan (same round-6
     # convention as q25).

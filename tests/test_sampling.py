@@ -106,3 +106,79 @@ def test_q50_q51_shapes(spark, sf_smoke):
     assert sum(r["n_docs"] for r in q50) == 500
     q51 = q51_stratified_sample(spark, sf_smoke).collect()
     assert all(r["n_kept"] > 0 for r in q51)
+
+
+def _skewed_corpus(spark):
+    """4000 docs over sources of size 3200/600/160/40 — skewed enough
+    that sqrt scaling must visibly upweight the tail."""
+    return (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 3200, "web")
+            .when(F.col("id") < 3800, "books")
+            .when(F.col("id") < 3960, "code")
+            .otherwise("law")
+            .alias("source"),
+        )
+        .repartition(7)
+    )
+
+
+def test_source_mixing_upweights_rare_sources(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.sampling import (
+        BUCKETS,
+        source_mixing_sample,
+    )
+
+    docs = _skewed_corpus(spark)
+    kept = source_mixing_sample(docs, "doc_id", "source", 1, 4)
+    rates = {
+        r["source"]: r["k"] / r["n"]
+        for r in kept.groupBy("source")
+        .agg(F.count("*").alias("k"), F.first("n_s").alias("n"))
+        .collect()
+    }
+    # keep-rate must be monotone in rarity: law > code > books > web
+    assert rates["law"] > rates["code"] > rates["books"] > rates["web"]
+    # overall budget ~25% (md5 sampling noise at n=4000 stays well inside ±6%)
+    total_kept = kept.count()
+    assert 0.19 < total_kept / 4000 < 0.31
+    # thresholds must equal the pure-integer recomputation exactly
+    import math
+
+    n = {"web": 3200, "books": 600, "code": 160, "law": 40}
+    w = {s: math.isqrt(v) for s, v in n.items()}
+    T = (4000 * BUCKETS * 1) // (4 * sum(w.values()))
+    want = {s: min(BUCKETS, (T * w[s]) // n[s]) for s in n}
+    got = {
+        r["source"]: r["thresh"]
+        for r in kept.select("source", "thresh").distinct().collect()
+    }
+    assert got == want
+
+
+def test_source_mixing_partition_invariant_and_oracle_exact(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.sampling import (
+        source_mixing_sample,
+        source_mixing_sql,
+    )
+
+    docs = _skewed_corpus(spark)
+    a = sorted(r["doc_id"] for r in source_mixing_sample(docs, "doc_id", "source").select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in source_mixing_sample(docs.repartition(31), "doc_id", "source")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and a
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM (" + source_mixing_sql("doc_id") + ")"
+        ).fetchall()
+    )
+    assert a == want
