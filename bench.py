@@ -62,6 +62,7 @@ HEADLINE = [
     "q56_sequence_packing",
     "q57_repetition_quality",
     "q58_materialized_sequences",
+    "q62_source_mixing",
 ]
 
 

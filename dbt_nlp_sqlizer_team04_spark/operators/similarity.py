@@ -683,3 +683,72 @@ def q53_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus-wide cosine ≥ 0.4 near-dup pairs via the block-cross
     tile plan (oracle: DuckDB all-pairs list_cosine_similarity)."""
     return cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    seed: int = LSH_SEED,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    ivf_table: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding-space dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells over the corpus, exact pairwise
+    cosine ≥ ``threshold`` WITHIN each cell, transitive closure of the
+    pair list, keep the minimum-id survivor per cluster.
+
+    Returns ``(id, cell, component, cluster_size, is_canonical)`` for
+    every input vector; ``is_canonical = 0`` is the semantic delete
+    list.
+
+    Scale shape — every stage reuses an operator whose 100 TB story is
+    already established:
+    - cell assignment comes from the PERSISTED IVF table when
+      ``ivf_table`` is given (``create_ivf_table`` at ingest; no
+      k-means in this call), falling back to an in-query seeded fit
+      for tests/small corpora;
+    - the quadratic stage is ``similar_pairs_blocked`` on the cell key
+      — one shuffle, pairs bounded by Σ|cell|², never corpus²; the
+      paper's point is exactly that k-means blocking makes in-cell
+      quadratic work affordable;
+    - cluster resolution is ``dedup.dup_clusters`` (min-label
+      propagation over the pair list — pair-sized, not corpus-sized).
+
+    Known method tradeoff (inherent to SemDeDup, documented in the
+    paper): near-dup pairs split across two cells are not compared.
+    The recall pytest measures this against the exact corpus-wide pair
+    set rather than pretending it away.
+    """
+    from .dedup import dup_clusters
+
+    if ivf_table is not None:
+        assigned = spark.table(ivf_table).select(id_col, emb_col, "cell")
+    else:
+        assigned, _ = ivf_index(df, n_cells, seed, id_col, emb_col)
+    pairs = similar_pairs_blocked(
+        assigned, "cell", threshold, id_col, emb_col
+    ).select("id_a", "id_b")
+    clusters = dup_clusters(df.select(id_col), pairs, id_col=id_col)
+    return (
+        assigned.select(id_col, "cell")
+        .join(clusters, id_col)
+        .orderBy(id_col)
+    )
+
+
+def q63_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table at cosine ≥ 0.4, against the
+    persisted IVF cell table (shared with q43's ANN path — one index,
+    two consumers). Rows-only: the seeded k-means geometry has no
+    DuckDB analog; pytest asserts planted-duplicate removal, survivor
+    consistency, and recall vs the exact q53 pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    if key not in _IVF_TABLE_CACHE:
+        _IVF_TABLE_CACHE[key] = create_ivf_table(spark, emb)
+    return semantic_dedup(
+        spark, emb, threshold=0.4, ivf_table=_IVF_TABLE_CACHE[key]
+    )

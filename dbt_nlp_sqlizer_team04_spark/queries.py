@@ -293,6 +293,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q06_date_rollup": R.q06_date_rollup,
     "q24_ann_lsh_topk": V.q24_ann_lsh_topk,
     "q43_ann_ivf_topk": V.q43_ann_ivf_topk,
+    # SemDeDup embedding-cluster dedup (rows-only: seeded k-means
+    # geometry has no DuckDB analog; recall pytest vs exact q53 pairs)
+    "q63_semantic_dedup": V.q63_semantic_dedup,
     "q28_near_dup_minhash": D.q28_near_dup_minhash,
     "q29_simhash_fingerprints": D.q29_simhash_fingerprints,
     "q32_lang_id_dist": X.q32_lang_id_dist,
