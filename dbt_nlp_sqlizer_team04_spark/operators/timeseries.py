@@ -340,3 +340,70 @@ def q55_session_window_details(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "start_us", "end_us", "n_events", "sum_value").orderBy(
         "user_id", "start_us"
     )
+
+
+def incremental_rollup_merge(
+    existing: DataFrame,
+    new_events: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str,
+    grain: str = "hour",
+) -> DataFrame:
+    """Incrementally maintain a (bucket, groups) → (n, sum_v) rollup:
+    aggregate ONLY the newly-arrived events to the grain, then merge
+    into the existing rollup by re-aggregating the union of partials.
+
+    The continuous-aggregate refresh pattern: at 100 TB the history is
+    never rescanned — the per-refresh cost is (new partition scan +
+    a shuffle of partial rows, bounded by #touched buckets × #groups,
+    not by history size). sum/count compose associatively, so
+    merged == full recompute exactly; avg derives at read time.
+
+    Late data needs no special case: a late event lands in an old
+    bucket's partial and the merge updates that bucket — the batch
+    twin of what the streaming path's watermark does.
+    """
+    new_partial = (
+        new_events.groupBy(
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket"), *group_cols
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum(value_col).alias("sum_v"))
+    )
+    return (
+        existing.select("bucket", *group_cols, "n", "sum_v")
+        .unionByName(new_partial)
+        .groupBy("bucket", *group_cols)
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("sum_v").alias("sum_v"))
+    )
+
+
+def q64_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correctness contract for incremental maintenance: split events at
+    the median day into history + new arrivals, build the hourly rollup
+    from history, merge ONLY the new partition in — and return the
+    merged rollup. The oracle recomputes the same rollup from ALL
+    events in one pass; hash equality proves incremental == full.
+    """
+    e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    split_day = e.select(
+        F.date_trunc("day", F.expr("timestamp_micros(cast(avg(unix_micros(ts)) as long))"))
+    ).first()[0]
+    history = e.filter(F.col("ts") < F.lit(split_day))
+    arrivals = e.filter(F.col("ts") >= F.lit(split_day))
+    existing = (
+        history.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("sum_v"))
+    )
+    merged = incremental_rollup_merge(
+        existing, arrivals, "ts", ["event_type"], "value", grain="hour"
+    )
+    return merged.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n",
+        F.round("sum_v", 2).alias("sum_value"),
+        F.round(F.col("sum_v") / F.col("n"), 4).alias("avg_value"),
+    ).orderBy("hour_start", "event_type")

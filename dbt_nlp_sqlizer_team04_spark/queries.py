@@ -118,6 +118,12 @@ def _q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q47_rollup_cascade_daily(spark, sf_dir)
 
 
+def _q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q64_incremental_rollup
+
+    return q64_incremental_rollup(spark, sf_dir)
+
+
 def _nl2doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL -> document-query pipeline on a fixed question; the oracle is
     the SQL the deterministic template tier must compile to."""
@@ -227,7 +233,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q23_cosine_topk": V.q23_cosine_topk,
     "q25_sim_pairs_blocked": V.q25_sim_pairs_blocked,
     # Deduplication tiers
-    "q26_exact_dup_groups": D.q26_exact_dup_groups,
     "q27_dedup_normalized": D.q27_dedup_normalized,
     # Text analysis
     "q30_text_stats": X.q30_text_stats,
@@ -244,6 +249,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q45_user_sessions": _q45,
     "q46_range_join_nearby": _q46,
     "q47_rollup_cascade_daily": _q47,
+    # Incremental rollup maintenance (merge new arrivals into the
+    # hourly rollup; oracle = full recompute, proving merge == rebuild)
+    "q64_incremental_rollup": _q64,
     # Deterministic sampling / dataset splits (builder-brief extension)
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
     "q51_stratified_sample": SMP.q51_stratified_sample,
@@ -279,6 +287,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q02's filter/top-N shapes are subsumed by q03 + q08; moved out of
     # the window for q62 (r2-green in CORRECTNESS_r02, still pytest-run)
     "q02_filter_topn": R.q02_filter_topn,
+    # q26's exact-hash groupBy is subsumed by q27's normalized dedup;
+    # moved out for q64 (r2-green, still pytest-run)
+    "q26_exact_dup_groups": D.q26_exact_dup_groups,
     "q09_distinct_segments": R.q09_distinct_segments,
     "q34_doc_fingerprints": X.q34_doc_fingerprints,
     "q04_like_search": R.q04_like_search,
@@ -573,6 +584,18 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM events
         GROUP BY day, event_type
         ORDER BY day, event_type
+    """,
+    # Full single-pass recompute: hash equality proves the Spark side's
+    # history+arrivals partial-merge equals a from-scratch rebuild.
+    "q64_incremental_rollup": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               round(sum(value) / count(*), 4) AS avg_value
+        FROM events
+        GROUP BY hour_start, event_type
+        ORDER BY hour_start, event_type
     """,
     # ------------------------------------------------------------ set ops
     "q41_intersect_nations": """

@@ -183,3 +183,46 @@ def test_native_session_window_boundary_convention(spark):
     assert [n for _, n in sessions] == [3, 1]
     lagged = sessionize(df, "user_id", "ts", gap_seconds=1800)
     assert lagged.agg({"session_id": "max"}).collect()[0][0] == 2
+
+
+def test_incremental_rollup_merge_matches_full_recompute(spark):
+    """Partial-merge maintenance == from-scratch rebuild, including a
+    LATE event landing in an already-rolled-up historical bucket."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.operators.timeseries import (
+        incremental_rollup_merge,
+    )
+
+    hist_rows = [
+        (datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (datetime(2024, 1, 1, 10, 40), "click", 2.0),
+        (datetime(2024, 1, 1, 11, 10), "view", 4.0),
+    ]
+    new_rows = [
+        (datetime(2024, 1, 1, 12, 0), "click", 8.0),   # new bucket
+        (datetime(2024, 1, 1, 10, 59), "click", 16.0), # LATE: updates 10:00
+        (datetime(2024, 1, 1, 11, 30), "buy", 32.0),   # new group, old bucket
+    ]
+    schema = "ts timestamp, event_type string, value double"
+    hist = spark.createDataFrame(hist_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    existing = (
+        hist.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("sum_v"))
+    )
+    merged = incremental_rollup_merge(
+        existing, new, "ts", ["event_type"], "value", grain="hour"
+    )
+    full = (
+        hist.unionByName(new)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("sum_v"))
+    )
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
+    late_bucket = [r for r in got if r[0].hour == 10 and r[1] == "click"]
+    assert late_bucket[0][2:] == (3, 19.0)
