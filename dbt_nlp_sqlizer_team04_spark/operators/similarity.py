@@ -739,6 +739,159 @@ def semantic_dedup(
     )
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 16,
+    k: int = 16,
+    seed: int = LSH_SEED,
+    emb_col: str = "embedding",
+    sample_n: int = 4096,
+) -> list:
+    """Product-quantization codebooks (Jégou et al. 2011, IEEE TPAMI
+    33(1)): split the (L2-normalized) vector into ``m`` subvectors and
+    k-means each subspace to ``k`` centroids.
+
+    Training runs driver-side on a BOUNDED sample (``limit(sample_n)``
+    collect — codebooks are metadata, a few KB; the corpus-sized stages
+    are encode/search below). Seeded Lloyd iterations keep the index
+    deterministic for tests. Returns ``codebooks[m][k][dim/m]``.
+    """
+    import numpy as np
+
+    rows = df.select(emb_col).limit(sample_n).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cent = xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(25):  # Lloyd
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encoding: ``(id, codes array<int>)`` — m 4-bit
+    codes replace dim float32s (64-dim → 16 bytes, 16×). Arrow-batched
+    ``mapInPandas`` with one numpy distance matrix per subspace per
+    batch; at 100 TB this is the one-time ingest pass whose output is
+    the RAM-resident scan table ADC search reads instead of the raw
+    vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            x /= np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                # ||x - c||² = ||x||² - 2x·c + ||c||²; argmin drops ||x||²
+                d = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, emb_col).mapInPandas(
+        encode, f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    raw_df: DataFrame,
+    codebooks: list,
+    query_vec: list,
+    k: int = 10,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC search + exact re-rank: score every code row against the
+    query's per-subspace lookup table (asymmetric distance — the query
+    stays full-precision), shortlist ``refine`` candidates, then rescore
+    ONLY the shortlist with exact cosine against the raw vectors.
+
+    The scale shape: the scan touches m-byte codes (16 B/vector instead
+    of 256 B), the LUT is m×k doubles broadcast as a literal, and the
+    exact re-rank joins a ``refine``-sized id list back to the raw
+    table — the standard PQ + refine pipeline, so recall is set by the
+    shortlist size, not by quantization distortion.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    # lut[j][c] = q_j · c — ADC inner product accumulates per subspace
+    lut = np.stack(
+        [books[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.asarray([np.asarray(c) for c in pdf["codes"]])
+            s = lut[np.arange(m)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc_score": s})
+
+    scored = codes_df.mapInPandas(score, f"{id_col} long, adc_score double")
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != F.lit(exclude_id))
+    shortlist = scored.orderBy(F.desc("adc_score"), id_col).limit(refine)
+    exact = raw_df.join(shortlist.select(id_col), id_col).select(
+        F.col(id_col),
+        F.round(cosine_expr(_as_double(emb_col), _vector_lit(list(map(float, q)))), 6).alias(
+            "cosine"
+        ),
+    )
+    return exact.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+_PQ_CACHE: dict = {}
+
+
+def q65_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ+refine approximate top-10 of vec_id=0 (rows-only; pytest
+    asserts recall vs exact and the 16× code compression). Codebooks and
+    codes build once per (session, sf) — the ingest-time artifacts a
+    deployment persists like the IVF/MinHash index tables."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        books = pq_train(emb)
+        _PQ_CACHE[key] = (books, pq_encode(emb, books).cache())
+    books, codes = _PQ_CACHE[key]
+    q = _query_vector(spark, sf_dir, 0)
+    return pq_topk(codes, emb, books, q, k=10, exclude_id=0)
+
+
 def q63_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table at cosine ≥ 0.4, against the
     persisted IVF cell table (shared with q43's ANN path — one index,

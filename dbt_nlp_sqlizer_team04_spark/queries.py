@@ -307,6 +307,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # SemDeDup embedding-cluster dedup (rows-only: seeded k-means
     # geometry has no DuckDB analog; recall pytest vs exact q53 pairs)
     "q63_semantic_dedup": V.q63_semantic_dedup,
+    # PQ+refine ANN (rows-only; recall + exact-rescore pytest)
+    "q65_ann_pq_topk": V.q65_ann_pq_topk,
     "q28_near_dup_minhash": D.q28_near_dup_minhash,
     "q29_simhash_fingerprints": D.q29_simhash_fingerprints,
     "q32_lang_id_dist": X.q32_lang_id_dist,

@@ -58,3 +58,51 @@ def test_bucket_pruning_on_point_lookup(bucketed):
         assert "SelectedBucketsCount: 1 out of" in plan, plan
     finally:
         spark.conf.set(key, old)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_smoke):
+    """Catalyst's runtime bloom-filter injection: a selective filter on
+    the dim side of a shuffle join plants a BloomFilterMightContain
+    probe on the FACT scan, cutting shuffled fact rows before the join
+    — at 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only rows that can possibly match.
+    Thresholds are lowered to make the toy SF eligible; the mechanism
+    and plan shape are what's under test."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep the shuffle join
+        "spark.sql.adaptive.enabled": "false",  # stable plan text
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_smoke, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_table(spark, sf_smoke, "lineitem")
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), plan
+        with_filter = joined.collect()[0]["n"]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = (
+        load_table(spark, sf_smoke, "lineitem")
+        .join(
+            load_table(spark, sf_smoke, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert with_filter == plain

@@ -443,3 +443,31 @@ def test_semantic_dedup_survivors_and_recall(spark, sf_check):
             1 for a, b in exact_pairs if same_comp[a] == same_comp[b]
         )
         assert captured / len(exact_pairs) >= 0.4
+
+
+# ------------------------------------------------------------------- PQ
+def test_pq_recall_refine_and_determinism(spark, sf_check):
+    """PQ+refine ANN: recall@10 ≥ 0.7 at refine=50 on the (hard,
+    near-orthogonal) random corpus, a larger shortlist can only help,
+    and the whole index is deterministic. Codes are m=16 ints — 16 B
+    against 256 B of float32s, the RAM-residency story."""
+    emb = load_table(spark, sf_check, "embeddings").cache()
+    q = V._query_vector(spark, sf_check, 0)
+    exact = {r["vec_id"] for r in V.cosine_topk(emb, q, k=10, exclude_id=0).collect()}
+    books = V.pq_train(emb)
+    books2 = V.pq_train(emb)
+    assert books == books2
+    codes = V.pq_encode(emb, books).cache()
+    row = codes.first()
+    assert len(row["codes"]) == 16 and all(0 <= c < 16 for c in row["codes"])
+    got50 = {r["vec_id"] for r in V.pq_topk(codes, emb, books, q, k=10, refine=50, exclude_id=0).collect()}
+    got200 = {r["vec_id"] for r in V.pq_topk(codes, emb, books, q, k=10, refine=200, exclude_id=0).collect()}
+    assert len(got50 & exact) / 10 >= 0.7
+    assert len(got200 & exact) >= len(got50 & exact)
+    # full-precision shortlist rescoring: returned cosines are EXACT
+    want = {
+        r["vec_id"]: r["cosine"]
+        for r in V.cosine_topk(emb, q, k=200, exclude_id=0).collect()
+    }
+    for r in V.pq_topk(codes, emb, books, q, k=10, refine=50, exclude_id=0).collect():
+        assert abs(r["cosine"] - want[r["vec_id"]]) < 1e-9
