@@ -171,3 +171,80 @@ def q58_materialized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed sequences assembled into training rows (oracle-checked:
     string_agg over the recursive-CTE packing)."""
     return materialize_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 500,
+    overlap: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping character chunks — the context-window prep
+    step between curation and tokenization (RAG/pre-training chunking).
+
+    Pure whole-stage-codegen plan: ``sequence`` generates the stride
+    offsets, ``posexplode`` fans them out, ``substring`` slices — no
+    shuffle at all; chunking is a flat-map fused into the scan, which is
+    exactly what you want when the corpus is 100 TB (output rows ≈
+    input_chars / stride, written straight back out partition-local).
+
+    Deterministic contract (DuckDB-reproducible, q66's oracle): chunks
+    start at 0, stride ``chunk_chars - overlap``; every offset < length
+    (one empty chunk for an empty text); the trailing chunk may be
+    short; ``chunk_md5`` content-addresses each slice.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
+    stride = chunk_chars - overlap
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.length(text_col) - 1, F.lit(0)),
+                    F.lit(stride),
+                )
+            ).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_start",
+            F.expr(f"substring(text, chunk_start + 1, {int(chunk_chars)})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .withColumn("chunk_md5", F.md5("chunk_text"))
+    )
+
+
+def chunk_documents_oracle_sql(
+    chunk_chars: int = 500, overlap: int = 100, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (same offsets/slices)."""
+    stride = chunk_chars - overlap
+    return f"""
+        SELECT doc_id,
+               (t.i // {stride})::bigint AS chunk_id,
+               t.i::bigint AS chunk_start,
+               substr(text, t.i::int + 1, {chunk_chars}) AS chunk_text,
+               length(substr(text, t.i::int + 1, {chunk_chars}))::bigint AS chunk_len,
+               md5(substr(text, t.i::int + 1, {chunk_chars})) AS chunk_md5
+        FROM {table}, unnest(range(0, greatest(length(text), 1), {stride})) AS t(i)
+    """
+
+
+def q66_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking audit: every chunk row (offsets, lengths, content md5)
+    for the corpus at 500-char windows with 100-char overlap —
+    hash-checked against the DuckDB twin slice-for-slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs)
+        .select("doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk_md5")
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -236,7 +236,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q27_dedup_normalized": D.q27_dedup_normalized,
     # Text analysis
     "q30_text_stats": X.q30_text_stats,
-    "q31_quality_by_source": X.q31_quality_by_source,
     "q33_tfidf_top_terms": X.q33_tfidf_top_terms,
     # Document / Mongo-analog path (C1-C9)
     "q35_doc_find": DOC.q35_doc_find,
@@ -277,6 +276,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q61_corpus_funnel": FN.q61_corpus_funnel,
     # Temperature-weighted source mixing (sqrt scaling, integer-exact)
     "q62_source_mixing": SMP.q62_source_mixing,
+    # Overlapping char-window chunking (context-window prep; no shuffle)
+    "q66_doc_chunks": PK.q66_doc_chunks,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus oracle entries redundant with checked
@@ -287,6 +288,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q02's filter/top-N shapes are subsumed by q03 + q08; moved out of
     # the window for q62 (r2-green in CORRECTNESS_r02, still pytest-run)
     "q02_filter_topn": R.q02_filter_topn,
+    # q31's quality expression is exercised by the in-window q61 funnel;
+    # moved out for q66 (r2-green, still pytest-run)
+    "q31_quality_by_source": X.q31_quality_by_source,
     # q26's exact-hash groupBy is subsumed by q27's normalized dedup;
     # moved out for q64 (r2-green, still pytest-run)
     "q26_exact_dup_groups": D.q26_exact_dup_groups,
@@ -975,6 +979,13 @@ ORACLE_SQL: dict[str, str | None] = {
     """,
     "q56_sequence_packing": PK.pack_sequences_oracle_sql(),
     "q58_materialized_sequences": PK.materialize_sequences_oracle_sql(),
+    # Slice-for-slice chunk parity: offsets, lengths, and content md5
+    # must all match the DuckDB twin.
+    "q66_doc_chunks": f"""
+        SELECT doc_id, chunk_id, chunk_start, chunk_len, chunk_md5
+        FROM ({PK.chunk_documents_oracle_sql()})
+        ORDER BY doc_id, chunk_id
+    """,
     "q59_contamination_check": f"""
         WITH s AS (
           SELECT doc_id,

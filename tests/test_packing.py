@@ -80,3 +80,47 @@ def test_materialize_sequences_consistent_with_packing(spark, sf_smoke):
         ).collect()
     )
     assert multi["text"] == "\n".join(texts[d] for d in members)
+
+
+def test_chunk_documents_semantics(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.packing import chunk_documents
+
+    text = "abcdefghij" * 12  # 120 chars
+    rows = [(1, text), (2, ""), (3, "short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_chars=50, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: offsets 0,40,80 (stride 40), each 50 chars except the tail
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c1] == [0, 40, 80]
+    assert [r["chunk_len"] for r in c1] == [50, 50, 40]
+    # consecutive chunks overlap by exactly 10 chars
+    assert c1[0]["chunk_text"][40:] == c1[1]["chunk_text"][:10]
+    # stride-concatenation reconstructs the original text
+    rebuilt = c1[0]["chunk_text"] + "".join(r["chunk_text"][10:] for r in c1[1:])
+    assert rebuilt == text
+    # empty text yields one empty chunk; short text one full chunk
+    assert [(r["chunk_start"], r["chunk_len"]) for r in by_doc[2]] == [(0, 0)]
+    assert [(r["chunk_start"], r["chunk_len"]) for r in by_doc[3]] == [(0, 5)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from dbt_nlp_sqlizer_team04_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=100, overlap=100)
+
+
+def test_chunk_documents_no_shuffle(spark, sf_smoke):
+    """Chunking must plan as a scan-fused flat map — zero Exchange."""
+    from dbt_nlp_sqlizer_team04_spark.operators.packing import chunk_documents
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    df = chunk_documents(load_table(spark, sf_smoke, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
