@@ -236,3 +236,53 @@ def q38_events_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, not a weaker rows-only check)."""
     out = run_to_memory_sink(spark, sf_dir, table_name="q38_sink")
     return out.orderBy("hour_start", "event_type")
+
+
+def click_purchase_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay_seconds: int = 3600,
+    streaming: bool = True,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each purchase pairs with every click
+    by the same user in the preceding ``max_delay_seconds`` (attribution
+    join). The SAME plan runs in batch — the kappa parity contract the
+    other streaming ops here follow.
+
+    Why this shape bounds state: both inputs carry a watermark AND the
+    join condition constrains the two event times to a finite interval,
+    so Spark derives a state-eviction bound for each side (a click
+    older than watermark + delay can never match a future purchase and
+    is dropped from state). Without the time-range predicate a
+    stream-stream inner join would buffer both sides forever — the
+    interval is what makes the join runnable on an unbounded stream.
+    """
+    c = _normalize_ts(clicks)
+    p = _normalize_ts(purchases)
+    if streaming:
+        c = c.withWatermark("ts", watermark)
+        p = p.withWatermark("ts", watermark)
+    c = c.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = p.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")
+        )
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )

@@ -162,3 +162,51 @@ def test_stream_dedup_drops_redelivered_events(spark, sf_smoke, tmp_path):
     got = sorted(r["event_id"] for r in spark.table("t_dedup_stream").collect())
     want = sorted(r["event_id"] for r in events.select("event_id").collect())
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
+    """Stream-stream attribution join: clicks and purchases replayed as
+    separate multi-batch file streams must produce exactly the batch
+    twin's pairs (same shared builder, streaming=False)."""
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import (
+        click_purchase_interval_join,
+    )
+
+    events = load_table(spark, sf_smoke, "events").limit(3000).cache()
+    clicks_b = events.filter(F.col("event_type") == "click")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    want = sorted(
+        tuple(r)
+        for r in click_purchase_interval_join(
+            clicks_b, purch_b, streaming=False
+        ).collect()
+    )
+
+    drops = {}
+    for name, side in (("clicks", clicks_b), ("purchases", purch_b)):
+        d = tmp_path / name
+        # two drops per side -> multi-microbatch replay on both inputs
+        side.filter(F.col("event_id") % 2 == 0).write.parquet(str(d / "b0"))
+        side.filter(F.col("event_id") % 2 == 1).write.parquet(str(d / "b1"))
+        drops[name] = (
+            spark.readStream.schema(side.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(str(d) + "/*")
+        )
+    q = (
+        click_purchase_interval_join(drops["clicks"], drops["purchases"])
+        .writeStream.format("memory")
+        .queryName("t_interval_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("t_interval_join").collect())
+    assert got == want and got
