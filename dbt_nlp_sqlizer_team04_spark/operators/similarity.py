@@ -57,8 +57,17 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns, built-ins only."""
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine similarity of two array<double> columns, built-ins only.
+    Zero-norm inputs (e.g. an out-of-vocabulary text encoding) define
+    cosine as 0.0 instead of tripping ANSI divide-by-zero; the
+    denominator is bound once via the let-trick, not recomputed."""
+    from .dedup import bind
+
+    d = dot_expr(a, b)
+    return bind(
+        norm_expr(a) * norm_expr(b),
+        lambda nn: F.when(nn > 0, d / nn).otherwise(F.lit(0.0)),
+    )
 
 
 def normalized_expr(a: Column) -> Column:

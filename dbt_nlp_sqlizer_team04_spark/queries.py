@@ -124,6 +124,12 @@ def _q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q64_incremental_rollup(spark, sf_dir)
 
 
+def _q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.retrieval import q67_chunk_retrieval
+
+    return q67_chunk_retrieval(spark, sf_dir)
+
+
 def _nl2doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL -> document-query pipeline on a fixed question; the oracle is
     the SQL the deterministic template tier must compile to."""
@@ -313,6 +319,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q63_semantic_dedup": V.q63_semantic_dedup,
     # PQ+refine ANN (rows-only; recall + exact-rescore pytest)
     "q65_ann_pq_topk": V.q65_ann_pq_topk,
+    # Chunk-level retrieval (rows-only; Python tokenizer has no DuckDB
+    # analog; pytest pins the planted ground-truth chunk at rank 1)
+    "q67_chunk_retrieval": _q67,
     "q28_near_dup_minhash": D.q28_near_dup_minhash,
     "q29_simhash_fingerprints": D.q29_simhash_fingerprints,
     "q32_lang_id_dist": X.q32_lang_id_dist,

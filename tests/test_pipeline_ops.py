@@ -471,3 +471,36 @@ def test_pq_recall_refine_and_determinism(spark, sf_check):
     }
     for r in V.pq_topk(codes, emb, books, q, k=10, refine=50, exclude_id=0).collect():
         assert abs(r["cosine"] - want[r["vec_id"]]) < 1e-9
+
+
+# -------------------------------------------------------------- retrieval
+def test_chunk_retrieval_finds_planted_chunk(spark, sf_check):
+    """A query lifted verbatim from a known chunk must retrieve that
+    chunk at cosine 1.0 (rank-1 modulo exact corpus duplicates), and
+    scoring must be deterministic."""
+    from dbt_nlp_sqlizer_team04_spark.operators.packing import chunk_documents
+    from dbt_nlp_sqlizer_team04_spark.operators.retrieval import (
+        encode_chunks,
+        fit_chunk_encoder,
+        retrieve_chunks,
+    )
+
+    docs = load_table(spark, sf_check, "documents")
+    chunks = chunk_documents(docs).cache()
+    enc = fit_chunk_encoder(chunks)
+    vecs = encode_chunks(chunks, enc).cache()
+    probe = chunks.filter(
+        (F.col("doc_id") == 7) & (F.col("chunk_id") == 0)
+    ).first()
+    got = retrieve_chunks(vecs, enc, probe["chunk_text"], k=5).collect()
+    top = got[0]
+    assert top["cosine"] == 1.0
+    perfect = [(r["doc_id"], r["chunk_id"]) for r in got if r["cosine"] == 1.0]
+    assert (7, 0) in perfect  # its own chunk scores 1.0
+    again = retrieve_chunks(vecs, enc, probe["chunk_text"], k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    # an off-corpus query scores strictly below a verbatim hit. (Hashed
+    # features collide — at dim=256 a nonsense token can land in a
+    # populated bucket — so the bound is < 1.0, not "near zero".)
+    noise = retrieve_chunks(vecs, enc, "zzzz qqqq xxxx vvvv", k=1).collect()
+    assert not noise or noise[0]["cosine"] < 1.0
