@@ -248,3 +248,66 @@ def q66_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk_md5")
         .orderBy("doc_id", "chunk_id")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-addressed shard manifest for a corpus export: assign each
+    document to ``md5(id) % n_shards`` and audit every shard with
+    counts, char volume, id range, and a COMMUTATIVE content checksum
+    (sum of each doc's 48-bit md5(text) prefix) — order- and
+    partitioning-independent, so any engine can re-derive the manifest
+    and verify a delivered shard without re-reading its neighbors.
+
+    This is the reproducibility contract a training job needs from its
+    data export: shard membership is a pure function of the id (appends
+    don't reshuffle existing shards), and the checksum catches silent
+    text corruption/truncation per shard. One scan, one #shards-row
+    shuffle of partial aggregates.
+    """
+    shard = hash_bucket_expr(F.col(id_col), n_shards).alias("shard")
+    # 48-bit prefix: sums of ~1e11 such terms stay far inside int64
+    text_h = F.conv(F.substring(F.md5(text_col), 1, 12), 16, 10).cast("bigint")
+    return (
+        df.select(
+            shard,
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).alias("n_chars"),
+            text_h.alias("text_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("text_h").alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_manifest_oracle_sql(n_shards: int = 32, table: str = "documents") -> str:
+    """DuckDB twin of :func:`shard_manifest` (identical hash arithmetic)."""
+    return f"""
+        SELECT {hash_bucket_sql('doc_id', n_shards)} AS shard,
+               count(*)             AS n_docs,
+               sum(length(text))::bigint AS total_chars,
+               min(doc_id)          AS min_doc_id,
+               max(doc_id)          AS max_doc_id,
+               sum(('0x' || substr(md5(text), 1, 12))::bigint)::bigint
+                   AS content_checksum
+        FROM {table}
+        GROUP BY shard
+        ORDER BY shard
+    """
+
+
+def q68_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-shard export manifest over documents — hash-checked: DuckDB
+    re-derives shard membership AND per-shard content checksums."""
+    return shard_manifest(load_table(spark, sf_dir, "documents"))

@@ -124,3 +124,42 @@ def test_chunk_documents_no_shuffle(spark, sf_smoke):
     df = chunk_documents(load_table(spark, sf_smoke, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_shard_manifest_append_stable_and_detects_corruption(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.operators.packing import shard_manifest
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").cache()
+    base = {r["shard"]: r for r in shard_manifest(docs).collect()}
+    # appending new docs must not move any existing doc between shards:
+    # per-shard counts can only grow
+    appended = docs.union(
+        docs.limit(37).select(
+            (F.col("doc_id") + 100_000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        ).select(docs.columns)
+    )
+    after = {r["shard"]: r for r in shard_manifest(appended).collect()}
+    assert all(after[s]["n_docs"] >= base[s]["n_docs"] for s in base)
+    assert sum(after[s]["n_docs"] for s in after) == sum(
+        base[s]["n_docs"] for s in base
+    ) + 37
+    # flipping one character changes exactly that doc's shard checksum
+    corrupted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 11, F.concat(F.col("text"), F.lit("X"))).otherwise(
+            F.col("text")
+        ),
+    )
+    cafter = {r["shard"]: r for r in shard_manifest(corrupted).collect()}
+    changed = [
+        s for s in base
+        if cafter[s]["content_checksum"] != base[s]["content_checksum"]
+    ]
+    assert len(changed) == 1
+    assert all(
+        cafter[s]["n_docs"] == base[s]["n_docs"] for s in base
+    )
