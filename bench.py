@@ -63,6 +63,10 @@ HEADLINE = [
     "q57_repetition_quality",
     "q58_materialized_sequences",
     "q62_source_mixing",
+    "q63_semantic_dedup",
+    "q64_incremental_rollup",
+    "q66_doc_chunks",
+    "q68_shard_manifest",
 ]
 
 
