@@ -76,6 +76,12 @@ def _stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q38_events_stream_rollup(spark, sf_dir)
 
 
+def _q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import q69_sliding_rollup
+
+    return q69_sliding_rollup(spark, sf_dir)
+
+
 def _media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import q39_media_decode_stats
 
@@ -245,7 +251,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q33_tfidf_top_terms": X.q33_tfidf_top_terms,
     # Document / Mongo-analog path (C1-C9)
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
-    "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
     # Structured Streaming (engine extension, SURVEY.md §2.D)
     "q38_events_stream_rollup": _stream_rollup,
     # Time-series operators (builder-brief custom operators)
@@ -285,6 +290,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q66_doc_chunks": PK.q66_doc_chunks,
     # Content-addressed export shard manifest (commutative checksum)
     "q68_shard_manifest": PK.q68_shard_manifest,
+    # Sliding-window rollup (batch twin; streaming parity in pytest)
+    "q69_sliding_rollup": _q69,
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window): rows-only entries the
     # hash gate can't use, plus oracle entries redundant with checked
@@ -298,8 +305,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q31's quality expression is exercised by the in-window q61 funnel;
     # moved out for q66 (r2-green, still pytest-run)
     "q31_quality_by_source": X.q31_quality_by_source,
-    # doc plane stays window-covered by q36/q37/nl04; q35 moved out for
-    # q68 (r2-green, still pytest-run)
+    # doc plane stays window-covered by q36/nl04; q35/q37 moved out for
+    # q68/q69 (both r2-green, still pytest-run)
+    "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
     "q35_doc_find": DOC.q35_doc_find,
     # q26's exact-hash groupBy is subsumed by q27's normalized dedup;
     # moved out for q64 (r2-green, still pytest-run)
@@ -993,6 +1001,23 @@ ORACLE_SQL: dict[str, str | None] = {
     "q56_sequence_packing": PK.pack_sequences_oracle_sql(),
     "q58_materialized_sequences": PK.materialize_sequences_oracle_sql(),
     "q68_shard_manifest": PK.shard_manifest_oracle_sql(),
+    # Overlap fan-out: each event lands in the 4 sliding windows that
+    # contain it; window starts align to the epoch like Spark's.
+    "q69_sliding_rollup": """
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM (
+          SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - k.k * INTERVAL '15 minutes' AS ws,
+                 event_type, value, ts
+          FROM events, unnest([0, 1, 2, 3]) AS k(k)
+        )
+        WHERE ts < ws + INTERVAL '60 minutes'
+        GROUP BY ws, event_type
+        ORDER BY win_start, event_type
+    """,
     # Slice-for-slice chunk parity: offsets, lengths, and content md5
     # must all match the DuckDB twin.
     "q66_doc_chunks": f"""

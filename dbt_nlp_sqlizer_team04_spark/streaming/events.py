@@ -286,3 +286,47 @@ def click_purchase_interval_join(
         F.unix_micros("purchase_ts").alias("purchase_us"),
         F.round("purchase_value", 2).alias("purchase_value"),
     )
+
+
+def sliding_agg(
+    events: DataFrame,
+    streaming: bool,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Shared SLIDING-window rollup: every event contributes to
+    window/slide overlapping buckets (4 here). Same kappa contract as
+    ``hourly_agg``: one builder for batch backfill and streaming tail;
+    in streaming mode the watermark expires windows past the horizon,
+    so state is bounded by (#event_types × windows-in-horizon ×
+    overlap factor). The oracle re-derives the overlapping buckets by
+    fanning each event out k ∈ [0, window/slide) slides back — the
+    fan-out is the semantic definition of a sliding window, which the
+    Spark operator implements without materializing it per-event."""
+    e = _normalize_ts(events)
+    if streaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q69_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding-window rollup (1h window / 15min slide), ordered;
+    the streaming twin is parity-tested in pytest like q38's."""
+    from ..sources.parquet import load_table
+
+    return sliding_agg(
+        load_table(spark, sf_dir, "events"), streaming=False
+    ).orderBy("win_start", "event_type")

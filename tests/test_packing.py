@@ -132,6 +132,8 @@ def test_shard_manifest_append_stable_and_detects_corruption(spark, sf_smoke):
     from dbt_nlp_sqlizer_team04_spark.operators.packing import shard_manifest
     from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
 
+    # cache is unpersisted at the end: a leaked full-table cache entry
+    # shadows later plans (it broke q50's column-pruning contract test)
     docs = load_table(spark, sf_smoke, "documents").cache()
     base = {r["shard"]: r for r in shard_manifest(docs).collect()}
     # appending new docs must not move any existing doc between shards:
@@ -163,3 +165,4 @@ def test_shard_manifest_append_stable_and_detects_corruption(spark, sf_smoke):
     assert all(
         cafter[s]["n_docs"] == base[s]["n_docs"] for s in base
     )
+    docs.unpersist()

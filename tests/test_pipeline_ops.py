@@ -402,6 +402,7 @@ def test_semantic_dedup_drops_planted_duplicates(spark, sf_check):
     )
     corpus = emb.unionByName(clones.select(emb.columns))
     out = V.semantic_dedup(spark, corpus, threshold=0.95).collect()
+    emb.unpersist()
     by_id = {r["vec_id"]: r for r in out}
     assert len(by_id) == 128
     for vid in [r["vec_id"] for r in emb.select("vec_id").collect()]:
@@ -443,6 +444,7 @@ def test_semantic_dedup_survivors_and_recall(spark, sf_check):
             1 for a, b in exact_pairs if same_comp[a] == same_comp[b]
         )
         assert captured / len(exact_pairs) >= 0.4
+    emb.unpersist()
 
 
 # ------------------------------------------------------------------- PQ
@@ -471,6 +473,8 @@ def test_pq_recall_refine_and_determinism(spark, sf_check):
     }
     for r in V.pq_topk(codes, emb, books, q, k=10, refine=50, exclude_id=0).collect():
         assert abs(r["cosine"] - want[r["vec_id"]]) < 1e-9
+    codes.unpersist()
+    emb.unpersist()
 
 
 # -------------------------------------------------------------- retrieval
@@ -504,3 +508,5 @@ def test_chunk_retrieval_finds_planted_chunk(spark, sf_check):
     # populated bucket — so the bound is < 1.0, not "near zero".)
     noise = retrieve_chunks(vecs, enc, "zzzz qqqq xxxx vvvv", k=1).collect()
     assert not noise or noise[0]["cosine"] < 1.0
+    vecs.unpersist()
+    chunks.unpersist()

@@ -210,3 +210,35 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_smoke, tmp_path):
         q.stop()
     got = sorted(tuple(r) for r in spark.table("t_interval_join").collect())
     assert got == want and got
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_smoke):
+    """Streaming sliding-window rollup (1h/15min) must equal the batch
+    q69 result on the same data — kappa parity for overlapping windows."""
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import (
+        read_events_stream,
+        sliding_agg,
+    )
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import (
+        q69_sliding_rollup,
+    )
+
+    batch = sorted(
+        tuple(r) for r in q69_sliding_rollup(spark, sf_smoke).collect()
+    )
+    q = (
+        sliding_agg(read_events_stream(spark, sf_smoke), streaming=True)
+        .writeStream.format("memory")
+        .queryName("t_sliding_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = sorted(
+        (r["win_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.table("t_sliding_parity").collect()
+    )
+    assert got == batch and got
