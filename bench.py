@@ -79,27 +79,14 @@ def ingest(spark, sf_dir: str) -> None:
     corpus; r2's q28 number (4.8 s) was dominated by re-doing this
     per-query hash work."""
     from dbt_nlp_sqlizer_team04_spark.operators.dedup import (
-        _MINHASH_TABLE_CACHE,
-        _NGRAM_TABLE_CACHE,
-        create_minhash_table,
-        create_ngram_set_table,
+        minhash_table_for,
+        ngram_table_for,
     )
-    from dbt_nlp_sqlizer_team04_spark.operators.similarity import (
-        _IVF_TABLE_CACHE,
-        create_ivf_table,
-    )
-    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import ivf_table_for
 
-    key = (id(spark), sf_dir)
-    _MINHASH_TABLE_CACHE[key] = create_minhash_table(
-        spark, load_table(spark, sf_dir, "documents")
-    )
-    _NGRAM_TABLE_CACHE[key] = create_ngram_set_table(
-        spark, load_table(spark, sf_dir, "documents")
-    )
-    _IVF_TABLE_CACHE[key] = create_ivf_table(
-        spark, load_table(spark, sf_dir, "embeddings")
-    )
+    minhash_table_for(spark, sf_dir)
+    ngram_table_for(spark, sf_dir)
+    ivf_table_for(spark, sf_dir)
 
 
 def main() -> None:

@@ -589,6 +589,31 @@ def q27_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_TABLE_CACHE: dict = {}
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Stable per-corpus suffix for persisted index tables. One FIXED
+    table name across sf_dirs is a correctness trap: warming a query at
+    a small SF rebuilds (DROP + overwrite) the shared table while the
+    per-(session, sf) cache still points the big-SF query at it — the
+    timed/checked run then silently reads the wrong corpus."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def minhash_table_for(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(session, corpus) persisted MinHash signature table name,
+    built on first use — the shared entry point for q28 and bench
+    ingest, so both agree on the per-sf naming."""
+    key = (id(spark), sf_dir)
+    if key not in _MINHASH_TABLE_CACHE:
+        _MINHASH_TABLE_CACHE[key] = create_minhash_table(
+            spark,
+            load_table(spark, sf_dir, "documents"),
+            table_name=f"documents_minhash_{_sf_tag(sf_dir)}",
+        )
+    return _MINHASH_TABLE_CACHE[key]
+
+
 def q28_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs with exact Jaccard ≥ 0.5
     (rows-only: xxhash64 has no DuckDB analog; pytest asserts behavior
@@ -597,12 +622,9 @@ def q28_near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs against the PERSISTED signature table — built once per
     (session, sf) as ingest would; repeat queries skip the k×|shingles|
     hash stage entirely."""
-    key = (id(spark), sf_dir)
-    if key not in _MINHASH_TABLE_CACHE:
-        _MINHASH_TABLE_CACHE[key] = create_minhash_table(
-            spark, load_table(spark, sf_dir, "documents")
-        )
-    return near_dup_pairs_from_signatures(spark.table(_MINHASH_TABLE_CACHE[key]))
+    return near_dup_pairs_from_signatures(
+        spark.table(minhash_table_for(spark, sf_dir))
+    )
 
 
 def q29_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,17 +669,27 @@ def contamination_check(
 _NGRAM_TABLE_CACHE: dict = {}
 
 
+def ngram_table_for(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(session, corpus) persisted shingle-set table name (see
+    ``_sf_tag`` for why the name must be per-sf)."""
+    key = (id(spark), sf_dir)
+    if key not in _NGRAM_TABLE_CACHE:
+        _NGRAM_TABLE_CACHE[key] = create_ngram_set_table(
+            spark,
+            load_table(spark, sf_dir, "documents"),
+            table_name=f"documents_ngram_sets_{_sf_tag(sf_dir)}",
+        )
+    return _NGRAM_TABLE_CACHE[key]
+
+
 def q52_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 pairs (oracle: DuckDB all-pairs over
     the same shingle construction — the filter ladder must lose
     nothing). Runs against the PERSISTED shingle-set table, built once
     per (session, sf) as ingest would."""
-    key = (id(spark), sf_dir)
-    if key not in _NGRAM_TABLE_CACHE:
-        _NGRAM_TABLE_CACHE[key] = create_ngram_set_table(
-            spark, load_table(spark, sf_dir, "documents")
-        )
-    return ngram_jaccard_pairs_from_sets(spark.table(_NGRAM_TABLE_CACHE[key]))
+    return ngram_jaccard_pairs_from_sets(
+        spark.table(ngram_table_for(spark, sf_dir))
+    )
 
 
 def q59_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:

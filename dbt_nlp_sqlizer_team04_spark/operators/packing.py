@@ -194,8 +194,14 @@ def chunk_documents(
     (one empty chunk for an empty text); the trailing chunk may be
     short; ``chunk_md5`` content-addresses each slice.
     """
-    if overlap >= chunk_chars:
-        raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
+    if chunk_chars <= 0:
+        raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    if not 0 <= overlap < chunk_chars:
+        # negative overlap would stride PAST chunk_chars and silently
+        # drop the characters between chunks — data loss, not a layout
+        raise ValueError(
+            f"overlap must be in [0, chunk_chars), got {overlap}"
+        )
     stride = chunk_chars - overlap
     return (
         df.select(
@@ -259,7 +265,7 @@ def shard_manifest(
     """Content-addressed shard manifest for a corpus export: assign each
     document to ``md5(id) % n_shards`` and audit every shard with
     counts, char volume, id range, and a COMMUTATIVE content checksum
-    (sum of each doc's 48-bit md5(text) prefix) — order- and
+    (sum of each doc's 32-bit md5(text) prefix) — order- and
     partitioning-independent, so any engine can re-derive the manifest
     and verify a delivered shard without re-reading its neighbors.
 
@@ -270,8 +276,12 @@ def shard_manifest(
     shuffle of partial aggregates.
     """
     shard = hash_bucket_expr(F.col(id_col), n_shards).alias("shard")
-    # 48-bit prefix: sums of ~1e11 such terms stay far inside int64
-    text_h = F.conv(F.substring(F.md5(text_col), 1, 12), 16, 10).cast("bigint")
+    # 32-bit prefix (avg ~2.1e9): int64 holds the sum up to ~4.3e9 docs
+    # PER SHARD — raise n_shards with the corpus to stay inside. (A
+    # 48-bit prefix overflows at only ~65k docs/shard, far below any
+    # real corpus, and Spark's wrap vs DuckDB's HUGEINT widening would
+    # diverge exactly then.)
+    text_h = F.conv(F.substring(F.md5(text_col), 1, 8), 16, 10).cast("bigint")
     return (
         df.select(
             shard,
@@ -299,7 +309,7 @@ def shard_manifest_oracle_sql(n_shards: int = 32, table: str = "documents") -> s
                sum(length(text))::bigint AS total_chars,
                min(doc_id)          AS min_doc_id,
                max(doc_id)          AS max_doc_id,
-               sum(('0x' || substr(md5(text), 1, 12))::bigint)::bigint
+               sum(('0x' || substr(md5(text), 1, 8))::bigint)::bigint
                    AS content_checksum
         FROM {table}
         GROUP BY shard

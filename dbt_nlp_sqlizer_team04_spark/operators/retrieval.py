@@ -37,8 +37,23 @@ def fit_chunk_encoder(
     text_col: str = "chunk_text",
 ) -> HashingTfidfEncoder:
     """Fit IDF statistics on a bounded chunk sample (driver-side collect
-    of ``sample_n`` texts — the fitted encoder is metadata-sized)."""
-    texts = [r[0] for r in chunks.select(text_col).limit(sample_n).collect()]
+    of ``sample_n`` texts — the fitted encoder is metadata-sized).
+
+    The sample is content-addressed (top-n by md5 of the chunk key via
+    TakeOrderedAndProject), NOT ``limit(n)``: limit takes whatever scan
+    partitions answer first, which on a source-ordered corpus fits the
+    IDF on one source/language; the md5 order is an unbiased,
+    partition-invariant shuffle of the corpus."""
+    texts = [
+        r[0]
+        for r in chunks.select(
+            F.col(text_col),
+            F.md5(F.concat_ws("_", "doc_id", "chunk_id")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_n)
+        .collect()
+    ]
     return HashingTfidfEncoder(dim=dim).fit(texts)
 
 

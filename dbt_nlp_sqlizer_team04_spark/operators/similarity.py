@@ -661,6 +661,23 @@ def q24_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_TABLE_CACHE: dict = {}
 
 
+def ivf_table_for(spark: SparkSession, sf_dir: str) -> str:
+    """Per-(session, corpus) persisted IVF table name, built on first
+    use — shared by q43, q63, and bench ingest. The name is per-sf
+    (``dedup._sf_tag``): one fixed name across sf_dirs lets a warm-up
+    at a small SF DROP+rewrite the table the big-SF query then reads."""
+    from .dedup import _sf_tag
+
+    key = (id(spark), sf_dir)
+    if key not in _IVF_TABLE_CACHE:
+        _IVF_TABLE_CACHE[key] = create_ivf_table(
+            spark,
+            load_table(spark, sf_dir, "embeddings"),
+            table_name=f"embeddings_ivf_{_sf_tag(sf_dir)}",
+        )
+    return _IVF_TABLE_CACHE[key]
+
+
 def q43_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell approximate top-10 of vec_id=0 (rows-only; pytest
     asserts recall vs the exact baseline and cell pruning).
@@ -668,14 +685,9 @@ def q43_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs against the PERSISTED cell-partitioned index — built once per
     (session, sf) the way ingest would build it once per corpus; the
     query itself contains no k-means fit."""
-    key = (id(spark), sf_dir)
-    if key not in _IVF_TABLE_CACHE:
-        _IVF_TABLE_CACHE[key] = create_ivf_table(
-            spark, load_table(spark, sf_dir, "embeddings")
-        )
     q = _query_vector(spark, sf_dir, 0)
     return ivf_topk_prebuilt(spark, q, k=10, exclude_id=0,
-                             table_name=_IVF_TABLE_CACHE[key])
+                             table_name=ivf_table_for(spark, sf_dir))
 
 
 def q25_sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,14 +772,23 @@ def pq_train(
     33(1)): split the (L2-normalized) vector into ``m`` subvectors and
     k-means each subspace to ``k`` centroids.
 
-    Training runs driver-side on a BOUNDED sample (``limit(sample_n)``
-    collect — codebooks are metadata, a few KB; the corpus-sized stages
-    are encode/search below). Seeded Lloyd iterations keep the index
-    deterministic for tests. Returns ``codebooks[m][k][dim/m]``.
+    Training runs driver-side on a BOUNDED sample — codebooks are
+    metadata, a few KB; the corpus-sized stages are encode/search
+    below. The sample is content-addressed (top-n by md5 of the id,
+    TakeOrderedAndProject) rather than ``limit``, which would take the
+    first scan partitions and fit codebooks on a position-biased slice.
+    Seeded Lloyd iterations keep the index deterministic for tests.
+    Returns ``codebooks[m][k][dim/m]``.
     """
     import numpy as np
 
-    rows = df.select(emb_col).limit(sample_n).collect()
+    rows = (
+        df.select(F.col(emb_col), F.md5(F.col("vec_id").cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_n)
+        .select(emb_col)
+        .collect()
+    )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
     n, dim = x.shape
@@ -908,9 +929,6 @@ def q63_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB analog; pytest asserts planted-duplicate removal, survivor
     consistency, and recall vs the exact q53 pair set."""
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
-    if key not in _IVF_TABLE_CACHE:
-        _IVF_TABLE_CACHE[key] = create_ivf_table(spark, emb)
     return semantic_dedup(
-        spark, emb, threshold=0.4, ivf_table=_IVF_TABLE_CACHE[key]
+        spark, emb, threshold=0.4, ivf_table=ivf_table_for(spark, sf_dir)
     )

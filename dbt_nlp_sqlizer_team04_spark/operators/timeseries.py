@@ -380,7 +380,9 @@ def incremental_rollup_merge(
 
 def q64_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correctness contract for incremental maintenance: split events at
-    the median day into history + new arrivals, build the hourly rollup
+    the MEAN timestamp's day into history + new arrivals (mean, not
+    median — the split point only has to be interior, and on skewed
+    event-time data the two partitions will be uneven), build the hourly rollup
     from history, merge ONLY the new partition in — and return the
     merged rollup. The oracle recomputes the same rollup from ALL
     events in one pass; hash equality proves incremental == full.

@@ -510,3 +510,24 @@ def test_chunk_retrieval_finds_planted_chunk(spark, sf_check):
     assert not noise or noise[0]["cosine"] < 1.0
     vecs.unpersist()
     chunks.unpersist()
+
+
+def test_persisted_index_tables_are_per_corpus(spark, sf_smoke, sf_check):
+    """Building an index for one sf_dir must NOT clobber another's:
+    table names are per-corpus (code-review finding: the bench warm-up
+    at a small SF used to DROP+rewrite the shared table the timed
+    big-SF query then read)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.dedup import (
+        minhash_table_for,
+        ngram_table_for,
+    )
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import ivf_table_for
+
+    other = "/root/testdata/sf0.01" if sf_smoke == sf_check else sf_check
+    for fn in (ivf_table_for, minhash_table_for, ngram_table_for):
+        a = fn(spark, sf_smoke)
+        b = fn(spark, other)
+        assert a != b, fn.__name__
+        # both remain readable after the second build
+        assert spark.table(a).count() > 0
+        assert spark.table(b).count() > 0
