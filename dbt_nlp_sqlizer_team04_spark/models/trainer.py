@@ -24,6 +24,7 @@ Behavioral port of the reference trainer
 from __future__ import annotations
 
 import json
+import logging
 import os
 from dataclasses import dataclass, field
 
@@ -150,7 +151,11 @@ def llm_training_examples(
         resp = chat(
             "You are a helpful assistant that generates training data.", prompt
         )
-    except (LLMNotConfigured, Exception):  # noqa: BLE001
+    except (LLMNotConfigured, OSError, TimeoutError, RuntimeError) as exc:
+        # Only the failure modes the reference's ladder tolerates fall
+        # through to templates (unconfigured client, network errors);
+        # programming errors in an injected ``chat`` double propagate.
+        logging.getLogger(__name__).debug("LLM training data unavailable: %s", exc)
         return None
     m = re.search(r"\[.*\]", resp, re.DOTALL)
     if not m:

@@ -696,10 +696,10 @@ def q59_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination sweep: docs sharing ≥ 5 shingles with a 3-probe
     "benchmark" (probe texts = documents 0-2, so each probe flags its
     own source plus any near-copies). Oracle: DuckDB all-pairs
-    list_intersect over the same shingle construction."""
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = ngram_sets(docs)
-    probes = ngram_sets(docs.where(F.col("doc_id") < 3))
+    list_intersect over the same shingle construction. Both sides read
+    the ingest-persisted shingle table (same artifact as q52/q61)."""
+    corpus = spark.table(ngram_table_for(spark, sf_dir))
+    probes = corpus.where(F.col("id") < 3)
     return contamination_check(corpus, probes)
 
 

@@ -71,6 +71,7 @@ def corpus_funnel(
     max_dup_frac: float = DUP_FRAC_MAX,
     min_overlap: int = CONTAM_MIN_OVERLAP,
     n_probes: int = 3,
+    probe_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Cumulative-survival report ``(stage_idx, stage, n_kept)`` for the
     five-stage curation funnel. Canonical selection and contamination
@@ -78,6 +79,11 @@ def corpus_funnel(
     each flag is independent of stage order and the report stays
     reproducible under reordering; the cumulative conjunction imposes
     the pipeline order at report time only.
+
+    ``probe_sets`` (an ``(id, grams)`` frame) lets the caller supply the
+    benchmark probes from the ingest-persisted shingle table (the q52/
+    q59 story); when omitted, probes are the first ``n_probes`` corpus
+    docs' inline-derived shingle sets.
     """
     t = F.col("text")
     base = docs.select(
@@ -93,8 +99,10 @@ def corpus_funnel(
         F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("__h")),
     )
     sets = base.select(F.col("doc_id").alias("id"), F.col("__grams").alias("grams"))
+    if probe_sets is None:
+        probe_sets = sets.where(F.col("id") < n_probes)
     dirty = (
-        contamination_check(sets, sets.where(F.col("id") < n_probes), min_overlap)
+        contamination_check(sets, probe_sets, min_overlap)
         .select("doc_id")
         .distinct()
         .withColumn("f_dirty", F.lit(True))
@@ -132,5 +140,14 @@ def corpus_funnel(
 
 def q61_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five-stage curation funnel over ``documents`` (oracle: DuckDB
-    CTE chain over the identical signal definitions)."""
-    return corpus_funnel(load_table(spark, sf_dir, "documents"))
+    CTE chain over the identical signal definitions). Probe shingles
+    come from the ingest-persisted shingle table — the same artifact
+    q52/q59 query — not an inline re-derivation."""
+    from .dedup import ngram_table_for
+
+    probes = spark.table(ngram_table_for(spark, sf_dir)).where(
+        F.col("id") < 3
+    )
+    return corpus_funnel(
+        load_table(spark, sf_dir, "documents"), probe_sets=probes
+    )

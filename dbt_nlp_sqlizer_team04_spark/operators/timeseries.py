@@ -386,8 +386,17 @@ def q64_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from history, merge ONLY the new partition in — and return the
     merged rollup. The oracle recomputes the same rollup from ALL
     events in one pass; hash equality proves incremental == full.
+
+    Values are summed as DECIMAL(30,9), not double: the merge path adds
+    (history partial + arrivals partial) in a different order than the
+    oracle's single pass, and double addition is order-sensitive near a
+    rounding boundary. The testdata values are 2-decimal, so the
+    double→decimal cast is exact and identical in both engines, and
+    decimal addition is associative — merged == rebuilt bit-for-bit.
     """
-    e = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    e = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("decimal(30,9)").alias("value")
+    )
     split_day = e.select(
         F.date_trunc("day", F.expr("timestamp_micros(cast(avg(unix_micros(ts)) as long))"))
     ).first()[0]
@@ -406,6 +415,6 @@ def q64_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
         "n",
-        F.round("sum_v", 2).alias("sum_value"),
-        F.round(F.col("sum_v") / F.col("n"), 4).alias("avg_value"),
+        F.round(F.col("sum_v").cast("double"), 2).alias("sum_value"),
+        F.round(F.col("sum_v").cast("double") / F.col("n"), 4).alias("avg_value"),
     ).orderBy("hour_start", "event_type")

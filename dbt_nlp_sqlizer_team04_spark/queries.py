@@ -50,6 +50,18 @@ _PII_COUNTS = ",\n               ".join(
     for _name, _pat, _tok in X.PII_PATTERNS
 )
 
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine mirroring the Spark side's zero-norm convention
+    (operators/similarity.py:59 cosine_expr → 0.0, not NaN/error): the
+    engines must stay value-identical even if a zero vector enters the
+    corpus."""
+    return (
+        f"CASE WHEN list_dot_product({a}, {a}) = 0"
+        f"       OR list_dot_product({b}, {b}) = 0 THEN 0.0"
+        f"     ELSE list_cosine_similarity({a}, {b}) END"
+    )
+
 # ---------------------------------------------------------------------------
 # NL2SQL end-to-end entries: the full pipeline (schema crawl → fuzzy link →
 # intent → template candidates → safety gates → Spark SQL) run on a fixed
@@ -618,8 +630,9 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                event_type,
                count(*) AS n,
-               round(sum(value), 2) AS sum_value,
-               round(sum(value) / count(*), 4) AS avg_value
+               round(sum(CAST(value AS DECIMAL(30,9)))::DOUBLE, 2) AS sum_value,
+               round(sum(CAST(value AS DECIMAL(30,9)))::DOUBLE / count(*), 4)
+                   AS avg_value
         FROM events
         GROUP BY hour_start, event_type
         ORDER BY hour_start, event_type
@@ -657,10 +670,10 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     # -------------------------------------------------- similarity search
-    "q23_cosine_topk": """
+    "q23_cosine_topk": f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
-               round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cosine
+               round({_cos_sql("embedding::DOUBLE[]", "qe")}, 6) AS cosine
         FROM embeddings, q
         WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id
@@ -668,14 +681,14 @@ ORACLE_SQL: dict[str, str | None] = {
     """,
     "q24_ann_lsh_topk": None,  # LSH bucketing: rows-only (pytest checks recall)
     "q43_ann_ivf_topk": None,  # IVF k-means cells: rows-only (pytest checks recall)
-    "q25_sim_pairs_blocked": """
+    "q25_sim_pairs_blocked": f"""
         SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                            b.embedding::DOUBLE[]), 6) AS cosine
+               round({_cos_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")},
+                     6) AS cosine
         FROM embeddings a
         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                           b.embedding::DOUBLE[]), 6) >= 0.25
+        WHERE round({_cos_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")},
+                    6) >= 0.25
         ORDER BY id_a, id_b
     """,
     # --------------------------------------------------------------- dedup
@@ -946,14 +959,14 @@ ORACLE_SQL: dict[str, str | None] = {
     """,
     # All-pairs reference for the block-cross tile plan (same round-6
     # convention as q25).
-    "q53_cosine_near_dup_pairs": """
+    "q53_cosine_near_dup_pairs": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                            b.embedding::DOUBLE[]), 6) AS cosine
+               round({_cos_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")},
+                     6) AS cosine
         FROM embeddings a
         JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                           b.embedding::DOUBLE[]), 6) >= 0.4
+        WHERE round({_cos_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")},
+                    6) >= 0.4
         ORDER BY id_a, id_b
     """,
     "q54_pii_scrub_stats": f"""

@@ -70,3 +70,24 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_event_time_confs(spark: SparkSession) -> None:
+    """Pin the two session confs event-time correctness depends on.
+
+    ``get_spark`` sets both at build time; sessions the engine does NOT
+    own (the driver harness builds its own) arrive unpinned, so every
+    events entry point — batch ``load_table`` and streaming
+    ``read_events_stream`` — funnels through this one function instead
+    of mutating confs ad hoc. UTC is part of the engine contract for
+    event timestamps: the NTZ→timestamp normalization reinterprets the
+    naive wall clock in the session timezone, and the DuckDB oracles'
+    ``strftime``/``epoch_us`` render instants as UTC, so a non-UTC
+    session would silently shift every formatted bucket boundary.
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        # TIMESTAMP(NANOS) is rejected by the vectorized reader; read raw
+        # nanos and let the loaders truncate to micros (DuckDB-identical).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -43,24 +43,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects; we read it as raw nanos
-    (``nanosAsLong``, set in session.py's factory) and truncate to
-    microseconds — the same truncation DuckDB applies, so both engines
-    see identical values. For sessions not built by ``get_spark`` (e.g.
-    the driver harness) the conf is set here once, narrowly, before the
-    only read that needs it.
+    (``nanosAsLong``) and truncate to microseconds — the same truncation
+    DuckDB applies, so both engines see identical values. For sessions
+    not built by ``get_spark`` (e.g. the driver harness) the event-time
+    confs are pinned via the one shared setup path,
+    ``session.ensure_event_time_confs`` — the streaming reader applies
+    the same guard.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    if name == "events" and spark.conf.get(key, "false") != "true":
-        spark.conf.set(key, "true")
-    if name == "events" and spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        # the NTZ→timestamp normalization below reinterprets the naive
-        # wall-clock in the session timezone; the engine contract (and
-        # the DuckDB oracle's epoch_us) treats event timestamps as UTC,
-        # so pin it for driver-owned sessions that didn't use get_spark
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        from ..session import ensure_event_time_confs
+
+        ensure_event_time_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: `/` promotes to double, and nanos-since-epoch

@@ -108,7 +108,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..session import ensure_event_time_confs
+
+    ensure_event_time_confs(spark)
     stage = _STAGE_DIRS.get(sf_dir)
     if stage is None or not os.path.isdir(stage):
         import atexit

@@ -4,6 +4,8 @@ oracle can't hash-check (xxhash64/LSH have no DuckDB analog)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -523,7 +525,12 @@ def test_persisted_index_tables_are_per_corpus(spark, sf_smoke, sf_check):
     )
     from dbt_nlp_sqlizer_team04_spark.operators.similarity import ivf_table_for
 
-    other = "/root/testdata/sf0.01" if sf_smoke == sf_check else sf_check
+    if sf_smoke == sf_check:
+        other = "/root/testdata/sf0.01"
+        if not os.path.isdir(other):
+            pytest.skip("only one SF fixture dir available")
+    else:
+        other = sf_check
     for fn in (ivf_table_for, minhash_table_for, ngram_table_for):
         a = fn(spark, sf_smoke)
         b = fn(spark, other)
