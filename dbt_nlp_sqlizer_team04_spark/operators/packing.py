@@ -20,15 +20,21 @@ one larger than capacity) always occupies its current sequence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
-from .dedup import tokens_expr
 from .sampling import hash_bucket_expr, hash_bucket_sql
+from .text import BPE_PATTERN, bpe_token_count_expr
 
 DEFAULT_CAPACITY = 512
 DEFAULT_SHARDS = 8
+
+# DuckDB twin of text.bpe_token_count_expr — the same regex q30
+# hash-matches, so the packing budget counts what a real tokenizer
+# splits on (runs of letters / digits / single punctuation marks), not
+# whitespace words (~1.3-2x fewer, which would silently over-pack).
+BPE_TOKENS_SQL = f"len(regexp_extract_all(text, '{BPE_PATTERN}', 0))"
 
 
 def pack_sequences(
@@ -37,15 +43,24 @@ def pack_sequences(
     n_shards: int = DEFAULT_SHARDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_expr: Column | None = None,
 ) -> DataFrame:
     """(doc_id, shard, seq_id, n_tokens): greedy packing of documents
-    into ≤ capacity-token sequences, per content-addressed shard."""
+    into ≤ capacity-token sequences, per content-addressed shard.
+
+    ``count_expr`` is the per-document token count the budget is charged
+    against; it defaults to the BPE-ish regex count (``text.py``'s
+    ``bpe_token_count_expr``) so the capacity means real-tokenizer
+    tokens. Pass a precomputed column (e.g. from an ingest table) to
+    skip the regex, or a different counter for another tokenizer."""
     import pandas as pd  # noqa: PLC0415
 
+    if count_expr is None:
+        count_expr = bpe_token_count_expr(F.col(text_col))
     src = df.select(
         F.col(id_col).alias("doc_id"),
         hash_bucket_expr(F.col(id_col), n_shards).cast("int").alias("shard"),
-        F.size(tokens_expr(F.col(text_col))).cast("long").alias("n_tokens"),
+        count_expr.cast("long").alias("n_tokens"),
     )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -74,7 +89,7 @@ def pack_sequences(
 def pack_sequences_oracle_sql(
     capacity: int = DEFAULT_CAPACITY,
     n_shards: int = DEFAULT_SHARDS,
-    tokens_sql: str = "len(string_split_regex(trim(lower(text)), '\\s+'))",
+    tokens_sql: str = BPE_TOKENS_SQL,
 ) -> str:
     """DuckDB twin: the same greedy rule as a recursive CTE stepping
     through each shard in doc_id order."""
