@@ -50,6 +50,8 @@ ABBREVIATIONS: dict[str, str] = {
     "cnt": "count", "tel": "telephone", "dept": "department", "emp": "employee",
     "mgr": "manager", "pos": "position", "loc": "location", "cat": "category",
     "prod": "product", "inv": "invoice", "pymt": "payment", "shipdt": "ship date",
+    "char": "character", "chars": "characters", "lang": "language",
+    "props": "properties", "ts": "time stamp",
 }
 
 # Word lexicon for greedy segmentation of glued identifiers

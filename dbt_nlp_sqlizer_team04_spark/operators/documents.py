@@ -345,6 +345,52 @@ def flatten_for_display(df: DataFrame) -> DataFrame:
     return df.select(*out)
 
 
+def crawl_document_schema(store: DocumentStore, sample_size: int = 100):
+    """DocumentStore → SchemaMetadata adapter — the uniform-crawl bridge
+    that lets the document plane feed the SAME trainer/semantic-linker
+    as the relational plane (mongodb_adapter.py:227-295 behavior:
+    collections become tables, ``_id`` is marked primary key when
+    present :265-268, field types come from the sampled collection
+    schema :252-270, sample rows are stringified where non-scalar
+    :272-284, and synonyms are mined with the same miner as the SQL
+    crawl :296-304).
+
+    Driver-side metadata work: per collection one bounded sample + one
+    count — never a full scan, so it is as cheap at 100 TB as at 100 MB.
+    """
+    from ..catalog.metadata import ColumnInfo, SchemaMetadata, TableInfo
+    from .profiler import extract_synonyms
+
+    meta = SchemaMetadata()
+    for name in store.list_collections():
+        cs = store.collection_schema(name, sample_size=sample_size)
+        info = TableInfo(name)
+        info.row_count = int(cs.get("row_count", 0))
+        for col in cs["columns"]:
+            ci = ColumnInfo(
+                name=col["name"],
+                type_str=col["type"],
+                nullable=bool(col.get("nullable", True)),
+            )
+            if col["name"] == "_id":
+                ci.is_primary_key = True
+                info.primary_key = ["_id"]
+            info.columns.append(ci)
+        for row in store.collection(name).limit(sample_size).collect():
+            info.sample_rows.append(
+                {
+                    k: (v if isinstance(v, (int, float, str, bool)) or v is None
+                        else str(v))
+                    for k, v in row.asDict().items()
+                }
+            )
+        meta.tables[name] = info
+    # Mongo declares no FK graph; relationships stay empty (reference
+    # parity) and synonyms use the shared miner.
+    meta.synonyms = extract_synonyms(meta)
+    return meta
+
+
 def parse_query_json(text: str) -> dict:
     """Tolerant JSON extraction (nl2mongo.py:86-112): strip fences, fall
     back to the first JSON object found in prose."""

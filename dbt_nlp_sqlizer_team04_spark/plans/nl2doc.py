@@ -58,11 +58,37 @@ def select_relevant_collections(
     return out
 
 
-class NL2DocEngine:
-    """Question → query dict → DataFrame over a DocumentStore."""
+_NUMERIC_TYPE_SUBSTR = ("int", "long", "float", "double", "decimal", "bigint")
+_AGG_ACCUMULATORS = {"AVG": "$avg", "SUM": "$sum", "MAX": "$max", "MIN": "$min"}
 
-    def __init__(self, store: DocumentStore):
+
+class NL2DocEngine:
+    """Question → query dict → DataFrame over a DocumentStore.
+
+    With a trained :class:`SchemaModel` attached (built from
+    ``crawl_document_schema``'s uniform SchemaMetadata — the
+    mongodb_adapter.py:227-295 bridge), linking goes SEMANTIC-first with
+    fuzzy fallback, exactly like the relational engine: the reference
+    trains one model over both planes because the Mongo adapter emits
+    the same metadata shape (routes_models.py trains on either dialect).
+    Without a model, the fuzzy/template ladder is unchanged.
+    """
+
+    def __init__(self, store: DocumentStore, model=None):
         self.store = store
+        self.model = model
+        self._linker = None
+        self._col_scores: dict[str, dict[str, float]] = {}
+        if model is not None:
+            from ..models.inference import SemanticLinker
+
+            self._linker = SemanticLinker(model)
+
+    def attach_model(self, model) -> None:
+        from ..models.inference import SemanticLinker
+
+        self.model = model
+        self._linker = SemanticLinker(model)
 
     def _schema(self) -> dict[str, list[str]]:
         return {
@@ -70,25 +96,107 @@ class NL2DocEngine:
             for name in self.store.list_collections()
         }
 
+    # --------------------------------------------------------- linking
+    def _relevant(self, question: str) -> dict[str, list[str]]:
+        """Linking ladder (mirror of NL2SQLEngine._relevant): trained
+        semantic tier when a model is attached — restricted to actually
+        registered collections — else, or when it finds nothing, the
+        fuzzy tier. Stashes raw per-field cosines so the template tier
+        can rank fields on semantic evidence."""
+        self._col_scores = {}
+        schema = self._schema()
+        if self._linker is not None:
+            rel = self._linker.relevant(question)
+            self._col_scores = rel.column_scores()
+            slice_ = {
+                t: cols for t, cols in rel.as_slice().items() if t in schema
+            }
+            if slice_:
+                return slice_
+        return select_relevant_collections(schema, question)
+
+    def _field_score(self, coll: str, name: str, question: str) -> float:
+        """Fuzzy score blended with trained-cosine evidence — same
+        weights as the relational engine's _column_score (trained cosine
+        primary, character fuzz halved to a tie-breaker)."""
+        fuzzy = partial_ratio(name, question)
+        if self.model is not None:
+            for syn in self.model.metadata.synonyms.get(name, []):
+                fuzzy = max(fuzzy, partial_ratio(syn, question))
+        scores = self._col_scores.get(coll)
+        if scores:
+            return 0.5 * fuzzy + 100.0 * max(scores.get(name, 0.0), 0.0)
+        return fuzzy
+
+    def _is_numeric(self, coll: str, name: str) -> bool:
+        """Typed-measure gate — only possible when crawled metadata is
+        attached (the fuzzy tier sees bare column names, like the
+        reference's model-less Mongo path)."""
+        if self.model is None:
+            return True
+        info = self.model.metadata.tables.get(coll)
+        if info is None:
+            return True
+        for c in info.columns:
+            if c.name == name:
+                t = c.type_str.lower()
+                return any(s in t for s in _NUMERIC_TYPE_SUBSTR)
+        return False
+
     # ------------------------------------------------------- candidates
     def template_query(self, question: str) -> dict:
         """Deterministic template tier: intent-compiled query dicts."""
         schema = self._schema()
-        relevant = select_relevant_collections(schema, question)
+        relevant = self._relevant(question)
         if not relevant:
             raise ValueError("no collections registered")
         coll = next(iter(relevant))
         fields = schema[coll]
         analysis = analyze_query_intent(question, relevant)
 
-        def best_field(exclude_id: bool = True) -> str | None:
-            cands = [f for f in fields if not (exclude_id and f.endswith("id"))]
+        def best_field(
+            exclude_id: bool = True,
+            numeric: bool | None = None,
+            exclude: str | None = None,
+        ) -> str | None:
+            cands = [
+                f
+                for f in fields
+                if not (exclude_id and f.endswith("id"))
+                and f != exclude
+                and (numeric is None or self._is_numeric(coll, f) == numeric)
+            ]
             if not cands:
                 return None
             # ties (a short name fully contained in the question) break
             # toward the longer, more specific field name
-            return max(cands, key=lambda f: (partial_ratio(f, question), len(f)))
+            return max(
+                cands, key=lambda f: (self._field_score(coll, f, question), len(f))
+            )
 
+        acc = _AGG_ACCUMULATORS.get(analysis.agg_func or "")
+        if acc is not None:
+            # AVG/SUM/MAX/MIN over a measure field ($group accumulators,
+            # nl2mongo dialect); measure is type-gated when metadata is
+            # attached — the model-less tier has only names to go on.
+            measure = best_field(numeric=True)
+            if measure is not None:
+                alias = f"{analysis.agg_func.lower()}_{measure}"
+                if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents:
+                    g = best_field(exclude=measure)
+                    return {
+                        "collection": coll,
+                        "pipeline": [
+                            {"$group": {"_id": f"${g}", alias: {acc: f"${measure}"}}},
+                            {"$sort": {"_id": 1}},
+                        ],
+                    }
+                return {
+                    "collection": coll,
+                    "pipeline": [
+                        {"$group": {"_id": None, alias: {acc: f"${measure}"}}}
+                    ],
+                }
         if analysis.agg_func == "COUNT" or QueryIntent.AGGREGATION in analysis.all_intents:
             if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents:
                 g = best_field()

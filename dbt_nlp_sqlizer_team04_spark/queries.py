@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import dedup as D
 from .operators import documents as DOC
@@ -162,6 +163,52 @@ def _nl2doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_TRAINED_DOC_CACHE: dict = {}
+
+
+def _trained_doc_engine_for(spark: SparkSession, sf_dir: str):
+    """NL2Doc engine with the trained semantic linker attached — the
+    document-plane twin of _trained_engine_for, fed by the uniform
+    DocumentStore → SchemaMetadata crawl (mongodb_adapter.py:227-295
+    parity) so ONE trainer covers both planes."""
+    key = (id(spark), sf_dir)
+    eng = _TRAINED_DOC_CACHE.get(key)
+    if eng is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from .models.trainer import ModelTrainer
+        from .operators.documents import DocumentStore, crawl_document_schema
+        from .plans.nl2doc import NL2DocEngine
+        from .sources.parquet import load_table
+
+        store = DocumentStore(spark)
+        store.register("documents", load_table(spark, sf_dir, "documents"))
+        store.register("events", load_table(spark, sf_dir, "events"))
+        meta = crawl_document_schema(store, sample_size=5)
+        model_dir = tempfile.mkdtemp(prefix="doc_schema_model_")
+        atexit.register(shutil.rmtree, model_dir, ignore_errors=True)
+        model = ModelTrainer(model_dir).train(meta)
+        eng = NL2DocEngine(store, model=model)
+        _TRAINED_DOC_CACHE[key] = eng
+    return eng
+
+
+def _nl11_trained_doc_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-model NL2Doc pipeline on a synonym-phrased question the
+    fuzzy tier fails: no document field contains 'characters', so the
+    fuzzy tier aggregates the string field `source` and groups by
+    `n_chars`; the trained tier bridges characters→n_chars (abbreviation
+    expansion) and type-gates the measure via the crawled metadata —
+    the nl09 scenario on the document plane. Float avg rounded for a
+    stable hash (q36 convention)."""
+    df, _q = _trained_doc_engine_for(spark, sf_dir).ask(
+        "average characters per source of documents"
+    )
+    return df.select("_id", F.round("avg_n_chars", 4).alias("avg_n_chars"))
+
+
 _TRAINED_CACHE: dict = {}
 
 
@@ -240,6 +287,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     ),
     # NL2Doc pipeline end-to-end (deterministic template tier, no LLM)
     "nl04_doc_count_per_type": _nl2doc_count,
+    # Trained-model NL2Doc path (uniform document-plane crawl feeding
+    # the same trainer; the fuzzy tier fails this synonym phrasing)
+    "nl11_trained_doc_avg_chars": _nl11_trained_doc_avg,
     # Relational SQL surface (B1-B17)
     "q01_pricing_summary": R.q01_pricing_summary,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
@@ -653,6 +703,12 @@ ORACLE_SQL: dict[str, str | None] = {
     "nl04_doc_count_per_type": """
         SELECT event_type AS _id, count(*) AS n
         FROM events GROUP BY _id ORDER BY _id
+    """,
+    # Gold query for the trained document-plane pipeline (nl09 pattern:
+    # 'characters' names no field; the trained linker must reach n_chars)
+    "nl11_trained_doc_avg_chars": """
+        SELECT source AS _id, round(avg(n_chars), 4) AS avg_n_chars
+        FROM documents GROUP BY _id ORDER BY _id
     """,
     "q48_cube_status_priority": """
         SELECT o_orderstatus, o_orderpriority,

@@ -228,3 +228,78 @@ def test_include_projection_keeps_id(spark):
     # no _id column → unchanged behavior
     fx2 = spark.createDataFrame([(1, "a")], "doc_id int, name string")
     assert apply_projection(fx2, {"name": 1}).columns == ["name"]
+
+
+# ------------------------------------------------ uniform crawl adapter
+def test_crawl_document_schema_adapter(spark, store):
+    """DocumentStore → SchemaMetadata (mongodb_adapter.py:227-295
+    parity): collections as tables, _id marked PK when present, sampled
+    field types, synonyms mined, JSON round-trip like the SQL crawl."""
+    from dbt_nlp_sqlizer_team04_spark.catalog.metadata import SchemaMetadata
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        crawl_document_schema,
+    )
+
+    s = DocumentStore(spark)
+    for name in store.list_collections():
+        s.register(name, store.collection(name))
+    s.register_json(
+        "users",
+        [json.dumps({"_id": i, "name": f"u{i}", "age": 20 + i}) for i in range(5)],
+    )
+    meta = crawl_document_schema(s, sample_size=5)
+    assert set(meta.tables) == {"documents", "events", "users"}
+    users = meta.tables["users"]
+    assert users.primary_key == ["_id"]
+    assert next(c for c in users.columns if c.name == "_id").is_primary_key
+    docs = meta.tables["documents"]
+    assert {c.name for c in docs.columns} == {
+        "doc_id", "text", "lang", "source", "n_chars",
+    }
+    n_chars = next(c for c in docs.columns if c.name == "n_chars")
+    assert "int" in n_chars.type_str.lower()
+    assert docs.row_count > 0 and docs.sample_rows
+    assert "chars" in meta.synonyms.get("n_chars", [])
+    rt = SchemaMetadata.from_json(meta.to_json())
+    assert set(rt.tables) == set(meta.tables)
+    assert rt.tables["users"].primary_key == ["_id"]
+
+
+def test_doc_semantic_linking_beats_fuzzy(spark, store, tmp_path):
+    """The nl09 scenario on the document plane: 'characters' names no
+    field, so the fuzzy tier aggregates the string field `source` and
+    groups by `n_chars`; the trained tier (uniform crawl → same trainer)
+    bridges characters→n_chars and type-gates the measure."""
+    from dbt_nlp_sqlizer_team04_spark.models.trainer import ModelTrainer
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        crawl_document_schema,
+    )
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    question = "average characters per source of documents"
+    meta = crawl_document_schema(store, sample_size=5)
+    model = ModelTrainer(str(tmp_path)).train(meta, use_llm=False)
+
+    fuzzy_q = NL2DocEngine(store).template_query(question)
+    sem_eng = NL2DocEngine(store, model=model)
+    sem_q = sem_eng.template_query(question)
+    # fuzzy latches onto the verbatim 'source' as the measure — wrong
+    fuzzy_group = fuzzy_q["pipeline"][0]["$group"]
+    assert "$avg" in str(fuzzy_group) and "$source" in str(fuzzy_group)
+    # trained tier: group by source, avg over the numeric n_chars
+    sem_group = sem_q["pipeline"][0]["$group"]
+    assert sem_group["_id"] == "$source"
+    assert sem_group["avg_n_chars"] == {"$avg": "$n_chars"}
+    # end-to-end: matches the direct DataFrame aggregate
+    got = {
+        (r["_id"], round(r["avg_n_chars"], 4))
+        for r in sem_eng.ask(question)[0].collect()
+    }
+    want = {
+        (r["source"], round(r["avg"], 4))
+        for r in store.collection("documents")
+        .groupBy("source")
+        .agg(F.avg("n_chars").alias("avg"))
+        .collect()
+    }
+    assert got == want
