@@ -68,6 +68,12 @@ HEADLINE = [
     "q66_doc_chunks",
     "q68_shard_manifest",
     "q69_sliding_rollup",
+    # r4: the previously-untimed heavy operators (range join, iterative
+    # closure, curation funnel, chunk retrieval)
+    "q46_range_join_nearby",
+    "q60_dup_clusters",
+    "q61_corpus_funnel",
+    "q67_chunk_retrieval",
 ]
 
 
@@ -87,6 +93,7 @@ def ingest(spark, sf_dir: str) -> None:
     minhash_table_for(spark, sf_dir)
     ngram_table_for(spark, sf_dir)
     ivf_table_for(spark, sf_dir)
+    ivf_table_for(spark, sf_dir, n_probe_assign=2)  # q63's 2-probe index
 
 
 def main() -> None:

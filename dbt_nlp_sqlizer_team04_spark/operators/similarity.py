@@ -351,15 +351,25 @@ def ivf_index(
     seed: int = LSH_SEED,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_probe_assign: int = 1,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF (inverted-file) index: k-means cells over the corpus.
 
-    Returns (assignments DataFrame with a ``cell`` column, centroid
-    list). At scale the assignment is computed once at ingest and the
-    table is written partitioned/bucketed BY ``cell`` — a query then
-    reads only the probed cells (partition pruning), which is the IVF
-    win over LSH's row-filter candidate test. Seeded k-means keeps the
-    index deterministic for tests.
+    Returns (assignments DataFrame with ``probe_rank``/``cell`` columns,
+    centroid list). At scale the assignment is computed once at ingest
+    and the table is written partitioned/bucketed BY ``cell`` — a query
+    then reads only the probed cells (partition pruning), which is the
+    IVF win over LSH's row-filter candidate test. Seeded k-means keeps
+    the index deterministic for tests.
+
+    ``n_probe_assign`` > 1 writes each vector into its N nearest cells
+    (``probe_rank`` 0 = nearest; the multi-assignment analog of FAISS's
+    query-side multi-probe): consumers that need the corpus exactly once
+    filter ``probe_rank = 0``; consumers doing IN-CELL pair generation
+    (SemDeDup) read all ranks so near-dup pairs split across a cell
+    boundary still co-occur somewhere. Storage and Σ|cell|² pair cost
+    scale linearly with N — N=2 is the recall/cost sweet spot the
+    SemDeDup follow-ups use.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -372,8 +382,44 @@ def ivf_index(
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
     ).fit(feat)
-    assigned = model.transform(feat).select(id_col, emb_col, "cell")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    if n_probe_assign <= 1:
+        assigned = model.transform(feat).select(
+            id_col, emb_col, F.lit(0).alias("probe_rank"), "cell"
+        )
+        return assigned, centroids
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    n_assign = min(n_probe_assign, len(centroids))
+    cmat = np.asarray(centroids, dtype=np.float64)          # (k, d) — tiny
+    c_sq = (cmat * cmat).sum(axis=1)
+    id_type = df.schema[id_col].dataType.simpleString()
+    emb_type = df.schema[emb_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {emb_col} {emb_type}, probe_rank int, cell int"
+
+    def assign(batches):
+        # one BLAS matmul per Arrow batch: squared Euclidean to every
+        # centroid, stable argsort → N nearest cells per vector
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c_sq[None, :]
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_assign]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_assign),
+                    emb_col: [v for v in pdf[emb_col] for _ in range(n_assign)],
+                    "probe_rank": np.tile(
+                        np.arange(n_assign, dtype=np.int32), len(pdf)
+                    ),
+                    "cell": order.ravel().astype(np.int32),
+                }
+            )
+
+    assigned = df.select(id_col, emb_col).mapInPandas(assign, out_schema)
     return assigned, centroids
 
 
@@ -386,6 +432,7 @@ def create_ivf_table(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     overwrite: bool = True,
+    n_probe_assign: int = 1,
 ) -> str:
     """ONE-TIME ingest step: fit the IVF index and persist the cell
     assignments as a table PARTITIONED BY ``cell`` (plus a tiny
@@ -406,7 +453,9 @@ def create_ivf_table(
             loc = os.path.join(warehouse, t)
             if os.path.exists(loc):
                 shutil.rmtree(loc)
-    assigned, centroids = ivf_index(df, n_cells, seed, id_col, emb_col)
+    assigned, centroids = ivf_index(
+        df, n_cells, seed, id_col, emb_col, n_probe_assign
+    )
     (
         assigned.repartition("cell")
         .write.partitionBy("cell")
@@ -471,6 +520,10 @@ def ivf_topk_prebuilt(
     }
     probe = _rank_cells(query_vec, centroids)[:n_probe]
     cand = spark.table(table_name).filter(F.col("cell").isin(probe))
+    if "probe_rank" in cand.columns:
+        # a multi-assigned table repeats vectors across cells; the ANN
+        # candidate set wants each vector at most once
+        cand = cand.filter(F.col("probe_rank") == 0)
     return _topk_in_cells(cand, query_vec, k, id_col, emb_col, exclude_id)
 
 
@@ -661,19 +714,25 @@ def q24_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_TABLE_CACHE: dict = {}
 
 
-def ivf_table_for(spark: SparkSession, sf_dir: str) -> str:
-    """Per-(session, corpus) persisted IVF table name, built on first
-    use — shared by q43, q63, and bench ingest. The name is per-sf
+def ivf_table_for(
+    spark: SparkSession, sf_dir: str, n_probe_assign: int = 1
+) -> str:
+    """Per-(session, corpus, N-probe) persisted IVF table name, built on
+    first use — shared by q43, q63, and bench ingest. The name is per-sf
     (``dedup._sf_tag``): one fixed name across sf_dirs lets a warm-up
-    at a small SF DROP+rewrite the table the big-SF query then reads."""
+    at a small SF DROP+rewrite the table the big-SF query then reads;
+    the multi-assigned variant gets its own ``_pN`` name for the same
+    reason."""
     from .dedup import _sf_tag
 
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, n_probe_assign)
     if key not in _IVF_TABLE_CACHE:
+        suffix = f"_p{n_probe_assign}" if n_probe_assign > 1 else ""
         _IVF_TABLE_CACHE[key] = create_ivf_table(
             spark,
             load_table(spark, sf_dir, "embeddings"),
-            table_name=f"embeddings_ivf_{_sf_tag(sf_dir)}",
+            table_name=f"embeddings_ivf{suffix}_{_sf_tag(sf_dir)}",
+            n_probe_assign=n_probe_assign,
         )
     return _IVF_TABLE_CACHE[key]
 
@@ -715,6 +774,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     ivf_table: str | None = None,
+    n_probe_assign: int = 2,
 ) -> DataFrame:
     """SemDeDup-style embedding-space dedup (Abbas et al. 2023,
     arXiv:2303.09540): k-means cells over the corpus, exact pairwise
@@ -739,22 +799,34 @@ def semantic_dedup(
       propagation over the pair list — pair-sized, not corpus-sized).
 
     Known method tradeoff (inherent to SemDeDup, documented in the
-    paper): near-dup pairs split across two cells are not compared.
-    The recall pytest measures this against the exact corpus-wide pair
-    set rather than pretending it away.
+    paper): with single assignment, near-dup pairs split across two
+    cells are never compared. ``n_probe_assign=2`` (default) writes
+    each vector into its TWO nearest cells, so a boundary pair is only
+    missed when NEITHER side's second-nearest cell reaches the other —
+    the recall pytest measures both modes against the exact corpus-wide
+    pair set rather than pretending the gap away. Pair generation reads
+    every rank (×N rows through the quadratic stage, deduped after);
+    the per-vector output keeps only the primary (rank-0) cell.
     """
     from .dedup import dup_clusters
 
     if ivf_table is not None:
-        assigned = spark.table(ivf_table).select(id_col, emb_col, "cell")
+        assigned = spark.table(ivf_table).select(
+            id_col, emb_col, "probe_rank", "cell"
+        )
     else:
-        assigned, _ = ivf_index(df, n_cells, seed, id_col, emb_col)
-    pairs = similar_pairs_blocked(
-        assigned, "cell", threshold, id_col, emb_col
-    ).select("id_a", "id_b")
+        assigned, _ = ivf_index(
+            df, n_cells, seed, id_col, emb_col, n_probe_assign
+        )
+    pairs = (
+        similar_pairs_blocked(assigned, "cell", threshold, id_col, emb_col)
+        .select("id_a", "id_b")
+        .distinct()  # a pair co-resident in two shared cells counts once
+    )
     clusters = dup_clusters(df.select(id_col), pairs, id_col=id_col)
     return (
-        assigned.select(id_col, "cell")
+        assigned.where(F.col("probe_rank") == 0)
+        .select(id_col, "cell")
         .join(clusters, id_col)
         .orderBy(id_col)
     )
@@ -924,11 +996,15 @@ def q65_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q63_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table at cosine ≥ 0.4, against the
-    persisted IVF cell table (shared with q43's ANN path — one index,
-    two consumers). Rows-only: the seeded k-means geometry has no
-    DuckDB analog; pytest asserts planted-duplicate removal, survivor
-    consistency, and recall vs the exact q53 pair set."""
+    persisted TWO-probe IVF table (each vector in its 2 nearest cells,
+    so cell-boundary near-dup pairs co-occur somewhere). Rows-only: the
+    seeded k-means geometry has no DuckDB analog; pytest asserts
+    planted-duplicate removal, survivor consistency, and recall vs the
+    exact q53 pair set — multi-probe strictly above single-probe."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        spark, emb, threshold=0.4, ivf_table=ivf_table_for(spark, sf_dir)
+        spark,
+        emb,
+        threshold=0.4,
+        ivf_table=ivf_table_for(spark, sf_dir, n_probe_assign=2),
     )
