@@ -589,15 +589,57 @@ def q27_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_TABLE_CACHE: dict = {}
 
 
+# Bump whenever the CONSTRUCTION of any persisted index artifact
+# changes (shingle recipe, signature params, IVF layout): the version
+# feeds _sf_tag, so old on-disk tables stop matching by name instead of
+# being silently reused with a stale schema.
+_INDEX_VERSION = 2
+
+
 def _sf_tag(sf_dir: str) -> str:
-    """Stable per-corpus suffix for persisted index tables. One FIXED
-    table name across sf_dirs is a correctness trap: warming a query at
-    a small SF rebuilds (DROP + overwrite) the shared table while the
-    per-(session, sf) cache still points the big-SF query at it — the
-    timed/checked run then silently reads the wrong corpus."""
+    """Stable per-(corpus, index-version) suffix for persisted index
+    tables. One FIXED table name across sf_dirs is a correctness trap:
+    warming a query at a small SF rebuilds (DROP + overwrite) the shared
+    table while the per-(session, sf) cache still points the big-SF
+    query at it — the timed/checked run then silently reads the wrong
+    corpus."""
     import hashlib
 
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return hashlib.md5(f"{sf_dir}|v{_INDEX_VERSION}".encode()).hexdigest()[:8]
+
+
+def reuse_persisted_table(spark: SparkSession, table_name: str) -> bool:
+    """Adopt an index table a PRIOR process already built in the shared
+    warehouse, instead of DROP+rewriting it.
+
+    Construction parameters are baked into the name (``_sf_tag``'s
+    version + per-variant suffixes) and the source parquet is immutable,
+    so on-disk existence implies validity. Rebuilding per process is
+    what produced a real FILE_NOT_EXIST race: one process's rmtree
+    clobbered files another session was mid-scan on. With reuse, the
+    steady state is read-only; only the very first build of a corpus
+    can race (acceptable for a single-ingest deployment — a real
+    lakehouse would use an ACID table format for the index artifacts).
+
+    ``saveAsTable`` entries on the default in-memory catalog are
+    session-scoped, so a fresh process sees only the parquet directory:
+    re-register it as a temp view (partition columns are rediscovered
+    from the ``cell=N`` layout). Returns True when adopted."""
+    import os
+
+    try:
+        if spark.catalog.tableExists(table_name):
+            return True
+    except Exception:
+        pass
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    loc = os.path.join(warehouse, table_name)
+    if os.path.exists(os.path.join(loc, "_SUCCESS")):
+        spark.read.parquet(loc).createOrReplaceTempView(table_name)
+        return True
+    return False
 
 
 def minhash_table_for(spark: SparkSession, sf_dir: str) -> str:
@@ -606,11 +648,12 @@ def minhash_table_for(spark: SparkSession, sf_dir: str) -> str:
     ingest, so both agree on the per-sf naming."""
     key = (id(spark), sf_dir)
     if key not in _MINHASH_TABLE_CACHE:
-        _MINHASH_TABLE_CACHE[key] = create_minhash_table(
-            spark,
-            load_table(spark, sf_dir, "documents"),
-            table_name=f"documents_minhash_{_sf_tag(sf_dir)}",
-        )
+        name = f"documents_minhash_{_sf_tag(sf_dir)}"
+        if not reuse_persisted_table(spark, name):
+            create_minhash_table(
+                spark, load_table(spark, sf_dir, "documents"), table_name=name
+            )
+        _MINHASH_TABLE_CACHE[key] = name
     return _MINHASH_TABLE_CACHE[key]
 
 
@@ -674,11 +717,12 @@ def ngram_table_for(spark: SparkSession, sf_dir: str) -> str:
     ``_sf_tag`` for why the name must be per-sf)."""
     key = (id(spark), sf_dir)
     if key not in _NGRAM_TABLE_CACHE:
-        _NGRAM_TABLE_CACHE[key] = create_ngram_set_table(
-            spark,
-            load_table(spark, sf_dir, "documents"),
-            table_name=f"documents_ngram_sets_{_sf_tag(sf_dir)}",
-        )
+        name = f"documents_ngram_sets_{_sf_tag(sf_dir)}"
+        if not reuse_persisted_table(spark, name):
+            create_ngram_set_table(
+                spark, load_table(spark, sf_dir, "documents"), table_name=name
+            )
+        _NGRAM_TABLE_CACHE[key] = name
     return _NGRAM_TABLE_CACHE[key]
 
 

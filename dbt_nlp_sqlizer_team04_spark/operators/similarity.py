@@ -723,17 +723,25 @@ def ivf_table_for(
     at a small SF DROP+rewrite the table the big-SF query then reads;
     the multi-assigned variant gets its own ``_pN`` name for the same
     reason."""
-    from .dedup import _sf_tag
+    from .dedup import _sf_tag, reuse_persisted_table
 
     key = (id(spark), sf_dir, n_probe_assign)
     if key not in _IVF_TABLE_CACHE:
         suffix = f"_p{n_probe_assign}" if n_probe_assign > 1 else ""
-        _IVF_TABLE_CACHE[key] = create_ivf_table(
-            spark,
-            load_table(spark, sf_dir, "embeddings"),
-            table_name=f"embeddings_ivf{suffix}_{_sf_tag(sf_dir)}",
-            n_probe_assign=n_probe_assign,
-        )
+        name = f"embeddings_ivf{suffix}_{_sf_tag(sf_dir)}"
+        # both the cell table and its centroids side table must exist
+        # for adoption — a half-built pair falls through to a rebuild
+        if not (
+            reuse_persisted_table(spark, name)
+            and reuse_persisted_table(spark, f"{name}_centroids")
+        ):
+            create_ivf_table(
+                spark,
+                load_table(spark, sf_dir, "embeddings"),
+                table_name=name,
+                n_probe_assign=n_probe_assign,
+            )
+        _IVF_TABLE_CACHE[key] = name
     return _IVF_TABLE_CACHE[key]
 
 
