@@ -446,6 +446,19 @@ def ranked_grams(sets: DataFrame) -> DataFrame:
     )
 
 
+def hashed_ranked_grams(sets: DataFrame) -> DataFrame:
+    """(id, sz, gram_h, rk): ``ranked_grams`` with the string shingle
+    swapped for its ``xxhash64`` AFTER df/rank/size are fixed on the
+    true strings. Candidates equi-join on the 8-byte ``gram_h``; any
+    true shared shingle g yields matching h(g) rows on both sides, so
+    the prefix/positional/length ladder loses nothing — a collision
+    between DIFFERENT shingles merely creates a candidate the exact
+    verify discards."""
+    return ranked_grams(sets).select(
+        "id", "sz", F.xxhash64("gram").alias("gram_h"), "rk"
+    )
+
+
 def create_ngram_set_table(
     spark: SparkSession,
     df: DataFrame,
@@ -459,13 +472,17 @@ def create_ngram_set_table(
     amortization as ``create_minhash_table``/``create_ivf_table``;
     queries skip the regex/array shingle build (half the inline cost).
 
-    Deliberately NOT persisted: the frequency-ranked explosion. Measured
-    at sf0.1, deriving it inline is ~2.5× faster than re-reading a
-    prebuilt copy, because the candidate self-join's two sides are then
-    IDENTICAL subplans — Catalyst computes the rank stage once and
-    ReusedExchange feeds both sides from one shuffle, while a persisted
-    table pays a low-parallelism scan + broadcast per side.
-    """
+    Deliberately NOT persisted: the frequency-ranked explosion.
+    Measured twice (r3 with string grams, r4 with the slim hashed
+    layout), re-reading a prebuilt ranked copy loses at bench scale:
+    the tiny parquet file scans as one task, and its stats bait the
+    planner into broadcasting the 134k-row prefix side of the candidate
+    self-join — while inline derivation runs 32-way and feeds both
+    identical sides from one computation. At true cluster scale the
+    trade flips (a big ranked table scans in parallel and skips the
+    explode + freq-join + window per query); a deployment there should
+    persist :func:`hashed_ranked_grams` output and call
+    :func:`pairs_from_hashed_ranked` directly."""
     import os
     import shutil
 
@@ -509,15 +526,29 @@ def ngram_jaccard_pairs_from_sets(
       a true pair's FIRST shared prefix token always satisfies this, so
       filtering every matched occurrence before the distinct loses no
       pair (measured ~2× fewer candidates than prefix alone).
-    Survivors get an exact intersect/union re-check; no approximation
-    anywhere. Shuffles: gram-frequency agg (slim keys), row_number by
-    id, the prefix equi-join, two id-joins for the re-check. Never an
+    Survivors get an exact intersect/union re-check on the TRUE string
+    shingles; no approximation anywhere (candidates equi-join on
+    ``xxhash64(gram)`` — see :func:`hashed_ranked_grams` for why that
+    cannot lose a pair). Shuffles: gram-frequency agg (slim keys),
+    row_number by id, the prefix equi-join on 8-byte keys, two id-joins
+    for the re-check (the sets side is small enough for the planner to
+    broadcast when read from a persisted table with stats). Never an
     all-pairs product.
     """
-    ranked = ranked_grams(sets)
+    return pairs_from_hashed_ranked(hashed_ranked_grams(sets), sets, threshold)
+
+
+def pairs_from_hashed_ranked(
+    ranked_h: DataFrame, sets: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Pair search over a (id, sz, gram_h, rk) frame — inline
+    (:func:`hashed_ranked_grams`, what q52 does at bench scale) or read
+    from a table a cluster-scale deployment persisted at ingest to skip
+    the explode + frequency-join + window stages per query (see the
+    ``create_ngram_set_table`` docstring for why that flips)."""
     alpha_self = F.ceil(F.lit(threshold) * F.col("sz") - _PPJOIN_EPS)
-    pref = ranked.where(F.col("rk") <= F.col("sz") - alpha_self + 1).select(
-        "gram", "id", "rk", "sz"
+    pref = ranked_h.where(F.col("rk") <= F.col("sz") - alpha_self + 1).select(
+        "gram_h", "id", "rk", "sz"
     )
     ratio = threshold / (1.0 + threshold)
     alpha_pair = F.ceil(
@@ -527,7 +558,7 @@ def ngram_jaccard_pairs_from_sets(
         pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col("a.gram_h") == F.col("b.gram_h"))
             & (F.col("a.id") < F.col("b.id"))
             & (
                 F.least(F.col("a.sz"), F.col("b.sz"))
@@ -555,7 +586,12 @@ def ngram_jaccard_pairs_from_sets(
         .withColumn("jaccard", jaccard_expr(F.col("ga"), F.col("gb")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+        # survivors are pair-sized (≪ corpus): one-partition sort gives
+        # the same deterministic global order as orderBy WITHOUT the
+        # range-partitioner sampling pass, which re-reads the whole
+        # verify stage (measured ~1 s of the fresh-run cost at sf0.1)
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
     )
 
 
@@ -705,7 +741,9 @@ def contamination_check(
         .groupBy("doc_id", "probe_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_overlap)
-        .orderBy("doc_id", "probe_id")
+        # hit list is tiny; same no-sampling sort as the Jaccard pairs
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "probe_id")
     )
 
 
@@ -730,7 +768,9 @@ def q52_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 pairs (oracle: DuckDB all-pairs over
     the same shingle construction — the filter ladder must lose
     nothing). Runs against the PERSISTED shingle-set table, built once
-    per (session, sf) as ingest would."""
+    per (session, sf) as ingest would; the candidate self-join runs on
+    8-byte xxhash64 gram keys and the exact verify's sets side
+    broadcasts off parquet stats."""
     return ngram_jaccard_pairs_from_sets(
         spark.table(ngram_table_for(spark, sf_dir))
     )
@@ -748,11 +788,43 @@ def q59_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- duplicate-cluster resolution
+def _components_driver(sym: DataFrame) -> DataFrame:
+    """Exact union-find over a BOUNDED symmetric edge list collected to
+    the driver — the fast tier of :func:`connected_components`. Path
+    halving + union by attachment to the min root; labels are the
+    minimum reachable id, matching the distributed tier exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: the final
+            # representative is then the minimum id of the component
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    data = [(x, find(x)) for x in parent]
+    return sym.sparkSession.createDataFrame(data, "id long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list → ``(id,
     component)`` where ``component`` is the MINIMUM id reachable from
@@ -761,21 +833,32 @@ def connected_components(
     "one of each pair" under- or over-deletes — the corpus must be
     grouped into transitive-closure clusters first.
 
-    Pregel-style min-label propagation: each round every node adopts
-    ``min(own label, neighbours' labels)``; converges in O(graph
-    diameter) rounds (dedup graphs are near-cliques, so typically 2-3).
-    Per round: one equi-join of the slim ``(long, long)`` edge list
-    against the label frame, one groupBy(min) — both shuffle only
-    8-byte keys, never document payloads. The edge list is materialized
-    ONCE up front (``localCheckpoint``) so the upstream pair plan
-    (MinHash / Jaccard / cosine) is never re-executed, and each round's
-    labels are checkpointed to truncate lineage — without that the plan
-    doubles per iteration. The one driver-side action per round is a
-    converged-yet probe (LIMIT 1 over changed labels), the same
-    superstep barrier GraphX/Pregel uses; nothing row-sized ever hits
-    the driver. For graphs with big diameter at extreme scale, swap the
-    loop body for large-star/small-star (O(log n) rounds) — same
-    frame-in/frame-out contract.
+    TWO TIERS, picked by measured edge count (the edge list is
+    materialized once up front via ``localCheckpoint``, so counting it
+    is free and the upstream pair plan is never re-executed):
+
+    - ``≤ driver_max_edges``: exact union-find on the driver. The pair
+      list of a dedup pass is pairs-sized, not corpus-sized — usually
+      MBs even when the corpus is TBs — and a Spark iteration costs
+      ~1 s/round in job overhead alone, so collecting 16-byte edges and
+      resolving in microseconds is the right call (the same reasoning
+      AQE uses to demote a small shuffle join to broadcast). 2M edges
+      ≈ 32 MB on the driver; raise/lower per deployment.
+    - above the bound: Pregel-style min-label propagation — each round
+      every node adopts ``min(own label, neighbours' labels)``;
+      converges in O(graph diameter) rounds (dedup graphs are
+      near-cliques, so typically 2-3). Per round: one equi-join of the
+      slim ``(long, long)`` edge list against the label frame, one
+      groupBy(min) — both shuffle only 8-byte keys, never document
+      payloads; each round's labels are checkpointed to truncate
+      lineage. The one driver-side action per round is a converged-yet
+      probe (LIMIT 1 over changed labels), the same superstep barrier
+      GraphX/Pregel uses. For graphs with big diameter at extreme
+      scale, swap the loop body for large-star/small-star (O(log n)
+      rounds) — same frame-in/frame-out contract.
+
+    Both tiers produce identical labels (component = min reachable id);
+    ``tests/test_pipeline_ops.py`` pins tier equivalence.
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
@@ -783,6 +866,8 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
+    if sym.count() <= driver_max_edges:
+        return _components_driver(sym)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()

@@ -109,20 +109,78 @@ def retrieve_chunks(
 _CHUNK_INDEX_CACHE: dict = {}
 
 
+def create_chunk_index_tables(
+    spark: SparkSession, docs: DataFrame, table_name: str
+) -> None:
+    """ONE-TIME ingest step: chunk the corpus, fit the encoder on a
+    content-addressed sample, and persist the chunk-vector table plus a
+    one-row ``<name>_encoder`` sidecar holding the fitted encoder state
+    (JSON — it is metadata-sized, like the IVF centroids table). The
+    Python encode pass runs once per corpus here instead of once per
+    process."""
+    import json
+    import os
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (table_name, f"{table_name}_encoder"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(warehouse, t)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+    chunks = chunk_documents(docs)
+    enc = fit_chunk_encoder(chunks)
+    (
+        encode_chunks(chunks, enc)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    spark.createDataFrame(
+        [(json.dumps(enc.to_dict()),)], "state string"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_name}_encoder"
+    )
+
+
+def chunk_index_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[HashingTfidfEncoder, DataFrame]:
+    """Per-(session, corpus) persisted chunk index — the shared entry
+    point for q67 and bench ingest, same adopt-or-build contract as
+    ``dedup.minhash_table_for``."""
+    import json
+
+    from .dedup import _sf_tag, reuse_persisted_table
+
+    key = (id(spark), sf_dir)
+    if key not in _CHUNK_INDEX_CACHE:
+        name = f"documents_chunk_vecs_{_sf_tag(sf_dir)}"
+        if not (
+            reuse_persisted_table(spark, name)
+            and reuse_persisted_table(spark, f"{name}_encoder")
+        ):
+            create_chunk_index_tables(
+                spark, load_table(spark, sf_dir, "documents"), name
+            )
+        enc = HashingTfidfEncoder.from_dict(
+            json.loads(spark.table(f"{name}_encoder").first()["state"])
+        )
+        _CHUNK_INDEX_CACHE[key] = (enc, spark.table(name))
+    return _CHUNK_INDEX_CACHE[key]
+
+
 def q67_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval smoke: the corpus is chunked + encoded once per
-    (session, sf) — the ingest artifacts a deployment persists — and a
-    fixed query retrieves its top-5 chunks. Rows-only (the Python
+    """Retrieval smoke: the corpus is chunked + encoded ONCE PER CORPUS
+    into a persisted chunk-vector table (+ encoder sidecar) — the
+    ingest artifacts a deployment builds at write time — and a fixed
+    query retrieves its top-5 chunks. Rows-only (the Python
     tokenizer/hash has no DuckDB analog); pytest asserts the planted
     ground-truth chunk ranks first and that scoring is deterministic.
     """
-    key = (id(spark), sf_dir)
-    if key not in _CHUNK_INDEX_CACHE:
-        docs = load_table(spark, sf_dir, "documents")
-        chunks = chunk_documents(docs)
-        enc = fit_chunk_encoder(chunks)
-        _CHUNK_INDEX_CACHE[key] = (enc, encode_chunks(chunks, enc).cache())
-    enc, vecs = _CHUNK_INDEX_CACHE[key]
+    enc, vecs = chunk_index_for(spark, sf_dir)
     # a content question built from the corpus's own vocabulary: take
     # doc 0's first chunk text as the "question" — its own chunk must
     # dominate, which the pytest pins exactly

@@ -799,10 +799,12 @@ def semantic_dedup(
       ``ivf_table`` is given (``create_ivf_table`` at ingest; no
       k-means in this call), falling back to an in-query seeded fit
       for tests/small corpora;
-    - the quadratic stage is ``similar_pairs_blocked`` on the cell key
-      — one shuffle, pairs bounded by Σ|cell|², never corpus²; the
-      paper's point is exactly that k-means blocking makes in-cell
-      quadratic work affordable;
+    - the quadratic stage is ``similar_pairs_blocked_vectorized`` on
+      the cell key — one shuffle, pairs bounded by Σ|cell|², never
+      corpus², and one BLAS matmul per cell instead of an interpreted
+      per-pair dot (IVF cells are bounded by construction, which is
+      exactly the vectorized variant's precondition); the paper's point
+      is that k-means blocking makes in-cell quadratic work affordable;
     - cluster resolution is ``dedup.dup_clusters`` (min-label
       propagation over the pair list — pair-sized, not corpus-sized).
 
@@ -827,7 +829,9 @@ def semantic_dedup(
             df, n_cells, seed, id_col, emb_col, n_probe_assign
         )
     pairs = (
-        similar_pairs_blocked(assigned, "cell", threshold, id_col, emb_col)
+        similar_pairs_blocked_vectorized(
+            assigned, "cell", threshold, id_col, emb_col
+        )
         .select("id_a", "id_b")
         .distinct()  # a pair co-resident in two shared cells counts once
     )

@@ -9,11 +9,19 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_nlp_sqlizer_team04_spark.operators.dedup import (
     connected_components,
     dup_clusters,
+)
+
+# connected_components picks its tier by edge count: driver union-find
+# under the bound, distributed label propagation above. 0 forces the
+# distributed tier; the default exercises the driver tier.
+TIERS = pytest.mark.parametrize(
+    "max_edges", [2_000_000, 0], ids=["driver", "distributed"]
 )
 
 
@@ -40,27 +48,50 @@ def _union_find(pairs):
     return {x: find(x) for x in parent}
 
 
-def test_chain_propagates_multi_hop(spark):
+@TIERS
+def test_chain_propagates_multi_hop(spark, max_edges):
     """A 13-node path needs the min label to travel 12 hops — exercises
     the iteration loop well past one round."""
     pairs = [(i, i + 1) for i in range(12)]
     got = {
         r["id"]: r["component"]
-        for r in connected_components(_pairs_df(spark, pairs)).collect()
+        for r in connected_components(
+            _pairs_df(spark, pairs), driver_max_edges=max_edges
+        ).collect()
     }
     assert got == {i: 0 for i in range(13)}
 
 
-def test_random_graph_matches_union_find(spark):
+@TIERS
+def test_random_graph_matches_union_find(spark, max_edges):
     rng = random.Random(60)
     pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
     pairs = [(a, b) for a, b in pairs if a != b]
     want = _union_find(pairs)
     got = {
         r["id"]: r["component"]
-        for r in connected_components(_pairs_df(spark, pairs)).collect()
+        for r in connected_components(
+            _pairs_df(spark, pairs), driver_max_edges=max_edges
+        ).collect()
     }
     assert got == want
+
+
+def test_tiers_agree_label_for_label(spark):
+    """The adaptive cutover must be invisible: both tiers produce the
+    identical (id, component) labeling on the same graph."""
+    rng = random.Random(61)
+    pairs = [(rng.randrange(300), rng.randrange(300)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = _pairs_df(spark, pairs)
+    fast = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert fast == dist
 
 
 def test_empty_pairs_all_singletons(spark):
