@@ -1,10 +1,16 @@
 """Thin service façade — the reference's HTTP entry-point shapes as a
-library class (no web framework in this container, by design: SURVEY §7
-scopes the engine library-first; this module is the missing analog of the
-endpoint layer).
+library class. ``server.py`` binds every verb to its reference route
+over stdlib ``http.server`` (no web framework in this container), so
+the endpoint layer is runnable end-to-end.
 
 Verbs and their reference routes:
 
+- ``healthz`` / ``connect_test`` / ``schema_overview`` / ``schema_id``
+                           → GET /healthz, /connect/test,
+  /schema/overview (app/main.py:53-260), POST /models/schema-id
+  (routes_models.py:97-142).
+- ``model_query(id, q)``   → POST /models/{id}/query
+  (routes_models.py:320-369): generate-only through a trained model.
 - ``nl2sql(question)``     → POST /ai/nl2sql  (app/main.py:262-296):
   generate-only — schema slice, candidate ladder, safety gates; returns
   the final SQL WITHOUT executing it.
@@ -57,6 +63,55 @@ class SQLizerService:
         self._trainer = ModelTrainer(model_dir)
         self._engine = NL2SQLEngine(spark, self._metadata)
         self._lock = threading.Lock()
+
+    # ----------------------------------------------------- introspection
+    def healthz(self) -> dict[str, Any]:
+        """GET /healthz (app/main.py:53-55) — same response shape."""
+        return {"ok": True, "service": "backend", "message": "healthy"}
+
+    def connect_test(self) -> dict[str, Any]:
+        """GET|POST /connect/test (app/main.py:162-196): prove the
+        engine end-to-end with a trivial query, report the 'dialect'
+        and a safe connection string analog."""
+        try:
+            self.spark.sql("SELECT 1").collect()
+        except Exception as e:  # noqa: BLE001
+            return {"ok": False, "error": f"Connection failed: {e}"}
+        return {
+            "ok": True,
+            "dialect": "spark-sql",
+            "url": f"spark://{self.sf_dir}",
+            "message": "connection ok",
+        }
+
+    def schema_overview(self) -> dict[str, Any]:
+        """GET|POST /schema/overview (app/main.py:198-260): lightweight
+        { ok, dialect, tables: [ { table, columns: [ { name, type,
+        nullable } ] } ] } map from the crawled metadata."""
+        tables = [
+            {
+                "table": tname,
+                "columns": [
+                    {
+                        "name": c.name,
+                        "type": c.type_str,
+                        "nullable": bool(c.nullable),
+                    }
+                    for c in tinfo.columns
+                ],
+            }
+            for tname, tinfo in sorted(self._metadata.tables.items())
+        ]
+        return {"ok": True, "dialect": "spark-sql", "tables": tables}
+
+    def schema_id(self) -> dict[str, Any]:
+        """POST /models/schema-id (routes_models.py:97-142): the stable
+        hash a caller uses to check model existence before training."""
+        return {
+            "ok": True,
+            "schema_id": generate_schema_id(self._metadata),
+            "tables_count": len(self._metadata.tables),
+        }
 
     # ------------------------------------------------------------ query
     def nl2sql(self, question: str) -> dict[str, Any]:
@@ -212,3 +267,42 @@ class SQLizerService:
             return {"ok": False, "error": f"Model {schema_id} not found"}
         shutil.rmtree(path)
         return {"ok": True, "message": f"Model {schema_id} deleted"}
+
+    def model_query(self, schema_id: str, question: str) -> dict[str, Any]:
+        """POST /models/{schema_id}/query (routes_models.py:320-369):
+        generate-only through a TRAINED model — { ok, sql, explanation,
+        confidence, metadata }; never executes."""
+        from .plans.nl2sql import explain_query
+        from .plans.safety import validate
+
+        question = (question or "").strip()
+        if not question:
+            return {"ok": False, "error": "Missing 'question'"}
+        if not SchemaModel.exists(self.model_dir, schema_id):
+            return {"ok": False, "error": f"Model {schema_id} not found"}
+        model = SchemaModel.load(self.model_dir, schema_id)
+        engine = NL2SQLEngine(self.spark, self._metadata)
+        engine.attach_model(model)
+        relevant = engine._relevant(question)  # noqa: SLF001
+        last: Exception | None = None
+        for cand in engine.generate(question):
+            try:
+                final = validate(
+                    cand.sql,
+                    question=question,
+                    allowed_tables=list(engine.schema),
+                    max_rows=100,
+                    schema_context=relevant,
+                )
+                self.spark.sql(final).schema  # analysis gate only
+            except Exception as e:  # noqa: BLE001
+                last = e
+                continue
+            return {
+                "ok": True,
+                "sql": final,
+                "explanation": explain_query(cand.sql, engine.schema),
+                "confidence": cand.confidence,
+                "metadata": {"method": cand.method, "schema_id": schema_id},
+            }
+        return {"ok": False, "error": f"Query generation failed: {last}"}
