@@ -787,6 +787,98 @@ def q59_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(corpus, probes)
 
 
+# ----------------------------------------------------- incremental dedup
+def incremental_dedup(
+    new_sets: DataFrame,
+    corpus_sets: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Admission check for a NEW document batch against an EXISTING
+    corpus — the per-increment dedup a continuous-ingest pipeline runs
+    instead of re-deduplicating the whole corpus per delivery.
+
+    Both inputs are (id, grams) shingle-set frames; the corpus side
+    reads the ingest-persisted table (``ngram_table_for``), the new
+    side is the increment being decided on. Returns one row per new
+    document: ``(new_id, best_match_id, best_jaccard, is_dup)`` with
+    the best corpus match (ties → smallest corpus id) and the
+    ``jaccard ≥ threshold`` admit/reject verdict — exact, so the DuckDB
+    all-pairs oracle reproduces it row for row.
+
+    Scale shape: the increment is SMALL BY CONTRACT (a delivery, not a
+    corpus), so its exploded shingles broadcast and the corpus scans
+    ONCE; shared shingles join exactly once (sets are distinct), so
+    count(*) per (new, corpus) pair IS the intersection and Jaccard
+    follows from the two set sizes — no pairwise array ops, no
+    corpus × corpus anything. Cost is linear in corpus shingles times
+    the (tiny) probe hit rate, the same shape q59's decontamination
+    sweep has at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    nex = new_sets.select(
+        F.col("id").alias("new_id"),
+        F.size("grams").alias("sz_new"),
+        F.explode("grams").alias("gram"),
+    )
+    cex = corpus_sets.select(
+        F.col("id").alias("corpus_id"),
+        F.size("grams").alias("sz_c"),
+        F.explode("grams").alias("gram"),
+    )
+    inter = (
+        cex.join(F.broadcast(nex), "gram")
+        .groupBy("new_id", "corpus_id", "sz_new", "sz_c")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = inter.withColumn(
+        "jaccard",
+        F.col("n_inter")
+        / (F.col("sz_new") + F.col("sz_c") - F.col("n_inter")),
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("new_id").orderBy(
+                F.desc("jaccard"), "corpus_id"
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    return (
+        new_sets.select(F.col("id").alias("new_id"))
+        .join(
+            best.select(
+                "new_id",
+                F.col("corpus_id").alias("best_match_id"),
+                F.col("jaccard").alias("best_jaccard"),
+            ),
+            "new_id",
+            "left",
+        )
+        .withColumn(
+            "is_dup",
+            F.when(F.col("best_jaccard") >= threshold, 1).otherwise(0),
+        )
+        # increment-sized output: no-sampling one-partition sort, same
+        # rationale as the pair-search tail
+        .repartition(1)
+        .sortWithinPartitions("new_id")
+    )
+
+
+def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup audit: docs with ``id % 10 = 7`` play
+    the arriving batch, the rest are the standing corpus (both sides
+    read the ingest-persisted shingle table). Oracle: DuckDB all-pairs
+    list_intersect between the two slices with the same best-match
+    window."""
+    sets = spark.table(ngram_table_for(spark, sf_dir))
+    return incremental_dedup(
+        sets.where(F.col("id") % 10 == 7),
+        sets.where(F.col("id") % 10 != 7),
+    )
+
+
 # ------------------------------------------- duplicate-cluster resolution
 def _components_driver(sym: DataFrame) -> DataFrame:
     """Exact union-find over a BOUNDED symmetric edge list collected to

@@ -301,6 +301,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # the same trainer; the fuzzy tier fails this synonym phrasing) —
     # NEW this round, never driver-checked.
     "nl11_trained_doc_avg_chars": _nl11_trained_doc_avg,
+    # Incremental-ingest dedup (new batch vs persisted corpus index) —
+    # NEW this round, never driver-checked.
+    "q70_incremental_dedup": D.q70_incremental_dedup,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -341,7 +344,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,  # exact near-dup
     "q60_dup_clusters": D.q60_dup_clusters,                # iterative closure
     "q57_repetition_quality": X.q57_repetition_quality,    # text quality
-    "q36_doc_pipeline": DOC.q36_doc_pipeline,              # doc aggregate
     "q38_events_stream_rollup": _stream_rollup,            # streaming kappa
     "q69_sliding_rollup": _q69,                            # sliding windows
     "q46_range_join_nearby": _q46,                         # banded range join
@@ -353,6 +355,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # r3 (CORRECTNESS_r03.json) and re-verified locally each round by
     # test_relational_oracle.py's all-queries parametrization; they
     # cycle back into the window on later rounds per the policy above.
+    # q36 rotated out for q70 (doc plane stays window-covered by nl04,
+    # nl11, q35, q37; q36 r3-green and locally re-verified)
+    "q36_doc_pipeline": DOC.q36_doc_pipeline,
     "q07_window_partition_avg": R.q07_window_partition_avg,
     "q11_scalar_subquery": R.q11_scalar_subquery,
     "q14_group_having": R.q14_group_having,
@@ -893,6 +898,42 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT id_a, id_b, jaccard FROM p
         WHERE jaccard >= 0.5
         ORDER BY id_a, id_b
+    """,
+    # Incremental-ingest dedup: the id%10=7 slice is the arriving
+    # batch, the rest the standing corpus; best corpus match per new
+    # doc (ties -> smallest corpus id), admit/reject at jaccard >= 0.5.
+    "q70_incremental_dedup": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3 THEN list_distinct(
+                        list_transform(range(1, len(t) - 1),
+                                       i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS grams
+          FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
+        ), newb AS (
+          SELECT * FROM s WHERE doc_id % 10 = 7
+        ), corp AS (
+          SELECT * FROM s WHERE doc_id % 10 <> 7
+        ), pairs AS (
+          SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+                 len(list_intersect(n.grams, c.grams)) * 1.0
+                 / (len(n.grams) + len(c.grams)
+                    - len(list_intersect(n.grams, c.grams))) AS jaccard
+          FROM newb n JOIN corp c
+            ON len(list_intersect(n.grams, c.grams)) > 0
+        ), best AS (
+          SELECT new_id, corpus_id, jaccard,
+                 row_number() OVER (PARTITION BY new_id
+                                    ORDER BY jaccard DESC, corpus_id) AS rn
+          FROM pairs
+        )
+        SELECT n.doc_id AS new_id,
+               b.corpus_id AS best_match_id,
+               b.jaccard AS best_jaccard,
+               CASE WHEN b.jaccard >= 0.5 THEN 1 ELSE 0 END AS is_dup
+        FROM newb n
+        LEFT JOIN best b ON b.new_id = n.doc_id AND b.rn = 1
+        ORDER BY new_id
     """,
     # Transitive closure of the q52 pair list via recursive CTE;
     # component = min reachable doc_id, singletons are their own

@@ -548,3 +548,47 @@ def test_persisted_index_tables_are_per_corpus(spark, sf_smoke, sf_check):
         # both remain readable after the second build
         assert spark.table(a).count() > 0
         assert spark.table(b).count() > 0
+
+
+# ----------------------------------------------------- incremental dedup
+def test_incremental_dedup_planted_cases(spark):
+    """Exact dup, near dup, fresh doc, and a tie — each new doc gets the
+    right best match and verdict (tie -> smallest corpus id)."""
+    def sets(rows):
+        return spark.createDataFrame(rows, "id long, grams array<string>")
+
+    corpus = sets([(1, ["a", "b", "c", "d"]), (2, ["x", "y", "z", "w"])])
+    new = sets(
+        [
+            (100, ["a", "b", "c", "d"]),   # exact dup of 1
+            (101, ["a", "b", "c", "q"]),   # J=3/5 vs 1 -> dup at 0.5
+            (102, ["p", "r", "s"]),        # no overlap anywhere
+            (103, ["a", "x"]),             # J=1/5 vs BOTH -> tie -> 1
+        ]
+    )
+    got = {
+        r["new_id"]: (r["best_match_id"], r["best_jaccard"], r["is_dup"])
+        for r in D.incremental_dedup(new, corpus).collect()
+    }
+    assert got[100] == (1, 1.0, 1)
+    assert got[101] == (1, 0.6, 1)
+    assert got[102] == (None, None, 0)
+    assert got[103] == (1, 0.2, 0)
+
+
+def test_incremental_dedup_registry_entry(spark, sf_check):
+    """q70: every batch doc gets exactly one verdict row, and every
+    flagged dup really clears the threshold against its match."""
+    out = D.q70_incremental_dedup(spark, sf_check).collect()
+    n_batch = (
+        load_table(spark, sf_check, "documents")
+        .where("doc_id % 10 = 7")
+        .count()
+    )
+    assert len(out) == n_batch
+    assert all(
+        r["best_jaccard"] >= 0.5 for r in out if r["is_dup"] == 1
+    )
+    assert all(
+        r["is_dup"] == 0 for r in out if r["best_match_id"] is None
+    )
