@@ -202,6 +202,98 @@ def tfidf_terms(
     )
 
 
+# ------------------------------------------------------------- vocabulary
+def build_vocab(
+    df: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary head: the ``top_k`` most frequent tokens with
+    term/document frequency and CUMULATIVE corpus coverage — the
+    artifact a tokenizer-training or vocab-pruning step starts from.
+
+    Plan: explode(tokens) → one partial-aggregated (term) count →
+    TakeOrderedAndProject for the top-k (never a full vocab sort) →
+    the cumulative-coverage window runs over the top_k rows ONLY, with
+    the corpus token total joined as a broadcast 1-row aggregate (the
+    same composed-job shape q33's TF-IDF uses). Ties break on the term
+    itself so ranks are deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.explode(tokens_expr(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = counts.select(F.sum("tf").cast("double").alias("__total"))
+    top = counts.orderBy(F.desc("tf"), "term").limit(top_k)
+    w = Window.orderBy(F.desc("tf"), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("tf"), "term"))
+            .alias("rank"),
+            "term",
+            "tf",
+            F.round(F.sum("tf").over(w) / F.col("__total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------- unigram LM doc scoring
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram model — the classic cheap "LM quality" signal (both tails
+    are suspect: very low = boilerplate made of the commonest tokens,
+    very high = noise/garbage made of rare ones). Training corpus ==
+    scoring corpus, so there is no OOV case.
+
+    Plan: one explode feeds BOTH the model (term → count agg) and the
+    scoring side; Catalyst reuses the exchange. Scoring joins each
+    (doc, term) occurrence to its corpus probability on the term key
+    (slim string key; at 100 TB pre-aggregate (doc, term) counts first
+    — partial aggregation already does this map-side) and one final
+    doc-keyed agg averages -ln P(w). Token-less docs drop out, same as
+    the oracle's unnest."""
+    occ = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = occ.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.select(F.sum("tf").cast("double").alias("__total"))
+    return (
+        occ.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(F.log(F.col("tf") / F.col("__total"))), 4
+            ).alias("avg_neg_logprob"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q71_vocab_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with cumulative coverage
+    (oracle-checked: DuckDB window twin)."""
+    return build_vocab(load_table(spark, sf_dir, "documents"))
+
+
+def q72_unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram-LM quality scores (oracle-checked)."""
+    return unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------- repetition signals
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc n-gram repetition signals — the Gopher-style quality

@@ -304,6 +304,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Incremental-ingest dedup (new batch vs persisted corpus index) —
     # NEW this round, never driver-checked.
     "q70_incremental_dedup": D.q70_incremental_dedup,
+    # Vocabulary head + unigram-LM doc scoring — NEW this round.
+    "q71_vocab_head": X.q71_vocab_head,
+    "q72_unigram_doc_scores": X.q72_unigram_doc_scores,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -347,8 +350,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q38_events_stream_rollup": _stream_rollup,            # streaming kappa
     "q69_sliding_rollup": _q69,                            # sliding windows
     "q46_range_join_nearby": _q46,                         # banded range join
-    "q50_train_val_test_split": SMP.q50_train_val_test_split,  # det. splits
-    "q68_shard_manifest": PK.q68_shard_manifest,           # export manifest
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window). First the oracle-
     # backed entries rotated out this round — every one driver-green in
@@ -356,8 +357,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # test_relational_oracle.py's all-queries parametrization; they
     # cycle back into the window on later rounds per the policy above.
     # q36 rotated out for q70 (doc plane stays window-covered by nl04,
-    # nl11, q35, q37; q36 r3-green and locally re-verified)
+    # nl11, q35, q37), q50/q68 for q71/q72 (both r3-green; all locally
+    # re-verified every round)
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
+    "q50_train_val_test_split": SMP.q50_train_val_test_split,
+    "q68_shard_manifest": PK.q68_shard_manifest,
     "q07_window_partition_avg": R.q07_window_partition_avg,
     "q11_scalar_subquery": R.q11_scalar_subquery,
     "q14_group_having": R.q14_group_having,
@@ -809,6 +813,49 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM t
         ORDER BY tfidf DESC, term
         LIMIT 20
+    """,
+    # Top-100 vocabulary with deterministic ranks (tf desc, term asc)
+    # and cumulative corpus coverage over the head.
+    "q71_vocab_head": f"""
+        WITH terms AS (
+          SELECT unnest({_DUCK_TOKENS}) AS term FROM documents
+        ), counts AS (
+          SELECT term, count(*) AS tf
+          FROM terms WHERE term <> '' GROUP BY term
+        ), total AS (
+          SELECT sum(tf) * 1.0 AS total FROM counts
+        ), top AS (
+          SELECT term, tf FROM counts ORDER BY tf DESC, term LIMIT 100
+        )
+        SELECT row_number() OVER (ORDER BY tf DESC, term) AS rank,
+               term, tf,
+               round(sum(tf) OVER (ORDER BY tf DESC, term
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                     / (SELECT total FROM total), 6) AS coverage
+        FROM top
+        ORDER BY rank
+    """,
+    # Mean negative log-likelihood per doc under the corpus's own
+    # unigram model (ln; round 4). Token-less docs drop out of unnest
+    # on both engines.
+    "q72_unigram_doc_scores": f"""
+        WITH occ AS (
+          SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+        ), occ2 AS (
+          SELECT doc_id, term FROM occ WHERE term <> ''
+        ), vocab AS (
+          SELECT term, count(*) AS tf FROM occ2 GROUP BY term
+        ), total AS (
+          SELECT sum(tf) * 1.0 AS total FROM vocab
+        )
+        SELECT o.doc_id,
+               count(*) AS n_tokens,
+               round(-avg(ln(v.tf / (SELECT total FROM total))), 4)
+                   AS avg_neg_logprob
+        FROM occ2 o JOIN vocab v USING (term)
+        GROUP BY o.doc_id
+        ORDER BY o.doc_id
     """,
     "q34_doc_fingerprints": """
         SELECT doc_id,

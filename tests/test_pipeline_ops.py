@@ -592,3 +592,34 @@ def test_incremental_dedup_registry_entry(spark, sf_check):
     assert all(
         r["is_dup"] == 0 for r in out if r["best_match_id"] is None
     )
+
+
+# -------------------------------------------- vocabulary / unigram scoring
+def test_vocab_head_coverage_monotone_and_complete(spark):
+    """Coverage is nondecreasing down the ranks and reaches exactly 1.0
+    when top_k covers the whole vocabulary."""
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b d"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = X.build_vocab(docs, top_k=100).collect()
+    assert [r["term"] for r in rows] == ["a", "b", "d", "c"][: len(rows)] or \
+        [r["term"] for r in rows][:2] == ["a", "b"]
+    cov = [r["coverage"] for r in rows]
+    assert all(cov[i] <= cov[i + 1] for i in range(len(cov) - 1))
+    assert cov[-1] == 1.0
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_unigram_scores_tails(spark):
+    """A doc made of the commonest token scores LOWER (more probable)
+    than a doc made of a hapax; token-less docs drop out."""
+    docs = spark.createDataFrame(
+        [(0, "the the the the the"), (1, "zyzzyva"), (2, "the zyzzyva"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in X.unigram_logprob_scores(docs).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["avg_neg_logprob"] < got[2]["avg_neg_logprob"]
+    assert got[2]["avg_neg_logprob"] < got[1]["avg_neg_logprob"]
+    assert got[0]["n_tokens"] == 5 and got[1]["n_tokens"] == 1
