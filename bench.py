@@ -74,6 +74,10 @@ HEADLINE = [
     "q60_dup_clusters",
     "q61_corpus_funnel",
     "q67_chunk_retrieval",
+    # r4 additions (incremental dedup, vocab, unigram LM scoring)
+    "q70_incremental_dedup",
+    "q71_vocab_head",
+    "q72_unigram_doc_scores",
 ]
 
 

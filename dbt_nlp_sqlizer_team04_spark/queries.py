@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators import classifier as CLF
 from .operators import dedup as D
 from .operators import documents as DOC
 from .operators import funnel as FN
@@ -397,6 +398,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q67_chunk_retrieval": _q67,
     "q28_near_dup_minhash": D.q28_near_dup_minhash,
     "q29_simhash_fingerprints": D.q29_simhash_fingerprints,
+    # Learned quality classifier (rows-only: iterative LBFGS fit has no
+    # DuckDB analog; pytest pins separation/determinism/label agreement)
+    "q73_learned_quality_scores": CLF.q73_learned_quality_scores,
     "q32_lang_id_dist": X.q32_lang_id_dist,
     "q39_media_decode_stats": _media_stats,
     "q40_media_embedding_topk": _media_topk,

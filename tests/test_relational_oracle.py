@@ -74,3 +74,15 @@ def test_plan_contracts(spark, sf_smoke):
         p = plan_of(name)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+    # the incremental-dedup probe broadcasts its (small) new batch and
+    # never degenerates into a product
+    p70 = plan_of("q70_incremental_dedup")
+    assert "BroadcastHashJoin" in p70 or "BroadcastExchange" in p70
+    assert "CartesianProduct" not in p70
+
+    # vocab/unigram scoring read ONLY the text column off parquet
+    for name in ("q71_vocab_head", "q72_unigram_doc_scores"):
+        p = plan_of(name)
+        reads = [l for l in p.splitlines() if "ReadSchema" in l]
+        assert reads and all("embedding" not in l and "source" not in l for l in reads)
