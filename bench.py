@@ -74,10 +74,12 @@ HEADLINE = [
     "q60_dup_clusters",
     "q61_corpus_funnel",
     "q67_chunk_retrieval",
-    # r4 additions (incremental dedup, vocab, unigram LM scoring)
+    # r4 additions (incremental dedup, vocab, unigram LM scoring,
+    # repeated-segment scrub)
     "q70_incremental_dedup",
     "q71_vocab_head",
     "q72_unigram_doc_scores",
+    "q74_segment_dedup",
 ]
 
 

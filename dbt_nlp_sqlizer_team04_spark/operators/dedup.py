@@ -866,6 +866,80 @@ def incremental_dedup(
     )
 
 
+def dedup_repeated_segments(
+    df: DataFrame,
+    seg_words: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document boilerplate removal (the C4/RefinedWeb "repeated
+    line/paragraph" scrub, adapted to segment granularity): split each
+    document into non-overlapping ``seg_words``-token segments, drop
+    every segment that appears verbatim in ``min_docs``+ DISTINCT
+    documents, and report the per-document result — ``(doc_id,
+    n_segments, n_dropped, cleaned_md5)`` with the md5 of the kept text
+    reassembled in order (hash-checkable against the DuckDB twin).
+
+    Plan: one explode produces (doc, idx, segment); the corpus-wide
+    repeat count is a single partial-aggregated groupBy on the segment
+    string; the keep-join and the per-doc rollups shuffle (doc, idx,
+    seg) rows once each. Reassembly is collect_list + array_sort per
+    doc — segments of one doc co-locate after the doc-keyed shuffle, so
+    no cross-partition ordering is ever relied on. At 100 TB the
+    segment-count agg would key on xxhash64(segment) (the q52 trick)
+    to slim the biggest shuffle; kept at the string here so the oracle
+    stays engine-identical.
+    """
+    toks = tokens_expr(F.col(text_col))
+    k = int(seg_words)
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / k).cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(segs_arr).alias("seg_idx", "seg"),
+    )
+    repeats = segs.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("seg_docs")
+    )
+    kept = (
+        segs.join(repeats, "seg")
+        .where(F.col("seg_docs") < min_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q74_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-segment scrub audit over documents (oracle: DuckDB
+    twin — same segmentation, repeat rule, and ordered reassembly)."""
+    return dedup_repeated_segments(load_table(spark, sf_dir, "documents"))
+
+
 def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup audit: docs with ``id % 10 = 7`` play
     the arriving batch, the rest are the standing corpus (both sides

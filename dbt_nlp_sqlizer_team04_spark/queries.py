@@ -308,6 +308,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Vocabulary head + unigram-LM doc scoring — NEW this round.
     "q71_vocab_head": X.q71_vocab_head,
     "q72_unigram_doc_scores": X.q72_unigram_doc_scores,
+    # Repeated-segment (boilerplate) scrub — NEW this round.
+    "q74_segment_dedup": D.q74_segment_dedup,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -349,7 +351,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q60_dup_clusters": D.q60_dup_clusters,                # iterative closure
     "q57_repetition_quality": X.q57_repetition_quality,    # text quality
     "q38_events_stream_rollup": _stream_rollup,            # streaming kappa
-    "q69_sliding_rollup": _q69,                            # sliding windows
     "q46_range_join_nearby": _q46,                         # banded range join
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window). First the oracle-
@@ -363,6 +364,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
     "q68_shard_manifest": PK.q68_shard_manifest,
+    # q69 rotated out for q74 (streaming stays window-covered by q38;
+    # q69 r3-green, kappa parity re-checked by pytest every run)
+    "q69_sliding_rollup": _q69,
     "q07_window_partition_avg": R.q07_window_partition_avg,
     "q11_scalar_subquery": R.q11_scalar_subquery,
     "q14_group_having": R.q14_group_having,
@@ -839,6 +843,37 @@ ORACLE_SQL: dict[str, str | None] = {
                      / (SELECT total FROM total), 6) AS coverage
         FROM top
         ORDER BY rank
+    """,
+    # Repeated-segment scrub: non-overlapping 10-token segments; a
+    # segment verbatim in >= 2 distinct docs is boilerplate and drops;
+    # cleaned text reassembles in segment order and is md5-compared.
+    "q74_segment_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+        ), segs AS (
+          SELECT doc_id, u.i AS seg_idx,
+                 array_to_string(t[u.i * 10 + 1 : u.i * 10 + 10], ' ') AS seg
+          FROM toks,
+               unnest(range(0, cast(ceil(len(t) / 10.0) AS int))) AS u(i)
+        ), repeats AS (
+          SELECT seg, count(DISTINCT doc_id) AS seg_docs
+          FROM segs GROUP BY seg
+        ), kept AS (
+          SELECT s.doc_id,
+                 count(*) AS n_kept,
+                 string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS cleaned
+          FROM segs s JOIN repeats r USING (seg)
+          WHERE r.seg_docs < 2
+          GROUP BY s.doc_id
+        ), totals AS (
+          SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               t.n_segments,
+               t.n_segments - coalesce(k.n_kept, 0) AS n_dropped,
+               md5(coalesce(k.cleaned, '')) AS cleaned_md5
+        FROM totals t LEFT JOIN kept k USING (doc_id)
+        ORDER BY t.doc_id
     """,
     # Mean negative log-likelihood per doc under the corpus's own
     # unigram model (ln; round 4). Token-less docs drop out of unnest

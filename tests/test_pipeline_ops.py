@@ -623,3 +623,28 @@ def test_unigram_scores_tails(spark):
     assert got[0]["avg_neg_logprob"] < got[2]["avg_neg_logprob"]
     assert got[2]["avg_neg_logprob"] < got[1]["avg_neg_logprob"]
     assert got[0]["n_tokens"] == 5 and got[1]["n_tokens"] == 1
+
+
+def test_segment_dedup_planted_boilerplate(spark):
+    """A 10-word segment shared verbatim by two docs drops from both;
+    unique segments survive and reassemble in order."""
+    boiler = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, boiler + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (2, "completely unique words that no other document contains here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in D.dedup_repeated_segments(docs).collect()}
+    assert got[0]["n_segments"] == 2 and got[0]["n_dropped"] == 1
+    assert got[1]["n_segments"] == 2 and got[1]["n_dropped"] == 1
+    assert got[2]["n_segments"] == 1 and got[2]["n_dropped"] == 0
+    import hashlib
+    assert got[0]["cleaned_md5"] == hashlib.md5(
+        b"alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ).hexdigest()
+    assert got[2]["cleaned_md5"] == hashlib.md5(
+        b"completely unique words that no other document contains here now"
+    ).hexdigest()
