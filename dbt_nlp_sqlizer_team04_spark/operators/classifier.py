@@ -46,6 +46,14 @@ def _with_weak_labels(df: DataFrame, text_col: str) -> DataFrame:
         .approxQuantile("__q", [BAD_Q, GOOD_Q], 0.001)
     )
     q = quality_score_expr(F.col(text_col))
+    if lo >= hi:
+        # a modal score straddling both quantiles would otherwise label
+        # the entire modal mass confident-good; strict comparisons keep
+        # the mode unlabeled (ambiguous), preserving a two-sided band
+        return df.withColumn(
+            "label",
+            F.when(q > F.lit(hi), 1.0).when(q < F.lit(lo), 0.0),
+        )
     return df.withColumn(
         "label",
         F.when(q >= F.lit(hi), 1.0).when(q <= F.lit(lo), 0.0),
@@ -61,6 +69,12 @@ def train_quality_model(df: DataFrame, text_col: str = "text"):
     from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
 
     labeled = _with_weak_labels(df, text_col).where(F.col("label").isNotNull())
+    n_classes = labeled.select("label").distinct().count()
+    if n_classes < 2:
+        raise ValueError(
+            "quality-score distribution is degenerate (single-class weak "
+            "labels); a learned filter cannot be bootstrapped from it"
+        )
     pipe = Pipeline(
         stages=[
             RegexTokenizer(

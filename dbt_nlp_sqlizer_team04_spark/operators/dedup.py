@@ -633,15 +633,31 @@ _INDEX_VERSION = 2
 
 
 def _sf_tag(sf_dir: str) -> str:
-    """Stable per-(corpus, index-version) suffix for persisted index
-    tables. One FIXED table name across sf_dirs is a correctness trap:
-    warming a query at a small SF rebuilds (DROP + overwrite) the shared
-    table while the per-(session, sf) cache still points the big-SF
-    query at it — the timed/checked run then silently reads the wrong
-    corpus."""
-    import hashlib
+    """Stable per-(corpus-contents, index-version) suffix for persisted
+    index tables. One FIXED table name across sf_dirs is a correctness
+    trap: warming a query at a small SF rebuilds (DROP + overwrite) the
+    shared table while the per-(session, sf) cache still points the
+    big-SF query at it — the timed/checked run then silently reads the
+    wrong corpus.
 
-    return hashlib.md5(f"{sf_dir}|v{_INDEX_VERSION}".encode()).hexdigest()[:8]
+    The tag hashes each parquet file's (name, size, mtime) alongside
+    the path, so a corpus REGENERATED IN PLACE (testdata re-seeded,
+    re-ingest to the same directory) changes the tag and invalidates
+    adopted tables by name — existence of an on-disk index then really
+    does imply it was built from the current source bytes
+    (``reuse_persisted_table``'s contract)."""
+    import hashlib
+    import os
+
+    parts = [sf_dir, f"v{_INDEX_VERSION}"]
+    try:
+        for e in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if e.name.endswith(".parquet"):
+                st = e.stat()
+                parts.append(f"{e.name}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        pass  # missing dir fails later with a clear load error
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
 
 
 def reuse_persisted_table(spark: SparkSession, table_name: str) -> bool:

@@ -231,8 +231,11 @@ class DocumentStore:
     # -- schema inference by sampling (C7, mongodb_adapter.py:97-148)
     def collection_schema(self, name: str, sample_size: int = 100) -> dict:
         """Field → union of observed Python type names + nullability from
-        a bounded sample, plus the exact row count — the same output
-        shape the reference builds from 100 sampled documents."""
+        a bounded sample, plus the exact row count AND the sample rows
+        themselves (``"sample"``) — the same output shape the reference
+        builds from 100 sampled documents; returning the sample lets
+        the crawl adapter reuse it instead of running a second
+        identical limit-collect job per collection."""
         df = self.collection(name)
         sample = df.limit(sample_size).collect()
         field_types: dict[str, set[str]] = {}
@@ -253,7 +256,12 @@ class DocumentStore:
             }
             for f, ts in sorted(field_types.items())
         ]
-        return {"name": name, "columns": columns, "row_count": df.count()}
+        return {
+            "name": name,
+            "columns": columns,
+            "row_count": df.count(),
+            "sample": sample,
+        }
 
     # -- find (C1-C4)
     def find(
@@ -376,7 +384,7 @@ def crawl_document_schema(store: DocumentStore, sample_size: int = 100):
                 ci.is_primary_key = True
                 info.primary_key = ["_id"]
             info.columns.append(ci)
-        for row in store.collection(name).limit(sample_size).collect():
+        for row in cs["sample"]:  # reuse collection_schema's sample job
             info.sample_rows.append(
                 {
                     k: (v if isinstance(v, (int, float, str, bool)) or v is None

@@ -207,7 +207,6 @@ def build_vocab(
     df: DataFrame,
     top_k: int = 100,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus vocabulary head: the ``top_k`` most frequent tokens with
     term/document frequency and CUMULATIVE corpus coverage — the

@@ -22,6 +22,12 @@ class LLMNotConfigured(Exception):
     pass
 
 
+class LLMResponseError(RuntimeError):
+    """The LLM endpoint answered but the body was not a chat
+    completion. Subclasses RuntimeError so every caller's narrow
+    fall-back-to-templates catch already covers it."""
+
+
 def chat_complete(
     system: str,
     user: str,
@@ -55,5 +61,12 @@ def chat_complete(
         },
     )
     with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-        data = json.loads(resp.read())
-    return data["choices"][0]["message"]["content"]
+        raw = resp.read()
+    try:
+        data = json.loads(raw)
+        return data["choices"][0]["message"]["content"]
+    except (json.JSONDecodeError, KeyError, IndexError, TypeError) as e:
+        # a 200 with a non-OpenAI body (gateway page, {'error': ...},
+        # truncated JSON) is a SERVER failure, not a caller bug: surface
+        # it as the error type callers' template-fallback ladders catch
+        raise LLMResponseError(f"unparseable LLM response: {e}") from e

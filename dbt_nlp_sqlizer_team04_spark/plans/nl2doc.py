@@ -182,8 +182,15 @@ class NL2DocEngine:
             measure = best_field(numeric=True)
             if measure is not None:
                 alias = f"{analysis.agg_func.lower()}_{measure}"
-                if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents:
-                    g = best_field(exclude=measure)
+                g = (
+                    best_field(exclude=measure)
+                    if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
+                    else None
+                )
+                # no group-key candidate left (the measure was the only
+                # usable field) → fall back to the ungrouped aggregate
+                # rather than emitting a nonexistent "$None" key
+                if g is not None:
                     return {
                         "collection": coll,
                         "pipeline": [
@@ -198,8 +205,12 @@ class NL2DocEngine:
                     ],
                 }
         if analysis.agg_func == "COUNT" or QueryIntent.AGGREGATION in analysis.all_intents:
-            if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents:
-                g = best_field()
+            g = (
+                best_field()
+                if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
+                else None
+            )
+            if g is not None:  # same $None guard as the measure branch
                 return {
                     "collection": coll,
                     "pipeline": [

@@ -125,6 +125,10 @@ def make_handler(svc: SQLizerService) -> type[BaseHTTPRequestHandler]:
                 return
             try:
                 self._reply(fn(body))
+            except (ValueError, TypeError) as e:
+                # malformed field values (non-numeric timeout_ms, ...)
+                # are the client's fault, same as unparseable JSON
+                self._reply({"ok": False, "error": f"Bad request: {e}"}, 400)
             except Exception as e:  # noqa: BLE001 — route errors → 500 JSON
                 self._reply({"ok": False, "error": f"Internal error: {e}"}, 500)
 

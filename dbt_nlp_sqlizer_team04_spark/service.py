@@ -63,6 +63,9 @@ class SQLizerService:
         self._trainer = ModelTrainer(model_dir)
         self._engine = NL2SQLEngine(spark, self._metadata)
         self._lock = threading.Lock()
+        # per-schema_id engines for the trained model_query path;
+        # invalidated on retrain/delete
+        self._model_engines: dict[str, NL2SQLEngine] = {}
 
     # ----------------------------------------------------- introspection
     def healthz(self) -> dict[str, Any]:
@@ -204,6 +207,7 @@ class SQLizerService:
                     self._metadata, use_llm=use_llm_for_training
                 )
                 self._engine.attach_model(model)
+                self._model_engines.pop(schema_id, None)  # force reload
             except Exception as e:  # noqa: BLE001
                 progress.set_error(schema_id, str(e))
 
@@ -266,6 +270,7 @@ class SQLizerService:
         if not os.path.isdir(path):
             return {"ok": False, "error": f"Model {schema_id} not found"}
         shutil.rmtree(path)
+        self._model_engines.pop(schema_id, None)
         return {"ok": True, "message": f"Model {schema_id} deleted"}
 
     def model_query(self, schema_id: str, question: str) -> dict[str, Any]:
@@ -279,10 +284,16 @@ class SQLizerService:
         if not question:
             return {"ok": False, "error": "Missing 'question'"}
         if not SchemaModel.exists(self.model_dir, schema_id):
+            self._model_engines.pop(schema_id, None)
             return {"ok": False, "error": f"Model {schema_id} not found"}
-        model = SchemaModel.load(self.model_dir, schema_id)
-        engine = NL2SQLEngine(self.spark, self._metadata)
-        engine.attach_model(model)
+        engine = self._model_engines.get(schema_id)
+        if engine is None:
+            # model load + engine build once per schema_id, not per
+            # request (train/delete invalidate the cache)
+            model = SchemaModel.load(self.model_dir, schema_id)
+            engine = NL2SQLEngine(self.spark, self._metadata)
+            engine.attach_model(model)
+            self._model_engines[schema_id] = engine
         relevant = engine._relevant(question)  # noqa: SLF001
         last: Exception | None = None
         for cand in engine.generate(question):

@@ -76,6 +76,12 @@ class ExactlyOnceShardSink:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch fires with 0-row batches (no-new-data trigger,
+        # watermark-advance epochs, restart of a drained stream); an
+        # empty write leaves a _SUCCESS-only directory whose read-back
+        # cannot infer a schema and would kill the query
+        if batch_df.isEmpty():
+            return
         (
             batch_df.withColumn(
                 "shard",

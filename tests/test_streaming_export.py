@@ -102,3 +102,14 @@ def test_batches_partition_the_corpus(spark, sf_smoke, tmp_path):
     assert sum(per_batch.values()) == docs.count()
     ids = [r["doc_id"] for r in data.select("doc_id").collect()]
     assert len(ids) == len(set(ids))  # disjoint across batches
+
+
+def test_empty_batch_is_a_noop(spark, sf_smoke, tmp_path):
+    """A 0-row epoch must not crash the sink or leave artifacts."""
+    docs, out = _run_export(spark, sf_smoke, tmp_path)
+    before = _manifest_rows(exported_manifest(spark, out))
+    sink = ExactlyOnceShardSink(out, n_shards=N_SHARDS)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sink(empty, 99)
+    assert not os.path.exists(sink.data_dir(99))
+    assert _manifest_rows(exported_manifest(spark, out)) == before
