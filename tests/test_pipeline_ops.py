@@ -648,3 +648,41 @@ def test_segment_dedup_planted_boilerplate(spark):
     assert got[2]["cleaned_md5"] == hashlib.md5(
         b"completely unique words that no other document contains here now"
     ).hexdigest()
+
+
+def test_incremental_dedup_matches_bruteforce_property(spark):
+    """Randomized property: for arbitrary small gram-set corpora, the
+    operator's best match and verdict equal a Python brute force (a few
+    seeded corpora rather than hypothesis — each case costs a Spark
+    job, so examples are chosen, not minimized)."""
+    import random
+
+    for seed in (7, 8, 9):
+        rng = random.Random(seed)
+        vocab = [f"g{i}" for i in range(12)]
+        mk = lambda: sorted(rng.sample(vocab, rng.randint(2, 6)))
+        corpus = [(i, mk()) for i in range(10)]
+        new = [(100 + i, mk()) for i in range(5)]
+        got = {
+            r["new_id"]: (r["best_match_id"], r["best_jaccard"], r["is_dup"])
+            for r in D.incremental_dedup(
+                spark.createDataFrame(new, "id long, grams array<string>"),
+                spark.createDataFrame(corpus, "id long, grams array<string>"),
+            ).collect()
+        }
+        for nid, ngr in new:
+            cands = []
+            for cid, cgr in corpus:
+                inter = len(set(ngr) & set(cgr))
+                if inter:
+                    j = inter / (len(set(ngr)) + len(set(cgr)) - inter)
+                    cands.append((-j, cid, j))
+            if not cands:
+                assert got[nid] == (None, None, 0), (seed, nid)
+            else:
+                _, cid, j = min(cands)
+                want_dup = 1 if j >= 0.5 else 0
+                gid, gj, gdup = got[nid]
+                assert gid == cid and abs(gj - j) < 1e-9 and gdup == want_dup, (
+                    seed, nid, got[nid], (cid, j, want_dup),
+                )

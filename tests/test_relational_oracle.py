@@ -86,3 +86,8 @@ def test_plan_contracts(spark, sf_smoke):
         p = plan_of(name)
         reads = [l for l in p.splitlines() if "ReadSchema" in l]
         assert reads and all("embedding" not in l and "source" not in l for l in reads)
+
+    # segment scrub: join-shaped (repeat-count equi-join), no products
+    p74 = plan_of("q74_segment_dedup")
+    assert "CartesianProduct" not in p74
+    assert "BroadcastNestedLoopJoin" not in p74
