@@ -184,14 +184,64 @@ class NL2SQLEngine:
         preferred: list[str] | None = None,
         exclude: str | None = None,
     ) -> str | None:
-        """Grouping key: prefer low-cardinality (categorical) columns,
-        fuzzy-matched against the question, linking-slice boosted.
-        ``exclude`` bars the aggregation measure from doubling as the
-        group key ("max acctbal per nation" must not GROUP BY acctbal)."""
+        scored = self._group_column_scored(table, question, preferred, exclude)
+        return scored[0] if scored else None
+
+    def _fk_path(
+        self, src: str, dst: str, max_hops: int = 2
+    ) -> list[tuple[str, str, str, str]] | None:
+        """Shortest FK join chain src→dst as (tbl_a, col_a, tbl_b,
+        col_b) edges, walking the crawled relationship graph in either
+        direction (A2's FK inference feeds this, the same way the
+        reference's template_join consults metadata relationships)."""
+        from collections import deque
+
+        adj: dict[str, list[tuple[str, str, str]]] = {}
+        for r in self.metadata.relationships:
+            adj.setdefault(r.from_table, []).append(
+                (r.to_table, r.from_column, r.to_column)
+            )
+            adj.setdefault(r.to_table, []).append(
+                (r.from_table, r.to_column, r.from_column)
+            )
+        q = deque([(src, [])])
+        seen = {src}
+        while q:
+            t, path = q.popleft()
+            if t == dst:
+                return path
+            if len(path) >= max_hops:
+                continue
+            for nt, c_here, c_there in adj.get(t, []):
+                if nt not in seen:
+                    seen.add(nt)
+                    q.append((nt, path + [(t, c_here, nt, c_there)]))
+        return None
+
+    def _group_column_scored(
+        self,
+        table: str,
+        question: str,
+        preferred: list[str] | None = None,
+        exclude: str | None = None,
+        numeric: bool | None = None,
+    ) -> tuple[str, float] | None:
+        """Grouping key with its score: prefer low-cardinality
+        (categorical) columns, fuzzy-matched against the question,
+        linking-slice boosted. ``exclude`` bars the aggregation measure
+        from doubling as the group key ("max acctbal per nation" must
+        not GROUP BY acctbal); ``numeric=False`` restricts to
+        non-numeric columns (the join template's dimension keys)."""
         best, best_score = None, -1.0
         for c in self._cols(table):
             if exclude is not None and c.name == exclude:
                 continue
+            if numeric is not None:
+                is_num = any(
+                    s in c.type_str.lower() for s in _NUMERIC_SUBSTR
+                )
+                if is_num != numeric:
+                    continue
             fuzzy = partial_ratio(c.name, question)
             for syn in self.metadata.synonyms.get(c.name, []):
                 fuzzy = max(fuzzy, partial_ratio(syn, question))
@@ -202,7 +252,7 @@ class NL2SQLEngine:
                 score -= 30.0
             if score > best_score:
                 best, best_score = c.name, score
-        return best
+        return (best, best_score) if best is not None else None
 
     # ---------------- candidate generation ----------------
     def template_candidates(
@@ -254,6 +304,59 @@ class NL2SQLEngine:
                 if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
                 else None
             )
+            # --- FK-join grouped agg: the group phrase resolves to a
+            # DIFFERENT relevant table reachable over the crawled FK
+            # graph ("count of customers per region name" → customer
+            # JOIN nation JOIN region GROUP BY r_name). Only outranks
+            # the single-table template when the foreign group column
+            # scores strictly higher than any local candidate.
+            join_cand = None
+            if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents:
+                local = self._group_column_scored(
+                    t, question, preferred=relevant.get(t), exclude=measure
+                )
+                for other in tables[1:]:
+                    path = self._fk_path(t, other)
+                    if not path:
+                        continue
+                    # dimension keys are non-numeric by construction;
+                    # a numeric foreign column is a measure, not a key
+                    scored = self._group_column_scored(
+                        other,
+                        question,
+                        preferred=relevant.get(other),
+                        numeric=False,
+                    )
+                    if scored is None:
+                        continue
+                    if join_cand is None or scored[1] > join_cand[1]:
+                        join_cand = (scored[0], scored[1], other, path)
+                # the join only fires on CLEAR foreign evidence — a
+                # near-tie must not turn a one-table question into a
+                # two-table plan
+                if join_cand is not None and (
+                    local is not None and join_cand[1] <= local[1] + 10.0
+                ):
+                    join_cand = None
+            if join_cand is not None:
+                g2, _s, other, path = join_cand
+                joins = " ".join(
+                    f"JOIN {b} ON {a}.{ca} = {b}.{cb}" for a, ca, b, cb in path
+                )
+                sql = (
+                    f"SELECT {other}.{g2} AS {g2}, {expr} AS {alias} "
+                    f"FROM {t} {joins} GROUP BY {other}.{g2}"
+                )
+                if QueryIntent.SORTED in analysis.all_intents:
+                    sql += f" ORDER BY {alias}" + (" DESC" if analysis.sort_desc else "")
+                else:
+                    sql += f" ORDER BY {g2}"
+                if limit_n:
+                    sql += f" LIMIT {limit_n}"
+                out.append(Candidate(sql, "template_join_grouped_agg", 0.78))
+
+            # the single-table variants stay in the ladder as fallbacks
+            # below the join candidate's 0.78
             if g:
                 sql = f"SELECT {g}, {expr} AS {alias} FROM {t} GROUP BY {g}"
                 if QueryIntent.SORTED in analysis.all_intents:
@@ -263,7 +366,7 @@ class NL2SQLEngine:
                 if limit_n:
                     sql += f" LIMIT {limit_n}"
                 out.append(Candidate(sql, "template_grouped_agg", 0.75))
-            else:
+            elif join_cand is None:
                 sql = f"SELECT {expr} AS {alias} FROM {t}"
                 out.append(Candidate(sql, "template_global_agg", 0.7))
 

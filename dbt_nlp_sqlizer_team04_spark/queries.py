@@ -302,6 +302,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # the same trainer; the fuzzy tier fails this synonym phrasing) —
     # NEW this round, never driver-checked.
     "nl11_trained_doc_avg_chars": _nl11_trained_doc_avg,
+    # FK-join template tier: the group phrase lives two FK hops from
+    # the fact table — NEW this round, never driver-checked.
+    "nl12_count_customers_per_region": _nl2sql(
+        "count of customers per region name"
+    ),
     # Incremental-ingest dedup (new batch vs persisted corpus index) —
     # NEW this round, never driver-checked.
     "q70_incremental_dedup": D.q70_incremental_dedup,
@@ -351,7 +356,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q60_dup_clusters": D.q60_dup_clusters,                # iterative closure
     "q57_repetition_quality": X.q57_repetition_quality,    # text quality
     "q38_events_stream_rollup": _stream_rollup,            # streaming kappa
-    "q46_range_join_nearby": _q46,                         # banded range join
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window). First the oracle-
     # backed entries rotated out this round — every one driver-green in
@@ -365,8 +369,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
     "q68_shard_manifest": PK.q68_shard_manifest,
     # q69 rotated out for q74 (streaming stays window-covered by q38;
-    # q69 r3-green, kappa parity re-checked by pytest every run)
+    # q69 r3-green, kappa parity re-checked by pytest every run);
+    # q46 rotated out for nl12 (timeseries stays covered by q64)
     "q69_sliding_rollup": _q69,
+    "q46_range_join_nearby": _q46,
     "q07_window_partition_avg": R.q07_window_partition_avg,
     "q11_scalar_subquery": R.q11_scalar_subquery,
     "q14_group_having": R.q14_group_having,
@@ -603,6 +609,13 @@ ORACLE_SQL: dict[str, str | None] = {
     """,
     "nl03_distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """,
+    "nl12_count_customers_per_region": """
+        SELECT r_name, count(*) AS cnt
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
     """,
     "nl05_sum_price_per_status": """
         SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_o_totalprice

@@ -145,3 +145,23 @@ def test_parse_llm_candidates_prose_fallback():
     # cap at 5
     many = "\n".join(f"QUERY: SELECT {i}" for i in range(9))
     assert len(parse_llm_candidates(many)) == 5
+
+
+def test_fk_join_grouped_template(spark, sf_smoke):
+    """The group phrase resolves across the FK graph: 'customers per
+    region name' must traverse customer->nation->region, and a
+    same-table grouping question must NOT grow a join."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("count of customers per region name")
+    s = " ".join(sql.split()).lower()
+    assert "join nation" in s and "join region" in s
+    assert "group by region.r_name" in s
+    # single-table question stays single-table (regression guard)
+    _df, sql = eng.query_df("count of orders per orderpriority")
+    assert "join" not in sql.lower()
+    # 1-hop variant
+    _df, sql = eng.query_df("count of customers per nation name")
+    s = " ".join(sql.split()).lower()
+    assert "join nation" in s and "join region" not in s
