@@ -108,14 +108,37 @@ def score_quality(model, df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 _QMODEL_CACHE: dict = {}
 
 
+def quality_model_for(spark: SparkSession, sf_dir: str):
+    """Per-corpus fitted model, persisted in the warehouse beside the
+    index tables (same adopt-or-build contract as
+    ``dedup.minhash_table_for``; the fingerprinted tag invalidates on
+    corpus regeneration or recipe bumps)."""
+    import os
+
+    from pyspark.ml import PipelineModel
+
+    from .dedup import _sf_tag
+
+    key = (id(spark), sf_dir)
+    if key not in _QMODEL_CACHE:
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        path = os.path.join(warehouse, f"quality_model_{_sf_tag(sf_dir)}")
+        if os.path.isdir(path):
+            _QMODEL_CACHE[key] = PipelineModel.load(path)
+        else:
+            model = train_quality_model(load_table(spark, sf_dir, "documents"))
+            model.write().overwrite().save(path)
+            _QMODEL_CACHE[key] = model
+    return _QMODEL_CACHE[key]
+
+
 def q73_learned_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality probability per document (rows-only: iterative
     LBFGS has no DuckDB analog; pytest pins separation on planted
     good/garbage docs, determinism, and weak-label agreement). The
-    model fits once per (session, sf) — the ingest-time artifact a
-    deployment persists via ``PipelineModel.save``."""
+    model fits ONCE PER CORPUS and persists via ``PipelineModel.save``
+    — later processes adopt it like the other ingest artifacts."""
     docs = load_table(spark, sf_dir, "documents")
-    key = (id(spark), sf_dir)
-    if key not in _QMODEL_CACHE:
-        _QMODEL_CACHE[key] = train_quality_model(docs)
-    return score_quality(_QMODEL_CACHE[key], docs)
+    return score_quality(quality_model_for(spark, sf_dir), docs)
