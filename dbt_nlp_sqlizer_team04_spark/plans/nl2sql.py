@@ -35,6 +35,23 @@ from .llm import LLMNotConfigured, chat_complete
 from .safety import extract_sql_from_response
 
 _NUMERIC_SUBSTR = ("int", "numeric", "decimal", "float", "double", "real", "long")
+
+_GRAIN_RE = re.compile(
+    r"\b(?:per|by|each|every)\s+(month|year|day)\b"
+    r"|\b(monthly|yearly|annually|daily)\b"
+)
+_GRAIN_WORDS = {
+    "monthly": "month", "yearly": "year", "annually": "year", "daily": "day"
+}
+
+
+def _temporal_grain(question: str) -> str | None:
+    """Calendar grain the question groups on, if any ("per month",
+    "daily", ...)."""
+    m = _GRAIN_RE.search(question.lower())
+    if not m:
+        return None
+    return m.group(1) or _GRAIN_WORDS[m.group(2)]
 # crawler.py:255's numeric-type substring set, extended with Spark's names.
 
 SYS_PROMPT = (
@@ -254,6 +271,19 @@ class NL2SQLEngine:
                 best, best_score = c.name, score
         return (best, best_score) if best is not None else None
 
+    def _date_column(self, table: str, question: str) -> str | None:
+        """Best date/timestamp-typed column, fuzzy-ranked against the
+        question (the temporal-grouping template's truncation target)."""
+        best, best_score = None, -1.0
+        for c in self._cols(table):
+            ts = c.type_str.lower()
+            if "date" not in ts and "timestamp" not in ts:
+                continue
+            fuzzy = partial_ratio(c.name, question)
+            if fuzzy > best_score:
+                best, best_score = c.name, fuzzy
+        return best
+
     # ---------------- candidate generation ----------------
     def template_candidates(
         self, question: str, analysis: IntentAnalysis, relevant: dict[str, list[str]]
@@ -304,6 +334,26 @@ class NL2SQLEngine:
                 if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
                 else None
             )
+            # --- temporal grouping: "per month"/"yearly"/... means a
+            # calendar grain, not a categorical column — truncate the
+            # best date column (the reference's DATE_TIME intent,
+            # query_intent.py:183-195, never generated the GROUP BY)
+            grain = _temporal_grain(question)
+            if grain is not None:
+                dcol = self._date_column(t, question)
+                if dcol is not None:
+                    fmt = {"month": "yyyy-MM", "year": "yyyy",
+                           "day": "yyyy-MM-dd"}[grain]
+                    key = f"{grain}_key"
+                    sql = (
+                        f"SELECT date_format({dcol}, '{fmt}') AS {key}, "
+                        f"{expr} AS {alias} FROM {t} "
+                        f"GROUP BY {key} ORDER BY {key}"
+                    )
+                    if limit_n:
+                        sql += f" LIMIT {limit_n}"
+                    out.append(Candidate(sql, "template_time_grouped_agg", 0.8))
+
             # --- FK-join grouped agg: the group phrase resolves to a
             # DIFFERENT relevant table reachable over the crawled FK
             # graph ("count of customers per region name" → customer

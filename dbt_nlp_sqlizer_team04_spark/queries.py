@@ -307,6 +307,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl12_count_customers_per_region": _nl2sql(
         "count of customers per region name"
     ),
+    # Temporal-grain template tier ("per month" → date_format rollup) —
+    # NEW this round, never driver-checked.
+    "nl13_orders_per_month": _nl2sql("count of orders per month"),
     # Incremental-ingest dedup (new batch vs persisted corpus index) —
     # NEW this round, never driver-checked.
     "q70_incremental_dedup": D.q70_incremental_dedup,
@@ -354,7 +357,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q23_cosine_topk": V.q23_cosine_topk,                  # similarity top-k
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,  # exact near-dup
     "q60_dup_clusters": D.q60_dup_clusters,                # iterative closure
-    "q57_repetition_quality": X.q57_repetition_quality,    # text quality
     "q38_events_stream_rollup": _stream_rollup,            # streaming kappa
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window). First the oracle-
@@ -370,9 +372,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q68_shard_manifest": PK.q68_shard_manifest,
     # q69 rotated out for q74 (streaming stays window-covered by q38;
     # q69 r3-green, kappa parity re-checked by pytest every run);
-    # q46 rotated out for nl12 (timeseries stays covered by q64)
+    # q46 rotated out for nl12 (timeseries stays covered by q64);
+    # q57 for nl13 (text stays covered by q31/q34/q71/q72)
     "q69_sliding_rollup": _q69,
     "q46_range_join_nearby": _q46,
+    "q57_repetition_quality": X.q57_repetition_quality,
     "q07_window_partition_avg": R.q07_window_partition_avg,
     "q11_scalar_subquery": R.q11_scalar_subquery,
     "q14_group_having": R.q14_group_having,
@@ -616,6 +620,11 @@ ORACLE_SQL: dict[str, str | None] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name
+    """,
+    "nl13_orders_per_month": """
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_key,
+               count(*) AS cnt
+        FROM orders GROUP BY month_key ORDER BY month_key
     """,
     "nl05_sum_price_per_status": """
         SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_o_totalprice

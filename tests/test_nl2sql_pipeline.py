@@ -165,3 +165,19 @@ def test_fk_join_grouped_template(spark, sf_smoke):
     _df, sql = eng.query_df("count of customers per nation name")
     s = " ".join(sql.split()).lower()
     assert "join nation" in s and "join region" not in s
+
+
+def test_temporal_grain_template(spark, sf_smoke):
+    """'per month' means a calendar grain, not a categorical column."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("count of orders per month")
+    s = " ".join(sql.split()).lower()
+    assert "date_format(o_orderdate, 'yyyy-mm')" in s
+    assert "group by month_key" in s
+    _df, sql = eng.query_df("number of orders per year")
+    assert "'yyyy'" in sql and "year_key" in sql
+    # a categorical 'per X' must NOT trigger the temporal template
+    _df, sql = eng.query_df("count of orders per orderpriority")
+    assert "date_format" not in sql
