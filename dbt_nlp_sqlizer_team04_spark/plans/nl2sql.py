@@ -271,6 +271,38 @@ class NL2SQLEngine:
                 best, best_score = c.name, score
         return (best, best_score) if best is not None else None
 
+    def _extract_filters(
+        self, table: str, question: str, exclude: set[str] | None = None
+    ) -> list[tuple[str, str]]:
+        """Equality filters grounded in the PROFILED categorical
+        domains (A6): a filter is emitted only when exactly one of a
+        column's unique values matches the question — by exact
+        case-insensitive token, or by a ≥4-char question token equal to
+        a word of the value ("urgent" → '1-URGENT'). String domains
+        only: numeric domains would false-match quantities like
+        "top 5". Ambiguous columns (several values match) emit
+        nothing — the evidence rule that keeps categorical questions
+        like "per orderpriority" filter-free."""
+        q_tokens = set(re.findall(r"[a-z0-9#]+", question.lower()))
+        long_tokens = {t for t in q_tokens if len(t) >= 4}
+        out: list[tuple[str, str]] = []
+        for c in self._cols(table):
+            if exclude and c.name in exclude:
+                continue
+            if not c.unique_values:
+                continue
+            matched = []
+            for v in c.unique_values:
+                if not isinstance(v, str):
+                    break  # numeric/other domain: skip the column
+                vl = v.lower()
+                parts = set(re.findall(r"[a-z0-9#]+", vl))
+                if vl in q_tokens or (parts & long_tokens):
+                    matched.append(v)
+            if len(matched) == 1:
+                out.append((c.name, matched[0]))
+        return out
+
     def _date_column(self, table: str, question: str) -> str | None:
         """Best date/timestamp-typed column, fuzzy-ranked against the
         question (the temporal-grouping template's truncation target)."""
@@ -334,6 +366,21 @@ class NL2SQLEngine:
                 if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
                 else None
             )
+            # --- domain-grounded equality filters ("orderstatus F",
+            # "urgent orders") shared by every aggregate variant below
+            filters = self._extract_filters(
+                t, question, exclude={measure} if measure else None
+            )
+            where = (
+                " WHERE "
+                + " AND ".join(
+                    f"{c} = '{v.replace(chr(39), chr(39) * 2)}'"
+                    for c, v in filters
+                )
+                if filters
+                else ""
+            )
+
             # --- temporal grouping: "per month"/"yearly"/... means a
             # calendar grain, not a categorical column — truncate the
             # best date column (the reference's DATE_TIME intent,
@@ -347,7 +394,7 @@ class NL2SQLEngine:
                     key = f"{grain}_key"
                     sql = (
                         f"SELECT date_format({dcol}, '{fmt}') AS {key}, "
-                        f"{expr} AS {alias} FROM {t} "
+                        f"{expr} AS {alias} FROM {t}{where} "
                         f"GROUP BY {key} ORDER BY {key}"
                     )
                     if limit_n:
@@ -395,7 +442,7 @@ class NL2SQLEngine:
                 )
                 sql = (
                     f"SELECT {other}.{g2} AS {g2}, {expr} AS {alias} "
-                    f"FROM {t} {joins} GROUP BY {other}.{g2}"
+                    f"FROM {t} {joins}{where} GROUP BY {other}.{g2}"
                 )
                 if QueryIntent.SORTED in analysis.all_intents:
                     sql += f" ORDER BY {alias}" + (" DESC" if analysis.sort_desc else "")
@@ -408,7 +455,7 @@ class NL2SQLEngine:
             # the single-table variants stay in the ladder as fallbacks
             # below the join candidate's 0.78
             if g:
-                sql = f"SELECT {g}, {expr} AS {alias} FROM {t} GROUP BY {g}"
+                sql = f"SELECT {g}, {expr} AS {alias} FROM {t}{where} GROUP BY {g}"
                 if QueryIntent.SORTED in analysis.all_intents:
                     sql += f" ORDER BY {alias}" + (" DESC" if analysis.sort_desc else "")
                 else:
@@ -417,7 +464,7 @@ class NL2SQLEngine:
                     sql += f" LIMIT {limit_n}"
                 out.append(Candidate(sql, "template_grouped_agg", 0.75))
             elif join_cand is None:
-                sql = f"SELECT {expr} AS {alias} FROM {t}"
+                sql = f"SELECT {expr} AS {alias} FROM {t}{where}"
                 out.append(Candidate(sql, "template_global_agg", 0.7))
 
         # --- window function: rows alongside partitioned aggregate ---

@@ -310,6 +310,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Temporal-grain template tier ("per month" → date_format rollup) —
     # NEW this round, never driver-checked.
     "nl13_orders_per_month": _nl2sql("count of orders per month"),
+    # Domain-grounded filter + FK join composed in one question —
+    # NEW this round, never driver-checked.
+    "nl14_building_customers_per_nation": _nl2sql(
+        "number of BUILDING segment customers per nation name"
+    ),
     # Incremental-ingest dedup (new batch vs persisted corpus index) —
     # NEW this round, never driver-checked.
     "q70_incremental_dedup": D.q70_incremental_dedup,
@@ -353,7 +358,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": R.q01_pricing_summary,          # agg/GROUP BY
     "q03_top_revenue_orders": R.q03_top_revenue_orders,    # multi-way join
     "q08_rank_orders": R.q08_rank_orders,                  # window/RANK
-    "q12_cte_nation_sales": R.q12_cte_nation_sales,        # CTE
     "q23_cosine_topk": V.q23_cosine_topk,                  # similarity top-k
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,  # exact near-dup
     "q60_dup_clusters": D.q60_dup_clusters,                # iterative closure
@@ -374,9 +378,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q69 r3-green, kappa parity re-checked by pytest every run);
     # q46 rotated out for nl12 (timeseries stays covered by q64);
     # q57 for nl13 (text stays covered by q31/q34/q71/q72)
+    # q12 rotated out for nl14 (CTE shape re-verified locally; q48/q49
+    # keep complex relational shapes in-window)
     "q69_sliding_rollup": _q69,
     "q46_range_join_nearby": _q46,
     "q57_repetition_quality": X.q57_repetition_quality,
+    "q12_cte_nation_sales": R.q12_cte_nation_sales,
     "q07_window_partition_avg": R.q07_window_partition_avg,
     "q11_scalar_subquery": R.q11_scalar_subquery,
     "q14_group_having": R.q14_group_having,
@@ -625,6 +632,12 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_key,
                count(*) AS cnt
         FROM orders GROUP BY month_key ORDER BY month_key
+    """,
+    "nl14_building_customers_per_nation": """
+        SELECT n_name, count(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY n_name ORDER BY n_name
     """,
     "nl05_sum_price_per_status": """
         SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_o_totalprice

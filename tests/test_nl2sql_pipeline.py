@@ -181,3 +181,26 @@ def test_temporal_grain_template(spark, sf_smoke):
     # a categorical 'per X' must NOT trigger the temporal template
     _df, sql = eng.query_df("count of orders per orderpriority")
     assert "date_format" not in sql
+
+
+def test_domain_grounded_filters(spark, sf_smoke):
+    """Equality filters fire only on unambiguous categorical-domain
+    evidence, and compose with grouping and joins."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df(
+        "count of orders with orderstatus F per orderpriority"
+    )
+    assert "WHERE o_orderstatus = 'F'" in sql
+    _df, sql = eng.query_df("average totalprice of urgent orders")
+    assert "WHERE o_orderpriority = '1-URGENT'" in sql
+    # filter + FK join in one question
+    _df, sql = eng.query_df(
+        "number of BUILDING segment customers per nation name"
+    )
+    s = " ".join(sql.split())
+    assert "JOIN nation" in s and "WHERE c_mktsegment = 'BUILDING'" in s
+    # ambiguous domains ('per brand' matches every Brand#NN) emit nothing
+    _df, sql = eng.query_df("how many parts per brand")
+    assert "WHERE" not in sql
