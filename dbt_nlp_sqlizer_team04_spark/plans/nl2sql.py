@@ -45,6 +45,19 @@ _GRAIN_WORDS = {
 }
 
 
+_CMP_RE = re.compile(
+    r"\b([a-z_]+)\s+"
+    r"(over|above|under|below|greater than|more than|less than|"
+    r"at least|at most|exceeding)\s+"
+    r"(\d[\d,]*(?:\.\d+)?)\b"
+)
+_CMP_OPS = {
+    "over": ">", "above": ">", "greater than": ">", "more than": ">",
+    "exceeding": ">", "under": "<", "below": "<", "less than": "<",
+    "at least": ">=", "at most": "<=",
+}
+
+
 def _temporal_grain(question: str) -> str | None:
     """Calendar grain the question groups on, if any ("per month",
     "daily", ...)."""
@@ -303,6 +316,29 @@ class NL2SQLEngine:
                 out.append((c.name, matched[0]))
         return out
 
+    def _extract_numeric_filters(
+        self, table: str, question: str
+    ) -> list[str]:
+        """Comparison predicates from ``<column-word> <comparator>
+        <number>`` phrases ("totalprice over 400000" →
+        ``o_totalprice > 400000``). The column word must fuzzy-resolve
+        to a NUMERIC column of the table; otherwise the phrase is
+        ignored — no guessing."""
+        out: list[str] = []
+        for word, cmp_word, num in _CMP_RE.findall(question.lower()):
+            best, best_score = None, -1.0
+            for c in self._cols(table):
+                if not any(s in c.type_str.lower() for s in _NUMERIC_SUBSTR):
+                    continue
+                f = partial_ratio(c.name, word)
+                for syn in self.metadata.synonyms.get(c.name, []):
+                    f = max(f, partial_ratio(syn, word))
+                if f > best_score:
+                    best, best_score = c.name, f
+            if best is not None and best_score >= 70.0:
+                out.append(f"{best} {_CMP_OPS[cmp_word]} {num.replace(',', '')}")
+        return out
+
     def _date_column(self, table: str, question: str) -> str | None:
         """Best date/timestamp-typed column, fuzzy-ranked against the
         question (the temporal-grouping template's truncation target)."""
@@ -368,18 +404,13 @@ class NL2SQLEngine:
             )
             # --- domain-grounded equality filters ("orderstatus F",
             # "urgent orders") shared by every aggregate variant below
-            filters = self._extract_filters(
-                t, question, exclude={measure} if measure else None
-            )
-            where = (
-                " WHERE "
-                + " AND ".join(
-                    f"{c} = '{v.replace(chr(39), chr(39) * 2)}'"
-                    for c, v in filters
+            conds = [
+                f"{c} = '{v.replace(chr(39), chr(39) * 2)}'"
+                for c, v in self._extract_filters(
+                    t, question, exclude={measure} if measure else None
                 )
-                if filters
-                else ""
-            )
+            ] + self._extract_numeric_filters(t, question)
+            where = " WHERE " + " AND ".join(conds) if conds else ""
 
             # --- temporal grouping: "per month"/"yearly"/... means a
             # calendar grain, not a categorical column — truncate the

@@ -315,6 +315,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl14_building_customers_per_nation": _nl2sql(
         "number of BUILDING segment customers per nation name"
     ),
+    # Numeric comparison filter compiled from the question — NEW this
+    # round, never driver-checked.
+    "nl15_big_orders_per_priority": _nl2sql(
+        "count of orders with totalprice over 400000 per orderpriority"
+    ),
     # Incremental-ingest dedup (new batch vs persisted corpus index) —
     # NEW this round, never driver-checked.
     "q70_incremental_dedup": D.q70_incremental_dedup,
@@ -358,7 +363,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q01_pricing_summary": R.q01_pricing_summary,          # agg/GROUP BY
     "q03_top_revenue_orders": R.q03_top_revenue_orders,    # multi-way join
     "q08_rank_orders": R.q08_rank_orders,                  # window/RANK
-    "q23_cosine_topk": V.q23_cosine_topk,                  # similarity top-k
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,  # exact near-dup
     "q60_dup_clusters": D.q60_dup_clusters,                # iterative closure
     "q38_events_stream_rollup": _stream_rollup,            # streaming kappa
@@ -380,10 +384,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q57 for nl13 (text stays covered by q31/q34/q71/q72)
     # q12 rotated out for nl14 (CTE shape re-verified locally; q48/q49
     # keep complex relational shapes in-window)
+    # q23 rotated out for nl15 (similarity stays covered by q53)
     "q69_sliding_rollup": _q69,
     "q46_range_join_nearby": _q46,
     "q57_repetition_quality": X.q57_repetition_quality,
     "q12_cte_nation_sales": R.q12_cte_nation_sales,
+    "q23_cosine_topk": V.q23_cosine_topk,
     "q07_window_partition_avg": R.q07_window_partition_avg,
     "q11_scalar_subquery": R.q11_scalar_subquery,
     "q14_group_having": R.q14_group_having,
@@ -638,6 +644,11 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY n_name ORDER BY n_name
+    """,
+    "nl15_big_orders_per_priority": """
+        SELECT o_orderpriority, count(*) AS cnt
+        FROM orders WHERE o_totalprice > 400000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "nl05_sum_price_per_status": """
         SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_o_totalprice

@@ -204,3 +204,21 @@ def test_domain_grounded_filters(spark, sf_smoke):
     # ambiguous domains ('per brand' matches every Brand#NN) emit nothing
     _df, sql = eng.query_df("how many parts per brand")
     assert "WHERE" not in sql
+
+
+def test_numeric_comparison_filters(spark, sf_smoke):
+    """'<column> over/below <number>' phrases compile to comparison
+    predicates; comparator-free questions stay unfiltered."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df(
+        "count of orders with totalprice over 400000 per orderpriority"
+    )
+    assert "WHERE o_totalprice > 400000" in sql
+    _df, sql = eng.query_df(
+        "count of customers with acctbal below 0 per mktsegment"
+    )
+    assert "WHERE c_acctbal < 0" in sql
+    _df, sql = eng.query_df("count of orders per orderpriority")
+    assert "WHERE" not in sql
