@@ -80,6 +80,11 @@ HEADLINE = [
     "q71_vocab_head",
     "q72_unigram_doc_scores",
     "q74_segment_dedup",
+    # r4 additions (BM25, Gopher gate, int8 quantized ANN, k-means)
+    "q75_bm25_topk",
+    "q76_gopher_quality",
+    "q77_int8_quant_topk",
+    "q78_kmeans_clusters",
 ]
 
 

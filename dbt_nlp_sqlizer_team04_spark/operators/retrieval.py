@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..models.embedder import HashingTfidfEncoder
 from ..sources.parquet import load_table
+from .dedup import tokens_expr
 from .packing import chunk_documents
 from .similarity import _as_double, _vector_lit, cosine_expr
 
@@ -170,6 +171,147 @@ def chunk_index_for(
         )
         _CHUNK_INDEX_CACHE[key] = (enc, spark.table(name))
     return _CHUNK_INDEX_CACHE[key]
+
+
+# ------------------------------------------------------------------ BM25
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical BM25 top-k retrieval (Robertson/Sparck-Jones probabilistic
+    ranking; the Lucene ``+1``-inside-the-log idf variant so idf stays
+    positive at any df) — the sparse complement to the dense cosine path
+    (q67). No reference analog (the reference's text plane stops at
+    schema-synonym mining).
+
+    Plan shape, and why it scales:
+    - ONE narrow projection computes per-doc length and one tf counter
+      per query term as pure column expressions over the token array —
+      no explode, no per-term shuffle, whole-stage codegen end to end;
+    - corpus statistics (N, avgdl, per-term df) are ONE 1-row aggregate
+      over that projection, broadcast back via cross join — the classic
+      q33/TF-IDF shape, so scoring is a second scan of the same slim
+      projection, never a join on terms;
+    - non-matching docs are filtered before the sort, and top-k is
+      ``TakeOrderedAndProject`` (no global sort materializes).
+    A deployment serving many queries would persist an inverted
+    (term → postings) index at ingest instead of scanning; for the
+    analytics-side "score the corpus against a probe query" shape used
+    here, the two-scan plan reads less data than an index build.
+
+    Oracle-exact: tf/df/dl are integers, avgdl = sum/count of integers,
+    and each doc's score sums the per-term contributions in declared
+    term order, so DuckDB reproduces the doubles bit-for-bit.
+    """
+    toks = tokens_expr(F.col(text_col))
+
+    def term_count(term: str):
+        # NB: a two-parameter lambda would be read by F.filter as the
+        # (element, index) form — keep the closure single-argument
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tf_cols = [
+        term_count(term).alias(f"tf{i}")
+        for i, term in enumerate(query_terms)
+    ]
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            1.0
+            + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        tf = F.col(f"tf{i}")
+        contrib = idf * (
+            tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        score = contrib if score is None else score + contrib
+    matched = sum(F.col(f"tf{i}") for i in range(len(query_terms)))
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .where(matched > 0)
+        .select(F.col(id_col), F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+# Fixed probe query for the registry entry — mid/high-df corpus terms so
+# tf saturation and the length prior both matter in the ranking.
+BM25_QUERY_TERMS = ("spark", "merge", "window")
+
+
+def q75_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 docs for a fixed probe query (oracle-checked: DuckDB
+    reproduces tf/df/avgdl and the per-term scoring sum exactly)."""
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`, same term order and arithmetic."""
+    toks = r"string_split_regex(trim(lower(text)), '\s+')"
+    tf_defs = ",\n               ".join(
+        f"len(list_filter({toks}, t -> t = '{term}')) AS tf{i}"
+        for i, term in enumerate(query_terms)
+    )
+    df_defs = ",\n               ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(query_terms))
+    )
+    contribs = "\n             + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({k1} + 1.0)"
+        f" / (tf{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl)))"
+        for i in range(len(query_terms))
+    )
+    matched = " + ".join(f"tf{i}" for i in range(len(query_terms)))
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+               len({toks}) AS dl,
+               {tf_defs}
+          FROM documents
+        ), stats AS (
+          SELECT count(*) AS n,
+               sum(dl) * 1.0 / count(*) AS avgdl,
+               {df_defs}
+          FROM base
+        )
+        SELECT doc_id,
+               round({contribs}, 4) AS bm25
+        FROM base, stats
+        WHERE {matched} > 0
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {k}
+    """
 
 
 def q67_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1020,3 +1020,246 @@ def q63_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         ivf_table=ivf_table_for(spark, sf_dir, n_probe_assign=2),
     )
+
+
+# ------------------------------------------- int8 scalar quantization
+def int8_quantize_expr(vec: Column) -> Column:
+    """Symmetric per-vector int8 codes: scale = max|x|/127, code =
+    round-half-up(x/scale), clamped by construction to [-127, 127].
+    4× smaller than float32 (16× vs the doubles Spark computes in) —
+    the standard serving-layer compression tier between full precision
+    and PQ (q65). Codes are kept as doubles holding integer values so
+    the shared cosine path applies unchanged; cosine over codes is
+    scale-invariant, so the per-vector scale needs no separate column
+    for ranking purposes. ``floor(x*127/m + 0.5)`` rather than round():
+    both engines agree on floor for every input, while round() is
+    HALF_EVEN in Spark and HALF_UP in DuckDB.
+
+    Zero vectors (m = 0) quantize to all-zero codes, which the cosine
+    convention (cosine_expr → 0.0) then ranks last — engine-identical.
+    """
+    from .dedup import bind
+
+    return bind(
+        F.array_max(F.transform(vec, F.abs)),
+        lambda m: F.transform(
+            vec,
+            lambda x: F.when(m > 0, F.floor(x * 127.0 / m + 0.5))
+            .otherwise(F.lit(0))
+            .cast("double"),
+        ),
+    )
+
+
+def int8_codes(
+    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """(id, q int8-codes-as-double) — the persisted quantized index a
+    deployment writes at ingest (like the IVF/PQ tables)."""
+    return df.select(
+        F.col(id_col), int8_quantize_expr(_as_double(emb_col)).alias("q")
+    )
+
+
+def _int8_quantize_py(vec: list[float]) -> list[float]:
+    """Driver-side twin of :func:`int8_quantize_expr` for probe vectors
+    (same IEEE ops in the same order → identical codes)."""
+    import math
+
+    m = max(abs(float(x)) for x in vec) if vec else 0.0
+    if m <= 0:
+        return [0.0] * len(vec)
+    return [float(math.floor(float(x) * 127.0 / m + 0.5)) for x in vec]
+
+
+def int8_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k in int8 code space: the probe is quantized
+    with the identical formula, ranking = cosine over integer-valued
+    arrays (exact dot products — cross-engine bit-identical), top-k via
+    TakeOrderedAndProject."""
+    pq = _vector_lit(_int8_quantize_py(query_vec))
+    return (
+        codes.select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col("q"), pq), 6).alias("q_cos"),
+        )
+        .orderBy(F.desc("q_cos"), id_col)
+        .limit(k)
+    )
+
+
+def q77_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 neighbors of vec_id=0 ranked by cosine over int8-quantized
+    codes (oracle-checked: quantization is deterministic elementwise
+    math and code dot products are exact integers, so DuckDB reproduces
+    every score bit-for-bit). pytest pins fidelity vs the exact q23
+    ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return int8_topk(int8_codes(emb), q, k=20)
+
+
+# --------------------------------------------------- k-means clustering
+def _kmeans_seeds(
+    vecs: DataFrame, k: int, id_col: str, emb_col: str
+) -> list[list[float]]:
+    """Deterministic, content-addressed initial centroids: the k vectors
+    with the smallest md5(id). A partition-order ``limit(k)`` would seed
+    from whatever scan partitions answer first (source-biased on an
+    ordered corpus); the md5 order is an unbiased deterministic shuffle
+    — same convention as the PQ codebook sample (pq_train)."""
+    rows = (
+        vecs.select(
+            _as_double(emb_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _best_cluster_expr(v: Column, centroids: list[list[float]]) -> Column:
+    """struct(d, c) of the nearest centroid by squared L2 — k × dim
+    multiply-adds per row in whole-stage codegen, centroids inlined as
+    broadcast literals. Ties break toward the lower cluster id via
+    struct ordering."""
+
+    def dist2(c: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(v, _vector_lit(c), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(dist2(c).alias("d"), F.lit(i).alias("c"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_assign(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, dist2) — assignment pass, no shuffle, no Python."""
+    best = _best_cluster_expr(_as_double(emb_col), centroids)
+    return vecs.select(
+        F.col(id_col),
+        best["c"].alias("cluster"),
+        best["d"].alias("dist2"),
+    )
+
+
+def kmeans_fit(
+    vecs: DataFrame,
+    k: int = 10,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means with DataFrame-native supersteps.
+
+    Per round: one assignment pass (broadcast centroid literals, no
+    shuffle) + one update aggregation — ``posexplode`` to (cluster,
+    dim, component) and a partial-aggregated groupBy, so the shuffle
+    moves k × dim partial sums per map task, never vectors. The k × dim
+    result (a few KB) collects to the driver to become the next round's
+    literals — the same metadata-sized barrier the IVF builder uses.
+    Empty clusters keep their previous centroid. Fixed ``n_iter``
+    supersteps (no convergence probe): deterministic cost, and dedup/
+    SemDeDup-style corpora converge in a handful of rounds; callers
+    needing a tolerance stop can compare successive centroid frames.
+
+    MLlib's ``KMeans`` (k-means|| init) is the stock alternative; this
+    native loop exists because the engine contract requires bit-stable
+    deterministic output across runs, which seeded sampling inits don't
+    give.
+
+    The per-round pass is an Arrow ``mapInPandas`` (BLAS assignment +
+    per-partition partial sums), not the expression form
+    :func:`kmeans_assign` uses: each round has NEW centroid literals, so
+    the expression form would recompile a k × dim codegen tree per
+    round (~0.7 s of Janino per superstep — measured; it dominated the
+    fit). The Python pass emits k × dim partial rows per partition —
+    the same slim-shuffle shape — and the vectorized matmul is the
+    standard per-batch cost. The FINAL assignment (one compile, fixed
+    centroids) stays in codegen.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = _kmeans_seeds(vecs, k, id_col, emb_col)
+    dim = len(cents[0])
+    src = vecs.select(_as_double(emb_col).alias("v")).localCheckpoint()
+    for _ in range(n_iter):
+        C = [list(c) for c in cents]  # plain floats into the closure
+
+        def partials(batches, C=C):
+            cm = np.asarray(C)  # k × dim
+            cn2 = (cm * cm).sum(axis=1)
+            for pdf in batches:
+                X = np.array(list(pdf["v"]), dtype=np.float64)
+                if len(X) == 0:
+                    continue
+                # argmin ||x-c||² = argmin (|c|² - 2 x·c); ties → lowest
+                # cluster id (np.argmin takes the first minimum)
+                a = np.argmin(cn2[None, :] - 2.0 * (X @ cm.T), axis=1)
+                out = []
+                for cl in np.unique(a):
+                    s = X[a == cl].sum(axis=0)
+                    n = int((a == cl).sum())
+                    out.extend(
+                        {"cluster": int(cl), "dim": d, "s": float(s[d]), "n": n}
+                        for d in range(X.shape[1])
+                    )
+                yield pd.DataFrame(out)
+
+        sums = (
+            src.mapInPandas(partials, "cluster int, dim int, s double, n long")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        for r in sums:
+            nxt[r["cluster"]][r["dim"]] = r["s"] / r["n"]
+        cents = nxt
+    return cents
+
+
+def kmeans_clusters(
+    vecs: DataFrame,
+    k: int = 10,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Final per-vector cluster assignment after :func:`kmeans_fit` —
+    the corpus-organization primitive under SemDeDup/IVF (those persist
+    their cells at ingest; this is the reusable fit+assign surface)."""
+    cents = kmeans_fit(vecs, k=k, n_iter=n_iter, id_col=id_col, emb_col=emb_col)
+    return (
+        kmeans_assign(vecs, cents, id_col=id_col, emb_col=emb_col)
+        .select(id_col, "cluster", F.round(F.sqrt("dist2"), 6).alias("dist"))
+        .orderBy(id_col)
+    )
+
+
+def q78_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=10 Lloyd clustering of the embeddings corpus (rows-only: the
+    iterative fit has no DuckDB analog; pytest pins determinism,
+    monotone inertia, and planted-label purity)."""
+    return kmeans_clusters(load_table(spark, sf_dir, "embeddings"), k=10)

@@ -449,3 +449,145 @@ def q54_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" note "), F.col("text"),
     )
     return pii_scrub_stats(docs.withColumn("contact", contact), "contact")
+
+
+# ---------------------------------------------------- Gopher quality rules
+# The published Gopher (Rae et al. 2021, arXiv:2112.11446 A1.1) document
+# filter: word-count bounds, mean-word-length band, symbol-to-word ratio,
+# bullet/ellipsis line fractions, alphabetic-word share, and the
+# required-stopword rule. All pure column expressions — at 100 TB this
+# pass is a projection over one scan, no shuffle until the caller
+# aggregates survivors.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+) -> DataFrame:
+    """Per-doc Gopher rule evaluations + the conjunctive ``passes`` flag.
+
+    Word-count bounds are parameters (published defaults 50/100k target
+    web pages; short-form corpora tune them — the registry entry uses
+    bounds that split the synthetic corpus so both branches are
+    exercised). The other thresholds are the published constants.
+
+    Oracle-exact: every signal is an integer count or a ratio of
+    integers, so DuckDB reproduces the doubles bit-for-bit.
+    """
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_words = F.size(toks)
+    mean_wl = (
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+        / n_words
+    )
+    alpha_frac = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) / n_words
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))) / n_lines
+    )
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(3.0, 10.0)
+        & (alpha_frac > 0.80)
+        & (symbol_ratio < 0.10)
+        & (bullet_frac < 0.90)
+        & (ellipsis_frac < 0.30)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        passes.cast("int").alias("passes"),
+    ).orderBy("doc_id")
+
+
+# The synthetic docs run 10-99 words; published 50/100k would pass-fail
+# on word count alone for most of them — 20/90 exercises both branches
+# of every rule combination present in the corpus.
+GOPHER_Q76_MIN_WORDS = 20
+GOPHER_Q76_MAX_WORDS = 90
+# The synthetic vocabulary carries only 'the'/'a' as function words, so
+# the published stop set would zero the rule — same set shape, corpus
+# alphabet (the rule still demands >= 2 distinct hits).
+GOPHER_Q76_STOPWORDS = ("the", "a", "to", "of", "and", "that", "have", "with")
+
+
+def q76_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher rule audit + pass flag (oracle-checked)."""
+    return gopher_quality(
+        load_table(spark, sf_dir, "documents"),
+        min_words=GOPHER_Q76_MIN_WORDS,
+        max_words=GOPHER_Q76_MAX_WORDS,
+        stopwords=GOPHER_Q76_STOPWORDS,
+    )
+
+
+def gopher_oracle_sql(
+    min_words: int = GOPHER_Q76_MIN_WORDS,
+    max_words: int = GOPHER_Q76_MAX_WORDS,
+    stopwords: tuple[str, ...] = GOPHER_Q76_STOPWORDS,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality` (same counts and ratios)."""
+    sw = ", ".join(f"'{w}'" for w in stopwords)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks,
+               string_split(text, chr(10)) AS lines,
+               len(text) - len(replace(text, '#', '')) AS n_hash,
+               (len(text) - len(replace(text, '...', ''))) / 3 AS n_ellipsis
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, t -> len(t))) * 1.0 / len(toks) AS mean_wl,
+               len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) * 1.0
+                   / len(toks) AS alpha_frac,
+               (n_hash + n_ellipsis) * 1.0 / len(toks) AS symbol_ratio,
+               len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+                   * 1.0 / len(lines) AS bullet_frac,
+               len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))
+                   * 1.0 / len(lines) AS ellipsis_frac,
+               len(list_intersect(list_distinct(toks), [{sw}])) AS stopword_hits
+          FROM base
+        )
+        SELECT doc_id, n_words,
+               round(mean_wl, 4) AS mean_word_len,
+               round(alpha_frac, 4) AS alpha_frac,
+               round(symbol_ratio, 4) AS symbol_ratio,
+               round(bullet_frac, 4) AS bullet_frac,
+               round(ellipsis_frac, 4) AS ellipsis_frac,
+               stopword_hits,
+               CASE WHEN n_words BETWEEN {min_words} AND {max_words}
+                     AND mean_wl BETWEEN 3.0 AND 10.0
+                     AND alpha_frac > 0.80
+                     AND symbol_ratio < 0.10
+                     AND bullet_frac < 0.90
+                     AND ellipsis_frac < 0.30
+                     AND stopword_hits >= 2
+                    THEN 1 ELSE 0 END AS passes
+        FROM sig
+        ORDER BY doc_id
+    """

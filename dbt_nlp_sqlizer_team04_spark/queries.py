@@ -23,6 +23,7 @@ from .operators import documents as DOC
 from .operators import funnel as FN
 from .operators import packing as PK
 from .operators import relational as R
+from .operators import retrieval as RT
 from .operators import sampling as SMP
 from .operators import similarity as V
 from .operators import text as X
@@ -262,7 +263,8 @@ def _nl2sql(question: str) -> QueryFn:
 # only (observed in r2 and r3 — each CORRECTNESS_r{N}.json held exactly
 # the first 50 keys). With 70 oracle-backed entries the window cannot
 # hold them all, so the window ROTATES each round under a fixed policy:
-#   1. every entry the driver has never checked (this round: nl11);
+#   1. every entry the driver has never checked (this round: nl11-nl15,
+#      q70-q72, q74, and the q75/q76/q77 additions);
 #   2. every entry whose implementation changed since the last driver
 #      check (this round: q52 suffix filter, q56/q58 BPE token budgets,
 #      q59/q61 persisted probe shingles, q64 decimal sums);
@@ -328,6 +330,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q72_unigram_doc_scores": X.q72_unigram_doc_scores,
     # Repeated-segment (boilerplate) scrub — NEW this round.
     "q74_segment_dedup": D.q74_segment_dedup,
+    # BM25 lexical retrieval, Gopher-rules quality gate, int8-quantized
+    # cosine top-k — NEW this round, never driver-checked.
+    "q75_bm25_topk": RT.q75_bm25_topk,
+    "q76_gopher_quality": X.q76_gopher_quality,
+    "q77_int8_quant_topk": V.q77_int8_quant_topk,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -360,10 +367,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q48_cube_status_priority": R.q48_cube_status_priority,
     "q49_price_percentiles": R.q49_price_percentiles,
     # --- window rule 4: widest operator spread (all r3-green) --------
-    "q01_pricing_summary": R.q01_pricing_summary,          # agg/GROUP BY
     "q03_top_revenue_orders": R.q03_top_revenue_orders,    # multi-way join
-    "q08_rank_orders": R.q08_rank_orders,                  # window/RANK
-    "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,  # exact near-dup
     "q60_dup_clusters": D.q60_dup_clusters,                # iterative closure
     "q38_events_stream_rollup": _stream_rollup,            # streaming kappa
     # ------------------------------------------------------------------
@@ -378,6 +382,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
     "q68_shard_manifest": PK.q68_shard_manifest,
+    # q01/q08/q53 rotated out for q75/q76/q77 (all r3-green; agg stays
+    # window-covered by nl01/nl05-type entries, windows by q07-locally +
+    # rank reverified each round, exact near-dup by q52/q60)
+    "q01_pricing_summary": R.q01_pricing_summary,
+    "q08_rank_orders": R.q08_rank_orders,
+    "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
     # q69 rotated out for q74 (streaming stays window-covered by q38;
     # q69 r3-green, kappa parity re-checked by pytest every run);
     # q46 rotated out for nl12 (timeseries stays covered by q64);
@@ -428,6 +438,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Learned quality classifier (rows-only: iterative LBFGS fit has no
     # DuckDB analog; pytest pins separation/determinism/label agreement)
     "q73_learned_quality_scores": CLF.q73_learned_quality_scores,
+    # Lloyd k-means clustering (rows-only: the iterative fit has no
+    # DuckDB analog; pytest pins determinism/inertia/planted blobs)
+    "q78_kmeans_clusters": V.q78_kmeans_clusters,
     "q32_lang_id_dist": X.q32_lang_id_dist,
     "q39_media_decode_stats": _media_stats,
     "q40_media_embedding_topk": _media_topk,
@@ -1229,6 +1242,31 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM s
         GROUP BY user_id, sid
         ORDER BY user_id, start_us
+    """,
+    "q75_bm25_topk": RT.bm25_oracle_sql(),
+    "q76_gopher_quality": X.gopher_oracle_sql(),
+    # int8 symmetric quantization: codes are exact integers in both
+    # engines (floor(x*127/m + 0.5) — floor, not round(): Spark rounds
+    # HALF_EVEN, DuckDB HALF_UP), so code dot products match exactly.
+    "q77_int8_quant_topk": f"""
+        WITH mx AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding,
+                                         x -> abs(CAST(x AS DOUBLE)))) AS m,
+                 embedding
+          FROM embeddings
+        ), codes AS (
+          SELECT vec_id,
+                 CASE WHEN m > 0
+                      THEN list_transform(embedding,
+                             x -> floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5))
+                      ELSE list_transform(embedding, x -> 0.0) END AS q
+          FROM mx
+        ), probe AS (SELECT q AS pq FROM codes WHERE vec_id = 0)
+        SELECT vec_id, round({_cos_sql("q", "pq")}, 6) AS q_cos
+        FROM codes, probe
+        ORDER BY q_cos DESC, vec_id
+        LIMIT 20
     """,
     "q56_sequence_packing": PK.pack_sequences_oracle_sql(),
     "q58_materialized_sequences": PK.materialize_sequences_oracle_sql(),
