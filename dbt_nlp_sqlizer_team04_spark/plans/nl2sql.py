@@ -57,6 +57,18 @@ _CMP_OPS = {
     "at least": ">=", "at most": "<=",
 }
 
+# "orders from 1995" / "shipped in 1997" — a bare 4-digit year after a
+# temporal preposition filters the best date column by calendar year
+_YEAR_RE = re.compile(r"\b(?:in|from|during|for)\s+((?:19|20)\d{2})\b")
+
+# "name containing 19" / "comment starting with foo" — substring filters
+# on a fuzzy-resolved STRING column; ILIKE (both engines support it) so
+# question-case tokens match stored-case values
+_LIKE_RE = re.compile(
+    r"\b([a-z_]+)\s+(containing|contains|starting with|ending with)\s+"
+    r"'?([a-z0-9#]+)'?"
+)
+
 
 def _temporal_grain(question: str) -> str | None:
     """Calendar grain the question groups on, if any ("per month",
@@ -339,6 +351,44 @@ class NL2SQLEngine:
                 out.append(f"{best} {_CMP_OPS[cmp_word]} {num.replace(',', '')}")
         return out
 
+    def _extract_year_filters(self, table: str, question: str) -> list[str]:
+        """Calendar-year predicates ("orders from 1995" →
+        ``year(o_orderdate) = 1995``) against the fuzzy-best date
+        column; no date column in the table → no filter."""
+        out: list[str] = []
+        for y in _YEAR_RE.findall(question.lower()):
+            dcol = self._date_column(table, question)
+            if dcol is not None:
+                out.append(f"year({dcol}) = {y}")
+        return out
+
+    def _extract_like_filters(self, table: str, question: str) -> list[str]:
+        """Substring predicates from ``<column-word>
+        containing/starting with/ending with <token>`` phrases. The
+        column word must fuzzy-resolve to a STRING column (≥70, the
+        numeric-filter convention); otherwise the phrase is ignored."""
+        out: list[str] = []
+        for word, mode, tok in _LIKE_RE.findall(question.lower()):
+            best, best_score = None, -1.0
+            for c in self._cols(table):
+                ts = c.type_str.lower()
+                if not ("string" in ts or "char" in ts or "text" in ts):
+                    continue
+                f = partial_ratio(c.name, word)
+                for syn in self.metadata.synonyms.get(c.name, []):
+                    f = max(f, partial_ratio(syn, word))
+                if f > best_score:
+                    best, best_score = c.name, f
+            if best is None or best_score < 70.0:
+                continue
+            tok = tok.replace("'", "''")
+            pat = {
+                "containing": f"%{tok}%", "contains": f"%{tok}%",
+                "starting with": f"{tok}%", "ending with": f"%{tok}",
+            }[mode]
+            out.append(f"{best} ILIKE '{pat}'")
+        return out
+
     def _date_column(self, table: str, question: str) -> str | None:
         """Best date/timestamp-typed column, fuzzy-ranked against the
         question (the temporal-grouping template's truncation target)."""
@@ -404,12 +454,17 @@ class NL2SQLEngine:
             )
             # --- domain-grounded equality filters ("orderstatus F",
             # "urgent orders") shared by every aggregate variant below
-            conds = [
-                f"{c} = '{v.replace(chr(39), chr(39) * 2)}'"
-                for c, v in self._extract_filters(
-                    t, question, exclude={measure} if measure else None
-                )
-            ] + self._extract_numeric_filters(t, question)
+            conds = (
+                [
+                    f"{c} = '{v.replace(chr(39), chr(39) * 2)}'"
+                    for c, v in self._extract_filters(
+                        t, question, exclude={measure} if measure else None
+                    )
+                ]
+                + self._extract_numeric_filters(t, question)
+                + self._extract_year_filters(t, question)
+                + self._extract_like_filters(t, question)
+            )
             where = " WHERE " + " AND ".join(conds) if conds else ""
 
             # --- temporal grouping: "per month"/"yearly"/... means a
@@ -535,6 +590,34 @@ class NL2SQLEngine:
                 out.append(
                     Candidate(sql, "template_sorted", 0.8 if limit_n else 0.6)
                 )
+
+        # --- filtered listing: extracted predicate evidence without an
+        # aggregate intent compiles to a WHERE'd projection (PK-ordered
+        # for a deterministic result set)
+        if analysis.intent not in (
+            QueryIntent.AGGREGATION,
+            QueryIntent.GROUPED_AGGREGATION,
+        ):
+            conds = (
+                [
+                    f"{c} = '{v.replace(chr(39), chr(39) * 2)}'"
+                    for c, v in self._extract_filters(t, question)
+                ]
+                + self._extract_numeric_filters(t, question)
+                + self._extract_year_filters(t, question)
+                + self._extract_like_filters(t, question)
+            )
+            if conds:
+                sql = (
+                    f"SELECT {', '.join(all_cols[:5])} FROM {t}"
+                    f" WHERE {' AND '.join(conds)}"
+                    f" ORDER BY {all_cols[0]} LIMIT {limit_n or 100}"
+                )
+                # 0.8: the template_sorted convention — predicate
+                # evidence must outrank the FK-join fallback, whose
+                # rank() self-inflates +0.1 per table + 0.1 for JOIN;
+                # at the 1.0 cap ties break on generation order
+                out.append(Candidate(sql, "template_filtered_select", 0.8))
 
         # --- reference parity templates (inference.py:215-246) ---
         cols5 = ", ".join(all_cols[:5])

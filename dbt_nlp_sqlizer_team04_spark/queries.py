@@ -322,6 +322,16 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl15_big_orders_per_priority": _nl2sql(
         "count of orders with totalprice over 400000 per orderpriority"
     ),
+    # Calendar-year filter compiled from the question ("from 1995" →
+    # year(o_orderdate) = 1995) — NEW this round, never driver-checked.
+    "nl16_orders_1995_per_priority": _nl2sql(
+        "count of orders from 1995 per orderpriority"
+    ),
+    # Substring (ILIKE) filter + filtered-listing template — NEW this
+    # round, never driver-checked.
+    "nl17_customers_name_contains": _nl2sql(
+        "show customers with name containing 19"
+    ),
     # Incremental-ingest dedup (new batch vs persisted corpus index) —
     # NEW this round, never driver-checked.
     "q70_incremental_dedup": D.q70_incremental_dedup,
@@ -366,9 +376,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q42_except_unordered_parts": R.q42_except_unordered_parts,
     "q48_cube_status_priority": R.q48_cube_status_priority,
     "q49_price_percentiles": R.q49_price_percentiles,
-    # --- window rule 4: widest operator spread (all r3-green) --------
-    "q03_top_revenue_orders": R.q03_top_revenue_orders,    # multi-way join
-    "q60_dup_clusters": D.q60_dup_clusters,                # iterative closure
+    # --- window rule 4: widest operator spread (all r3-green; one slot
+    # left after nl16/nl17 — streaming wins it, the dedup/closure family
+    # is already in-window via q52/q59/q70/q74) ----------------------
     "q38_events_stream_rollup": _stream_rollup,            # streaming kappa
     # ------------------------------------------------------------------
     # Tail (outside the driver's 50-entry window). First the oracle-
@@ -382,12 +392,15 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
     "q68_shard_manifest": PK.q68_shard_manifest,
-    # q01/q08/q53 rotated out for q75/q76/q77 (all r3-green; agg stays
-    # window-covered by nl01/nl05-type entries, windows by q07-locally +
-    # rank reverified each round, exact near-dup by q52/q60)
+    # q01/q08/q53 rotated out for q75/q76/q77, q03 for nl16/nl17 (all
+    # r3-green; agg stays window-covered by nl01/nl05-type entries,
+    # multi-way joins by nl12/nl14, windows + rank + exact near-dup
+    # reverified locally each round)
     "q01_pricing_summary": R.q01_pricing_summary,
+    "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
+    "q60_dup_clusters": D.q60_dup_clusters,
     # q69 rotated out for q74 (streaming stays window-covered by q38;
     # q69 r3-green, kappa parity re-checked by pytest every run);
     # q46 rotated out for nl12 (timeseries stays covered by q64);
@@ -662,6 +675,21 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT o_orderpriority, count(*) AS cnt
         FROM orders WHERE o_totalprice > 400000
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "nl16_orders_1995_per_priority": """
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        WHERE year(o_orderdate) = 1995
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        LIMIT 100
+    """,
+    "nl17_customers_name_contains": """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE c_name ILIKE '%19%'
+        ORDER BY c_custkey
+        LIMIT 100
     """,
     "nl05_sum_price_per_status": """
         SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_o_totalprice

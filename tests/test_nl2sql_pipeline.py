@@ -222,3 +222,38 @@ def test_numeric_comparison_filters(spark, sf_smoke):
     assert "WHERE c_acctbal < 0" in sql
     _df, sql = eng.query_df("count of orders per orderpriority")
     assert "WHERE" not in sql
+
+
+def test_year_filter_template(spark, sf_smoke):
+    """'from <year>' compiles to a calendar-year predicate on the best
+    date column; a bare number without a temporal preposition does
+    not."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("count of orders from 1995 per orderpriority")
+    assert "WHERE year(o_orderdate) = 1995" in sql
+    # dateless tables can't year-filter: no such predicate appears
+    _df, sql = eng.query_df("count of customers per mktsegment")
+    assert "year(" not in sql
+
+
+def test_like_filter_template(spark, sf_smoke):
+    """'<column> containing <tok>' compiles to an ILIKE predicate, and
+    predicate evidence without an aggregate intent compiles to the
+    PK-ordered filtered listing (outranking the generic join
+    fallback)."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    df, sql = eng.query_df("show customers with name containing 19")
+    assert "c_name ILIKE '%19%'" in sql
+    assert "ORDER BY c_custkey" in sql and "JOIN" not in sql.upper()
+    rows = df.collect()
+    assert rows and all("19" in r["c_name"] for r in rows)
+    # composes with grouped aggregation
+    _df, sql = eng.query_df(
+        "count of customers with name containing 19 per mktsegment"
+    )
+    s = " ".join(sql.split())
+    assert "c_name ILIKE '%19%'" in s and "GROUP BY c_mktsegment" in s
