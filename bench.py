@@ -85,6 +85,7 @@ HEADLINE = [
     "q76_gopher_quality",
     "q77_int8_quant_topk",
     "q78_kmeans_clusters",
+    "q79_bigram_doc_scores",
 ]
 
 

@@ -591,3 +591,107 @@ def gopher_oracle_sql(
         FROM sig
         ORDER BY doc_id
     """
+
+
+# ------------------------------------------------- bigram LM doc scoring
+BIGRAM_LM_K = 0.1  # add-k smoothing constant (embedded in the oracle too)
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = BIGRAM_LM_K,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-k-smoothed
+    corpus bigram model — the KenLM/CCNet-style perplexity filter one
+    order up from :func:`unigram_logprob_scores` (q72): repetitive
+    boilerplate scores low, token-salad scores high, and unlike the
+    unigram signal it penalizes IMPLAUSIBLE TRANSITIONS between common
+    words. P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V).
+
+    Plan: one bigram explode feeds both the model (pair-count agg) and
+    the scoring side, the unigram context counts ride the token
+    explode, and V (vocabulary size) broadcasts as a 1-row aggregate —
+    the q72 shape with one more slim-keyed join. Shuffle keys are
+    grams/pairs, never documents; docs with < 2 tokens drop out (same
+    in the oracle's range unnest).
+    """
+    from .dedup import bind
+
+    toks = bind(
+        tokens_expr(F.col(text_col)),
+        lambda ts: F.filter(ts, lambda t: t != ""),
+    )
+
+    def pairs(ts: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        )
+        return F.when(F.size(ts) >= 2, grams).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    occ2 = df.select(
+        F.col(id_col), F.explode(bind(toks, pairs)).alias("p")
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = occ2.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab_size = uni.select(F.count(F.lit(1)).cast("double").alias("__v"))
+    p = (F.col("c2") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("__v"))
+    return (
+        occ2.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.log(p)), 4).alias("avg_neg_logprob"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q79_bigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM quality scores (oracle-checked)."""
+    return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+def bigram_lm_oracle_sql(k: float = BIGRAM_LM_K) -> str:
+    """DuckDB twin of :func:`bigram_logprob_scores` (same clean-token
+    construction, counts, and smoothing arithmetic)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), occ2 AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM toks, unnest(range(1, len(t))) AS r(i)
+          WHERE len(t) >= 2
+        ), uni AS (
+          SELECT term, count(*) AS c1
+          FROM (SELECT unnest(t) AS term FROM toks)
+          GROUP BY term
+        ), big AS (
+          SELECT w1, w2, count(*) AS c2 FROM occ2 GROUP BY w1, w2
+        ), v AS (SELECT count(*) * 1.0 AS v FROM uni)
+        SELECT occ2.doc_id AS doc_id,
+               count(*) AS n_bigrams,
+               round(-avg(ln((c2 + {k}) / (c1 + {k} * v))), 4)
+                   AS avg_neg_logprob
+        FROM occ2
+        JOIN big USING (w1, w2)
+        JOIN uni ON occ2.w1 = uni.term, v
+        GROUP BY occ2.doc_id
+        ORDER BY doc_id
+    """

@@ -201,3 +201,35 @@ def test_kmeans_inertia_non_increasing(spark, sf_check):
 
     i1, i4 = inertia(1), inertia(4)
     assert i4 <= i1 + 1e-9
+
+
+# ----------------------------------------------------- bigram LM scoring
+def test_bigram_lm_separates_fluent_from_salad(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.text import (
+        bigram_logprob_scores,
+    )
+
+    # corpus dominated by one fluent pattern; doc 99 uses the SAME
+    # vocabulary in transitions the corpus never makes
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows.append((99, "dog the over fox lazy quick jumps brown the"))
+    scores = {
+        r["doc_id"]: r["avg_neg_logprob"]
+        for r in bigram_logprob_scores(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert scores[99] > scores[0]
+
+
+def test_bigram_lm_short_docs_drop_out(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.text import (
+        bigram_logprob_scores,
+    )
+
+    out = bigram_logprob_scores(
+        spark.createDataFrame(
+            [(1, "solo"), (2, "two tokens here")], "doc_id long, text string"
+        )
+    ).collect()
+    assert [r["doc_id"] for r in out] == [2]
