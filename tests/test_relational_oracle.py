@@ -91,3 +91,30 @@ def test_plan_contracts(spark, sf_smoke):
     p74 = plan_of("q74_segment_dedup")
     assert "CartesianProduct" not in p74
     assert "BroadcastNestedLoopJoin" not in p74
+
+    # BM25: corpus stats ride a broadcast 1-row aggregate, and only
+    # doc_id+text are read off parquet (single narrow projection)
+    p75 = plan_of("q75_bm25_topk")
+    assert "BroadcastExchange" in p75 or "BroadcastHashJoin" in p75
+    reads75 = [l for l in p75.splitlines() if "ReadSchema" in l]
+    assert reads75 and all(
+        "lang" not in l and "source" not in l for l in reads75
+    )
+    assert "TakeOrderedAndProject" in p75
+
+    # Gopher gate: pure projection — no shuffle anywhere in the plan
+    p76 = plan_of("q76_gopher_quality")
+    assert "CartesianProduct" not in p76
+    assert "hashpartitioning" not in p76  # only the final sort exchanges
+
+    # int8 quantized top-k: projection + TakeOrderedAndProject, and the
+    # embedding scan reads only id+embedding
+    p77 = plan_of("q77_int8_quant_topk")
+    assert "TakeOrderedAndProject" in p77
+    reads77 = [l for l in p77.splitlines() if "ReadSchema" in l]
+    assert reads77 and all("label" not in l for l in reads77)
+
+    # bigram LM: model joins on slim gram keys, V broadcasts, no products
+    p79 = plan_of("q79_bigram_doc_scores")
+    assert "BroadcastExchange" in p79 or "BroadcastHashJoin" in p79
+    assert "CartesianProduct" not in p79
