@@ -86,6 +86,7 @@ HEADLINE = [
     "q77_int8_quant_topk",
     "q78_kmeans_clusters",
     "q79_bigram_doc_scores",
+    "q80_hybrid_rrf_topk",
 ]
 
 

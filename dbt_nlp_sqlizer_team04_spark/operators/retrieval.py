@@ -333,3 +333,117 @@ def q67_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()
     )
     return retrieve_chunks(vecs, enc, first["t"], k=5)
+
+
+# ---------------------------------------------------- hybrid RRF fusion
+RRF_K = 60  # the published reciprocal-rank-fusion constant (Cormack et al.)
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    vecs: DataFrame,
+    query_terms: tuple[str, ...],
+    query_vec: list[float],
+    k: int = 20,
+    shortlist: int = 50,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion:
+    RRF(d) = Σ_lists 1/(rrf_k + rank_list(d)) over the BM25 shortlist
+    and the embedding-cosine shortlist — the standard score-free way to
+    combine rankers whose scores aren't commensurable. A document
+    present in only one list keeps that one contribution (FULL join),
+    so partially-embedded corpora degrade gracefully to lexical-only.
+
+    Scale shape: each ranker keeps its own top-``shortlist`` via
+    TakeOrderedAndProject (never a global sort), the rank windows run
+    over those bounded shortlists (single-partition but ≤ shortlist
+    rows — the standard fusion cost), and the fusion join is
+    shortlist × shortlist sized. Ranks are integers and the fused score
+    a two-term sum in fixed order, so DuckDB reproduces it exactly.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(docs, query_terms, k=shortlist).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    dense = cosine_topk(vecs, query_vec, k=shortlist).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
+        .alias("dense_rank"),
+    )
+    score = F.coalesce(
+        1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0))
+    return (
+        lex.join(dense, "doc_id", "full")
+        .select("doc_id", F.round(score, 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(k)
+    )
+
+
+def q80_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + dense-cosine top-20 under reciprocal-rank fusion
+    (oracle-checked: integer ranks, fixed-order two-term sum). The
+    dense probe is vec_id 0's embedding; doc_id and vec_id share the
+    id space (partially at larger SFs — exactly the graceful-degrade
+    case the FULL join covers)."""
+    from .similarity import _query_vector
+
+    return hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        BM25_QUERY_TERMS,
+        _query_vector(spark, sf_dir, 0),
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = 20,
+    shortlist: int = 50,
+    rrf_k: int = RRF_K,
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_topk` (same shortlists, ranks,
+    and fusion arithmetic; cosine mirrors the q23 zero-norm CASE)."""
+    cos = (
+        "CASE WHEN list_dot_product(e, e) = 0"
+        "       OR list_dot_product(pe, pe) = 0 THEN 0.0"
+        "     ELSE list_cosine_similarity(e, pe) END"
+    )
+    return f"""
+        WITH lex AS (
+          SELECT doc_id, bm25 FROM ({bm25_oracle_sql(query_terms, k=shortlist)})
+        ), lexr AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+          FROM lex
+        ), probe AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pe
+          FROM embeddings WHERE vec_id = 0
+        ), dense AS (
+          SELECT vec_id AS doc_id, round({cos}, 6) AS cosine
+          FROM (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings), probe
+          ORDER BY cosine DESC, doc_id
+          LIMIT {shortlist}
+        ), denser AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY cosine DESC, doc_id) AS dense_rank
+          FROM dense
+        )
+        SELECT coalesce(lexr.doc_id, denser.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({rrf_k} + lex_rank), 0.0)
+                     + coalesce(1.0 / ({rrf_k} + dense_rank), 0.0), 6) AS rrf
+        FROM lexr FULL JOIN denser ON lexr.doc_id = denser.doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT {k}
+    """

@@ -347,6 +347,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q77_int8_quant_topk": V.q77_int8_quant_topk,
     # Bigram-LM (KenLM/CCNet-style) doc scoring — NEW this round.
     "q79_bigram_doc_scores": X.q79_bigram_doc_scores,
+    # Hybrid BM25 + dense-cosine retrieval under reciprocal-rank
+    # fusion — NEW this round.
+    "q80_hybrid_rrf_topk": RT.q80_hybrid_rrf_topk,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -364,7 +367,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q05_null_handling": R.q05_null_handling,
     "q06_date_rollup": R.q06_date_rollup,
     "q09_distinct_segments": R.q09_distinct_segments,
-    "q13_case_when": R.q13_case_when,
     "q18_categorical_domain": R.q18_categorical_domain,
     "q20_events_json_props": R.q20_events_json_props,
     "q21_pivot_status": R.q21_pivot_status,
@@ -398,9 +400,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # multi-way joins by nl12/nl14, windows + rank + exact near-dup
     # reverified locally each round)
     "q01_pricing_summary": R.q01_pricing_summary,
-    # q10 deferred to r5 for q79 (UNION re-verified locally; set-ops
-    # stay window-covered by q41/q42)
+    # q10 deferred to r5 for q79, q13 for q80 (UNION/CASE re-verified
+    # locally; set-ops stay window-covered by q41/q42, conditionals by
+    # q21's pivot)
     "q10_union_names": R.q10_union_names,
+    "q13_case_when": R.q13_case_when,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -1278,6 +1282,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q75_bm25_topk": RT.bm25_oracle_sql(),
     "q76_gopher_quality": X.gopher_oracle_sql(),
     "q79_bigram_doc_scores": X.bigram_lm_oracle_sql(),
+    "q80_hybrid_rrf_topk": RT.hybrid_rrf_oracle_sql(),
     # int8 symmetric quantization: codes are exact integers in both
     # engines (floor(x*127/m + 0.5) — floor, not round(): Spark rounds
     # HALF_EVEN, DuckDB HALF_UP), so code dot products match exactly.

@@ -233,3 +233,43 @@ def test_bigram_lm_short_docs_drop_out(spark):
         )
     ).collect()
     assert [r["doc_id"] for r in out] == [2]
+
+
+# ------------------------------------------------------ hybrid RRF fusion
+def test_rrf_both_lists_beats_single_list(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.retrieval import (
+        hybrid_rrf_topk,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "needle alpha beta"),        # in both lists
+            (1, "needle gamma delta"),       # lexical only (no vector)
+            (2, "unrelated words entirely"), # dense only (via vector)
+        ],
+    )
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_rrf_topk(docs, vecs, ("needle",), [1.0, 0.0], k=10)
+    rows = {r["doc_id"]: r["rrf"] for r in out.collect()}
+    # doc 0 appears in both rankings: strictly more fused mass than the
+    # single-list docs; single-list docs still present (FULL join)
+    assert rows[0] > rows[1] and rows[0] > rows[2]
+    assert set(rows) == {0, 1, 2}
+
+
+def test_rrf_rank_arithmetic(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.retrieval import (
+        RRF_K,
+        hybrid_rrf_topk,
+    )
+
+    docs = _docs(spark, [(0, "needle here")])
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    row = hybrid_rrf_topk(docs, vecs, ("needle",), [1.0, 0.0], k=5).first()
+    assert row["rrf"] == round(2.0 / (RRF_K + 1), 6)
