@@ -143,6 +143,47 @@ class NL2DocEngine:
                 return any(s in t for s in _NUMERIC_TYPE_SUBSTR)
         return False
 
+    def _extract_filters(self, coll: str, question: str) -> dict:
+        """Filter compilation for the document dialect — the NL2SQL
+        tier's evidence rules re-expressed as query-dict operators:
+        substring phrases ("text containing spark") become ``$regex``
+        and comparison phrases ("n_chars over 200") become
+        ``$gt``/``$lt``/... The field word must fuzzy-resolve (≥70, the
+        relational convention); comparison targets are type-gated when
+        crawled metadata is attached."""
+        from .nl2sql import _CMP_OPS, _CMP_RE, _LIKE_RE
+
+        fields = [f for f in self._schema().get(coll, []) if f != "_id"]
+
+        def resolve(word: str, numeric: bool | None = None) -> str | None:
+            best, best_score = None, -1.0
+            for f in fields:
+                if numeric is not None and self._is_numeric(coll, f) != numeric:
+                    continue
+                sc = partial_ratio(f, word)
+                if sc > best_score:
+                    best, best_score = f, sc
+            return best if best is not None and best_score >= 70.0 else None
+
+        match: dict = {}
+        for word, mode, tok in _LIKE_RE.findall(question.lower()):
+            f = resolve(word)
+            if f is None:
+                continue
+            pat = {
+                "containing": tok, "contains": tok,
+                "starting with": f"^{tok}", "ending with": f"{tok}$",
+            }[mode]
+            match[f] = {"$regex": pat}
+        mongo_ops = {">": "$gt", "<": "$lt", ">=": "$gte", "<=": "$lte"}
+        for word, cmp_word, num in _CMP_RE.findall(question.lower()):
+            f = resolve(word, numeric=True)
+            if f is None:
+                continue
+            n = num.replace(",", "")
+            match[f] = {mongo_ops[_CMP_OPS[cmp_word]]: float(n) if "." in n else int(n)}
+        return match
+
     # ------------------------------------------------------- candidates
     def template_query(self, question: str) -> dict:
         """Deterministic template tier: intent-compiled query dicts."""
@@ -157,13 +198,13 @@ class NL2DocEngine:
         def best_field(
             exclude_id: bool = True,
             numeric: bool | None = None,
-            exclude: str | None = None,
+            exclude: set[str] | None = None,
         ) -> str | None:
             cands = [
                 f
                 for f in fields
                 if not (exclude_id and f.endswith("id"))
-                and f != exclude
+                and f not in (exclude or set())
                 and (numeric is None or self._is_numeric(coll, f) == numeric)
             ]
             if not cands:
@@ -174,16 +215,21 @@ class NL2DocEngine:
                 cands, key=lambda f: (self._field_score(coll, f, question), len(f))
             )
 
+        # filter fields are evidence already SPENT on the predicate —
+        # "text containing spark per lang" must group by lang, not text
+        match = self._extract_filters(coll, question)
+        filtered = set(match)
+        prelude = [{"$match": match}] if match else []
         acc = _AGG_ACCUMULATORS.get(analysis.agg_func or "")
         if acc is not None:
             # AVG/SUM/MAX/MIN over a measure field ($group accumulators,
             # nl2mongo dialect); measure is type-gated when metadata is
             # attached — the model-less tier has only names to go on.
-            measure = best_field(numeric=True)
+            measure = best_field(numeric=True, exclude=filtered)
             if measure is not None:
                 alias = f"{analysis.agg_func.lower()}_{measure}"
                 g = (
-                    best_field(exclude=measure)
+                    best_field(exclude=filtered | {measure})
                     if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
                     else None
                 )
@@ -193,44 +239,47 @@ class NL2DocEngine:
                 if g is not None:
                     return {
                         "collection": coll,
-                        "pipeline": [
+                        "pipeline": prelude + [
                             {"$group": {"_id": f"${g}", alias: {acc: f"${measure}"}}},
                             {"$sort": {"_id": 1}},
                         ],
                     }
                 return {
                     "collection": coll,
-                    "pipeline": [
+                    "pipeline": prelude + [
                         {"$group": {"_id": None, alias: {acc: f"${measure}"}}}
                     ],
                 }
         if analysis.agg_func == "COUNT" or QueryIntent.AGGREGATION in analysis.all_intents:
             g = (
-                best_field()
+                best_field(exclude=filtered)
                 if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
                 else None
             )
             if g is not None:  # same $None guard as the measure branch
                 return {
                     "collection": coll,
-                    "pipeline": [
+                    "pipeline": prelude + [
                         {"$group": {"_id": f"${g}", "n": {"$sum": 1}}},
                         {"$sort": {"_id": 1}},
                     ],
                 }
             return {
                 "collection": coll,
-                "pipeline": [{"$group": {"_id": None, "n": {"$sum": 1}}}],
+                "pipeline": prelude
+                + [{"$group": {"_id": None, "n": {"$sum": 1}}}],
             }
         if QueryIntent.SORTED in analysis.all_intents:
             f = best_field()
             return {
                 "collection": coll,
-                "find": {},
+                "find": match,
                 "sort": {f: -1 if analysis.sort_desc else 1},
                 "limit": analysis.limit_n or 100,
             }
-        return {"collection": coll, "find": {}, "limit": analysis.limit_n or 100}
+        return {
+            "collection": coll, "find": match, "limit": analysis.limit_n or 100
+        }
 
     def llm_query(self, question: str) -> dict | None:
         """LLM tier (optional, nl2mongo.py:76-112 ladder)."""

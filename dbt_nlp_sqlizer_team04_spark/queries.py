@@ -165,6 +165,23 @@ def _nl2doc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl18_doc_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc with a compiled $regex filter: the substring phrase becomes
+    a $match stage and the spent filter field is excluded from grouping
+    (oracle: the SQL the template must deterministically produce)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "count of documents with text containing spark per lang"
+    )
+    return df
+
+
 _TRAINED_DOC_CACHE: dict = {}
 
 
@@ -304,6 +321,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # the same trainer; the fuzzy tier fails this synonym phrasing) —
     # NEW this round, never driver-checked.
     "nl11_trained_doc_avg_chars": _nl11_trained_doc_avg,
+    # Document-plane filter compilation ($match from substring evidence,
+    # filter fields excluded from grouping) — NEW this round.
+    "nl18_doc_regex_count_per_lang": _nl18_doc_regex_count,
     # FK-join template tier: the group phrase lives two FK hops from
     # the fact table — NEW this round, never driver-checked.
     "nl12_count_customers_per_region": _nl2sql(
@@ -367,7 +387,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q05_null_handling": R.q05_null_handling,
     "q06_date_rollup": R.q06_date_rollup,
     "q09_distinct_segments": R.q09_distinct_segments,
-    "q18_categorical_domain": R.q18_categorical_domain,
     "q20_events_json_props": R.q20_events_json_props,
     "q21_pivot_status": R.q21_pivot_status,
     "q26_exact_dup_groups": D.q26_exact_dup_groups,
@@ -405,6 +424,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q21's pivot)
     "q10_union_names": R.q10_union_names,
     "q13_case_when": R.q13_case_when,
+    # q18 deferred to r5 for nl18 (categorical domains re-verified
+    # locally; the profiler family stays exercised by every nl filter
+    # entry, which compiles from the crawled domains)
+    "q18_categorical_domain": R.q18_categorical_domain,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -691,6 +714,12 @@ ORACLE_SQL: dict[str, str | None] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
         LIMIT 100
+    """,
+    "nl18_doc_regex_count_per_lang": """
+        SELECT lang AS _id, count(*) AS n
+        FROM documents
+        WHERE regexp_matches(text, 'spark')
+        GROUP BY _id ORDER BY _id
     """,
     "nl17_customers_name_contains": """
         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

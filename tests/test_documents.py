@@ -303,3 +303,45 @@ def test_doc_semantic_linking_beats_fuzzy(spark, store, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_nl2doc_filter_compilation(store):
+    """Substring phrases compile to a $match $regex stage, and the
+    spent filter field is excluded from the group key ("per lang" must
+    group by lang even though 'text' scores highest)."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query(
+        "count of documents with text containing spark per lang"
+    )
+    stages = q.get("pipeline", [])
+    assert stages and stages[0]["$match"] == {"text": {"$regex": "spark"}}
+    group = [st for st in stages if "$group" in st][0]["$group"]
+    assert group["_id"] == "$lang"
+
+
+def test_nl2doc_comparison_filter(store):
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query(
+        "how many documents with n_chars over 200 per source"
+    )
+    stages = q.get("pipeline", [])
+    assert stages and stages[0]["$match"] == {"n_chars": {"$gt": 200}}
+    group = [st for st in stages if "$group" in st][0]["$group"]
+    assert group["_id"] == "$source"
+
+
+def test_nl2doc_filtered_find(store):
+    """A non-aggregate question with predicate evidence compiles the
+    filter into the find dict; execution applies it."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query("documents with text starting with key")
+    assert q.get("find", {}).get("text") == {"$regex": "^key"}
+    df = store.execute(q)
+    texts = [r["text"] for r in df.select("text").collect()]
+    assert texts and all(t.startswith("key") for t in texts)
