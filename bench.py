@@ -87,6 +87,8 @@ HEADLINE = [
     "q78_kmeans_clusters",
     "q79_bigram_doc_scores",
     "q80_hybrid_rrf_topk",
+    "q81_price_histogram",
+    "q82_best_docs_per_source",
 ]
 
 

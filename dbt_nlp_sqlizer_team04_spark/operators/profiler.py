@@ -215,3 +215,82 @@ def crawl_schema(
         info.foreign_keys = [r for r in meta.relationships if r.from_table == t]
     meta.synonyms = extract_synonyms(meta)
     return meta
+
+
+# --------------------------------------------------- numeric histograms
+def numeric_histogram(
+    df: DataFrame, col: str, n_bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the profiler-plane
+    distribution view one step past min/max/avg (A7): per-bucket counts
+    with exact bounds, the input to skew diagnosis and bucketing
+    decisions.
+
+    Plan: one 1-row min/max aggregate broadcast back over the scan
+    (the BM25/TF-IDF corpus-stats shape), bucket assignment as a pure
+    floor expression, one groupBy on the ≤ n_bins bucket key. Two
+    narrow scans total, shuffle bounded by n_bins rows per map task.
+    Exact — not approx_percentile: both engines floor the identical
+    doubles, so the histogram is oracle-checkable bit-for-bit.
+    The max value lands in the last bucket (least() clamp); a constant
+    column degenerates to one bucket at width 0.
+    """
+    c = F.col(col).cast("double")
+    stats = df.agg(
+        F.min(c).alias("__mn"), F.max(c).alias("__mx")
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    bucket = F.when(
+        F.col("__mx") > F.col("__mn"),
+        F.least(
+            F.floor((c - F.col("__mn")) / width), F.lit(n_bins - 1)
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            bucket.cast("int").alias("bucket"),
+            F.round(F.col("__mn") + bucket * width, 4).alias("lo"),
+            F.round(F.col("__mn") + (bucket + 1) * width, 4).alias("hi"),
+        )
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def q81_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of orders.o_totalprice
+    (oracle-checked)."""
+    return numeric_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", n_bins=20
+    )
+
+
+def numeric_histogram_oracle_sql(
+    table: str = "orders", col: str = "o_totalprice", n_bins: int = 20
+) -> str:
+    """DuckDB twin of :func:`numeric_histogram` (same floor/clamp
+    arithmetic over identical doubles)."""
+    return f"""
+        WITH stats AS (
+          SELECT CAST(min({col}) AS DOUBLE) AS mn,
+                 CAST(max({col}) AS DOUBLE) AS mx
+          FROM {table}
+        ), b AS (
+          SELECT CASE WHEN mx > mn
+                      THEN least(floor((CAST({col} AS DOUBLE) - mn)
+                                       / ((mx - mn) / {n_bins}.0)),
+                                 {n_bins - 1})
+                      ELSE 0 END AS bucket,
+                 mn, mx
+          FROM {table}, stats
+        )
+        SELECT CAST(bucket AS INT) AS bucket,
+               round(mn + bucket * ((mx - mn) / {n_bins}.0), 4) AS lo,
+               round(mn + (bucket + 1) * ((mx - mn) / {n_bins}.0), 4) AS hi,
+               count(*) AS n
+        FROM b
+        GROUP BY bucket, lo, hi
+        ORDER BY bucket
+    """

@@ -288,3 +288,46 @@ def q62_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- per-group quality top-k
+def per_group_topk(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-k documents per group by the deterministic quality score —
+    the "curated head" selection a fine-tuning pipeline runs after
+    scoring (keep the k best examples of every source/domain instead of
+    a global cut that would drop whole domains).
+
+    One partitioned window (shuffle keyed on the group column; no
+    global sort, no single-partition window) over the scored
+    projection; ranking uses the ROUNDED score plus the id tiebreak, so
+    both engines rank identically.
+    """
+    from pyspark.sql import Window
+
+    from .text import quality_score_expr
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality"), F.col(id_col)
+    )
+    return (
+        df.select(
+            group_col, id_col, quality_score_expr(F.col(text_col)).alias("quality")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .orderBy(group_col, "rk")
+    )
+
+
+def q82_best_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 quality documents per source (oracle-checked: DuckDB
+    reproduces the quality expression and the windowed rank)."""
+    from ..sources.parquet import load_table
+
+    return per_group_topk(load_table(spark, sf_dir, "documents"), k=5)

@@ -22,6 +22,7 @@ from .operators import dedup as D
 from .operators import documents as DOC
 from .operators import funnel as FN
 from .operators import packing as PK
+from .operators import profiler as P
 from .operators import relational as R
 from .operators import retrieval as RT
 from .operators import sampling as SMP
@@ -370,6 +371,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Hybrid BM25 + dense-cosine retrieval under reciprocal-rank
     # fusion — NEW this round.
     "q80_hybrid_rrf_topk": RT.q80_hybrid_rrf_topk,
+    # Equi-width numeric histogram (profiler plane) and per-source
+    # quality top-k selection — NEW this round.
+    "q81_price_histogram": P.q81_price_histogram,
+    "q82_best_docs_per_source": SMP.q82_best_docs_per_source,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -386,9 +391,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q04_like_search": R.q04_like_search,
     "q05_null_handling": R.q05_null_handling,
     "q06_date_rollup": R.q06_date_rollup,
-    "q09_distinct_segments": R.q09_distinct_segments,
     "q20_events_json_props": R.q20_events_json_props,
-    "q21_pivot_status": R.q21_pivot_status,
     "q26_exact_dup_groups": D.q26_exact_dup_groups,
     "q31_quality_by_source": X.q31_quality_by_source,
     "q34_doc_fingerprints": X.q34_doc_fingerprints,
@@ -428,6 +431,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # locally; the profiler family stays exercised by every nl filter
     # entry, which compiles from the crawled domains)
     "q18_categorical_domain": R.q18_categorical_domain,
+    # q09/q21 deferred to r5 for q81/q82 (DISTINCT stays window-covered
+    # by nl03, conditional shapes by q48's CUBE; both re-verified
+    # locally every round)
+    "q09_distinct_segments": R.q09_distinct_segments,
+    "q21_pivot_status": R.q21_pivot_status,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -1312,6 +1320,29 @@ ORACLE_SQL: dict[str, str | None] = {
     "q76_gopher_quality": X.gopher_oracle_sql(),
     "q79_bigram_doc_scores": X.bigram_lm_oracle_sql(),
     "q80_hybrid_rrf_topk": RT.hybrid_rrf_oracle_sql(),
+    "q81_price_histogram": P.numeric_histogram_oracle_sql(),
+    "q82_best_docs_per_source": f"""
+        WITH s AS (
+          SELECT source, doc_id,
+                 round(least(len({_DUCK_TOKENS}) / 50.0, 1.0) * 0.5
+                       + (1.0 - (length(text)
+                              - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                             / greatest(length(text), 1)) * 0.3
+                       + len(list_filter({_DUCK_TOKENS},
+                                         x -> list_contains({_SW_EN}, x)))
+                             / greatest(len({_DUCK_TOKENS}), 1) * 0.2, 6)
+                     AS quality
+          FROM documents
+        ), r AS (
+          SELECT source, doc_id, quality,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id) AS rk
+          FROM s
+        )
+        SELECT source, doc_id, quality, rk
+        FROM r WHERE rk <= 5
+        ORDER BY source, rk
+    """,
     # int8 symmetric quantization: codes are exact integers in both
     # engines (floor(x*127/m + 0.5) — floor, not round(): Spark rounds
     # HALF_EVEN, DuckDB HALF_UP), so code dot products match exactly.

@@ -273,3 +273,39 @@ def test_rrf_rank_arithmetic(spark):
     )
     row = hybrid_rrf_topk(docs, vecs, ("needle",), [1.0, 0.0], k=5).first()
     assert row["rrf"] == round(2.0 / (RRF_K + 1), 6)
+
+
+# ------------------------------------------ histogram / per-group top-k
+def test_histogram_edges(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.profiler import (
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 5, 10, 10, 10]], "x double"
+    )
+    rows = {r["bucket"]: r for r in numeric_histogram(df, "x", n_bins=10).collect()}
+    # max value clamps into the LAST bucket, not a phantom n_bins bucket
+    assert max(rows) == 9 and rows[9]["n"] == 3
+    assert sum(r["n"] for r in rows.values()) == 5
+    # constant column degenerates to a single zero-width bucket
+    const = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    out = numeric_histogram(const, "x", n_bins=10).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 0 and out[0]["n"] == 2
+
+
+def test_per_group_topk_bounds_and_order(spark, sf_check):
+    from dbt_nlp_sqlizer_team04_spark.operators.sampling import (
+        per_group_topk,
+    )
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    out = per_group_topk(load_table(spark, sf_check, "documents"), k=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r)
+    assert all(len(v) <= 3 for v in per.values())
+    for rows in per.values():
+        quals = [r["quality"] for r in rows]
+        assert quals == sorted(quals, reverse=True)
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
