@@ -89,6 +89,7 @@ HEADLINE = [
     "q80_hybrid_rrf_topk",
     "q81_price_histogram",
     "q82_best_docs_per_source",
+    "q83_local_supplier_volume",
 ]
 
 

@@ -589,3 +589,46 @@ def q49_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# -------------------------------------------------------------- Q5 analog
+def q83_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style SIX-table star join (region→nation→supplier ⨝
+    lineitem ⨝ orders ⨝ customer with the local-supplier co-nation
+    predicate) — the widest join shape the generated-SQL surface can
+    produce, and the canonical join-ordering test.
+
+    Scale: region/nation/supplier form a dimension chain that filters
+    to ONE region before touching facts — Catalyst collapses it into
+    broadcast hash joins (asserted by the plan contract), so the only
+    shuffles are the two fact-fact joins (lineitem⨝orders on orderkey,
+    +customer on custkey) and the final 25-key aggregate. Bucketing
+    lineitem+orders on orderkey makes the big join shuffle-free on a
+    real cluster (sources/bucketing.py).
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )

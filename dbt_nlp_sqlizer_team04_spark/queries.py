@@ -375,6 +375,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # quality top-k selection — NEW this round.
     "q81_price_histogram": P.q81_price_histogram,
     "q82_best_docs_per_source": SMP.q82_best_docs_per_source,
+    # TPC-H-Q5-style six-table star join — NEW this round.
+    "q83_local_supplier_volume": R.q83_local_supplier_volume,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -387,7 +389,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q64: merge-vs-rebuild contract now sums DECIMAL on both engines
     "q64_incremental_rollup": _q64,
     # --- window rule 3: longest-unchecked (last driver-green in r2) --
-    "q02_filter_topn": R.q02_filter_topn,
     "q04_like_search": R.q04_like_search,
     "q05_null_handling": R.q05_null_handling,
     "q06_date_rollup": R.q06_date_rollup,
@@ -436,6 +437,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # locally every round)
     "q09_distinct_segments": R.q09_distinct_segments,
     "q21_pivot_status": R.q21_pivot_status,
+    # q02 deferred to r5 for q83 (range/IN filtering stays window-
+    # covered by nl15-nl17's compiled predicates)
+    "q02_filter_topn": R.q02_filter_topn,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -1320,6 +1324,21 @@ ORACLE_SQL: dict[str, str | None] = {
     "q76_gopher_quality": X.gopher_oracle_sql(),
     "q79_bigram_doc_scores": X.bigram_lm_oracle_sql(),
     "q80_hybrid_rrf_topk": RT.hybrid_rrf_oracle_sql(),
+    "q83_local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
     "q81_price_histogram": P.numeric_histogram_oracle_sql(),
     "q82_best_docs_per_source": f"""
         WITH s AS (

@@ -118,3 +118,10 @@ def test_plan_contracts(spark, sf_smoke):
     p79 = plan_of("q79_bigram_doc_scores")
     assert "BroadcastExchange" in p79 or "BroadcastHashJoin" in p79
     assert "CartesianProduct" not in p79
+
+    # Q5 star join: the dimension chain broadcasts (3+ broadcast hash
+    # joins), no products anywhere
+    p83 = plan_of("q83_local_supplier_volume")
+    assert p83.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p83
+    assert "BroadcastNestedLoopJoin" not in p83
