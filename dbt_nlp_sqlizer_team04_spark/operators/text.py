@@ -461,7 +461,7 @@ def q54_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality(
+def gopher_signals(
     df: DataFrame,
     text_col: str = "text",
     min_words: int = 50,
@@ -469,6 +469,8 @@ def gopher_quality(
     stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
 ) -> DataFrame:
     """Per-doc Gopher rule evaluations + the conjunctive ``passes`` flag.
+    UNSORTED and stateless — usable verbatim on a STREAMING DataFrame
+    (the kappa contract: one builder, batch and stream twins share it).
 
     Word-count bounds are parameters (published defaults 50/100k target
     web pages; short-form corpora tune them — the registry entry uses
@@ -520,6 +522,20 @@ def gopher_quality(
         F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
         stop_hits.cast("long").alias("stopword_hits"),
         passes.cast("int").alias("passes"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+) -> DataFrame:
+    """Batch view of :func:`gopher_signals`, doc-ordered for the oracle
+    hash contract."""
+    return gopher_signals(
+        df, text_col, min_words, max_words, stopwords
     ).orderBy("doc_id")
 
 

@@ -1,0 +1,81 @@
+"""Streaming corpus curation — the quality gate as a Structured
+Streaming pass over a document file-drop directory (kappa contract: the
+SAME ``gopher_signals`` builder the batch q76 path uses, so batch and
+stream can never drift).
+
+Real deployment shape: documents land as parquet files in a drop
+directory (or a Kafka topic with the same schema); the gate is a
+STATELESS projection, so it needs no watermark, scales linearly, and
+its output stream feeds the exactly-once sharded export
+(streaming/export.py) or a downstream curation funnel.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.text import (
+    GOPHER_Q76_MAX_WORDS,
+    GOPHER_Q76_MIN_WORDS,
+    GOPHER_Q76_STOPWORDS,
+    gopher_signals,
+)
+
+_STAGE_DIRS: dict[str, str] = {}
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (same staged
+    symlink layout as ``events.read_events_stream``)."""
+    stage = _STAGE_DIRS.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        import atexit
+        import shutil
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="documents_stream_")
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(stage, "documents.parquet"),
+        )
+        _STAGE_DIRS[sf_dir] = stage
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    schema = (
+        spark.read.parquet(os.path.join(stage, "documents.parquet")).schema
+    )
+    return spark.readStream.schema(schema).format("parquet").load(stage)
+
+
+def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher gate with the q76 thresholds — one stateless
+    projection per micro-batch, append-mode safe."""
+    return gopher_signals(
+        read_documents_stream(spark, sf_dir),
+        min_words=GOPHER_Q76_MIN_WORDS,
+        max_words=GOPHER_Q76_MAX_WORDS,
+        stopwords=GOPHER_Q76_STOPWORDS,
+    )
+
+
+def quality_gate_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "doc_quality_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain the gate stream into a memory sink (append mode — the op
+    is stateless) and return the sink contents."""
+    q = (
+        quality_gate_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return spark.table(table_name)

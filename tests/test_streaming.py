@@ -242,3 +242,22 @@ def test_sliding_window_stream_matches_batch(spark, sf_smoke):
         for r in spark.table("t_sliding_parity").collect()
     )
     assert got == batch and got
+
+
+def test_streaming_quality_gate_matches_batch(spark, sf_smoke):
+    """Kappa parity for the corpus gate: the streaming Gopher pass must
+    emit row-identical signals to the batch q76 path (shared builder),
+    and the plan must stay stateless (no state store operators)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.text import q76_gopher_quality
+    from dbt_nlp_sqlizer_team04_spark.streaming.documents import (
+        quality_gate_stream,
+        quality_gate_to_memory,
+    )
+
+    got = sorted(
+        tuple(r) for r in quality_gate_to_memory(spark, sf_smoke).collect()
+    )
+    want = sorted(tuple(r) for r in q76_gopher_quality(spark, sf_smoke).collect())
+    assert got == want
+    plan = quality_gate_stream(spark, sf_smoke)._jdf.queryExecution().toString()
+    assert "stateStore" not in plan.lower()
