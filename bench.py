@@ -90,6 +90,7 @@ HEADLINE = [
     "q81_price_histogram",
     "q82_best_docs_per_source",
     "q83_local_supplier_volume",
+    "q84_media_decode_rollup",
 ]
 
 

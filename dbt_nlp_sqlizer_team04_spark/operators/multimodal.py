@@ -279,3 +279,50 @@ def media_stats(df: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def q84_media_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality rollup over the DECODED headers — oracle-backed,
+    unlike q39/q40: the synthetic payloads are closed-form in media_id,
+    so DuckDB reproduces width/height/frames/bytes without touching a
+    byte, and the hash gate thereby verifies the Arrow ``mapInPandas``
+    decode path end-to-end (any drift in the batch plumbing — wrong
+    header offset, dropped rows, padding mistakes — breaks the hash)."""
+    dec = decode_media(synthesize_media(spark, n=64))
+    return (
+        dec.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.max("n_frames").alias("max_frames"),
+        )
+        .orderBy("modality")
+    )
+
+
+def media_decode_oracle_sql(n: int = 64, hdr_size: int = _HDR_SIZE) -> str:
+    """DuckDB twin of :func:`q84_media_decode_rollup`: the fake-payload
+    generator's closed form (synthesize_media/fake_payload), no binary
+    involved."""
+    return f"""
+        WITH m AS (
+          SELECT i,
+                 CASE CAST(i % 3 AS INT)
+                      WHEN 0 THEN 'image'
+                      WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS modality,
+                 16 + (i % 8) * 4 AS w,
+                 16 + (i % 5) * 4 AS h,
+                 1 + (i % 10) AS fr
+          FROM range({n}) t(i)
+        )
+        SELECT modality,
+               count(*) AS n_items,
+               CAST(sum({hdr_size} + (w * h) % 4096) AS BIGINT) AS total_bytes,
+               round(avg(w), 4) AS avg_width,
+               round(avg(h), 4) AS avg_height,
+               max(fr) AS max_frames
+        FROM m GROUP BY modality ORDER BY modality
+    """

@@ -21,6 +21,7 @@ from .operators import classifier as CLF
 from .operators import dedup as D
 from .operators import documents as DOC
 from .operators import funnel as FN
+from .operators import multimodal as MM
 from .operators import packing as PK
 from .operators import profiler as P
 from .operators import relational as R
@@ -377,6 +378,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q82_best_docs_per_source": SMP.q82_best_docs_per_source,
     # TPC-H-Q5-style six-table star join — NEW this round.
     "q83_local_supplier_volume": R.q83_local_supplier_volume,
+    # Multimodal decode rollup — the Arrow decode path verified against
+    # the payload generator's closed form — NEW this round.
+    "q84_media_decode_rollup": MM.q84_media_decode_rollup,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -389,7 +393,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q64: merge-vs-rebuild contract now sums DECIMAL on both engines
     "q64_incremental_rollup": _q64,
     # --- window rule 3: longest-unchecked (last driver-green in r2) --
-    "q04_like_search": R.q04_like_search,
     "q05_null_handling": R.q05_null_handling,
     "q06_date_rollup": R.q06_date_rollup,
     "q20_events_json_props": R.q20_events_json_props,
@@ -440,6 +443,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q02 deferred to r5 for q83 (range/IN filtering stays window-
     # covered by nl15-nl17's compiled predicates)
     "q02_filter_topn": R.q02_filter_topn,
+    # q04 deferred to r5 for q84 (LIKE stays window-covered by nl17's
+    # compiled ILIKE predicate)
+    "q04_like_search": R.q04_like_search,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -1324,6 +1330,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q76_gopher_quality": X.gopher_oracle_sql(),
     "q79_bigram_doc_scores": X.bigram_lm_oracle_sql(),
     "q80_hybrid_rrf_topk": RT.hybrid_rrf_oracle_sql(),
+    "q84_media_decode_rollup": MM.media_decode_oracle_sql(),
     "q83_local_supplier_volume": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
