@@ -91,6 +91,7 @@ HEADLINE = [
     "q82_best_docs_per_source",
     "q83_local_supplier_volume",
     "q84_media_decode_rollup",
+    "q85_dataset_diff",
 ]
 
 

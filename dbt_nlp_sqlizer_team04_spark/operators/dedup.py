@@ -1119,3 +1119,95 @@ def q60_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE over the identical pair SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return dup_clusters(docs, q52_ngram_jaccard_pairs(spark, sf_dir))
+
+
+# ----------------------------------------------------- dataset versioning
+def dataset_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-version diff by content fingerprint: ``(id, status)`` for
+    every id whose membership or content changed between two dataset
+    versions — the audit a training-data pipeline runs before promoting
+    a corpus snapshot (what entered, what left, what silently mutated).
+
+    Plan: both sides reduce to (id, md5(normalized text)) projections —
+    32-hex-plus-key rows regardless of document size — then ONE full
+    outer join on the id key decides the status. Text never shuffles;
+    at 100 TB the fingerprint projections are the persisted manifest
+    files of each snapshot (q68's shape) and the diff joins manifests,
+    not corpora. Unchanged rows are dropped (the diff is sparse by
+    design; a promotion gate reads counts per status).
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(normalized_text(F.col(text_col))).alias("fp"),
+        )
+
+    o = fp(old_df).withColumnRenamed("fp", "fp_old")
+    n = fp(new_df).withColumnRenamed("fp", "fp_new")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, id_col, "full")
+        .select(id_col, status.alias("status"))
+        .where(F.col("status") != "unchanged")
+        .orderBy(id_col)
+    )
+
+
+def q85_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic synthetic versions of the corpus: v1 drops
+    ids ≡3 (mod 10) and carries a ' legacy' suffix on ids ≡0 (mod 7);
+    v2 drops ids ≡5 (mod 13). The diff must report ids ≡3 (mod 10) as
+    added, ids ≡5 (mod 13) as removed, and ids ≡0 (mod 7) as changed
+    (oracle: DuckDB re-derives both versions from the same
+    expressions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" legacy"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v2 = docs.where(F.col("doc_id") % 13 != 5)
+    return dataset_diff(v1, v2)
+
+
+def dataset_diff_oracle_sql() -> str:
+    """DuckDB twin of :func:`q85_dataset_diff`."""
+    norm = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+    norm_legacy = (
+        r"md5(regexp_replace(lower(trim(text || ' legacy')), '\s+', ' ', 'g'))"
+    )
+    return f"""
+        WITH v1 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN {norm_legacy}
+                      ELSE {norm} END AS fp_old
+          FROM documents WHERE doc_id % 10 <> 3
+        ), v2 AS (
+          SELECT doc_id, {norm} AS fp_new
+          FROM documents WHERE doc_id % 13 <> 5
+        )
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old <> fp_new THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+        WHERE (CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old <> fp_new THEN 'changed'
+                    ELSE 'unchanged' END) <> 'unchanged'
+        ORDER BY doc_id
+    """

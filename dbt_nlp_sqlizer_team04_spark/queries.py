@@ -381,6 +381,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Multimodal decode rollup — the Arrow decode path verified against
     # the payload generator's closed form — NEW this round.
     "q84_media_decode_rollup": MM.q84_media_decode_rollup,
+    # Corpus-version diff by content fingerprint — NEW this round.
+    "q85_dataset_diff": D.q85_dataset_diff,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -396,7 +398,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q05_null_handling": R.q05_null_handling,
     "q06_date_rollup": R.q06_date_rollup,
     "q20_events_json_props": R.q20_events_json_props,
-    "q26_exact_dup_groups": D.q26_exact_dup_groups,
     "q31_quality_by_source": X.q31_quality_by_source,
     "q34_doc_fingerprints": X.q34_doc_fingerprints,
     "q35_doc_find": DOC.q35_doc_find,
@@ -446,6 +447,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q04 deferred to r5 for q84 (LIKE stays window-covered by nl17's
     # compiled ILIKE predicate)
     "q04_like_search": R.q04_like_search,
+    # q26 deferred to r5 for q85 (exact-dup hashing stays window-covered
+    # by q85's fingerprint diff and the q52/q59/q70/q74 dedup family)
+    "q26_exact_dup_groups": D.q26_exact_dup_groups,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -1331,6 +1335,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q79_bigram_doc_scores": X.bigram_lm_oracle_sql(),
     "q80_hybrid_rrf_topk": RT.hybrid_rrf_oracle_sql(),
     "q84_media_decode_rollup": MM.media_decode_oracle_sql(),
+    "q85_dataset_diff": D.dataset_diff_oracle_sql(),
     "q83_local_supplier_volume": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -686,3 +686,24 @@ def test_incremental_dedup_matches_bruteforce_property(spark):
                 assert gid == cid and abs(gj - j) < 1e-9 and gdup == want_dup, (
                     seed, nid, got[nid], (cid, j, want_dup),
                 )
+
+
+def test_dataset_diff_statuses(spark):
+    """added/removed/changed semantics on a planted version pair;
+    unchanged rows are absent from the diff."""
+    from dbt_nlp_sqlizer_team04_spark.operators.dedup import dataset_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "same"), (2, "old content"), (3, "gone")],
+        "doc_id long, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "same"), (2, "new content"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["status"] for r in dataset_diff(v1, v2).collect()}
+    assert rows == {2: "changed", 3: "removed", 4: "added"}
+    # whitespace-normalization: case/spacing changes are NOT 'changed'
+    v2b = spark.createDataFrame([(1, "  SAME "), (2, "old content"), (3, "gone")],
+                                "doc_id long, text string")
+    assert dataset_diff(v1, v2b).count() == 0
