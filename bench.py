@@ -92,6 +92,7 @@ HEADLINE = [
     "q83_local_supplier_volume",
     "q84_media_decode_rollup",
     "q85_dataset_diff",
+    "q86_bpe_pair_stats",
 ]
 
 

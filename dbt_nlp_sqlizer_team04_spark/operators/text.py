@@ -711,3 +711,66 @@ def bigram_lm_oracle_sql(k: float = BIGRAM_LM_K) -> str:
         GROUP BY occ2.doc_id
         ORDER BY doc_id
     """
+
+
+# ------------------------------------------------ BPE merge statistics
+def bpe_pair_stats(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Most frequent adjacent character pairs, occurrence-weighted —
+    the statistic the FIRST merge step of BPE tokenizer training
+    maximizes (Sennrich et al.; each further merge re-runs the same
+    count over the rewritten vocabulary).
+
+    Scale shape: pairs are generated from the VOCABULARY (term, tf)
+    aggregate, not from corpus occurrences — the explode is
+    vocab-sized, weighted by tf, so a 100 TB corpus costs one
+    token-count aggregation (slim string keys, map-side partials) plus
+    work proportional to |vocab| × avg word length. Oracle-exact:
+    integer weights only.
+    """
+    occ = df.select(
+        F.explode(tokens_expr(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = occ.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    pairs = vocab.where(F.length("term") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("term") - 1),
+                lambda i: F.col("term").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "tf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("tf").alias("weight"))
+        .orderBy(F.desc("weight"), "pair")
+        .limit(top_k)
+    )
+
+
+def q86_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE first-merge pair candidates (oracle-checked)."""
+    return bpe_pair_stats(load_table(spark, sf_dir, "documents"))
+
+
+def bpe_pair_oracle_sql(top_k: int = 20) -> str:
+    """DuckDB twin of :func:`bpe_pair_stats`."""
+    return f"""
+        WITH occ AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents
+        ), vocab AS (
+          SELECT term, count(*) AS tf
+          FROM occ WHERE term <> '' GROUP BY term
+        ), pairs AS (
+          SELECT substr(term, i, 2) AS pair, tf
+          FROM vocab, unnest(range(1, len(term))) r(i)
+          WHERE len(term) >= 2
+        )
+        SELECT pair, CAST(sum(tf) AS BIGINT) AS weight
+        FROM pairs GROUP BY pair
+        ORDER BY weight DESC, pair
+        LIMIT {top_k}
+    """

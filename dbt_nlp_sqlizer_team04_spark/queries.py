@@ -383,6 +383,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q84_media_decode_rollup": MM.q84_media_decode_rollup,
     # Corpus-version diff by content fingerprint — NEW this round.
     "q85_dataset_diff": D.q85_dataset_diff,
+    # BPE first-merge pair statistics (tokenizer-training prep) — NEW
+    # this round.
+    "q86_bpe_pair_stats": X.q86_bpe_pair_stats,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -399,7 +402,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q06_date_rollup": R.q06_date_rollup,
     "q20_events_json_props": R.q20_events_json_props,
     "q31_quality_by_source": X.q31_quality_by_source,
-    "q34_doc_fingerprints": X.q34_doc_fingerprints,
     "q35_doc_find": DOC.q35_doc_find,
     "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
     "q41_intersect_nations": R.q41_intersect_nations,
@@ -450,6 +452,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q26 deferred to r5 for q85 (exact-dup hashing stays window-covered
     # by q85's fingerprint diff and the q52/q59/q70/q74 dedup family)
     "q26_exact_dup_groups": D.q26_exact_dup_groups,
+    # q34 deferred to r5 for q86 (fingerprint hashing exercised by q85
+    # in-window)
+    "q34_doc_fingerprints": X.q34_doc_fingerprints,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -1336,6 +1341,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q80_hybrid_rrf_topk": RT.hybrid_rrf_oracle_sql(),
     "q84_media_decode_rollup": MM.media_decode_oracle_sql(),
     "q85_dataset_diff": D.dataset_diff_oracle_sql(),
+    "q86_bpe_pair_stats": X.bpe_pair_oracle_sql(),
     "q83_local_supplier_volume": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -309,3 +309,12 @@ def test_per_group_topk_bounds_and_order(spark, sf_check):
         quals = [r["quality"] for r in rows]
         assert quals == sorted(quals, reverse=True)
         assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_bpe_pair_stats_weighting(spark):
+    """Pair weights count OCCURRENCES (vocab tf), not distinct words."""
+    from dbt_nlp_sqlizer_team04_spark.operators.text import bpe_pair_stats
+
+    docs = _docs(spark, [(1, "aa aa aa bb"), (2, "aa cc")])
+    rows = {r["pair"]: r["weight"] for r in bpe_pair_stats(docs).collect()}
+    assert rows["aa"] == 4 and rows["bb"] == 1 and rows["cc"] == 1
