@@ -93,6 +93,7 @@ HEADLINE = [
     "q84_media_decode_rollup",
     "q85_dataset_diff",
     "q86_bpe_pair_stats",
+    "q87_conversion_funnel",
 ]
 
 

@@ -151,3 +151,87 @@ def q61_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_funnel(
         load_table(spark, sf_dir, "documents"), probe_sets=probes
     )
+
+
+# -------------------------------------------------- event conversion funnel
+def conversion_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-sequence conversion funnel: a user advances to stage i
+    only with an event of that type STRICTLY AFTER their first
+    qualifying stage-(i-1) event — the standard product-analytics
+    funnel (not mere per-type presence, which over-counts users who
+    purchased before ever viewing).
+
+    Plan: one per-stage chain of (filter → user-keyed min-ts aggregate
+    → equi-join to the previous stage's frontier). Every shuffle keys
+    on the user column, so on a cluster all stages reuse one
+    partitioning; per-stage state is one timestamp per surviving user.
+    The result is ``stages``-many 1-row aggregates unioned — constant
+    output at any scale.
+    """
+    frontier = None
+    rows = []
+    for i, stage in enumerate(stages):
+        ev = events.where(F.col(type_col) == stage)
+        if frontier is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("t"))
+        else:
+            cur = (
+                ev.join(
+                    frontier.withColumnRenamed("t", "t_prev"), user_col
+                )
+                .where(F.col(ts_col) > F.col("t_prev"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("t"))
+            )
+        frontier = cur
+        rows.append(
+            cur.agg(
+                F.lit(i + 1).alias("stage_no"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_no")
+
+
+def q87_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase strict-sequence funnel (oracle-checked)."""
+    return conversion_funnel(load_table(spark, sf_dir, "events"))
+
+
+def conversion_funnel_oracle_sql(
+    stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> str:
+    """DuckDB twin of :func:`conversion_funnel`."""
+    ctes = []
+    prev = None
+    for i, stage in enumerate(stages):
+        name = f"s{i}"
+        if prev is None:
+            ctes.append(
+                f"{name} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{stage}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN {prev} ON e.user_id = {prev}.user_id "
+                f"AND e.ts > {prev}.t "
+                f"WHERE e.event_type = '{stage}' GROUP BY e.user_id)"
+            )
+        prev = name
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage_no, '{stage}' AS stage, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, stage in enumerate(stages)
+    )
+    return f"WITH {', '.join(ctes)} {selects} ORDER BY stage_no"

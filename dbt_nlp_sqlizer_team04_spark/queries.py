@@ -386,6 +386,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # BPE first-merge pair statistics (tokenizer-training prep) — NEW
     # this round.
     "q86_bpe_pair_stats": X.q86_bpe_pair_stats,
+    # Strict-sequence event conversion funnel — NEW this round.
+    "q87_conversion_funnel": FN.q87_conversion_funnel,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -400,7 +402,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # --- window rule 3: longest-unchecked (last driver-green in r2) --
     "q05_null_handling": R.q05_null_handling,
     "q06_date_rollup": R.q06_date_rollup,
-    "q20_events_json_props": R.q20_events_json_props,
     "q31_quality_by_source": X.q31_quality_by_source,
     "q35_doc_find": DOC.q35_doc_find,
     "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
@@ -455,6 +456,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q34 deferred to r5 for q86 (fingerprint hashing exercised by q85
     # in-window)
     "q34_doc_fingerprints": X.q34_doc_fingerprints,
+    # q20 deferred to r5 for q87 (the events family stays window-covered
+    # by q87's funnel and q38's streaming rollup)
+    "q20_events_json_props": R.q20_events_json_props,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -1342,6 +1346,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q84_media_decode_rollup": MM.media_decode_oracle_sql(),
     "q85_dataset_diff": D.dataset_diff_oracle_sql(),
     "q86_bpe_pair_stats": X.bpe_pair_oracle_sql(),
+    "q87_conversion_funnel": FN.conversion_funnel_oracle_sql(),
     "q83_local_supplier_volume": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -707,3 +707,25 @@ def test_dataset_diff_statuses(spark):
     v2b = spark.createDataFrame([(1, "  SAME "), (2, "old content"), (3, "gone")],
                                 "doc_id long, text string")
     assert dataset_diff(v1, v2b).count() == 0
+
+
+def test_conversion_funnel_strict_sequence(spark):
+    """A purchase BEFORE the first view must not advance the user."""
+    import datetime as dt
+
+    from dbt_nlp_sqlizer_team04_spark.operators.funnel import conversion_funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            # user 1: view -> click -> purchase (full funnel)
+            (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+            # user 2: purchase first, then view: stops at view
+            (2, t(1), "purchase"), (2, t(2), "view"),
+            # user 3: view then purchase without click: stops after view
+            (3, t(1), "view"), (3, t(2), "purchase"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = {r["stage"]: r["n_users"] for r in conversion_funnel(ev).collect()}
+    assert rows == {"view": 3, "click": 1, "purchase": 1}
