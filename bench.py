@@ -94,6 +94,7 @@ HEADLINE = [
     "q85_dataset_diff",
     "q86_bpe_pair_stats",
     "q87_conversion_funnel",
+    "q88_cohort_retention",
 ]
 
 

@@ -418,3 +418,67 @@ def q64_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_v").cast("double"), 2).alias("sum_value"),
         F.round(F.col("sum_v").cast("double") / F.col("n"), 4).alias("avg_value"),
     ).orderBy("hour_start", "event_type")
+
+
+# ------------------------------------------------------ cohort retention
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention triangle: users cohorted by the week of
+    their FIRST event; each (cohort week, week offset) cell counts the
+    distinct users of that cohort active in that later week — the
+    standard retention analysis, and a second sequenced-behavior shape
+    next to the conversion funnel (q87).
+
+    Plan: one user-keyed min aggregate (the cohort frame), one equi-join
+    back to events on the same user key (partitioning reused), then a
+    distinct-count aggregate keyed on the (cohort, offset) pair. Both
+    engines truncate weeks to Monday and the offset is an exact
+    multiple-of-7 day difference, so the cell counts are oracle-exact.
+    """
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_ts")
+    )
+    return (
+        events.join(first, user_col)
+        .select(
+            F.date_format("cohort_ts", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col(ts_col)), F.col("cohort_ts"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q88_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (oracle-checked)."""
+    from ..sources.parquet import load_table
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def cohort_retention_oracle_sql() -> str:
+    """DuckDB twin of :func:`cohort_retention`."""
+    return """
+        WITH first AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+          FROM events GROUP BY user_id
+        )
+        SELECT strftime(cohort_ts, '%Y-%m-%d') AS cohort_week,
+               CAST(floor(date_diff('day', cohort_ts,
+                                    date_trunc('week', e.ts)) / 7) AS INT)
+                   AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN first ON e.user_id = first.user_id
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+    """

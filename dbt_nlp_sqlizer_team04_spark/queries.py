@@ -147,6 +147,12 @@ def _q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q64_incremental_rollup(spark, sf_dir)
 
 
+def _q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q88_cohort_retention
+
+    return q88_cohort_retention(spark, sf_dir)
+
+
 def _q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.retrieval import q67_chunk_retrieval
 
@@ -388,6 +394,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q86_bpe_pair_stats": X.q86_bpe_pair_stats,
     # Strict-sequence event conversion funnel — NEW this round.
     "q87_conversion_funnel": FN.q87_conversion_funnel,
+    # Weekly cohort retention triangle — NEW this round.
+    "q88_cohort_retention": _q88,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -400,7 +408,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q64: merge-vs-rebuild contract now sums DECIMAL on both engines
     "q64_incremental_rollup": _q64,
     # --- window rule 3: longest-unchecked (last driver-green in r2) --
-    "q05_null_handling": R.q05_null_handling,
     "q06_date_rollup": R.q06_date_rollup,
     "q31_quality_by_source": X.q31_quality_by_source,
     "q35_doc_find": DOC.q35_doc_find,
@@ -459,6 +466,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q20 deferred to r5 for q87 (the events family stays window-covered
     # by q87's funnel and q38's streaming rollup)
     "q20_events_json_props": R.q20_events_json_props,
+    # q05 deferred to r5 for q88 (NULL predicates re-verified locally;
+    # null-handling also exercised by the doc plane's null-safe $ne)
+    "q05_null_handling": R.q05_null_handling,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -520,6 +530,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q39_media_decode_stats": _media_stats,
     "q40_media_embedding_topk": _media_topk,
 }
+
+def _TS_cohort_oracle() -> str:
+    from .operators.timeseries import cohort_retention_oracle_sql
+
+    return cohort_retention_oracle_sql()
+
 
 # name -> DuckDB oracle SQL (None => rows-only check)
 ORACLE_SQL: dict[str, str | None] = {
@@ -1347,6 +1363,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q85_dataset_diff": D.dataset_diff_oracle_sql(),
     "q86_bpe_pair_stats": X.bpe_pair_oracle_sql(),
     "q87_conversion_funnel": FN.conversion_funnel_oracle_sql(),
+    "q88_cohort_retention": _TS_cohort_oracle(),
     "q83_local_supplier_volume": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

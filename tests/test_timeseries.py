@@ -226,3 +226,32 @@ def test_incremental_rollup_merge_matches_full_recompute(spark):
     assert got == want
     late_bucket = [r for r in got if r[0].hour == 10 and r[1] == "click"]
     assert late_bucket[0][2:] == (3, 19.0)
+
+
+def test_cohort_retention_cells(spark):
+    """Cohort = week of first event; offsets count distinct actives."""
+    import datetime as dt
+
+    from dbt_nlp_sqlizer_team04_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    # 2024-01-01 is a Monday
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 2)),   # cohort wk0
+            (1, dt.datetime(2024, 1, 10)),  # active wk1
+            (2, dt.datetime(2024, 1, 3)),   # cohort wk0, only wk0
+            (3, dt.datetime(2024, 1, 9)),   # cohort wk1
+        ],
+        "user_id long, ts timestamp",
+    )
+    cells = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert cells == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
