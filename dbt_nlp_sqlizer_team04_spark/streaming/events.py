@@ -332,3 +332,55 @@ def q69_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_agg(
         load_table(spark, sf_dir, "events"), streaming=False
     ).orderBy("win_start", "event_type")
+
+
+def click_purchase_left_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay_seconds: int = 3600,
+    streaming: bool = True,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click appears —
+    paired with attributable purchases, or null-padded when the
+    watermark proves no purchase can arrive in its window anymore (the
+    unconverted-click feed an attribution pipeline alerts on).
+
+    Distinct semantics from the inner variant
+    (:func:`click_purchase_interval_join`): unmatched left rows are
+    held in state and EMITTED ONLY when the watermark passes
+    ``click_ts + max_delay`` — so outer results trail the event time by
+    the watermark delay, and a drained stream only emits null rows up
+    to its final watermark (callers replaying finite data append a
+    max-event sentinel batch if they need the tail; the parity test
+    does exactly that). Same state bound as the inner join: the
+    time-range predicate lets both sides evict.
+    """
+    c = _normalize_ts(clicks)
+    p = _normalize_ts(purchases)
+    if streaming:
+        c = c.withWatermark("ts", watermark)
+        p = p.withWatermark("ts", watermark)
+    c = c.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = p.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS")
+        )
+    )
+    return c.join(p, cond, "leftOuter").select(
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )

@@ -261,3 +261,65 @@ def test_streaming_quality_gate_matches_batch(spark, sf_smoke):
     assert got == want
     plan = quality_gate_stream(spark, sf_smoke)._jdf.queryExecution().toString()
     assert "stateStore" not in plan.lower()
+
+
+def test_stream_stream_left_join_matches_batch(spark, sf_smoke, tmp_path):
+    """LEFT OUTER attribution join: unmatched clicks must surface
+    null-padded once the watermark proves their window closed. A
+    far-future sentinel batch on both sides advances the final
+    watermark past every real click, making full batch parity exact
+    (sentinel rows excluded from the comparison)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import (
+        click_purchase_left_join,
+    )
+
+    events = load_table(spark, sf_smoke, "events").limit(2000).cache()
+    clicks_b = events.filter(F.col("event_type") == "click")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    want = sorted(
+        tuple(r)
+        for r in click_purchase_left_join(
+            clicks_b, purch_b, streaming=False
+        ).collect()
+    )
+
+    far = events.agg(F.max("ts")).first()[0] + dt.timedelta(days=30)
+    sentinel = spark.createDataFrame(
+        [(10**12, far, -1, "sentinel", 0.0, "{}")], events.schema
+    )
+    drops = {}
+    for name, side in (("clicks", clicks_b), ("purchases", purch_b)):
+        d = tmp_path / name
+        side.write.parquet(str(d / "b0"))
+        sentinel.write.parquet(str(d / "b1"))
+        drops[name] = (
+            spark.readStream.schema(side.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(str(d) + "/*")
+        )
+    q = (
+        click_purchase_left_join(drops["clicks"], drops["purchases"])
+        .writeStream.format("memory")
+        .queryName("t_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+    got = sorted(
+        tuple(r)
+        for r in spark.table("t_left_join")
+        .where(F.col("user_id") >= 0)
+        .collect()
+    )
+    assert got == want and got
+    # the unmatched-null path is actually exercised
+    assert any(r[2] is None for r in got)
