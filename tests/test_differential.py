@@ -1,0 +1,155 @@
+"""Seeded-random differential tests: the new analytics operators vs
+independent pure-Python reference implementations on generated corpora.
+Complements the DuckDB oracle (which shares the SQL formulation) with a
+second, SQL-free derivation of the same math — a formulation error that
+slipped into BOTH the Spark expression and its oracle twin would still
+be caught here."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "the", "a"]
+
+
+def _random_corpus(seed: int, n_docs: int = 30):
+    rng = random.Random(seed)
+    return [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 25))))
+        for i in range(n_docs)
+    ]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_bm25_matches_python_reference(spark, seed):
+    from dbt_nlp_sqlizer_team04_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        bm25_topk,
+    )
+
+    corpus = _random_corpus(seed)
+    terms = ("alpha", "the")
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(docs, terms, k=1000).collect()
+    }
+
+    toks = {i: t.split() for i, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    want = {}
+    for i, t in toks.items():
+        score = 0.0
+        for term in terms:
+            tf = t.count(term)
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            score += idf * (
+                tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(t) / avgdl))
+            )
+        if any(term in t for term in terms):
+            want[i] = round(score, 4)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_funnel_matches_python_reference(spark, seed):
+    import datetime as dt
+
+    from dbt_nlp_sqlizer_team04_spark.operators.funnel import conversion_funnel
+
+    rng = random.Random(seed)
+    stages = ("view", "click", "purchase")
+    rows = [
+        (
+            rng.randint(0, 9),
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randint(0, 500)),
+            rng.choice(stages + ("error",)),
+        )
+        for _ in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["stage"]: r["n_users"] for r in conversion_funnel(ev, stages).collect()}
+
+    by_user: dict = {}
+    for u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    want = dict.fromkeys(stages, 0)
+    for evs in by_user.values():
+        frontier = None
+        for i, stage in enumerate(stages):
+            cand = [
+                ts
+                for ts, et in evs
+                if et == stage and (frontier is None or ts > frontier)
+            ]
+            if not cand:
+                break
+            frontier = min(cand)
+            want[stage] += 1
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_histogram_matches_python_reference(spark, seed):
+    from dbt_nlp_sqlizer_team04_spark.operators.profiler import numeric_histogram
+
+    rng = random.Random(seed)
+    vals = [round(rng.uniform(-100, 100), 3) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["bucket"]: r["n"] for r in numeric_histogram(df, "x", n_bins=13).collect()}
+
+    mn, mx = min(vals), max(vals)
+    width = (mx - mn) / 13.0
+    want: dict = {}
+    for v in vals:
+        b = min(int(math.floor((v - mn) / width)), 12)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bigram_lm_matches_python_reference(spark, seed):
+    from dbt_nlp_sqlizer_team04_spark.operators.text import (
+        BIGRAM_LM_K,
+        bigram_logprob_scores,
+    )
+
+    corpus = _random_corpus(seed, n_docs=15)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+        for r in bigram_logprob_scores(docs).collect()
+    }
+
+    toks = {i: t.split() for i, t in corpus}
+    uni: dict = {}
+    big: dict = {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = float(len(uni))
+    k = BIGRAM_LM_K
+    want = {}
+    for i, t in toks.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            continue
+        nll = [
+            -math.log((big[(a, b)] + k) / (uni[a] + k * v)) for a, b in pairs
+        ]
+        want[i] = (len(pairs), round(sum(nll) / len(nll), 4))
+    # float summation order differs (Spark partial aggregation): compare
+    # the mean at oracle precision minus one guard digit
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-3
