@@ -102,6 +102,7 @@ HEADLINE = [
     "q86_bpe_pair_stats",
     "q87_conversion_funnel",
     "q88_cohort_retention",
+    "q89_neardup_pagerank",
 ]
 
 

@@ -1,0 +1,96 @@
+"""Graph analytics over pair lists — the iterative-superstep family next
+to :func:`dedup.connected_components` (min-label propagation). No
+reference analog (the reference runs no graph computation); built for
+the near-dup graphs the dedup plane produces, where rank identifies the
+"template documents" at the center of large duplicate families.
+
+Scale shape shared by both operators: the graph lives as a slim
+``(long, long)`` edge frame; every superstep is one equi-join plus one
+grouped sum, shuffling 16-byte rows keyed on node id — the same
+partitioning every round, never materializing adjacency or touching
+document payloads. Each round's rank frame is ``localCheckpoint``-ed to
+truncate lineage (the q60 convention for iterative plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = PAGERANK_DAMPING,
+    n_iter: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Power-iteration PageRank over an UNDIRECTED pair list → ``(id,
+    rank)`` with ranks summing to 1 (within float error).
+
+    Per superstep: contributions = rank/out_degree shipped along edges
+    (one join on the source key), summed per destination (one grouped
+    agg), then ``rank' = (1-d)/N + d·in_mass``. No dangling-mass term
+    is needed: the input is symmetrized internally, so every node in
+    the graph has out-degree ≥ 1 by construction (a directed variant
+    would add the standard uniform redistribution of dangling rank —
+    one extra anti-join aggregate per round). Nodes absent from the
+    edge list don't participate; callers union them in as rank
+    (1-d)/N if needed.
+    """
+    e = edges.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint()
+    nodes = (
+        sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("in_mass"))
+            .withColumnRenamed("dst", "id")
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def q89_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most central documents of the exact-Jaccard near-dup
+    graph (q52's pairs) by PageRank — the "template documents" whose
+    text seeded the largest duplicate families. Rows-only (iterative
+    float ranks have no DuckDB analog); pytest pins star/cycle
+    geometry, mass conservation, and determinism."""
+    from .dedup import q52_ngram_jaccard_pairs
+
+    pairs = q52_ngram_jaccard_pairs(spark, sf_dir)
+    # near-dup families are near-cliques (diameter ~2): 6 supersteps
+    # put every rank well past the 1e-6 movement of later rounds
+    return (
+        pagerank(pairs, n_iter=6)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "id")
+        .limit(20)
+    )

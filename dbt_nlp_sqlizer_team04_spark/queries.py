@@ -147,6 +147,12 @@ def _q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q64_incremental_rollup(spark, sf_dir)
 
 
+def _q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import q89_neardup_pagerank
+
+    return q89_neardup_pagerank(spark, sf_dir)
+
+
 def _q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import q88_cohort_retention
 
@@ -526,6 +532,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Lloyd k-means clustering (rows-only: the iterative fit has no
     # DuckDB analog; pytest pins determinism/inertia/planted blobs)
     "q78_kmeans_clusters": V.q78_kmeans_clusters,
+    # PageRank centrality of the near-dup graph (rows-only: iterative
+    # float ranks; pytest pins star/cycle geometry + mass conservation)
+    "q89_neardup_pagerank": _q89,
     "q32_lang_id_dist": X.q32_lang_id_dist,
     "q39_media_decode_stats": _media_stats,
     "q40_media_embedding_topk": _media_topk,

@@ -729,3 +729,33 @@ def test_conversion_funnel_strict_sequence(spark):
     )
     rows = {r["stage"]: r["n_users"] for r in conversion_funnel(ev).collect()}
     assert rows == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_pagerank_star_cycle_and_mass(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.graph import pagerank
+
+    # star: center 0 connected to 1..5 -> center outranks every leaf
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(star).collect()}
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # mass conserved
+    # cycle: symmetric -> uniform ranks
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "id_a long, id_b long"
+    )
+    rc = [r["rank"] for r in pagerank(cyc).collect()]
+    assert max(rc) - min(rc) < 1e-9
+
+
+def test_pagerank_deterministic(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 11) for i in range(11) if i != (i * 7) % 11],
+        "id_a long, id_b long",
+    )
+    a = sorted((r["id"], round(r["rank"], 9)) for r in pagerank(edges).collect())
+    b = sorted((r["id"], round(r["rank"], 9)) for r in pagerank(edges).collect())
+    assert a == b
