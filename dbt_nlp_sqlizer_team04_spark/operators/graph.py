@@ -20,12 +20,43 @@ from pyspark.sql import functions as F
 PAGERANK_DAMPING = 0.85
 
 
+def _pagerank_driver(
+    sym: DataFrame, damping: float, n_iter: int
+) -> DataFrame:
+    """Exact power iteration over a BOUNDED symmetric edge list on the
+    driver — the fast tier, same reasoning as
+    ``dedup._components_driver``: a dedup graph's edge list is
+    pairs-sized (MBs when the corpus is TBs), while every distributed
+    superstep costs ~0.5 s of job overhead alone (measured: 6 rounds =
+    7.7 s distributed vs ~0.1 s here on the same sf0.1 graph)."""
+    import numpy as np
+
+    rows = sym.collect()
+    ids = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    if n == 0:
+        return sym.sparkSession.createDataFrame([], "id long, rank double")
+    src = np.fromiter((idx[r[0]] for r in rows), dtype=np.int64, count=len(rows))
+    dst = np.fromiter((idx[r[1]] for r in rows), dtype=np.int64, count=len(rows))
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = rank[src] / deg[src]
+        rank = base + damping * np.bincount(dst, weights=contrib, minlength=n)
+    return sym.sparkSession.createDataFrame(
+        [(int(v), float(rank[idx[v]])) for v in ids], "id long, rank double"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = PAGERANK_DAMPING,
     n_iter: int = 10,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over an UNDIRECTED pair list → ``(id,
     rank)`` with ranks summing to 1 (within float error).
@@ -46,6 +77,10 @@ def pagerank(
     )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.distinct().localCheckpoint()
+    if sym.count() <= driver_max_edges:
+        # TWO TIERS picked by measured edge count (the q60/
+        # connected_components convention; 2M edges ≈ 32 MB collected)
+        return _pagerank_driver(sym, damping, n_iter)
     nodes = (
         sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
     )

@@ -759,3 +759,21 @@ def test_pagerank_deterministic(spark):
     a = sorted((r["id"], round(r["rank"], 9)) for r in pagerank(edges).collect())
     b = sorted((r["id"], round(r["rank"], 9)) for r in pagerank(edges).collect())
     assert a == b
+
+
+def test_pagerank_tiers_equivalent(spark):
+    """Driver and distributed tiers produce the same ranks (the
+    connected_components tier-equivalence convention)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (3, 4), (4, 5), (5, 3)],
+        "id_a long, id_b long",
+    )
+    fast = {r["id"]: r["rank"] for r in pagerank(edges).collect()}
+    dist = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, driver_max_edges=0).collect()
+    }
+    assert set(fast) == set(dist)
+    assert all(abs(fast[i] - dist[i]) < 1e-9 for i in fast)
