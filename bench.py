@@ -103,6 +103,8 @@ HEADLINE = [
     "q87_conversion_funnel",
     "q88_cohort_retention",
     "q89_neardup_pagerank",
+    "q90_lineitem_correlations",
+    "q91_custkey_skew",
 ]
 
 

@@ -294,3 +294,125 @@ def numeric_histogram_oracle_sql(
         GROUP BY bucket, lo, hi
         ORDER BY bucket
     """
+
+
+# ------------------------------------------------ correlation profiling
+def numeric_correlations(
+    df: DataFrame, pairs: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """Pearson correlation + sample covariance for chosen column pairs —
+    the profiler-plane dependence view (A7 one step further): feeds
+    join-selectivity intuition and feature-redundancy pruning before a
+    training run.
+
+    ONE aggregation pass computes every pair's moments (Spark fuses the
+    corr/covar aggregates over a single scan); the unpivot to one row
+    per pair is driver-side arithmetic on a 1-row result. Rounded to 4
+    so the oracle's streaming co-moment order differences (last-ulp)
+    can't flip the hash.
+    """
+    aggs = []
+    for a, b in pairs:
+        aggs.append(F.corr(a, b).alias(f"corr_{a}_{b}"))
+        aggs.append(F.covar_samp(a, b).alias(f"cov_{a}_{b}"))
+    row = df.agg(*aggs).first()
+    out = [
+        (a, b, round(row[f"corr_{a}_{b}"], 4), round(row[f"cov_{a}_{b}"], 4))
+        for a, b in pairs
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double, covar double"
+    ).orderBy("col_a", "col_b")
+
+
+def q90_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation profile of the lineitem measures (oracle-checked)."""
+    return numeric_correlations(
+        load_table(spark, sf_dir, "lineitem"),
+        (
+            ("l_quantity", "l_extendedprice"),
+            ("l_discount", "l_extendedprice"),
+            ("l_discount", "l_tax"),
+        ),
+    )
+
+
+def correlations_oracle_sql() -> str:
+    """DuckDB twin of :func:`q90_lineitem_correlations`."""
+    rows = []
+    for a, b in (
+        ("l_quantity", "l_extendedprice"),
+        ("l_discount", "l_extendedprice"),
+        ("l_discount", "l_tax"),
+    ):
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            f"round(corr({a}, {b}), 4) AS corr, "
+            f"round(covar_samp({a}, {b}), 4) AS covar FROM lineitem"
+        )
+    return " UNION ALL ".join(rows) + " ORDER BY col_a, col_b"
+
+
+# ------------------------------------------------------- skew diagnosis
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnosis: per-key frequency summary + the hottest
+    keys — the measurement that decides between a plain shuffle join,
+    AQE skew splitting, and explicit salting (operators/skew.py). One
+    count aggregate keyed on the join key, then metadata-sized
+    reductions over the (key, cnt) frame.
+
+    Output: one ``__summary__`` row (key count, max/avg frequency, the
+    max/avg skew factor, p99 frequency) followed by the ``top_k``
+    hottest keys — the direct input to a salting-factor decision.
+    """
+    cnt = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    summary = cnt.agg(
+        F.lit("__summary__").alias("key"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+    )
+    top = cnt.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("cnt").cast("long").alias("max_cnt"),
+        F.col("cnt").cast("double").alias("avg_cnt"),
+        F.lit(None).cast("double").alias("skew_factor"),
+        F.lit(None).cast("double").alias("p99_cnt"),
+    ).orderBy(F.desc("cnt"), "key").limit(top_k)
+    return summary.unionByName(top)
+
+
+def q91_custkey_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew report for the orders→customer join key (oracle-checked)."""
+    return key_skew_report(load_table(spark, sf_dir, "orders"), "o_custkey")
+
+
+def key_skew_oracle_sql(top_k: int = 10) -> str:
+    """DuckDB twin of :func:`q91_custkey_skew`."""
+    return f"""
+        WITH cnt AS (
+          SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY k
+        ), summary AS (
+          SELECT '__summary__' AS key,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(max(cnt) AS BIGINT) AS max_cnt,
+                 round(avg(cnt), 4) AS avg_cnt,
+                 round(max(cnt) / avg(cnt), 4) AS skew_factor,
+                 round(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+          FROM cnt
+        ), top AS (
+          SELECT CAST(k AS VARCHAR) AS key,
+                 CAST(cnt AS BIGINT) AS cnt,
+                 CAST(cnt AS BIGINT) AS max_cnt,
+                 CAST(cnt AS DOUBLE) AS avg_cnt,
+                 CAST(NULL AS DOUBLE) AS skew_factor,
+                 CAST(NULL AS DOUBLE) AS p99_cnt
+          FROM cnt ORDER BY cnt DESC, key LIMIT {top_k}
+        )
+        SELECT * FROM summary UNION ALL SELECT * FROM top
+    """

@@ -402,6 +402,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q87_conversion_funnel": FN.q87_conversion_funnel,
     # Weekly cohort retention triangle — NEW this round.
     "q88_cohort_retention": _q88,
+    # Correlation profiling and join-key skew diagnosis — NEW this
+    # round.
+    "q90_lineitem_correlations": P.q90_lineitem_correlations,
+    "q91_custkey_skew": P.q91_custkey_skew,
     # --- window rule 2: implementation changed since last check ------
     # q52: PPJoin candidate-generation reworked for the perf flag
     "q52_ngram_jaccard_pairs": D.q52_ngram_jaccard_pairs,
@@ -414,8 +418,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q64: merge-vs-rebuild contract now sums DECIMAL on both engines
     "q64_incremental_rollup": _q64,
     # --- window rule 3: longest-unchecked (last driver-green in r2) --
-    "q06_date_rollup": R.q06_date_rollup,
-    "q31_quality_by_source": X.q31_quality_by_source,
     "q35_doc_find": DOC.q35_doc_find,
     "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
     "q41_intersect_nations": R.q41_intersect_nations,
@@ -475,6 +477,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q05 deferred to r5 for q88 (NULL predicates re-verified locally;
     # null-handling also exercised by the doc plane's null-safe $ne)
     "q05_null_handling": R.q05_null_handling,
+    # q06/q31 deferred to r5 for q90/q91 (date rollups stay window-
+    # covered by nl13/nl16 and q88; quality scoring by q82)
+    "q06_date_rollup": R.q06_date_rollup,
+    "q31_quality_by_source": X.q31_quality_by_source,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -1373,6 +1379,8 @@ ORACLE_SQL: dict[str, str | None] = {
     "q86_bpe_pair_stats": X.bpe_pair_oracle_sql(),
     "q87_conversion_funnel": FN.conversion_funnel_oracle_sql(),
     "q88_cohort_retention": _TS_cohort_oracle(),
+    "q90_lineitem_correlations": P.correlations_oracle_sql(),
+    "q91_custkey_skew": P.key_skew_oracle_sql(),
     "q83_local_supplier_volume": """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
