@@ -118,12 +118,14 @@ def ingest(spark, sf_dir: str) -> None:
     from dbt_nlp_sqlizer_team04_spark.operators.dedup import (
         minhash_table_for,
         ngram_table_for,
+        pairs_table_for,
     )
     from dbt_nlp_sqlizer_team04_spark.operators.retrieval import chunk_index_for
     from dbt_nlp_sqlizer_team04_spark.operators.similarity import ivf_table_for
 
     minhash_table_for(spark, sf_dir)
     ngram_table_for(spark, sf_dir)
+    pairs_table_for(spark, sf_dir)  # q60/q89's materialized pair set
     ivf_table_for(spark, sf_dir)
     ivf_table_for(spark, sf_dir, n_probe_assign=2)  # q63's 2-probe index
     chunk_index_for(spark, sf_dir)  # q67's chunk vectors + encoder

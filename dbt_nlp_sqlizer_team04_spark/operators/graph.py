@@ -114,13 +114,14 @@ def pagerank(
 
 def q89_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most central documents of the exact-Jaccard near-dup
-    graph (q52's pairs) by PageRank — the "template documents" whose
-    text seeded the largest duplicate families. Rows-only (iterative
-    float ranks have no DuckDB analog); pytest pins star/cycle
-    geometry, mass conservation, and determinism."""
-    from .dedup import q52_ngram_jaccard_pairs
+    graph by PageRank — the "template documents" whose text seeded the
+    largest duplicate families. Reads the persisted pair table
+    (``dedup.pairs_table_for``), like q60. Rows-only (iterative float
+    ranks have no DuckDB analog); pytest pins star/cycle geometry,
+    mass conservation, and determinism."""
+    from .dedup import pairs_table_for
 
-    pairs = q52_ngram_jaccard_pairs(spark, sf_dir)
+    pairs = spark.table(pairs_table_for(spark, sf_dir))
     # near-dup families are near-cliques (diameter ~2): 6 supersteps
     # put every rank well past the 1e-6 movement of later rounds
     return (
