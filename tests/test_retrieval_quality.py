@@ -318,3 +318,19 @@ def test_bpe_pair_stats_weighting(spark):
     docs = _docs(spark, [(1, "aa aa aa bb"), (2, "aa cc")])
     rows = {r["pair"]: r["weight"] for r in bpe_pair_stats(docs).collect()}
     assert rows["aa"] == 4 and rows["bb"] == 1 and rows["cc"] == 1
+
+
+def test_kmeans_tiers_agree_on_planted_blobs(planted_blobs):
+    """Driver-tier and distributed-tier Lloyd produce the same clusters
+    on well-separated data (ties are the only place tiers may differ)."""
+    fast = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_clusters(planted_blobs, k=3, n_iter=4).collect()
+    }
+    dist = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_clusters(
+            planted_blobs, k=3, n_iter=4, driver_max_rows=0
+        ).collect()
+    }
+    assert fast == dist
