@@ -57,6 +57,17 @@ _CMP_OPS = {
     "at least": ">=", "at most": "<=",
 }
 
+# "totalprice between 100000 and 200000" — a closed numeric range on a
+# fuzzy-resolved numeric column
+_BETWEEN_RE = re.compile(
+    r"\b([a-z_]+)\s+between\s+(\d[\d,]*(?:\.\d+)?)"
+    r"\s+and\s+(\d[\d,]*(?:\.\d+)?)\b"
+)
+
+# "per orderstatus and orderpriority" — a compound group phrase; split
+# on ' and ' and resolve each part independently
+_PER_PHRASE_RE = re.compile(r"\bper\s+([a-z_][a-z_ ]*)")
+
 # "orders from 1995" / "shipped in 1997" — a bare 4-digit year after a
 # temporal preposition filters the best date column by calendar year
 _YEAR_RE = re.compile(r"\b(?:in|from|during|for)\s+((?:19|20)\d{2})\b")
@@ -337,19 +348,36 @@ class NL2SQLEngine:
         to a NUMERIC column of the table; otherwise the phrase is
         ignored — no guessing."""
         out: list[str] = []
-        for word, cmp_word, num in _CMP_RE.findall(question.lower()):
-            best, best_score = None, -1.0
-            for c in self._cols(table):
-                if not any(s in c.type_str.lower() for s in _NUMERIC_SUBSTR):
-                    continue
-                f = partial_ratio(c.name, word)
-                for syn in self.metadata.synonyms.get(c.name, []):
-                    f = max(f, partial_ratio(syn, word))
-                if f > best_score:
-                    best, best_score = c.name, f
-            if best is not None and best_score >= 70.0:
+        ql = question.lower()
+        for word, lo, hi in _BETWEEN_RE.findall(ql):
+            best = self._best_numeric_column(table, word)
+            if best is not None:
+                out.append(
+                    f"{best} BETWEEN {lo.replace(',', '')}"
+                    f" AND {hi.replace(',', '')}"
+                )
+        # mask matched ranges so 'between 1 and 2' can't also feed the
+        # single-comparator pass below
+        ql = _BETWEEN_RE.sub(" ", ql)
+        for word, cmp_word, num in _CMP_RE.findall(ql):
+            best = self._best_numeric_column(table, word)
+            if best is not None:
                 out.append(f"{best} {_CMP_OPS[cmp_word]} {num.replace(',', '')}")
         return out
+
+    def _best_numeric_column(self, table: str, word: str) -> str | None:
+        """Fuzzy-resolve a question word to a NUMERIC column (≥70, the
+        shared comparison-filter convention)."""
+        best, best_score = None, -1.0
+        for c in self._cols(table):
+            if not any(s in c.type_str.lower() for s in _NUMERIC_SUBSTR):
+                continue
+            f = partial_ratio(c.name, word)
+            for syn in self.metadata.synonyms.get(c.name, []):
+                f = max(f, partial_ratio(syn, word))
+            if f > best_score:
+                best, best_score = c.name, f
+        return best if best is not None and best_score >= 70.0 else None
 
     def _extract_year_filters(self, table: str, question: str) -> list[str]:
         """Calendar-year predicates ("orders from 1995" →
@@ -537,6 +565,36 @@ class NL2SQLEngine:
                 if limit_n:
                     sql += f" LIMIT {limit_n}"
                 out.append(Candidate(sql, "template_join_grouped_agg", 0.78))
+
+            # --- compound group phrase: "per X and Y" groups on BOTH
+            # resolved keys (the reference's intent layer saw only one)
+            if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents:
+                pm = _PER_PHRASE_RE.search(question.lower())
+                if pm and " and " in pm.group(1):
+                    parts = [p.strip() for p in pm.group(1).split(" and ")]
+                    keys: list[str] | None = []
+                    for part in parts:
+                        gc = self._group_column(
+                            t, part, preferred=relevant.get(t), exclude=measure
+                        )
+                        if gc is None or gc in (keys or []):
+                            keys = None
+                            break
+                        keys.append(gc)
+                    if keys and len(keys) >= 2:
+                        klist = ", ".join(keys)
+                        sql = (
+                            f"SELECT {klist}, {expr} AS {alias} FROM {t}"
+                            f"{where} GROUP BY {klist} ORDER BY {klist}"
+                        )
+                        if limit_n:
+                            sql += f" LIMIT {limit_n}"
+                        # 0.8: must outrank the single-key template (0.75)
+                        # whose group column only captures ONE of the
+                        # asked-for keys
+                        out.append(
+                            Candidate(sql, "template_multi_grouped_agg", 0.8)
+                        )
 
             # the single-table variants stay in the ladder as fallbacks
             # below the join candidate's 0.78

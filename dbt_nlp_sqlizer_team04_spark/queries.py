@@ -366,6 +366,16 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl17_customers_name_contains": _nl2sql(
         "show customers with name containing 19"
     ),
+    # Compound group phrase ("per X and Y" → two group keys) — NEW this
+    # round.
+    "nl19_orders_per_status_and_priority": _nl2sql(
+        "count of orders per orderstatus and orderpriority"
+    ),
+    # BETWEEN range filter compiled from the question — NEW this round.
+    "nl20_midrange_orders_per_priority": _nl2sql(
+        "count of orders with totalprice between 100000 and 200000"
+        " per orderpriority"
+    ),
     # Incremental-ingest dedup (new batch vs persisted corpus index) —
     # NEW this round, never driver-checked.
     "q70_incremental_dedup": D.q70_incremental_dedup,
@@ -418,8 +428,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q64: merge-vs-rebuild contract now sums DECIMAL on both engines
     "q64_incremental_rollup": _q64,
     # --- window rule 3: longest-unchecked (last driver-green in r2) --
-    "q35_doc_find": DOC.q35_doc_find,
-    "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
     "q41_intersect_nations": R.q41_intersect_nations,
     "q42_except_unordered_parts": R.q42_except_unordered_parts,
     "q48_cube_status_priority": R.q48_cube_status_priority,
@@ -481,6 +489,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # covered by nl13/nl16 and q88; quality scoring by q82)
     "q06_date_rollup": R.q06_date_rollup,
     "q31_quality_by_source": X.q31_quality_by_source,
+    # q35/q37 deferred to r5 for nl19/nl20 (document find/$regex stays
+    # window-covered end-to-end by nl04/nl11/nl18)
+    "q35_doc_find": DOC.q35_doc_find,
+    "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -773,6 +785,21 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT o_orderpriority, COUNT(*) AS cnt
         FROM orders
         WHERE year(o_orderdate) = 1995
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        LIMIT 100
+    """,
+    "nl19_orders_per_status_and_priority": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority
+        LIMIT 100
+    """,
+    "nl20_midrange_orders_per_priority": """
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        WHERE o_totalprice BETWEEN 100000 AND 200000
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
         LIMIT 100

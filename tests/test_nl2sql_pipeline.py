@@ -257,3 +257,32 @@ def test_like_filter_template(spark, sf_smoke):
     )
     s = " ".join(sql.split())
     assert "c_name ILIKE '%19%'" in s and "GROUP BY c_mktsegment" in s
+
+
+def test_multi_key_grouping_template(spark, sf_smoke):
+    """'per X and Y' groups on BOTH resolved keys; a single 'per X'
+    stays single-key."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("count of orders per orderstatus and orderpriority")
+    s = " ".join(sql.split())
+    assert "GROUP BY o_orderstatus, o_orderpriority" in s
+    _df, sql = eng.query_df("count of orders per orderpriority")
+    assert "o_orderstatus" not in sql
+
+
+def test_between_filter_template(spark, sf_smoke):
+    """'between A and B' compiles to a BETWEEN predicate and is masked
+    from the single-comparator pass; the 'and' does not trigger the
+    compound-group split."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df(
+        "count of orders with totalprice between 100000 and 200000"
+        " per orderpriority"
+    )
+    s = " ".join(sql.split())
+    assert "WHERE o_totalprice BETWEEN 100000 AND 200000" in s
+    assert "GROUP BY o_orderpriority" in s and "o_orderstatus" not in s
