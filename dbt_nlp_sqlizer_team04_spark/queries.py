@@ -427,8 +427,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q61_corpus_funnel": FN.q61_corpus_funnel,
     # q64: merge-vs-rebuild contract now sums DECIMAL on both engines
     "q64_incremental_rollup": _q64,
+    # q60: closure now reads the persisted pair table (r4 change →
+    # rule 2 re-check)
+    "q60_dup_clusters": D.q60_dup_clusters,
     # --- window rule 3: longest-unchecked (last driver-green in r2) --
-    "q41_intersect_nations": R.q41_intersect_nations,
     "q42_except_unordered_parts": R.q42_except_unordered_parts,
     "q48_cube_status_priority": R.q48_cube_status_priority,
     "q49_price_percentiles": R.q49_price_percentiles,
@@ -493,10 +495,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # window-covered end-to-end by nl04/nl11/nl18)
     "q35_doc_find": DOC.q35_doc_find,
     "q37_doc_find_or_regex": DOC.q37_doc_find_or_regex,
+    # q41 deferred to r5 so the changed q60 re-enters under rule 2
+    # (set-ops stay window-covered by q42's EXCEPT)
+    "q41_intersect_nations": R.q41_intersect_nations,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
-    "q60_dup_clusters": D.q60_dup_clusters,
     # q69 rotated out for q74 (streaming stays window-covered by q38;
     # q69 r3-green, kappa parity re-checked by pytest every run);
     # q46 rotated out for nl12 (timeseries stays covered by q64);
