@@ -68,6 +68,16 @@ _BETWEEN_RE = re.compile(
 # on ' and ' and resolve each part independently
 _PER_PHRASE_RE = re.compile(r"\bper\s+([a-z_][a-z_ ]*)")
 
+# multi-aggregate detection ("count of orders and average totalprice"):
+# ordered scan so the emitted column order follows the question
+_AGG_KEYWORDS: tuple[tuple[str, str], ...] = (
+    (r"\b(?:count|how many|number of)\b", "COUNT"),
+    (r"\b(?:average|avg|mean)\b", "AVG"),
+    (r"\b(?:sum|total)\b", "SUM"),
+    (r"\b(?:max|maximum|highest)\b", "MAX"),
+    (r"\b(?:min|minimum|lowest)\b", "MIN"),
+)
+
 # "orders from 1995" / "shipped in 1997" — a bare 4-digit year after a
 # temporal preposition filters the best date column by calendar year
 _YEAR_RE = re.compile(r"\b(?:in|from|during|for)\s+((?:19|20)\d{2})\b")
@@ -565,6 +575,49 @@ class NL2SQLEngine:
                 if limit_n:
                     sql += f" LIMIT {limit_n}"
                 out.append(Candidate(sql, "template_join_grouped_agg", 0.78))
+
+            # --- multiple aggregate functions in one question ("count
+            # of orders AND average totalprice per X") — the intent
+            # layer carries a single agg_func, so without this branch
+            # the second ask is dropped and S4 rejects every candidate
+            if g:
+                hits = [
+                    (m.start(), fn)
+                    for pat, fn in _AGG_KEYWORDS
+                    for m in [re.search(pat, question.lower())]
+                    if m
+                ]
+                funcs = [fn for _pos, fn in sorted(hits)]
+                if len(funcs) >= 2:
+                    mcol = self._best_column(
+                        t, question, numeric=True, preferred=relevant.get(t)
+                    )
+                    sel: list[str] = []
+                    for fn2 in funcs:
+                        if fn2 == "COUNT":
+                            sel.append("COUNT(*) AS cnt")
+                        elif mcol is not None and mcol != g:
+                            if fn2 == "AVG":
+                                sel.append(f"ROUND(AVG({mcol}), 4) AS avg_{mcol}")
+                            elif fn2 == "SUM":
+                                sel.append(f"ROUND(SUM({mcol}), 2) AS sum_{mcol}")
+                            else:
+                                sel.append(
+                                    f"{fn2}({mcol}) AS {fn2.lower()}_{mcol}"
+                                )
+                    if len(sel) >= 2:
+                        sql = (
+                            f"SELECT {g}, {', '.join(sel)} FROM {t}{where} "
+                            f"GROUP BY {g} ORDER BY {g}"
+                        )
+                        if limit_n:
+                            sql += f" LIMIT {limit_n}"
+                        # 0.8: the every-ask-answered candidate must
+                        # outrank the single-agg template (0.75), which
+                        # S4 rejects anyway when the question names two
+                        out.append(
+                            Candidate(sql, "template_multi_agg", 0.8)
+                        )
 
             # --- compound group phrase: "per X and Y" groups on BOTH
             # resolved keys (the reference's intent layer saw only one)

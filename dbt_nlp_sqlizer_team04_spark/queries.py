@@ -376,6 +376,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
         "count of orders with totalprice between 100000 and 200000"
         " per orderpriority"
     ),
+    # Multiple aggregate functions in one question — NEW this round.
+    "nl21_orders_count_and_avg_per_priority": _nl2sql(
+        "count of orders and average totalprice per orderpriority"
+    ),
     # Incremental-ingest dedup (new batch vs persisted corpus index) —
     # NEW this round, never driver-checked.
     "q70_incremental_dedup": D.q70_incremental_dedup,
@@ -433,7 +437,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # --- window rule 3: longest-unchecked (last driver-green in r2) --
     "q42_except_unordered_parts": R.q42_except_unordered_parts,
     "q48_cube_status_priority": R.q48_cube_status_priority,
-    "q49_price_percentiles": R.q49_price_percentiles,
     # --- window rule 4: widest operator spread (all r3-green; one slot
     # left after nl16/nl17 — streaming wins it, the dedup/closure family
     # is already in-window via q52/q59/q70/q74) ----------------------
@@ -498,6 +501,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q41 deferred to r5 so the changed q60 re-enters under rule 2
     # (set-ops stay window-covered by q42's EXCEPT)
     "q41_intersect_nations": R.q41_intersect_nations,
+    # q49 deferred to r5 for nl21 (distribution shapes stay window-
+    # covered by q81's histogram)
+    "q49_price_percentiles": R.q49_price_percentiles,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -789,6 +795,14 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT o_orderpriority, COUNT(*) AS cnt
         FROM orders
         WHERE year(o_orderdate) = 1995
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        LIMIT 100
+    """,
+    "nl21_orders_count_and_avg_per_priority": """
+        SELECT o_orderpriority, COUNT(*) AS cnt,
+               round(AVG(o_totalprice), 4) AS avg_o_totalprice
+        FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
         LIMIT 100

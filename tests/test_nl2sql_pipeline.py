@@ -286,3 +286,18 @@ def test_between_filter_template(spark, sf_smoke):
     s = " ".join(sql.split())
     assert "WHERE o_totalprice BETWEEN 100000 AND 200000" in s
     assert "GROUP BY o_orderpriority" in s and "o_orderstatus" not in s
+
+
+def test_multi_aggregate_template(spark, sf_smoke):
+    """A question naming two aggregates compiles BOTH; single-agg
+    questions are unaffected."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df(
+        "count of orders and average totalprice per orderpriority"
+    )
+    s = " ".join(sql.split())
+    assert "COUNT(*) AS cnt" in s and "AVG(o_totalprice)" in s
+    _df, sql = eng.query_df("count of orders per orderpriority")
+    assert "AVG" not in sql
