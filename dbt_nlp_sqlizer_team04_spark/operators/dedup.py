@@ -809,7 +809,11 @@ def q52_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing). Runs against the PERSISTED shingle-set table, built once
     per (session, sf) as ingest would; the candidate self-join runs on
     8-byte xxhash64 gram keys and the exact verify's sets side
-    broadcasts off parquet stats."""
+    broadcasts off parquet stats. (Persisting the derived prefix-index
+    frame was tried and REVERTED: the inline form lets Catalyst reuse
+    one ranked-grams exchange for both sides of the self-join, and
+    measured 2× faster than re-scanning a materialized index —
+    2.4 s vs 4.9 s warm at sf0.1.)"""
     return ngram_jaccard_pairs_from_sets(
         spark.table(ngram_table_for(spark, sf_dir))
     )
