@@ -68,6 +68,27 @@ _BETWEEN_RE = re.compile(
 # on ' and ' and resolve each part independently
 _PER_PHRASE_RE = re.compile(r"\bper\s+([a-z_][a-z_ ]*)")
 
+# "top 3 mktsegments by average acctbal" — ranked grouped aggregate with
+# an explicit result bound; the group and measure phrases resolve over
+# EVERY crawled table (the fuzzy table pruner can misfire on plural
+# group words, so this template re-links from its own evidence)
+_TOPN_GROUP_RE = re.compile(
+    r"\btop\s+(\d+)\s+([a-z_][a-z_ ]*?)\s+by\s+"
+    r"(average|avg|mean|total|sum|max|maximum|min|minimum)\s+"
+    r"([a-z_][a-z_ ]*)"
+)
+
+# "which orderpriority has the most orders" — superlative group question
+_SUPERLATIVE_RE = re.compile(
+    r"\bwhich\s+([a-z_][a-z_ ]*?)\s+has\s+the\s+(most|fewest)\b"
+)
+
+_FUNC_WORDS = {
+    "average": "AVG", "avg": "AVG", "mean": "AVG",
+    "total": "SUM", "sum": "SUM",
+    "max": "MAX", "maximum": "MAX", "min": "MIN", "minimum": "MIN",
+}
+
 # multi-aggregate detection ("count of orders and average totalprice"):
 # ordered scan so the emitted column order follows the question
 _AGG_KEYWORDS: tuple[tuple[str, str], ...] = (
@@ -458,6 +479,69 @@ class NL2SQLEngine:
             if col is None:
                 return ""
             return f" ORDER BY {col}" + (" DESC" if analysis.sort_desc else "")
+
+        # --- "top N <group> by <func> <measure>" ranked aggregate ----
+        tm = _TOPN_GROUP_RE.search(question.lower())
+        if tm:
+            n_top, g_phrase, f_word, m_phrase = tm.groups()
+            func2 = _FUNC_WORDS[f_word]
+            best_fit = None  # (score, table, g, m)
+            for cand_t in self.metadata.tables:
+                gsc = self._group_column_scored(cand_t, g_phrase)
+                if gsc is None:
+                    continue
+                m2 = self._best_numeric_column(cand_t, m_phrase.strip())
+                if m2 is None or m2 == gsc[0]:
+                    continue
+                msc = partial_ratio(m2, m_phrase)
+                fit = gsc[1] + msc
+                if best_fit is None or fit > best_fit[0]:
+                    best_fit = (fit, cand_t, gsc[0], m2)
+            if best_fit is not None:
+                _fit, t2, g2, m2 = best_fit
+                if func2 == "AVG":
+                    expr2, alias2 = f"ROUND(AVG({m2}), 4)", f"avg_{m2}"
+                elif func2 == "SUM":
+                    expr2, alias2 = f"ROUND(SUM({m2}), 2)", f"sum_{m2}"
+                else:
+                    expr2, alias2 = f"{func2}({m2})", f"{func2.lower()}_{m2}"
+                sql = (
+                    f"SELECT {g2}, {expr2} AS {alias2} FROM {t2} "
+                    f"GROUP BY {g2} ORDER BY {alias2} DESC, {g2} "
+                    f"LIMIT {int(n_top)}"
+                )
+                # 0.8 cap-tie convention: generated before every
+                # fallback, so it wins the tie at 1.0
+                out.append(Candidate(sql, "template_topn_grouped", 0.8))
+
+        # --- "which <group> has the most/fewest <rows>" superlative --
+        sm = _SUPERLATIVE_RE.search(question.lower())
+        if sm:
+            g_phrase, direction = sm.groups()
+            gsc = self._group_column_scored(
+                t, g_phrase, preferred=relevant.get(t)
+            )
+            if gsc is not None:
+                order = "DESC" if direction == "most" else "ASC"
+                sql = (
+                    f"SELECT {gsc[0]}, COUNT(*) AS cnt FROM {t} "
+                    f"GROUP BY {gsc[0]} ORDER BY cnt {order}, {gsc[0]} "
+                    f"LIMIT 1"
+                )
+                out.append(Candidate(sql, "template_superlative", 0.8))
+
+        # --- COUNT(DISTINCT c) — "count of distinct X" asks for the
+        # cardinality, not the value list
+        if (
+            analysis.agg_func == "COUNT"
+            and QueryIntent.DISTINCT in analysis.all_intents
+        ):
+            c0 = self._best_column(t, question, preferred=relevant.get(t))
+            if c0 is not None:
+                sql = (
+                    f"SELECT COUNT(DISTINCT {c0}) AS n_distinct_{c0} FROM {t}"
+                )
+                out.append(Candidate(sql, "template_count_distinct", 0.8))
 
         # --- grouped aggregation: SELECT g, F(c) FROM t GROUP BY g ---
         if analysis.agg_func and (

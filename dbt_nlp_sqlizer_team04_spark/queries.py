@@ -380,6 +380,15 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl21_orders_count_and_avg_per_priority": _nl2sql(
         "count of orders and average totalprice per orderpriority"
     ),
+    # Ranked grouped aggregate ("top N groups by agg measure", evidence-
+    # re-linked across tables) — NEW this round.
+    "nl22_top3_segments_by_avg_balance": _nl2sql(
+        "top 3 mktsegments by average acctbal"
+    ),
+    # Superlative group question — NEW this round.
+    "nl23_priority_with_most_orders": _nl2sql(
+        "which orderpriority has the most orders"
+    ),
     # Incremental-ingest dedup (new batch vs persisted corpus index) —
     # NEW this round, never driver-checked.
     "q70_incremental_dedup": D.q70_incremental_dedup,
@@ -435,8 +444,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # rule 2 re-check)
     "q60_dup_clusters": D.q60_dup_clusters,
     # --- window rule 3: longest-unchecked (last driver-green in r2) --
-    "q42_except_unordered_parts": R.q42_except_unordered_parts,
-    "q48_cube_status_priority": R.q48_cube_status_priority,
     # --- window rule 4: widest operator spread (all r3-green; one slot
     # left after nl16/nl17 — streaming wins it, the dedup/closure family
     # is already in-window via q52/q59/q70/q74) ----------------------
@@ -450,6 +457,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q36 rotated out for q70 (doc plane stays window-covered by nl04,
     # nl11, q35, q37), q50/q68 for q71/q72 (both r3-green; all locally
     # re-verified every round)
+    # nl24 is oracle-backed and never-checked but the 50-slot window is
+    # full of never-checked entries already — it heads the tail and
+    # cycles into the window next round
+    "nl24_distinct_customers_in_orders": _nl2sql(
+        "count of distinct custkey values in orders"
+    ),
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
     "q68_shard_manifest": PK.q68_shard_manifest,
@@ -504,6 +517,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q49 deferred to r5 for nl21 (distribution shapes stay window-
     # covered by q81's histogram)
     "q49_price_percentiles": R.q49_price_percentiles,
+    # q42/q48 deferred to r5 for nl22/nl23 (set-ops and grouping-set
+    # shapes re-verified locally every round by the all-queries
+    # parametrization)
+    "q42_except_unordered_parts": R.q42_except_unordered_parts,
+    "q48_cube_status_priority": R.q48_cube_status_priority,
     "q03_top_revenue_orders": R.q03_top_revenue_orders,
     "q08_rank_orders": R.q08_rank_orders,
     "q53_cosine_near_dup_pairs": V.q53_cosine_near_dup_pairs,
@@ -798,6 +816,24 @@ ORACLE_SQL: dict[str, str | None] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
         LIMIT 100
+    """,
+    "nl22_top3_segments_by_avg_balance": """
+        SELECT c_mktsegment, round(AVG(c_acctbal), 4) AS avg_c_acctbal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY avg_c_acctbal DESC, c_mktsegment
+        LIMIT 3
+    """,
+    "nl23_priority_with_most_orders": """
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY cnt DESC, o_orderpriority
+        LIMIT 1
+    """,
+    "nl24_distinct_customers_in_orders": """
+        SELECT count(DISTINCT o_custkey) AS n_distinct_o_custkey
+        FROM orders LIMIT 100
     """,
     "nl21_orders_count_and_avg_per_priority": """
         SELECT o_orderpriority, COUNT(*) AS cnt,

@@ -301,3 +301,36 @@ def test_multi_aggregate_template(spark, sf_smoke):
     assert "COUNT(*) AS cnt" in s and "AVG(o_totalprice)" in s
     _df, sql = eng.query_df("count of orders per orderpriority")
     assert "AVG" not in sql
+
+
+def test_topn_grouped_template(spark, sf_smoke):
+    """'top N <group> by <func> <measure>' re-links across tables even
+    when the fuzzy pruner's first table is wrong."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("top 3 mktsegments by average acctbal")
+    s = " ".join(sql.split())
+    assert "FROM customer" in s and "AVG(c_acctbal)" in s
+    assert "ORDER BY avg_c_acctbal DESC" in s and "LIMIT 3" in s
+
+
+def test_superlative_template(spark, sf_smoke):
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    df, sql = eng.query_df("which orderpriority has the most orders")
+    s = " ".join(sql.split())
+    assert "ORDER BY cnt DESC" in s and "LIMIT 1" in s
+    assert df.count() == 1
+
+
+def test_count_distinct_template(spark, sf_smoke):
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("count of distinct custkey values in orders")
+    assert "COUNT(DISTINCT o_custkey)" in sql
+    # plain distinct listing unaffected
+    _df, sql = eng.query_df("unique mktsegment values from customer")
+    assert "SELECT DISTINCT c_mktsegment" in sql
