@@ -47,6 +47,17 @@ def get_spark(
         # reader rejects; read as raw nanos (sources/parquet.py truncates
         # to micros). Set at session build, not inside read functions.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # A 100+-query session compiles hundreds of whole-stage-codegen
+        # classes; the JVM's default 240MB code cache fills, the JIT
+        # disables itself, and LATE queries silently run interpreted
+        # 3-5x slower (measured: the last entries of a 60-query bench
+        # sweep inflated from 0.8s to 5s, position-dependent, fine in
+        # isolation). Raise the cache and let flushing reclaim cold
+        # compiled code.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         # Local profile: the testdata files are single-digit-MB, so the
         # default 128MB split size scans them with 1-3 tasks while 32
         # cores idle (measured 2.8x on the scan-bound headline queries).
