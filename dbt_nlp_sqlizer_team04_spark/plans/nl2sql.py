@@ -83,6 +83,16 @@ _SUPERLATIVE_RE = re.compile(
     r"\bwhich\s+([a-z_][a-z_ ]*?)\s+has\s+the\s+(most|fewest)\b"
 )
 
+# recency phrasing: the sort key is a DATE column, not the best numeric
+_RECENCY_DESC = ("most recent", "recent", "recently", "latest", "newest")
+_RECENCY_ASC = ("oldest", "earliest")
+
+# "oldest 3 orders" — the intent layer's limit regex only sees "top N"/
+# "first N"; a count adjacent to a recency word is the same ask
+_RECENCY_N_RE = re.compile(
+    r"\b(?:oldest|latest|newest|earliest|most recent|recent)\s+(\d+)\b"
+)
+
 _FUNC_WORDS = {
     "average": "AVG", "avg": "AVG", "mean": "AVG",
     "total": "SUM", "sum": "SUM",
@@ -771,11 +781,39 @@ class NL2SQLEngine:
             QueryIntent.RANKING in analysis.all_intents
             or QueryIntent.SORTED in analysis.all_intents
         ) and analysis.intent not in (QueryIntent.GROUPED_AGGREGATION,):
-            c = self._best_column(t, question, numeric=True, preferred=relevant.get(t))
+            ql = question.lower()
+            recency = (
+                "desc"
+                if any(w in ql for w in _RECENCY_DESC)
+                else "asc"
+                if any(w in ql for w in _RECENCY_ASC)
+                else None
+            )
+            if recency is not None:
+                # "most recent orders" sorts on the date column; the
+                # numeric-best pick would order by a surrogate key
+                c = self._date_column(t, question) or self._best_column(
+                    t, question, numeric=True, preferred=relevant.get(t)
+                )
+            else:
+                c = self._best_column(
+                    t, question, numeric=True, preferred=relevant.get(t)
+                )
+            eff_limit = limit_n
+            if eff_limit is None:
+                nm = _RECENCY_N_RE.search(ql)
+                if nm:
+                    eff_limit = int(nm.group(1))
             if c:
+                direction = (
+                    " DESC"
+                    if (recency == "desc" or (recency is None and analysis.sort_desc))
+                    else ""
+                )
                 sql = (
                     f"SELECT {', '.join(all_cols[:5])} FROM {t}"
-                    f"{order_clause(c)} LIMIT {limit_n or 100}"
+                    f" ORDER BY {c}{direction}, {all_cols[0]}"
+                    f" LIMIT {eff_limit or 100}"
                 )
                 # an explicit "top N" is a stronger signal than the
                 # generic FK-join fallback, whose rank self-inflates by
@@ -783,7 +821,13 @@ class NL2SQLEngine:
                 # cap and wins on candidate order (intent templates are
                 # generated before fallbacks)
                 out.append(
-                    Candidate(sql, "template_sorted", 0.8 if limit_n else 0.6)
+                    Candidate(
+                        sql,
+                        "template_sorted",
+                        # explicit bound or recency phrasing both beat
+                        # the self-inflating join fallback (cap-tie)
+                        0.8 if (eff_limit or recency) else 0.6,
+                    )
                 )
 
         # --- filtered listing: extracted predicate evidence without an

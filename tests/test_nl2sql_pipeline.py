@@ -334,3 +334,19 @@ def test_count_distinct_template(spark, sf_smoke):
     # plain distinct listing unaffected
     _df, sql = eng.query_df("unique mktsegment values from customer")
     assert "SELECT DISTINCT c_mktsegment" in sql
+
+
+def test_recency_sort_template(spark, sf_smoke):
+    """Recency phrasing sorts on the DATE column (not the numeric-best
+    surrogate key), extracts adjacent counts, and oldest/latest pick
+    opposite directions."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("top 10 most recent orders")
+    assert "ORDER BY o_orderdate DESC" in sql and "LIMIT 10" in sql
+    _df, sql = eng.query_df("oldest 3 orders")
+    s = " ".join(sql.split())
+    assert "ORDER BY o_orderdate, o_orderkey LIMIT 3" in s
+    _df, sql = eng.query_df("latest 5 events")
+    assert "ORDER BY ts DESC" in sql and "LIMIT 5" in sql
