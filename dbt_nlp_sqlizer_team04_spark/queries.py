@@ -463,6 +463,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl24_distinct_customers_in_orders": _nl2sql(
         "count of distinct custkey values in orders"
     ),
+    "nl25_most_recent_orders": _nl2sql("top 10 most recent orders"),
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
     "q68_shard_manifest": PK.q68_shard_manifest,
@@ -834,6 +835,13 @@ ORACLE_SQL: dict[str, str | None] = {
     "nl24_distinct_customers_in_orders": """
         SELECT count(DISTINCT o_custkey) AS n_distinct_o_custkey
         FROM orders LIMIT 100
+    """,
+    "nl25_most_recent_orders": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey
+        LIMIT 10
     """,
     "nl21_orders_count_and_avg_per_priority": """
         SELECT o_orderpriority, COUNT(*) AS cnt,
