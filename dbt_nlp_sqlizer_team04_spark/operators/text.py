@@ -461,25 +461,15 @@ def q54_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_signals(
-    df: DataFrame,
-    text_col: str = "text",
-    min_words: int = 50,
-    max_words: int = 100_000,
-    stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
-) -> DataFrame:
-    """Per-doc Gopher rule evaluations + the conjunctive ``passes`` flag.
-    UNSORTED and stateless — usable verbatim on a STREAMING DataFrame
-    (the kappa contract: one builder, batch and stream twins share it).
-
-    Word-count bounds are parameters (published defaults 50/100k target
-    web pages; short-form corpora tune them — the registry entry uses
-    bounds that split the synthetic corpus so both branches are
-    exercised). The other thresholds are the published constants.
-
-    Oracle-exact: every signal is an integer count or a ratio of
-    integers, so DuckDB reproduces the doubles bit-for-bit.
-    """
+def _gopher_exprs(
+    text_col: str,
+    min_words: int,
+    max_words: int,
+    stopwords: tuple[str, ...],
+) -> dict[str, Column]:
+    """The rule expressions, keyed by signal name — shared by the signal
+    frame, the batch oracle twin, and the inline pass filter
+    (:func:`gopher_passes_expr`)."""
     t = F.col(text_col)
     toks = tokens_expr(t)
     n_words = F.size(toks)
@@ -512,16 +502,59 @@ def gopher_signals(
         & (ellipsis_frac < 0.30)
         & (stop_hits >= 2)
     )
+    return {
+        "n_words": n_words,
+        "mean_wl": mean_wl,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "stop_hits": stop_hits,
+        "passes": passes,
+    }
+
+
+def gopher_passes_expr(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+) -> Column:
+    """The conjunctive pass flag as a bare column — for filtering a
+    (streaming or batch) frame while KEEPING its payload columns."""
+    return _gopher_exprs(text_col, min_words, max_words, stopwords)["passes"]
+
+
+def gopher_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+) -> DataFrame:
+    """Per-doc Gopher rule evaluations + the conjunctive ``passes`` flag.
+    UNSORTED and stateless — usable verbatim on a STREAMING DataFrame
+    (the kappa contract: one builder, batch and stream twins share it).
+
+    Word-count bounds are parameters (published defaults 50/100k target
+    web pages; short-form corpora tune them — the registry entry uses
+    bounds that split the synthetic corpus so both branches are
+    exercised). The other thresholds are the published constants.
+
+    Oracle-exact: every signal is an integer count or a ratio of
+    integers, so DuckDB reproduces the doubles bit-for-bit.
+    """
+    e = _gopher_exprs(text_col, min_words, max_words, stopwords)
     return df.select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(alpha_frac, 4).alias("alpha_frac"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(bullet_frac, 4).alias("bullet_frac"),
-        F.round(ellipsis_frac, 4).alias("ellipsis_frac"),
-        stop_hits.cast("long").alias("stopword_hits"),
-        passes.cast("int").alias("passes"),
+        e["n_words"].cast("long").alias("n_words"),
+        F.round(e["mean_wl"], 4).alias("mean_word_len"),
+        F.round(e["alpha_frac"], 4).alias("alpha_frac"),
+        F.round(e["symbol_ratio"], 4).alias("symbol_ratio"),
+        F.round(e["bullet_frac"], 4).alias("bullet_frac"),
+        F.round(e["ellipsis_frac"], 4).alias("ellipsis_frac"),
+        e["stop_hits"].cast("long").alias("stopword_hits"),
+        e["passes"].cast("int").alias("passes"),
     )
 
 

@@ -79,3 +79,25 @@ def quality_gate_to_memory(
     if q.isActive:
         q.stop()
     return spark.table(table_name)
+
+
+def curated_export_stream(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 8
+):
+    """The full streaming curation loop in ONE query: file-drop source →
+    inline Gopher pass filter (payload kept) → exactly-once sharded
+    export with content-addressed manifest. Returns the StreamingQuery;
+    survivors land partitioned by shard under ``out_dir`` and the
+    merged manifest equals the batch shard_manifest over the same
+    survivor set (pytest pins both)."""
+    from ..operators.text import gopher_passes_expr
+    from .export import export_stream
+
+    survivors = read_documents_stream(spark, sf_dir).where(
+        gopher_passes_expr(
+            min_words=GOPHER_Q76_MIN_WORDS,
+            max_words=GOPHER_Q76_MAX_WORDS,
+            stopwords=GOPHER_Q76_STOPWORDS,
+        )
+    )
+    return export_stream(survivors, out_dir, n_shards=n_shards)

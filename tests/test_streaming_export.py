@@ -113,3 +113,49 @@ def test_empty_batch_is_a_noop(spark, sf_smoke, tmp_path):
     sink(empty, 99)
     assert not os.path.exists(sink.data_dir(99))
     assert _manifest_rows(exported_manifest(spark, out)) == before
+
+
+def test_curated_export_stream_end_to_end(spark, sf_smoke, tmp_path):
+    """Gate → exactly-once export composed in one streaming query: the
+    exported rows are exactly the batch q76 passers, no duplicates, and
+    the merged manifest equals the batch shard_manifest of the same
+    survivor set."""
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.operators.packing import shard_manifest
+    from dbt_nlp_sqlizer_team04_spark.operators.text import q76_gopher_quality
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.documents import (
+        curated_export_stream,
+    )
+    from dbt_nlp_sqlizer_team04_spark.streaming.export import (
+        exported_data,
+        exported_manifest,
+    )
+
+    out = str(tmp_path / "curated")
+    q = curated_export_stream(spark, sf_smoke, out)
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    passers = {
+        r["doc_id"]
+        for r in q76_gopher_quality(spark, sf_smoke)
+        .where(F.col("passes") == 1)
+        .collect()
+    }
+    got_ids = [r["doc_id"] for r in exported_data(spark, out).collect()]
+    assert sorted(got_ids) == sorted(passers)  # exact set, no dupes
+
+    docs = load_table(spark, sf_smoke, "documents")
+    want_manifest = sorted(
+        tuple(r)
+        for r in shard_manifest(
+            docs.where(F.col("doc_id").isin(list(passers))), n_shards=8
+        ).collect()
+    )
+    got_manifest = sorted(
+        tuple(r) for r in exported_manifest(spark, out).collect()
+    )
+    assert got_manifest == want_manifest
