@@ -105,6 +105,7 @@ HEADLINE = [
     "q89_neardup_pagerank",
     "q90_lineitem_correlations",
     "q91_custkey_skew",
+    "q92_quality_weighted_sample",
 ]
 
 

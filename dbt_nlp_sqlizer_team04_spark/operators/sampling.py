@@ -331,3 +331,72 @@ def q82_best_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.parquet import load_table
 
     return per_group_topk(load_table(spark, sf_dir, "documents"), k=5)
+
+
+# ------------------------------------------ quality-weighted sampling
+def quality_weighted_sample(
+    df: DataFrame,
+    alpha: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic quality-proportional subsampling: keep document i
+    iff ``md5_bucket(id)/BUCKETS < (q_i / q_max)^alpha`` — high-quality
+    docs survive (almost) surely, low-quality ones proportionally to
+    their score, ``alpha`` sharpening the skew. The soft complement to
+    the hard Gopher gate (q76): no document class is zeroed out, the
+    corpus just tilts toward quality (the mixing rationale of q62
+    applied to a continuous score).
+
+    Engine-exact by construction: normalization uses the corpus MAX
+    (order-independent, unlike a mean whose partial-sum order varies),
+    so both engines derive bit-identical keep thresholds, and the keep
+    decision compares them to the exact integer md5 bucket.
+    """
+    from .text import quality_score_expr
+
+    scored = df.select(
+        F.col(id_col),
+        quality_score_expr(F.col(text_col)).alias("quality"),
+    )
+    qmax = scored.agg(F.max("quality").alias("__qmax"))
+    keep_p = F.pow(F.col("quality") / F.col("__qmax"), F.lit(alpha))
+    return (
+        scored.crossJoin(F.broadcast(qmax))
+        .where(
+            hash_bucket_expr(F.col(id_col).cast("string")) / BUCKETS < keep_p
+        )
+        .select(id_col, "quality", F.round(keep_p, 6).alias("keep_p"))
+        .orderBy(id_col)
+    )
+
+
+def q92_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tilted deterministic subsample of the corpus
+    (oracle-checked)."""
+    return quality_weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+def quality_weighted_oracle_sql(alpha: float = 2.0) -> str:
+    """DuckDB twin of :func:`quality_weighted_sample` (same quality
+    expression as the q31/q82 oracles, max normalization, md5 bucket)."""
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 round(least(len(string_split_regex(trim(lower(text)), '\\s+')) / 50.0, 1.0) * 0.5
+                       + (1.0 - (length(text)
+                              - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                             / greatest(length(text), 1)) * 0.3
+                       + len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                         x -> list_contains(['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'was', 'for', 'on', 'with', 'as', 'at', 'by', 'this', 'from'], x)))
+                             / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1) * 0.2, 6)
+                     AS quality
+          FROM documents
+        ), mx AS (SELECT max(quality) AS qmax FROM s)
+        SELECT doc_id, quality,
+               round(pow(quality / qmax, {alpha}), 6) AS keep_p
+        FROM s, mx
+        WHERE ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 1000000
+                 / 1000000.0 < pow(quality / qmax, {alpha})
+        ORDER BY doc_id
+    """

@@ -457,13 +457,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q36 rotated out for q70 (doc plane stays window-covered by nl04,
     # nl11, q35, q37), q50/q68 for q71/q72 (both r3-green; all locally
     # re-verified every round)
-    # nl24 is oracle-backed and never-checked but the 50-slot window is
-    # full of never-checked entries already — it heads the tail and
-    # cycles into the window next round
+    # nl24/nl25/q92 are oracle-backed and never-checked but the 50-slot
+    # window is full of never-checked entries already — they head the
+    # tail and cycle into the window next round
     "nl24_distinct_customers_in_orders": _nl2sql(
         "count of distinct custkey values in orders"
     ),
     "nl25_most_recent_orders": _nl2sql("top 10 most recent orders"),
+    "q92_quality_weighted_sample": SMP.q92_quality_weighted_sample,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
     "q68_shard_manifest": PK.q68_shard_manifest,
@@ -1469,6 +1470,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q87_conversion_funnel": FN.conversion_funnel_oracle_sql(),
     "q88_cohort_retention": _TS_cohort_oracle(),
     "q90_lineitem_correlations": P.correlations_oracle_sql(),
+    "q92_quality_weighted_sample": SMP.quality_weighted_oracle_sql(),
     "q91_custkey_skew": P.key_skew_oracle_sql(),
     "q83_local_supplier_volume": """
         SELECT n_name,

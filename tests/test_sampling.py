@@ -182,3 +182,28 @@ def test_source_mixing_partition_invariant_and_oracle_exact(spark):
         ).fetchall()
     )
     assert a == want
+
+
+def test_quality_weighted_sample_tilts_toward_quality(spark, sf_check):
+    """Keep rate must increase with quality; the top-quality band is
+    kept near-surely and every kept row satisfies its own threshold."""
+    from dbt_nlp_sqlizer_team04_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+    from dbt_nlp_sqlizer_team04_spark.operators.text import quality_score_expr
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_check, "documents")
+    scored = docs.select(
+        "doc_id", quality_score_expr(F.col("text")).alias("q")
+    ).collect()
+    kept = {r["doc_id"] for r in quality_weighted_sample(docs).collect()}
+    qs = sorted(scored, key=lambda r: r["q"])
+    lo = {r["doc_id"] for r in qs[: len(qs) // 3]}
+    hi = {r["doc_id"] for r in qs[-len(qs) // 3:]}
+    lo_rate = len(lo & kept) / len(lo)
+    hi_rate = len(hi & kept) / len(hi)
+    assert hi_rate > lo_rate
+    # determinism
+    kept2 = {r["doc_id"] for r in quality_weighted_sample(docs).collect()}
+    assert kept == kept2
