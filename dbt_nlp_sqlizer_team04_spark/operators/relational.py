@@ -446,8 +446,23 @@ def q19_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact-cents arithmetic: values are 2-decimal, so the cent
+            # sum is an exact integer and the average is an integer
+            # HALF-UP division — double avg() lands EXACTLY on round-4
+            # ties (e.g. sum/32 = x.xxx75) where Spark's BigDecimal and
+            # DuckDB's float-multiply round() disagree (found by the
+            # sf0.1 oracle sweep; 3/3600 rows flipped)
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("__cents"),
+        )
+        .select(
+            "hour_start",
+            "event_type",
+            "n_events",
+            F.round(F.col("__cents") / 100.0, 2).alias("sum_value"),
+            (
+                F.expr("(__cents * 100 + n_events div 2) div n_events")
+                / 10000.0
+            ).alias("avg_value"),
         )
         .orderBy("hour_start", "event_type")
     )

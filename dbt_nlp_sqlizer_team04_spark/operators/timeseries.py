@@ -416,7 +416,14 @@ def q64_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.round(F.col("sum_v").cast("double"), 2).alias("sum_value"),
-        F.round(F.col("sum_v").cast("double") / F.col("n"), 4).alias("avg_value"),
+        # integer half-up division on exact cents (see q19) — the
+        # decimal sum is exact, so cents = sum_v*100 is an exact long
+        (
+            F.expr(
+                "(cast(sum_v * 100 as bigint) * 100 + n div 2) div n"
+            )
+            / 10000.0
+        ).alias("avg_value"),
     ).orderBy("hour_start", "event_type")
 
 

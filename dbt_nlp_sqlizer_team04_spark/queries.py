@@ -457,13 +457,16 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # q36 rotated out for q70 (doc plane stays window-covered by nl04,
     # nl11, q35, q37), q50/q68 for q71/q72 (both r3-green; all locally
     # re-verified every round)
-    # nl24/nl25/q92 are oracle-backed and never-checked but the 50-slot
-    # window is full of never-checked entries already — they head the
-    # tail and cycle into the window next round
+    # nl24/nl25/q92 are oracle-backed and never-checked, and q19's own
+    # builder changed this round (exact-cents averages; the shared
+    # streaming builder is window-covered by q38) — but the 50-slot
+    # window is full of never-checked entries, so they head the tail
+    # and cycle into the window next round
     "nl24_distinct_customers_in_orders": _nl2sql(
         "count of distinct custkey values in orders"
     ),
     "nl25_most_recent_orders": _nl2sql("top 10 most recent orders"),
+    "q19_events_hourly": R.q19_events_hourly,
     "q92_quality_weighted_sample": SMP.q92_quality_weighted_sample,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
     "q50_train_val_test_split": SMP.q50_train_val_test_split,
@@ -545,7 +548,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q15_exists_semi": R.q15_exists_semi,
     "q16_not_exists_anti": R.q16_not_exists_anti,
     "q17_profile_stats": R.q17_profile_stats,
-    "q19_events_hourly": R.q19_events_hourly,
     "q22_rollup_region_nation": R.q22_rollup_region_nation,
     "q25_sim_pairs_blocked": V.q25_sim_pairs_blocked,
     "q27_dedup_normalized": D.q27_dedup_normalized,
@@ -743,9 +745,11 @@ ORACLE_SQL: dict[str, str | None] = {
     "q19_events_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                event_type,
-               count(*)              AS n_events,
-               round(sum(value), 2)  AS sum_value,
-               round(avg(value), 4)  AS avg_value
+               count(*) AS n_events,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+                   AS sum_value,
+               ((sum(CAST(round(value * 100) AS BIGINT)) * 100
+                   + count(*) // 2) // count(*)) / 10000.0 AS avg_value
         FROM events
         GROUP BY hour_start, event_type
         ORDER BY hour_start, event_type
@@ -964,8 +968,8 @@ ORACLE_SQL: dict[str, str | None] = {
                event_type,
                count(*) AS n,
                round(sum(CAST(value AS DECIMAL(30,9)))::DOUBLE, 2) AS sum_value,
-               round(sum(CAST(value AS DECIMAL(30,9)))::DOUBLE / count(*), 4)
-                   AS avg_value
+               ((CAST(sum(CAST(value AS DECIMAL(30,9))) * 100 AS BIGINT) * 100
+                   + count(*) // 2) // count(*)) / 10000.0 AS avg_value
         FROM events
         GROUP BY hour_start, event_type
         ORDER BY hour_start, event_type
@@ -1186,9 +1190,11 @@ ORACLE_SQL: dict[str, str | None] = {
     "q38_events_stream_rollup": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                event_type,
-               count(*)              AS n_events,
-               round(sum(value), 2)  AS sum_value,
-               round(avg(value), 4)  AS avg_value
+               count(*) AS n_events,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+                   AS sum_value,
+               ((sum(CAST(round(value * 100) AS BIGINT)) * 100
+                   + count(*) // 2) // count(*)) / 10000.0 AS avg_value
         FROM events
         GROUP BY hour_start, event_type
         ORDER BY hour_start, event_type

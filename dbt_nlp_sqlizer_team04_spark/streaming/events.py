@@ -82,15 +82,19 @@ def hourly_agg(events: DataFrame, streaming: bool, watermark: str = "2 hours") -
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact-cents sum/avg — see q19_events_hourly for why the
+            # double avg() is a cross-engine round-4 tie hazard
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("__cents"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
             "event_type",
             "n_events",
-            "sum_value",
-            "avg_value",
+            F.round(F.col("__cents") / 100.0, 2).alias("sum_value"),
+            (
+                F.expr("(__cents * 100 + n_events div 2) div n_events")
+                / 10000.0
+            ).alias("avg_value"),
         )
     )
 
