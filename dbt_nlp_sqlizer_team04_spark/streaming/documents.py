@@ -101,3 +101,28 @@ def curated_export_stream(
         )
     )
     return export_stream(survivors, out_dir, n_shards=n_shards)
+
+
+def signature_index_stream(
+    spark: SparkSession, sf_dir: str, out_dir: str
+):
+    """Streaming INDEX MAINTENANCE: documents arriving on the file-drop
+    stream get their MinHash signatures computed by the SAME stateless
+    builder batch ingest uses (``dedup.minhash_signatures``) and
+    appended to a parquet signature index — "ingest is a stream": the
+    dedup/ANN index artifacts the batch plane persists once per corpus
+    stay current per micro-batch instead of being rebuilt. Stateless
+    projection → append mode, exactly-once by Spark's file-sink commit
+    log; the parity test pins stream-built == batch-built signatures.
+    """
+    from ..operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(read_documents_stream(spark, sf_dir))
+    return (
+        sigs.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "signatures"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -323,3 +323,33 @@ def test_stream_stream_left_join_matches_batch(spark, sf_smoke, tmp_path):
     assert got == want and got
     # the unmatched-null path is actually exercised
     assert any(r[2] is None for r in got)
+
+
+def test_streaming_signature_index_matches_batch(spark, sf_smoke, tmp_path):
+    """Ingest-as-a-stream: the signature index built by the streaming
+    maintenance job must equal the batch builder's output row-for-row
+    (shared builder — the index-artifact kappa contract)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.documents import (
+        signature_index_stream,
+    )
+
+    out = str(tmp_path / "sig_index")
+    q = signature_index_stream(spark, sf_smoke, out)
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = sorted(
+        (r["doc_id"], tuple(r["sh"]), tuple(r["bands"]))
+        for r in spark.read.parquet(out + "/signatures").collect()
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["sh"]), tuple(r["bands"]))
+        for r in minhash_signatures(
+            load_table(spark, sf_smoke, "documents")
+        ).collect()
+    )
+    assert got == want and got
