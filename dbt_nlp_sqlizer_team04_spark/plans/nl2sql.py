@@ -109,6 +109,15 @@ _AGG_KEYWORDS: tuple[tuple[str, str], ...] = (
     (r"\b(?:min|minimum|lowest)\b", "MIN"),
 )
 
+# "orders between 1995 and 1997" / "from 1995 to 1997" — a calendar
+# YEAR RANGE on the best date column; takes precedence over both the
+# single-year and the numeric BETWEEN extractors
+_YEAR_RANGE_RE = re.compile(
+    r"\b(?:between|from|in)\s+((?:19|20)\d{2})\s+(?:and|to)\s+"
+    r"((?:19|20)\d{2})\b"
+)
+_YEAR_LIT_RE = re.compile(r"(?:19|20)\d{2}")
+
 # "orders from 1995" / "shipped in 1997" — a bare 4-digit year after a
 # temporal preposition filters the best date column by calendar year
 _YEAR_RE = re.compile(r"\b(?:in|from|during|for)\s+((?:19|20)\d{2})\b")
@@ -391,6 +400,14 @@ class NL2SQLEngine:
         out: list[str] = []
         ql = question.lower()
         for word, lo, hi in _BETWEEN_RE.findall(ql):
+            # a range whose both bounds read as calendar years belongs
+            # to the year-range extractor when a date column exists
+            if (
+                _YEAR_LIT_RE.fullmatch(lo)
+                and _YEAR_LIT_RE.fullmatch(hi)
+                and self._date_column(table, question) is not None
+            ):
+                continue
             best = self._best_numeric_column(table, word)
             if best is not None:
                 out.append(
@@ -421,14 +438,20 @@ class NL2SQLEngine:
         return best if best is not None and best_score >= 70.0 else None
 
     def _extract_year_filters(self, table: str, question: str) -> list[str]:
-        """Calendar-year predicates ("orders from 1995" →
-        ``year(o_orderdate) = 1995``) against the fuzzy-best date
-        column; no date column in the table → no filter."""
+        """Calendar-year predicates against the fuzzy-best date column:
+        ranges first ("between 1995 and 1997" → ``year(c) BETWEEN``),
+        then bare years ("from 1995" → ``year(c) = 1995``) with claimed
+        range spans masked; no date column in the table → no filter."""
         out: list[str] = []
-        for y in _YEAR_RE.findall(question.lower()):
-            dcol = self._date_column(table, question)
-            if dcol is not None:
-                out.append(f"year({dcol}) = {y}")
+        ql = question.lower()
+        dcol = self._date_column(table, question)
+        if dcol is None:
+            return out
+        for a, b in _YEAR_RANGE_RE.findall(ql):
+            out.append(f"year({dcol}) BETWEEN {a} AND {b}")
+        ql = _YEAR_RANGE_RE.sub(" ", ql)
+        for y in _YEAR_RE.findall(ql):
+            out.append(f"year({dcol}) = {y}")
         return out
 
     def _extract_like_filters(self, table: str, question: str) -> list[str]:

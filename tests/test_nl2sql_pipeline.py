@@ -350,3 +350,24 @@ def test_recency_sort_template(spark, sf_smoke):
     assert "ORDER BY o_orderdate, o_orderkey LIMIT 3" in s
     _df, sql = eng.query_df("latest 5 events")
     assert "ORDER BY ts DESC" in sql and "LIMIT 5" in sql
+
+
+def test_year_range_filter_template(spark, sf_smoke):
+    """Year ranges compile to year() BETWEEN and are claimed away from
+    both the numeric BETWEEN and the single-year extractors."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    for phrasing in (
+        "count of orders between 1995 and 1997 per orderpriority",
+        "count of orders from 1995 to 1997 per orderpriority",
+    ):
+        _df, sql = eng.query_df(phrasing)
+        assert "WHERE year(o_orderdate) BETWEEN 1995 AND 1997" in sql
+        assert "o_orderkey BETWEEN" not in sql
+    # numeric BETWEEN on a real measure is untouched
+    _df, sql = eng.query_df(
+        "count of orders with totalprice between 100000 and 200000"
+        " per orderpriority"
+    )
+    assert "o_totalprice BETWEEN 100000 AND 200000" in sql
