@@ -83,6 +83,13 @@ _SUPERLATIVE_RE = re.compile(
     r"\bwhich\s+([a-z_][a-z_ ]*?)\s+has\s+the\s+(most|fewest)\b"
 )
 
+# "count/number of <entity>" — the counted ENTITY names the fact table;
+# the fuzzy pruner can rank a dimension first when its columns match
+# other question words ("number of orders per customer name")
+_MEASURE_ENTITY_RE = re.compile(
+    r"\b(?:count|number|sum|total|average|avg)\s+of\s+([a-z_]+)"
+)
+
 # recency phrasing: the sort key is a DATE column, not the best numeric
 _RECENCY_DESC = ("most recent", "recent", "recently", "latest", "newest")
 _RECENCY_ASC = ("oldest", "earliest")
@@ -505,6 +512,18 @@ class NL2SQLEngine:
         if not tables:
             return out
         t = tables[0]
+        # "count of orders per customer name": the counted entity is
+        # the base/fact table even when the pruner ranked a dimension
+        # first on other word matches
+        em = _MEASURE_ENTITY_RE.search(question.lower())
+        if em:
+            entity = em.group(1).rstrip("s")
+            for cand_t in tables:
+                if cand_t.rstrip("s") == entity or partial_ratio(
+                    cand_t, entity
+                ) >= 90.0:
+                    t = cand_t
+                    break
         all_cols = [c.name for c in self._cols(t)]
         limit_n = analysis.limit_n
 
@@ -650,25 +669,69 @@ class NL2SQLEngine:
             # scores strictly higher than any local candidate.
             join_cand = None
             if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents:
+                pm_loc = _PER_PHRASE_RE.search(question.lower())
                 local = self._group_column_scored(
-                    t, question, preferred=relevant.get(t), exclude=measure
+                    t,
+                    pm_loc.group(1) if pm_loc else question,
+                    preferred=relevant.get(t),
+                    exclude=measure,
                 )
-                for other in tables[1:]:
+                pm2 = _PER_PHRASE_RE.search(question.lower())
+                group_text = pm2.group(1) if pm2 else question
+                g_tokens = set(re.findall(r"[a-z_]+", group_text))
+                # a calendar-grain group phrase ("per month") belongs to
+                # the temporal template — never a dimension join
+                if grain is not None and group_text.split()[:1] in (
+                    ["month"], ["year"], ["day"], ["week"],
+                ):
+                    g_tokens = set()
+                    group_text = ""
+                q_tokens = set(re.findall(r"[a-z_]+", question.lower()))
+                # the base table gets the SAME name-affinity bonus when
+                # the question names it ("max acctbal per nation IN
+                # CUSTOMER" must stay local to customer)
+                local_bonus = (
+                    50.0
+                    if (t in q_tokens or t.rstrip("s") in q_tokens
+                        or f"{t}s" in q_tokens)
+                    else 0.0
+                )
+                if local is not None:
+                    local = (local[0], local[1] + local_bonus)
+                for other in (tables if group_text else []):
+                    if other == t:
+                        continue
                     path = self._fk_path(t, other)
                     if not path:
                         continue
                     # dimension keys are non-numeric by construction;
-                    # a numeric foreign column is a measure, not a key
+                    # a numeric foreign column is a measure, not a key.
+                    # Score against the GROUP PHRASE ("per customer
+                    # name"), not the whole question — other question
+                    # words must not pull in an unrelated dimension —
+                    # and a phrase that NAMES the table ("per customer
+                    # name") is decisive evidence for that table's
+                    # column over a same-fuzzy column elsewhere
                     scored = self._group_column_scored(
                         other,
-                        question,
+                        group_text,
                         preferred=relevant.get(other),
                         numeric=False,
                     )
                     if scored is None:
                         continue
-                    if join_cand is None or scored[1] > join_cand[1]:
-                        join_cand = (scored[0], scored[1], other, path)
+                    tbonus = (
+                        50.0
+                        if (
+                            other in g_tokens
+                            or other.rstrip("s") in g_tokens
+                            or f"{other}s" in g_tokens
+                        )
+                        else 0.0
+                    )
+                    score2 = scored[1] + tbonus
+                    if join_cand is None or score2 > join_cand[1]:
+                        join_cand = (scored[0], score2, other, path)
                 # the join only fires on CLEAR foreign evidence — a
                 # near-tie must not turn a one-table question into a
                 # two-table plan

@@ -371,3 +371,20 @@ def test_year_range_filter_template(spark, sf_smoke):
         " per orderpriority"
     )
     assert "o_totalprice BETWEEN 100000 AND 200000" in sql
+
+
+def test_measure_entity_anchors_base_table(spark, sf_smoke):
+    """'number of orders per customer name' counts ORDERS grouped by
+    the customer dimension's name — the counted entity anchors the fact
+    table even when the pruner ranked a dimension first, and the group
+    phrase's table mention picks c_name over same-fuzzy name columns."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("number of orders per customer name")
+    s = " ".join(sql.split())
+    assert "FROM orders JOIN customer" in s
+    assert "GROUP BY customer.c_name" in s
+    # an explicit local qualifier keeps grouping local (nl07 shape)
+    _df, sql = eng.query_df("maximum acctbal per nation in customer")
+    assert "JOIN" not in sql.upper() and "c_nationkey" in sql
