@@ -90,6 +90,12 @@ _MEASURE_ENTITY_RE = re.compile(
     r"\b(?:count|number|sum|total|average|avg)\s+of\s+([a-z_]+)"
 )
 
+# "percentage of orders per X" — share-of-total grouped rollup
+_PERCENT_RE = re.compile(r"\b(?:percentage|percent|share|proportion)\b")
+
+# "customers without orders" — FK anti-join (NOT EXISTS)
+_WITHOUT_RE = re.compile(r"\b([a-z_]+?)s?\s+without\s+(?:any\s+)?([a-z_]+?)s?\b")
+
 # recency phrasing: the sort key is a DATE column, not the best numeric
 _RECENCY_DESC = ("most recent", "recent", "recently", "latest", "newest")
 _RECENCY_ASC = ("oldest", "earliest")
@@ -531,6 +537,53 @@ class NL2SQLEngine:
             if col is None:
                 return ""
             return f" ORDER BY {col}" + (" DESC" if analysis.sort_desc else "")
+
+        # --- share-of-total: "percentage of X per g" ----------------
+        if _PERCENT_RE.search(question.lower()):
+            g0 = self._group_column(t, question, preferred=relevant.get(t))
+            if g0 is not None:
+                # CAST to DOUBLE: ANSI decimal literal arithmetic would
+                # type pct as DECIMAL(..,4) and serialize '33.9200'
+                sql = (
+                    f"SELECT {g0}, COUNT(*) AS cnt, "
+                    f"CAST(ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4)"
+                    f" AS DOUBLE) AS pct FROM {t} GROUP BY {g0} ORDER BY {g0}"
+                )
+                out.append(Candidate(sql, "template_pct_of_total", 0.8))
+
+        # --- FK anti-join: "<base> without <sub>" -------------------
+        wm = _WITHOUT_RE.search(question.lower())
+        if wm:
+            base_w, sub_w = wm.groups()
+
+            def resolve_table(word: str) -> str | None:
+                for cand_t in self.metadata.tables:
+                    if cand_t.rstrip("s") == word.rstrip("s") or partial_ratio(
+                        cand_t, word
+                    ) >= 90.0:
+                        return cand_t
+                return None
+
+            base_t, sub_t = resolve_table(base_w), resolve_table(sub_w)
+            if base_t and sub_t and base_t != sub_t:
+                rel_edge = next(
+                    (
+                        r
+                        for r in self.metadata.relationships
+                        if r.from_table == sub_t and r.to_table == base_t
+                    ),
+                    None,
+                )
+                if rel_edge is not None:
+                    bcols = [c.name for c in self._cols(base_t)][:5]
+                    sql = (
+                        f"SELECT {', '.join(bcols)} FROM {base_t} "
+                        f"WHERE NOT EXISTS (SELECT 1 FROM {sub_t} "
+                        f"WHERE {sub_t}.{rel_edge.from_column} = "
+                        f"{base_t}.{rel_edge.to_column}) "
+                        f"ORDER BY {bcols[0]} LIMIT {limit_n or 100}"
+                    )
+                    out.append(Candidate(sql, "template_anti_join", 0.8))
 
         # --- "top N <group> by <func> <measure>" ranked aggregate ----
         tm = _TOPN_GROUP_RE.search(question.lower())

@@ -466,6 +466,13 @@ SPARK_QUERIES: dict[str, QueryFn] = {
         "count of distinct custkey values in orders"
     ),
     "nl25_most_recent_orders": _nl2sql("top 10 most recent orders"),
+    "nl26_pct_orders_per_status": _nl2sql(
+        "percentage of orders per orderstatus"
+    ),
+    # empty at sf0.01 (complete FK coverage in the synthetic data) —
+    # the driver still checks schema + SQL shape; the template's
+    # semantics are pytest-pinned
+    "nl27_customers_without_orders": _nl2sql("customers without orders"),
     "q19_events_hourly": R.q19_events_hourly,
     "q92_quality_weighted_sample": SMP.q92_quality_weighted_sample,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
@@ -840,6 +847,22 @@ ORACLE_SQL: dict[str, str | None] = {
     "nl24_distinct_customers_in_orders": """
         SELECT count(DISTINCT o_custkey) AS n_distinct_o_custkey
         FROM orders LIMIT 100
+    """,
+    "nl26_pct_orders_per_status": """
+        SELECT o_orderstatus, COUNT(*) AS cnt,
+               round(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS pct
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        LIMIT 100
+    """,
+    "nl27_customers_without_orders": """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE orders.o_custkey = customer.c_custkey)
+        ORDER BY c_custkey
+        LIMIT 100
     """,
     "nl25_most_recent_orders": """
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -388,3 +388,23 @@ def test_measure_entity_anchors_base_table(spark, sf_smoke):
     # an explicit local qualifier keeps grouping local (nl07 shape)
     _df, sql = eng.query_df("maximum acctbal per nation in customer")
     assert "JOIN" not in sql.upper() and "c_nationkey" in sql
+
+
+def test_percentage_template(spark, sf_smoke):
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    df, sql = eng.query_df("percentage of orders per orderstatus")
+    assert "SUM(COUNT(*)) OVER ()" in sql
+    rows = df.collect()
+    assert abs(sum(r["pct"] for r in rows) - 100.0) < 0.01
+
+
+def test_anti_join_template(spark, sf_smoke):
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("customers without orders")
+    s = " ".join(sql.split())
+    assert "NOT EXISTS" in s
+    assert "orders.o_custkey = customer.c_custkey" in s
