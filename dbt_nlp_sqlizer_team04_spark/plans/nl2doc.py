@@ -195,11 +195,25 @@ class NL2DocEngine:
         fields = schema[coll]
         analysis = analyze_query_intent(question, relevant)
 
+        # the SQL tier's phrase scoping: group keys resolve against the
+        # text after 'per', measures against the text before it —
+        # "sum of value per event_type" must not swap the two fields
+        # that both match the question literally
+        import re as _re
+
+        pm = _re.search(r"\bper\s+([a-z_][a-z_ ]*)", question.lower())
+        group_text = pm.group(1) if pm else question
+        measure_text = (
+            question.lower().replace(pm.group(0), " ") if pm else question
+        )
+
         def best_field(
             exclude_id: bool = True,
             numeric: bool | None = None,
             exclude: set[str] | None = None,
+            text: str | None = None,
         ) -> str | None:
+            scope = text if text is not None else question
             cands = [
                 f
                 for f in fields
@@ -212,7 +226,7 @@ class NL2DocEngine:
             # ties (a short name fully contained in the question) break
             # toward the longer, more specific field name
             return max(
-                cands, key=lambda f: (self._field_score(coll, f, question), len(f))
+                cands, key=lambda f: (self._field_score(coll, f, scope), len(f))
             )
 
         # filter fields are evidence already SPENT on the predicate —
@@ -225,11 +239,15 @@ class NL2DocEngine:
             # AVG/SUM/MAX/MIN over a measure field ($group accumulators,
             # nl2mongo dialect); measure is type-gated when metadata is
             # attached — the model-less tier has only names to go on.
-            measure = best_field(numeric=True, exclude=filtered)
+            measure = best_field(
+                numeric=True, exclude=filtered, text=measure_text
+            )
             if measure is not None:
                 alias = f"{analysis.agg_func.lower()}_{measure}"
                 g = (
-                    best_field(exclude=filtered | {measure})
+                    best_field(
+                        exclude=filtered | {measure}, text=group_text
+                    )
                     if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
                     else None
                 )
@@ -252,7 +270,7 @@ class NL2DocEngine:
                 }
         if analysis.agg_func == "COUNT" or QueryIntent.AGGREGATION in analysis.all_intents:
             g = (
-                best_field(exclude=filtered)
+                best_field(exclude=filtered, text=group_text)
                 if QueryIntent.GROUPED_AGGREGATION in analysis.all_intents
                 else None
             )

@@ -345,3 +345,16 @@ def test_nl2doc_filtered_find(store):
     df = store.execute(q)
     texts = [r["text"] for r in df.select("text").collect()]
     assert texts and all(t.startswith("key") for t in texts)
+
+
+def test_nl2doc_measure_group_not_swapped(store):
+    """'sum of value per event_type' must sum value grouped by
+    event_type — phrase scoping keeps the two literal matches on their
+    own side of 'per'."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query("sum of value per event_type")
+    group = [st for st in q["pipeline"] if "$group" in st][0]["$group"]
+    assert group["_id"] == "$event_type"
+    assert group["sum_value"] == {"$sum": "$value"}
