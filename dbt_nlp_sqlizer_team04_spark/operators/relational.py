@@ -647,3 +647,212 @@ def q83_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# ------------------------------------------------- r4 TPC-H join analogs
+def q93_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style bi-national shipping volume: revenue shipped
+    between supplier nation NATION_3 and customer nation NATION_7 (both
+    directions), by year. The nation table is joined TWICE under
+    different roles — the alias-resolution shape the generated-SQL
+    surface's multi-join validator must admit.
+
+    Scale: both nation sides broadcast; the disjunctive nation-pair
+    predicate is applied AFTER the dimension joins but Catalyst pushes
+    the per-side ``isin`` prefilters into the supplier/customer scans
+    (each side can only match one of two nations), so the fact shuffles
+    carry ~2/25ths of the rows. One 4-group aggregate at the end.
+    """
+    n_pair = ("NATION_3", "NATION_7")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    ).filter(F.col("supp_nation").isin(*n_pair))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    ).filter(F.col("cust_nation").isin(*n_pair))
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q94_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style returned-item report: top customers by lost
+    revenue from RETURNED lineitems in a one-quarter order window.
+
+    Scale: the orderdate window filter is pushed to the orders scan and
+    l_returnflag='R' to the lineitem scan before either shuffle; the
+    final TOP-20 is TakeOrderedAndProject after a customer-grain
+    aggregate (nation broadcast).
+    """
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        # exact-cents sum (q19's convention): the per-item discounted
+        # price is rounded to cents BEFORE summing, so both engines add
+        # identical integers — a raw double sum can land within an ulp
+        # of the .xx5 rounding boundary and flip the 2dp digit
+        # (observed: 307843.595 at sf0.01)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("__cents")
+        )
+        .select(
+            "c_custkey", "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"), "n_name",
+            F.round(F.col("__cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q95_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style customer distribution: how many customers placed
+    exactly k orders, INCLUDING the zero-order customers (LEFT join +
+    count of the nullable side — the outer-join/count-null semantics
+    the reference's validator admits via LEFT JOIN).
+
+    Scale: two aggregates — per-customer count (shuffle on custkey,
+    map-side partial) then the tiny histogram aggregate; no windows.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+def q96_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style large-volume orders: orders whose total lineitem
+    quantity exceeds 300, with customer attribution — the
+    aggregate-HAVING-as-join-input shape (the inner GROUP BY feeds a
+    fact-fact join).
+
+    Scale: the quantity rollup reduces lineitem to order grain BEFORE
+    joining orders/customer, so the expensive join sees only the
+    having-survivors; top-100 via TakeOrderedAndProject.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"), "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q97_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-style market share: of all revenue delivered to ASIA
+    customers, the fraction supplied by NATION_5, per order year —
+    conditional aggregation (CASE inside SUM) over the six-table star.
+
+    Scale: same broadcast-dimension star as q83; the share division
+    happens on the 2-row yearly aggregate.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_c = _t(spark, sf_dir, "nation")  # customer-side nation (region scoped)
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == n_c.n_nationkey)
+        .join(F.broadcast(r), n_c.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q98_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style global-sales-opportunity: customers with an
+    above-average positive balance and NO orders in the corpus's final
+    year (the synthetic data has complete FK coverage, so the original
+    never-ordered predicate is empty at every SF — the lapsed-customer
+    variant keeps the same scalar-subquery + anti-join + aggregate
+    shape non-hollow), rolled up by market segment.
+
+    Scale: the scalar average is a broadcast 1-row aggregate; the anti
+    join's date filter pushes to the orders scan before the distinct
+    custkey side is built; final 5-row aggregate.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -462,6 +462,15 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # streaming builder is window-covered by q38) — but the 50-slot
     # window is full of never-checked entries, so they head the tail
     # and cycle into the window next round
+    # q93-q98: the r4 TPC-H join-analog batch (Q7/Q10/Q13/Q18/Q8/Q22
+    # shapes) — oracle-backed and never driver-checked, added after the
+    # window filled, so they head the tail and enter the window in r5
+    "q93_binational_volume": R.q93_binational_volume,
+    "q94_returned_items": R.q94_returned_items,
+    "q95_order_count_distribution": R.q95_order_count_distribution,
+    "q96_large_quantity_orders": R.q96_large_quantity_orders,
+    "q97_market_share": R.q97_market_share,
+    "q98_idle_rich_customers": R.q98_idle_rich_customers,
     "nl24_distinct_customers_in_orders": _nl2sql(
         "count of distinct custkey values in orders"
     ),
@@ -1515,6 +1524,97 @@ ORACLE_SQL: dict[str, str | None] = {
           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
+    """,
+    "q93_binational_volume": """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+            AND n2.n_name IN ('NATION_3', 'NATION_7')
+            AND n1.n_name <> n2.n_name
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q94_returned_items": """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT)) / 100.0, 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q95_order_count_distribution": """
+        SELECT n_orders, count(*) AS n_customers
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS n_orders
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY n_orders
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+    "q96_large_quantity_orders": """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(o_totalprice, 2) AS totalprice, sum_qty
+        FROM (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300
+        )
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY sum_qty DESC, o_orderkey
+        LIMIT 100
+    """,
+    "q97_market_share": """
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN ns.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS mkt_share
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region    ON nc.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q98_idle_rich_customers": """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
     "q81_price_histogram": P.numeric_histogram_oracle_sql(),
     "q82_best_docs_per_source": f"""

@@ -125,3 +125,51 @@ def test_plan_contracts(spark, sf_smoke):
     assert p83.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in p83
     assert "BroadcastNestedLoopJoin" not in p83
+
+
+def test_plan_contracts_tpch_analogs(spark, sf_smoke):
+    """Plan contracts for the r4 TPC-H analog batch (q93-q98): dimension
+    sides broadcast, aggregates reduce before fact joins, no products."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    def plan_of(name):
+        df = SPARK_QUERIES[name](spark, sf_smoke)
+        return df._jdf.queryExecution().toString()
+
+    # Q7 analog: both nation roles broadcast; no product despite the
+    # disjunctive nation-pair predicate
+    p93 = plan_of("q93_binational_volume")
+    assert p93.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p93
+    assert "BroadcastNestedLoopJoin" not in p93
+
+    # Q10 analog: nation broadcasts; returnflag + date filters reach the
+    # scans (PushedFilters), top-20 via TakeOrderedAndProject
+    p94 = plan_of("q94_returned_items")
+    assert "BroadcastHashJoin" in p94
+    assert "TakeOrderedAndProject" in p94
+    pushed = [l for l in p94.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l for l in pushed)
+
+    # Q18 analog: lineitem is aggregated to order grain BEFORE the joins
+    # (the HAVING survivor set feeds the join, not raw lineitem)
+    p96 = plan_of("q96_large_quantity_orders")
+    agg_pos = p96.find("HashAggregate")
+    join_pos = p96.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = p96.find("ShuffledHashJoin")
+    assert "CartesianProduct" not in p96
+    assert agg_pos != -1
+
+    # Q8 analog: whole dimension chain broadcasts
+    p97 = plan_of("q97_market_share")
+    assert p97.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p97
+
+    # Q22 analog: scalar avg broadcasts, anti join present, and the
+    # orders side is date-filtered at the scan
+    p98 = plan_of("q98_idle_rich_customers")
+    assert "LeftAnti" in p98
+    assert "BroadcastExchange" in p98
+    pushed98 = [l for l in p98.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed98)
