@@ -106,6 +106,15 @@ HEADLINE = [
     "q90_lineitem_correlations",
     "q91_custkey_skew",
     "q92_quality_weighted_sample",
+    # r4 additions: TPC-H join analogs + span dedup + curriculum order
+    "q93_binational_volume",
+    "q94_returned_items",
+    "q95_order_count_distribution",
+    "q96_large_quantity_orders",
+    "q97_market_share",
+    "q98_idle_rich_customers",
+    "q99_dup_span_stats",
+    "q100_curriculum_order",
 ]
 
 

@@ -1240,3 +1240,102 @@ def dataset_diff_oracle_sql() -> str:
                     ELSE 'unchanged' END) <> 'unchanged'
         ORDER BY doc_id
     """
+
+
+# --------------------------------------------------- duplicated-span stats
+SPAN_K = 8  # window width in word tokens
+
+
+def span_windows_expr(text_col: Column, k: int = SPAN_K) -> Column:
+    """Distinct k-token word windows, JVM-side (same bound-token-array
+    trick as :func:`shingles_expr`, parameterized width). Documents
+    shorter than k tokens yield an EMPTY array (not a whole-text
+    fallback — span statistics must not count sub-width docs)."""
+
+    def build(ts: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ts, i + j) for j in range(k)]
+            ),
+        )
+        # sequence(1, 0) would count DOWN in Spark — guard short docs
+        return F.when(F.size(ts) >= k, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind(tokens_expr(text_col), build)
+
+
+def dup_span_stats(
+    df: DataFrame, k: int = SPAN_K, top: int = 20
+) -> DataFrame:
+    """Exact duplicated-span detection (the memorization-risk signal from
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for each document, the fraction of its distinct k-token
+    windows that also occur in at least one OTHER document. Top docs by
+    that fraction — the candidates for span-level scrubbing rather than
+    whole-doc removal.
+
+    Scale: windows are md5-hashed before the shuffle so the corpus-wide
+    duplicate set groups on 32-byte keys, never span text; the dup set
+    is the (h, n_docs>=2) aggregate — no pairwise join and nothing n².
+    At deployment the hashed window table is a per-corpus ingest
+    artifact like the shingle/MinHash tables (same recipe, wider gram);
+    the in-query build here keeps the oracle-checked tier live. The
+    final top-N is TakeOrderedAndProject over a doc-grain aggregate.
+    """
+    hashed = df.select(
+        "doc_id", F.explode(span_windows_expr(F.col("text"), k)).alias("w")
+    ).select("doc_id", F.md5("w").alias("h"))
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        hashed.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("is_dup").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id", "n_windows", "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy(F.desc("dup_frac"), "doc_id")
+        .limit(top)
+    )
+
+
+def q99_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+def dup_span_oracle_sql(k: int = SPAN_K, top: int = 20) -> str:
+    """DuckDB twin of :func:`dup_span_stats`."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), wins AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(list_slice(t, i, i + {k - 1}), ' ')) AS h
+          FROM toks, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
+          WHERE len(t) >= {k}
+        ), dup AS (
+          SELECT h, 1 AS is_dup FROM wins
+          GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT w.doc_id, count(*) AS n_windows,
+               count(d.is_dup) AS n_dup_windows,
+               round(count(d.is_dup) / count(*), 6) AS dup_frac
+        FROM wins w LEFT JOIN dup d USING (h)
+        GROUP BY w.doc_id
+        ORDER BY dup_frac DESC, doc_id
+        LIMIT {top}
+    """

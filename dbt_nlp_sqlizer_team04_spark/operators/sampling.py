@@ -400,3 +400,84 @@ def quality_weighted_oracle_sql(alpha: float = 2.0) -> str:
                  / 1000000.0 < pow(quality / qmax, {alpha})
         ORDER BY doc_id
     """
+
+
+# ------------------------------------------------ curriculum training order
+CURRICULUM_BINS = 10
+CURRICULUM_SEED = 17
+
+
+def curriculum_order(
+    df: DataFrame,
+    n_bins: int = CURRICULUM_BINS,
+    seed: int = CURRICULUM_SEED,
+    top: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum training order: documents binned by quality into
+    ``n_bins`` equi-WIDTH buckets (quality is bounded [0,1]), consumed
+    highest-quality-bucket first, with a deterministic seeded shuffle
+    WITHIN each bucket — the data-ordering stage of a training pipeline
+    (quality curriculum + reproducible epoch shuffle in one pass).
+
+    Scale: equi-width binning (not NTILE) on purpose — NTILE is a
+    GLOBAL single-partition window sort, a non-starter at corpus scale,
+    while ``floor(q*n)`` and the md5 shuffle key are pure map-side
+    expressions; the only cost is the final top-N
+    (TakeOrderedAndProject; a full epoch materialization would instead
+    write sorted-within-shard by (bucket, shuffle_key)).
+    """
+    from .text import quality_score_expr
+
+    q = quality_score_expr(F.col(text_col))
+    bucket = F.least(
+        F.floor(q * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    shuffle_key = F.md5(F.concat_ws("-", F.lit(str(seed)), F.col(id_col)))
+    return (
+        df.select(
+            F.col(id_col),
+            bucket.alias("bucket"),
+            q.alias("quality"),
+            shuffle_key.alias("shuffle_key"),
+        )
+        .orderBy(F.desc("bucket"), "shuffle_key", id_col)
+        .limit(top)
+    )
+
+
+def q100_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head of the curriculum-ordered training stream (oracle-checked)."""
+    return curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
+def curriculum_oracle_sql(
+    n_bins: int = CURRICULUM_BINS,
+    seed: int = CURRICULUM_SEED,
+    top: int = 50,
+) -> str:
+    """DuckDB twin of :func:`curriculum_order` (same quality expression
+    as the q31/q82/q92 oracles)."""
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 round(least(len(string_split_regex(trim(lower(text)), '\\s+')) / 50.0, 1.0) * 0.5
+                       + (1.0 - (length(text)
+                              - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                             / greatest(length(text), 1)) * 0.3
+                       + len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                         x -> list_contains(['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'was', 'for', 'on', 'with', 'as', 'at', 'by', 'this', 'from'], x)))
+                             / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1) * 0.2, 6)
+                     AS quality
+          FROM documents
+        )
+        SELECT doc_id,
+               least(CAST(floor(quality * {n_bins}) AS INT), {n_bins - 1})
+                   AS bucket,
+               quality,
+               md5('{seed}-' || doc_id::varchar) AS shuffle_key
+        FROM s
+        ORDER BY bucket DESC, shuffle_key, doc_id
+        LIMIT {top}
+    """

@@ -471,6 +471,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q96_large_quantity_orders": R.q96_large_quantity_orders,
     "q97_market_share": R.q97_market_share,
     "q98_idle_rich_customers": R.q98_idle_rich_customers,
+    # q99/q100: duplicated-span detection (Lee et al. exact-substring
+    # signal) and curriculum training order — oracle-backed, never
+    # driver-checked, enter the window in r5 with the q93-q98 batch
+    "q99_dup_span_stats": D.q99_dup_span_stats,
+    "q100_curriculum_order": SMP.q100_curriculum_order,
     "nl24_distinct_customers_in_orders": _nl2sql(
         "count of distinct custkey values in orders"
     ),
@@ -1616,6 +1621,8 @@ ORACLE_SQL: dict[str, str | None] = {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,
+    "q99_dup_span_stats": D.dup_span_oracle_sql(),
+    "q100_curriculum_order": SMP.curriculum_oracle_sql(),
     "q81_price_histogram": P.numeric_histogram_oracle_sql(),
     "q82_best_docs_per_source": f"""
         WITH s AS (

@@ -777,3 +777,41 @@ def test_pagerank_tiers_equivalent(spark):
     }
     assert set(fast) == set(dist)
     assert all(abs(fast[i] - dist[i]) < 1e-9 for i in fast)
+
+
+# ------------------------------------------------ duplicated-span stats
+def test_dup_span_planted_span_detected(spark):
+    """A 10-token span shared verbatim by two docs (with distinct
+    surroundings) is flagged in both; a fully unique doc scores 0."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"unique lead-in one two three {shared} tail words here now"),
+        (2, f"different opening words four five six {shared} other ending"),
+        (3, "entirely distinct content with no overlap whatsoever in "
+            "this particular document body of prose "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dup_span_stats(df, k=8, top=10).collect()}
+    assert out[1]["n_dup_windows"] >= 3  # the shared 10-token run
+    assert out[2]["n_dup_windows"] >= 3
+    assert out[3]["n_dup_windows"] == 0
+    assert out[3]["dup_frac"] == 0.0
+    # exact self-copy → every window duplicated
+    df2 = df.union(
+        df.filter("doc_id = 3").select((F.col("doc_id") + 10).alias("doc_id"), "text")
+    )
+    out2 = {r["doc_id"]: r for r in D.dup_span_stats(df2, k=8, top=10).collect()}
+    assert out2[3]["dup_frac"] == 1.0 and out2[13]["dup_frac"] == 1.0
+
+
+def test_dup_span_short_docs_excluded(spark):
+    """Documents shorter than the window width yield no windows (no
+    whole-text fallback) and never appear in the output."""
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny"),
+         (3, "this document has exactly eight tokens in it yes")],
+        "doc_id long, text string",
+    )
+    rows = D.dup_span_stats(df, k=8, top=10).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["n_windows"] == 2  # 9 tokens → 2 windows of 8

@@ -207,3 +207,24 @@ def test_quality_weighted_sample_tilts_toward_quality(spark, sf_check):
     # determinism
     kept2 = {r["doc_id"] for r in quality_weighted_sample(docs).collect()}
     assert kept == kept2
+
+
+def test_curriculum_order_buckets_and_determinism(spark, sf_check):
+    from dbt_nlp_sqlizer_team04_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    docs = load_table(spark, sf_check, "documents")
+    a = curriculum_order(docs, top=50).collect()
+    b = curriculum_order(docs, top=50).collect()
+    assert a == b  # deterministic shuffle
+    buckets = [r["bucket"] for r in a]
+    assert buckets == sorted(buckets, reverse=True)  # high quality first
+    for r in a:  # bucket is the equi-width bin of the quality score
+        assert r["bucket"] == min(int(r["quality"] * 10), 9)
+    # a different seed permutes within buckets but keeps bucket order
+    c = curriculum_order(docs, seed=99, top=50).collect()
+    assert [r["bucket"] for r in c] == sorted(
+        [r["bucket"] for r in c], reverse=True
+    )
+    assert [r["doc_id"] for r in c] != [r["doc_id"] for r in a]
