@@ -1,0 +1,92 @@
+"""Date-partitioned layout: directory-level partition pruning contract
+(sources/partitioned.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+from dbt_nlp_sqlizer_team04_spark.sources.partitioned import (
+    read_partitioned,
+    scan_footprint,
+    write_date_partitioned,
+)
+
+
+def test_partition_pruning_scans_only_matching_days(spark, sf_smoke, tmp_path):
+    events = load_table(spark, sf_smoke, "events")
+    path = str(tmp_path / "events_by_date")
+    write_date_partitioned(events, path)
+
+    back = read_partitioned(spark, path)
+    n_days = back.select("event_date").distinct().count()
+    assert n_days > 3  # the tree really fanned out
+
+    one_day = (
+        back.select(F.min("event_date").alias("d")).collect()[0]["d"]
+    )
+    pruned = back.filter(F.col("event_date") == F.lit(one_day))
+
+    # the predicate lands in PartitionFilters on the scan node
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # the EXECUTED scan touches only the one matching directory, while
+    # the unfiltered read touches every day's
+    foot = scan_footprint(pruned)
+    assert foot["numPartitions"] == 1
+    full_foot = scan_footprint(read_partitioned(spark, path))
+    assert full_foot["numPartitions"] == n_days
+    assert foot["numFiles"] < full_foot["numFiles"]
+
+    # and the data survives the round-trip: per-day counts match the
+    # unpartitioned source
+    src_count = events.filter(F.to_date("ts") == F.lit(one_day)).count()
+    assert pruned.count() == src_count
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """AQE's OptimizeSkewedJoin really engages: a 50k-row hot key joined
+    against a small dim, with thresholds forced low enough for the test
+    data, re-plans the sort-merge join with skew-split partitions
+    (``isSkew = true`` in the final adaptive plan). This is the runtime
+    half of the skew story — operators/skew.py's salting is the static
+    half for when AQE's split (which only helps SMJ) isn't available."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # force SMJ (no broadcast) and make the hot partition "skewed"
+        # at test scale
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+
+        hot = spark.range(0, 50_000).select(
+            (F.col("id") % 3).alias("k"),  # 3 keys -> huge partitions
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(0, 3).select(
+            F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id")).alias("d")
+        )
+        joined = hot.join(dim, "k")
+        # collect() THIS DataFrame: count() spawns its own query
+        # execution, leaving joined's adaptive plan un-finalized
+        assert len(joined.collect()) == 50_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
