@@ -288,6 +288,16 @@ def _nl2sql(question: str) -> QueryFn:
     fn.__doc__ = f"NL2SQL pipeline on: {question!r}"
     return fn
 
+def _q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment (the kappa contract's
+    oracle-checkable side; streaming parity is pytest-pinned)."""
+    from .sources.parquet import load_table
+    from .streaming.events import enrich_with_profile, user_profile_static
+
+    events = load_table(spark, sf_dir, "events")
+    return enrich_with_profile(events, user_profile_static(events))
+
+
 # name -> spark builder
 #
 # ORDER MATTERS: the driver's correctness gate checks the first 50 entries
@@ -476,6 +486,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # driver-checked, enter the window in r5 with the q93-q98 batch
     "q99_dup_span_stats": D.q99_dup_span_stats,
     "q100_curriculum_order": SMP.q100_curriculum_order,
+    "q101_enriched_events": _q101,
     "nl24_distinct_customers_in_orders": _nl2sql(
         "count of distinct custkey values in orders"
     ),
@@ -1622,6 +1633,25 @@ ORACLE_SQL: dict[str, str | None] = {
         ORDER BY c_mktsegment
     """,
     "q99_dup_span_stats": D.dup_span_oracle_sql(),
+    "q101_enriched_events": """
+        WITH profile AS (
+          SELECT user_id,
+                 count(*) AS hist_events,
+                 round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+                     AS hist_value
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+          GROUP BY user_id
+        )
+        SELECT event_id, e.user_id, event_type,
+               coalesce(p.hist_events, 0) AS hist_events,
+               coalesce(p.hist_value, 0.0) AS hist_value,
+               p.user_id IS NULL AS is_new
+        FROM events e
+        LEFT JOIN profile p ON e.user_id = p.user_id
+        WHERE e.ts >= TIMESTAMP '2024-01-15 00:00:00'
+        ORDER BY event_id
+    """,
     "q100_curriculum_order": SMP.curriculum_oracle_sql(),
     "q81_price_histogram": P.numeric_histogram_oracle_sql(),
     "q82_best_docs_per_source": f"""

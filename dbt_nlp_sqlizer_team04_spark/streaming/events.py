@@ -388,3 +388,83 @@ def click_purchase_left_join(
         F.unix_micros("purchase_ts").alias("purchase_us"),
         F.round("purchase_value", 2).alias("purchase_value"),
     )
+
+
+# ------------------------------------------------- stream-static enrichment
+def user_profile_static(
+    events: DataFrame, cutoff: str = "2024-01-15"
+) -> DataFrame:
+    """Static per-user profile from events BEFORE ``cutoff``: event
+    count, total value (exact cents), first-seen timestamp. The batch
+    side of the stream-static enrichment — at deployment this is the
+    nightly-refreshed dimension the live stream joins against."""
+    return (
+        events.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("hist_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("hist_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen"
+            ),
+        )
+    )
+
+
+def enrich_with_profile(
+    events: DataFrame, profile: DataFrame, cutoff: str = "2024-01-15"
+) -> DataFrame:
+    """Stream-static enrichment: each event at/after ``cutoff`` is
+    LEFT-joined to the static profile — users never seen before the
+    cutoff keep NULL history and get flagged ``is_new``. Works
+    identically on a batch or streaming ``events`` frame (kappa: the
+    builder is the parity contract).
+
+    Scale: the profile is a per-user aggregate, orders smaller than the
+    event stream — ``F.broadcast`` pins a broadcast hash join so each
+    micro-batch maps through the dimension with NO stateful shuffle
+    (stream-static joins are stateless by construction; the static side
+    is re-read per micro-batch, picking up dimension refreshes)."""
+    return (
+        events.filter(F.col("ts") >= cutoff)
+        .join(F.broadcast(profile), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("hist_events"), F.lit(0)).alias("hist_events"),
+            F.coalesce(F.col("hist_value"), F.lit(0.0)).alias("hist_value"),
+            F.col("first_seen").isNull().alias("is_new"),
+        )
+    )
+
+
+def enriched_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff: str = "2024-01-15",
+    table_name: str = "events_enriched_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run the stream-static enrichment over the file-drop stream into a
+    memory sink (append mode — enrichment is stateless, rows emit once)
+    and return the sink contents."""
+    from ..sources.parquet import load_table
+
+    profile = user_profile_static(
+        load_table(spark, sf_dir, "events"), cutoff
+    )
+    q = (
+        enrich_with_profile(read_events_stream(spark, sf_dir), profile, cutoff)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return spark.table(table_name)

