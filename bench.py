@@ -115,6 +115,7 @@ HEADLINE = [
     "q98_idle_rich_customers",
     "q99_dup_span_stats",
     "q100_curriculum_order",
+    "q102_cosine_range",
 ]
 
 

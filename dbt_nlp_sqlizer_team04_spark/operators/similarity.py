@@ -117,6 +117,47 @@ def cosine_topk(
     )
 
 
+def cosine_range_search(
+    df: DataFrame,
+    query_vec: list[float],
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine RANGE search: every vector within ``threshold`` of
+    the query — the set-retrieval complement of :func:`cosine_topk`
+    (recall-oriented: "everything at least this similar", the contract
+    a dedup sweep or a positive-pair miner needs, where top-k's fixed
+    k silently truncates dense neighborhoods).
+
+    Plan shape: scan (id+embedding only) → codegen cosine → filter —
+    embarrassingly parallel, NO global ordering step at all (top-k pays
+    a TakeOrderedAndProject; a range search doesn't have to). The
+    threshold compares the 6dp-ROUNDED cosine so the keep/drop decision
+    is engine-exact at the boundary (q25's convention). Ordering of the
+    (small) result is for the oracle hash only.
+    """
+    emb = _as_double(emb_col)
+    out = df
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != F.lit(exclude_id))
+    cos = F.round(cosine_expr(emb, _vector_lit(query_vec)), 6)
+    return (
+        out.select(F.col(id_col), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy(F.desc("cosine"), id_col)
+    )
+
+
+def q102_cosine_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vectors with cosine >= 0.2 of vec_id=0 (oracle-checked)."""
+    q = _query_vector(spark, sf_dir, 0)
+    return cosine_range_search(
+        load_table(spark, sf_dir, "embeddings"), q, threshold=0.2, exclude_id=0
+    )
+
+
 # ------------------------------------------------------------------ LSH
 def hyperplanes(
     dim: int = EMBED_DIM, n_bits: int = LSH_BITS, seed: int = LSH_SEED

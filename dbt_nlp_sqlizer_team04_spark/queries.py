@@ -288,6 +288,21 @@ def _nl2sql(question: str) -> QueryFn:
     fn.__doc__ = f"NL2SQL pipeline on: {question!r}"
     return fn
 
+def _nl28_doc_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc sort+limit compilation: 'top 5 documents by n_chars' must
+    compile to {find: {}, sort: {n_chars: -1}, limit: 5} (the C3/C4
+    surface driven from NL; nl04/nl18 cover $group and $match)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask("top 5 documents by n_chars")
+    return df
+
+
 def _q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-static enrichment (the kappa contract's
     oracle-checkable side; streaming parity is pytest-pinned)."""
@@ -487,6 +502,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q99_dup_span_stats": D.q99_dup_span_stats,
     "q100_curriculum_order": SMP.q100_curriculum_order,
     "q101_enriched_events": _q101,
+    "q102_cosine_range": V.q102_cosine_range,
+    "nl28_doc_top5_longest": _nl28_doc_topn,
     "nl24_distinct_customers_in_orders": _nl2sql(
         "count of distinct custkey values in orders"
     ),
@@ -1039,6 +1056,10 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT event_type AS _id, count(*) AS n
         FROM events GROUP BY _id ORDER BY _id
     """,
+    "nl28_doc_top5_longest": """
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents ORDER BY n_chars DESC LIMIT 5
+    """,
     # Gold query for the trained document-plane pipeline (nl09 pattern:
     # 'characters' names no field; the trained linker must reach n_chars)
     "nl11_trained_doc_avg_chars": """
@@ -1069,6 +1090,15 @@ ORACLE_SQL: dict[str, str | None] = {
         WHERE vec_id <> 0
         ORDER BY cosine DESC, vec_id
         LIMIT 10
+    """,
+    "q102_cosine_range": f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round({_cos_sql("embedding::DOUBLE[]", "qe")}, 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+          AND round({_cos_sql("embedding::DOUBLE[]", "qe")}, 6) >= 0.2
+        ORDER BY cosine DESC, vec_id
     """,
     "q24_ann_lsh_topk": None,  # LSH bucketing: rows-only (pytest checks recall)
     "q43_ann_ivf_topk": None,  # IVF k-means cells: rows-only (pytest checks recall)
