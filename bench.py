@@ -116,6 +116,8 @@ HEADLINE = [
     "q99_dup_span_stats",
     "q100_curriculum_order",
     "q102_cosine_range",
+    "q103_event_transitions",
+    "q105_event_anomalies",
 ]
 
 

@@ -489,3 +489,153 @@ def cohort_retention_oracle_sql() -> str:
         GROUP BY cohort_week, week_offset
         ORDER BY cohort_week, week_offset
     """
+
+
+# ----------------------------------------------- event transition matrix
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts + probabilities over each
+    user's time-ordered event stream: how often does ``from_type`` lead
+    to ``to_type``? The sequence-mining primitive behind next-action
+    prediction features and funnel-drop diagnosis.
+
+    Scale: one shuffle on user_id for the lag window (sessions/as-of
+    reuse the same partitioning); the transition aggregate is
+    |event_types|² rows at most. Ties on ts are ordered by event_id so
+    the successor relation is total and engine-deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    per_from = Window.partitionBy("from_type")
+    return (
+        steps.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(per_from), 6)
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q103_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def event_transitions_oracle_sql() -> str:
+    """DuckDB twin of :func:`event_transitions`."""
+    return """
+        WITH steps AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events
+        ), counts AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM steps WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM counts
+        ORDER BY from_type, to_type
+    """
+
+
+# -------------------------------------------------- value anomaly flags
+def event_value_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-type z-score outliers: events whose value sits more than
+    ``z`` standard deviations from their type's mean — the numeric
+    outlier gate a training pipeline runs before aggregating noisy
+    telemetry (the events-plane sibling of the text quality gates).
+
+    Scale: the per-type mean/stddev is a tiny broadcast aggregate
+    (|event_types| rows); the flagging pass is then map-side only. The
+    z-score compares at 4dp-rounded values so the boundary decision is
+    engine-exact; population stddev (not sample) because both engines
+    define it identically and the gate describes THIS corpus.
+    """
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    zscore = F.round(
+        (F.col("value") - F.col("mu")) / F.col("sigma"), 4
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", zscore)
+        .filter(F.abs(F.col("zscore")) >= z)
+        .select(
+            "event_id", "event_type",
+            F.round("value", 2).alias("value"), "zscore",
+        )
+        .orderBy("event_id")
+    )
+
+
+def q105_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_value_anomalies(load_table(spark, sf_dir, "events"))
+
+
+def event_anomalies_oracle_sql(z: float = 3.0) -> str:
+    """DuckDB twin of :func:`event_value_anomalies`."""
+    return f"""
+        WITH stats AS (
+          SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+          FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, round(value, 2) AS value,
+               round((value - mu) / sigma, 4) AS zscore
+        FROM events e JOIN stats USING (event_type)
+        WHERE abs(round((value - mu) / sigma, 4)) >= {z}
+        ORDER BY event_id
+    """
+
+
+# --------------------------------------- windowed first-event dedup (batch)
+def hourly_first_events(events: DataFrame) -> DataFrame:
+    """Keep only the FIRST event per (user, type, clock hour) — the
+    batch twin of the streaming watermarked dedup (same idempotency
+    contract a redelivering source needs, expressed as a window rank so
+    it is oracle-checkable; the streaming side is pytest-pinned via
+    dropDuplicatesWithinWatermark).
+
+    Scale: one shuffle on the (user, type, hour) key; row_number's
+    per-key sort is bounded by the events one user emits in one hour.
+    """
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type", hour).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.date_format(hour, "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q106_hourly_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_first_events(load_table(spark, sf_dir, "events"))
+
+
+def hourly_first_oracle_sql() -> str:
+    """DuckDB twin of :func:`hourly_first_events`."""
+    return """
+        SELECT event_id, user_id, event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS hour_start
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn
+          FROM events
+        )
+        WHERE rn = 1
+        ORDER BY event_id
+    """

@@ -288,6 +288,24 @@ def _nl2sql(question: str) -> QueryFn:
     fn.__doc__ = f"NL2SQL pipeline on: {question!r}"
     return fn
 
+def _q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q103_event_transitions
+
+    return q103_event_transitions(spark, sf_dir)
+
+
+def _q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q105_event_anomalies
+
+    return q105_event_anomalies(spark, sf_dir)
+
+
+def _q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q106_hourly_first_events
+
+    return q106_hourly_first_events(spark, sf_dir)
+
+
 def _nl28_doc_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc sort+limit compilation: 'top 5 documents by n_chars' must
     compile to {find: {}, sort: {n_chars: -1}, limit: 5} (the C3/C4
@@ -504,6 +522,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q101_enriched_events": _q101,
     "q102_cosine_range": V.q102_cosine_range,
     "nl28_doc_top5_longest": _nl28_doc_topn,
+    "q103_event_transitions": _q103,
+    "q105_event_anomalies": _q105,
+    "q106_hourly_first_events": _q106,
     "nl24_distinct_customers_in_orders": _nl2sql(
         "count of distinct custkey values in orders"
     ),
@@ -643,6 +664,12 @@ def _TS_cohort_oracle() -> str:
     from .operators.timeseries import cohort_retention_oracle_sql
 
     return cohort_retention_oracle_sql()
+
+
+def _TS_oracle(name: str) -> str:
+    from .operators import timeseries as TS
+
+    return getattr(TS, name)()
 
 
 # name -> DuckDB oracle SQL (None => rows-only check)
@@ -1553,6 +1580,9 @@ ORACLE_SQL: dict[str, str | None] = {
     "q86_bpe_pair_stats": X.bpe_pair_oracle_sql(),
     "q87_conversion_funnel": FN.conversion_funnel_oracle_sql(),
     "q88_cohort_retention": _TS_cohort_oracle(),
+    "q103_event_transitions": _TS_oracle("event_transitions_oracle_sql"),
+    "q105_event_anomalies": _TS_oracle("event_anomalies_oracle_sql"),
+    "q106_hourly_first_events": _TS_oracle("hourly_first_oracle_sql"),
     "q90_lineitem_correlations": P.correlations_oracle_sql(),
     "q92_quality_weighted_sample": SMP.quality_weighted_oracle_sql(),
     "q91_custkey_skew": P.key_skew_oracle_sql(),
