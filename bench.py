@@ -117,6 +117,7 @@ HEADLINE = [
     "q100_curriculum_order",
     "q102_cosine_range",
     "q103_event_transitions",
+    "q104_label_profile",
     "q105_event_anomalies",
 ]
 

@@ -416,3 +416,78 @@ def key_skew_oracle_sql(top_k: int = 10) -> str:
         )
         SELECT * FROM summary UNION ALL SELECT * FROM top
     """
+
+
+# ------------------------------------------------ cross-modal label profile
+def label_profile(docs: DataFrame, embs: DataFrame) -> DataFrame:
+    """Per-cluster-label document profile: the text and vector planes
+    joined on the shared id (doc_id == vec_id in the corpus contract),
+    rolled up by the embedding's cluster label — the "what is IN each
+    embedding cluster" audit that decides whether a cluster is worth
+    keeping, downsampling, or dropping in curation.
+
+    Scale: both sides are projected to slim columns BEFORE the id join
+    (text never moves); the join shuffles on the 8-byte id (bucketing
+    both tables on id makes it shuffle-free), and the rollup is
+    |labels| rows. Quality averages ride the exact integer-micro trick
+    (sum of round(q*1e6) as BIGINT) so partial-sum order can't flip a
+    rounded digit between engines.
+    """
+    from .text import quality_score_expr
+
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    )
+    e = embs.select(F.col("vec_id").alias("doc_id"), "label")
+    return (
+        d.join(e, "doc_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias(
+                "avg_chars"
+            ),
+            F.round(
+                F.sum(F.round(F.col("quality") * 1_000_000).cast("long"))
+                / F.count(F.lit(1))
+                / 1_000_000.0,
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("label")
+    )
+
+
+def q104_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_profile(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def label_profile_oracle_sql() -> str:
+    """DuckDB twin of :func:`label_profile` (same quality expression as
+    the q31/q82/q92/q100 oracles)."""
+    return """
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 round(least(len(string_split_regex(trim(lower(text)), '\\s+')) / 50.0, 1.0) * 0.5
+                       + (1.0 - (length(text)
+                              - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                             / greatest(length(text), 1)) * 0.3
+                       + len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                         x -> list_contains(['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'was', 'for', 'on', 'with', 'as', 'at', 'by', 'this', 'from'], x)))
+                             / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1) * 0.2, 6)
+                     AS quality
+          FROM documents
+        )
+        SELECT label, count(*) AS n_docs,
+               round(sum(n_chars) / count(*), 4) AS avg_chars,
+               round(sum(CAST(round(quality * 1000000) AS BIGINT))
+                     / count(*) / 1000000.0, 6) AS avg_quality
+        FROM s JOIN embeddings ON s.doc_id = vec_id
+        GROUP BY label
+        ORDER BY label
+    """
