@@ -255,3 +255,45 @@ def test_cohort_retention_cells(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_event_transitions_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.operators.timeseries import (
+        event_transitions,
+    )
+
+    rows = [
+        # user 1: A -> B -> A   |  user 2: A -> A
+        (1, 1, "A", "2024-01-01 10:00:00"),
+        (2, 1, "B", "2024-01-01 10:01:00"),
+        (3, 1, "A", "2024-01-01 10:02:00"),
+        (4, 2, "A", "2024-01-01 09:00:00"),
+        (5, 2, "A", "2024-01-01 09:30:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(df).collect()
+    }
+    assert out == {
+        ("A", "B"): (1, 0.5),
+        ("A", "A"): (1, 0.5),
+        ("B", "A"): (1, 1.0),
+    }
+
+
+def test_event_anomalies_planted_outlier(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.timeseries import (
+        event_value_anomalies,
+    )
+
+    base = [(i, "A", 10.0 + (i % 3) * 0.1) for i in range(100)]
+    rows = base + [(100, "A", 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = event_value_anomalies(df, z=3.0).collect()
+    assert [r["event_id"] for r in out] == [100]
+    assert out[0]["zscore"] > 3
