@@ -119,6 +119,7 @@ HEADLINE = [
     "q103_event_transitions",
     "q104_label_profile",
     "q105_event_anomalies",
+    "q107_knn_graph",
 ]
 
 

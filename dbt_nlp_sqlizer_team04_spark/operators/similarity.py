@@ -1376,3 +1376,157 @@ def q78_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative fit has no DuckDB analog; pytest pins determinism,
     monotone inertia, and planted-label purity)."""
     return kmeans_clusters(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
+# ------------------------------------------------------------ kNN graph
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    n_blocks: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph over the whole corpus: for every
+    vector, its top-k cosine neighbors with ranks — the substrate for
+    SemDeDup-style graph dedup, kNN-classification features, and
+    UMAP/graph-cluster preprocessing (an ALL-queries top-k, where
+    ``cosine_topk`` answers one query).
+
+    Plan: same (n_blocks²+n_blocks)/2 block-cross tiling as
+    :func:`cosine_near_dup_pairs` — one BLAS matmul per tile — but each
+    tile emits only its LOCAL top-k per row (both directions on
+    off-diagonal tiles), so ≤ n·B·k candidate rows ever exist as Spark
+    rows; a window rank over candidates yields the global top-k. Local
+    top-k under the (cosine DESC, neighbor id ASC) total order is
+    lossless: a global top-k neighbor is in the tile covering that
+    pair, where anything outranking it locally also outranks it
+    globally — so it survives its tile's cut. Tile-side tie-break is
+    vectorized by pre-sorting the neighbor axis by id and using a
+    STABLE argsort on -cosine (no per-row Python loop).
+    """
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    spark = df.sparkSession
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, min(64, math.ceil(n / 1000)))
+    src = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(emb_col).alias("e"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    tasks = spark.createDataFrame(
+        [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
+        "bi int, bj int",
+    )
+    left = (
+        src.alias("sl")
+        .join(F.broadcast(tasks.alias("tl")), F.col("sl.blk") == F.col("tl.bi"))
+        .select(
+            F.col("tl.bi").alias("bi"), F.col("tl.bj").alias("bj"),
+            F.col("sl.id").alias("id"), F.col("sl.e").alias("e"),
+        )
+    )
+    right = (
+        src.alias("sr")
+        .join(F.broadcast(tasks.alias("tr")), F.col("sr.blk") == F.col("tr.bj"))
+        .select(
+            F.col("tr.bi").alias("bi"), F.col("tr.bj").alias("bj"),
+            F.col("sr.id").alias("id"), F.col("sr.e").alias("e"),
+        )
+    )
+
+    def _norm_rows(frame: "pd.DataFrame") -> tuple:
+        ids = frame["id"].to_numpy()
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in frame["e"]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        return ids, m / norms[:, None]
+
+    def _local_topk(cos, row_ids, col_ids):
+        """Per-row local top-k of a (rows × cols) cosine matrix whose
+        COLUMNS are already sorted by id; stable argsort on -cos makes
+        ties break toward the smaller neighbor id."""
+        kk = min(k, cos.shape[1])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(row_ids, kk)
+        cols = col_ids[order.ravel()]
+        vals = np.take_along_axis(cos, order, axis=1).ravel()
+        keep = ~np.isneginf(vals)
+        return rows[keep], cols[keep], vals[keep]
+
+    def tile(l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"id": pd.Series(dtype="int64"),
+             "nbr": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if l.empty or r.empty:
+            return empty
+        ida, ma = _norm_rows(l)
+        idb, mb = _norm_rows(r)
+        # sort the neighbor axis by id so stable argsort tie-breaks by id
+        ob = np.argsort(idb, kind="stable")
+        idb, mb = idb[ob], mb[ob]
+        cos = np.round(ma @ mb.T, 6)
+        same_block = int(l["bi"].iloc[0]) == int(l["bj"].iloc[0])
+        outs = []
+        if same_block:
+            cos[ida[:, None] == idb[None, :]] = -np.inf  # no self edge
+            outs.append(_local_topk(cos, ida, idb))
+        else:
+            outs.append(_local_topk(cos, ida, idb))
+            oa = np.argsort(ida, kind="stable")
+            outs.append(_local_topk(cos.T[:, oa], idb, ida[oa]))
+        rows = np.concatenate([o[0] for o in outs])
+        cols = np.concatenate([o[1] for o in outs])
+        vals = np.concatenate([o[2] for o in outs])
+        return pd.DataFrame({"id": rows, "nbr": cols, "cosine": vals})
+
+    cands = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(tile, "id long, nbr long, cosine double")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), "nbr")
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("id", "rank")
+    )
+
+
+def q107_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN graph over the embeddings corpus (oracle: DuckDB
+    all-pairs window)."""
+    return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def knn_graph_oracle_sql(k: int = 5) -> str:
+    """DuckDB twin of :func:`knn_graph` (all-pairs + window rank)."""
+    a, b = "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]"
+    # same zero-norm-→0.0 convention as queries._cos_sql / cosine_expr
+    cos = (
+        f"CASE WHEN list_dot_product({a}, {a}) = 0"
+        f"       OR list_dot_product({b}, {b}) = 0 THEN 0.0"
+        f"     ELSE list_cosine_similarity({a}, {b}) END"
+    )
+    return f"""
+        WITH pairs AS (
+          SELECT a.vec_id AS id, b.vec_id AS nbr,
+                 round({cos}, 6) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY id
+                                       ORDER BY cosine DESC, nbr) AS rank
+          FROM pairs
+        )
+        SELECT id, nbr, cosine, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY id, rank
+    """

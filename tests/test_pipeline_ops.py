@@ -815,3 +815,29 @@ def test_dup_span_short_docs_excluded(spark):
     rows = D.dup_span_stats(df, k=8, top=10).collect()
     assert {r["doc_id"] for r in rows} == {3}
     assert rows[0]["n_windows"] == 2  # 9 tokens → 2 windows of 8
+
+
+# ------------------------------------------------------------- kNN graph
+def test_knn_graph_tile_invariant_and_exact(spark, sf_check):
+    """The kNN graph is invariant to the tiling choice and matches a
+    brute-force numpy reference on the real corpus head."""
+    import numpy as np
+
+    emb = load_table(spark, sf_check, "embeddings").limit(200).cache()
+    a = V.knn_graph(emb, k=3, n_blocks=1).collect()
+    b = V.knn_graph(emb, k=3, n_blocks=7).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1)[:, None]
+    cos = np.round(m @ m.T, 6)
+    got = {(r["id"], r["rank"]): r["nbr"] for r in a}
+    for i in range(len(ids)):
+        sims = cos[i]
+        top = [t[1] for t in sorted(
+            ((-sims[j], ids[j]) for j in range(len(ids)) if j != i)
+        )[:3]]
+        for rank, nbr in enumerate(top, start=1):
+            assert got[(ids[i], rank)] == nbr
