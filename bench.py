@@ -120,6 +120,7 @@ HEADLINE = [
     "q104_label_profile",
     "q105_event_anomalies",
     "q107_knn_graph",
+    "q108_mutual_knn_clusters",
 ]
 
 

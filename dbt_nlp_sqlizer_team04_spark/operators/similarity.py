@@ -1530,3 +1530,112 @@ def knn_graph_oracle_sql(k: int = 5) -> str:
         FROM ranked WHERE rank <= {k}
         ORDER BY id, rank
     """
+
+
+def mutual_knn_clusters(
+    df: DataFrame,
+    k: int = 5,
+    min_cosine: float = 0.2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Mutual-kNN clustering: an edge exists iff each vector is in the
+    OTHER's top-k (and the similarity clears ``min_cosine`` — without a
+    floor, mutual-kNN still chains through weakly-similar points);
+    transitive closure of those edges yields the cluster assignment
+    ``(vec_id, component, cluster_size, is_canonical)``. The standard
+    robust-clustering step over a kNN graph: one-directional edges are
+    hub artifacts, mutuality prunes them.
+
+    Scale: composes two operators that already scale — the tiled
+    :func:`knn_graph` (≤ n·B·k candidate rows) and dedup's adaptive
+    :func:`connected_components` (driver union-find under the edge
+    bound, Pregel propagation above). The mutuality check is one
+    groupBy on the (lo, hi) edge key: a pair with BOTH directions
+    present appears exactly twice.
+    """
+    from .dedup import connected_components  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    g = knn_graph(df, k=k, id_col=id_col, emb_col=emb_col)
+    mutual = (
+        g.filter(F.col("cosine") >= min_cosine)
+        .select(
+            F.least("id", "nbr").alias("id_a"),
+            F.greatest("id", "nbr").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_dir"))
+        .filter(F.col("n_dir") == 2)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(mutual).withColumnRenamed("id", id_col)
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col).cast("long")).alias(
+                "component"
+            ),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col(id_col) == F.col("component")).cast("int"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def q108_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mutual_knn_clusters(load_table(spark, sf_dir, "embeddings"))
+
+
+def mutual_knn_oracle_sql(k: int = 5, min_cosine: float = 0.2) -> str:
+    """DuckDB twin of :func:`mutual_knn_clusters` (all-pairs window →
+    mutual filter → recursive closure, q60's CTE shape)."""
+    a, b = "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]"
+    cos = (
+        f"CASE WHEN list_dot_product({a}, {a}) = 0"
+        f"       OR list_dot_product({b}, {b}) = 0 THEN 0.0"
+        f"     ELSE list_cosine_similarity({a}, {b}) END"
+    )
+    return f"""
+        WITH RECURSIVE ranked AS (
+          SELECT a.vec_id AS id, b.vec_id AS nbr,
+                 round({cos}, 6) AS cosine,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY round({cos}, 6) DESC, b.vec_id)
+                     AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), topk AS (
+          SELECT id, nbr FROM ranked
+          WHERE rank <= {k} AND cosine >= {min_cosine}
+        ), mutual AS (
+          SELECT least(id, nbr) AS id_a, greatest(id, nbr) AS id_b
+          FROM topk GROUP BY 1, 2 HAVING count(*) = 2
+        ), e AS (
+          SELECT id_a AS a, id_b AS b FROM mutual
+          UNION
+          SELECT id_b AS a, id_a AS b FROM mutual
+        ), r(id, lbl) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.a, r.lbl FROM e JOIN r ON e.b = r.id
+        ), comp AS (
+          SELECT id, min(lbl) AS component FROM r GROUP BY id
+        ), base AS (
+          SELECT v.vec_id,
+                 coalesce(c.component, v.vec_id) AS component
+          FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id
+        )
+        SELECT vec_id, component,
+               count(*) OVER (PARTITION BY component) AS cluster_size,
+               CAST(vec_id = component AS INT) AS is_canonical
+        FROM base
+        ORDER BY vec_id
+    """

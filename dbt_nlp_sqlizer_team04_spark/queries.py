@@ -525,6 +525,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q103_event_transitions": _q103,
     "q104_label_profile": P.q104_label_profile,
     "q107_knn_graph": V.q107_knn_graph,
+    "q108_mutual_knn_clusters": V.q108_mutual_knn_clusters,
     "q105_event_anomalies": _q105,
     "q106_hourly_first_events": _q106,
     "nl24_distinct_customers_in_orders": _nl2sql(
@@ -1585,6 +1586,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q103_event_transitions": _TS_oracle("event_transitions_oracle_sql"),
     "q104_label_profile": P.label_profile_oracle_sql(),
     "q107_knn_graph": V.knn_graph_oracle_sql(),
+    "q108_mutual_knn_clusters": V.mutual_knn_oracle_sql(),
     "q105_event_anomalies": _TS_oracle("event_anomalies_oracle_sql"),
     "q106_hourly_first_events": _TS_oracle("hourly_first_oracle_sql"),
     "q90_lineitem_correlations": P.correlations_oracle_sql(),
