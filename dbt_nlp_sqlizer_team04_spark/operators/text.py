@@ -807,3 +807,97 @@ def bpe_pair_oracle_sql(top_k: int = 20) -> str:
         ORDER BY weight DESC, pair
         LIMIT {top_k}
     """
+
+
+def bpe_train_merges(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016): run the
+    full merge LOOP, not just the first-merge statistic (q86) — each
+    step counts tf-weighted adjacent symbol pairs over the vocabulary,
+    merges the argmax pair everywhere (greedy left-to-right within a
+    term, the reference algorithm's order), and repeats on the rewritten
+    symbol sequences. Returns the learned merge table
+    ``(step, left, right, weight)`` — the artifact a tokenizer ships.
+
+    Scale shape: the corpus is touched ONCE (the (term, tf) vocabulary
+    aggregate — the same move q86 makes); every iteration after that is
+    vocab-sized: a struct-keyed pair count (map-side partial, slim
+    keys), a driver-side argmax of one row, and an Arrow rewrite of the
+    symbol arrays. ``localCheckpoint`` truncates lineage each round so
+    step N's plan doesn't replay steps 1..N-1. Ties on weight break
+    lexicographically (left, right) — fully deterministic, pinned by
+    the pure-Python differential test.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    vocab = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    work = vocab.select(
+        F.split("term", "").alias("syms"), "tf"
+    ).localCheckpoint()
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        pairs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        return (
+            frame.select(F.explode(pairs).alias("p"), "tf")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("tf").alias("weight"))
+        )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        best = (
+            pair_counts(work)
+            .orderBy(F.desc("weight"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, w = best[0]["l"], best[0]["r"], int(best[0]["weight"])
+        merges.append((step, l, r, w))
+
+        def rewrite(batches, _l=l, _r=r):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    s, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == _l and syms[i + 1] == _r:
+                            s.append(_l + _r)
+                            i += 2
+                        else:
+                            s.append(syms[i])
+                            i += 1
+                    out.append(s)
+                yield pd.DataFrame({"syms": out, "tf": pdf["tf"]})
+
+        work = work.mapInPandas(
+            rewrite, "syms array<string>, tf bigint"
+        ).localCheckpoint()
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, weight long"
+    )
+
+
+def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 learned BPE merges over the documents corpus (rows-only:
+    the iterative loop has no SQL analog; the differential pytest pins
+    it against a pure-Python Sennrich reference)."""
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"))

@@ -639,3 +639,58 @@ def hourly_first_oracle_sql() -> str:
         WHERE rn = 1
         ORDER BY event_id
     """
+
+
+# ------------------------------------------------ rolling time-range window
+def rolling_user_value(events: DataFrame, days: int = 7) -> DataFrame:
+    """Per-user trailing-``days`` rolling aggregate at every event: how
+    much value did this user generate in the window ending here? The
+    feature-engineering staple (recency-weighted activity) expressed as
+    a RANGE window — rows don't qualify by count but by how close in
+    TIME they are, which is the semantics count-based windows get wrong
+    on irregular event streams.
+
+    Scale: one shuffle on user_id; the range frame is evaluated with a
+    sliding two-pointer over each user's time-sorted events (linear,
+    not per-row rescans). Value sums ride the exact-cents integers so
+    both engines add identical numbers in any order; the frame bound is
+    on FLOORED whole seconds in both engines (Spark's timestamp→long
+    cast truncates; DuckDB's epoch() keeps the fractional part, which
+    flips boundary events exactly 7 days apart — caught at sf0.1).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0,
+            2,
+        ).alias("value_7d"),
+    ).orderBy("event_id")
+
+
+def q109_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_user_value(load_table(spark, sf_dir, "events"))
+
+
+def rolling_value_oracle_sql(days: int = 7) -> str:
+    """DuckDB twin of :func:`rolling_user_value` (same epoch-seconds
+    RANGE frame)."""
+    return f"""
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               count(*) OVER w AS n_7d,
+               round(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                     / 100.0, 2) AS value_7d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN {days * 86400} PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """

@@ -306,6 +306,12 @@ def _q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q106_hourly_first_events(spark, sf_dir)
 
 
+def _q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q109_rolling_user_value
+
+    return q109_rolling_user_value(spark, sf_dir)
+
+
 def _nl28_doc_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc sort+limit compilation: 'top 5 documents by n_chars' must
     compile to {find: {}, sort: {n_chars: -1}, limit: 5} (the C3/C4
@@ -526,6 +532,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q104_label_profile": P.q104_label_profile,
     "q107_knn_graph": V.q107_knn_graph,
     "q108_mutual_knn_clusters": V.q108_mutual_knn_clusters,
+    "q109_rolling_user_value": _q109,
     "q105_event_anomalies": _q105,
     "q106_hourly_first_events": _q106,
     "nl24_distinct_customers_in_orders": _nl2sql(
@@ -661,6 +668,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q32_lang_id_dist": X.q32_lang_id_dist,
     "q39_media_decode_stats": _media_stats,
     "q40_media_embedding_topk": _media_topk,
+    # Iterative BPE merge training (rows-only: the merge loop has no
+    # SQL analog; differential pytest vs the pure-Python Sennrich
+    # reference)
+    "q110_bpe_merges": X.q110_bpe_merges,
 }
 
 def _TS_cohort_oracle() -> str:
@@ -1589,6 +1600,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q108_mutual_knn_clusters": V.mutual_knn_oracle_sql(),
     "q105_event_anomalies": _TS_oracle("event_anomalies_oracle_sql"),
     "q106_hourly_first_events": _TS_oracle("hourly_first_oracle_sql"),
+    "q109_rolling_user_value": _TS_oracle("rolling_value_oracle_sql"),
     "q90_lineitem_correlations": P.correlations_oracle_sql(),
     "q92_quality_weighted_sample": SMP.quality_weighted_oracle_sql(),
     "q91_custkey_skew": P.key_skew_oracle_sql(),

@@ -153,3 +153,52 @@ def test_bigram_lm_matches_python_reference(spark, seed):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) < 1e-3
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bpe_merges_match_python_reference(spark, seed):
+    """The distributed BPE merge loop reproduces the reference Sennrich
+    algorithm (pure-Python get_stats/merge_vocab over a (term, tf)
+    dict) merge-for-merge, including lexical tie-breaks."""
+    from dbt_nlp_sqlizer_team04_spark.operators.text import bpe_train_merges
+
+    corpus = _random_corpus(seed)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["weight"])
+        for r in bpe_train_merges(docs, n_merges=8).collect()
+    ]
+
+    # reference: Sennrich's algorithm on the same vocab
+    vocab: dict[tuple, int] = {}
+    for _i, text in corpus:
+        for term in text.strip().lower().split():
+            if term:
+                key = tuple(term)
+                vocab[key] = vocab.get(key, 0) + 1
+    want = []
+    for step in range(8):
+        stats: dict[tuple, int] = {}
+        for syms, tf in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + tf
+        if not stats:
+            break
+        (l, r), w = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, l, r, w))
+        new_vocab = {}
+        for syms, tf in vocab.items():
+            s, i, out = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + tf
+        vocab = new_vocab
+    assert got == want
