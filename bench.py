@@ -137,13 +137,17 @@ def ingest(spark, sf_dir: str) -> None:
         pairs_table_for,
     )
     from dbt_nlp_sqlizer_team04_spark.operators.retrieval import chunk_index_for
-    from dbt_nlp_sqlizer_team04_spark.operators.similarity import ivf_table_for
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import (
+        ivf_table_for,
+        knn_table_for,
+    )
 
     minhash_table_for(spark, sf_dir)
     ngram_table_for(spark, sf_dir)
     pairs_table_for(spark, sf_dir)  # q60/q89's materialized pair set
     ivf_table_for(spark, sf_dir)
     ivf_table_for(spark, sf_dir, n_probe_assign=2)  # q63's 2-probe index
+    knn_table_for(spark, sf_dir)  # q108's persisted neighbor graph
     chunk_index_for(spark, sf_dir)  # q67's chunk vectors + encoder
 
 

