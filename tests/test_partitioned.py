@@ -90,3 +90,30 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_schema_evolution_across_partitions(spark, tmp_path):
+    """Lake reality: later partitions grow columns. mergeSchema reads
+    the union schema, back-fills nulls for old days, and partition
+    pruning still works on the evolved tree."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tree")
+    v1 = spark.range(0, 100).select(
+        F.col("id").alias("event_id"), F.lit("click").alias("event_type")
+    )
+    v1.write.parquet(path + "/event_date=2024-01-01")
+    v2 = spark.range(100, 200).select(
+        F.col("id").alias("event_id"),
+        F.lit("view").alias("event_type"),
+        F.lit("mobile").alias("device"),  # the new column
+    )
+    v2.write.parquet(path + "/event_date=2024-01-02")
+
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"event_id", "event_type", "device", "event_date"}
+    old = back.filter(F.col("event_date") == "2024-01-01")
+    assert old.count() == 100
+    assert old.filter(F.col("device").isNull()).count() == 100
+    new = back.filter(F.col("device") == "mobile")
+    assert new.count() == 100

@@ -43,3 +43,35 @@ def test_approx_percentile_within_rank_error(spark, sf_check):
         true_rank = q * (n - 1)
         assert lo - n / acc <= true_rank <= hi + n / acc, (q, approx)
         assert vals[0] <= approx <= vals[-1]
+
+
+def test_count_min_sketch_heavy_hitters_within_eps(spark, sf_check):
+    """Count-min heavy-hitter estimates: CMS never undercounts, and
+    with depth d / width w the overcount is <= e/w * N with probability
+    1 - (1/e)^d — checked against exact counts for the hottest keys."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_check, "orders")
+    n = o.count()
+    eps, conf = 0.01, 0.99
+    sketch_bytes = o.agg(
+        F.count_min_sketch(
+            F.col("o_orderpriority"), F.lit(eps), F.lit(conf), F.lit(42)
+        ).alias("s")
+    ).collect()[0]["s"]
+    jvm = spark._jvm
+    import io
+
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        io.BytesIO(bytes(sketch_bytes)).read()
+    )
+    exact = {
+        r["o_orderpriority"]: r["count"]
+        for r in o.groupBy("o_orderpriority").count().collect()
+    }
+    import math
+
+    for key, true_n in exact.items():
+        est = sk.estimateCount(key)
+        assert est >= true_n  # CMS never undercounts
+        assert est <= true_n + math.e * eps * n  # eps-bounded overcount
