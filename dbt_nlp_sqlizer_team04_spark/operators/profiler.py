@@ -491,3 +491,69 @@ def label_profile_oracle_sql() -> str:
         GROUP BY label
         ORDER BY label
     """
+
+
+# ------------------------------------------- incremental profile refresh
+def profile_partial(df: DataFrame, col: str, part: str) -> DataFrame:
+    """Mergeable per-column profile partial over one corpus slice:
+    (n, n_nonnull, sum as exact cents, min, max) — every field composes
+    associatively, so partials from any partitioning merge to the exact
+    full-corpus profile. The profiling analog of q64's rollup partials:
+    at 100 TB the nightly refresh profiles ONLY the new partition and
+    merges, never rescanning history. (Averages derive at read time;
+    distinct counts ride HLL sketches in the same pattern but merge
+    approximately, so they are kept out of this exactness contract.)"""
+    return df.agg(
+        F.lit(part).alias("part"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(col).alias("n_nonnull"),
+        F.sum(F.round(F.col(col) * 100).cast("long")).alias("sum_cents"),
+        F.min(col).alias("min_v"),
+        F.max(col).alias("max_v"),
+    )
+
+
+def profile_merge(partials: DataFrame) -> DataFrame:
+    """Merge profile partials into the corpus profile (exact)."""
+    return partials.agg(
+        F.sum("n").alias("n"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.round(F.sum("sum_cents") / 100.0, 2).alias("sum_v"),
+        F.round(
+            (F.sum("sum_cents") / F.sum("n_nonnull")) / 100.0, 4
+        ).alias("avg_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def q111_incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge==rebuild contract for profile maintenance: the orders
+    table is profiled as two halves (an 'existing corpus' and a 'new
+    delivery', split on orderdate) whose partials merge; the oracle is
+    the single-pass whole-table profile — identical by associativity
+    and exact-cents arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    old = profile_partial(
+        o.filter(F.col("o_orderdate") < "1998-01-01"), "o_totalprice", "old"
+    )
+    new = profile_partial(
+        o.filter(F.col("o_orderdate") >= "1998-01-01"), "o_totalprice", "new"
+    )
+    return profile_merge(old.unionByName(new))
+
+
+def incremental_profile_oracle_sql() -> str:
+    """DuckDB twin: the SINGLE-PASS profile the merged partials must
+    equal bit-for-bit."""
+    return """
+        SELECT count(*) AS n,
+               count(o_totalprice) AS n_nonnull,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     / 100.0, 2) AS sum_v,
+               round((sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      / count(o_totalprice)) / 100.0, 4) AS avg_v,
+               min(o_totalprice) AS min_v,
+               max(o_totalprice) AS max_v
+        FROM orders
+    """
