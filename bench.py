@@ -121,6 +121,8 @@ HEADLINE = [
     "q105_event_anomalies",
     "q107_knn_graph",
     "q108_mutual_knn_clusters",
+    "q111_incremental_profile",
+    "q112_term_pmi",
 ]
 
 

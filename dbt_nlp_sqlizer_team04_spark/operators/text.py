@@ -901,3 +901,114 @@ def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative loop has no SQL analog; the differential pytest pins
     it against a pure-Python Sennrich reference)."""
     return bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
+PMI_TOP_VOCAB = 50
+PMI_MIN_CO = 5
+
+
+def term_pmi(
+    df: DataFrame,
+    top_vocab: int = PMI_TOP_VOCAB,
+    min_co: int = PMI_MIN_CO,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level collocation mining: normalized PMI over
+    co-occurrence of the corpus's top-``top_vocab`` terms —
+    ``npmi(a,b) = ln(p(a,b)/(p(a)p(b))) / -ln p(a,b)`` with
+    document-frequency probabilities. The lexical-association signal
+    behind phrase detection and topic seeding (bigram LM q79 sees only
+    ADJACENT pairs; PMI sees same-document association at any
+    distance).
+
+    Scale: the vocabulary head is a broadcast (top_vocab rows); each
+    document contributes at most C(top_vocab, 2) pairs from its
+    DISTINCT matched terms, so the explode is bounded per doc
+    regardless of length; document frequencies reuse the same matched
+    frame. All counts are integers — npmi math runs on identical
+    integers in both engines, rounded at 6dp.
+    """
+    toks = df.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(tokens_expr(F.col(text_col)))
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(top_vocab)
+    )
+    matched = toks.join(F.broadcast(top), "term")
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    a = matched.select(
+        F.col("doc_id"), F.col("term").alias("ta"), F.col("df").alias("dfa")
+    )
+    b = matched.select(
+        F.col("doc_id"), F.col("term").alias("tb"), F.col("df").alias("dfb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    p_ab = F.col("co") / F.col("n_docs")
+    p_a = F.col("dfa") / F.col("n_docs")
+    p_b = F.col("dfb") / F.col("n_docs")
+    return (
+        pairs.join(F.broadcast(n_docs))
+        .select(
+            "ta", "tb", "co",
+            F.round(
+                F.log(p_ab / (p_a * p_b)) / -F.log(p_ab), 6
+            ).alias("npmi"),
+        )
+        .orderBy(F.desc("npmi"), "ta", "tb")
+        .limit(top_k)
+    )
+
+
+def q112_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by normalized PMI (oracle-checked)."""
+    return term_pmi(load_table(spark, sf_dir, "documents"))
+
+
+def term_pmi_oracle_sql(
+    top_vocab: int = PMI_TOP_VOCAB,
+    min_co: int = PMI_MIN_CO,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`term_pmi`."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(
+                   string_split_regex(trim(lower(text)), '\\s+'))) AS term
+          FROM documents
+        ), tf AS (
+          SELECT term, count(*) AS df
+          FROM toks WHERE term <> '' GROUP BY term
+          ORDER BY df DESC, term LIMIT {top_vocab}
+        ), matched AS (
+          SELECT doc_id, toks.term, df FROM toks JOIN tf USING (term)
+        ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        pairs AS (
+          SELECT a.term AS ta, b.term AS tb, a.df AS dfa, b.df AS dfb,
+                 count(*) AS co
+          FROM matched a JOIN matched b
+            ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY 1, 2, 3, 4
+          HAVING count(*) >= {min_co}
+        )
+        SELECT ta, tb, co,
+               round(ln((co / n_docs) / ((dfa / n_docs) * (dfb / n_docs)))
+                     / -ln(co / n_docs), 6) AS npmi
+        FROM pairs, n
+        ORDER BY npmi DESC, ta, tb
+        LIMIT {top_k}
+    """

@@ -534,6 +534,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q108_mutual_knn_clusters": V.q108_mutual_knn_clusters,
     "q109_rolling_user_value": _q109,
     "q111_incremental_profile": P.q111_incremental_profile,
+    "q112_term_pmi": X.q112_term_pmi,
     "q105_event_anomalies": _q105,
     "q106_hourly_first_events": _q106,
     "nl24_distinct_customers_in_orders": _nl2sql(
@@ -1603,6 +1604,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q106_hourly_first_events": _TS_oracle("hourly_first_oracle_sql"),
     "q109_rolling_user_value": _TS_oracle("rolling_value_oracle_sql"),
     "q111_incremental_profile": P.incremental_profile_oracle_sql(),
+    "q112_term_pmi": X.term_pmi_oracle_sql(),
     "q90_lineitem_correlations": P.correlations_oracle_sql(),
     "q92_quality_weighted_sample": SMP.quality_weighted_oracle_sql(),
     "q91_custkey_skew": P.key_skew_oracle_sql(),
