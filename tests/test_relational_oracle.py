@@ -173,3 +173,58 @@ def test_plan_contracts_tpch_analogs(spark, sf_smoke):
     assert "BroadcastExchange" in p98
     pushed98 = [l for l in p98.splitlines() if "PushedFilters" in l]
     assert any("o_orderdate" in l for l in pushed98)
+
+
+def test_plan_contracts_late_r4(spark, sf_smoke):
+    """Plan contracts for the late-r4 pipeline entries: hashed keys on
+    the span shuffle, broadcast dims/stats, no products anywhere."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    def plan_of(name):
+        df = SPARK_QUERIES[name](spark, sf_smoke)
+        return df._jdf.queryExecution().toString()
+
+    # q99: span dedup groups md5 hashes, never raw span text, and the
+    # dup-set join is never a product
+    p99 = plan_of("q99_dup_span_stats")
+    assert "md5" in p99
+    assert "CartesianProduct" not in p99
+    assert "BroadcastNestedLoopJoin" not in p99
+
+    # q100: curriculum order is expressions + one top-N — no join, no
+    # aggregate exchange, and text is the only doc column read
+    p100 = plan_of("q100_curriculum_order")
+    assert "Join" not in p100
+    assert "TakeOrderedAndProject" in p100
+
+    # q101: enrichment profile broadcasts; the post-cutoff filter is
+    # pushed to the scan
+    p101 = plan_of("q101_enriched_events")
+    assert "BroadcastHashJoin" in p101
+    pushed = [l for l in p101.splitlines() if "PushedFilters" in l]
+    assert any("ts" in l for l in pushed)
+
+    # q102: range search has NO global sort of the corpus — the only
+    # exchange feeds the (small) final output ordering
+    p102 = plan_of("q102_cosine_range")
+    assert "TakeOrderedAndProject" in p102 or "Sort" in p102
+    assert "Join" not in p102
+
+    # q104: cross-modal join reads neither text-plane text nor
+    # embeddings' vectors beyond the projected columns
+    p104 = plan_of("q104_label_profile")
+    reads = [l for l in p104.splitlines() if "ReadSchema" in l]
+    assert reads and not any("embedding:" in l for l in reads)
+    assert "CartesianProduct" not in p104
+
+    # q105: stats side broadcasts
+    p105 = plan_of("q105_event_anomalies")
+    assert "BroadcastHashJoin" in p105 or "BroadcastExchange" in p105
+
+    # q112: the top-vocab head broadcasts into the match join; the
+    # doc-pair self-join is an equi-join on doc_id, not a product
+    # (a BroadcastNestedLoopJoin IS expected here: the 1-row n_docs
+    # scalar aggregate attaches via broadcast cross join, q92's shape)
+    p112 = plan_of("q112_term_pmi")
+    assert "BroadcastHashJoin" in p112
+    assert "CartesianProduct" not in p112
