@@ -1012,3 +1012,41 @@ def term_pmi_oracle_sql(
         ORDER BY npmi DESC, ta, tb
         LIMIT {top_k}
     """
+
+
+def lang_id_oracle_sql() -> str:
+    """DuckDB twin of :func:`lang_id_expr` + q32's rollup. The Spark
+    side folds profiles in order with a STRICT > compare, which equals
+    "first profile (in LANG_STOPWORDS order) attaining the maximum
+    score" — mirrored here as greatest() + an ordered CASE. Generated
+    from the same LANG_STOPWORDS tuples so the word sets can't drift."""
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    scores = {
+        lang: (
+            f"len(list_filter({toks}, x -> list_contains("
+            f"[{', '.join(repr(w) for w in sw)}], x)))"
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    cols = ",\n                 ".join(
+        f"{expr} AS sc_{lang}" for lang, expr in scores.items()
+    )
+    langs = list(scores)
+    maxs = f"greatest({', '.join('sc_' + l for l in langs)})"
+    winner = " ".join(
+        f"WHEN sc_{l} = mx THEN '{l}'" for l in langs
+    )
+    return f"""
+        WITH s AS (
+          SELECT text,
+                 {cols}
+          FROM documents
+        ), p AS (
+          SELECT CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                      WHEN mx > 0 THEN (CASE {winner} END)
+                      ELSE 'und' END AS lang_pred
+          FROM (SELECT *, {maxs} AS mx FROM s)
+        )
+        SELECT lang_pred, count(*) AS n_docs
+        FROM p GROUP BY lang_pred ORDER BY lang_pred
+    """

@@ -535,6 +535,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q109_rolling_user_value": _q109,
     "q111_incremental_profile": P.q111_incremental_profile,
     "q112_term_pmi": X.q112_term_pmi,
+    # upgraded rows-only -> oracle-backed in late r4 (exact DuckDB twin
+    # of the ordered-fold argmax), so it leaves the rows-only tail
+    "q32_lang_id_dist": X.q32_lang_id_dist,
     "q105_event_anomalies": _q105,
     "q106_hourly_first_events": _q106,
     "nl24_distinct_customers_in_orders": _nl2sql(
@@ -667,7 +670,6 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # PageRank centrality of the near-dup graph (rows-only: iterative
     # float ranks; pytest pins star/cycle geometry + mass conservation)
     "q89_neardup_pagerank": _q89,
-    "q32_lang_id_dist": X.q32_lang_id_dist,
     "q39_media_decode_stats": _media_stats,
     "q40_media_embedding_topk": _media_topk,
     # Iterative BPE merge training (rows-only: the merge loop has no
@@ -1208,7 +1210,9 @@ ORACLE_SQL: dict[str, str | None] = {
                                + stop_ratio * 0.2, 6)), 6) AS avg_quality
         FROM s GROUP BY source ORDER BY source
     """,
-    "q32_lang_id_dist": None,  # heuristic lang-id: rows-only (pytest accuracy)
+    # upgraded from rows-only in late r4: the heuristic is pure
+    # expressions, so the ordered-fold argmax has an exact DuckDB twin
+    "q32_lang_id_dist": X.lang_id_oracle_sql(),
     "q33_tfidf_top_terms": f"""
         WITH terms AS (
           SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
