@@ -18,7 +18,7 @@ counterpart.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 16
@@ -76,3 +76,48 @@ def salted_join(
         d, (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"])
     )
     return out.drop("__salt")
+
+
+def q113_salted_segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable salting demo: orders ⨝ customer through the
+    salted join, rolled up per market segment — the oracle is the PLAIN
+    SQL join, because salting must be semantically invisible (it only
+    moves rows across reducers). Registry twin of the pytest-only
+    equivalence asserts, so the skew substrate is externally verified
+    too.
+
+    Scale note: the dim side here (customer) is replicated n× — at real
+    skew you salt the HOT side's partner; the demo keys on o_custkey
+    exactly as a hot-customer workload would (q91 is the diagnosis
+    input that picks n).
+    """
+    from ..sources.parquet import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(
+        o, c, "o_custkey", "c_custkey", n=8, fact_unique="o_orderkey"
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("total_sales"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_SEGMENT_ORACLE_SQL = """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total_sales
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

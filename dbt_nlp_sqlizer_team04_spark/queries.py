@@ -312,6 +312,12 @@ def _q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q109_rolling_user_value(spark, sf_dir)
 
 
+def _q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import q113_salted_segment_sales
+
+    return q113_salted_segment_sales(spark, sf_dir)
+
+
 def _nl28_doc_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc sort+limit compilation: 'top 5 documents by n_chars' must
     compile to {find: {}, sort: {n_chars: -1}, limit: 5} (the C3/C4
@@ -535,6 +541,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q109_rolling_user_value": _q109,
     "q111_incremental_profile": P.q111_incremental_profile,
     "q112_term_pmi": X.q112_term_pmi,
+    "q113_salted_segment_sales": _q113,
     # upgraded rows-only -> oracle-backed in late r4 (exact DuckDB twin
     # of the ordered-fold argmax), so it leaves the rows-only tail
     "q32_lang_id_dist": X.q32_lang_id_dist,
@@ -682,6 +689,12 @@ def _TS_cohort_oracle() -> str:
     from .operators.timeseries import cohort_retention_oracle_sql
 
     return cohort_retention_oracle_sql()
+
+
+def _SKEW_oracle() -> str:
+    from .operators.skew import SALTED_SEGMENT_ORACLE_SQL
+
+    return SALTED_SEGMENT_ORACLE_SQL
 
 
 def _TS_oracle(name: str) -> str:
@@ -1609,6 +1622,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q109_rolling_user_value": _TS_oracle("rolling_value_oracle_sql"),
     "q111_incremental_profile": P.incremental_profile_oracle_sql(),
     "q112_term_pmi": X.term_pmi_oracle_sql(),
+    "q113_salted_segment_sales": _SKEW_oracle(),
     "q90_lineitem_correlations": P.correlations_oracle_sql(),
     "q92_quality_weighted_sample": SMP.quality_weighted_oracle_sql(),
     "q91_custkey_skew": P.key_skew_oracle_sql(),
