@@ -302,6 +302,40 @@ class DocumentStore:
             elif op == "$unwind":
                 field = spec[1:] if isinstance(spec, str) else spec["path"][1:]
                 df = df.withColumn(field, F.explode(F.col(field)))
+            elif op == "$lookup":
+                # {"from": coll, "localField": f, "foreignField": g,
+                #  "as": name} — Mongo's left outer equi-join: matches
+                # collect into an array column (possibly empty). BEYOND
+                # the reference surface (its translator never emits
+                # $lookup) but the natural completion of the pipeline
+                # plane; Spark shape = left join + collect_list of the
+                # foreign side's struct, grouped back on the local row.
+                # Scale: an equi-join shuffle on the lookup key plus a
+                # regroup on the (unique) local id — broadcast when the
+                # foreign side is dim-sized.
+                fdf = self.collection(spec["from"])
+                local, foreign = spec["localField"], spec["foreignField"]
+                out_name = spec["as"]
+                fstruct = F.struct(
+                    *[F.col(c) for c in fdf.columns]
+                ).alias("__frow")
+                fslim = fdf.select(
+                    F.col(foreign).alias("__fkey"), fstruct
+                )
+                row_id = "__rowid"
+                df = df.withColumn(row_id, F.monotonically_increasing_id())
+                joined = df.join(
+                    fslim, df[local] == fslim["__fkey"], "left"
+                )
+                base_cols = [c for c in df.columns if c != row_id]
+                df = (
+                    joined.groupBy(row_id)
+                    .agg(
+                        *[F.first(c).alias(c) for c in base_cols],
+                        F.collect_list("__frow").alias(out_name),
+                    )
+                    .drop(row_id)
+                )
             else:
                 raise DocumentQueryError(f"Unsupported pipeline stage: {op}")
         if not has_limit:

@@ -312,6 +312,30 @@ def _q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q109_rolling_user_value(spark, sf_dir)
 
 
+def _q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$lookup pipeline over relational-shaped collections: orders
+    looks up its customer, unwinds, and groups per segment — the
+    document plane's join surface (beyond the reference's translator,
+    which never emits $lookup), oracle'd by the plain SQL join."""
+    from .operators.documents import DocumentStore
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    store.register("customer", load_table(spark, sf_dir, "customer"))
+    return store.aggregate(
+        "orders",
+        [
+            {"$lookup": {"from": "customer", "localField": "o_custkey",
+                         "foreignField": "c_custkey", "as": "cust"}},
+            {"$unwind": "$cust"},
+            {"$group": {"_id": "$cust.c_mktsegment",
+                        "n_orders": {"$sum": 1}}},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+
+
 def _q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import q113_salted_segment_sales
 
@@ -542,6 +566,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q111_incremental_profile": P.q111_incremental_profile,
     "q112_term_pmi": X.q112_term_pmi,
     "q113_salted_segment_sales": _q113,
+    "q114_doc_lookup_rollup": _q114,
     # upgraded rows-only -> oracle-backed in late r4 (exact DuckDB twin
     # of the ordered-fold argmax), so it leaves the rows-only tail
     "q32_lang_id_dist": X.q32_lang_id_dist,
@@ -1623,6 +1648,11 @@ ORACLE_SQL: dict[str, str | None] = {
     "q111_incremental_profile": P.incremental_profile_oracle_sql(),
     "q112_term_pmi": X.term_pmi_oracle_sql(),
     "q113_salted_segment_sales": _SKEW_oracle(),
+    "q114_doc_lookup_rollup": """
+        SELECT c_mktsegment AS _id, count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY _id ORDER BY _id
+    """,
     "q90_lineitem_correlations": P.correlations_oracle_sql(),
     "q92_quality_weighted_sample": SMP.quality_weighted_oracle_sql(),
     "q91_custkey_skew": P.key_skew_oracle_sql(),

@@ -358,3 +358,49 @@ def test_nl2doc_measure_group_not_swapped(store):
     group = [st for st in q["pipeline"] if "$group" in st][0]["$group"]
     assert group["_id"] == "$event_type"
     assert group["sum_value"] == {"$sum": "$value"}
+
+
+def test_lookup_left_outer_semantics(spark):
+    """$lookup: Mongo's left-outer equi-join into an array column —
+    matches collect, non-matches keep an empty array, and $unwind after
+    $lookup flattens to the inner-join rows."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import DocumentStore
+
+    store = DocumentStore(spark)
+    store.register(
+        "users",
+        spark.createDataFrame(
+            [(1, "ann"), (2, "bo"), (3, "cy")], "uid long, name string"
+        ),
+    )
+    store.register(
+        "posts",
+        spark.createDataFrame(
+            [(10, 1, "hi"), (11, 1, "yo"), (12, 2, "ok")],
+            "pid long, author long, title string",
+        ),
+    )
+    out = store.aggregate(
+        "users",
+        [
+            {"$lookup": {"from": "posts", "localField": "uid",
+                         "foreignField": "author", "as": "posts"}},
+            {"$sort": {"uid": 1}},
+        ],
+    ).collect()
+    by_uid = {r["uid"]: r for r in out}
+    assert len(by_uid[1]["posts"]) == 2
+    assert len(by_uid[2]["posts"]) == 1
+    assert by_uid[3]["posts"] == []  # left outer: empty array, not null
+
+    unwound = store.aggregate(
+        "users",
+        [
+            {"$lookup": {"from": "posts", "localField": "uid",
+                         "foreignField": "author", "as": "posts"}},
+            {"$unwind": "$posts"},
+            {"$sort": {"uid": 1}},
+        ],
+    ).collect()
+    assert len(unwound) == 3  # user 3 drops out, user 1 doubles
+    assert {r["posts"]["pid"] for r in unwound} == {10, 11, 12}
