@@ -123,6 +123,8 @@ HEADLINE = [
     "q108_mutual_knn_clusters",
     "q111_incremental_profile",
     "q112_term_pmi",
+    "q113_salted_segment_sales",
+    "q114_doc_lookup_rollup",
 ]
 
 
