@@ -159,3 +159,70 @@ def test_curated_export_stream_end_to_end(spark, sf_smoke, tmp_path):
         tuple(r) for r in exported_manifest(spark, out).collect()
     )
     assert got_manifest == want_manifest
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, sf_smoke, tmp_path):
+    """Stop/restart recovery: a second run of the export over the SAME
+    checkpoint skips everything already committed — only files dropped
+    after the stop are processed, and the cumulative manifest still
+    equals the batch-mode manifest over the union."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.operators.packing import shard_manifest
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.export import (
+        export_stream,
+        exported_manifest,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") < 25)
+    second = docs.filter(F.col("doc_id") >= 25)
+
+    drop_dir = str(tmp_path / "drop")
+    out_dir = str(tmp_path / "out")
+    first.coalesce(1).write.mode("append").parquet(drop_dir)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(docs.schema).parquet(drop_dir)
+        )
+        q = export_stream(stream, out_dir, n_shards=8)
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    run_once()
+    batches_after_first = set(os.listdir(os.path.join(out_dir, "data")))
+
+    # drop a second file and RESTART from the same checkpoint
+    second.coalesce(1).write.mode("append").parquet(drop_dir)
+    run_once()
+    batches_after_second = set(os.listdir(os.path.join(out_dir, "data")))
+
+    # the first run's batch directories are untouched; new batches hold
+    # ONLY the new file's rows
+    new_batches = batches_after_second - batches_after_first
+    assert new_batches, "restart must process the newly dropped file"
+    new_ids = set()
+    for b in new_batches:
+        new_ids |= {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(out_dir, "data", b)
+            ).collect()
+        }
+    assert new_ids == {r["doc_id"] for r in second.collect()}
+
+    # cumulative manifest == batch-mode manifest over everything
+    got = {
+        r["shard"]: (r["n_docs"], r["total_chars"])
+        for r in exported_manifest(spark, out_dir).collect()
+    }
+    want = {
+        r["shard"]: (r["n_docs"], r["total_chars"])
+        for r in shard_manifest(docs, 8).collect()
+    }
+    assert got == want
