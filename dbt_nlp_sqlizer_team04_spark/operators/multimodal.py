@@ -326,3 +326,44 @@ def media_decode_oracle_sql(n: int = 64, hdr_size: int = _HDR_SIZE) -> str:
                max(fr) AS max_frames
         FROM m GROUP BY modality ORDER BY modality
     """
+
+
+def q115_frame_sample_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling verified through the hash gate: every-2nd-frame
+    sampling over the video modality, then the decode rollup per width
+    bucket — the oracle reproduces kept = ceil(frames/2) from the
+    generator's closed form, so the Arrow ``sample_frames`` header
+    rewrite (and its composition with ``decode_media``) is externally
+    verified the same way q84 verifies the plain decode."""
+    sampled = sample_frames(synthesize_media(spark, n=64), every_n=2)
+    dec = decode_media(sampled)
+    return (
+        dec.groupBy("width")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("n_frames").alias("frames_kept"),
+            F.max("n_frames").alias("max_kept"),
+        )
+        .orderBy("width")
+    )
+
+
+def frame_sample_oracle_sql(n: int = 64, every_n: int = 2) -> str:
+    """DuckDB twin of :func:`q115_frame_sample_rollup` via the
+    fake-payload closed form."""
+    return f"""
+        WITH m AS (
+          SELECT i,
+                 16 + (i % 8) * 4 AS w,
+                 1 + (i % 10) AS fr
+          FROM range({n}) t(i)
+          WHERE CAST(i % 3 AS INT) = 2
+        )
+        SELECT w AS width,
+               count(*) AS n_videos,
+               CAST(sum(greatest(1, (fr + {every_n} - 1) // {every_n}))
+                    AS BIGINT) AS frames_kept,
+               CAST(max(greatest(1, (fr + {every_n} - 1) // {every_n}))
+                    AS INT) AS max_kept
+        FROM m GROUP BY w ORDER BY w
+    """
