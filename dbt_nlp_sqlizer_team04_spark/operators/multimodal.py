@@ -367,3 +367,46 @@ def frame_sample_oracle_sql(n: int = 64, every_n: int = 2) -> str:
                     AS INT) AS max_kept
         FROM m GROUP BY w ORDER BY w
     """
+
+
+def q116_resize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize seam verified through the hash gate: images resized to
+    64×48, then decoded — widths/heights must all be the target while
+    n_frames and BODY SIZE survive untouched (the body length still
+    follows the ORIGINAL w*h%4096 closed form, which is exactly what
+    proves the rewrite touched only the header)."""
+    dec = decode_media(
+        resize_images(synthesize_media(spark, n=64), width=64, height=48)
+    )
+    return (
+        dec.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("width", "height")
+    )
+
+
+def resize_oracle_sql(
+    n: int = 64, width: int = 64, height: int = 48, hdr_size: int = _HDR_SIZE
+) -> str:
+    """DuckDB twin of :func:`q116_resize_rollup` via the closed form."""
+    return f"""
+        WITH m AS (
+          SELECT i,
+                 16 + (i % 8) * 4 AS w0,
+                 16 + (i % 5) * 4 AS h0,
+                 1 + (i % 10) AS fr
+          FROM range({n}) t(i)
+          WHERE CAST(i % 3 AS INT) = 0
+        )
+        SELECT CAST({width} AS INT) AS width,
+               CAST({height} AS INT) AS height,
+               count(*) AS n_images,
+               CAST(sum({hdr_size} + (w0 * h0) % 4096) AS BIGINT)
+                   AS total_bytes,
+               CAST(sum(fr) AS BIGINT) AS total_frames
+        FROM m GROUP BY 1, 2 ORDER BY width, height
+    """

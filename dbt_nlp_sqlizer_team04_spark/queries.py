@@ -568,6 +568,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q113_salted_segment_sales": _q113,
     "q114_doc_lookup_rollup": _q114,
     "q115_frame_sample_rollup": MM.q115_frame_sample_rollup,
+    "q116_resize_rollup": MM.q116_resize_rollup,
     # upgraded rows-only -> oracle-backed in late r4 (exact DuckDB twin
     # of the ordered-fold argmax), so it leaves the rows-only tail
     "q32_lang_id_dist": X.q32_lang_id_dist,
@@ -1650,6 +1651,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q112_term_pmi": X.term_pmi_oracle_sql(),
     "q113_salted_segment_sales": _SKEW_oracle(),
     "q115_frame_sample_rollup": MM.frame_sample_oracle_sql(),
+    "q116_resize_rollup": MM.resize_oracle_sql(),
     "q114_doc_lookup_rollup": """
         SELECT c_mktsegment AS _id, count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
