@@ -856,3 +856,74 @@ def q98_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# -------------------------------------------------- window-function zoo
+def q117_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the window-function surface in one statement: LAG
+    with default, LEAD, FIRST_VALUE over a running frame, LAST_VALUE
+    over the full partition frame, CUME_DIST and NTILE — per-customer
+    order history, limited to the busiest customers so the output stays
+    gate-sized.
+
+    Scale: one shuffle on o_custkey serves every window (same
+    partitioning, one Sort); the busiest-customer prefilter is a
+    semi-join against a 10-row broadcast aggregate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    top_custs = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "o_custkey")
+        .limit(10)
+        .select("o_custkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.join(F.broadcast(top_custs), "o_custkey")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.round(F.lag("o_totalprice", 1, 0.0).over(w), 2).alias(
+                "prev_price"
+            ),
+            F.round(F.lead("o_totalprice", 1, 0.0).over(w), 2).alias(
+                "next_price"
+            ),
+            F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+            F.round(F.last("o_totalprice").over(w_all), 2).alias(
+                "last_price"
+            ),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_ZOO_ORACLE_SQL = """
+    WITH top_custs AS (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey ORDER BY count(*) DESC, o_custkey LIMIT 10
+    )
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS price,
+           round(coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2)
+               AS prev_price,
+           round(coalesce(lead(o_totalprice, 1) OVER w, 0.0), 2)
+               AS next_price,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                 2) AS last_price,
+           round(cume_dist() OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile
+    FROM orders SEMI JOIN top_custs USING (o_custkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+"""
