@@ -541,9 +541,15 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # streaming builder is window-covered by q38) — but the 50-slot
     # window is full of never-checked entries, so they head the tail
     # and cycle into the window next round
-    # q93-q98: the r4 TPC-H join-analog batch (Q7/Q10/Q13/Q18/Q8/Q22
-    # shapes) — oracle-backed and never driver-checked, added after the
-    # window filled, so they head the tail and enter the window in r5
+    # q93-q117: the late-r4 additions (TPC-H Q7/Q10/Q13/Q18/Q8/Q22
+    # analogs, span dedup, curriculum order, stream-static enrichment,
+    # cosine range, event transitions/anomalies/dedup/rolling windows,
+    # label profile, kNN graph + mutual-kNN clusters, incremental
+    # profile, PMI, salted join, $lookup, media seam oracles, window
+    # zoo) — all oracle-backed and never driver-checked, added after
+    # the 50-slot window filled with this round's earlier never-checked
+    # entries, so they head the tail and enter the window in r5 under
+    # rule 1
     "q93_binational_volume": R.q93_binational_volume,
     "q94_returned_items": R.q94_returned_items,
     "q95_order_count_distribution": R.q95_order_count_distribution,
