@@ -83,6 +83,32 @@ _SUPERLATIVE_RE = re.compile(
     r"\bwhich\s+([a-z_][a-z_ ]*?)\s+has\s+the\s+(most|fewest)\b"
 )
 
+# "priorities with more than 3000 orders" — aggregate-filtered groups
+# (the HAVING tier): a count threshold over an entity, grouped by the
+# leading noun phrase
+_HAVING_COUNT_RE = re.compile(
+    r"\b([a-z_][a-z_ ]*?)\s+with\s+"
+    r"(more than|at least|over|fewer than|less than|at most)\s+"
+    r"(\d+)\s+([a-z_]+)\b"
+)
+
+# "segments with average acctbal above 4500" — HAVING on an aggregate
+# of a numeric measure
+_HAVING_AGG_RE = re.compile(
+    r"\b([a-z_][a-z_ ]*?)\s+with\s+"
+    r"(average|avg|mean|total|sum|maximum|max|minimum|min)\s+"
+    r"([a-z_]+)\s+"
+    r"(above|over|more than|greater than|below|under|less than)\s+"
+    r"(\d+(?:\.\d+)?)\b"
+)
+
+_HAVING_OPS = {
+    "more than": ">", "over": ">", "above": ">", "greater than": ">",
+    "at least": ">=",
+    "fewer than": "<", "less than": "<", "below": "<", "under": "<",
+    "at most": "<=",
+}
+
 # "count/number of <entity>" — the counted ENTITY names the fact table;
 # the fuzzy pruner can rank a dimension first when its columns match
 # other question words ("number of orders per customer name")
@@ -634,6 +660,105 @@ class NL2SQLEngine:
                     f"LIMIT 1"
                 )
                 out.append(Candidate(sql, "template_superlative", 0.8))
+
+        # --- HAVING tier 1: "<groups> with more than N <entity>s" ----
+        hm = _HAVING_COUNT_RE.search(question.lower())
+        if hm:
+            g_phrase, op_word, n_str, ent_w = hm.groups()
+            op = _HAVING_OPS[op_word]
+            ent_t = next(
+                (
+                    c_t
+                    for c_t in self.metadata.tables
+                    if c_t.rstrip("s") == ent_w.rstrip("s")
+                    or partial_ratio(c_t, ent_w) >= 90.0
+                ),
+                None,
+            )
+            if ent_t is not None:
+                # same-table grouping first ("priorities with … orders"
+                # groups orders itself)...
+                gsc = self._group_column_scored(ent_t, g_phrase)
+                best_dim = None  # (score, dim_t, dim_col, join path)
+                # ...but a DIMENSION whose group column matches the
+                # phrase better wins ("nations with … customers" must
+                # group by nation.n_name through the FK, not by a
+                # customer column)
+                for cand_t in self.metadata.tables:
+                    if cand_t == ent_t:
+                        continue
+                    dsc = self._group_column_scored(
+                        cand_t, g_phrase, numeric=False
+                    )
+                    if dsc is None:
+                        continue
+                    if partial_ratio(cand_t, g_phrase) < 70.0:
+                        continue  # the phrase must name the dimension
+                    path = self._fk_path(ent_t, cand_t, max_hops=2)
+                    if path is None:
+                        continue
+                    if best_dim is None or dsc[1] > best_dim[0]:
+                        best_dim = (dsc[1], cand_t, dsc[0], path)
+                if best_dim is not None:
+                    _s, dim_t, dim_c, path = best_dim
+                    joins = " ".join(
+                        f"JOIN {tb} ON {ta}.{ca} = {tb}.{cb}"
+                        for ta, ca, tb, cb in path
+                    )
+                    sql = (
+                        f"SELECT {dim_c}, COUNT(*) AS n_{ent_t} "
+                        f"FROM {ent_t} {joins} "
+                        f"GROUP BY {dim_c} "
+                        f"HAVING COUNT(*) {op} {int(n_str)} "
+                        f"ORDER BY {dim_c}"
+                    )
+                    out.append(Candidate(sql, "template_having_count", 0.8))
+                elif gsc is not None:
+                    sql = (
+                        f"SELECT {gsc[0]}, COUNT(*) AS n_{ent_t} "
+                        f"FROM {ent_t} GROUP BY {gsc[0]} "
+                        f"HAVING COUNT(*) {op} {int(n_str)} "
+                        f"ORDER BY {gsc[0]}"
+                    )
+                    out.append(Candidate(sql, "template_having_count", 0.8))
+
+        # --- HAVING tier 2: "<groups> with avg <measure> above N" ----
+        am = _HAVING_AGG_RE.search(question.lower())
+        if am:
+            g_phrase, f_word, m_word, op_word, n_str = am.groups()
+            func3 = _FUNC_WORDS[f_word]
+            op = _HAVING_OPS[op_word]
+            best_fit = None  # (score, table, g, m)
+            for cand_t in self.metadata.tables:
+                m3 = self._best_numeric_column(cand_t, m_word)
+                if m3 is None:
+                    continue
+                msc = partial_ratio(m3, m_word)
+                if msc < 70.0:
+                    continue  # the measure must really match a column
+                gsc3 = self._group_column_scored(
+                    cand_t, g_phrase, exclude=m3
+                )
+                if gsc3 is None:
+                    continue
+                fit = gsc3[1] + msc
+                if best_fit is None or fit > best_fit[0]:
+                    best_fit = (fit, cand_t, gsc3[0], m3)
+            if best_fit is not None:
+                _f, t3, g3, m3 = best_fit
+                if func3 == "AVG":
+                    expr3, alias3 = f"ROUND(AVG({m3}), 4)", f"avg_{m3}"
+                elif func3 == "SUM":
+                    expr3, alias3 = f"ROUND(SUM({m3}), 2)", f"sum_{m3}"
+                else:
+                    expr3, alias3 = f"{func3}({m3})", f"{func3.lower()}_{m3}"
+                sql = (
+                    f"SELECT {g3}, {expr3} AS {alias3} FROM {t3} "
+                    f"GROUP BY {g3} "
+                    f"HAVING {func3}({m3}) {op} {n_str} "
+                    f"ORDER BY {g3}"
+                )
+                out.append(Candidate(sql, "template_having_agg", 0.8))
 
         # --- COUNT(DISTINCT c) — "count of distinct X" asks for the
         # cardinality, not the value list

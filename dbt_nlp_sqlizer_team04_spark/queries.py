@@ -592,6 +592,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # the driver still checks schema + SQL shape; the template's
     # semantics are pytest-pinned
     "nl27_customers_without_orders": _nl2sql("customers without orders"),
+    # HAVING tier (late r4): aggregate-filtered groups — count threshold
+    # through an FK join, and an aggregate threshold on a measure
+    "nl29_nations_with_min_customers": _nl2sql(
+        "nations with at least 50 customers"
+    ),
+    "nl30_rich_segments": _nl2sql(
+        "segments with average acctbal above 4500"
+    ),
     "q19_events_hourly": R.q19_events_hourly,
     "q92_quality_weighted_sample": SMP.q92_quality_weighted_sample,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
@@ -988,6 +996,22 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM orders
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
+        LIMIT 100
+    """,
+    "nl29_nations_with_min_customers": """
+        SELECT n_name, COUNT(*) AS n_customer
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING COUNT(*) >= 50
+        ORDER BY n_name
+        LIMIT 100
+    """,
+    "nl30_rich_segments": """
+        SELECT c_mktsegment, round(AVG(c_acctbal), 4) AS avg_c_acctbal
+        FROM customer
+        GROUP BY c_mktsegment
+        HAVING AVG(c_acctbal) > 4500
+        ORDER BY c_mktsegment
         LIMIT 100
     """,
     "nl27_customers_without_orders": """

@@ -408,3 +408,25 @@ def test_anti_join_template(spark, sf_smoke):
     s = " ".join(sql.split())
     assert "NOT EXISTS" in s
     assert "orders.o_custkey = customer.c_custkey" in s
+
+
+def test_having_templates(spark, sf_smoke):
+    """HAVING tier: count thresholds (same-table and through an FK
+    join) and aggregate thresholds compile to GROUP BY + HAVING."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("orderpriorities with more than 10 orders")
+    assert "GROUP BY o_orderpriority" in sql
+    assert "HAVING COUNT(*) > 10" in sql
+
+    _df, sql = eng.query_df("nations with at least 2 customers")
+    assert "JOIN nation" in sql and "HAVING COUNT(*) >= 2" in sql
+    assert "GROUP BY n_name" in sql
+
+    _df, sql = eng.query_df("segments with average acctbal above 4500")
+    assert "HAVING AVG(c_acctbal) > 4500" in sql
+    assert "GROUP BY c_mktsegment" in sql
+
+    _df, sql = eng.query_df("segments with at most 300 customers")
+    assert "HAVING COUNT(*) <= 300" in sql
