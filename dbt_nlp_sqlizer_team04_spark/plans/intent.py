@@ -66,7 +66,8 @@ AGG_KEYWORDS: dict[str, tuple[str, ...]] = {
 }
 
 GROUP_KEYWORDS = (
-    "grouped by", "group by", "per ", "for each", "by company", "by category",
+    "grouped by", "group by", "per ", "for each", "each ", "every ",
+    "by company", "by category",
     "by month", "by year", "by department", "by type", "by status",
 )
 WINDOW_KEYWORDS = (

@@ -37,11 +37,12 @@ from .safety import extract_sql_from_response
 _NUMERIC_SUBSTR = ("int", "numeric", "decimal", "float", "double", "real", "long")
 
 _GRAIN_RE = re.compile(
-    r"\b(?:per|by|each|every)\s+(month|year|day)\b"
-    r"|\b(monthly|yearly|annually|daily)\b"
+    r"\b(?:per|by|each|every)\s+(month|year|day|week)\b"
+    r"|\b(monthly|yearly|annually|daily|weekly)\b"
 )
 _GRAIN_WORDS = {
-    "monthly": "month", "yearly": "year", "annually": "year", "daily": "day"
+    "monthly": "month", "yearly": "year", "annually": "year",
+    "daily": "day", "weekly": "week",
 }
 
 
@@ -66,7 +67,9 @@ _BETWEEN_RE = re.compile(
 
 # "per orderstatus and orderpriority" — a compound group phrase; split
 # on ' and ' and resolve each part independently
-_PER_PHRASE_RE = re.compile(r"\bper\s+([a-z_][a-z_ ]*)")
+_PER_PHRASE_RE = re.compile(
+    r"\b(?:per|for each|each|every)\s+([a-z_][a-z_ ]*)"
+)
 
 # "top 3 mktsegments by average acctbal" — ranked grouped aggregate with
 # an explicit result bound; the group and measure phrases resolve over
@@ -159,7 +162,7 @@ _YEAR_LIT_RE = re.compile(r"(?:19|20)\d{2}")
 
 # "orders from 1995" / "shipped in 1997" — a bare 4-digit year after a
 # temporal preposition filters the best date column by calendar year
-_YEAR_RE = re.compile(r"\b(?:in|from|during|for)\s+((?:19|20)\d{2})\b")
+_YEAR_RE = re.compile(r"\b(?:in|from|during|for|of)\s+((?:19|20)\d{2})\b")
 
 # "name containing 19" / "comment starting with foo" — substring filters
 # on a fuzzy-resolved STRING column; ILIKE (both engines support it) so
@@ -722,6 +725,30 @@ class NL2SQLEngine:
                     )
                     out.append(Candidate(sql, "template_having_count", 0.8))
 
+        # --- bare entity + calendar grain ("orders per week"): no agg
+        # keyword, but the grain implies a count rollup — without this
+        # the listing fallback emits ungrouped SQL that S4 rightly
+        # rejects (question asks grouping, SQL has none)
+        grain0 = _temporal_grain(question)
+        if grain0 is not None and analysis.agg_func is None:
+            dcol0 = self._date_column(t, question)
+            if dcol0 is not None:
+                if grain0 == "week":
+                    key_expr0 = (
+                        f"date_format(date_trunc('week', {dcol0}), "
+                        f"'yyyy-MM-dd')"
+                    )
+                else:
+                    fmt0 = {"month": "yyyy-MM", "year": "yyyy",
+                            "day": "yyyy-MM-dd"}[grain0]
+                    key_expr0 = f"date_format({dcol0}, '{fmt0}')"
+                sql = (
+                    f"SELECT {key_expr0} AS {grain0}_key, "
+                    f"COUNT(*) AS cnt FROM {t} "
+                    f"GROUP BY {grain0}_key ORDER BY {grain0}_key"
+                )
+                out.append(Candidate(sql, "template_time_count", 0.75))
+
         # --- HAVING tier 2: "<groups> with avg <measure> above N" ----
         am = _HAVING_AGG_RE.search(question.lower())
         if am:
@@ -827,11 +854,18 @@ class NL2SQLEngine:
             if grain is not None:
                 dcol = self._date_column(t, question)
                 if dcol is not None:
-                    fmt = {"month": "yyyy-MM", "year": "yyyy",
-                           "day": "yyyy-MM-dd"}[grain]
                     key = f"{grain}_key"
+                    if grain == "week":
+                        key_expr = (
+                            f"date_format(date_trunc('week', {dcol}), "
+                            f"'yyyy-MM-dd')"
+                        )
+                    else:
+                        fmt = {"month": "yyyy-MM", "year": "yyyy",
+                               "day": "yyyy-MM-dd"}[grain]
+                        key_expr = f"date_format({dcol}, '{fmt}')"
                     sql = (
-                        f"SELECT date_format({dcol}, '{fmt}') AS {key}, "
+                        f"SELECT {key_expr} AS {key}, "
                         f"{expr} AS {alias} FROM {t}{where} "
                         f"GROUP BY {key} ORDER BY {key}"
                     )
@@ -947,14 +981,54 @@ class NL2SQLEngine:
                 ]
                 funcs = [fn for _pos, fn in sorted(hits)]
                 if len(funcs) >= 2:
+                    # re-anchor check: the pruner ranks tables by WHOLE-
+                    # question affinity, which can pick a table whose
+                    # columns match other words; the (group, measure)
+                    # pair must fit TOGETHER ("min and max acctbal per
+                    # mktsegment" belongs to customer even when the
+                    # pruner ranked events first)
+                    t_m, g_m = t, g
+                    pm3 = _PER_PHRASE_RE.search(question.lower())
+                    if pm3:
+                        best4 = None
+                        for cand_t in self.metadata.tables:
+                            m4 = self._best_numeric_column(cand_t, question)
+                            if m4 is None:
+                                continue
+                            gsc4 = self._group_column_scored(
+                                cand_t, pm3.group(1), exclude=m4
+                            )
+                            if gsc4 is None:
+                                continue
+                            fit = gsc4[1] + partial_ratio(m4, question)
+                            if best4 is None or fit > best4[0]:
+                                best4 = (fit, cand_t, gsc4[0], m4)
+                        if best4 is not None and best4[1] != t:
+                            local_m = self._best_column(
+                                t, question, numeric=True,
+                                preferred=relevant.get(t),
+                            )
+                            lg = self._group_column_scored(
+                                t, pm3.group(1), exclude=local_m
+                            )
+                            local_fit = (lg[1] if lg else 0.0) + (
+                                partial_ratio(local_m, question)
+                                if local_m
+                                else 0.0
+                            )
+                            # decisive-margin rule, as the FK-join
+                            # template: a near-tie stays local
+                            if best4[0] > local_fit + 20.0:
+                                t_m, g_m = best4[1], best4[2]
                     mcol = self._best_column(
-                        t, question, numeric=True, preferred=relevant.get(t)
+                        t_m, question, numeric=True,
+                        preferred=relevant.get(t_m),
                     )
                     sel: list[str] = []
                     for fn2 in funcs:
                         if fn2 == "COUNT":
                             sel.append("COUNT(*) AS cnt")
-                        elif mcol is not None and mcol != g:
+                        elif mcol is not None and mcol != g_m:
                             if fn2 == "AVG":
                                 sel.append(f"ROUND(AVG({mcol}), 4) AS avg_{mcol}")
                             elif fn2 == "SUM":
@@ -964,9 +1038,29 @@ class NL2SQLEngine:
                                     f"{fn2}({mcol}) AS {fn2.lower()}_{mcol}"
                                 )
                     if len(sel) >= 2:
+                        where_m = where
+                        if t_m != t:
+                            conds_m = (
+                                [
+                                    f"{c} = '{v.replace(chr(39), chr(39) * 2)}'"
+                                    for c, v in self._extract_filters(
+                                        t_m, question,
+                                        exclude={mcol} if mcol else None,
+                                    )
+                                ]
+                                + self._extract_numeric_filters(t_m, question)
+                                + self._extract_year_filters(t_m, question)
+                                + self._extract_like_filters(t_m, question)
+                            )
+                            where_m = (
+                                " WHERE " + " AND ".join(conds_m)
+                                if conds_m
+                                else ""
+                            )
                         sql = (
-                            f"SELECT {g}, {', '.join(sel)} FROM {t}{where} "
-                            f"GROUP BY {g} ORDER BY {g}"
+                            f"SELECT {g_m}, {', '.join(sel)} "
+                            f"FROM {t_m}{where_m} "
+                            f"GROUP BY {g_m} ORDER BY {g_m}"
                         )
                         if limit_n:
                             sql += f" LIMIT {limit_n}"

@@ -600,6 +600,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl30_rich_segments": _nl2sql(
         "segments with average acctbal above 4500"
     ),
+    # bare entity + grain (count implied) and multi-agg re-anchoring —
+    # late-r4 template fixes, each pinned by a driver entry
+    "nl31_events_per_day": _nl2sql("events per day"),
+    "nl32_minmax_balance_per_segment": _nl2sql(
+        "minimum and maximum acctbal per mktsegment"
+    ),
     "q19_events_hourly": R.q19_events_hourly,
     "q92_quality_weighted_sample": SMP.q92_quality_weighted_sample,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
@@ -1005,6 +1011,16 @@ ORACLE_SQL: dict[str, str | None] = {
         HAVING COUNT(*) >= 50
         ORDER BY n_name
         LIMIT 100
+    """,
+    "nl31_events_per_day": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day_key, COUNT(*) AS cnt
+        FROM events GROUP BY day_key ORDER BY day_key LIMIT 100
+    """,
+    "nl32_minmax_balance_per_segment": """
+        SELECT c_mktsegment, MIN(c_acctbal) AS min_c_acctbal,
+               MAX(c_acctbal) AS max_c_acctbal
+        FROM customer GROUP BY c_mktsegment
+        ORDER BY c_mktsegment LIMIT 100
     """,
     "nl30_rich_segments": """
         SELECT c_mktsegment, round(AVG(c_acctbal), 4) AS avg_c_acctbal

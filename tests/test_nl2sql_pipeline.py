@@ -430,3 +430,41 @@ def test_having_templates(spark, sf_smoke):
 
     _df, sql = eng.query_df("segments with at most 300 customers")
     assert "HAVING COUNT(*) <= 300" in sql
+
+
+def test_multi_agg_reanchors_on_group_measure_fit(spark, sf_smoke):
+    """'min and max acctbal per mktsegment' must land on customer even
+    when the whole-question pruner ranks another table first."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("minimum and maximum acctbal per mktsegment")
+    assert "FROM customer" in sql
+    assert "MIN(c_acctbal)" in sql and "MAX(c_acctbal)" in sql
+    assert "GROUP BY c_mktsegment" in sql
+
+
+def test_bare_entity_grain_counts(spark, sf_smoke):
+    """A bare entity + calendar grain implies a count rollup; weekly
+    keys truncate to ISO week starts."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("orders per week")
+    assert "date_trunc('week', o_orderdate)" in sql
+    assert "COUNT(*)" in sql and "GROUP BY week_key" in sql
+
+    _df, sql = eng.query_df("events per day")
+    assert "GROUP BY day_key" in sql
+
+
+def test_mid_phrase_year_filter(spark, sf_smoke):
+    """'of 1996 orders' carries the same calendar filter as 'from
+    1996'."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df(
+        "average totalprice of 1996 orders per orderpriority"
+    )
+    assert "year(o_orderdate) = 1996" in sql
