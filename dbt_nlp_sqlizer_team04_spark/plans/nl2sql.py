@@ -86,6 +86,30 @@ _SUPERLATIVE_RE = re.compile(
     r"\bwhich\s+([a-z_][a-z_ ]*?)\s+has\s+the\s+(most|fewest)\b"
 )
 
+# "which nation has the highest average acctbal" — superlative over an
+# AGGREGATED measure, possibly living one FK hop away from the entity
+_SUPERLATIVE_AGG_RE = re.compile(
+    r"\bwhich\s+([a-z_]+)\s+has\s+the\s+"
+    r"(highest|lowest|largest|smallest)\s+"
+    r"(?:(average|avg|mean|total|sum)\s+)?([a-z_]+)\b"
+)
+
+# "lowest 5 orders by totalprice" — bottom-N entity listing (the intent
+# layer reads 'lowest' as MIN and never sets SORTED)
+_BOTTOM_N_RE = re.compile(
+    r"\b(lowest|cheapest|smallest|bottom)\s+(\d+)\s+"
+    r"([a-z_]+?)s?\s+by\s+([a-z_]+)\b"
+)
+
+# "orders placed before 1997" — a comparison year filter
+_YEAR_CMP_RE = re.compile(
+    r"\b(before|after|since|until|through)\s+((?:19|20)\d{2})\b"
+)
+_YEAR_CMP_OPS = {
+    "before": "<", "after": ">", "since": ">=",
+    "until": "<=", "through": "<=",
+}
+
 # "priorities with more than 3000 orders" — aggregate-filtered groups
 # (the HAVING tier): a count threshold over an entity, grouped by the
 # leading noun phrase
@@ -492,6 +516,9 @@ class NL2SQLEngine:
         for a, b in _YEAR_RANGE_RE.findall(ql):
             out.append(f"year({dcol}) BETWEEN {a} AND {b}")
         ql = _YEAR_RANGE_RE.sub(" ", ql)
+        for word, y in _YEAR_CMP_RE.findall(ql):
+            out.append(f"year({dcol}) {_YEAR_CMP_OPS[word]} {y}")
+        ql = _YEAR_CMP_RE.sub(" ", ql)
         for y in _YEAR_RE.findall(ql):
             out.append(f"year({dcol}) = {y}")
         return out
@@ -569,6 +596,44 @@ class NL2SQLEngine:
 
         # --- share-of-total: "percentage of X per g" ----------------
         if _PERCENT_RE.search(question.lower()):
+            # the group phrase can name a DIMENSION one FK hop away
+            # ("share of customers per nation name" groups by
+            # nation.n_name, not a customer column)
+            pmp = _PER_PHRASE_RE.search(question.lower())
+            if pmp:
+                g_ph = pmp.group(1)
+                best_pd = None
+                for cand_t in self.metadata.tables:
+                    if cand_t == t:
+                        continue
+                    if partial_ratio(cand_t, g_ph) < 70.0:
+                        continue
+                    dsc = self._group_column_scored(
+                        cand_t, g_ph, numeric=False
+                    )
+                    if dsc is None:
+                        continue
+                    path = self._fk_path(t, cand_t, max_hops=2)
+                    if path is None:
+                        continue
+                    if best_pd is None or dsc[1] > best_pd[0]:
+                        best_pd = (dsc[1], cand_t, dsc[0], path)
+                if best_pd is not None:
+                    _s, dim_t, dim_c, path = best_pd
+                    joins = " ".join(
+                        f"JOIN {tb} ON {ta}.{ca} = {tb}.{cb}"
+                        for ta, ca, tb, cb in path
+                    )
+                    sql = (
+                        f"SELECT {dim_c}, COUNT(*) AS cnt, "
+                        f"CAST(ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) "
+                        f"OVER (), 4) AS DOUBLE) AS pct "
+                        f"FROM {t} {joins} GROUP BY {dim_c} "
+                        f"ORDER BY {dim_c}"
+                    )
+                    out.append(
+                        Candidate(sql, "template_pct_of_total", 0.8)
+                    )
             g0 = self._group_column(t, question, preferred=relevant.get(t))
             if g0 is not None:
                 # CAST to DOUBLE: ANSI decimal literal arithmetic would
@@ -663,6 +728,118 @@ class NL2SQLEngine:
                     f"LIMIT 1"
                 )
                 out.append(Candidate(sql, "template_superlative", 0.8))
+
+        # --- "lowest 5 orders by totalprice" bottom-N listing --------
+        bm = _BOTTOM_N_RE.search(question.lower())
+        if bm:
+            _word, n_b, ent_w, m_word = bm.groups()
+            ent_t = next(
+                (
+                    c_t
+                    for c_t in self.metadata.tables
+                    if c_t.rstrip("s") == ent_w.rstrip("s")
+                    or partial_ratio(c_t, ent_w) >= 90.0
+                ),
+                None,
+            )
+            if ent_t is not None:
+                mb = self._best_numeric_column(ent_t, m_word)
+                if mb is not None:
+                    cols_b = [c.name for c in self._cols(ent_t)][:5]
+                    sql = (
+                        f"SELECT {', '.join(cols_b)} FROM {ent_t} "
+                        f"ORDER BY {mb}, {cols_b[0]} LIMIT {int(n_b)}"
+                    )
+                    out.append(Candidate(sql, "template_bottom_n", 0.8))
+
+        # --- "which nation has the highest average acctbal": the
+        # superlative measure may live one FK hop from the entity -----
+        sam = _SUPERLATIVE_AGG_RE.search(question.lower())
+        if sam:
+            ent_w, dir_word, f_word, m_word = sam.groups()
+            direction = "DESC" if dir_word in ("highest", "largest") else "ASC"
+            func4 = (
+                _FUNC_WORDS[f_word]
+                if f_word
+                else ("MAX" if direction == "DESC" else "MIN")
+            )
+            ent_t = next(
+                (
+                    c_t
+                    for c_t in self.metadata.tables
+                    if c_t.rstrip("s") == ent_w.rstrip("s")
+                    or partial_ratio(c_t, ent_w) >= 90.0
+                ),
+                None,
+            )
+            if ent_t is None:
+                # the entity names a COLUMN, not a table ("which
+                # orderpriority has the highest average totalprice"):
+                # pick the table where BOTH the group word and the
+                # measure word resolve
+                best_c = None
+                for cand_t in self.metadata.tables:
+                    gc6 = self._group_column_scored(
+                        cand_t, ent_w, numeric=False
+                    )
+                    mc6 = self._best_numeric_column(cand_t, m_word)
+                    if gc6 is None or mc6 is None:
+                        continue
+                    if partial_ratio(gc6[0], ent_w) < 70.0:
+                        continue
+                    fit6 = gc6[1] + partial_ratio(mc6, m_word)
+                    if best_c is None or fit6 > best_c[0]:
+                        best_c = (fit6, cand_t)
+                if best_c is not None:
+                    ent_t = best_c[1]
+            if ent_t is not None:
+                gsc5 = self._group_column_scored(
+                    ent_t, ent_w, numeric=False
+                )
+                m5 = self._best_numeric_column(ent_t, m_word)
+                m_t = ent_t
+                path5: list | None = []
+                if m5 is None:
+                    # the measure lives elsewhere — find the table whose
+                    # numeric column matches, reachable over the FK graph
+                    best_m = None
+                    for cand_t in self.metadata.tables:
+                        if cand_t == ent_t:
+                            continue
+                        mc = self._best_numeric_column(cand_t, m_word)
+                        if mc is None:
+                            continue
+                        p5 = self._fk_path(cand_t, ent_t, max_hops=2)
+                        if p5 is None:
+                            continue
+                        msc5 = partial_ratio(mc, m_word)
+                        if best_m is None or msc5 > best_m[0]:
+                            best_m = (msc5, cand_t, mc, p5)
+                    if best_m is not None:
+                        _s5, m_t, m5, path5 = best_m
+                if gsc5 is not None and m5 is not None:
+                    if func4 == "AVG":
+                        expr5 = f"ROUND(AVG({m5}), 4)"
+                        alias5 = f"avg_{m5}"
+                    elif func4 == "SUM":
+                        expr5 = f"ROUND(SUM({m5}), 2)"
+                        alias5 = f"sum_{m5}"
+                    else:
+                        expr5 = f"{func4}({m5})"
+                        alias5 = f"{func4.lower()}_{m5}"
+                    joins5 = " ".join(
+                        f"JOIN {tb} ON {ta}.{ca} = {tb}.{cb}"
+                        for ta, ca, tb, cb in (path5 or [])
+                    )
+                    frm = f"{m_t} {joins5}".strip()
+                    sql = (
+                        f"SELECT {gsc5[0]}, {expr5} AS {alias5} "
+                        f"FROM {frm} GROUP BY {gsc5[0]} "
+                        f"ORDER BY {alias5} {direction}, {gsc5[0]} LIMIT 1"
+                    )
+                    out.append(
+                        Candidate(sql, "template_superlative_agg", 0.8)
+                    )
 
         # --- HAVING tier 1: "<groups> with more than N <entity>s" ----
         hm = _HAVING_COUNT_RE.search(question.lower())

@@ -606,6 +606,16 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl32_minmax_balance_per_segment": _nl2sql(
         "minimum and maximum acctbal per mktsegment"
     ),
+    # late-r4 template batch 2: FK-dimension share-of-total, comparison
+    # year filters, bottom-N listings, FK superlative aggregates
+    "nl33_customer_share_per_nation": _nl2sql(
+        "share of customers per nation name"
+    ),
+    "nl34_orders_before_1997": _nl2sql("orders placed before 1997"),
+    "nl35_cheapest_orders": _nl2sql("lowest 5 orders by totalprice"),
+    "nl36_richest_nation": _nl2sql(
+        "which nation has the highest average acctbal"
+    ),
     "q19_events_hourly": R.q19_events_hourly,
     "q92_quality_weighted_sample": SMP.q92_quality_weighted_sample,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
@@ -1011,6 +1021,29 @@ ORACLE_SQL: dict[str, str | None] = {
         HAVING COUNT(*) >= 50
         ORDER BY n_name
         LIMIT 100
+    """,
+    "nl33_customer_share_per_nation": """
+        SELECT n_name, COUNT(*) AS cnt,
+               round(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS pct
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name LIMIT 100
+    """,
+    "nl34_orders_before_1997": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM orders WHERE year(o_orderdate) < 1997
+        ORDER BY o_orderkey LIMIT 100
+    """,
+    "nl35_cheapest_orders": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM orders ORDER BY o_totalprice, o_orderkey LIMIT 5
+    """,
+    "nl36_richest_nation": """
+        SELECT n_name, round(AVG(c_acctbal), 4) AS avg_c_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY avg_c_acctbal DESC, n_name LIMIT 1
     """,
     "nl31_events_per_day": """
         SELECT strftime(ts, '%Y-%m-%d') AS day_key, COUNT(*) AS cnt

@@ -468,3 +468,31 @@ def test_mid_phrase_year_filter(spark, sf_smoke):
         "average totalprice of 1996 orders per orderpriority"
     )
     assert "year(o_orderdate) = 1996" in sql
+
+
+def test_batch2_templates(spark, sf_smoke):
+    """Late-r4 batch 2: FK-dimension pct, year comparisons, bottom-N,
+    and FK superlative aggregates (incl. the column-entity fallback)."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("share of customers per nation name")
+    assert "JOIN nation" in sql and "GROUP BY n_name" in sql
+
+    _df, sql = eng.query_df("orders placed before 1997")
+    assert "year(o_orderdate) < 1997" in sql
+
+    _df, sql = eng.query_df("orders placed after 1999")
+    assert "year(o_orderdate) > 1999" in sql
+
+    _df, sql = eng.query_df("lowest 5 orders by totalprice")
+    assert "ORDER BY o_totalprice, o_orderkey LIMIT 5" in sql
+
+    _df, sql = eng.query_df("which nation has the highest average acctbal")
+    assert "JOIN nation" in sql and "ORDER BY avg_c_acctbal DESC" in sql
+    assert "LIMIT 1" in sql
+
+    _df, sql = eng.query_df(
+        "which orderpriority has the highest average totalprice"
+    )
+    assert "GROUP BY o_orderpriority" in sql and "LIMIT 1" in sql
