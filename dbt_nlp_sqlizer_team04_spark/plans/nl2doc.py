@@ -143,6 +143,16 @@ class NL2DocEngine:
                 return any(s in t for s in _NUMERIC_TYPE_SUBSTR)
         return False
 
+    def _date_field(self, coll: str) -> str | None:
+        """First timestamp/date column straight off the registered
+        DataFrame's schema — no trained metadata needed (the store
+        holds the real frames, unlike the reference's bare pymongo
+        listing)."""
+        for f, t in self.store.collection(coll).dtypes:
+            if t in ("timestamp", "date", "timestamp_ntz"):
+                return f
+        return None
+
     def _extract_filters(self, coll: str, question: str) -> dict:
         """Filter compilation for the document dialect — the NL2SQL
         tier's evidence rules re-expressed as query-dict operators:
@@ -182,6 +192,20 @@ class NL2DocEngine:
                 continue
             n = num.replace(",", "")
             match[f] = {mongo_ops[_CMP_OPS[cmp_word]]: float(n) if "." in n else int(n)}
+        # "events before 2024-01-10" — ISO-date comparisons target the
+        # collection's date field (Spark coerces the string literal)
+        import re as _re2
+
+        for word, iso in _re2.findall(
+            r"\b(before|after|since|until)\s+(\d{4}-\d{2}-\d{2})\b",
+            question.lower(),
+        ):
+            dfld = self._date_field(coll)
+            if dfld is None:
+                continue
+            op = {"before": "$lt", "after": "$gt",
+                  "since": "$gte", "until": "$lte"}[word]
+            match[dfld] = {op: iso}
         return match
 
     # ------------------------------------------------------- candidates
@@ -287,6 +311,29 @@ class NL2DocEngine:
                 "pipeline": prelude
                 + [{"$group": {"_id": None, "n": {"$sum": 1}}}],
             }
+        nm = _re.search(
+            r"\b(\d+)\s+(shortest|longest|smallest|largest|cheapest|"
+            r"lowest|highest)\s+[a-z_]+?s?\s+by\s+([a-z_]+)\b",
+            question.lower(),
+        )
+        if nm:
+            n_lim, dir_word, f_word = nm.groups()
+            f = best_field(numeric=True, text=f_word) or best_field(
+                text=f_word
+            )
+            if f is not None:
+                direction = (
+                    1
+                    if dir_word in ("shortest", "smallest", "cheapest",
+                                    "lowest")
+                    else -1
+                )
+                return {
+                    "collection": coll,
+                    "find": match,
+                    "sort": {f: direction},
+                    "limit": int(n_lim),
+                }
         if QueryIntent.SORTED in analysis.all_intents:
             f = best_field()
             return {

@@ -342,6 +342,22 @@ def _q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q113_salted_segment_sales(spark, sf_dir)
 
 
+def _nl37_doc_date_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc: ISO-date comparison compiled into a $match prelude on
+    the grouped count pipeline."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "how many events per event_type before 2024-01-10"
+    )
+    return df
+
+
 def _nl28_doc_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc sort+limit compilation: 'top 5 documents by n_chars' must
     compile to {find: {}, sort: {n_chars: -1}, limit: 5} (the C3/C4
@@ -616,6 +632,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl36_richest_nation": _nl2sql(
         "which nation has the highest average acctbal"
     ),
+    # NL2Doc date-filter compilation ($match from 'before <ISO date>'
+    # composed with the grouped count) — late r4
+    "nl37_doc_events_before_date": _nl37_doc_date_count,
     "q19_events_hourly": R.q19_events_hourly,
     "q92_quality_weighted_sample": SMP.q92_quality_weighted_sample,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
@@ -1021,6 +1040,12 @@ ORACLE_SQL: dict[str, str | None] = {
         HAVING COUNT(*) >= 50
         ORDER BY n_name
         LIMIT 100
+    """,
+    "nl37_doc_events_before_date": """
+        SELECT event_type AS _id, count(*) AS n
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+        GROUP BY _id ORDER BY _id
     """,
     "nl33_customer_share_per_nation": """
         SELECT n_name, COUNT(*) AS cnt,

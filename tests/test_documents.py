@@ -404,3 +404,21 @@ def test_lookup_left_outer_semantics(spark):
     ).collect()
     assert len(unwound) == 3  # user 3 drops out, user 1 doubles
     assert {r["posts"]["pid"] for r in unwound} == {10, 11, 12}
+
+
+def test_nl2doc_date_filter_and_bottom_n(store):
+    """ISO-date comparisons resolve to the collection's timestamp field
+    (straight off the DataFrame schema), and 'N shortest X by f'
+    compiles an ascending sort+limit."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query("how many events per event_type before 2024-01-10")
+    stages = q.get("pipeline", [])
+    assert stages and stages[0]["$match"] == {"ts": {"$lt": "2024-01-10"}}
+
+    q2 = eng.template_query("5 shortest documents by n_chars")
+    assert q2["sort"] == {"n_chars": 1} and q2["limit"] == 5
+
+    q3 = eng.template_query("events since 2024-01-20")
+    assert q3["find"] == {"ts": {"$gte": "2024-01-20"}}
