@@ -116,7 +116,14 @@ _YEAR_CMP_OPS = {
 _HAVING_COUNT_RE = re.compile(
     r"\b([a-z_][a-z_ ]*?)\s+with\s+"
     r"(more than|at least|over|fewer than|less than|at most)\s+"
-    r"(\d+)\s+([a-z_]+)\b"
+    r"(\d+)\s+(?:[a-z_]+\s+)??([a-z_]+)\b(?!\s+[a-z_])"
+)
+
+# "top 3 nations by number of customers" — ranked count through the
+# FK graph (the measure is a row count, not a numeric column)
+_TOPN_COUNT_RE = re.compile(
+    r"\btop\s+(\d+)\s+([a-z_]+?)s?\s+by\s+"
+    r"(?:number|count)\s+of\s+([a-z_]+)\b"
 )
 
 # "segments with average acctbal above 4500" — HAVING on an aggregate
@@ -713,6 +720,44 @@ class NL2SQLEngine:
                 # fallback, so it wins the tie at 1.0
                 out.append(Candidate(sql, "template_topn_grouped", 0.8))
 
+        # --- "top N <dim>s by number of <entity>s" ranked count ------
+        tcm = _TOPN_COUNT_RE.search(question.lower())
+        if tcm:
+            n_top, dim_w, ent_w = tcm.groups()
+            ent_t = next(
+                (
+                    c_t
+                    for c_t in self.metadata.tables
+                    if c_t.rstrip("s") == ent_w.rstrip("s")
+                    or partial_ratio(c_t, ent_w) >= 90.0
+                ),
+                None,
+            )
+            dim_t = next(
+                (
+                    c_t
+                    for c_t in self.metadata.tables
+                    if c_t.rstrip("s") == dim_w.rstrip("s")
+                    or partial_ratio(c_t, dim_w) >= 90.0
+                ),
+                None,
+            )
+            if ent_t is not None and dim_t is not None and ent_t != dim_t:
+                gd = self._group_column_scored(dim_t, dim_w, numeric=False)
+                path_tc = self._fk_path(ent_t, dim_t, max_hops=2)
+                if gd is not None and path_tc:
+                    joins_tc = " ".join(
+                        f"JOIN {tb} ON {ta}.{ca} = {tb}.{cb}"
+                        for ta, ca, tb, cb in path_tc
+                    )
+                    sql = (
+                        f"SELECT {gd[0]}, COUNT(*) AS n_{ent_t} "
+                        f"FROM {ent_t} {joins_tc} GROUP BY {gd[0]} "
+                        f"ORDER BY n_{ent_t} DESC, {gd[0]} "
+                        f"LIMIT {int(n_top)}"
+                    )
+                    out.append(Candidate(sql, "template_topn_count", 0.8))
+
         # --- "which <group> has the most/fewest <rows>" superlative --
         sm = _SUPERLATIVE_RE.search(question.lower())
         if sm:
@@ -856,6 +901,13 @@ class NL2SQLEngine:
                 None,
             )
             if ent_t is not None:
+                conds_h = [
+                    f"{c} = '{v.replace(chr(39), chr(39) * 2)}'"
+                    for c, v in self._extract_filters(ent_t, question)
+                ]
+                where_h = (
+                    " WHERE " + " AND ".join(conds_h) if conds_h else ""
+                )
                 # same-table grouping first ("priorities with … orders"
                 # groups orders itself)...
                 gsc = self._group_column_scored(ent_t, g_phrase)
@@ -887,7 +939,7 @@ class NL2SQLEngine:
                     )
                     sql = (
                         f"SELECT {dim_c}, COUNT(*) AS n_{ent_t} "
-                        f"FROM {ent_t} {joins} "
+                        f"FROM {ent_t} {joins}{where_h} "
                         f"GROUP BY {dim_c} "
                         f"HAVING COUNT(*) {op} {int(n_str)} "
                         f"ORDER BY {dim_c}"
@@ -896,7 +948,7 @@ class NL2SQLEngine:
                 elif gsc is not None:
                     sql = (
                         f"SELECT {gsc[0]}, COUNT(*) AS n_{ent_t} "
-                        f"FROM {ent_t} GROUP BY {gsc[0]} "
+                        f"FROM {ent_t}{where_h} GROUP BY {gsc[0]} "
                         f"HAVING COUNT(*) {op} {int(n_str)} "
                         f"ORDER BY {gsc[0]}"
                     )

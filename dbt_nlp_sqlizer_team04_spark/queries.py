@@ -635,6 +635,13 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # NL2Doc date-filter compilation ($match from 'before <ISO date>'
     # composed with the grouped count) — late r4
     "nl37_doc_events_before_date": _nl37_doc_date_count,
+    # HAVING + domain filter composition and ranked FK counts — late r4
+    "nl38_big_building_segments": _nl2sql(
+        "segments with more than 200 BUILDING customers"
+    ),
+    "nl39_top3_nations_by_customers": _nl2sql(
+        "top 3 nations by number of customers"
+    ),
     "q19_events_hourly": R.q19_events_hourly,
     "q92_quality_weighted_sample": SMP.q92_quality_weighted_sample,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
@@ -1040,6 +1047,18 @@ ORACLE_SQL: dict[str, str | None] = {
         HAVING COUNT(*) >= 50
         ORDER BY n_name
         LIMIT 100
+    """,
+    "nl38_big_building_segments": """
+        SELECT c_mktsegment, COUNT(*) AS n_customer
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_mktsegment HAVING COUNT(*) > 200
+        ORDER BY c_mktsegment LIMIT 100
+    """,
+    "nl39_top3_nations_by_customers": """
+        SELECT n_name, COUNT(*) AS n_customer
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_customer DESC, n_name LIMIT 3
     """,
     "nl37_doc_events_before_date": """
         SELECT event_type AS _id, count(*) AS n

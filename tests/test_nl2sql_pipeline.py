@@ -496,3 +496,19 @@ def test_batch2_templates(spark, sf_smoke):
         "which orderpriority has the highest average totalprice"
     )
     assert "GROUP BY o_orderpriority" in sql and "LIMIT 1" in sql
+
+
+def test_having_with_domain_filter_and_topn_count(spark, sf_smoke):
+    """HAVING composes with a domain-value filter ('BUILDING' between
+    the threshold and the entity), and 'top N dims by number of
+    entities' ranks FK counts."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("segments with more than 20 BUILDING customers")
+    assert "WHERE c_mktsegment = 'BUILDING'" in sql
+    assert "HAVING COUNT(*) > 20" in sql
+
+    _df, sql = eng.query_df("top 3 nations by number of customers")
+    assert "JOIN nation" in sql
+    assert "ORDER BY n_customer DESC, n_name LIMIT 3" in sql
