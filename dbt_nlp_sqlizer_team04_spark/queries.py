@@ -642,6 +642,18 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl39_top3_nations_by_customers": _nl2sql(
         "top 3 nations by number of customers"
     ),
+    # the reference's own eval shapes (FIXTURES.md §6) — late r4:
+    # entity top-N with an agg word, scalar subquery, UNION of names,
+    # along-with window, explicit RANK()
+    "nl40_top5_parts_by_price": _nl2sql("top 5 parts by average retailprice"),
+    "nl41_above_avg_orders": _nl2sql(
+        "orders with totalprice greater than the average totalprice"
+    ),
+    "nl42_union_names_like": _nl2sql("customers or suppliers named like 19"),
+    "nl43_customers_with_nation_avg": _nl2sql(
+        "customers along with the average acctbal per nation"
+    ),
+    "nl44_rank_orders_by_price": _nl2sql("rank orders by totalprice descending"),
     "q19_events_hourly": R.q19_events_hourly,
     "q92_quality_weighted_sample": SMP.q92_quality_weighted_sample,
     "q36_doc_pipeline": DOC.q36_doc_pipeline,
@@ -1047,6 +1059,36 @@ ORACLE_SQL: dict[str, str | None] = {
         HAVING COUNT(*) >= 50
         ORDER BY n_name
         LIMIT 100
+    """,
+    "nl40_top5_parts_by_price": """
+        SELECT p_partkey, p_name, round(AVG(p_retailprice), 4)
+                   AS avg_p_retailprice
+        FROM part GROUP BY p_partkey, p_name
+        ORDER BY avg_p_retailprice DESC, p_partkey LIMIT 5
+    """,
+    "nl41_above_avg_orders": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        ORDER BY o_orderkey LIMIT 100
+    """,
+    "nl42_union_names_like": """
+        SELECT c_name AS name FROM customer WHERE c_name ILIKE '%19%'
+        UNION
+        SELECT s_name AS name FROM supplier WHERE s_name ILIKE '%19%'
+        ORDER BY name LIMIT 100
+    """,
+    "nl43_customers_with_nation_avg": """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+               round(AVG(c_acctbal) OVER (PARTITION BY c_nationkey), 4)
+                   AS avg_c_acctbal_per_c_nationkey
+        FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+    "nl44_rank_orders_by_price": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               RANK() OVER (ORDER BY o_totalprice DESC) AS rnk
+        FROM orders ORDER BY rnk, o_orderkey LIMIT 100
     """,
     "nl38_big_building_segments": """
         SELECT c_mktsegment, COUNT(*) AS n_customer

@@ -512,3 +512,29 @@ def test_having_with_domain_filter_and_topn_count(spark, sf_smoke):
     _df, sql = eng.query_df("top 3 nations by number of customers")
     assert "JOIN nation" in sql
     assert "ORDER BY n_customer DESC, n_name LIMIT 3" in sql
+
+
+def test_reference_eval_shapes(spark, sf_smoke):
+    """FIXTURES.md §6's eval question shapes mapped to this schema all
+    compile to their intended surfaces (B9/B10/B14/B15 + entity top-N)."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, sql = eng.query_df("top 5 parts by average retailprice")
+    assert "FROM part" in sql and "GROUP BY p_partkey" in sql
+
+    _df, sql = eng.query_df(
+        "orders with totalprice greater than the average totalprice"
+    )
+    assert "(SELECT AVG(o_totalprice) FROM orders)" in sql
+
+    _df, sql = eng.query_df("customers or suppliers named like 19")
+    assert "UNION" in sql and "ILIKE '%19%'" in sql
+
+    _df, sql = eng.query_df(
+        "customers along with the average acctbal per nation"
+    )
+    assert "OVER (PARTITION BY c_nationkey)" in sql
+
+    _df, sql = eng.query_df("rank orders by totalprice descending")
+    assert "RANK() OVER (ORDER BY o_totalprice DESC)" in sql
