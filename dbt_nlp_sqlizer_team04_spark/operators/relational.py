@@ -927,3 +927,46 @@ WINDOW_ZOO_ORACLE_SQL = """
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_custkey, o_orderkey
 """
+
+
+def q118_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a GROUPING() discriminator — the
+    general form behind ROLLUP (q22) and CUBE (q48): an arbitrary
+    subset lattice ((status, priority), (status), ()) in ONE pass, the
+    grouping id distinguishing which level each output row belongs to.
+
+    Scale: identical execution to rollup/cube — map-side Expand over
+    the requested sets, one shuffle; cheaper than 3 separate aggregates
+    unioned because the scan runs once.
+    """
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT)    AS g_status,
+               CAST(grouping(o_orderpriority) AS INT)  AS g_priority,
+               count(*)                                AS n_orders,
+               round(sum(o_totalprice), 2)             AS total
+        FROM orders
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+        ORDER BY g_status, g_priority,
+                 o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_ORACLE_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT)    AS g_status,
+           CAST(grouping(o_orderpriority) AS INT)  AS g_priority,
+           count(*)                                AS n_orders,
+           round(sum(o_totalprice), 2)             AS total
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+    )
+    ORDER BY g_status, g_priority,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""

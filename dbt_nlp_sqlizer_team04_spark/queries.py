@@ -592,6 +592,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q115_frame_sample_rollup": MM.q115_frame_sample_rollup,
     "q116_resize_rollup": MM.q116_resize_rollup,
     "q117_window_zoo": R.q117_window_zoo,
+    "q118_grouping_sets": R.q118_grouping_sets,
     # upgraded rows-only -> oracle-backed in late r4 (exact DuckDB twin
     # of the ordered-fold argmax), so it leaves the rows-only tail
     "q32_lang_id_dist": X.q32_lang_id_dist,
@@ -1819,6 +1820,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q115_frame_sample_rollup": MM.frame_sample_oracle_sql(),
     "q116_resize_rollup": MM.resize_oracle_sql(),
     "q117_window_zoo": R.WINDOW_ZOO_ORACLE_SQL,
+    "q118_grouping_sets": R.GROUPING_SETS_ORACLE_SQL,
     "q114_doc_lookup_rollup": """
         SELECT c_mktsegment AS _id, count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
