@@ -557,15 +557,19 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # streaming builder is window-covered by q38) — but the 50-slot
     # window is full of never-checked entries, so they head the tail
     # and cycle into the window next round
-    # q93-q117: the late-r4 additions (TPC-H Q7/Q10/Q13/Q18/Q8/Q22
-    # analogs, span dedup, curriculum order, stream-static enrichment,
-    # cosine range, event transitions/anomalies/dedup/rolling windows,
-    # label profile, kNN graph + mutual-kNN clusters, incremental
-    # profile, PMI, salted join, $lookup, media seam oracles, window
-    # zoo) — all oracle-backed and never driver-checked, added after
-    # the 50-slot window filled with this round's earlier never-checked
+    # q93-q118 and nl28-nl44: the late-r4 additions (TPC-H analog
+    # joins, span dedup, curriculum order, stream-static enrichment,
+    # cosine range + kNN graph + mutual-kNN clusters, event
+    # transitions/anomalies/dedup/rolling windows, label profile,
+    # incremental profile, PMI, salted join, $lookup, media seam
+    # oracles, window zoo, GROUPING SETS, and the NL template tiers:
+    # HAVING, weekly grain, bottom-N, year comparisons, FK
+    # superlatives/shares, and the reference's FIXTURES §6 eval shapes)
+    # — all oracle-backed and never driver-checked, added after the
+    # 50-slot window filled with this round's earlier never-checked
     # entries, so they head the tail and enter the window in r5 under
-    # rule 1
+    # rule 1. Every one is locally oracle-verified at sf0.01 every run
+    # (test_relational_oracle) and was swept once at sf0.1 this round.
     "q93_binational_volume": R.q93_binational_volume,
     "q94_returned_items": R.q94_returned_items,
     "q95_order_count_distribution": R.q95_order_count_distribution,
