@@ -125,6 +125,9 @@ HEADLINE = [
     "q112_term_pmi",
     "q113_salted_segment_sales",
     "q114_doc_lookup_rollup",
+    "q117_window_zoo",
+    "q118_grouping_sets",
+    "q119_corpus_report",
 ]
 
 

@@ -1050,3 +1050,116 @@ def lang_id_oracle_sql() -> str:
         SELECT lang_pred, count(*) AS n_docs
         FROM p GROUP BY lang_pred ORDER BY lang_pred
     """
+
+
+def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row dataset card: the headline numbers a training-data
+    release ships (doc/token/char totals, duplicate rate, quality
+    spread, language coverage) assembled in ONE pass over the corpus
+    plus a content-hash dup aggregate — the operator a pipeline calls
+    LAST, after curation, to stamp the output.
+
+    Scale: a single scan computes every per-doc column; the dup rate
+    rides the md5 groupBy (the q26 machinery) whose shuffle carries
+    32-byte keys; everything else is map-side partials into one global
+    aggregate row. Quality/length stats use the exact integer tricks
+    so the card is engine-reproducible bit-for-bit.
+    """
+    toks = tokens_expr(F.col(text_col))
+    per_doc = df.select(
+        F.col(text_col),
+        F.md5(F.col(text_col)).alias("h"),
+        F.size(toks).alias("n_tok"),
+        bpe_token_count_expr(F.col(text_col)).alias("n_bpe"),
+        F.length(text_col).alias("n_chars"),
+        quality_score_expr(F.col(text_col)).alias("q"),
+        lang_id_expr(F.col(text_col)).alias("lang_pred"),
+    )
+    dup = per_doc.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    n_dup_docs = dup.agg(
+        F.sum(F.col("n_copies") - 1).alias("extra")
+    )
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum(F.round(F.col("q") * 1_000_000).cast("long"))
+            / F.count(F.lit(1))
+            / 1_000_000.0,
+            6,
+        ).alias("avg_quality"),
+        F.count_distinct("lang_pred").alias("n_langs"),
+        F.expr("percentile(n_tok, 0.5)").alias("p50_tokens"),
+    )
+    return (
+        base.join(F.broadcast(n_dup_docs))
+        .select(
+            "n_docs", "total_tokens", "total_bpe_tokens", "total_chars",
+            "avg_quality", "n_langs",
+            F.round("p50_tokens", 1).alias("p50_tokens"),
+            F.round(F.col("extra") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+    )
+
+
+def q119_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_report_oracle_sql() -> str:
+    """DuckDB twin of :func:`corpus_report` (reuses the q30/q31/q32
+    oracle expressions)."""
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    bpe = f"len(regexp_extract_all(text, '{BPE_PATTERN}', 0))"
+    quality = (
+        f"round(least(len({toks}) / 50.0, 1.0) * 0.5"
+        f" + (1.0 - (length(text)"
+        f" - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+        f" / greatest(length(text), 1)) * 0.3"
+        f" + len(list_filter({toks},"
+        f" x -> list_contains(['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'was', 'for', 'on', 'with', 'as', 'at', 'by', 'this', 'from'], x)))"
+        f" / greatest(len({toks}), 1) * 0.2, 6)"
+    )
+    scores = {
+        lang: (
+            f"len(list_filter({toks}, x -> list_contains("
+            f"[{', '.join(repr(w) for w in sw)}], x)))"
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    cols = ", ".join(f"{e} AS sc_{l}" for l, e in scores.items())
+    langs = list(scores)
+    maxs = f"greatest({', '.join('sc_' + l for l in langs)})"
+    winner = " ".join(f"WHEN sc_{l} = mx THEN '{l}'" for l in langs)
+    return f"""
+        WITH per AS (
+          SELECT text, md5(text) AS h,
+                 len({toks}) AS n_tok,
+                 {bpe} AS n_bpe,
+                 length(text) AS n_chars,
+                 {quality} AS q,
+                 {cols}
+          FROM documents
+        ), lp AS (
+          SELECT *, CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                         WHEN mx > 0 THEN (CASE {winner} END)
+                         ELSE 'und' END AS lang_pred
+          FROM (SELECT *, {maxs} AS mx FROM per)
+        ), dup AS (
+          SELECT CAST(sum(n_copies - 1) AS BIGINT) AS extra
+          FROM (SELECT count(*) AS n_copies FROM per GROUP BY h)
+        )
+        SELECT count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(sum(CAST(round(q * 1000000) AS BIGINT))
+                     / count(*) / 1000000.0, 6) AS avg_quality,
+               count(DISTINCT lang_pred) AS n_langs,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tok),
+                     1) AS p50_tokens,
+               round((SELECT extra FROM dup) / count(*), 6) AS dup_rate
+        FROM lp
+    """
