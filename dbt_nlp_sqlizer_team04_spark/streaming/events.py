@@ -425,8 +425,13 @@ def enrich_with_profile(
     Scale: the profile is a per-user aggregate, orders smaller than the
     event stream — ``F.broadcast`` pins a broadcast hash join so each
     micro-batch maps through the dimension with NO stateful shuffle
-    (stream-static joins are stateless by construction; the static side
-    is re-read per micro-batch, picking up dimension refreshes)."""
+    (stream-static joins are stateless by construction). Refresh
+    caveat, pinned by ``test_stream_static_dim_refresh_contract``: the
+    static side's FILE LISTING is captured when the streaming query
+    starts — a file-based dimension overwritten in place FAILS the next
+    micro-batch rather than refreshing. A nightly-refreshed dim must be
+    re-read inside ``foreachBatch`` (per-batch plan) or come from a
+    snapshot-resolving table format."""
     return (
         events.filter(F.col("ts") >= cutoff)
         .join(F.broadcast(profile), "user_id", "left")

@@ -397,3 +397,65 @@ def test_stream_static_enrichment_matches_batch(spark, sf_smoke):
         profile,
     )._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" not in plan
+
+
+def test_stream_static_dim_refresh_contract(spark, tmp_path):
+    """The honest dimension-refresh contract for stream-static joins:
+    the static side's file listing is captured when the streaming query
+    starts, so an IN-PLACE overwrite between micro-batches fails the
+    next batch (FILE_NOT_EXIST) — refreshByPath does not reach the
+    running query's captured plan either. The deployment pattern that
+    DOES pick up nightly refreshes is re-reading the dimension INSIDE
+    foreachBatch (per-batch plan), which this test demonstrates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    dim_path = str(tmp_path / "dim")
+    drop = str(tmp_path / "drop")
+    out = []
+
+    spark.createDataFrame(
+        [(1, "bronze")], "user_id long, tier string"
+    ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+
+    os.makedirs(drop)
+    spark.createDataFrame(
+        [(10, 1)], "event_id long, user_id long"
+    ).coalesce(1).write.mode("append").parquet(drop)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long"
+    ).parquet(drop)
+
+    def sink(batch_df, batch_id):
+        # per-batch dimension read: the refresh-safe pattern — each
+        # micro-batch resolves the CURRENT dim files
+        dim = spark.read.parquet(dim_path)
+        joined = batch_df.join(F.broadcast(dim), "user_id", "left")
+        out.extend((r["event_id"], r["tier"]) for r in joined.collect())
+
+    def drain():
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    drain()
+    assert out == [(10, "bronze")]
+
+    # nightly refresh: overwrite the dim, drop a new file, drain again
+    # from the same checkpoint — the new batch sees the NEW tier
+    spark.createDataFrame(
+        [(1, "gold")], "user_id long, tier string"
+    ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+    spark.createDataFrame(
+        [(11, 1)], "event_id long, user_id long"
+    ).coalesce(1).write.mode("append").parquet(drop)
+    drain()
+    assert out == [(10, "bronze"), (11, "gold")]
