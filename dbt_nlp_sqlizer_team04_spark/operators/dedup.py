@@ -973,7 +973,13 @@ def dedup_repeated_segments(
             ),
             F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
         )
-        .orderBy(id_col)
+        # presentational sort only (the audit is per-doc; consumers key
+        # on doc_id) — a global orderBy would re-read this whole
+        # expensive plan for range sampling (~0.5s at sf0.1), so sort
+        # the collected output in one partition instead; at corpus
+        # scale you'd drop the sort entirely
+        .repartition(1)
+        .sortWithinPartitions(id_col)
     )
 
 
@@ -1278,28 +1284,33 @@ def dup_span_stats(
     whole-doc removal.
 
     Scale: windows are md5-hashed before the shuffle so the corpus-wide
-    duplicate set groups on 32-byte keys, never span text; the dup set
-    is the (h, n_docs>=2) aggregate — no pairwise join and nothing n².
-    At deployment the hashed window table is a per-corpus ingest
-    artifact like the shingle/MinHash tables (same recipe, wider gram);
-    the in-query build here keeps the oracle-checked tier live. The
-    final top-N is TakeOrderedAndProject over a doc-grain aggregate.
+    duplicate set groups on 32-byte keys, never span text; ONE pass
+    derives the windows (the dup-set-join form re-exploded the corpus
+    for both join sides — 2.4s vs 1.6s at sf0.1): aggregate to
+    (doc_id, h, c) grain, window-count docs per h over that compact
+    frame (grain makes count(*) == count of distinct docs), roll up per
+    doc — no pairwise join and nothing n². At deployment the hashed
+    window table is a per-corpus ingest artifact like the
+    shingle/MinHash tables (same recipe, wider gram); the in-query
+    build here keeps the oracle-checked tier live. The final top-N is
+    TakeOrderedAndProject over a doc-grain aggregate.
     """
+    from pyspark.sql import Window
+
     hashed = df.select(
         "doc_id", F.explode(span_windows_expr(F.col("text"), k)).alias("w")
     ).select("doc_id", F.md5("w").alias("h"))
-    dup = (
-        hashed.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("h", F.lit(1).alias("is_dup"))
+    per = hashed.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    per = per.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
     return (
-        hashed.join(dup, "h", "left")
-        .groupBy("doc_id")
+        per.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.count("is_dup").alias("n_dup_windows"),
+            F.sum("c").alias("n_windows"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0)
+            ).alias("n_dup_windows"),
         )
         .select(
             "doc_id", "n_windows", "n_dup_windows",
