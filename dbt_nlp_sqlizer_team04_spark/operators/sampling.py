@@ -367,7 +367,11 @@ def quality_weighted_sample(
             hash_bucket_expr(F.col(id_col).cast("string")) / BUCKETS < keep_p
         )
         .select(id_col, "quality", F.round(keep_p, 6).alias("keep_p"))
-        .orderBy(id_col)
+        # presentational sort: a global orderBy would range-sample this
+        # plan (re-running the quality scan); sample-sized output sorts
+        # in one partition
+        .repartition(1)
+        .sortWithinPartitions(id_col)
     )
 
 
