@@ -128,6 +128,7 @@ HEADLINE = [
     "q117_window_zoo",
     "q118_grouping_sets",
     "q119_corpus_report",
+    "q120_bpe_encode_stats",
 ]
 
 

@@ -907,6 +907,150 @@ def q110_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------- BPE apply
+# Pinned demo ruleset for the driver-checked entry (q120): common
+# English merges in rank order. The operator takes ANY merge table —
+# the differential pytest runs it with merges actually learned by
+# bpe_train_merges; the registry entry pins engine parity of the fold
+# machinery itself with a static list both engines can interpolate.
+BPE_APPLY_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"),
+    ("in", "g"), ("e", "r"), ("o", "n"), ("r", "e"), ("s", "t"),
+)
+
+
+def _apply_merge_fold(arr: Column, left: str, right: str) -> Column:
+    """One greedy left-to-right merge pass over a symbol array: fold
+    each symbol into the accumulator, fusing it with the accumulator's
+    last element when (last, current) == (left, right). Greedy
+    left-to-right: a fused symbol becomes the new last element, so an
+    overlapping second match is consumed (merge (a,a) on [a,a,a] ->
+    [aa, a], never [a, aa])."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_unit_count_expr(
+    term: Column, merges: tuple[tuple[str, str], ...]
+) -> Column:
+    """Number of BPE units a term encodes to under ``merges`` applied
+    sequentially in rank order (each merge rewritten everywhere before
+    the next — the exact rewrite order :func:`bpe_train_merges` used
+    while learning, so train→apply is self-consistent)."""
+    arr = F.split(term, "")
+    for left, right in merges:
+        arr = _apply_merge_fold(arr, left, right)
+    return F.size(arr)
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_APPLY_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer APPLY step — the other half of q110's training loop:
+    encode every document with a trained merge table and report
+    ``(doc_id, n_tokens, n_units, compression)`` where compression is
+    BPE units per word token (the number that decides packing budgets
+    and training-cost estimates).
+
+    Scale: the fold machinery never touches documents — terms are
+    encoded once on the DISTINCT vocabulary (Zipf makes that orders of
+    magnitude smaller than the token stream) and the unit counts come
+    back via a broadcast hash join on the exploded token stream; the
+    corpus is scanned once, and the only wide exchange is the final
+    doc-grain rollup. At 100 TB the encoded vocabulary is an ingest
+    artifact like the shingle/MinHash tables.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.select("term").distinct()
+    enc = vocab.select(
+        "term", bpe_unit_count_expr(F.col("term"), merges).alias("n_units")
+    )
+    return (
+        toks.join(F.broadcast(enc), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_units").alias("n_units"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_units",
+            F.round(F.col("n_units") / F.col("n_tokens"), 4).alias(
+                "compression"
+            ),
+        )
+        # presentational sort (per-doc audit): one-partition sort, no
+        # range-sampling re-read of the plan
+        .repartition(1)
+        .sortWithinPartitions(id_col)
+    )
+
+
+def q120_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE unit counts under the pinned demo merge table
+    (oracle: DuckDB list_reduce folds with the same merges)."""
+    return bpe_encode_stats(load_table(spark, sf_dir, "documents"))
+
+
+def bpe_encode_oracle_sql(
+    merges: tuple[tuple[str, str], ...] = BPE_APPLY_MERGES,
+) -> str:
+    """DuckDB twin of :func:`bpe_encode_stats`: the same greedy fold as
+    a ``list_reduce`` with a chr(31)-joined string accumulator (the
+    unit separator can't occur in whitespace-split tokens), one
+    ``string_split`` between merge passes."""
+    us = "chr(31)"
+    expr = "string_split(term, '')"
+    for left, right in merges:
+        l, r, m = left.replace("'", "''"), right.replace("'", "''"), (
+            left + right
+        ).replace("'", "''")
+        fold = (
+            f"list_reduce({expr}, (acc, x) -> CASE WHEN "
+            f"(acc = '{l}' OR ends_with(acc, {us} || '{l}')) AND x = '{r}' "
+            f"THEN substr(acc, 1, length(acc) - {len(left)}) || '{m}' "
+            f"ELSE acc || {us} || x END)"
+        )
+        expr = f"string_split({fold}, {us})"
+    n_units = f"len({expr})"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents
+        ), t AS (
+          SELECT doc_id, term FROM toks WHERE term <> ''
+        ), enc AS (
+          SELECT term, {n_units} AS n_units
+          FROM (SELECT DISTINCT term FROM t)
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(n_units) AS BIGINT) AS n_units,
+               round(sum(n_units) * 1.0 / count(*), 4) AS compression
+        FROM t JOIN enc USING (term)
+        GROUP BY doc_id
+    """
+
+
 PMI_TOP_VOCAB = 50
 PMI_MIN_CO = 5
 

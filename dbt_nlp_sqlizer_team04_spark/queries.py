@@ -598,6 +598,7 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q117_window_zoo": R.q117_window_zoo,
     "q118_grouping_sets": R.q118_grouping_sets,
     "q119_corpus_report": X.q119_corpus_report,
+    "q120_bpe_encode_stats": X.q120_bpe_encode_stats,
     # upgraded rows-only -> oracle-backed in late r4 (exact DuckDB twin
     # of the ordered-fold argmax), so it leaves the rows-only tail
     "q32_lang_id_dist": X.q32_lang_id_dist,
@@ -1827,6 +1828,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q117_window_zoo": R.WINDOW_ZOO_ORACLE_SQL,
     "q118_grouping_sets": R.GROUPING_SETS_ORACLE_SQL,
     "q119_corpus_report": X.corpus_report_oracle_sql(),
+    "q120_bpe_encode_stats": X.bpe_encode_oracle_sql(),
     "q114_doc_lookup_rollup": """
         SELECT c_mktsegment AS _id, count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey

@@ -202,3 +202,45 @@ def test_bpe_merges_match_python_reference(spark, seed):
             new_vocab[key] = new_vocab.get(key, 0) + tf
         vocab = new_vocab
     assert got == want
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bpe_encode_matches_python_reference(spark, seed):
+    """Train->apply closure: merges learned by bpe_train_merges, applied
+    by bpe_encode_stats, reproduce a pure-Python sequential encoder's
+    per-doc unit counts (greedy left-to-right, merges in rank order)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.text import (
+        bpe_encode_stats,
+        bpe_train_merges,
+    )
+
+    corpus = _random_corpus(seed)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = tuple(
+        (r["left"], r["right"])
+        for r in bpe_train_merges(docs, n_merges=8).collect()
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_units"])
+        for r in bpe_encode_stats(docs, merges=merges).collect()
+    }
+
+    def encode_units(term: str) -> int:
+        s = list(term)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    want = {}
+    for doc_id, text in corpus:
+        terms = [t for t in text.strip().lower().split() if t]
+        if terms:
+            want[doc_id] = (len(terms), sum(encode_units(t) for t in terms))
+    assert got == want
