@@ -568,7 +568,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # — all oracle-backed and never driver-checked, added after the
     # 50-slot window filled with this round's earlier never-checked
     # entries, so they head the tail and enter the window in r5 under
-    # rule 1. Every one is locally oracle-verified at sf0.01 every run
+    # rule 1 (q119/q120, the last two late-r4 additions, likewise).
+    # Every one is locally oracle-verified at sf0.01 every run
     # (test_relational_oracle) and was swept once at sf0.1 this round.
     "q93_binational_volume": R.q93_binational_volume,
     "q94_returned_items": R.q94_returned_items,
