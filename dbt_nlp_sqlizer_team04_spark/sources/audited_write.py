@@ -70,8 +70,29 @@ def write_parquet_audited(
     matching how a 100 TB pipeline would handle it: never re-run the
     job, just fence the directory).
     """
+    # Observe on a throwaway CHILD session, not the caller's: Spark
+    # 4.1's SparkSession.observationManager is a lazily-materialized,
+    # non-serializable field — the first Observation on a session
+    # permanently breaks any later flow that Java-serializes that
+    # session object (e.g. an ML model whose training summary is
+    # captured inside a prediction UDF closure: model -> summary ->
+    # sparkSession -> observationManager -> NotSerializableException).
+    # Re-homing the plan onto spark.newSession() (shared context and
+    # catalog, separate session state) materializes the manager only on
+    # the disposable child. Falls back to the caller's session if the
+    # classic-API re-home isn't available (e.g. Spark Connect).
+    target = df
+    try:
+        spark = df.sparkSession
+        child = spark.newSession()
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            child._jsparkSession, df._jdf.logicalPlan()
+        )
+        target = DataFrame(jdf, child)
+    except Exception:
+        pass
     obs = Observation()
-    observed = df.observe(
+    observed = target.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("total_chars"),

@@ -1,6 +1,13 @@
 """Observed-write audit (sources/audited_write.py): metrics captured
 during the single write pass must equal an independent recount of the
-written files, and invariant violations must be counted + raised."""
+written files, and invariant violations must be counted + raised.
+
+Session-isolation regression: this file sorts BEFORE test_classifier,
+whose LR model serializes its SparkSession inside a prediction UDF —
+if write_parquet_audited ever observes on the CALLER's session again
+(materializing the non-serializable observationManager, see the
+re-home comment in the module), the classifier test fails with
+"Task not serializable: ObservationManager"."""
 
 from __future__ import annotations
 
