@@ -129,6 +129,9 @@ HEADLINE = [
     "q118_grouping_sets",
     "q119_corpus_report",
     "q120_bpe_encode_stats",
+    "q121_promo_revenue_share",
+    "q122_top_suppliers",
+    "q123_small_quantity_revenue",
 ]
 
 

@@ -858,6 +858,134 @@ def q98_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promotion effect: per ship month of 1996, the
+    percentage of lineitem revenue coming from PROMO-type parts — a
+    conditional-aggregate ratio over a fact⨝dim join.
+
+    Scale: the part dimension broadcasts with only (p_partkey, p_type)
+    read; the 1996 ship-date range pushes to the lineitem scan; both
+    the promo and total sums ride ONE aggregate (no second pass, no
+    join of two aggregates). Exact-cents trick: revenue terms are
+    summed as DECIMAL so the promo/total division is engine-identical.
+    """
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo_sum = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev_dec).otherwise(
+            F.lit(0).cast("decimal(30,6)")
+        )
+    )
+    total_sum = F.sum(rev_dec)
+    # both sums are EXACT decimals; convert once to double and divide
+    # there (decimal/decimal scale rules differ between engines)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * promo_sum.cast("double")
+                / total_sum.cast("double"),
+                4,
+            ).alias("promo_share"),
+            F.round(total_sum.cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def q122_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style top supplier: suppliers whose 1996-H1 shipped
+    revenue equals the MAXIMUM per-supplier revenue — the aggregate-of-
+    aggregate (scalar max over a grouped sum) shape Q15 expresses with
+    a view.
+
+    Scale: one revenue aggregate per supplier (date filter pushed to
+    the fact scan), the 1-row max broadcasts back onto it, and the
+    supplier dimension broadcasts for the name join. Revenue compared
+    at exact DECIMAL cents so "equals the max" can't be lost to float
+    summation order.
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    per_supp = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_rev"))
+    )
+    mx = per_supp.agg(F.max("total_rev").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q123_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style small-quantity-order revenue: yearly average
+    revenue from lineitems whose quantity is below 50% of the average
+    quantity FOR THAT PART — the correlated aggregate subquery Catalyst
+    de-correlates into an aggregate + join.
+
+    Scale: the per-part average is a partial-aggregated groupBy on the
+    join key (map-side combine shrinks it to |part| rows before the
+    shuffle); the threshold join is key-to-key (no correlated re-scan
+    per row, which is how a naive engine executes Q17); only PROMO
+    parts are considered so the dimension prefilter pushes into the
+    broadcast side. The "below half the part's average" compare is done
+    in INTEGERS (2·qty·n < Σqty — quantities are integral) so the
+    boundary can't flip on float summation order, and the revenue sum
+    rides DECIMAL before the single final division.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    promo_items = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    avg_q = promo_items.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_q"),
+    )
+    return (
+        promo_items.join(
+            avg_q, F.col("l_partkey") == F.col("aq_partkey")
+        )
+        .filter(
+            F.col("l_quantity").cast("long") * 2 * F.col("n_q")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
 # -------------------------------------------------- window-function zoo
 def q117_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of the window-function surface in one statement: LAG

@@ -600,6 +600,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q118_grouping_sets": R.q118_grouping_sets,
     "q119_corpus_report": X.q119_corpus_report,
     "q120_bpe_encode_stats": X.q120_bpe_encode_stats,
+    "q121_promo_revenue_share": R.q121_promo_revenue_share,
+    "q122_top_suppliers": R.q122_top_suppliers,
+    "q123_small_quantity_revenue": R.q123_small_quantity_revenue,
     # upgraded rows-only -> oracle-backed in late r4 (exact DuckDB twin
     # of the ordered-fold argmax), so it leaves the rows-only tail
     "q32_lang_id_dist": X.q32_lang_id_dist,
@@ -1830,6 +1833,55 @@ ORACLE_SQL: dict[str, str | None] = {
     "q118_grouping_sets": R.GROUPING_SETS_ORACLE_SQL,
     "q119_corpus_report": X.corpus_report_oracle_sql(),
     "q120_bpe_encode_stats": X.bpe_encode_oracle_sql(),
+    "q121_promo_revenue_share": """
+        SELECT month(l_shipdate) AS ship_month,
+               round(100.0
+                     * (sum(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(l_extendedprice * (1 - l_discount)
+                                           AS DECIMAL(30,6))
+                                 ELSE CAST(0 AS DECIMAL(30,6)) END)::DOUBLE)
+                     / (sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(30,6)))::DOUBLE), 4)
+                 AS promo_share,
+               round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(30,6)))::DOUBLE, 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY ship_month ORDER BY ship_month
+    """,
+    "q122_top_suppliers": """
+        WITH per_supp AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(30,6))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(total_rev::DOUBLE, 2) AS total_rev
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM per_supp)
+        ORDER BY s_suppkey
+    """,
+    "q123_small_quantity_revenue": """
+        WITH promo_items AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'PROMO'
+        ), avg_q AS (
+          SELECT l_partkey AS aq_partkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                 count(*) AS n_q
+          FROM promo_items GROUP BY l_partkey
+        )
+        SELECT count(*) AS n_items,
+               round(sum(CAST(l_extendedprice AS DECIMAL(30,6)))::DOUBLE
+                     / 7.0, 2) AS avg_yearly
+        FROM promo_items JOIN avg_q ON l_partkey = aq_partkey
+        WHERE CAST(l_quantity AS BIGINT) * 2 * n_q < sum_qty
+    """,
     "q114_doc_lookup_rollup": """
         SELECT c_mktsegment AS _id, count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
