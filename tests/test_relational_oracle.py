@@ -174,6 +174,29 @@ def test_plan_contracts_tpch_analogs(spark, sf_smoke):
     pushed98 = [l for l in p98.splitlines() if "PushedFilters" in l]
     assert any("o_orderdate" in l for l in pushed98)
 
+    # Q14 analog: part dim broadcasts, ship-date range pushed to the
+    # fact scan, ONE aggregate serves both the promo and total sums
+    p121 = plan_of("q121_promo_revenue_share")
+    assert "BroadcastHashJoin" in p121
+    pushed121 = [l for l in p121.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed121)
+    assert "CartesianProduct" not in p121
+
+    # Q15 analog: scalar max broadcasts back onto the per-supplier
+    # aggregate; supplier name join broadcasts too
+    p122 = plan_of("q122_top_suppliers")
+    assert p122.count("BroadcastExchange") >= 2 or p122.count(
+        "BroadcastHashJoin"
+    ) >= 1
+    assert "CartesianProduct" not in p122
+
+    # Q17 analog: the correlated per-part average is de-correlated into
+    # an aggregate + key join (no nested-loop re-scan per row)
+    p123 = plan_of("q123_small_quantity_revenue")
+    assert "BroadcastNestedLoopJoin" not in p123
+    assert "CartesianProduct" not in p123
+    assert "HashAggregate" in p123
+
 
 def test_plan_contracts_late_r4(spark, sf_smoke):
     """Plan contracts for the late-r4 pipeline entries: hashed keys on
