@@ -926,13 +926,19 @@ def dedup_repeated_segments(
 
     Plan: one explode produces (doc, idx, segment); the corpus-wide
     repeat count is a single partial-aggregated groupBy on the segment
-    string; the keep-join and the per-doc rollups shuffle (doc, idx,
-    seg) rows once each. Reassembly is collect_list + array_sort per
-    doc — segments of one doc co-locate after the doc-keyed shuffle, so
-    no cross-partition ordering is ever relied on. At 100 TB the
-    segment-count agg would key on xxhash64(segment) (the q52 trick)
-    to slim the biggest shuffle; kept at the string here so the oracle
-    stays engine-identical.
+    string; the (unfiltered) repeat join then feeds ONE doc-keyed
+    aggregate that computes ``n_segments`` (plain count), ``n_kept``
+    (conditional count on ``seg_docs < min_docs``) and the reassembly
+    (``collect_list`` of a ``when(...)`` struct — collect_list drops
+    the NULLs the repeated segments become, so no pre-filter branch is
+    needed). That removes the former third consumer of the explode (a
+    separate per-doc totals aggregate), which tripled the dominant
+    tokenize+explode stage at corpus scale. Reassembly is array_sort
+    per doc — segments of one doc co-locate after the doc-keyed
+    shuffle, so no cross-partition ordering is ever relied on. At
+    100 TB the segment-count agg would key on xxhash64(segment) (the
+    q52 trick) to slim the biggest shuffle; kept at the string here so
+    the oracle stays engine-identical.
     """
     toks = tokens_expr(F.col(text_col))
     k = int(seg_words)
@@ -947,31 +953,30 @@ def dedup_repeated_segments(
     repeats = segs.groupBy("seg").agg(
         F.countDistinct(id_col).alias("seg_docs")
     )
-    kept = (
+    keep = F.col("seg_docs") < min_docs
+    return (
         segs.join(repeats, "seg")
-        .where(F.col("seg_docs") < min_docs)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(keep, F.lit(1))).alias("n_kept"),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("seg_idx", "seg"))
+                        )
+                    ),
                     lambda s: s["seg"],
                 ),
                 " ",
             ).alias("cleaned"),
         )
-    )
-    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
-    return (
-        totals.join(kept, id_col, "left")
         .select(
             F.col(id_col),
             "n_segments",
-            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_dropped"
-            ),
-            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+            (F.col("n_segments") - F.col("n_kept")).alias("n_dropped"),
+            F.md5(F.col("cleaned")).alias("cleaned_md5"),
         )
         # presentational sort only (the audit is per-doc; consumers key
         # on doc_id) — a global orderBy would re-read this whole

@@ -324,8 +324,13 @@ class DocumentStore:
                 )
                 row_id = "__rowid"
                 df = df.withColumn(row_id, F.monotonically_increasing_id())
+                # eqNullSafe, not ==: Mongo's $lookup matches a
+                # null/missing localField against null foreignField
+                # rows; a plain equality join would hand those rows an
+                # empty array instead. (FK-complete corpora never hit
+                # the difference; nullable keys do.)
                 joined = df.join(
-                    fslim, df[local] == fslim["__fkey"], "left"
+                    fslim, df[local].eqNullSafe(fslim["__fkey"]), "left"
                 )
                 base_cols = [c for c in df.columns if c != row_id]
                 df = (

@@ -946,29 +946,28 @@ def q123_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity FOR THAT PART — the correlated aggregate subquery Catalyst
     de-correlates into an aggregate + join.
 
-    Scale: the per-part average is a partial-aggregated groupBy on the
-    join key (map-side combine shrinks it to |part| rows before the
-    shuffle); the threshold join is key-to-key (no correlated re-scan
-    per row, which is how a naive engine executes Q17); only PROMO
-    parts are considered so the dimension prefilter pushes into the
-    broadcast side. The "below half the part's average" compare is done
-    in INTEGERS (2·qty·n < Σqty — quantities are integral) so the
-    boundary can't flip on float summation order, and the revenue sum
-    rides DECIMAL before the single final division.
+    Scale: the per-part threshold is a WINDOW over the part key —
+    ``sum/count OVER (PARTITION BY l_partkey)`` — so the fact table is
+    scanned and the broadcast-dim join executed exactly ONCE (the
+    aggregate+self-join de-correlation would consume the join twice:
+    once for the threshold aggregate, once for the probe); the single
+    shuffle on l_partkey serves the window directly. The "below half
+    the part's average" compare is done in INTEGERS (2·qty·n < Σqty —
+    quantities are integral) so the boundary can't flip on float
+    summation order, and the revenue sum rides DECIMAL before the
+    single final division.
     """
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
         "p_partkey"
     )
     l = _t(spark, sf_dir, "lineitem")
     promo_items = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-    avg_q = promo_items.groupBy(F.col("l_partkey").alias("aq_partkey")).agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_q"),
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        promo_items.join(
-            avg_q, F.col("l_partkey") == F.col("aq_partkey")
+        promo_items.withColumn(
+            "sum_qty", F.sum(F.col("l_quantity").cast("long")).over(w)
         )
+        .withColumn("n_q", F.count(F.lit(1)).over(w))
         .filter(
             F.col("l_quantity").cast("long") * 2 * F.col("n_q")
             < F.col("sum_qty")

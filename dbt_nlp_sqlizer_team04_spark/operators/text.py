@@ -997,8 +997,13 @@ def bpe_encode_stats(
                 "compression"
             ),
         )
-        # presentational sort (per-doc audit): one-partition sort, no
-        # range-sampling re-read of the plan
+        # presentational sort for the gate ONLY — this output is
+        # corpus-grain (one row per document), so the repartition(1)
+        # funnels the WHOLE result through one task; at corpus scale
+        # you'd drop the sort entirely (consumers key on doc_id), the
+        # same caveat dedup.py's per-doc audits carry. Kept here because
+        # the oracle compare wants deterministic order without a global
+        # orderBy's range-sampling re-read of the plan.
         .repartition(1)
         .sortWithinPartitions(id_col)
     )

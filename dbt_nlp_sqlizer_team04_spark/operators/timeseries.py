@@ -554,12 +554,17 @@ def event_value_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
     (|event_types| rows); the flagging pass is then map-side only. The
     z-score compares at 4dp-rounded values so the boundary decision is
     engine-exact; population stddev (not sample) because both engines
-    define it identically and the gate describes THIS corpus.
+    define it identically and the gate describes THIS corpus. Types
+    with ZERO variance are excluded BY CONTRACT (``sigma > 0`` in both
+    engines) — a constant-valued type has no outliers by definition,
+    and leaving the divide-by-zero to engine-specific NULL/inf
+    propagation (Spark → NULL, DuckDB → setting-dependent) would make
+    the result depend on which engine ran it.
     """
     stats = events.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
         F.stddev_pop("value").alias("sigma"),
-    )
+    ).filter(F.col("sigma") > 0)
     zscore = F.round(
         (F.col("value") - F.col("mu")) / F.col("sigma"), 4
     )
@@ -585,6 +590,7 @@ def event_anomalies_oracle_sql(z: float = 3.0) -> str:
         WITH stats AS (
           SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
           FROM events GROUP BY event_type
+          HAVING stddev_pop(value) > 0
         )
         SELECT event_id, e.event_type, round(value, 2) AS value,
                round((value - mu) / sigma, 4) AS zscore

@@ -357,7 +357,12 @@ class NL2DocEngine:
                 f"Q: {question}\nSchema: {ctx}\nGenerate MongoDB query JSON only.",
             )
             return parse_query_json(resp)
-        except (LLMNotConfigured, Exception):  # noqa: BLE001
+        except (LLMNotConfigured, OSError, TimeoutError, RuntimeError,
+                ValueError):
+            # Only the failure modes the reference's ladder tolerates fall
+            # through to templates (unconfigured client, network errors,
+            # unparseable JSON); programming errors in an injected LLM
+            # double propagate (twin of models/trainer.py's catch).
             return None
 
     # -------------------------------------------------------- execution

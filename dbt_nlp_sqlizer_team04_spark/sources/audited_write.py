@@ -27,8 +27,10 @@ Contract pinned by ``tests/test_audited_write.py``:
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -89,8 +91,17 @@ def write_parquet_audited(
             child._jsparkSession, df._jdf.logicalPlan()
         )
         target = DataFrame(jdf, child)
-    except Exception:
-        pass
+    except (AttributeError, TypeError, Py4JError) as exc:
+        # Classic-API internals absent (Spark Connect, or a class
+        # rename in a future Spark): fall back to observing on the
+        # caller's session. Warn loudly — the degraded mode reintroduces
+        # the ObservationManager-serialization hazard this re-home
+        # exists to prevent, and must be visible rather than silent.
+        logging.getLogger(__name__).warning(
+            "audited_write: session re-home unavailable (%s); observing "
+            "on the caller's session — later Java-serialization of this "
+            "session (e.g. ML model closures) may fail", exc,
+        )
     obs = Observation()
     observed = target.observe(
         obs,

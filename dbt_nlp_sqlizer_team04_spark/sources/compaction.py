@@ -109,10 +109,29 @@ def compact_partition(
         .write.mode("overwrite")
         .parquet(src + "__compacting")
     )
-    # atomic-ish swap via the filesystem API (same scheme as the read)
+    # Swap via rename-ASIDE, never delete-first: src -> src__old,
+    # __compacting -> src, delete __old. A crash between any two steps
+    # leaves a readable copy on disk under a deterministic name —
+    # recovery is "if src missing, rename __compacting (or __old) back"
+    # — whereas delete-then-rename has a window where the partition is
+    # simply gone and a failed rename loses it permanently. Renames are
+    # atomic per-directory on HDFS/local FS; on object stores you'd use
+    # a table format's commit protocol instead (see schema_evolution.py
+    # notes), but the aside ordering is still the crash-safe shape.
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(src).getFileSystem(conf)
-    fs.delete(Path(src), True)
-    fs.rename(Path(src + "__compacting"), Path(src))
+    old = Path(src + "__old")
+    if fs.exists(old):  # leftover from a crashed prior swap
+        fs.delete(old, True)
+    if not fs.rename(Path(src), old):
+        raise IOError(f"compact_partition: rename-aside of {src} failed")
+    if not fs.rename(Path(src + "__compacting"), Path(src)):
+        # roll back so the partition stays readable under its own name
+        fs.rename(old, Path(src))
+        raise IOError(
+            f"compact_partition: swap-in of {src}__compacting failed; "
+            "original restored"
+        )
+    fs.delete(old, True)
