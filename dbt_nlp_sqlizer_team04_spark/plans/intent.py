@@ -121,6 +121,14 @@ SUBQUERY_KEYWORDS = (
     "that have", "which have", "whose", "where there exists", "that are in",
     "that are not in", "in the list of",
 )
+# CASE-bucket phrasing. The reference declares the CONDITIONAL intent
+# (query_intent.py:30) but never detects it — only its LLM-SQL extractor
+# keeps CASE/WHEN/THEN tokens (nl2sql.py:121); detecting AND compiling it
+# is template-program parity-plus, same as NULL_HANDLING below.
+CONDITIONAL_KEYWORDS = (
+    "categorize", "categorise", "classify", "label", "bucket",
+    "case when", "if then", "flag as",
+)
 
 # primary-intent priority (query_intent.py:291-301 parity, extended to the
 # remaining intents in first-detected order)
@@ -152,6 +160,7 @@ EXAMPLE_PATTERNS = {
     QueryIntent.RANKING: "SELECT *, ROW_NUMBER() OVER (ORDER BY column DESC) as rank FROM table_name LIMIT 100",
     QueryIntent.DISTINCT: "SELECT DISTINCT column FROM table_name LIMIT 100",
     QueryIntent.NULL_HANDLING: "SELECT * FROM table_name WHERE column IS NOT NULL LIMIT 100",
+    QueryIntent.CONDITIONAL: "SELECT CASE WHEN column > threshold THEN 'high' ELSE 'low' END AS category, COUNT(*) FROM table_name GROUP BY 1 LIMIT 100",
     QueryIntent.UNION: "SELECT * FROM table1 UNION SELECT * FROM table2 LIMIT 100",
     QueryIntent.SUBQUERY: "SELECT * FROM table_name WHERE id IN (SELECT id FROM other_table WHERE condition) LIMIT 100",
 }
@@ -271,6 +280,11 @@ def analyze_query_intent(
         intents.append(QueryIntent.NULL_HANDLING)
         clauses.append("WHERE")
         hints.append("Use IS NULL / IS NOT NULL")
+
+    if _contains_any(q, CONDITIONAL_KEYWORDS):
+        intents.append(QueryIntent.CONDITIONAL)
+        funcs.append("CASE WHEN")
+        hints.append("Use CASE WHEN ... THEN ... ELSE ... END buckets")
 
     if schema_context and " or " in f" {q} ":
         tnames = list(schema_context)

@@ -223,6 +223,33 @@ _LIKE_RE = re.compile(
     r"'?([a-z0-9#]+)'?"
 )
 
+# NULL_HANDLING compilation (the reference DETECTS this intent —
+# query_intent.py:244-254 — but its template tier never compiles it;
+# doing so is the template program's parity-plus convention).
+# "phone is null / is missing / is not set" and "missing phone" /
+# "without a phone" → IS NULL; "phone is not null/empty" and "with
+# phone recorded/present" → IS NOT NULL.
+_NULL_IS_RE = re.compile(
+    r"\b([a-z_]+)\s+is\s+(?:null|empty|missing|blank|unset|not\s+set)\b"
+)
+_NULL_NOT_RE = re.compile(
+    r"\b([a-z_]+)\s+is\s+not\s+(?:null|empty|missing|blank)\b"
+    r"|\b(?:with|have|has|having)\s+(?:a\s+|an\s+)?([a-z_]+)\s+"
+    r"(?:recorded|present|filled|populated)\b"
+)
+_NULL_MISSING_RE = re.compile(
+    r"\b(?:missing|without)\s+(?:a\s+|an\s+|any\s+)?([a-z_]+)\b"
+)
+
+# CONDITIONAL (CASE-bucket) compilation: "categorize orders as big or
+# small ..." — the reference only declares the intent (enum) and keeps
+# CASE tokens in its LLM-SQL extractor (nl2sql.py:121); here the bucket
+# labels and the threshold compile deterministically.
+_CASE_BUCKET_RE = re.compile(
+    r"\b(?:categori[sz]e|classify|label|bucket|flag)\s+(?:the\s+)?"
+    r"([a-z_]+?)s?\s+as\s+([a-z_]+)\s+or\s+([a-z_]+)\b"
+)
+
 
 def _temporal_grain(question: str) -> str | None:
     """Calendar grain the question groups on, if any ("per month",
@@ -585,6 +612,47 @@ class NL2SQLEngine:
                 "starting with": f"{tok}%", "ending with": f"%{tok}",
             }[mode]
             out.append(f"{best} ILIKE '{pat}'")
+        return out
+
+    def _extract_null_filters(self, table: str, question: str) -> list[str]:
+        """Nullability predicates from NULL_HANDLING phrasings
+        ("customers without a phone" → ``c_phone IS NULL``, "with phone
+        recorded" → ``c_phone IS NOT NULL``). The column word must
+        fuzzy-resolve to a column of the table (≥70, the numeric-filter
+        convention) and must NOT resolve to a TABLE — "orders without
+        lineitems" is the FK anti-join template's business, not a
+        column-null check."""
+        out: list[str] = []
+        ql = question.lower()
+        seen: set[str] = set()
+
+        def resolve(word: str) -> str | None:
+            if not word or self._entity_table(word) is not None:
+                return None
+            best, best_score = None, -1.0
+            for c in self._cols(table):
+                f = partial_ratio(c.name, word)
+                for syn in self.metadata.synonyms.get(c.name, []):
+                    f = max(f, partial_ratio(syn, word))
+                if f > best_score:
+                    best, best_score = c.name, f
+            return best if best is not None and best_score >= 70.0 else None
+
+        # NOT-null first, then mask, so "is not null" can't also feed
+        # the IS NULL pass (whose regex would otherwise match a
+        # different alternation of the same phrase)
+        for m in _NULL_NOT_RE.finditer(ql):
+            col = resolve(m.group(1) or m.group(2))
+            if col is not None and col not in seen:
+                seen.add(col)
+                out.append(f"{col} IS NOT NULL")
+        ql = _NULL_NOT_RE.sub(" ", ql)
+        for rx in (_NULL_IS_RE, _NULL_MISSING_RE):
+            for m in rx.finditer(ql):
+                col = resolve(m.group(1))
+                if col is not None and col not in seen:
+                    seen.add(col)
+                    out.append(f"{col} IS NULL")
         return out
 
     def _date_column(self, table: str, question: str) -> str | None:
@@ -1242,6 +1310,7 @@ class NL2SQLEngine:
                 + self._extract_numeric_filters(t, question)
                 + self._extract_year_filters(t, question)
                 + self._extract_like_filters(t, question)
+                + self._extract_null_filters(t, question)
             )
             where = " WHERE " + " AND ".join(conds) if conds else ""
 
@@ -1603,6 +1672,42 @@ class NL2SQLEngine:
                     )
                 )
 
+        # --- CASE-bucket grouped count: "categorize orders as big or
+        # small with totalprice over 150000" → CASE WHEN threshold
+        # buckets + per-bucket counts. Threshold comes from the
+        # question's own comparator when present; otherwise the corpus
+        # mean via a scalar subquery ("above average" phrasing). 0.85 so
+        # the compiled CASE outranks the 0.8 filtered listing the same
+        # comparator evidence would also produce.
+        cm = _CASE_BUCKET_RE.search(question.lower())
+        if cm and QueryIntent.CONDITIONAL in analysis.all_intents:
+            ent_w, lab_hi, lab_lo = cm.groups()
+            case_t = self._entity_table(ent_w) or t
+            cexpr = None
+            for word, cmp_word, num in _CMP_RE.findall(question.lower()):
+                ccol = self._best_numeric_column(case_t, word)
+                if ccol is not None:
+                    cexpr = (
+                        f"CASE WHEN {ccol} {_CMP_OPS[cmp_word]} "
+                        f"{num.replace(',', '')} THEN '{lab_hi}' "
+                        f"ELSE '{lab_lo}' END"
+                    )
+                    break
+            if cexpr is None:
+                ccol = self._best_numeric_column(case_t, question)
+                if ccol is not None:
+                    cexpr = (
+                        f"CASE WHEN {ccol} >= (SELECT AVG({ccol}) FROM "
+                        f"{case_t}) THEN '{lab_hi}' ELSE '{lab_lo}' END"
+                    )
+            if cexpr is not None:
+                sql = (
+                    f"SELECT category, COUNT(*) AS cnt FROM "
+                    f"(SELECT {cexpr} AS category FROM {case_t}) "
+                    f"AS bucketed GROUP BY category ORDER BY category"
+                )
+                out.append(Candidate(sql, "template_case_bucket", 0.85))
+
         # --- filtered listing: extracted predicate evidence without an
         # aggregate intent compiles to a WHERE'd projection (PK-ordered
         # for a deterministic result set)
@@ -1618,6 +1723,7 @@ class NL2SQLEngine:
                 + self._extract_numeric_filters(t, question)
                 + self._extract_year_filters(t, question)
                 + self._extract_like_filters(t, question)
+                + self._extract_null_filters(t, question)
             )
             if conds:
                 sql = (

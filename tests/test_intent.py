@@ -84,3 +84,9 @@ def test_prompt_builder():
     a = analyze_query_intent("count per segment")
     p = build_enhanced_prompt("count per segment", {"customer": ["c_mktsegment"]}, a)
     assert "c_mktsegment" in p and "Intent:" in p
+
+
+def test_conditional_intent():
+    a = analyze_query_intent("categorize orders as big or small")
+    assert QueryIntent.CONDITIONAL in a.all_intents
+    assert any("CASE WHEN" in f for f in a.required_functions)

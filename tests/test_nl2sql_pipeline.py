@@ -538,3 +538,54 @@ def test_reference_eval_shapes(spark, sf_smoke):
 
     _df, sql = eng.query_df("rank orders by totalprice descending")
     assert "RANK() OVER (ORDER BY o_totalprice DESC)" in sql
+
+
+def test_null_filter_template(spark, sf_smoke):
+    """NULL_HANDLING compiles to template SQL (the reference detects the
+    intent, query_intent.py:244-254, but only its LLM tier could answer
+    it): 'with X recorded' -> IS NOT NULL listing; 'X is missing' /
+    'without a X' -> IS NULL. A 'without <table>' phrasing stays the FK
+    anti-join's business."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    df, sql = eng.query_df("show customers with acctbal recorded")
+    s = " ".join(sql.split())
+    assert "c_acctbal IS NOT NULL" in s and "ORDER BY c_custkey" in s
+    assert df.count() > 0
+
+    df, sql = eng.query_df("customers where mktsegment is missing")
+    s = " ".join(sql.split())
+    assert "c_mktsegment IS NULL" in s
+    assert df.count() == 0  # the corpus is NULL-free; shape is the test
+
+    _df, sql = eng.query_df("customers without a mktsegment")
+    assert "c_mktsegment IS NULL" in " ".join(sql.split())
+
+    # table-resolving 'without' keeps the anti-join template
+    _df, sql = eng.query_df("customers without orders")
+    assert "NOT EXISTS" in sql and "IS NULL" not in sql
+
+
+def test_case_bucket_template(spark, sf_smoke):
+    """CONDITIONAL compiles to a CASE-bucket grouped count (the
+    reference only declares the intent and keeps CASE tokens in its
+    LLM-SQL extractor, nl2sql.py:121): an explicit comparator becomes
+    the threshold; without one the corpus mean does (scalar
+    subquery)."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    df, sql = eng.query_df(
+        "categorize orders as big or small with totalprice over 150000"
+    )
+    s = " ".join(sql.split())
+    assert "CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END" in s
+    assert "GROUP BY category" in s
+    rows = {r["category"]: r["cnt"] for r in df.collect()}
+    assert set(rows) == {"big", "small"} and all(v > 0 for v in rows.values())
+
+    _df, sql = eng.query_df("classify orders as high or low by totalprice")
+    s = " ".join(sql.split())
+    assert "(SELECT AVG(o_totalprice) FROM orders)" in s
+    assert "'high'" in s and "'low'" in s
