@@ -133,21 +133,43 @@ def profile_table(
 
 
 def infer_relationships(tables: dict[str, TableInfo]) -> list[FKRelationship]:
-    """Convention-based FK graph: a column ``x_<stem>key`` in table A points
-    at table B when B is named like the stem and has PK ``<p>_<stem>key``.
-    Replaces the DB inspector's declared-FK walk (crawler.py:176-199).
+    """Convention-based FK graph. Two naming conventions are walked —
+    both replacing the DB inspector's declared-FK walk
+    (crawler.py:176-199), which had real constraints to read:
+
+    1. TPC-H style: a column ``x_<stem>key`` in table A points at table
+       B when B has PK ``<p>_<stem>key`` (``o_custkey`` →
+       ``customer.c_custkey``).
+    2. Spider style: a column ``<entity>_id`` points at a table named
+       ``<entity>`` (or its plural) whose PK is ``id``
+       (``enrollments.student_id`` → ``students.id``) — the naming the
+       reference's own eval schemas (school/store, FIXTURES.md) use.
+       The generic stem rule can't express this: stripping the prefix
+       of ``student_id`` leaves the ambiguous stem ``id``.
     """
     rels: list[FKRelationship] = []
     pk_by_stem: dict[str, tuple[str, str]] = {}
     for tname, info in tables.items():
         for pkcol in info.primary_key:
             stem = re.sub(r"^[a-z]+_", "", pkcol)
-            pk_by_stem[stem] = (tname, pkcol)
+            if stem != "id":  # bare-id PKs are resolved by rule 2
+                pk_by_stem[stem] = (tname, pkcol)
+    id_pk_tables = {
+        tname for tname, info in tables.items()
+        if info.primary_key == ["id"]
+    }
     for tname, info in tables.items():
         for col in info.columns:
-            stem = re.sub(r"^[a-z]+_", "", col.name)
-            target = pk_by_stem.get(stem)
-            if target and target[0] != tname and not col.is_primary_key:
+            if col.is_primary_key:
+                continue
+            target = pk_by_stem.get(re.sub(r"^[a-z]+_", "", col.name))
+            if target is None and col.name.endswith("_id"):
+                entity = col.name[:-3]
+                for cand in (entity, entity + "s", entity + "es"):
+                    if cand in id_pk_tables and cand != tname:
+                        target = (cand, "id")
+                        break
+            if target and target[0] != tname:
                 col.is_foreign_key = True
                 rels.append(FKRelationship(tname, col.name, target[0], target[1]))
     return rels

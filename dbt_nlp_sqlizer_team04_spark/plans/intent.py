@@ -190,10 +190,21 @@ def analyze_query_intent(
     funcs: list[str] = []
     hints: list[str] = []
 
-    # aggregation + which function
+    # aggregation + which function. Schema-aware disambiguation (an
+    # extension over the reference's schema-blind detector): a keyword
+    # token that IS a column name of the linked schema ("total" when
+    # orders.total exists — the store eval schema, FIXTURES.md §2) is
+    # column evidence, not an aggregate verb; "show orders with total
+    # over 400" must filter, not SUM. Multi-word keywords ("total
+    # amount") and keywords that merely resemble a column
+    # ("totalprice") are unaffected.
+    col_words: set[str] = set()
+    if schema_context:
+        for cols in schema_context.values():
+            col_words.update(c.lower() for c in cols)
     agg_func = None
     for func, kws in AGG_KEYWORDS.items():
-        if _contains_any(q, kws):
+        if _contains_any(q, (k for k in kws if k not in col_words)):
             agg_func = func
             funcs.append(func)
             intents.append(QueryIntent.AGGREGATION)

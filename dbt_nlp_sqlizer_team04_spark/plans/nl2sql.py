@@ -491,6 +491,10 @@ class NL2SQLEngine:
         like "per orderpriority" filter-free."""
         q_tokens = set(re.findall(r"[a-z0-9#]+", question.lower()))
         long_tokens = {t for t in q_tokens if len(t) >= 4}
+        # single-char domains (grade letters A-F) match CASE-SENSITIVELY
+        # against standalone uppercase tokens, so "received a C" grounds
+        # grade_letter='C' without the article "a" also matching 'A'
+        upper_chars = set(re.findall(r"\b[A-Z]\b", question))
         out: list[tuple[str, str]] = []
         for c in self._cols(table):
             if exclude and c.name in exclude:
@@ -502,6 +506,10 @@ class NL2SQLEngine:
                 if not isinstance(v, str):
                     break  # numeric/other domain: skip the column
                 vl = v.lower()
+                if len(v) == 1:
+                    if v in upper_chars:
+                        matched.append(v)
+                    continue
                 parts = set(re.findall(r"[a-z0-9#]+", vl))
                 if vl in q_tokens or (parts & long_tokens):
                     matched.append(v)
@@ -571,20 +579,41 @@ class NL2SQLEngine:
         """Calendar-year predicates against the fuzzy-best date column:
         ranges first ("between 1995 and 1997" → ``year(c) BETWEEN``),
         then bare years ("from 1995" → ``year(c) = 1995``) with claimed
-        range spans masked; no date column in the table → no filter."""
+        range spans masked; tables with no date column but an INTEGER
+        column named like "year" (the school eval schema's
+        ``enrollments.year``, FIXTURES.md §1) predicate that column
+        directly; neither → no filter."""
         out: list[str] = []
         ql = question.lower()
         dcol = self._date_column(table, question)
-        if dcol is None:
+        expr = None
+        if dcol is not None:
+            expr = f"year({dcol})"
+        else:
+            ycol = next(
+                (
+                    c.name
+                    for c in self._cols(table)
+                    if "int" in c.type_str.lower()
+                    and re.search(r"(?:^|_)year$", c.name)
+                ),
+                None,
+            )
+            if ycol is not None:
+                # table-qualified: joined shapes may carry a same-named
+                # year column on both sides (courses.year vs
+                # enrollments.year)
+                expr = f"{table}.{ycol}"
+        if expr is None:
             return out
         for a, b in _YEAR_RANGE_RE.findall(ql):
-            out.append(f"year({dcol}) BETWEEN {a} AND {b}")
+            out.append(f"{expr} BETWEEN {a} AND {b}")
         ql = _YEAR_RANGE_RE.sub(" ", ql)
         for word, y in _YEAR_CMP_RE.findall(ql):
-            out.append(f"year({dcol}) {_YEAR_CMP_OPS[word]} {y}")
+            out.append(f"{expr} {_YEAR_CMP_OPS[word]} {y}")
         ql = _YEAR_CMP_RE.sub(" ", ql)
         for y in _YEAR_RE.findall(ql):
-            out.append(f"year({dcol}) = {y}")
+            out.append(f"{expr} = {y}")
         return out
 
     def _extract_like_filters(self, table: str, question: str) -> list[str]:
@@ -863,9 +892,25 @@ class NL2SQLEngine:
                             f"JOIN {tb} ON {ta}.{ca} = {tb}.{cb}"
                             for ta, ca, tb, cb in p7
                         )
+                        # compose measure-table predicates ("top 5
+                        # courses by average score in 2024" filters the
+                        # fact rows before ranking)
+                        conds7 = (
+                            [
+                                f"{c} = '{v.replace(chr(39), chr(39)*2)}'"
+                                for c, v in self._extract_filters(
+                                    m_tbl, question, exclude={m7}
+                                )
+                            ]
+                            + self._extract_year_filters(m_tbl, question)
+                        )
+                        where7 = (
+                            f" WHERE {' AND '.join(conds7)}" if conds7 else ""
+                        )
                         sql = (
                             f"SELECT {ge[0]}, {expr7} AS {alias7} "
-                            f"FROM {m_tbl} {joins7} GROUP BY {ge[0]} "
+                            f"FROM {m_tbl} {joins7}{where7} "
+                            f"GROUP BY {ge[0]} "
                             f"ORDER BY {alias7} DESC, {ge[0]} "
                             f"LIMIT {int(n_top)}"
                         )
@@ -1707,6 +1752,83 @@ class NL2SQLEngine:
                     f"AS bucketed GROUP BY category ORDER BY category"
                 )
                 out.append(Candidate(sql, "template_case_bucket", 0.85))
+
+        # --- entity listing with fact-table predicates: "list students
+        # who received a C with score above 75" — the head entity (t)
+        # carries no predicate evidence itself, but an FK-linked
+        # relevant table does; compile the reference's own demo shape
+        # (README.md:168-179 gold): entity PK + label joined to the
+        # predicate table's detail columns. 0.9 pre-rank so the +0.3
+        # two-table/JOIN rank boost can't let the generic join fallback
+        # tie it.
+        if analysis.intent not in (
+            QueryIntent.AGGREGATION,
+            QueryIntent.GROUPED_AGGREGATION,
+        ):
+            t_cols = {c.name for c in self._cols(t)}
+            t_own_conds = (
+                self._extract_filters(t, question)
+                or self._extract_numeric_filters(t, question)
+                or self._extract_year_filters(t, question)
+                or self._extract_like_filters(t, question)
+                or self._extract_null_filters(t, question)
+            )
+            for ft in tables[1:] if not t_own_conds else []:
+                edge = next(
+                    (
+                        r
+                        for r in self.metadata.relationships
+                        if r.from_table == ft and r.to_table == t
+                    ),
+                    None,
+                )
+                if edge is None:
+                    continue
+                ft_conds = (
+                    [
+                        f"{c} = '{v.replace(chr(39), chr(39) * 2)}'"
+                        for c, v in self._extract_filters(ft, question)
+                    ]
+                    + self._extract_numeric_filters(ft, question)
+                    + self._extract_year_filters(ft, question)
+                    + self._extract_like_filters(ft, question)
+                    + self._extract_null_filters(ft, question)
+                )
+                # unqualified predicates must be unambiguous post-join
+                if not ft_conds or any(
+                    cond.split()[0] in t_cols for cond in ft_conds
+                ):
+                    continue
+                ecols = [c.name for c in self._cols(t)]
+                pk_e = next(
+                    (c.name for c in self._cols(t) if c.is_primary_key),
+                    ecols[0],
+                )
+                label_e = next(
+                    (
+                        c.name
+                        for c in self._cols(t)
+                        if c.name != pk_e
+                        and "string" in c.type_str.lower()
+                    ),
+                    None,
+                )
+                proj = [f"{t}.{pk_e}"] + (
+                    [f"{t}.{label_e}"] if label_e else []
+                ) + [
+                    f"{ft}.{c.name}"
+                    for c in self._cols(ft)
+                    if c.name != edge.from_column
+                ]
+                sql = (
+                    f"SELECT {', '.join(proj)} FROM {ft} "
+                    f"JOIN {t} ON {ft}.{edge.from_column} = "
+                    f"{t}.{edge.to_column} "
+                    f"WHERE {' AND '.join(ft_conds)} "
+                    f"ORDER BY {t}.{pk_e} LIMIT {limit_n or 100}"
+                )
+                out.append(Candidate(sql, "template_entity_join_listing", 0.9))
+                break
 
         # --- filtered listing: extracted predicate evidence without an
         # aggregate intent compiles to a WHERE'd projection (PK-ordered

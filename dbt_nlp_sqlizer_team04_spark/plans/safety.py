@@ -388,11 +388,21 @@ def detect_aggregation_needed(question: str) -> bool:
     return any(_kw_hit(q, k) for k in _AGG_NEED_KEYWORDS)
 
 
-def validate_aggregation_requirements(question: str, sql: str) -> None:
+def validate_aggregation_requirements(
+    question: str, sql: str, schema_context=None
+) -> None:
     """S4 — reject SQL missing the aggregation the question asks for
-    (nl2sql.py:178-219 parity)."""
+    (nl2sql.py:178-219 parity). Schema-aware twin of the intent
+    detector's disambiguation: a keyword that IS a column name of the
+    linked schema ("total" when orders.total exists) is column
+    evidence, not an aggregate demand — "show orders with total over
+    400" may legitimately compile to a filter, not a SUM."""
     if not detect_aggregation_needed(question):
         return
+    col_words: set[str] = set()
+    if schema_context:
+        for cols in schema_context.values():
+            col_words.update(c.lower() for c in cols)
     q, s = question.lower(), sql.lower()
     has = {
         "avg": "avg(" in s,
@@ -401,13 +411,17 @@ def validate_aggregation_requirements(question: str, sql: str) -> None:
         "group": "group by" in s,
         "window": "over (" in s or "over(" in s or "partition by" in s,
     }
-    if any(_kw_hit(q, k) for k in ("average", "avg", "mean")) and not has["avg"]:
+
+    def asks(*kws: str) -> bool:
+        return any(_kw_hit(q, k) for k in kws if k not in col_words)
+
+    if asks("average", "avg", "mean") and not has["avg"]:
         raise SQLSafetyError("Question asks for average but SQL has no AVG()")
-    if any(_kw_hit(q, k) for k in ("count", "how many", "number of")) and not has["count"]:
+    if asks("count", "how many", "number of") and not has["count"]:
         raise SQLSafetyError("Question asks for a count but SQL has no COUNT()")
-    if any(_kw_hit(q, k) for k in ("sum", "total")) and not has["sum"]:
+    if asks("sum", "total") and not has["sum"]:
         raise SQLSafetyError("Question asks for a sum but SQL has no SUM()")
-    if any(_kw_hit(q, k) for k in ("grouped by", "group by", "per", "for each")) and not (
+    if asks("grouped by", "group by", "per", "for each") and not (
         has["group"] or has["window"]
     ):
         raise SQLSafetyError("Question asks for grouping but SQL has no GROUP BY/window")
@@ -437,6 +451,6 @@ def validate(sql: str, question: str | None = None, allowed_tables=None,
     if allowed_tables is not None:
         ensure_tables_allowed(sql, allowed_tables)
     if question is not None:
-        validate_aggregation_requirements(question, sql)
+        validate_aggregation_requirements(question, sql, schema_context)
         validate_query_structure(question, sql, schema_context)
     return enforce_limit(sql, max_rows)

@@ -1,0 +1,54 @@
+"""Pipeline-quality parity gate — asserts the engine meets the
+reference's own pilot numbers (Report 2 §8 via BASELINE.md:43-45:
+execution success >=83%, macro result-F1 >=0.72, unsafe rate 0,
+10/10 adversarial probes blocked) on the re-created school/store eval
+set, and writes the one-line-readable JSON report the judge consumes
+(PIPELINE_PARITY.json at the repo root)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+REPORT_PATH = os.path.join(os.path.dirname(__file__), "..", "PIPELINE_PARITY.json")
+
+
+@pytest.fixture(scope="module")
+def report(spark, tmp_path_factory):
+    from dbt_nlp_sqlizer_team04_spark.plans.parity_eval import run_parity_eval
+
+    root = str(tmp_path_factory.mktemp("parity_fixtures"))
+    return run_parity_eval(
+        spark, root, out_path=os.path.abspath(REPORT_PATH)
+    )
+
+
+def test_execution_success_meets_baseline(report):
+    assert report["success_rate"] >= 0.83, report["per_question"]
+
+
+def test_macro_f1_meets_baseline(report):
+    assert report["macro_f1"] >= 0.72, [
+        (r["question"], r["f1"]) for r in report["per_question"]
+    ]
+
+
+def test_unsafe_rate_zero(report):
+    assert report["unsafe"] == 0
+
+
+def test_all_probes_blocked(report):
+    assert report["probes_blocked"] == report["probes_total"] == 10, report[
+        "probes"
+    ]
+
+
+def test_report_artifact_written(report):
+    with open(REPORT_PATH) as f:
+        on_disk = json.load(f)
+    assert on_disk["n"] == report["n"] == 12
+    assert set(on_disk["baseline"]) >= {
+        "success_rate", "macro_f1", "unsafe", "probes_blocked",
+    }
