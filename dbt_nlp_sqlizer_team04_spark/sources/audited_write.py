@@ -63,6 +63,7 @@ def write_parquet_audited(
     text_col: str = "text",
     mode: str = "overwrite",
     strict: bool = True,
+    partition_by: list[str] | None = None,
 ) -> WriteAudit:
     """Write ``df`` to parquet and return single-pass audit metrics.
 
@@ -120,7 +121,10 @@ def write_parquet_audited(
         F.min(id_col).alias("min_id"),
         F.max(id_col).alias("max_id"),
     )
-    observed.write.mode(mode).parquet(path)
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     m = obs.get
     audit = WriteAudit(
         n_rows=int(m["n_rows"]),

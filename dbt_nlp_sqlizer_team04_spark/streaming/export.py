@@ -42,6 +42,7 @@ from ..operators.packing import shard_manifest
 from ..operators.sampling import hash_bucket_expr
 
 MANIFEST_SUBDIR = "_manifest"
+AUDIT_SUBDIR = "_audit"
 DATA_SUBDIR = "data"
 
 
@@ -75,6 +76,12 @@ class ExactlyOnceShardSink:
             base, f"batch_id={batch_id}"
         )
 
+    def audit_dir(self, batch_id: int | None = None) -> str:
+        base = os.path.join(self.out_dir, AUDIT_SUBDIR)
+        return base if batch_id is None else os.path.join(
+            base, f"batch_id={batch_id}"
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch fires with 0-row batches (no-new-data trigger,
         # watermark-advance epochs, restart of a drained stream); an
@@ -82,20 +89,51 @@ class ExactlyOnceShardSink:
         # cannot infer a schema and would kill the query
         if batch_df.isEmpty():
             return
-        (
+        # the data write rides the observed-write audit: df.observe
+        # metrics are captured DURING the write pass (zero extra scan),
+        # on a re-homed child session (audited_write's
+        # ObservationManager-serialization workaround — foreachBatch's
+        # micro-batch session must stay Java-serializable for the
+        # streaming checkpointer). strict=False: the export is a sink,
+        # not a quality gate — violations are recorded per batch, not
+        # thrown mid-stream.
+        from ..sources.audited_write import write_parquet_audited
+
+        audit = write_parquet_audited(
             batch_df.withColumn(
                 "shard",
                 hash_bucket_expr(F.col(self.id_col), self.n_shards).cast(
                     "int"
                 ),
-            )
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(self.data_dir(batch_id))
+            ),
+            self.data_dir(batch_id),
+            id_col=self.id_col,
+            text_col=self.text_col,
+            strict=False,
+            partition_by=["shard"],
+        )
+        # persist the per-batch audit idempotently (same overwrite-by-
+        # batch_id contract as the data and manifest deltas, so a
+        # replayed epoch rewrites an identical audit row)
+        spark = batch_df.sparkSession
+        spark.createDataFrame(
+            [
+                (
+                    int(audit.n_rows),
+                    int(audit.total_chars),
+                    int(audit.null_ids),
+                    int(audit.empty_texts),
+                    audit.min_id,
+                    audit.max_id,
+                )
+            ],
+            "n_rows long, total_chars long, null_ids long, "
+            "empty_texts long, min_id long, max_id long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            self.audit_dir(batch_id)
         )
         # the delta is derived from the rows just WRITTEN (read-back),
         # so a manifest row can never describe data that didn't land
-        spark = batch_df.sparkSession
         delta = shard_manifest(
             spark.read.parquet(self.data_dir(batch_id)),
             self.n_shards,
@@ -145,6 +183,25 @@ def exported_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
             F.sum("content_checksum").alias("content_checksum"),
         )
         .orderBy("shard")
+    )
+
+
+def exported_audit(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Cumulative observed-write audit: merge the per-batch df.observe
+    metrics (every column a commutative monoid, same merge law as the
+    manifest). Equals an independent recount over ``exported_data`` —
+    the zero-extra-scan validation the pytest pins across a
+    crash-replay."""
+    audits = spark.read.option(
+        "basePath", os.path.join(out_dir, AUDIT_SUBDIR)
+    ).parquet(os.path.join(out_dir, AUDIT_SUBDIR, "batch_id=*"))
+    return audits.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("total_chars").alias("total_chars"),
+        F.sum("null_ids").alias("null_ids"),
+        F.sum("empty_texts").alias("empty_texts"),
+        F.min("min_id").alias("min_id"),
+        F.max("max_id").alias("max_id"),
     )
 
 

@@ -226,3 +226,49 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_smoke, tmp_path):
         for r in shard_manifest(docs, 8).collect()
     }
     assert got == want
+
+
+def test_observed_audit_matches_independent_recount(spark, sf_smoke, tmp_path):
+    """The per-batch df.observe audit (captured DURING each micro-batch
+    write, zero extra scan) must merge to exactly the metrics an
+    independent recount over the exported rows computes — and must stay
+    equal across a crash-replay of an epoch, with the manifest equality
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.streaming.export import exported_audit
+
+    docs, out = _run_export(spark, sf_smoke, tmp_path)
+
+    def recount():
+        return tuple(
+            exported_data(spark, out)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.length("text")).alias("total_chars"),
+                F.sum(F.col("doc_id").isNull().cast("long")).alias("null_ids"),
+                F.sum(
+                    (F.coalesce(F.length(F.trim("text")), F.lit(0)) == 0)
+                    .cast("long")
+                ).alias("empty_texts"),
+                F.min("doc_id").alias("min_id"),
+                F.max("doc_id").alias("max_id"),
+            )
+            .collect()[0]
+        )
+
+    audit_before = tuple(exported_audit(spark, out).collect()[0])
+    assert audit_before == recount()
+    assert audit_before[0] == docs.count() and audit_before[2] == 0
+
+    # crash-replay of epoch 0: audit, data, and manifest all unchanged
+    sink = ExactlyOnceShardSink(out, n_shards=N_SHARDS)
+    epoch_rows = (
+        spark.read.parquet(sink.data_dir(0)).select("doc_id", "text").collect()
+    )
+    manifest_before = _manifest_rows(exported_manifest(spark, out))
+    replay = spark.createDataFrame(epoch_rows, "doc_id long, text string")
+    sink(replay, 0)
+    assert tuple(exported_audit(spark, out).collect()[0]) == audit_before
+    assert tuple(exported_audit(spark, out).collect()[0]) == recount()
+    assert _manifest_rows(exported_manifest(spark, out)) == manifest_before
