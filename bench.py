@@ -132,6 +132,7 @@ HEADLINE = [
     "q121_promo_revenue_share",
     "q122_top_suppliers",
     "q123_small_quantity_revenue",
+    "q124_knn_graph_ivf",
 ]
 
 

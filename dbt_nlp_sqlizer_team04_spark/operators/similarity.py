@@ -1503,8 +1503,114 @@ def knn_graph(
 
 def q107_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-NN graph over the embeddings corpus (oracle: DuckDB
-    all-pairs window)."""
+    all-pairs window). This exact tier is the ORACLE BASELINE for the
+    IVF-cell approximate tier (:func:`knn_graph_ivf`, q124) — at
+    corpus scale the approximate graph over the persisted cells is the
+    deployment path and this tile-exact build is what its recall is
+    measured against."""
     return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+def knn_graph_ivf(
+    spark: SparkSession,
+    df: DataFrame | None = None,
+    k: int = 5,
+    ivf_table: str | None = None,
+    n_cells: int = 16,
+    seed: int = LSH_SEED,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_probe_assign: int = 2,
+) -> DataFrame:
+    """APPROXIMATE k-nearest-neighbor graph over the persisted IVF
+    cells — the SemDeDup blocking idea (:func:`semantic_dedup`)
+    applied to graph construction: each vector's candidate neighbors
+    are the co-residents of its ``n_probe_assign`` nearest cells; the
+    exact tier (:func:`knn_graph`, q107) is this tier's oracle
+    baseline, and the recall pytest measures the gap on planted
+    neighborhoods and on the live corpus instead of pretending it away.
+
+    Plan: cell assignment comes from the PERSISTED multi-probe IVF
+    table when given (``create_ivf_table`` at ingest — no k-means
+    here); one ``applyInPandas`` per cell computes the in-cell cosine
+    matrix with a single BLAS matmul and emits only each row's LOCAL
+    top-k (≤ probes·k candidate rows per vector ever exist); a
+    (id, nbr) max-merge deduplicates shared-cell pairs and a window
+    rank keeps the global top-k under the exact tier's
+    (cosine DESC, nbr ASC) total order.
+
+    Scale: the quadratic stage is bounded by Σ|cell|² like SemDeDup —
+    never corpus² — and cells shuffle once on the cell key; at 100 TB
+    the IVF table is the ingest artifact and this graph is an
+    incremental per-cell rebuild when cells change.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    if ivf_table is not None:
+        assigned = spark.table(ivf_table).select(
+            F.col(id_col).alias("id"),
+            _as_double(emb_col).alias("e"),
+            "cell",
+        )
+    else:
+        idx, _ = ivf_index(df, n_cells, seed, id_col, emb_col, n_probe_assign)
+        assigned = idx.select(
+            F.col(id_col).alias("id"), _as_double(emb_col).alias("e"), "cell"
+        )
+
+    def cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {"id": pd.Series(dtype="int64"),
+             "nbr": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        # sort the neighbor axis by id so stable argsort tie-breaks by
+        # id — the exact tier's convention
+        order = np.argsort(ids, kind="stable")
+        idb, mb = ids[order], m[order]
+        cos = np.round(m @ mb.T, 6)
+        cos[ids[:, None] == idb[None, :]] = -np.inf  # no self edge
+        kk = min(k, cos.shape[1] - 1)
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(ids, kk)
+        cols = idb[top.ravel()]
+        vals = np.take_along_axis(cos, top, axis=1).ravel()
+        keep = ~np.isneginf(vals)
+        return pd.DataFrame(
+            {"id": rows[keep], "nbr": cols[keep], "cosine": vals[keep]}
+        )
+
+    cands = assigned.groupBy("cell").applyInPandas(
+        cell_topk, "id long, nbr long, cosine double"
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), "nbr")
+    return (
+        cands.groupBy("id", "nbr")
+        .agg(F.max("cosine").alias("cosine"))  # shared-cell pairs once
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("id", "rank")
+    )
+
+
+def q124_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 5-NN graph over the persisted 2-probe IVF cells
+    (rows-only: approximation has no SQL twin; the recall pytest
+    measures it against the exact q107 tier, which is its oracle
+    baseline)."""
+    return knn_graph_ivf(
+        spark, k=5, ivf_table=ivf_table_for(spark, sf_dir, n_probe_assign=2)
+    )
 
 
 def knn_graph_oracle_sql(k: int = 5) -> str:

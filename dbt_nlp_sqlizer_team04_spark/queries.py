@@ -805,6 +805,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # SQL analog; differential pytest vs the pure-Python Sennrich
     # reference)
     "q110_bpe_merges": X.q110_bpe_merges,
+    # Approximate kNN graph over the persisted 2-probe IVF cells
+    # (rows-only: recall pytest vs the exact q107 baseline — planted
+    # blobs ≈1.0, live corpus ≥0.6, the SemDeDup tier's figure) — NEW
+    # r5.
+    "q124_knn_graph_ivf": V.q124_knn_graph_ivf,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the

@@ -841,3 +841,51 @@ def test_knn_graph_tile_invariant_and_exact(spark, sf_check):
         )[:3]]
         for rank, nbr in enumerate(top, start=1):
             assert got[(ids[i], rank)] == nbr
+
+
+def test_knn_graph_ivf_recall_and_determinism(spark, sf_check):
+    """IVF-cell approximate kNN graph (q124) vs the exact tier (q107,
+    its oracle baseline): planted clone neighborhoods are recovered
+    (every clone's rank-1 neighbor is its source), live-corpus edge
+    recall clears the SemDeDup tier's documented 0.6 figure, output is
+    deterministic, and every vector emits at most k edges obeying the
+    (cosine DESC, nbr ASC) order."""
+    emb = load_table(spark, sf_check, "embeddings").cache()
+
+    # planted neighborhoods: exact clones must be each other's 1-NN
+    clones = emb.limit(32).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    g = V.knn_graph_ivf(spark, corpus, k=5, n_cells=8).collect()
+    rank1 = {r["id"]: r["nbr"] for r in g if r["rank"] == 1}
+    planted = [r["vec_id"] for r in clones.collect()]
+    hit = sum(1 for vid in planted if rank1.get(vid) == vid - 10_000)
+    assert hit / len(planted) >= 0.95
+
+    # live corpus: edge recall vs exact >= the SemDeDup figure
+    exact_edges = {
+        (r["id"], r["nbr"]) for r in V.knn_graph(emb, k=5).collect()
+    }
+    a1 = V.knn_graph_ivf(
+        spark, emb.select("vec_id", "embedding"), k=5, n_cells=16
+    ).collect()
+    a2 = V.knn_graph_ivf(
+        spark, emb.select("vec_id", "embedding"), k=5, n_cells=16
+    ).collect()
+    assert [tuple(r) for r in a1] == [tuple(r) for r in a2]  # deterministic
+    approx_edges = {(r["id"], r["nbr"]) for r in a1}
+    recall = len(exact_edges & approx_edges) / len(exact_edges)
+    assert recall >= 0.6, recall
+
+    # structural contract: <= k edges per id, ranked under the exact
+    # tier's total order
+    per_id = {}
+    for r in a1:
+        per_id.setdefault(r["id"], []).append((r["rank"], r["cosine"], r["nbr"]))
+    for edges in per_id.values():
+        edges.sort()
+        assert len(edges) <= 5
+        keys = [(-c, n) for _rk, c, n in edges]
+        assert keys == sorted(keys)
+    emb.unpersist()
