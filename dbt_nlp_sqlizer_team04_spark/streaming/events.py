@@ -473,3 +473,64 @@ def enriched_stream_to_memory(
     if q.isActive:
         q.stop()
     return spark.table(table_name)
+
+
+# ------------------------------------------- dedup -> export composition
+def slot_columns(df: DataFrame) -> DataFrame:
+    """The exported slot projection shared by the streaming composition
+    and its batch twin: a (user, type, clock-hour) slot id/key derived
+    ONLY from the dedup key columns. Because every redelivered copy of
+    a slot carries the same key fields, the export's manifest (counts,
+    id range, content checksum over slot_key) is identical no matter
+    WHICH copy the stream kept — the honest determinism contract of
+    at-least-once dedup: the slot SET is deterministic, the winning
+    row's payload columns need not be."""
+    return df.select(
+        F.xxhash64("user_id", "event_type", "hour_start").alias("slot_id"),
+        F.concat_ws(
+            "|", "user_id", "event_type", "hour_start"
+        ).alias("slot_key"),
+        "event_id", "user_id", "event_type", "hour_start",
+    )
+
+
+def dedup_export_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    n_shards: int = 8,
+    stream: DataFrame | None = None,
+):
+    """ONE streaming query composing the two stateful guarantees:
+    watermarked slot dedup (``dropDuplicatesWithinWatermark`` on the
+    q106 (user, type, clock-hour) key — at-least-once sources redeliver)
+    feeding the exactly-once sharded export (idempotent foreachBatch,
+    per-batch manifest + observed-write audit). Batch twin/oracle:
+    ``timeseries.hourly_first_events`` over the single-copy corpus,
+    pushed through the SAME slot projection and ``shard_manifest`` —
+    the replay pytest pins manifest equality and no duplicate slots.
+
+    Scale: dedup state holds one key per live slot inside the watermark
+    horizon (bounded by arrival rate x delay); the export inherits the
+    sink's single-writer, overwrite-by-batch contract.
+    """
+    from .export import export_stream
+
+    ev = _normalize_ts(
+        stream if stream is not None else read_events_stream(spark, sf_dir)
+    )
+    slotted = ev.withColumn(
+        "hour_start",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"),
+    )
+    deduped = slotted.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hour_start"]
+    )
+    return export_stream(
+        slot_columns(deduped),
+        out_dir,
+        n_shards=n_shards,
+        id_col="slot_id",
+        text_col="slot_key",
+    )

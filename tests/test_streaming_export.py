@@ -272,3 +272,56 @@ def test_observed_audit_matches_independent_recount(spark, sf_smoke, tmp_path):
     assert tuple(exported_audit(spark, out).collect()[0]) == audit_before
     assert tuple(exported_audit(spark, out).collect()[0]) == recount()
     assert _manifest_rows(exported_manifest(spark, out)) == manifest_before
+
+
+def test_dedup_then_export_composition(spark, sf_smoke, tmp_path):
+    """ONE streaming query: watermarked slot dedup feeding the
+    exactly-once export. A redelivered copy of the whole stream must
+    produce (a) no duplicate slots in the exported data, (b) a merged
+    manifest EQUAL to the batch twin's (q106 hourly-first slots through
+    q68's shard_manifest), and (c) an observed audit equal to the
+    recount — all after at-least-once delivery."""
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.operators.timeseries import (
+        hourly_first_events,
+    )
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import (
+        dedup_export_stream,
+        slot_columns,
+    )
+    from dbt_nlp_sqlizer_team04_spark.streaming.export import exported_audit
+
+    events = load_table(spark, sf_smoke, "events").limit(1000).cache()
+    drop = tmp_path / "ev_redelivered"
+    raw = events.withColumn("ts", F.unix_micros("ts") * 1000)  # nanos layout
+    raw.write.parquet(str(drop / "d0"))
+    raw.write.parquet(str(drop / "d1"))  # at-least-once redelivery
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(drop) + "/*")
+    )
+    out = str(tmp_path / "ev_export")
+    q = dedup_export_stream(spark, sf_smoke, out, n_shards=N_SHARDS, stream=stream)
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    data = exported_data(spark, out)
+    slots = [r["slot_id"] for r in data.select("slot_id").collect()]
+    assert len(slots) == len(set(slots))  # no duplicate slots exported
+
+    twin = slot_columns(hourly_first_events(events))
+    want = _manifest_rows(
+        shard_manifest(twin, N_SHARDS, "slot_id", "slot_key")
+    )
+    got = _manifest_rows(exported_manifest(spark, out))
+    assert got == want
+
+    audit = exported_audit(spark, out).collect()[0]
+    assert audit["n_rows"] == len(slots) == twin.count()
+    assert audit["null_ids"] == 0
+    events.unpersist()
