@@ -133,6 +133,11 @@ HEADLINE = [
     "q122_top_suppliers",
     "q123_small_quantity_revenue",
     "q124_knn_graph_ivf",
+    # r5 additions: TPC-H Q2/Q21/Q20 analogs + expectation suite
+    "q125_min_cost_supplier",
+    "q126_sole_returner_suppliers",
+    "q127_part_volume_suppliers",
+    "q128_expectation_suite",
 ]
 
 

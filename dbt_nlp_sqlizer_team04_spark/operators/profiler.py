@@ -579,3 +579,96 @@ def incremental_profile_oracle_sql() -> str:
                max(o_totalprice) AS max_v
         FROM orders
     """
+
+
+# ---------------------------------------------- data-quality expectations
+def expectation_suite(orders: DataFrame) -> DataFrame:
+    """Deequ-style declarative data-quality gate over the orders feed —
+    the validation pass a training-data pipeline runs BEFORE ingesting a
+    batch (the reference validates *queries*; a 100 TB pipeline must
+    also validate *data*). Five constraint families in ONE scan:
+    completeness (FK not null), uniqueness (PK distinct == rows), range
+    (price strictly positive), set membership (status domain), and
+    temporal sanity (no dates past the corpus horizon).
+
+    Returns one row per check: ``(check_name, metric, passed)`` with
+    ``passed`` already 0/1 so the report is engine-portable.
+
+    Scale: ALL metrics ride a single aggregate — one scan, one 1-row
+    shuffle (the exact PK distinct adds Spark's expand for the single
+    distinct agg; at 100 TB swap in ``approx_count_distinct`` and a
+    tolerance, the same trade ``profile_table`` documents). The check
+    fan-out happens on the 1-row result via ``stack``, not a second
+    scan per constraint.
+    """
+    m = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_orderkey").alias("d_key"),
+        F.min("o_totalprice").alias("min_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= F.lit("2002-01-01"), 1).otherwise(0)
+        ).alias("future_dates"),
+    )
+    return m.select(
+        F.expr(
+            """stack(5,
+              'completeness_custkey',
+                  round(CAST(nn_cust AS DOUBLE) / n, 6),
+                  CAST(nn_cust = n AS INT),
+              'unique_orderkey',
+                  round(CAST(d_key AS DOUBLE) / n, 6),
+                  CAST(d_key = n AS INT),
+              'totalprice_positive',
+                  round(min_price, 2),
+                  CAST(min_price > 0 AS INT),
+              'status_in_domain',
+                  CAST(bad_status AS DOUBLE),
+                  CAST(bad_status = 0 AS INT),
+              'orderdate_in_bounds',
+                  CAST(future_dates AS DOUBLE),
+                  CAST(future_dates = 0 AS INT)
+            ) AS (check_name, metric, passed)"""
+        )
+    ).orderBy("check_name")
+
+
+def q128_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return expectation_suite(load_table(spark, sf_dir, "orders"))
+
+
+def expectation_suite_oracle_sql() -> str:
+    return """
+    WITH m AS (
+      SELECT count(*)                       AS n,
+             count(o_custkey)               AS nn_cust,
+             count(DISTINCT o_orderkey)     AS d_key,
+             min(o_totalprice)              AS min_price,
+             sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                      THEN 1 ELSE 0 END)    AS bad_status,
+             sum(CASE WHEN o_orderdate >= TIMESTAMP '2002-01-01'
+                      THEN 1 ELSE 0 END)    AS future_dates
+      FROM orders
+    )
+    SELECT check_name, metric, passed FROM (
+      SELECT 'completeness_custkey' AS check_name,
+             round(CAST(nn_cust AS DOUBLE) / n, 6) AS metric,
+             CAST(nn_cust = n AS INT) AS passed FROM m
+      UNION ALL
+      SELECT 'unique_orderkey',
+             round(CAST(d_key AS DOUBLE) / n, 6),
+             CAST(d_key = n AS INT) FROM m
+      UNION ALL
+      SELECT 'totalprice_positive', round(min_price, 2),
+             CAST(min_price > 0 AS INT) FROM m
+      UNION ALL
+      SELECT 'status_in_domain', CAST(bad_status AS DOUBLE),
+             CAST(bad_status = 0 AS INT) FROM m
+      UNION ALL
+      SELECT 'orderdate_in_bounds', CAST(future_dates AS DOUBLE),
+             CAST(future_dates = 0 AS INT) FROM m
+    ) ORDER BY check_name
+    """

@@ -1097,3 +1097,203 @@ GROUPING_SETS_ORACLE_SQL = """
     ORDER BY g_status, g_priority,
              o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
+
+
+# ------------------------------------------- TPC-H Q2/Q20/Q21 analogs (r5)
+def q125_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style minimum-cost supplier: for every LARGE part, the
+    EUROPE supplier(s) whose observed unit price equals the MINIMUM unit
+    price any EUROPE supplier charged for that part — the correlated
+    scalar-min subquery Q2 writes per part. (The corpus has no partsupp
+    table; the lineitem history IS the observed supply-cost relation:
+    unit cost = Σ extendedprice / Σ quantity per (part, supplier).)
+
+    Scale: the region-scoped supplier dimension broadcasts onto the
+    fact scan, so only EUROPE rows survive map-side; ONE shuffle builds
+    the (part, supplier) cost grain with map-side combine, and the
+    per-part min is a window over that already-aggregated grain (its
+    shuffle carries part×supplier rows, not lineitems) — the classic
+    de-correlation Catalyst would produce from the subquery form, hand
+    (de)clared so the fact table is scanned once. Determinism: both
+    cost sums ride DECIMAL, the division happens once in IEEE double
+    (identical operands → identical quotient in any engine), and the
+    min-equality compares those exact doubles.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE").select(
+        "p_partkey", "p_name"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    costs = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+                / F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double"),
+                4,
+            ).alias("unit_cost")
+        )
+    )
+    min_cost = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        costs.withColumn("min_cost", min_cost)
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name", "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q125_ORACLE_SQL = """
+    WITH costs AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+             s.s_acctbal, n.n_name,
+             round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                   / CAST(sum(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE),
+                   4) AS unit_cost
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'LARGE'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+      GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal,
+           s_name, n_name, p_partkey, p_name, unit_cost
+    FROM costs c
+    WHERE unit_cost = (SELECT min(unit_cost) FROM costs c2
+                       WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def q126_sole_returner_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-style sole-failer: NATION_3 suppliers who, in orders
+    involving MORE THAN ONE supplier, were the ONLY supplier whose item
+    came back returned (``l_returnflag = 'R'``) — Q21's
+    EXISTS(another supplier) AND NOT EXISTS(another failing supplier)
+    double-correlation, counted per supplier. (The corpus carries no
+    commit/receipt dates, so "kept waiting" maps to "returned".)
+
+    Scale: the two correlated self-joins de-correlate into ONE slim
+    per-order aggregate — ``count(DISTINCT supplier)`` and
+    ``count(DISTINCT supplier WHERE returned)`` — shuffled on the
+    8-byte order key; qualifying orders (n_supp > 1 AND n_returners = 1)
+    then semi-join back to the returned lineitems, so the fact table is
+    scanned twice on slim projections but never self-joined row×row.
+    The nation-scoped supplier dimension broadcasts. The oracle SQL
+    keeps the literal EXISTS/NOT-EXISTS form as written proof of the
+    equivalence.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    ret = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    sole = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(ret).alias("n_ret"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
+        .select("l_orderkey")
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(sole, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q126_ORACLE_SQL = """
+    SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
+def q127_part_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-style volume suppliers: suppliers who shipped more
+    than 45 units of SOME single SMALL-type part during 1997 — the
+    nested ``IN (SELECT ... GROUP BY ... HAVING sum(...))`` membership
+    chain (part-list IN feeding a grouped-HAVING IN feeding the outer
+    supplier list).
+
+    Scale: the SMALL part list broadcasts as a semi-join onto the
+    date-pruned fact scan (both predicates reach the parquet reader);
+    the (supplier, part) quantity rollup is one slim-key shuffle with
+    map-side combine; the surviving supplier keys form a distinct set
+    that semi-joins the supplier dimension. No row ever travels with
+    more than 3 columns.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    volume_supps = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(volume_supps, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q127_ORACLE_SQL = """
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+        AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 45
+    )
+    ORDER BY s_name
+"""

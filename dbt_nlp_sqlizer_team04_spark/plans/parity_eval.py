@@ -390,6 +390,13 @@ def run_parity_eval(
     from .nl2sql import NL2SQLEngine
     from .safety import SQLSafetyError, validate
 
+    # Temp views are session-scoped, and the store fixture re-uses the
+    # table name `orders`: building its engine on the caller's session
+    # would clobber the corpus `orders` view for every later consumer
+    # of that session (bit us as a cross-test leak). Run the whole eval
+    # on a child session — same SparkContext, isolated catalog.
+    spark = spark.newSession()
+
     dirs = {
         "school": os.path.join(fixture_root, "school"),
         "store": os.path.join(fixture_root, "store"),

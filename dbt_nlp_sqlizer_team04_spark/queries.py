@@ -810,6 +810,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # blobs ≈1.0, live corpus ≥0.6, the SemDeDup tier's figure) — NEW
     # r5.
     "q124_knn_graph_ivf": V.q124_knn_graph_ivf,
+    # TPC-H Q2/Q21/Q20 analog shapes (correlated scalar-min, double
+    # EXISTS/NOT-EXISTS de-correlation, nested grouped-HAVING IN) — NEW
+    # r5; tail under rotation rule 1.
+    "q125_min_cost_supplier": R.q125_min_cost_supplier,
+    "q126_sole_returner_suppliers": R.q126_sole_returner_suppliers,
+    "q127_part_volume_suppliers": R.q127_part_volume_suppliers,
+    # Deequ-style one-scan data-quality expectation suite — NEW r5.
+    "q128_expectation_suite": P.q128_expectation_suite,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2209,4 +2217,8 @@ ORACLE_SQL: dict[str, str | None] = {
         GROUP BY doc_id
         ORDER BY doc_id
     """,
+    "q125_min_cost_supplier": R.Q125_ORACLE_SQL,
+    "q126_sole_returner_suppliers": R.Q126_ORACLE_SQL,
+    "q127_part_volume_suppliers": R.Q127_ORACLE_SQL,
+    "q128_expectation_suite": P.expectation_suite_oracle_sql(),
 }

@@ -52,3 +52,17 @@ def test_report_artifact_written(report):
     assert set(on_disk["baseline"]) >= {
         "success_rate", "macro_f1", "unsafe", "probes_blocked",
     }
+
+
+def test_eval_does_not_leak_views_into_caller_session(report, spark):
+    """Regression: the store fixture re-uses the name `orders`; the eval
+    must run on a child session so the caller's catalog is untouched (an
+    earlier version clobbered the corpus `orders` view and every later
+    `orders` SQL in the test session saw the fixture schema). The
+    fixture-ONLY names are the leak detectors: none may exist here, and
+    if a corpus `orders` view is registered it must still be the corpus
+    one."""
+    for t in ("students", "courses", "enrollments", "order_items", "items"):
+        assert not spark.catalog.tableExists(t), f"fixture view leaked: {t}"
+    if spark.catalog.tableExists("orders"):
+        assert "o_orderkey" in spark.table("orders").columns

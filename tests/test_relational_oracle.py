@@ -251,3 +251,50 @@ def test_plan_contracts_late_r4(spark, sf_smoke):
     p112 = plan_of("q112_term_pmi")
     assert "BroadcastHashJoin" in p112
     assert "CartesianProduct" not in p112
+
+
+def test_plan_contracts_r5_analogs(spark, sf_smoke):
+    """Plan contracts for the r5 additions (Q2/Q21/Q20 analogs +
+    expectation suite): dimensions broadcast, filters reach the scans,
+    scans stay narrow, no products."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    def plan_of(name):
+        df = SPARK_QUERIES[name](spark, sf_smoke)
+        return df._jdf.queryExecution().toString()
+
+    # Q2 analog: the whole dimension chain broadcasts (part, supplier,
+    # nation, region), the per-part min rides the aggregated grain (no
+    # per-row rescan), top-100 via TakeOrderedAndProject
+    p125 = plan_of("q125_min_cost_supplier")
+    assert p125.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p125
+    assert "BroadcastNestedLoopJoin" not in p125
+    assert "TakeOrderedAndProject" in p125
+    reads = [l for l in p125.splitlines() if "ReadSchema" in l]
+    assert reads and all("l_shipdate" not in l and "l_tax" not in l for l in reads)
+
+    # Q21 analog: the double correlation is de-correlated — no self
+    # nested-loop, returnflag filter pushed on the probe branch, the
+    # nation-scoped supplier dim broadcasts
+    p126 = plan_of("q126_sole_returner_suppliers")
+    assert "CartesianProduct" not in p126
+    assert "BroadcastNestedLoopJoin" not in p126
+    assert "BroadcastHashJoin" in p126
+    pushed = [l for l in p126.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l for l in pushed)
+
+    # Q20 analog: date range AND part-type both reach the parquet
+    # readers; the membership chain is semi-join shaped
+    p127 = plan_of("q127_part_volume_suppliers")
+    pushed127 = [l for l in p127.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed127)
+    assert any("p_type" in l for l in pushed127)
+    assert "LeftSemi" in p127
+    assert "CartesianProduct" not in p127
+
+    # Expectation suite: ONE scan of orders serves all five checks —
+    # exactly one FileScan in the whole plan, no joins at all
+    p128 = plan_of("q128_expectation_suite")
+    assert p128.count("FileScan") == 1
+    assert "Join" not in p128
