@@ -138,6 +138,9 @@ HEADLINE = [
     "q126_sole_returner_suppliers",
     "q127_part_volume_suppliers",
     "q128_expectation_suite",
+    "q129_measure_unpivot",
+    "q130_mmr_topk",
+    "q131_lateral_topn",
 ]
 
 

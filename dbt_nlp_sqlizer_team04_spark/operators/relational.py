@@ -1297,3 +1297,92 @@ Q127_ORACLE_SQL = """
     )
     ORDER BY s_name
 """
+
+
+def q129_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via the native ``DataFrame.unpivot`` (UNPIVOT):
+    monthly lineitem measure sums pivoted into (month, measure, value)
+    rows — the long format every per-metric training monitor and
+    plotting/export surface wants, produced WITHOUT a UNION of
+    re-scans.
+
+    Scale: ONE aggregate pass builds the wide 12-row result; unpivot is
+    a zero-shuffle Expand over those 12 rows (contrast the naive
+    3-branch UNION ALL the oracle SQL spells out, which scans the fact
+    table three times at 100 TB).
+    """
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        )
+    )
+    return wide.unpivot(
+        ids=["ship_month"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("ship_month", "measure")
+
+
+Q129_ORACLE_SQL = """
+    WITH wide AS (
+      SELECT month(l_shipdate)              AS ship_month,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2)      AS sum_disc
+      FROM lineitem
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT ship_month, measure, value FROM (
+      SELECT ship_month, 'sum_qty'   AS measure, sum_qty   AS value FROM wide
+      UNION ALL
+      SELECT ship_month, 'sum_price', sum_price FROM wide
+      UNION ALL
+      SELECT ship_month, 'sum_disc',  sum_disc  FROM wide
+    ) ORDER BY ship_month, measure
+"""
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT n.n_name, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+    FROM nation n,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 3
+    ) t
+    ORDER BY n.n_name, totalprice DESC, t.o_orderkey
+"""
+
+
+def q131_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with per-row ORDER BY + LIMIT:
+    the top-3 orders for EACH nation, written as the lateral subquery a
+    SQL user reaches for (and many NL2SQL generators emit) instead of
+    the window-rank rewrite. The SAME SQL text runs on both engines —
+    this entry pins that Spark's lateral-join de-correlation (Catalyst
+    rewrites the per-row LIMIT into a rank window under the hood, not a
+    per-nation re-scan) is value-identical to DuckDB's lateral
+    execution.
+
+    Scale: check the plan, not the syntax — Spark executes ONE
+    customer⨝orders join + ONE rank window partitioned by nation (25
+    partitions), never 25 correlated executions; the nation table
+    broadcasts.
+    """
+    register_views(spark, sf_dir, ("nation", "customer", "orders"))
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+Q131_ORACLE_SQL = _LATERAL_TOPN_SQL

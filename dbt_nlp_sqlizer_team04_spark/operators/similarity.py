@@ -1778,3 +1778,88 @@ def mutual_knn_oracle_sql(k: int = 5, min_cosine: float = 0.2) -> str:
         FROM base
         ORDER BY vec_id
     """
+
+
+# ------------------------------------------------ MMR diversified top-k
+def mmr_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR '98):
+    top-k balancing query relevance against redundancy with the
+    already-selected set — ``argmax λ·sim(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s)``. The diversity pass a retrieval-augmented sampler needs
+    when the plain top-k is dominated by near-duplicates (the exact
+    failure SemDeDup measures).
+
+    Two tiers, same contract as the retrieval rankers (q75/q80):
+    - DISTRIBUTED: the exact cosine ``shortlist`` via
+      TakeOrderedAndProject — each partition contributes its local
+      top-``shortlist``; the only stage that touches the corpus;
+    - BOUNDED: the O(k·shortlist) greedy selection runs on the
+      collected shortlist — ≤``shortlist`` rows by construction
+      (driver-sized, documented bound, NOT a corpus collect).
+
+    Deterministic: cosines are 6dp-rounded before selection and ties
+    break on id, so the selected set is engine- and order-independent.
+    Rows-only registry entry (the greedy recurrence has no SQL analog);
+    the pytest plants a redundant cluster and asserts (a) λ=1 degrades
+    to exact top-k, (b) λ<1 swaps redundant picks for diverse ones.
+    """
+    import numpy as np
+
+    emb = _as_double(emb_col)
+    out = df if exclude_id is None else df.filter(F.col(id_col) != exclude_id)
+    cos = F.round(cosine_expr(emb, _vector_lit(query_vec)), 6)
+    cand = (
+        out.select(
+            F.col(id_col),
+            cos.alias("rel"),
+            normalized_expr(emb).alias("_nvec"),
+        )
+        .orderBy(F.desc("rel"), id_col)
+        .limit(shortlist)
+        .collect()
+    )
+    if not cand:
+        schema = "rank int, " + id_col + " bigint, cosine double, mmr double"
+        return df.sparkSession.createDataFrame([], schema)
+    ids = [r[id_col] for r in cand]
+    rel = np.array([r["rel"] for r in cand])
+    V = np.array([r["_nvec"] for r in cand])  # shortlist × dim, unit rows
+    sims = np.round(V @ V.T, 6)  # pairwise cosine, same 6dp contract
+    picked: list[int] = []
+    scores: list[float] = []
+    avail = list(range(len(cand)))
+    while avail and len(picked) < k:
+        if picked:
+            red = sims[np.ix_(avail, picked)].max(axis=1)
+        else:
+            red = np.zeros(len(avail))
+        mmr = lam * rel[avail] - (1.0 - lam) * red
+        # argmax with (score desc, id asc) tie-break, float-stable
+        best = min(range(len(avail)), key=lambda i: (-mmr[i], ids[avail[i]]))
+        picked.append(avail[best])
+        scores.append(float(np.round(mmr[best], 6)))
+        avail.pop(best)
+    rows = [
+        (i + 1, ids[j], float(rel[j]), scores[i])
+        for i, j in enumerate(picked)
+    ]
+    schema = "rank int, " + id_col + " bigint, cosine double, mmr double"
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def q130_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 around vec_id=0 (rows-only; recall/
+    degradation pytest vs exact q23)."""
+    q = _query_vector(spark, sf_dir, 0)
+    return mmr_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=10, exclude_id=0
+    )

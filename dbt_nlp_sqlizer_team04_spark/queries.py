@@ -818,6 +818,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q127_part_volume_suppliers": R.q127_part_volume_suppliers,
     # Deequ-style one-scan data-quality expectation suite — NEW r5.
     "q128_expectation_suite": P.q128_expectation_suite,
+    # Native UNPIVOT melt (wide→long in one aggregate pass) — NEW r5.
+    "q129_measure_unpivot": R.q129_measure_unpivot,
+    # MMR diversified top-k (rows-only: greedy recurrence has no SQL
+    # analog; planted-redundancy + λ=1-degradation pytest) — NEW r5.
+    "q130_mmr_topk": V.q130_mmr_topk,
+    # Correlated LATERAL derived table (same SQL text on both engines) —
+    # NEW r5.
+    "q131_lateral_topn": R.q131_lateral_topn,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2221,4 +2229,6 @@ ORACLE_SQL: dict[str, str | None] = {
     "q126_sole_returner_suppliers": R.Q126_ORACLE_SQL,
     "q127_part_volume_suppliers": R.Q127_ORACLE_SQL,
     "q128_expectation_suite": P.expectation_suite_oracle_sql(),
+    "q129_measure_unpivot": R.Q129_ORACLE_SQL,
+    "q131_lateral_topn": R.Q131_ORACLE_SQL,
 }

@@ -298,3 +298,25 @@ def test_plan_contracts_r5_analogs(spark, sf_smoke):
     p128 = plan_of("q128_expectation_suite")
     assert p128.count("FileScan") == 1
     assert "Join" not in p128
+
+
+def test_plan_contracts_r5_batch2(spark, sf_smoke):
+    """q129 melts in one scan (Expand, no UNION re-scans); q131's
+    lateral LIMIT de-correlates to ONE rank window — never a per-outer-
+    row re-scan (nested loop / cartesian)."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    def plan_of(name):
+        df = SPARK_QUERIES[name](spark, sf_smoke)
+        return df._jdf.queryExecution().toString()
+
+    p129 = plan_of("q129_measure_unpivot")
+    assert p129.count("FileScan") == 1
+    assert "Expand" in p129
+    assert "Union" not in p129
+
+    p131 = plan_of("q131_lateral_topn")
+    assert "Window" in p131
+    assert "CartesianProduct" not in p131
+    assert "BroadcastNestedLoopJoin" not in p131
+    assert p131.count("FileScan") == 3  # nation, customer, orders: once each

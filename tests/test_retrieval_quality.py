@@ -334,3 +334,74 @@ def test_kmeans_tiers_agree_on_planted_blobs(planted_blobs):
         ).collect()
     }
     assert fast == dist
+
+
+# ------------------------------------------------------------------ MMR
+def _mmr_fixture_rows():
+    """8 candidates vs query [1,0,0]: ids 1-3 a tight near-duplicate
+    cluster at the top of the relevance ranking; ids 4-5 sit on
+    OPPOSITE sides of the query axis — decent relevance (~0.71) but low
+    similarity to the cluster (~0.62) and to each other (~0.5), so
+    their redundancy penalty is well below their relevance; 6-8
+    filler. (Candidates merely *scaled back along the query axis* are
+    useless here: their similarity to the first pick equals their
+    relevance and MMR cannot separate them — the fixture must be
+    angularly diverse, not just less relevant.)"""
+    import math
+
+    def unit(x, y, z):
+        n = math.sqrt(x * x + y * y + z * z)
+        return [x / n, y / n, z / n]
+
+    return [
+        (1, unit(0.9, 0.10, 0.10)),
+        (2, unit(0.9, 0.11, 0.10)),   # ~dup of 1
+        (3, unit(0.9, 0.10, 0.11)),   # ~dup of 1
+        (4, unit(0.7, -0.7, 0.0)),    # diverse: other side of the axis
+        (5, unit(0.7, 0.0, -0.7)),    # diverse: third direction
+        (6, unit(0.5, 0.6, 0.6)),
+        (7, unit(0.0, 1.0, 0.0)),
+        (8, unit(0.0, 0.0, 1.0)),
+    ]
+
+
+def test_mmr_lambda_one_degrades_to_exact_topk(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import (
+        cosine_topk, mmr_topk,
+    )
+
+    df = spark.createDataFrame(
+        _mmr_fixture_rows(), "vec_id bigint, embedding array<double>"
+    )
+    q = [1.0, 0.0, 0.0]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=4).collect()]
+    mmr = [r["vec_id"] for r in mmr_topk(df, q, k=4, lam=1.0).collect()]
+    assert mmr == exact
+
+
+def test_mmr_diversifies_redundant_cluster(spark):
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        _mmr_fixture_rows(), "vec_id bigint, embedding array<double>"
+    )
+    q = [1.0, 0.0, 0.0]
+    picked = [r["vec_id"] for r in mmr_topk(df, q, k=3, lam=0.5).collect()]
+    # plain top-3 would be exactly the near-duplicate cluster {1,2,3};
+    # MMR must keep one cluster member (relevance wins the first slot)
+    # and fill the rest with the angularly diverse candidates
+    assert picked[0] in {1, 2, 3}
+    assert len({1, 2, 3} & set(picked)) == 1
+    assert set(picked[1:]) == {4, 5}
+
+
+def test_mmr_deterministic_and_bounded(spark, sf_check):
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import mmr_topk
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    a = [tuple(r) for r in SPARK_QUERIES["q130_mmr_topk"](spark, sf_check).collect()]
+    b = [tuple(r) for r in SPARK_QUERIES["q130_mmr_topk"](spark, sf_check).collect()]
+    assert a == b
+    assert 0 < len(a) <= 10
+    ranks = [r[0] for r in a]
+    assert ranks == list(range(1, len(a) + 1))
