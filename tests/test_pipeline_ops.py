@@ -889,3 +889,46 @@ def test_knn_graph_ivf_recall_and_determinism(spark, sf_check):
         keys = [(-c, n) for _rk, c, n in edges]
         assert keys == sorted(keys)
     emb.unpersist()
+
+
+def test_segment_dedup_min_docs_tiers_agree(spark):
+    """The min_docs=2 window fast path and the general countDistinct
+    aggregate path must produce identical results (same keep rule,
+    different plans)."""
+    boiler = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, boiler + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (2, boiler + " aa bb cc dd ee ff gg hh ii jj"),
+            (3, "completely unique words that no other document contains here now"),
+        ],
+        "doc_id long, text string",
+    )
+    import dbt_nlp_sqlizer_team04_spark.operators.dedup as D
+
+    fast = sorted(tuple(r) for r in D.dedup_repeated_segments(docs).collect())
+    # min_docs=3 exercises the general aggregate+join tier; with the
+    # boiler segment in THREE docs it still drops there
+    gen3 = {r["doc_id"]: r for r in
+            D.dedup_repeated_segments(docs, min_docs=3).collect()}
+    assert gen3[0]["n_dropped"] == 1 and gen3[3]["n_dropped"] == 0
+    # and a min_docs=2 result recomputed through the general tier
+    # (min_docs=2 via a degenerate 2 threshold on the join path is the
+    # window path's oracle): compare keep decisions doc-by-doc
+    import pyspark.sql.functions as F
+    toks = D.tokens_expr(F.col("text"))
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / 10).cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    segs = docs.select(F.col("doc_id"), F.posexplode(segs_arr).alias("i", "seg"))
+    reps = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("d"))
+    joined = {(r["doc_id"], r["i"]): r["d"] >= 2
+              for r in segs.join(reps, "seg").collect()}
+    by_doc_dropped = {}
+    for (doc, _i), dropped in joined.items():
+        by_doc_dropped[doc] = by_doc_dropped.get(doc, 0) + int(dropped)
+    fast_by_doc = {t[0]: t for t in fast}
+    for doc, n_drop in by_doc_dropped.items():
+        assert fast_by_doc[doc][2] == n_drop
