@@ -141,6 +141,7 @@ HEADLINE = [
     "q129_measure_unpivot",
     "q130_mmr_topk",
     "q131_lateral_topn",
+    "q132_doc_facet",
 ]
 
 

@@ -164,6 +164,78 @@ def _ref(arg: Any) -> Column:
     return F.lit(arg)
 
 
+def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
+    """``$facet`` restricted to the analytic subset: every sub-pipeline
+    is exactly ONE ``$group`` stage with a scalar ``"$field"`` key and
+    IDENTICAL accumulator sets across facets. That restriction is what
+    lets all facets compile into a single GROUPING SETS pass — Mongo
+    executes N sub-pipelines over the input; the Spark translation
+    scans the collection ONCE, Expands each row into its facet
+    groupings map-side, and one shuffle serves every facet (the q118
+    lattice machinery applied to the document plane). Output is the
+    flattened long form: ``(facet, _id, <accumulators...>)``.
+
+    Scale: one scan + one shuffle regardless of facet count, vs N scans
+    for the sub-pipeline-per-facet translation.
+    """
+    names: list[str] = []
+    fields: list[str] = []
+    acc_specs: dict[str, Any] | None = None
+    for name, sub in facets.items():
+        if (
+            not isinstance(sub, list)
+            or len(sub) != 1
+            or not isinstance(sub[0], dict)
+            or set(sub[0]) != {"$group"}
+        ):
+            raise DocumentQueryError(
+                f"$facet sub-pipeline {name!r} must be a single $group stage"
+            )
+        g = sub[0]["$group"]
+        gid = g.get("_id")
+        if not (isinstance(gid, str) and gid.startswith("$")):
+            raise DocumentQueryError(
+                f"$facet group key for {name!r} must be a '$field' reference"
+            )
+        accs = {k: v for k, v in g.items() if k != "_id"}
+        if acc_specs is None:
+            acc_specs = accs
+        elif accs != acc_specs:
+            raise DocumentQueryError(
+                "$facet sub-pipelines must share one accumulator set "
+                "(the single-scan grouping-sets contract)"
+            )
+        if gid[1:] in fields:
+            raise DocumentQueryError(
+                "$facet group keys must be distinct fields"
+            )
+        names.append(name)
+        fields.append(gid[1:])
+    if acc_specs is None:
+        raise DocumentQueryError("$facet requires at least one facet")
+    aggs = [_acc_to_agg(a, s) for a, s in acc_specs.items()]
+    # grouping() indicators are only legal inside the aggregate list —
+    # compute them there, pick the facet name from them afterwards
+    gcols = [F.grouping(f).alias(f"__g_{f}") for f in fields]
+    grouped = df.groupingSets(
+        [[F.col(f)] for f in fields], *[F.col(f) for f in fields]
+    ).agg(*aggs, *gcols)
+    facet_col = None
+    for name, field in zip(names, fields):
+        cond = F.col(f"__g_{field}") == 0
+        facet_col = (
+            F.when(cond, F.lit(name))
+            if facet_col is None
+            else facet_col.when(cond, F.lit(name))
+        )
+    id_col = F.coalesce(*[F.col(f).cast("string") for f in fields])
+    return grouped.select(
+        facet_col.alias("facet"),
+        id_col.alias("_id"),
+        *list(acc_specs),
+    ).orderBy("facet", "_id")
+
+
 def apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """$group: {_id: None | "$f" | {alias: "$f", ...}, out: {$acc: arg}}.
 
@@ -341,6 +413,10 @@ class DocumentStore:
                     )
                     .drop(row_id)
                 )
+            elif op == "$facet":
+                # BEYOND the reference surface (like $lookup): the
+                # single-scan grouping-sets translation, see facet_group
+                df = facet_group(df, spec)
             else:
                 raise DocumentQueryError(f"Unsupported pipeline stage: {op}")
         if not has_limit:
@@ -532,3 +608,57 @@ def q37_doc_find_or_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "limit": 500,
         }
     )
+
+
+def q132_doc_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$facet over documents — per-language and per-source stats from
+    ONE grouping-sets scan (oracle: DuckDB GROUPING SETS twin). The
+    rounding keeps the avg engine-exact."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {
+                    "$facet": {
+                        "by_lang": [
+                            {
+                                "$group": {
+                                    "_id": "$lang",
+                                    "n_docs": {"$sum": 1},
+                                    "avg_chars": {"$avg": "$n_chars"},
+                                }
+                            }
+                        ],
+                        "by_source": [
+                            {
+                                "$group": {
+                                    "_id": "$source",
+                                    "n_docs": {"$sum": 1},
+                                    "avg_chars": {"$avg": "$n_chars"},
+                                }
+                            }
+                        ],
+                    }
+                }
+            ],
+        }
+    )
+    return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
+Q132_ORACLE_SQL = """
+    WITH g AS (
+      SELECT lang, source,
+             grouping(lang)   AS g_lang,
+             grouping(source) AS g_source,
+             count(*)                 AS n_docs,
+             round(avg(n_chars), 4)   AS avg_chars
+      FROM documents
+      GROUP BY GROUPING SETS ((lang), (source))
+    )
+    SELECT CASE WHEN g_lang = 0 THEN 'by_lang' ELSE 'by_source' END AS facet,
+           coalesce(CAST(lang AS VARCHAR), CAST(source AS VARCHAR)) AS _id,
+           n_docs, avg_chars
+    FROM g
+    ORDER BY facet, _id
+"""

@@ -826,6 +826,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Correlated LATERAL derived table (same SQL text on both engines) —
     # NEW r5.
     "q131_lateral_topn": R.q131_lateral_topn,
+    # Mongo $facet compiled to ONE grouping-sets scan — NEW r5.
+    "q132_doc_facet": DOC.q132_doc_facet,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2231,4 +2233,5 @@ ORACLE_SQL: dict[str, str | None] = {
     "q128_expectation_suite": P.expectation_suite_oracle_sql(),
     "q129_measure_unpivot": R.Q129_ORACLE_SQL,
     "q131_lateral_topn": R.Q131_ORACLE_SQL,
+    "q132_doc_facet": DOC.Q132_ORACLE_SQL,
 }

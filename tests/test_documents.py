@@ -422,3 +422,53 @@ def test_nl2doc_date_filter_and_bottom_n(store):
 
     q3 = eng.template_query("events since 2024-01-20")
     assert q3["find"] == {"ts": {"$gte": "2024-01-20"}}
+
+
+# ----------------------------------------------------------------- $facet
+def test_facet_single_scan_values(spark):
+    import pytest as _pytest
+
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentQueryError, facet_group,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("en", "web", 10),
+            ("en", "book", 20),
+            ("fr", "web", 30),
+        ],
+        "lang string, source string, n_chars long",
+    )
+    out = facet_group(
+        df,
+        {
+            "by_lang": [{"$group": {"_id": "$lang", "n": {"$sum": 1},
+                                    "avg_c": {"$avg": "$n_chars"}}}],
+            "by_source": [{"$group": {"_id": "$source", "n": {"$sum": 1},
+                                      "avg_c": {"$avg": "$n_chars"}}}],
+        },
+    )
+    rows = {(r["facet"], r["_id"]): (r["n"], r["avg_c"]) for r in out.collect()}
+    assert rows[("by_lang", "en")] == (2, 15.0)
+    assert rows[("by_lang", "fr")] == (1, 30.0)
+    assert rows[("by_source", "web")] == (2, 20.0)
+    assert rows[("by_source", "book")] == (1, 20.0)
+    # the single-scan contract is visible in the plan: one Expand, and
+    # only one aggregate pair (partial+final), never one per facet
+    plan = out._jdf.queryExecution().toString()
+    assert "Expand" in plan
+
+    # contract violations are loud
+    with _pytest.raises(DocumentQueryError, match="single \\$group"):
+        facet_group(df, {"bad": [{"$match": {"lang": "en"}}]})
+    with _pytest.raises(DocumentQueryError, match="accumulator set"):
+        facet_group(df, {
+            "a": [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}],
+            "b": [{"$group": {"_id": "$source", "m": {"$sum": 1}}}],
+        })
+    with _pytest.raises(DocumentQueryError, match="distinct fields"):
+        facet_group(df, {
+            "a": [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}],
+            "b": [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}],
+        })
