@@ -258,6 +258,34 @@ class NL2DocEngine:
         match = self._extract_filters(coll, question)
         filtered = set(match)
         prelude = [{"$match": match}] if match else []
+
+        # multi-facet breakdown: an explicit breakdown cue + two or more
+        # "by <field>" phrases compile to $facet (ONE grouping-sets scan
+        # — operators/documents.py:facet_group), e.g. "break down
+        # documents by lang and by source"
+        if _re.search(r"\bbreak\s*down\b|\bbreakdown\b|\bfacet", question.lower()):
+            by_words = _re.findall(r"\bby\s+([a-z_]+)", question.lower())
+            keys: list[str] = []
+            for w in by_words:
+                f = best_field(exclude=filtered | set(keys), text=w)
+                if f is not None and f not in keys:
+                    keys.append(f)
+            if len(keys) >= 2:
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {
+                            "$facet": {
+                                f"by_{k}": [
+                                    {"$group": {"_id": f"${k}",
+                                                "n": {"$sum": 1}}}
+                                ]
+                                for k in keys
+                            }
+                        }
+                    ],
+                }
+
         acc = _AGG_ACCUMULATORS.get(analysis.agg_func or "")
         if acc is not None:
             # AVG/SUM/MAX/MIN over a measure field ($group accumulators,

@@ -196,6 +196,24 @@ def _nl18_doc_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl47_doc_facet_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc multi-facet breakdown: the 'break down ... by X and by Y'
+    phrasing compiles to a $facet pipeline that runs as ONE
+    grouping-sets scan (oracle: the GROUPING SETS SQL the template must
+    deterministically produce)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "break down documents by lang and by source"
+    )
+    return df
+
+
 _TRAINED_DOC_CACHE: dict = {}
 
 
@@ -828,6 +846,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q131_lateral_topn": R.q131_lateral_topn,
     # Mongo $facet compiled to ONE grouping-sets scan — NEW r5.
     "q132_doc_facet": DOC.q132_doc_facet,
+    # NL2Doc facet breakdown phrasing → $facet pipeline — NEW r5.
+    "nl47_doc_facet_breakdown": _nl47_doc_facet_breakdown,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2234,4 +2254,21 @@ ORACLE_SQL: dict[str, str | None] = {
     "q129_measure_unpivot": R.Q129_ORACLE_SQL,
     "q131_lateral_topn": R.Q131_ORACLE_SQL,
     "q132_doc_facet": DOC.Q132_ORACLE_SQL,
+    "nl47_doc_facet_breakdown": """
+        WITH g AS (
+          SELECT lang, source,
+                 grouping(lang)   AS g_lang,
+                 grouping(source) AS g_source,
+                 count(*)         AS n
+          FROM documents
+          GROUP BY GROUPING SETS ((lang), (source))
+        )
+        SELECT CASE WHEN g_lang = 0 THEN 'by_lang' ELSE 'by_source' END
+                   AS facet,
+               coalesce(CAST(lang AS VARCHAR), CAST(source AS VARCHAR))
+                   AS _id,
+               n
+        FROM g
+        ORDER BY facet, _id
+    """,
 }

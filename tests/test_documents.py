@@ -472,3 +472,36 @@ def test_facet_single_scan_values(spark):
             "a": [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}],
             "b": [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}],
         })
+
+
+def test_nl2doc_facet_breakdown_compiles(store):
+    """'break down ... by X and by Y' compiles to a $facet pipeline
+    with one count sub-pipeline per resolved field, and executes as the
+    flattened (facet, _id, n) long form."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    df, q = NL2DocEngine(store).ask(
+        "break down documents by lang and by source"
+    )
+    stage = q["pipeline"][-1]
+    assert "$facet" in stage
+    facets = stage["$facet"]
+    assert set(facets) == {"by_lang", "by_source"}
+    for sub in facets.values():
+        assert len(sub) == 1 and "$group" in sub[0]
+        assert sub[0]["$group"]["n"] == {"$sum": 1}
+    rows = df.collect()
+    facets_seen = {r["facet"] for r in rows}
+    assert facets_seen == {"by_lang", "by_source"}
+    # each facet's counts partition the corpus
+    total = sum(r["n"] for r in rows if r["facet"] == "by_lang")
+    assert total == sum(r["n"] for r in rows if r["facet"] == "by_source")
+
+
+def test_nl2doc_single_by_not_faceted(store):
+    """One 'by' phrase (or no breakdown cue) must NOT trigger $facet —
+    the plain grouped count keeps its shape."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    _df, q = NL2DocEngine(store).ask("how many events per event_type")
+    assert all("$facet" not in st for st in q.get("pipeline", []))
