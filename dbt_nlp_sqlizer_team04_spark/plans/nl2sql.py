@@ -172,6 +172,8 @@ _MEASURE_ENTITY_RE = re.compile(
 
 # "percentage of orders per X" — share-of-total grouped rollup
 _PERCENT_RE = re.compile(r"\b(?:percentage|percent|share|proportion)\b")
+_BREAKDOWN_RE = re.compile(r"\bbreak\s*down\b|\bbreakdown\b|\bfacet")
+_BY_WORD_RE = re.compile(r"\bby\s+([a-z_]+)")
 
 # "customers without orders" — FK anti-join (NOT EXISTS)
 _WITHOUT_RE = re.compile(r"\b([a-z_]+?)s?\s+without\s+(?:any\s+)?([a-z_]+?)s?\b")
@@ -727,6 +729,31 @@ class NL2SQLEngine:
             if col is None:
                 return ""
             return f" ORDER BY {col}" + (" DESC" if analysis.sort_desc else "")
+
+        # --- multi-facet breakdown → GROUPING SETS -------------------
+        # "break down orders by status and by priority": each 'by
+        # <word>' resolves to a categorical column; N facets compile to
+        # ONE grouping-sets pass (one scan + one shuffle, the q118
+        # lattice — the SQL twin of NL2Doc's $facet tier)
+        if _BREAKDOWN_RE.search(question.lower()):
+            keys: list[str] = []
+            for w in _BY_WORD_RE.findall(question.lower()):
+                sc = self._group_column_scored(t, w, numeric=False)
+                if sc is not None and sc[0] not in keys:
+                    keys.append(sc[0])
+            if len(keys) >= 2:
+                facet_case = "CASE " + " ".join(
+                    f"WHEN GROUPING({k}) = 0 THEN 'by_{k}'" for k in keys
+                ) + " END"
+                coal = ", ".join(f"CAST({k} AS STRING)" for k in keys)
+                sets = ", ".join(f"({k})" for k in keys)
+                sql = (
+                    f"SELECT {facet_case} AS facet, "
+                    f"COALESCE({coal}) AS grp, COUNT(*) AS n "
+                    f"FROM {t} GROUP BY GROUPING SETS ({sets}) "
+                    f"ORDER BY facet, grp"
+                )
+                out.append(Candidate(sql, "template_facet_breakdown", 0.85))
 
         # --- share-of-total: "percentage of X per g" ----------------
         if _PERCENT_RE.search(question.lower()):

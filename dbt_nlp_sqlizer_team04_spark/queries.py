@@ -848,6 +848,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q132_doc_facet": DOC.q132_doc_facet,
     # NL2Doc facet breakdown phrasing → $facet pipeline — NEW r5.
     "nl47_doc_facet_breakdown": _nl47_doc_facet_breakdown,
+    # NL2SQL facet breakdown phrasing → GROUPING SETS template — NEW r5.
+    "nl48_orders_facet_breakdown": _nl2sql(
+        "break down orders by status and by priority"
+    ),
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2254,6 +2258,23 @@ ORACLE_SQL: dict[str, str | None] = {
     "q129_measure_unpivot": R.Q129_ORACLE_SQL,
     "q131_lateral_topn": R.Q131_ORACLE_SQL,
     "q132_doc_facet": DOC.Q132_ORACLE_SQL,
+    "nl48_orders_facet_breakdown": """
+        WITH g AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 grouping(o_orderstatus)   AS g_s,
+                 grouping(o_orderpriority) AS g_p,
+                 count(*)                  AS n
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        )
+        SELECT CASE WHEN g_s = 0 THEN 'by_o_orderstatus'
+                    ELSE 'by_o_orderpriority' END AS facet,
+               coalesce(CAST(o_orderstatus AS VARCHAR),
+                        CAST(o_orderpriority AS VARCHAR)) AS grp,
+               n
+        FROM g
+        ORDER BY facet, grp
+    """,
     "nl47_doc_facet_breakdown": """
         WITH g AS (
           SELECT lang, source,

@@ -589,3 +589,28 @@ def test_case_bucket_template(spark, sf_smoke):
     s = " ".join(sql.split())
     assert "(SELECT AVG(o_totalprice) FROM orders)" in s
     assert "'high'" in s and "'low'" in s
+
+
+def test_facet_breakdown_template(spark, sf_smoke):
+    """Multi-facet breakdown compiles to ONE GROUPING SETS statement
+    (the SQL twin of NL2Doc's $facet tier): each 'by <word>' resolves
+    to a categorical column, the facet discriminator rides GROUPING(),
+    and a single 'by' (or no breakdown cue) keeps the plain grouped
+    count."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    df, sql = eng.query_df("break down orders by status and by priority")
+    s = " ".join(sql.split())
+    assert "GROUPING SETS ((o_orderstatus), (o_orderpriority))" in s
+    assert "GROUPING(o_orderstatus)" in s
+    rows = df.collect()
+    facets = {r["facet"] for r in rows}
+    assert facets == {"by_o_orderstatus", "by_o_orderpriority"}
+    n_status = sum(r["n"] for r in rows if r["facet"] == "by_o_orderstatus")
+    n_prio = sum(r["n"] for r in rows if r["facet"] == "by_o_orderpriority")
+    assert n_status == n_prio  # each facet partitions the same corpus
+
+    # negative: breakdown cue with ONE 'by' → not a grouping-sets plan
+    _df, sql1 = eng.query_df("count of orders by priority")
+    assert "GROUPING SETS" not in sql1
