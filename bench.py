@@ -142,6 +142,7 @@ HEADLINE = [
     "q130_mmr_topk",
     "q131_lateral_topn",
     "q132_doc_facet",
+    "q133_token_entropy",
 ]
 
 

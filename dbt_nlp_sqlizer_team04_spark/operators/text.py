@@ -1320,3 +1320,69 @@ def corpus_report_oracle_sql() -> str:
                round((SELECT extra FROM dup) / count(*), 6) AS dup_rate
         FROM lp
     """
+
+
+# ------------------------------------------------- token entropy (q133)
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution — the
+    degenerate-text filter complementing the repetition signals (q57):
+    low entropy = few distinct tokens dominating ("buy buy buy ..."),
+    high entropy = diverse vocabulary. H = log2(n) − Σ c·log2(c) / n,
+    computed from per-token counts so no probability is ever
+    materialized per row.
+
+    Plan: token explode → (doc, token) count → per-doc agg of
+    (Σc, Σ c·log2 c, distinct) — same two-shuffle slim-key shape as
+    ``repetition_stats``; text never shuffles, map-side combine does
+    the heavy lifting. Token-less docs drop out (no tokens → no rows;
+    same semantics in the oracle's unnest).
+    """
+    toks = df.select(
+        "doc_id", F.explode(tokens_expr(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")  # empty text splits to one '' token
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    clogc = F.sum(F.col("c") * F.log2("c"))
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            n.alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.round(F.log2(n) - clogc / n, 4).alias("token_entropy"),
+        )
+        .select(
+            "doc_id", "n_tokens", "distinct_tokens", "token_entropy",
+            # published-style gate: degenerate when the distribution
+            # carries under 2 bits (a 4-ish-token effective vocabulary)
+            (F.col("token_entropy") < 2.0).cast("int").alias("degenerate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q133_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-entropy quality signal over documents (oracle: DuckDB
+    unnest twin with the same log2 identity)."""
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+def token_entropy_oracle_sql() -> str:
+    tokens = "string_split_regex(trim(lower(text)), '\\s+')"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({tokens}) AS tok
+          FROM documents WHERE len({tokens}) > 0 AND trim(text) <> ''
+        ), per_tok AS (
+          SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               sum(c)::bigint AS n_tokens,
+               count(*)       AS distinct_tokens,
+               round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4)
+                   AS token_entropy,
+               CAST(round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) < 2.0
+                    AS INT) AS degenerate
+        FROM per_tok
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """

@@ -852,6 +852,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl48_orders_facet_breakdown": _nl2sql(
         "break down orders by status and by priority"
     ),
+    # Token-entropy degenerate-text gate — NEW r5.
+    "q133_token_entropy": X.q133_token_entropy,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2258,6 +2260,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q129_measure_unpivot": R.Q129_ORACLE_SQL,
     "q131_lateral_topn": R.Q131_ORACLE_SQL,
     "q132_doc_facet": DOC.Q132_ORACLE_SQL,
+    "q133_token_entropy": X.token_entropy_oracle_sql(),
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

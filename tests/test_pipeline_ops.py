@@ -932,3 +932,29 @@ def test_segment_dedup_min_docs_tiers_agree(spark):
     fast_by_doc = {t[0]: t for t in fast}
     for doc, n_drop in by_doc_dropped.items():
         assert fast_by_doc[doc][2] == n_drop
+
+
+def test_token_entropy_orders_degenerate_text(spark):
+    """Entropy separates degenerate from diverse text: a one-token spam
+    doc carries 0 bits, a uniform-unique doc carries log2(n), and the
+    degenerate flag trips only under 2 bits."""
+    import math
+
+    from dbt_nlp_sqlizer_team04_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy buy buy buy buy buy buy buy"),
+            (1, "eight distinct words make maximal entropy here now"),
+            (2, "aa aa bb bb cc cc dd dd"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert set(got) == {0, 1, 2}  # token-less doc drops out
+    assert got[0]["token_entropy"] == 0.0 and got[0]["degenerate"] == 1
+    assert got[1]["token_entropy"] == round(math.log2(8), 4)
+    assert got[1]["degenerate"] == 0
+    assert got[2]["token_entropy"] == 2.0 and got[2]["degenerate"] == 0
+    assert got[0]["token_entropy"] < got[2]["token_entropy"] < got[1]["token_entropy"]
