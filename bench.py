@@ -143,6 +143,7 @@ HEADLINE = [
     "q131_lateral_topn",
     "q132_doc_facet",
     "q133_token_entropy",
+    "q134_doc_expectations",
 ]
 
 

@@ -672,3 +672,146 @@ def expectation_suite_oracle_sql() -> str:
              CAST(future_dates = 0 AS INT) FROM m
     ) ORDER BY check_name
     """
+
+
+class CheckSuite:
+    """Declarative Deequ-style constraint builder — the generalization
+    of :func:`expectation_suite`'s hardcoded checks. Each ``is_*`` /
+    ``has_*`` call registers (metric expression, pass predicate); ALL
+    metrics compile into ONE aggregate scan and the per-check fan-out
+    happens on the 1-row result, so a 20-constraint suite costs exactly
+    one pass at any scale.
+
+    >>> CheckSuite().is_complete("o_custkey").is_unique("o_orderkey")\\
+    ...     .has_min("o_totalprice", gt=0).run(orders)
+    """
+
+    def __init__(self) -> None:
+        # name -> (metric Column producing ONE value, pass Column over
+        # the aggregated row)
+        self._checks: list[tuple[str, object, object]] = []
+
+    def _add(self, name: str, metric, passed) -> "CheckSuite":
+        if any(n == name for n, _, _ in self._checks):
+            raise ValueError(f"duplicate check name: {name}")
+        self._checks.append((name, metric, passed))
+        return self
+
+    def is_complete(self, col: str) -> "CheckSuite":
+        frac = F.round(
+            F.count(col).cast("double") / F.count(F.lit(1)), 6
+        )
+        return self._add(
+            f"complete_{col}", frac, lambda m: m == F.lit(1.0)
+        )
+
+    def is_unique(self, col: str) -> "CheckSuite":
+        frac = F.round(
+            F.countDistinct(col).cast("double") / F.count(F.lit(1)), 6
+        )
+        return self._add(
+            f"unique_{col}", frac, lambda m: m == F.lit(1.0)
+        )
+
+    def has_min(self, col: str, gt: float) -> "CheckSuite":
+        return self._add(
+            f"min_{col}", F.round(F.min(col), 2), lambda m: m > F.lit(gt)
+        )
+
+    def is_in(self, col: str, allowed: list[str]) -> "CheckSuite":
+        bad = F.sum(
+            F.when(~F.col(col).isin(*allowed), 1).otherwise(0)
+        ).cast("double")
+        return self._add(
+            f"domain_{col}", bad, lambda m: m == F.lit(0.0)
+        )
+
+    def max_below(self, col: str, bound: str) -> "CheckSuite":
+        over = F.sum(
+            F.when(F.col(col) >= F.lit(bound), 1).otherwise(0)
+        ).cast("double")
+        return self._add(
+            f"bound_{col}", over, lambda m: m == F.lit(0.0)
+        )
+
+    def satisfies(self, name: str, predicate) -> "CheckSuite":
+        """Cross-field row predicate: metric = number of VIOLATING rows
+        (predicate false or null), passes at zero."""
+        bad = F.sum(
+            F.when(F.coalesce(predicate, F.lit(False)), 0).otherwise(1)
+        ).cast("double")
+        return self._add(name, bad, lambda m: m == F.lit(0.0))
+
+    def run(self, df: DataFrame) -> DataFrame:
+        """ONE scan: every metric in a single agg, checks unpacked from
+        the aggregated row as ``(check_name, metric, passed)``."""
+        if not self._checks:
+            raise ValueError("empty check suite")
+        aggs = [
+            m.cast("double").alias(f"__m_{i}")
+            for i, (_, m, _) in enumerate(self._checks)
+        ]
+        row = df.agg(*aggs)
+        parts = []
+        for i, (name, _, passed) in enumerate(self._checks):
+            m = F.col(f"__m_{i}")
+            parts.append(
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    m.alias("metric"),
+                    passed(m).cast("int").alias("passed"),
+                )
+            )
+        return (
+            row.select(F.explode(F.array(*parts)).alias("c"))
+            .select("c.check_name", "c.metric", "c.passed")
+            .orderBy("check_name")
+        )
+
+
+def q134_doc_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents-plane expectation suite via the declarative builder —
+    incl. a cross-field consistency constraint (the recorded n_chars
+    must equal the actual text length; a drifted ingest pipeline breaks
+    exactly this kind of invariant first). Oracle: one-CTE SQL twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        CheckSuite()
+        .is_complete("text")
+        .is_unique("doc_id")
+        .is_in("lang", ["en", "fr", "de", "es", "xx"])
+        .satisfies(
+            "nchars_matches_text", F.col("n_chars") == F.length("text")
+        )
+        .run(docs)
+    )
+
+
+def doc_expectations_oracle_sql() -> str:
+    return """
+    WITH m AS (
+      SELECT count(*)                             AS n,
+             count(text)                          AS nn_text,
+             count(DISTINCT doc_id)               AS d_id,
+             sum(CASE WHEN lang NOT IN ('en','fr','de','es','xx')
+                      THEN 1 ELSE 0 END)          AS bad_lang,
+             sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+                                                  AS bad_nchars
+      FROM documents
+    )
+    SELECT check_name, metric, passed FROM (
+      SELECT 'complete_text' AS check_name,
+             round(CAST(nn_text AS DOUBLE) / n, 6) AS metric,
+             CAST(nn_text = n AS INT) AS passed FROM m
+      UNION ALL
+      SELECT 'unique_doc_id',
+             round(CAST(d_id AS DOUBLE) / n, 6),
+             CAST(d_id = n AS INT) FROM m
+      UNION ALL
+      SELECT 'domain_lang', CAST(bad_lang AS DOUBLE),
+             CAST(bad_lang = 0 AS INT) FROM m
+      UNION ALL
+      SELECT 'nchars_matches_text', CAST(bad_nchars AS DOUBLE),
+             CAST(bad_nchars = 0 AS INT) FROM m
+    ) ORDER BY check_name
+    """

@@ -854,6 +854,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     ),
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
+    # Declarative expectation suite over documents (cross-field check) —
+    # NEW r5.
+    "q134_doc_expectations": P.q134_doc_expectations,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2261,6 +2264,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q131_lateral_topn": R.Q131_ORACLE_SQL,
     "q132_doc_facet": DOC.Q132_ORACLE_SQL,
     "q133_token_entropy": X.token_entropy_oracle_sql(),
+    "q134_doc_expectations": P.doc_expectations_oracle_sql(),
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

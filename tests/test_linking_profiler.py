@@ -88,3 +88,61 @@ def test_pk_inference_survives_approx_distinct(spark, sf_smoke):
         load_table(spark, sf_smoke, "orders"), "orders", exact_distinct=False
     )
     assert info.primary_key == ["o_orderkey"]
+
+
+# ------------------------------------------------------------ CheckSuite
+def test_check_suite_planted_violations(spark):
+    """Every constraint type trips on planted bad data and passes on
+    clean data; the whole suite is ONE aggregate scan."""
+    from dbt_nlp_sqlizer_team04_spark.operators.profiler import CheckSuite
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, "X", 1),
+            (2, "b", -1.0, "Y", 2),     # negative value, n != len
+            (2, None, 4.0, "Z", 9),     # dup id, null name, bad domain,
+                                        # n != len
+        ],
+        "id long, name string, val double, cat string, n long",
+    )
+    out = (
+        CheckSuite()
+        .is_complete("name")
+        .is_unique("id")
+        .has_min("val", gt=0)
+        .is_in("cat", ["X", "Y"])
+        .satisfies("n_matches_len", F.col("n") == F.length("name"))
+        .run(df)
+    )
+    rows = {r["check_name"]: (r["metric"], r["passed"]) for r in out.collect()}
+    assert rows["complete_name"] == (round(2 / 3, 6), 0)
+    assert rows["unique_id"] == (round(2 / 3, 6), 0)
+    assert rows["min_val"] == (-1.0, 0)
+    assert rows["domain_cat"] == (1.0, 0)
+    # row 3: NULL name -> predicate null -> violation; row 2: 2 != 1
+    assert rows["n_matches_len"] == (2.0, 0)
+
+    clean = spark.createDataFrame(
+        [(1, "a", 5.0, "X", 1), (2, "bb", 4.0, "Y", 2)],
+        "id long, name string, val double, cat string, n long",
+    )
+    out2 = (
+        CheckSuite()
+        .is_complete("name").is_unique("id").has_min("val", gt=0)
+        .is_in("cat", ["X", "Y"])
+        .satisfies("n_matches_len", F.col("n") == F.length("name"))
+        .run(clean)
+    )
+    assert all(r["passed"] == 1 for r in out2.collect())
+    # single-scan contract (final physical plan only — AQE's string
+    # repeats the scan in its "Initial Plan" section)
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate check name"):
+        CheckSuite().is_complete("name").is_complete("name")
+    with _pytest.raises(ValueError, match="empty"):
+        CheckSuite().run(clean)
