@@ -144,6 +144,8 @@ HEADLINE = [
     "q132_doc_facet",
     "q133_token_entropy",
     "q134_doc_expectations",
+    "q135_cdc_merge_snapshot",
+    "q136_scd2_intervals",
 ]
 
 

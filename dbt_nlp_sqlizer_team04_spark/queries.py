@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators import cdc as CDC
 from .operators import classifier as CLF
 from .operators import dedup as D
 from .operators import documents as DOC
@@ -857,6 +858,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Declarative expectation suite over documents (cross-field check) —
     # NEW r5.
     "q134_doc_expectations": P.q134_doc_expectations,
+    # CDC plane: latest-wins merge snapshot + SCD2 intervals — NEW r5.
+    "q135_cdc_merge_snapshot": CDC.q135_cdc_merge_snapshot,
+    "q136_scd2_intervals": CDC.q136_scd2_intervals,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2265,6 +2269,8 @@ ORACLE_SQL: dict[str, str | None] = {
     "q132_doc_facet": DOC.Q132_ORACLE_SQL,
     "q133_token_entropy": X.token_entropy_oracle_sql(),
     "q134_doc_expectations": P.doc_expectations_oracle_sql(),
+    "q135_cdc_merge_snapshot": CDC.CDC_MERGE_ORACLE_SQL,
+    "q136_scd2_intervals": CDC.SCD2_ORACLE_SQL,
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

@@ -1,0 +1,99 @@
+"""CDC operators (operators/cdc.py): latest-wins merge semantics and
+SCD2 interval construction on planted change streams."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_nlp_sqlizer_team04_spark.operators.cdc import (
+    merge_snapshot,
+    scd2_intervals,
+)
+
+
+def test_merge_upsert_delete_and_version_order(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1), (4, "d", 1)],
+        "id long, val string, v long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 2, "U"),   # plain upsert
+            (2, "xx", 2, "D"),   # tombstone
+            (3, "c2", 3, "U"),   # two change versions: highest wins
+            (3, "c1", 2, "U"),
+            (5, "e", 2, "U"),    # insert (no base row)
+        ],
+        "id long, val string, v long, op string",
+    )
+    out = {r["id"]: r["val"] for r in
+           merge_snapshot(base, changes, "id", "v").collect()}
+    assert out == {1: "a2", 3: "c2", 4: "d", 5: "e"}  # 2 deleted
+
+
+def test_merge_same_version_change_beats_base(spark):
+    base = spark.createDataFrame([(1, "old", 5)], "id long, val string, v long")
+    changes = spark.createDataFrame(
+        [(1, "new", 5, "U")], "id long, val string, v long, op string"
+    )
+    out = merge_snapshot(base, changes, "id", "v").collect()
+    assert out[0]["val"] == "new"
+
+
+def test_merge_single_shuffle_plan(spark):
+    base = spark.createDataFrame([(1, "a", 1)], "id long, val string, v long")
+    changes = spark.createDataFrame(
+        [(1, "b", 2, "U")], "id long, val string, v long, op string"
+    )
+    plan = (
+        merge_snapshot(base, changes, "id", "v")
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", "A"),
+            (1, "2020-01-01 01:00:00", "A"),   # re-emission: collapsed
+            (1, "2020-01-01 02:00:00", "B"),
+            (1, "2020-01-01 03:00:00", "A"),   # back to A: NEW interval
+            (2, "2020-01-01 00:00:00", "Z"),
+        ],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type")
+    out = scd2_intervals(ev, ["user_id"], "ts", ["event_type"]).collect()
+    u1 = sorted(
+        [r for r in out if r["user_id"] == 1], key=lambda r: r["valid_from"]
+    )
+    assert [r["event_type"] for r in u1] == ["A", "B", "A"]
+    # intervals chain: each valid_to == next valid_from; last open
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"] == 1
+    assert u1[0]["is_current"] == 0
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] == 1
+
+
+def test_scd2_null_attr_transitions(spark):
+    """NULL attribute values are real states: NULL→A and A→NULL are
+    changes, NULL→NULL is not (eqNullSafe semantics)."""
+    ev = spark.createDataFrame(
+        [
+            (1, "2020-01-01 00:00:00", None),
+            (1, "2020-01-01 01:00:00", None),   # collapsed
+            (1, "2020-01-01 02:00:00", "A"),
+            (1, "2020-01-01 03:00:00", None),
+        ],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type")
+    out = sorted(
+        scd2_intervals(ev, ["user_id"], "ts", ["event_type"]).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [r["event_type"] for r in out] == [None, "A", None]
