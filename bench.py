@@ -146,6 +146,8 @@ HEADLINE = [
     "q134_doc_expectations",
     "q135_cdc_merge_snapshot",
     "q136_scd2_intervals",
+    "q137_disjunctive_revenue",
+    "q138_priority_order_check",
 ]
 
 

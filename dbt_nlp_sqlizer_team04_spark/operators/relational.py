@@ -1392,3 +1392,93 @@ def q131_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q131_ORACLE_SQL = _LATERAL_TOPN_SQL
+
+
+def q137_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style disjunctive predicate revenue: lineitem⨝part
+    revenue where ANY of three (brand, size-range, quantity-range)
+    conjunct branches holds — the OR-of-ANDs shape that punishes naive
+    planners (a per-branch UNION re-scans the fact table three times;
+    a cross-join with post-filter is worse).
+
+    Scale: ONE equi-join on p_partkey carries the whole disjunction as
+    its join filter; the common sub-predicates (quantity ≥ 1, size ≥ 1)
+    are implied per branch so Catalyst can push a weakened conjunct
+    (quantity ≤ 36, the loosest upper bound) to the lineitem scan. The
+    part dimension broadcasts.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    branch1 = (br == "Brand#1") & sz.between(1, 5) & q.between(1, 11)
+    branch2 = (br == "Brand#2") & sz.between(1, 10) & q.between(10, 20)
+    branch3 = (br == "Brand#3") & sz.between(1, 15) & q.between(20, 36)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch1 | branch2 | branch3)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q137_ORACLE_SQL = """
+    SELECT p_brand,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 36)
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+def q138_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style order-priority check: 1996 orders that have AT
+    LEAST ONE lineitem shipped after mid-year, counted per priority —
+    the date-scoped EXISTS whose efficient plan is a SEMI join (each
+    order contributes once no matter how many lineitems qualify).
+
+    Scale: both date filters push to their scans; the semi join
+    shuffles only (orderkey) pairs and short-circuits per key — an
+    inner join + distinct would shuffle every qualifying lineitem.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    late = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1996-07-01"
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q138_ORACLE_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= '1996-07-01')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -861,6 +861,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # CDC plane: latest-wins merge snapshot + SCD2 intervals — NEW r5.
     "q135_cdc_merge_snapshot": CDC.q135_cdc_merge_snapshot,
     "q136_scd2_intervals": CDC.q136_scd2_intervals,
+    # TPC-H Q19/Q4 analog shapes (disjunctive join predicate, date-scoped
+    # EXISTS → semi join) — NEW r5.
+    "q137_disjunctive_revenue": R.q137_disjunctive_revenue,
+    "q138_priority_order_check": R.q138_priority_order_check,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2271,6 +2275,8 @@ ORACLE_SQL: dict[str, str | None] = {
     "q134_doc_expectations": P.doc_expectations_oracle_sql(),
     "q135_cdc_merge_snapshot": CDC.CDC_MERGE_ORACLE_SQL,
     "q136_scd2_intervals": CDC.SCD2_ORACLE_SQL,
+    "q137_disjunctive_revenue": R.Q137_ORACLE_SQL,
+    "q138_priority_order_check": R.Q138_ORACLE_SQL,
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

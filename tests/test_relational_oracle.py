@@ -320,3 +320,26 @@ def test_plan_contracts_r5_batch2(spark, sf_smoke):
     assert "CartesianProduct" not in p131
     assert "BroadcastNestedLoopJoin" not in p131
     assert p131.count("FileScan") == 3  # nation, customer, orders: once each
+
+
+def test_plan_contracts_r5_batch3(spark, sf_smoke):
+    """q137's disjunction stays ONE broadcast equi-join (no per-branch
+    union, no product); q138's EXISTS runs as a semi join with both
+    date filters pushed."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    def plan_of(name):
+        df = SPARK_QUERIES[name](spark, sf_smoke)
+        return df._jdf.queryExecution().toString()
+
+    p137 = plan_of("q137_disjunctive_revenue")
+    assert p137.count("FileScan") == 2  # lineitem once, part once
+    assert "BroadcastHashJoin" in p137
+    assert "CartesianProduct" not in p137
+    assert "Union" not in p137
+
+    p138 = plan_of("q138_priority_order_check")
+    assert "LeftSemi" in p138
+    pushed = [l for l in p138.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed)
+    assert any("l_shipdate" in l for l in pushed)
