@@ -1350,6 +1350,137 @@ def q99_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(load_table(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------- prefix-bucket cluster plane
+PREFIX_TOKENS = 5
+
+
+def prefix_key(text_col: Column, n: int = PREFIX_TOKENS) -> Column:
+    """First-n-token bucket key (md5 of the joined normalized prefix) —
+    the cheap blocking key for crawl-style near-dups, which share their
+    opening tokens even when tails diverge (template pages, syndicated
+    articles). One regex split per row, JVM-side."""
+    return F.md5(
+        F.concat_ws(" ", F.slice(tokens_expr(text_col), 1, n))
+    )
+
+
+def canonical_per_cluster(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Keep-best-of-cluster canonical selection: within each prefix
+    bucket, the canonical document is the LONGEST one (most content),
+    ties broken by min doc_id — the "keep the richest copy" retention
+    policy a curation pipeline applies after near-dup clustering, where
+    q27's min-id rule would happily keep a truncated copy.
+
+    ONE shuffle on the 32-hex bucket key with full map-side combine:
+    ``max_by`` over a (n_chars, -doc_id) ordering struct picks the
+    canonical without a second join or a window sort. Only buckets with
+    >= 2 members are reported (the dedup decisions). At 100 TB the
+    bucket key is a uniform hash, so no skew salting is needed.
+    """
+    rank = F.struct(
+        F.col("n_chars").alias("a"), (-F.col("doc_id")).alias("b")
+    )
+    return (
+        df.groupBy(prefix_key(F.col(text_col)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by(F.col("doc_id"), rank).alias("canonical_id"),
+            F.max("n_chars").alias("canonical_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("canonical_id")
+    )
+
+
+CANONICAL_ORACLE_SQL = f"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_slice(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 1, {PREFIX_TOKENS}), ' ')) AS bucket
+      FROM documents
+    ), ranked AS (
+      SELECT bucket, doc_id, n_chars,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY bucket) AS n_members,
+             max(n_chars) OVER (PARTITION BY bucket) AS canonical_chars,
+             (sum(n_chars) OVER (PARTITION BY bucket))::BIGINT
+                 AS total_chars
+      FROM b
+    )
+    SELECT bucket, n_members, doc_id AS canonical_id,
+           canonical_chars, total_chars
+    FROM ranked
+    WHERE rn = 1 AND n_members >= 2
+    ORDER BY canonical_id
+"""
+
+
+def q140_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-of-cluster report over prefix buckets (oracle-checked
+    window twin)."""
+    return canonical_per_cluster(load_table(spark, sf_dir, "documents"))
+
+
+def source_overlap(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair,
+    how many distinct prefix buckets appear in BOTH — the report that
+    tells a corpus curator which feeds are mirroring each other (and so
+    which source to drop wholesale rather than dedup row-by-row).
+
+    Plan: distinct (source, bucket) — one shuffle with map-side
+    combine — then a self-equi-join on bucket. Per-bucket fan-out is
+    bounded by the number of SOURCES sharing the bucket (not copies:
+    the distinct collapses within-source dups first), so the join never
+    approaches pairs-of-documents scale even on a 100 TB crawl with
+    thousands of feeds.
+    """
+    marks = df.select(
+        F.col("source"), prefix_key(F.col(text_col)).alias("bucket")
+    ).distinct()
+    a, b = marks.alias("a"), marks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_ORACLE_SQL = f"""
+    WITH marks AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_slice(
+                 string_split_regex(trim(lower(text)), '\\s+'),
+                 1, {PREFIX_TOKENS}), ' ')) AS bucket
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM marks a
+    JOIN marks b ON a.bucket = b.bucket AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+"""
+
+
+def q141_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources mirror each other, by shared prefix buckets
+    (oracle-checked self-join twin)."""
+    return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
 def dup_span_oracle_sql(k: int = SPAN_K, top: int = 20) -> str:
     """DuckDB twin of :func:`dup_span_stats`."""
     return f"""

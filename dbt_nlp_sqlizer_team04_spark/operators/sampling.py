@@ -485,3 +485,93 @@ def curriculum_oracle_sql(
         ORDER BY bucket DESC, shuffle_key, doc_id
         LIMIT {top}
     """
+
+
+# ----------------------------------------- per-source token-budget cap
+TOKEN_BUDGET = 2000
+
+
+def source_token_budget(
+    df: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source TOKEN-budget cap: admit documents (in a deterministic
+    md5-shuffled order) while the source's cumulative whitespace-token
+    count stays within ``budget``, and report per-source admission
+    stats.  This is the contract a training-mix plan actually speaks —
+    "at most N tokens from each domain" — where q82's per-group top-k
+    caps DOCUMENT counts and so over-admits verbose domains.
+
+    Plan shape: one window shuffle keyed on the source (cumulative sum
+    in md5 order — the md5 key makes the admission order a reproducible
+    shuffle, not a quality rank, so the cap is an unbiased sample of
+    the domain) followed by a groupBy on the SAME key, which reuses the
+    window's hash partitioning (no second exchange).  At 100 TB domains
+    are many and individually small relative to the cluster, so the
+    per-source window never concentrates; a mega-domain would be
+    pre-split by the salting substrate (skew.py) before this runs.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    order_key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = df.select(
+        F.col(group_col), F.col(id_col), toks.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    kept = F.col("cum") <= F.lit(budget)
+    return (
+        scored.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q142_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source admission stats under a 2000-token budget
+    (oracle-checked cumulative-window twin)."""
+    return source_token_budget(load_table(spark, sf_dir, "documents"))
+
+
+def source_token_budget_sql(budget: int = TOKEN_BUDGET) -> str:
+    """DuckDB twin of :func:`source_token_budget` — same md5 admission
+    order, same cumulative-sum boundary (ties impossible: doc_id is the
+    final order key, so RANGE vs ROWS framing agree)."""
+    return f"""
+        WITH t AS (
+          SELECT source, doc_id,
+                 len(string_split_regex(trim(lower(text)), '\\s+'))
+                     AS n_tokens,
+                 substr(md5(doc_id::varchar), 1, 8) AS rk
+          FROM documents
+        ), c AS (
+          SELECT source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY rk, doc_id) AS cum
+          FROM t
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               sum(CASE WHEN cum <= {budget} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_kept,
+               sum(CASE WHEN cum <= {budget} THEN n_tokens ELSE 0 END)::BIGINT
+                   AS kept_tokens
+        FROM c
+        GROUP BY source
+        ORDER BY source
+    """

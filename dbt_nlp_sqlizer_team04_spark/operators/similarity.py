@@ -117,6 +117,44 @@ def cosine_topk(
     )
 
 
+def filtered_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    predicate: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k: vector search restricted to rows
+    matching a relational predicate (the "filtered ANN" contract every
+    production vector store exposes — search only `label = 7`, only
+    `lang = 'en'`, only this tenant).
+
+    Plan shape: the predicate is applied BEFORE the cosine so Catalyst
+    pushes it into the parquet scan (PushedFilters) — the expensive
+    per-row vector math runs only on survivors, then
+    TakeOrderedAndProject(k) as in :func:`cosine_topk`. This pre-filter
+    strategy is exact and is the right call whenever the predicate is
+    selective; at 100 TB with a LOOSE predicate you'd instead intersect
+    IVF cells with a partition-pruned metadata index and post-filter the
+    shortlist (the q43 cells compose directly: add the predicate to the
+    in-cell scorer).
+    """
+    emb = _as_double(emb_col)
+    out = df.filter(predicate)
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != F.lit(exclude_id))
+    cos = cosine_expr(emb, _vector_lit(query_vec))
+    return (
+        out.select(
+            F.col(id_col), F.col("label"), F.round(cos, 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def cosine_range_search(
     df: DataFrame,
     query_vec: list[float],
@@ -740,6 +778,20 @@ def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vector(spark, sf_dir, 0)
     return cosine_topk(
         load_table(spark, sf_dir, "embeddings"), q, k=10, exclude_id=0
+    )
+
+
+def q139_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vec_id=0 among label-7 vectors only — the
+    metadata-filtered vector search contract (oracle: DuckDB
+    list_cosine_similarity under the same WHERE)."""
+    q = _query_vector(spark, sf_dir, 0)
+    return filtered_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        q,
+        predicate=F.col("label") == 7,
+        k=10,
+        exclude_id=0,
     )
 
 

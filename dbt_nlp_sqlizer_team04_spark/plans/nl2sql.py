@@ -1288,6 +1288,64 @@ class NL2SQLEngine:
                 )
                 out.append(Candidate(sql, "template_time_count", 0.75))
 
+        # --- calendar-trend tier: "month over month change" → LAG over
+        # a calendar rollup; "running/cumulative total" → SUM OVER the
+        # rollup. Both compile to a window OVER an aggregate — a
+        # compositional shape none of the single-layer templates emit
+        # (the reference's DATE_TIME intent, query_intent.py:183-195,
+        # only ever detected the grain; it never generated trend SQL).
+        ql = question.lower()
+        tm = re.search(
+            r"\b(month|week|year|day) over \1\b"
+            r"|\bchange (?:from|vs|versus|over) (?:the )?previous "
+            r"(month|week|year|day)\b",
+            ql,
+        )
+        rt = re.search(r"\b(?:running|cumulative)\s+(?:total|sum|count)\b", ql)
+        if tm or rt:
+            grain_t = (
+                (tm.group(1) or tm.group(2)) if tm else _temporal_grain(ql)
+            )
+            dcol_t = self._date_column(t, question) if grain_t else None
+            if grain_t and dcol_t:
+                if grain_t == "week":
+                    key_t = (
+                        f"date_format(date_trunc('week', {dcol_t}), "
+                        f"'yyyy-MM-dd')"
+                    )
+                else:
+                    fmt_t = {"month": "yyyy-MM", "year": "yyyy",
+                             "day": "yyyy-MM-dd"}[grain_t]
+                    key_t = f"date_format({dcol_t}, '{fmt_t}')"
+                m_t = self._best_numeric_column(t, question)
+                if analysis.agg_func == "COUNT" or m_t is None:
+                    inner_agg, total_sel = "COUNT(*)", "total"
+                else:
+                    inner_agg = f"{analysis.agg_func or 'SUM'}({m_t})"
+                    total_sel = "ROUND(total, 2) AS total"
+                inner = (
+                    f"SELECT {key_t} AS {grain_t}_key, {inner_agg} AS total "
+                    f"FROM {t} GROUP BY {grain_t}_key"
+                )
+                if tm:
+                    sql = (
+                        f"SELECT {grain_t}_key, {total_sel}, "
+                        f"ROUND(total - LAG(total) OVER "
+                        f"(ORDER BY {grain_t}_key), 2) AS delta "
+                        f"FROM ({inner}) ORDER BY {grain_t}_key"
+                    )
+                    out.append(Candidate(sql, "template_time_trend", 0.85))
+                else:
+                    sql = (
+                        f"SELECT {grain_t}_key, {total_sel}, "
+                        f"ROUND(SUM(total) OVER (ORDER BY {grain_t}_key "
+                        f"ROWS UNBOUNDED PRECEDING), 2) AS running_total "
+                        f"FROM ({inner}) ORDER BY {grain_t}_key"
+                    )
+                    out.append(
+                        Candidate(sql, "template_time_cumulative", 0.85)
+                    )
+
         # --- HAVING tier 2: "<groups> with avg <measure> above N" ----
         am = _HAVING_AGG_RE.search(question.lower())
         if am:

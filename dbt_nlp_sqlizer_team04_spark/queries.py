@@ -853,6 +853,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl48_orders_facet_breakdown": _nl2sql(
         "break down orders by status and by priority"
     ),
+    # Calendar-trend NL tier: LAG / cumulative SUM over a month rollup
+    # (window OVER aggregate — a compositional template shape) — NEW r5.
+    "nl49_month_over_month_revenue": _nl2sql(
+        "month over month change in total totalprice for orders"
+    ),
+    "nl50_running_monthly_revenue": _nl2sql(
+        "running total of totalprice by month for orders"
+    ),
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -865,6 +873,18 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # EXISTS → semi join) — NEW r5.
     "q137_disjunctive_revenue": R.q137_disjunctive_revenue,
     "q138_priority_order_check": R.q138_priority_order_check,
+    # Metadata-filtered exact vector search (the filtered-ANN contract;
+    # predicate pushed into the scan before the cosine) — NEW r5.
+    "q139_filtered_cosine_topk": V.q139_filtered_cosine_topk,
+    # Keep-best-of-cluster canonical selection over prefix buckets —
+    # NEW r5.
+    "q140_canonical_selection": D.q140_canonical_selection,
+    # Cross-source duplication matrix (which feeds mirror each other) —
+    # NEW r5.
+    "q141_source_overlap": D.q141_source_overlap,
+    # Per-source TOKEN-budget admission (training-mix cap in tokens,
+    # not documents) — NEW r5.
+    "q142_source_token_budget": SMP.q142_source_token_budget,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2277,6 +2297,18 @@ ORACLE_SQL: dict[str, str | None] = {
     "q136_scd2_intervals": CDC.SCD2_ORACLE_SQL,
     "q137_disjunctive_revenue": R.Q137_ORACLE_SQL,
     "q138_priority_order_check": R.Q138_ORACLE_SQL,
+    "q139_filtered_cosine_topk": f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+               round({_cos_sql("embedding::DOUBLE[]", "qe")}, 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0 AND label = 7
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    """,
+    "q140_canonical_selection": D.CANONICAL_ORACLE_SQL,
+    "q141_source_overlap": D.SOURCE_OVERLAP_ORACLE_SQL,
+    "q142_source_token_budget": SMP.source_token_budget_sql(),
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,
@@ -2293,6 +2325,30 @@ ORACLE_SQL: dict[str, str | None] = {
                n
         FROM g
         ORDER BY facet, grp
+    """,
+    "nl49_month_over_month_revenue": """
+        WITH m AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                     AS month_key,
+                 sum(o_totalprice) AS t
+          FROM orders GROUP BY month_key
+        )
+        SELECT month_key, round(t, 2) AS total,
+               round(t - lag(t) OVER (ORDER BY month_key), 2) AS delta
+        FROM m ORDER BY month_key
+    """,
+    "nl50_running_monthly_revenue": """
+        WITH m AS (
+          SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                     AS month_key,
+                 sum(o_totalprice) AS t
+          FROM orders GROUP BY month_key
+        )
+        SELECT month_key, round(t, 2) AS total,
+               round(sum(t) OVER (ORDER BY month_key
+                                  ROWS UNBOUNDED PRECEDING), 2)
+                   AS running_total
+        FROM m ORDER BY month_key
     """,
     "nl47_doc_facet_breakdown": """
         WITH g AS (

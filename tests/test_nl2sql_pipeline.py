@@ -614,3 +614,38 @@ def test_facet_breakdown_template(spark, sf_smoke):
     # negative: breakdown cue with ONE 'by' → not a grouping-sets plan
     _df, sql1 = eng.query_df("count of orders by priority")
     assert "GROUPING SETS" not in sql1
+
+
+def test_calendar_trend_templates(spark, sf_smoke):
+    """Trend phrasings compile to a window OVER a calendar rollup (a
+    compositional shape: aggregate subquery + analytic window — the
+    reference's DATE_TIME intent, query_intent.py:183-195, only ever
+    detected the grain)."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    df, sql = eng.query_df(
+        "month over month change in total totalprice for orders"
+    )
+    s = " ".join(sql.split())
+    assert "LAG(total) OVER (ORDER BY month_key)" in s
+    assert "GROUP BY month_key" in s and "AS delta" in s
+    rows = df.collect()
+    assert len(rows) > 1
+    assert rows[0]["delta"] is None  # no previous month for the first row
+    assert all(r["delta"] is not None for r in rows[1:])
+
+    df, sql = eng.query_df("running total of totalprice by month for orders")
+    s = " ".join(sql.split())
+    assert "SUM(total) OVER (ORDER BY month_key ROWS UNBOUNDED PRECEDING)" in s
+    rows = df.collect()
+    # cumulative column is non-decreasing and ends at the grand total
+    cums = [float(r["running_total"]) for r in rows]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - sum(float(r["total"]) for r in rows)) < 0.05
+
+    # year-over-year phrasing picks the year grain
+    _df, sql = eng.query_df(
+        "year over year change in total totalprice for orders"
+    )
+    assert "year_key" in sql and "LAG(total)" in sql

@@ -958,3 +958,73 @@ def test_token_entropy_orders_degenerate_text(spark):
     assert got[1]["degenerate"] == 0
     assert got[2]["token_entropy"] == 2.0 and got[2]["degenerate"] == 0
     assert got[0]["token_entropy"] < got[2]["token_entropy"] < got[1]["token_entropy"]
+
+
+# ------------------------------------- filtered vector search (q139)
+def test_filtered_topk_matches_prefiltered_exact(spark, sf_check):
+    """The filtered top-k must equal brute-force top-k over the
+    pre-filtered frame (exactness), and every hit must satisfy the
+    predicate (the filter is semantic, not advisory)."""
+    emb = load_table(spark, sf_check, "embeddings")
+    q = V._query_vector(spark, sf_check, 0)
+    got = V.filtered_cosine_topk(
+        emb, q, predicate=F.col("label") == 3, k=5, exclude_id=0
+    ).collect()
+    assert all(r["label"] == 3 for r in got)
+    want = V.cosine_topk(
+        emb.filter(F.col("label") == 3), q, k=5, exclude_id=0
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+
+
+# --------------------------------- canonical selection / overlap (q140/1)
+@pytest.fixture(scope="module")
+def prefix_cluster_docs(spark):
+    """Three docs sharing a 5-token prefix (one longest, two shorter,
+    two of them equal length → id tiebreak), one singleton, split
+    across two sources; doc 4 mirrors doc 1's prefix from source B."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon tail one", "en", "srcA", 39),
+        (2, "alpha beta gamma delta epsilon much longer body here", "en", "srcA", 53),
+        (3, "alpha beta gamma delta epsilon tail two", "en", "srcA", 39),
+        (4, "alpha beta gamma delta epsilon mirrored elsewhere", "en", "srcB", 49),
+        (5, "totally different opening words here indeed", "en", "srcB", 44),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_canonical_selection_longest_wins(prefix_cluster_docs):
+    out = D.canonical_per_cluster(prefix_cluster_docs).collect()
+    # one multi-member bucket (docs 1-4 share the prefix); singleton
+    # doc 5 excluded
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_members"] == 4
+    assert row["canonical_id"] == 2  # longest body
+    assert row["canonical_chars"] == 53
+    assert row["total_chars"] == 39 + 53 + 39 + 49
+
+
+def test_canonical_tiebreak_min_id(spark):
+    rows = [
+        (10, "p q r s t same length aa", "en", "s", 24),
+        (7, "p q r s t same length bb", "en", "s", 24),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = D.canonical_per_cluster(df).collect()
+    assert len(out) == 1 and out[0]["canonical_id"] == 7
+
+
+def test_source_overlap_counts_buckets_once(prefix_cluster_docs):
+    out = D.source_overlap(prefix_cluster_docs).collect()
+    # srcA and srcB share exactly ONE prefix bucket (the alpha-beta
+    # cluster), counted once despite srcA holding three copies
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"], r["n_shared"]) == ("srcA", "srcB", 1)

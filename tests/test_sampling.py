@@ -228,3 +228,37 @@ def test_curriculum_order_buckets_and_determinism(spark, sf_check):
         [r["bucket"] for r in c], reverse=True
     )
     assert [r["doc_id"] for r in c] != [r["doc_id"] for r in a]
+
+
+def test_source_token_budget_boundary_and_cap(spark):
+    """Admission is cumulative in md5 order; the boundary doc whose
+    cumulative count EQUALS the budget is admitted, the next is not,
+    and kept_tokens never exceeds the budget."""
+    from dbt_nlp_sqlizer_team04_spark.operators.sampling import (
+        source_token_budget,
+    )
+
+    # one source, four docs of 4 tokens each -> budget 8 admits exactly
+    # the first two docs in md5(doc_id) order, wherever they land
+    rows = [
+        (i, "tok tok tok tok", "en", "only", 15) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = source_token_budget(df, budget=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 4 and r["total_tokens"] == 16
+    assert r["n_kept"] == 2 and r["kept_tokens"] == 8
+
+
+def test_source_token_budget_partition_invariant(spark, sf_check):
+    from dbt_nlp_sqlizer_team04_spark.operators.sampling import (
+        source_token_budget,
+    )
+
+    docs = load_table(spark, sf_check, "documents")
+    a = source_token_budget(docs.repartition(1)).collect()
+    b = source_token_budget(docs.repartition(16)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
