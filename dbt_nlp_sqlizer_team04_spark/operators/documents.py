@@ -265,6 +265,45 @@ def apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return out.drop("__n") if drop_n else out
 
 
+def bucket_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """$bucket: histogram aggregation over explicit boundaries.
+
+    ``{"groupBy": "$f", "boundaries": [b0, b1, ...], "default": d,
+    "output": {alias: {$acc: arg}}}`` — Mongo buckets a value into
+    ``[b_i, b_{i+1})`` and labels the bucket with its LOWER boundary;
+    out-of-range values go to ``default`` (an error in Mongo when no
+    default is given — same here, raised at plan build, not per-row).
+
+    Spark shape: the bucket label is one CASE chain (boundaries are a
+    handful of literals, so the whole projection stays in codegen —
+    never a per-row UDF or a join against a boundary table), then the
+    same groupBy().agg() as $group: map-side combine collapses each
+    partition to ≤ n_buckets rows before the shuffle, so at 100 TB the
+    exchange carries buckets × partitions rows, not data.
+    """
+    if "groupBy" not in spec or "boundaries" not in spec:
+        raise DocumentQueryError("$bucket requires groupBy and boundaries")
+    bounds = spec["boundaries"]
+    if len(bounds) < 2 or sorted(bounds) != list(bounds):
+        raise DocumentQueryError(f"Bad $bucket boundaries: {bounds!r}")
+    val = _ref(spec["groupBy"])
+    label = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (val >= F.lit(lo)) & (val < F.lit(hi))
+        branch = F.lit(lo).cast("string")
+        label = F.when(cond, branch) if label is None else label.when(cond, branch)
+    if "default" in spec:
+        label = label.otherwise(F.lit(spec["default"]).cast("string"))
+    else:
+        raise DocumentQueryError(
+            "$bucket without default requires all values in range; "
+            "provide 'default'"
+        )
+    out_spec = spec.get("output") or {"count": {"$sum": 1}}
+    aggs = [_acc_to_agg(a, s) for a, s in out_spec.items()]
+    return df.groupBy(label.alias("_id")).agg(*aggs)
+
+
 # ---------------------------------------------------------------- store
 class DocumentStore:
     """Collections = named DataFrames; the Mongo-analog façade (C9).
@@ -417,6 +456,10 @@ class DocumentStore:
                 # BEYOND the reference surface (like $lookup): the
                 # single-scan grouping-sets translation, see facet_group
                 df = facet_group(df, spec)
+            elif op == "$bucket":
+                # BEYOND the reference surface: explicit-boundary
+                # histogram, see bucket_group
+                df = bucket_group(df, spec)
             else:
                 raise DocumentQueryError(f"Unsupported pipeline stage: {op}")
         if not has_limit:
@@ -644,6 +687,54 @@ def q132_doc_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
+BUCKET_BOUNDS = [0, 150, 300, 450, 600]
+
+
+def q143_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucket histogram of document lengths over explicit boundaries
+    (oracle: DuckDB CASE-chain twin). Out-of-range lengths land in the
+    'other' default bucket — none exist in the corpus, so the oracle
+    proves the boundary arithmetic, the pytest proves the default."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {
+                    "$bucket": {
+                        "groupBy": "$n_chars",
+                        "boundaries": BUCKET_BOUNDS,
+                        "default": "other",
+                        "output": {
+                            "n_docs": {"$sum": 1},
+                            "avg_chars": {"$avg": "$n_chars"},
+                        },
+                    }
+                },
+                {"$sort": {"_id": 1}},
+            ],
+        }
+    )
+    return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
+def _bucket_case_sql(col: str, bounds: list[int]) -> str:
+    arms = " ".join(
+        f"WHEN {col} >= {lo} AND {col} < {hi} THEN '{lo}'"
+        for lo, hi in zip(bounds, bounds[1:])
+    )
+    return f"CASE {arms} ELSE 'other' END"
+
+
+Q143_ORACLE_SQL = f"""
+    SELECT {_bucket_case_sql("n_chars", BUCKET_BOUNDS)} AS _id,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY _id
+    ORDER BY _id
+"""
 
 
 Q132_ORACLE_SQL = """

@@ -700,3 +700,81 @@ def rolling_value_oracle_sql(days: int = 7) -> str:
                      RANGE BETWEEN {days * 86400} PRECEDING AND CURRENT ROW)
         ORDER BY event_id
     """
+
+
+# --------------------------------------------- winsorized value stats
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def winsorized_stats(
+    events: DataFrame, lo: float = WINSOR_LO, hi: float = WINSOR_HI
+) -> DataFrame:
+    """Per-event-type winsorized value statistics: clamp each value to
+    the type's [p01, p99] band and report raw vs winsorized means — the
+    outlier-robust feature-scaling pass a metrics/training pipeline runs
+    before aggregating a heavy-tailed column.
+
+    Plan shape: ONE shuffle on event_type — the exact percentiles ride
+    a partitioned window (no second scan, no percentile-table join),
+    the clamp is a codegen projection over the windowed row, and the
+    final groupBy reuses the window's hash partitioning (no second
+    exchange). At 100 TB the per-type window is the documented
+    hot-partition shape: types are few but rows per type are many, so a
+    deployment would pre-aggregate per (type, salt) with the sketch
+    substrate (q113's KLL bound) instead of exact window percentiles —
+    this operator is the exact-tier oracle for that path.
+    """
+    w = Window.partitionBy("event_type")
+    p_lo = F.percentile(F.col("value"), F.lit(lo)).over(w)
+    p_hi = F.percentile(F.col("value"), F.lit(hi)).over(w)
+    rows = events.select("event_type", "value").select(
+        "event_type",
+        "value",
+        p_lo.alias("p_lo"),
+        p_hi.alias("p_hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p_lo"), 4).alias("p01"),
+            F.round(F.min("p_hi"), 4).alias("p99"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q144_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-clamped per-type value stats (oracle-checked percentile
+    window twin)."""
+    return winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
+def winsorized_oracle_sql(
+    lo: float = WINSOR_LO, hi: float = WINSOR_HI
+) -> str:
+    """DuckDB twin of :func:`winsorized_stats` (quantile_cont matches
+    Spark's exact interpolating percentile — the q49 precedent)."""
+    return f"""
+        WITH b AS (
+          SELECT event_type, value,
+                 quantile_cont(value, {lo}) OVER (PARTITION BY event_type)
+                     AS p_lo,
+                 quantile_cont(value, {hi}) OVER (PARTITION BY event_type)
+                     AS p_hi
+          FROM events
+        )
+        SELECT event_type,
+               count(*) AS n,
+               round(min(p_lo), 4) AS p01,
+               round(min(p_hi), 4) AS p99,
+               round(avg(value), 4) AS mean_raw,
+               round(avg(least(greatest(value, p_lo), p_hi)), 4)
+                   AS mean_winsorized
+        FROM b
+        GROUP BY event_type
+        ORDER BY event_type
+    """

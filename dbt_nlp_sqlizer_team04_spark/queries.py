@@ -319,6 +319,12 @@ def _q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q105_event_anomalies(spark, sf_dir)
 
 
+def _q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q144_winsorized_stats
+
+    return q144_winsorized_stats(spark, sf_dir)
+
+
 def _q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import q106_hourly_first_events
 
@@ -885,6 +891,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Per-source TOKEN-budget admission (training-mix cap in tokens,
     # not documents) — NEW r5.
     "q142_source_token_budget": SMP.q142_source_token_budget,
+    # Mongo $bucket → CASE-chain histogram in one aggregate — NEW r5.
+    "q143_doc_length_buckets": DOC.q143_doc_length_buckets,
+    # Winsorized per-type value stats (percentile clamp, one shuffle) —
+    # NEW r5.
+    "q144_winsorized_stats": _q144,
 }
 
 # --- round-5 driver window (explicit form of the rotation policy at the
@@ -2309,6 +2320,8 @@ ORACLE_SQL: dict[str, str | None] = {
     "q140_canonical_selection": D.CANONICAL_ORACLE_SQL,
     "q141_source_overlap": D.SOURCE_OVERLAP_ORACLE_SQL,
     "q142_source_token_budget": SMP.source_token_budget_sql(),
+    "q143_doc_length_buckets": DOC.Q143_ORACLE_SQL,
+    "q144_winsorized_stats": _TS_oracle("winsorized_oracle_sql"),
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

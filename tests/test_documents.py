@@ -505,3 +505,38 @@ def test_nl2doc_single_by_not_faceted(store):
 
     _df, q = NL2DocEngine(store).ask("how many events per event_type")
     assert all("$facet" not in st for st in q.get("pipeline", []))
+
+
+def test_bucket_histogram_default_and_errors(store, spark):
+    """$bucket labels with the LOWER boundary, routes out-of-range
+    values to the default, and rejects bad specs at plan build."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentQueryError, DocumentStore,
+    )
+
+    st = DocumentStore(spark)
+    st.register(
+        "vals",
+        spark.createDataFrame(
+            [(1, 5), (2, 15), (3, 25), (4, 99)], "id long, v long"
+        ),
+    )
+    out = st.aggregate(
+        "vals",
+        [{"$bucket": {"groupBy": "$v", "boundaries": [0, 10, 30],
+                      "default": "other"}}],
+    ).collect()
+    got = {r["_id"]: r["count"] for r in out}
+    assert got == {"0": 1, "10": 2, "other": 1}
+
+    with pytest.raises(DocumentQueryError):
+        st.aggregate(
+            "vals",
+            [{"$bucket": {"groupBy": "$v", "boundaries": [0, 10]}}],
+        )
+    with pytest.raises(DocumentQueryError):
+        st.aggregate(
+            "vals",
+            [{"$bucket": {"groupBy": "$v", "boundaries": [10, 0],
+                          "default": "d"}}],
+        )

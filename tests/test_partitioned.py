@@ -117,3 +117,73 @@ def test_schema_evolution_across_partitions(spark, tmp_path):
     assert old.filter(F.col("device").isNull()).count() == 100
     new = back.filter(F.col("device") == "mobile")
     assert new.count() == 100
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_check, tmp_path):
+    """DPP contract: when the partition key arrives through a JOIN (a
+    filtered dim picks the dates, not a literal predicate on the fact),
+    Catalyst injects a dynamicpruning subquery on the fact scan and the
+    executed scan touches only the dim's partitions — the plan shape a
+    100 TB star-schema query lives or dies by. DPP needs a REAL
+    (statistics-bearing) dim relation with a selective filter; a
+    createDataFrame local relation never triggers it, so the dim is
+    round-tripped through parquet exactly as a warehouse dim would be.
+    (sf_check, not sf_smoke: at the 0.001 smoke scale the planner's
+    pruningHasBenefit heuristic rejects DPP — the fact side is too
+    small to be worth a pruning subquery — and the scan reads all
+    days.)"""
+    events = load_table(spark, sf_check, "events")
+    path = str(tmp_path / "events_dpp")
+    write_date_partitioned(events, path)
+
+    fact = read_partitioned(spark, path)
+    all_days = sorted(
+        r["event_date"]
+        for r in fact.select("event_date").distinct().collect()
+    )
+    assert len(all_days) > 2
+    days = all_days[:2]
+    spark.createDataFrame(
+        [(d, "keep" if d in days else "drop") for d in all_days],
+        "event_date date, tag string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("tag") == "keep"
+    )
+    joined = fact.join(dim, "event_date").groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    # executed FACT scan reads only the two picked days' directories
+    # (the final plan hides behind AdaptiveSparkPlan after execution)
+    rows = joined.collect()
+    ep = joined._jdf.queryExecution().executedPlan()
+    if ep.nodeName() == "AdaptiveSparkPlan":
+        ep = ep.finalPhysicalPlan()
+
+    def scan_partitions(node, acc):
+        # AQE leaves are QueryStage wrappers; descend through .plan()
+        name = node.nodeName()
+        m = node.metrics()
+        if name.startswith("Scan parquet") and m.contains("numPartitions"):
+            acc.append(m.apply("numPartitions").value())
+        if "QueryStage" in name.replace(" ", ""):
+            scan_partitions(node.plan(), acc)
+            return acc
+        ch = node.children()
+        for i in range(ch.size()):
+            scan_partitions(ch.apply(i), acc)
+        return acc
+
+    # one partitioned scan (the fact); the dim scan carries no
+    # partition metric
+    assert scan_partitions(ep, []) == [2]
+
+    # and the join result is the honest per-day total
+    expected = events.filter(
+        F.to_date("ts").isin(days)
+    ).count()
+    assert {r["tag"]: r["n"] for r in rows} == {"keep": expected}
