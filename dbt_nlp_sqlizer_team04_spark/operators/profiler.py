@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -814,4 +814,129 @@ def doc_expectations_oracle_sql() -> str:
       SELECT 'nchars_matches_text', CAST(bad_nchars AS DOUBLE),
              CAST(bad_nchars = 0 AS INT) FROM m
     ) ORDER BY check_name
+    """
+
+
+# ------------------------------------------------ distribution drift
+PSI_BUCKETS = 10
+PSI_EPS = 1e-4
+
+
+def drift_psi(events: DataFrame, n_buckets: int = PSI_BUCKETS) -> DataFrame:
+    """Population Stability Index per event type: how far the value
+    distribution of the LATER half of the time range has drifted from
+    the EARLIER half — the standard go/no-go gate before retraining on
+    (or alerting about) a shifted feed. PSI = Σ (q−p)·ln(q/p) over
+    equi-width value buckets, shares clamped at ``PSI_EPS`` so empty
+    buckets contribute a large-but-finite term (the industry convention;
+    an unclamped empty bucket is ±∞).
+
+    Plan shape: ONE slim stats aggregate (ts/value min-max — column-
+    pruned scan, 1 row, broadcast) fixes the period midpoint and bucket
+    width content-deterministically, then the main scan buckets every
+    row in codegen and shuffles only (type, period, bucket) counts —
+    map-side combine collapses each partition to ≤ types×2×buckets
+    rows, so at 100 TB the exchange carries kilobytes. The per-type
+    share totals and the PSI fold are arithmetic over that tiny frame.
+    """
+    stats = events.agg(
+        F.min(F.col("ts").cast("double")).alias("t0"),
+        F.max(F.col("ts").cast("double")).alias("t1"),
+        F.min("value").alias("v0"),
+        F.max("value").alias("v1"),
+    )
+    b = (
+        events.select("event_type", "ts", "value")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            (F.col("ts").cast("double") <= (F.col("t0") + F.col("t1")) / 2)
+            .cast("int")
+            .alias("is_ref"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("v0"))
+                    / ((F.col("v1") - F.col("v0")) / n_buckets)
+                ),
+                F.lit(n_buckets - 1),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    counts = b.groupBy("event_type", "bucket").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur"),
+    )
+    w_tot = Window.partitionBy("event_type")
+    shares = counts.select(
+        "event_type",
+        "bucket",
+        F.greatest(
+            F.col("n_ref") / F.sum("n_ref").over(w_tot), F.lit(PSI_EPS)
+        ).alias("p"),
+        F.greatest(
+            F.col("n_cur") / F.sum("n_cur").over(w_tot), F.lit(PSI_EPS)
+        ).alias("q"),
+        "n_ref",
+        "n_cur",
+    )
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))),
+                4,
+            ).alias("psi"),
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q145_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value-distribution drift, later half vs earlier half
+    (oracle-checked DuckDB twin)."""
+    return drift_psi(load_table(spark, sf_dir, "events"))
+
+
+def drift_psi_oracle_sql(
+    n_buckets: int = PSI_BUCKETS, eps: float = PSI_EPS
+) -> str:
+    """DuckDB twin of :func:`drift_psi` — identical double arithmetic
+    (epoch(ts) has the same fractional seconds as Spark's double cast)."""
+    return f"""
+        WITH s AS (
+          SELECT min(epoch(ts)) AS t0, max(epoch(ts)) AS t1,
+                 min(value) AS v0, max(value) AS v1
+          FROM events
+        ), b AS (
+          SELECT event_type,
+                 CASE WHEN epoch(ts) <= (s.t0 + s.t1) / 2
+                      THEN 1 ELSE 0 END AS is_ref,
+                 least(CAST(floor((value - s.v0)
+                                  / ((s.v1 - s.v0) / {n_buckets})) AS INT),
+                       {n_buckets - 1}) AS bucket
+          FROM events, s
+        ), c AS (
+          SELECT event_type, bucket,
+                 sum(is_ref)     AS n_ref,
+                 sum(1 - is_ref) AS n_cur
+          FROM b GROUP BY event_type, bucket
+        ), sh AS (
+          SELECT event_type, bucket, n_ref, n_cur,
+                 greatest(n_ref / (sum(n_ref) OVER (PARTITION BY event_type)),
+                          {eps}) AS p,
+                 greatest(n_cur / (sum(n_cur) OVER (PARTITION BY event_type)),
+                          {eps}) AS q
+          FROM c
+        )
+        SELECT event_type,
+               round(sum((q - p) * ln(q / p)), 4) AS psi,
+               sum(n_ref)::BIGINT AS n_ref,
+               sum(n_cur)::BIGINT AS n_cur
+        FROM sh
+        GROUP BY event_type
+        ORDER BY event_type
     """

@@ -17,6 +17,7 @@ Mirrors the reference ladder on the DocumentStore executor:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.documents import DocumentStore, flatten_for_display, parse_query_json
 from .intent import QueryIntent, analyze_query_intent
@@ -283,6 +284,41 @@ class NL2DocEngine:
                                 for k in keys
                             }
                         }
+                    ],
+                }
+
+        # histogram phrasing → $bucket over equi-width boundaries built
+        # from the requested step ("histogram of length in buckets of
+        # 150" — the document-plane twin of NL2SQL's histogram tier):
+        # boundary list = multiples of the step wide enough for the
+        # corpus; out-of-range values fall in the "other" default.
+        hm = _re.search(
+            r"\b(?:histogram|distribution) of ([a-z_]+)\b.*?"
+            r"\b(?:buckets|bins|steps) of (\d+)\b",
+            question.lower(),
+        )
+        if hm:
+            m_word, step_s = hm.groups()
+            step = int(step_s)
+            measure = best_field(numeric=True, exclude=filtered, text=m_word)
+            if measure is not None and step > 0:
+                hi = self.store.collection(coll).agg(
+                    F.max(measure).alias("m")
+                ).collect()[0]["m"]
+                n_b = int(hi // step) + 1 if hi is not None else 1
+                bounds = [i * step for i in range(n_b + 1)]
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {
+                            "$bucket": {
+                                "groupBy": f"${measure}",
+                                "boundaries": bounds,
+                                "default": "other",
+                                "output": {"n": {"$sum": 1}},
+                            }
+                        },
+                        {"$sort": {"_id": 1}},
                     ],
                 }
 

@@ -1346,6 +1346,28 @@ class NL2SQLEngine:
                         Candidate(sql, "template_time_cumulative", 0.85)
                     )
 
+        # --- histogram tier: "histogram/distribution of <m> in buckets
+        # of N" → equi-width floor-division buckets labeled by their
+        # lower bound (the SQL twin of NL2Doc's $bucket tier). One
+        # aggregate, map-side combine; the bucket id is a codegen
+        # projection, never a join against a boundary table.
+        hm = re.search(
+            r"\b(?:histogram|distribution) of (\w+)\b.*?"
+            r"\b(?:buckets|bins|steps) of (\d+)\b",
+            ql,
+        )
+        if hm:
+            m_word, width_s = hm.groups()
+            m_h = self._best_numeric_column(t, m_word)
+            width = int(width_s)
+            if m_h is not None and width > 0:
+                sql = (
+                    f"SELECT CAST(FLOOR({m_h} / {width}) * {width} AS BIGINT)"
+                    f" AS bucket_lo, COUNT(*) AS cnt "
+                    f"FROM {t} GROUP BY bucket_lo ORDER BY bucket_lo"
+                )
+                out.append(Candidate(sql, "template_histogram", 0.85))
+
         # --- HAVING tier 2: "<groups> with avg <measure> above N" ----
         am = _HAVING_AGG_RE.search(question.lower())
         if am:

@@ -215,6 +215,23 @@ def _nl47_doc_facet_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
+    document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
+    boundaries must reproduce)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "histogram of chars for documents in buckets of 150"
+    )
+    return df
+
+
 _TRAINED_DOC_CACHE: dict = {}
 
 
@@ -867,6 +884,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl50_running_monthly_revenue": _nl2sql(
         "running total of totalprice by month for orders"
     ),
+    # Equi-width histogram NL tier (the SQL twin of $bucket) — NEW r5.
+    "nl51_totalprice_histogram": _nl2sql(
+        "histogram of totalprice for orders in buckets of 50000"
+    ),
+    # NL2Doc histogram phrasing → $bucket pipeline — NEW r5.
+    "nl52_doc_length_histogram": _nl52_doc_length_histogram,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -893,6 +916,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q142_source_token_budget": SMP.q142_source_token_budget,
     # Mongo $bucket → CASE-chain histogram in one aggregate — NEW r5.
     "q143_doc_length_buckets": DOC.q143_doc_length_buckets,
+    # PSI distribution-drift gate per event type — NEW r5.
+    "q145_drift_psi": P.q145_drift_psi,
     # Winsorized per-type value stats (percentile clamp, one shuffle) —
     # NEW r5.
     "q144_winsorized_stats": _q144,
@@ -2322,6 +2347,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q142_source_token_budget": SMP.source_token_budget_sql(),
     "q143_doc_length_buckets": DOC.Q143_ORACLE_SQL,
     "q144_winsorized_stats": _TS_oracle("winsorized_oracle_sql"),
+    "q145_drift_psi": P.drift_psi_oracle_sql(),
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,
@@ -2362,6 +2388,18 @@ ORACLE_SQL: dict[str, str | None] = {
                                   ROWS UNBOUNDED PRECEDING), 2)
                    AS running_total
         FROM m ORDER BY month_key
+    """,
+    "nl52_doc_length_histogram": """
+        SELECT CAST(CAST(floor(n_chars / 150) * 150 AS BIGINT) AS VARCHAR)
+                   AS _id,
+               count(*) AS n
+        FROM documents GROUP BY _id ORDER BY _id
+    """,
+    "nl51_totalprice_histogram": """
+        SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT)
+                   AS bucket_lo,
+               count(*) AS cnt
+        FROM orders GROUP BY bucket_lo ORDER BY bucket_lo
     """,
     "nl47_doc_facet_breakdown": """
         WITH g AS (

@@ -540,3 +540,24 @@ def test_bucket_histogram_default_and_errors(store, spark):
             [{"$bucket": {"groupBy": "$v", "boundaries": [10, 0],
                           "default": "d"}}],
         )
+
+
+def test_nl2doc_histogram_compiles_to_bucket(store):
+    """Histogram phrasing compiles to a $bucket pipeline with
+    step-derived boundaries and a default bucket (the document-plane
+    twin of the NL2SQL histogram tier)."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query(
+        "histogram of chars for documents in buckets of 150"
+    )
+    stages = q["pipeline"]
+    bucket = next(st["$bucket"] for st in stages if "$bucket" in st)
+    assert bucket["groupBy"] == "$n_chars"
+    assert bucket["default"] == "other"
+    bounds = bucket["boundaries"]
+    assert bounds[0] == 0 and all(b == i * 150 for i, b in enumerate(bounds))
+    df, _ = eng.ask("histogram of chars for documents in buckets of 150")
+    rows = df.collect()
+    assert sum(r["n"] for r in rows) == store.collection("documents").count()

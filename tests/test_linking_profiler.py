@@ -146,3 +146,33 @@ def test_check_suite_planted_violations(spark):
         CheckSuite().is_complete("name").is_complete("name")
     with _pytest.raises(ValueError, match="empty"):
         CheckSuite().run(clean)
+
+
+def test_drift_psi_detects_planted_shift(spark):
+    """A type whose later-half values shift to a disjoint range gets a
+    large PSI; a type with an identical distribution in both halves
+    stays near zero (and below the conventional 0.1 alert line)."""
+    import datetime as dt
+
+    from dbt_nlp_sqlizer_team04_spark.operators.profiler import drift_psi
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(400):
+        early = i < 200
+        ts = base + dt.timedelta(hours=i)
+        # stable: same uniform 0..100 pattern in both halves
+        rows.append((eid, ts, 1, "stable", float(i % 100), None)); eid += 1
+        # drifted: 0..100 early, 300..400 late (disjoint support)
+        v = float(i % 100) if early else 300.0 + (i % 100)
+        rows.append((eid, ts, 1, "drifted", v, None)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["event_type"]: r for r in drift_psi(df).collect()}
+    assert out["stable"]["psi"] < 0.1
+    assert out["drifted"]["psi"] > 1.0
+    assert out["drifted"]["n_ref"] + out["drifted"]["n_cur"] == 400
