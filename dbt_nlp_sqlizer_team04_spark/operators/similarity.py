@@ -1915,3 +1915,95 @@ def q130_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(
         load_table(spark, sf_dir, "embeddings"), q, k=10, exclude_id=0
     )
+
+
+# ----------------------------------------- label-centroid separability
+def label_centroid_report(
+    df: DataFrame,
+    dim: int = EMBED_DIM,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding geometry: member count, centroid norm, and
+    the mean member-to-centroid distance — the label-quality audit a
+    training pipeline runs to find collapsed (near-zero scatter) or
+    incoherent (huge scatter) classes before fitting a classifier.
+
+    Plan shape: centroids come from ONE groupBy with ``dim`` codegen
+    ``sum(element_at(...))`` expressions — no posexplode (an explode
+    multiplies the shuffle by dim; at 100 TB that is the difference
+    between shuffling n rows and n×64). The centroid table is
+    labels-sized, so the distance pass broadcast-joins it back and
+    aggregates on the same label key. Two scans of the embeddings —
+    the unavoidable stats-then-score shape (same as winsorization).
+    """
+    e = F.col(emb_col).cast("array<double>")
+    emb = df.select(F.col(label_col).alias("label"), e.alias("e"))
+    sums = [
+        F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(dim)
+    ]
+    cent = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .select(
+            "label",
+            "n",
+            F.array(
+                *[F.col(f"s{i}") / F.col("n") for i in range(dim)]
+            ).alias("c"),
+        )
+    )
+    cent = cent.select(
+        "label",
+        "n",
+        "c",
+        F.round(norm_expr(F.col("c")), 6).alias("centroid_norm"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("c"), lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .groupBy("label")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("centroid_norm").alias("centroid_norm"),
+            F.round(F.avg(dist), 6).alias("avg_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+def q146_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + scatter (oracle: DuckDB unnest-with-
+    ordinality twin)."""
+    return label_centroid_report(load_table(spark, sf_dir, "embeddings"))
+
+
+LABEL_CENTROID_ORACLE_SQL = """
+    WITH e AS (
+      SELECT label, vec_id, embedding[u.i]::DOUBLE AS x, u.i AS pos
+      FROM embeddings,
+           UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ), c AS (
+      SELECT label, pos, avg(x) AS m, count(*) AS n_at_pos
+      FROM e GROUP BY label, pos
+    ), cn AS (
+      SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+             min(n_at_pos) AS n
+      FROM c GROUP BY label
+    ), d AS (
+      SELECT e.label, e.vec_id, sqrt(sum((e.x - c.m) * (e.x - c.m))) AS dist
+      FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY e.label, e.vec_id
+    )
+    SELECT d.label, cn.n, cn.centroid_norm,
+           round(avg(d.dist), 6) AS avg_dist
+    FROM d JOIN cn ON d.label = cn.label
+    GROUP BY d.label, cn.n, cn.centroid_norm
+    ORDER BY d.label
+"""

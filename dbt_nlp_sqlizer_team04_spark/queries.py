@@ -918,6 +918,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q143_doc_length_buckets": DOC.q143_doc_length_buckets,
     # PSI distribution-drift gate per event type — NEW r5.
     "q145_drift_psi": P.q145_drift_psi,
+    # Per-label embedding centroid norm + scatter (label-quality audit,
+    # explode-free centroids) — NEW r5.
+    "q146_label_centroids": V.q146_label_centroids,
     # Winsorized per-type value stats (percentile clamp, one shuffle) —
     # NEW r5.
     "q144_winsorized_stats": _q144,
@@ -2348,6 +2351,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q143_doc_length_buckets": DOC.Q143_ORACLE_SQL,
     "q144_winsorized_stats": _TS_oracle("winsorized_oracle_sql"),
     "q145_drift_psi": P.drift_psi_oracle_sql(),
+    "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

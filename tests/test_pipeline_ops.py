@@ -1028,3 +1028,63 @@ def test_source_overlap_counts_buckets_once(prefix_cluster_docs):
     assert len(out) == 1
     r = out[0]
     assert (r["source_a"], r["source_b"], r["n_shared"]) == ("srcA", "srcB", 1)
+
+
+# ------------------------------------------ plan contracts (r5 ops)
+def test_filtered_topk_plan_pushes_predicate(spark, sf_check):
+    """q139's metadata predicate must reach the parquet scan
+    (PushedFilters) and the top-k must stay shuffle-free
+    (TakeOrderedAndProject, zero Exchange nodes)."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["q139_filtered_cosine_topk"](spark, sf_check)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [", 1)[1][:200]
+    assert "EqualTo(label,7)" in pushed
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange " not in plan
+
+
+def test_token_budget_plan_single_hash_exchange(spark, sf_check):
+    """q142's groupBy must REUSE the window's hash partitioning: one
+    hashpartitioning exchange total (the trailing rangepartitioning is
+    the presentational orderBy), and the scan reads only the three
+    columns the operator touches."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["q142_source_token_budget"](spark, sf_check)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+
+
+def test_winsorized_plan_single_hash_exchange(spark, sf_check):
+    """q144: exact percentiles ride the event_type window and the final
+    aggregate reuses that partitioning — one hash exchange, value+type
+    projection only."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["q144_winsorized_stats"](spark, sf_check)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "event_type" in plan.split("ReadSchema", 1)[1][:120]
+
+
+def test_label_centroid_report_planted_geometry(spark):
+    """A tight cluster at a known offset reports that offset as the
+    centroid norm with ~zero scatter; a mirrored pair centered on the
+    origin reports centroid_norm 0 with scatter equal to the radius."""
+    tight = [(i, [3.0, 4.0] + [0.0] * 62, 1) for i in range(5)]
+    mirrored = [
+        (10, [2.0] + [0.0] * 63, 2),
+        (11, [-2.0] + [0.0] * 63, 2),
+    ]
+    df = spark.createDataFrame(
+        tight + mirrored, "vec_id long, embedding array<double>, label long"
+    )
+    out = {r["label"]: r for r in V.label_centroid_report(df).collect()}
+    assert out[1]["n"] == 5
+    assert abs(out[1]["centroid_norm"] - 5.0) < 1e-6  # |(3,4)| = 5
+    assert out[1]["avg_dist"] < 1e-6
+    assert out[2]["centroid_norm"] < 1e-6
+    assert abs(out[2]["avg_dist"] - 2.0) < 1e-6
