@@ -94,6 +94,18 @@ def _stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q38_events_stream_rollup(spark, sf_dir)
 
 
+def _stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import q147_stream_drift
+
+    return q147_stream_drift(spark, sf_dir)
+
+
+def _stream_drift_oracle() -> str:
+    from .streaming.events import stream_drift_oracle_sql
+
+    return stream_drift_oracle_sql()
+
+
 def _q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import q69_sliding_rollup
 
@@ -921,6 +933,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Per-label embedding centroid norm + scatter (label-quality audit,
     # explode-free centroids) — NEW r5.
     "q146_label_centroids": V.q146_label_centroids,
+    # Streaming drift monitor: watermarked day×bucket counts in-stream,
+    # PSI scored over the SINK (kappa parity oracle) — NEW r5.
+    "q147_stream_drift": _stream_drift,
     # Winsorized per-type value stats (percentile clamp, one shuffle) —
     # NEW r5.
     "q144_winsorized_stats": _q144,
@@ -2352,6 +2367,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q144_winsorized_stats": _TS_oracle("winsorized_oracle_sql"),
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
+    "q147_stream_drift": _stream_drift_oracle(),
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

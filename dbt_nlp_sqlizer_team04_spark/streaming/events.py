@@ -534,3 +534,163 @@ def dedup_export_stream(
         id_col="slot_id",
         text_col="slot_key",
     )
+
+
+# ----------------------------------------------- streaming drift monitor
+DRIFT_V_LO, DRIFT_V_HI, DRIFT_BUCKETS = 0.0, 500.0, 10
+DRIFT_EPS = 1e-4
+
+
+def daily_bucket_counts(
+    events: DataFrame, streaming: bool, watermark: str = "2 days"
+) -> DataFrame:
+    """Shared batch/stream builder: per (day, value-bucket) event counts
+    over FIXED equi-width buckets. Fixed edges (not data-derived, unlike
+    batch q145): a stream cannot re-derive min/max without breaking
+    incremental aggregation, so the monitoring band is part of the
+    contract and out-of-band values clamp into the edge buckets.
+
+    This is the heavy half of the drift monitor and the only part that
+    touches raw events: the stream maintains ≤ days×buckets rows of
+    state (watermark-bounded), and drift scoring reads the counts table
+    — never the firehose."""
+    e = _normalize_ts(events)
+    if streaming:
+        e = e.withWatermark("ts", watermark)
+    width = (DRIFT_V_HI - DRIFT_V_LO) / DRIFT_BUCKETS
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("value") - DRIFT_V_LO) / width).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(DRIFT_BUCKETS - 1),
+    )
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "bucket",
+            "n",
+        )
+    )
+
+
+def drift_from_counts(counts: DataFrame) -> DataFrame:
+    """Day-over-day PSI from the materialized counts table: densify to
+    the full day×bucket grid (a missing bucket is a zero count, which
+    must contribute its ε-clamped term, not silently drop), share per
+    day, lag the share per bucket, fold. Pure batch arithmetic over a
+    days×buckets-sized frame — at 100 TB this reads kilobytes while the
+    stream does the counting."""
+    from pyspark.sql import Window
+
+    spark = counts.sparkSession
+    # densify via a driver-built grid: the day list is calendar-sized
+    # (bounded collect), and building the grid fresh sidesteps the
+    # self-join ambiguity of deriving days FROM counts and joining back
+    # to counts (both sides would share the sink view's lineage)
+    day_list = sorted(
+        r["day"] for r in counts.select("day").distinct().collect()
+    )
+    grid = spark.createDataFrame(
+        [(d, b) for d in day_list for b in range(DRIFT_BUCKETS)],
+        "day string, bucket int",
+    )
+    f = grid.join(counts, ["day", "bucket"], "left").fillna(0, ["n"])
+    w_day = Window.partitionBy("day")
+    w_lag = Window.partitionBy("bucket").orderBy("day")
+    shared = f.select(
+        "day",
+        "bucket",
+        "n",
+        F.greatest(
+            F.col("n") / F.sum("n").over(w_day), F.lit(DRIFT_EPS)
+        ).alias("q"),
+    ).withColumn("p", F.lag("q").over(w_lag))
+    return (
+        shared.filter(F.col("p").isNotNull())
+        .groupBy("day")
+        .agg(
+            F.round(
+                F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))),
+                4,
+            ).alias("psi"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+def drift_counts_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "drift_counts_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run the streaming counts half to a memory sink until the source
+    drains; returns the sink contents."""
+    q = (
+        daily_bucket_counts(read_events_stream(spark, sf_dir), streaming=True)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return spark.table(table_name)
+
+
+def q147_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: stream the day×bucket counts (watermarked,
+    complete-mode drain), then score day-over-day PSI from the SINK —
+    hash-checked against a DuckDB twin that derives the same series
+    from raw events (kappa parity for the whole monitor, not just the
+    counting half)."""
+    counts = drift_counts_stream_to_memory(
+        spark, sf_dir, table_name="q147_sink"
+    )
+    return drift_from_counts(counts)
+
+
+def stream_drift_oracle_sql() -> str:
+    """DuckDB twin of q147: same fixed buckets, dense grid, ε-clamped
+    shares, lagged-share PSI."""
+    width = (DRIFT_V_HI - DRIFT_V_LO) / DRIFT_BUCKETS
+    return f"""
+        WITH c AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 least(greatest(CAST(floor((value - {DRIFT_V_LO}) / {width})
+                                     AS INT), 0), {DRIFT_BUCKETS - 1})
+                     AS bucket,
+                 count(*) AS n
+          FROM events GROUP BY day, bucket
+        ), days AS (SELECT DISTINCT day FROM c),
+        g AS (
+          SELECT days.day, b.bucket::INT AS bucket
+          FROM days, UNNEST(range(0, {DRIFT_BUCKETS})) AS b(bucket)
+        ),
+        f AS (
+          SELECT g.day, g.bucket, coalesce(c.n, 0) AS n
+          FROM g LEFT JOIN c ON g.day = c.day AND g.bucket = c.bucket
+        ),
+        s AS (
+          SELECT day, bucket, n,
+                 greatest(n / (sum(n) OVER (PARTITION BY day)),
+                          {DRIFT_EPS}) AS q
+          FROM f
+        ),
+        s2 AS (
+          SELECT day, bucket, n, q,
+                 lag(q) OVER (PARTITION BY bucket ORDER BY day) AS p
+          FROM s
+        )
+        SELECT day,
+               round(sum((q - p) * ln(q / p)), 4) AS psi,
+               sum(n)::BIGINT AS n_events
+        FROM s2 WHERE p IS NOT NULL
+        GROUP BY day ORDER BY day
+    """

@@ -459,3 +459,29 @@ def test_stream_static_dim_refresh_contract(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(drop)
     drain()
     assert out == [(10, "bronze"), (11, "gold")]
+
+
+def test_stream_drift_counts_match_batch(spark, sf_smoke):
+    """Kappa parity for the drift monitor: the streamed day×bucket
+    counts equal the batch builder's, and the PSI series derived from
+    either is identical (the stream counts; the scorer reads the sink)."""
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.events import (
+        daily_bucket_counts,
+        drift_counts_stream_to_memory,
+        drift_from_counts,
+    )
+
+    batch_counts = daily_bucket_counts(
+        load_table(spark, sf_smoke, "events"), streaming=False
+    )
+    stream_counts = drift_counts_stream_to_memory(
+        spark, sf_smoke, table_name="drift_parity_sink"
+    )
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(stream_counts.collect()) == key(batch_counts.collect())
+
+    psi_stream = drift_from_counts(stream_counts).collect()
+    psi_batch = drift_from_counts(batch_counts).collect()
+    assert key(psi_stream) == key(psi_batch)
+    assert len(psi_stream) > 0
