@@ -148,6 +148,15 @@ HEADLINE = [
     "q136_scd2_intervals",
     "q137_disjunctive_revenue",
     "q138_priority_order_check",
+    "q139_filtered_cosine_topk",
+    "q140_canonical_selection",
+    "q141_source_overlap",
+    "q142_source_token_budget",
+    "q143_doc_length_buckets",
+    "q144_winsorized_stats",
+    "q145_drift_psi",
+    "q146_label_centroids",
+    "q147_stream_drift",
 ]
 
 

@@ -460,6 +460,19 @@ class DocumentStore:
                 # BEYOND the reference surface: explicit-boundary
                 # histogram, see bucket_group
                 df = bucket_group(df, spec)
+            elif op == "$sortByCount":
+                # sugar for $group{_id,count}+$sort{count:-1} (Mongo
+                # leaves tie order unspecified; _id breaks ties here so
+                # the result is deterministic and oracle-hashable)
+                if not (isinstance(spec, str) and spec.startswith("$")):
+                    raise DocumentQueryError(
+                        f"$sortByCount expects a '$field' ref: {spec!r}"
+                    )
+                df = (
+                    df.groupBy(_ref(spec).alias("_id"))
+                    .agg(F.count(F.lit(1)).alias("count"))
+                    .orderBy(F.desc("count"), "_id")
+                )
             else:
                 raise DocumentQueryError(f"Unsupported pipeline stage: {op}")
         if not has_limit:
@@ -734,6 +747,25 @@ Q143_ORACLE_SQL = f"""
     FROM documents
     GROUP BY _id
     ORDER BY _id
+"""
+
+
+def q149_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$sortByCount over document sources (oracle: group+count+desc)."""
+    return _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [{"$sortByCount": "$source"}, {"$limit": 10}],
+        }
+    )
+
+
+Q149_ORACLE_SQL = """
+    SELECT source AS _id, count(*) AS count
+    FROM documents
+    GROUP BY source
+    ORDER BY count DESC, _id
+    LIMIT 10
 """
 
 

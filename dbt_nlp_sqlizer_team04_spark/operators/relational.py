@@ -1482,3 +1482,46 @@ Q138_ORACLE_SQL = """
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+def q148_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style forecasting revenue change: one filtered scan,
+    one global aggregate — the canonical predicate-pushdown benchmark
+    (no join at all; the entire query is scan efficiency).
+
+    Scale: all three predicates (ship year, discount band, quantity
+    cap) reach the parquet scan as PushedFilters, so row groups outside
+    the year are skipped on min-max stats alone; the aggregate is a
+    map-side partial sum with a 1-row exchange. The discount×price
+    product is summed as decimal(30,6) for cross-engine exactness.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(30,6)"
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+Q148_ORACLE_SQL = """
+    SELECT count(*) AS n_items,
+           round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))::DOUBLE, 2)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+"""

@@ -121,3 +121,66 @@ SALTED_SEGMENT_ORACLE_SQL = """
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
 """
+
+
+# ------------------------------------------------- join-key skew audit
+def hotkey_audit(
+    df: DataFrame, key_col: str, top: int = 10
+) -> DataFrame:
+    """Pre-flight join-key distribution audit: the top keys by row
+    count with their share of the table and their skew factor (count ÷
+    mean count per key) — the report that decides, BEFORE a 100 TB
+    join launches, whether the key needs salting (skew.py), an AQE
+    skew split, or is safe as-is.
+
+    Plan shape: ONE shuffle builds the per-key counts (map-side
+    combine); the key-grain frame then feeds (a) a 1-row global
+    aggregate (broadcast back) and (b) a TakeOrderedAndProject top-N —
+    neither re-scans the fact table. At 100 TB the counts frame is
+    keys-sized; nothing driver-side but the top-N rows.
+    """
+    freq = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = freq.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total_rows"), 6).alias("share"),
+            F.round(
+                F.col("n") / (F.col("total_rows") / F.col("n_keys")), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(top)
+    )
+
+
+def q150_hotkey_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key audit of lineitem's supplier join key (oracle-checked)."""
+    from ..sources.parquet import load_table
+
+    return hotkey_audit(
+        load_table(spark, sf_dir, "lineitem"), "l_suppkey", top=10
+    )
+
+
+HOTKEY_ORACLE_SQL = """
+    WITH freq AS (
+      SELECT l_suppkey AS key, count(*) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ), t AS (
+      SELECT sum(n) AS total_rows, count(*) AS n_keys FROM freq
+    )
+    SELECT key, n,
+           round(n / t.total_rows, 6) AS share,
+           round(n / (t.total_rows / t.n_keys), 4) AS skew_factor
+    FROM freq, t
+    ORDER BY n DESC, key
+    LIMIT 10
+"""

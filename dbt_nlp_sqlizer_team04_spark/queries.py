@@ -348,6 +348,12 @@ def _q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q105_event_anomalies(spark, sf_dir)
 
 
+def _q150_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import q150_hotkey_audit
+
+    return q150_hotkey_audit(spark, sf_dir)
+
+
 def _q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import q144_winsorized_stats
 
@@ -936,6 +942,13 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Streaming drift monitor: watermarked day×bucket counts in-stream,
     # PSI scored over the SINK (kappa parity oracle) — NEW r5.
     "q147_stream_drift": _stream_drift,
+    # TPC-H Q6 analog: pure pushdown + 1-row aggregate — NEW r5.
+    "q148_forecast_revenue": R.q148_forecast_revenue,
+    # Mongo $sortByCount sugar stage — NEW r5.
+    "q149_top_sources": DOC.q149_top_sources,
+    # Join-key skew audit (pre-flight for salting/AQE decisions) —
+    # NEW r5.
+    "q150_hotkey_audit": _q150_hotkey,
     # Winsorized per-type value stats (percentile clamp, one shuffle) —
     # NEW r5.
     "q144_winsorized_stats": _q144,
@@ -999,6 +1012,12 @@ def _SKEW_oracle() -> str:
     from .operators.skew import SALTED_SEGMENT_ORACLE_SQL
 
     return SALTED_SEGMENT_ORACLE_SQL
+
+
+def _HOTKEY_oracle() -> str:
+    from .operators.skew import HOTKEY_ORACLE_SQL
+
+    return HOTKEY_ORACLE_SQL
 
 
 def _TS_oracle(name: str) -> str:
@@ -2368,6 +2387,9 @@ ORACLE_SQL: dict[str, str | None] = {
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),
+    "q148_forecast_revenue": R.Q148_ORACLE_SQL,
+    "q149_top_sources": DOC.Q149_ORACLE_SQL,
+    "q150_hotkey_audit": _HOTKEY_oracle(),
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

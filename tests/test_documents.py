@@ -561,3 +561,15 @@ def test_nl2doc_histogram_compiles_to_bucket(store):
     df, _ = eng.ask("histogram of chars for documents in buckets of 150")
     rows = df.collect()
     assert sum(r["n"] for r in rows) == store.collection("documents").count()
+
+
+def test_sort_by_count_stage(store):
+    """$sortByCount = group+count+desc sort with deterministic ties."""
+    out = store.aggregate(
+        "documents", [{"$sortByCount": "$lang"}, {"$limit": 3}]
+    ).collect()
+    assert len(out) == 3
+    counts = [r["count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    with pytest.raises(DocumentQueryError):
+        store.aggregate("documents", [{"$sortByCount": "lang"}])

@@ -649,3 +649,39 @@ def test_calendar_trend_templates(spark, sf_smoke):
         "year over year change in total totalprice for orders"
     )
     assert "year_key" in sql and "LAG(total)" in sql
+
+
+def test_trend_and_histogram_paraphrases(spark, sf_smoke):
+    """Paraphrases of the trend/histogram phrasings land in the same
+    template (same compiled shape), so the tiers aren't keyed to one
+    magic sentence."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    trend_variants = [
+        "month over month change in total totalprice for orders",
+        "change from the previous month in total totalprice for orders",
+        "change vs previous month of total totalprice for orders",
+    ]
+    shapes = set()
+    for v in trend_variants:
+        _df, sql = eng.query_df(v)
+        assert "LAG(total) OVER (ORDER BY month_key)" in " ".join(sql.split())
+        shapes.add(" ".join(sql.split()))
+    assert len(shapes) == 1  # identical SQL from every paraphrase
+
+    cumulative_variants = [
+        "running total of totalprice by month for orders",
+        "cumulative sum of totalprice by month for orders",
+    ]
+    for v in cumulative_variants:
+        _df, sql = eng.query_df(v)
+        assert "ROWS UNBOUNDED PRECEDING" in sql
+
+    hist_variants = [
+        "histogram of totalprice for orders in buckets of 50000",
+        "distribution of totalprice for orders in bins of 50000",
+    ]
+    for v in hist_variants:
+        _df, sql = eng.query_df(v)
+        assert "FLOOR(o_totalprice / 50000) * 50000" in sql
