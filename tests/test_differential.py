@@ -244,3 +244,81 @@ def test_bpe_encode_matches_python_reference(spark, seed):
         if terms:
             want[doc_id] = (len(terms), sum(encode_units(t) for t in terms))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_token_budget_matches_python_reference(spark, seed):
+    """q142's admission set re-derived in pure Python: same md5 order,
+    same cumulative boundary — catches a formulation error shared by
+    the Spark expression and its SQL oracle twin."""
+    import hashlib
+
+    from dbt_nlp_sqlizer_team04_spark.operators.sampling import (
+        source_token_budget,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 30))),
+            "en",
+            f"src{rng.randint(0, 3)}",
+            0,
+        )
+        for i in range(120)
+    ]
+    budget = 60
+    # independent reference: per source, admit in (md5 hex8, id) order
+    # while the running token count stays <= budget
+    want: dict = {}
+    by_src: dict = {}
+    for doc_id, text, _l, src, _n in rows:
+        by_src.setdefault(src, []).append((doc_id, text))
+    for src, docs in by_src.items():
+        order = sorted(
+            docs,
+            key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest()[:8], d[0]),
+        )
+        cum = kept = kept_toks = 0
+        total = 0
+        for doc_id, text in order:
+            toks = len(text.split())
+            total += toks
+            cum += toks
+            if cum <= budget:
+                kept += 1
+                kept_toks += toks
+        want[src] = (len(docs), total, kept, kept_toks)
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["n_kept"], r["kept_tokens"])
+        for r in source_token_budget(df, budget=budget).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hotkey_audit_matches_python_reference(spark, seed):
+    from collections import Counter
+
+    from dbt_nlp_sqlizer_team04_spark.operators.skew import hotkey_audit
+
+    rng = random.Random(seed)
+    keys = [rng.choice([1, 1, 1, 2, 2, 3, 4, 5, 6, 7]) for _ in range(500)]
+    c = Counter(keys)
+    mean = len(keys) / len(c)
+    want = sorted(
+        ((k, n, round(n / len(keys), 6), round(n / mean, 4)) for k, n in c.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = [
+        (r["key"], r["n"], r["share"], r["skew_factor"])
+        for r in hotkey_audit(df, "k", top=5).collect()
+    ]
+    assert got == want
