@@ -1525,3 +1525,52 @@ Q148_ORACLE_SQL = """
       AND l_discount BETWEEN 0.04 AND 0.06
       AND l_quantity < 24
 """
+
+
+def q151_variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: the JSON
+    column is parsed ONCE (``parse_json`` in a projection) and every
+    extraction reads the binary variant (``variant_get``) — the
+    parse-once/extract-many contract that replaces N repeated
+    ``get_json_object`` string parses (q20's shape) with one. At 100 TB
+    the difference is N-1 full JSON parses of every row.
+
+    Missing paths go through ``try_variant_get`` (NULL, not an error) —
+    the schema-drift-tolerant read a landing zone needs.
+    """
+    from ..sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "int")
+    missing = F.try_variant_get("v", "$.absent", "int")
+    return (
+        e.select(
+            "event_type",
+            k.alias("k"),
+            missing.alias("absent"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("n_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum((F.col("k") % 2).cast("int")).alias("n_odd"),
+            F.count("absent").alias("n_absent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q151_ORACLE_SQL = """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT CAST(json_extract(props, '$.k') AS INT)) AS n_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+           sum(CAST(json_extract(props, '$.k') AS INT) % 2)::BIGINT AS n_odd,
+           count(json_extract(props, '$.absent')) AS n_absent
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -949,6 +949,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Join-key skew audit (pre-flight for salting/AQE decisions) —
     # NEW r5.
     "q150_hotkey_audit": _q150_hotkey,
+    # VARIANT parse-once/extract-many over JSON props — NEW r5.
+    "q151_variant_props_rollup": R.q151_variant_props_rollup,
     # Winsorized per-type value stats (percentile clamp, one shuffle) —
     # NEW r5.
     "q144_winsorized_stats": _q144,
@@ -2390,6 +2392,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q148_forecast_revenue": R.Q148_ORACLE_SQL,
     "q149_top_sources": DOC.Q149_ORACLE_SQL,
     "q150_hotkey_audit": _HOTKEY_oracle(),
+    "q151_variant_props_rollup": R.Q151_ORACLE_SQL,
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

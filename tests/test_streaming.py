@@ -485,3 +485,33 @@ def test_stream_drift_counts_match_batch(spark, sf_smoke):
     psi_batch = drift_from_counts(batch_counts).collect()
     assert key(psi_stream) == key(psi_batch)
     assert len(psi_stream) > 0
+
+
+def test_rocksdb_state_store_parity(spark, sf_smoke):
+    """The 100 TB streaming state path: the same watermarked rollup run
+    under the RocksDB state-store provider (bounded executor memory —
+    the HDFS-backed default keeps all state on-heap) produces the
+    identical result. Provider choice must be a pure performance knob,
+    never a semantics change."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        spark.conf.set(key, rocks)
+        got = run_to_memory_sink(
+            spark, sf_smoke, table_name="rocksdb_parity_sink"
+        ).collect()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    want = hourly_agg(
+        load_table(spark, sf_smoke, "events"), streaming=False
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
