@@ -67,3 +67,46 @@ def test_salted_join_spreads_hot_key(spark, skewed):
         .count()
     )
     assert n_buckets >= 12  # of 16
+
+
+def test_analyze_stats_flip_join_to_broadcast(spark):
+    """The ANALYZE TABLE → CBO contract: a 1%-selective filter over a
+    dim whose RAW size exceeds the broadcast threshold gets a
+    SortMergeJoin without statistics, and the IDENTICAL query plans a
+    BroadcastHashJoin once column stats let the optimizer see the
+    filtered size — the planning decision that separates a 100 TB join
+    that ships 1% of a dim from one that shuffles the whole fact table.
+    (The profiler's single-pass crawl is this engine's ANALYZE analog;
+    cost_gate.py consumes the same CBO stats.)"""
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS cbo_dim_test")
+    try:
+        dim = spark.range(60_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 100).alias("grp"),
+            F.concat(F.lit("x" * 200), F.col("id")).alias("pad"),
+        )
+        dim.write.mode("overwrite").saveAsTable("cbo_dim_test")
+        fact = spark.range(1_000_000).select(
+            (F.col("id") % 60_000).alias("k"), F.col("id").alias("val")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+
+        def plan():
+            d = spark.table("cbo_dim_test").filter(F.col("grp") == 7)
+            return (
+                fact.join(d, "k")._jdf.queryExecution().executedPlan().toString()
+            )
+
+        before = plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before
+        spark.sql(
+            "ANALYZE TABLE cbo_dim_test COMPUTE STATISTICS FOR COLUMNS grp"
+        )
+        after = plan()
+        assert "BroadcastHashJoin" in after and "SortMergeJoin" not in after
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS cbo_dim_test")
