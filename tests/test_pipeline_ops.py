@@ -1088,3 +1088,61 @@ def test_label_centroid_report_planted_geometry(spark):
     assert out[1]["avg_dist"] < 1e-6
     assert out[2]["centroid_norm"] < 1e-6
     assert abs(out[2]["avg_dist"] - 2.0) < 1e-6
+
+
+# ------------------------------------------- right-to-be-forgotten
+def test_forget_documents_purges_all_artifacts(spark, sf_smoke):
+    """forget_documents removes the ids from every doc-derived
+    persisted artifact (shingle sets, MinHash signatures, chunk
+    vectors), the audit reports clean=True everywhere, and downstream
+    queries over the purged corpus no longer see the ids."""
+    from dbt_nlp_sqlizer_team04_spark.operators.governance import (
+        forget_documents,
+    )
+
+    from dbt_nlp_sqlizer_team04_spark.operators.dedup import (
+        ngram_table_for,
+    )
+
+    # pick victims that exist NOW (a prior run of this test already
+    # purged its victims from the persisted warehouse tables)
+    victims = [
+        r["id"]
+        for r in spark.table(ngram_table_for(spark, sf_smoke))
+        .orderBy("id")
+        .limit(2)
+        .collect()
+    ]
+    report = {r["artifact"]: r for r in
+              forget_documents(spark, sf_smoke, victims).collect()}
+    assert len(report) == 3
+    for r in report.values():
+        assert r["clean"] is True
+        assert r["n_remaining"] == 0
+        assert r["n_removed"] >= 1  # every artifact really held the ids
+        assert r["n_after"] == r["n_before"] - r["n_removed"]
+
+    # downstream: the persisted-index consumers no longer emit the ids
+    surviving = spark.table(ngram_table_for(spark, sf_smoke))
+    assert surviving.filter(F.col("id").isin(victims)).count() == 0
+
+    # the swap left no staging/aside leftovers
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.endswith("__purged") or t.name.endswith("__old")
+    ]
+    assert leftovers == []
+
+    # teardown: a purged index no longer matches the (unchanged) corpus
+    # parquet, and reuse_persisted_table adopts on-disk tables as-is —
+    # drop the purged artifacts + caches so every later consumer
+    # rebuilds a full index instead of silently adopting a partial one
+    import dbt_nlp_sqlizer_team04_spark.operators.dedup as D_
+    import dbt_nlp_sqlizer_team04_spark.operators.retrieval as RT_
+
+    for r in report.values():
+        spark.sql(f"DROP TABLE IF EXISTS {r['artifact']}")
+    D_._NGRAM_TABLE_CACHE.clear()
+    D_._MINHASH_TABLE_CACHE.clear()
+    RT_._CHUNK_INDEX_CACHE.clear()
