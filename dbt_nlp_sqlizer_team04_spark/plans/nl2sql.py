@@ -757,6 +757,26 @@ class NL2SQLEngine:
 
         # --- share-of-total: "percentage of X per g" ----------------
         if _PERCENT_RE.search(question.lower()):
+            # predicate ratio: "what percentage of orders are urgent" —
+            # a percent cue with NO "per <g>" breakdown but with exactly
+            # one domain-grounded value match compiles to an ungrouped
+            # CASE ratio (the grouped share would pick some categorical
+            # column and leave the reader to find the row; the question
+            # asks ONE number about ONE predicate)
+            if not _PER_PHRASE_RE.search(question.lower()):
+                flt = self._extract_filters(t, question)
+                if len(flt) == 1:
+                    fc, fv = flt[0]
+                    hit = f"CASE WHEN {fc} = '{fv}' THEN 1 ELSE 0 END"
+                    sql = (
+                        f"SELECT COUNT(*) AS n_total, "
+                        f"SUM({hit}) AS n_match, "
+                        f"CAST(ROUND(100.0 * SUM({hit}) / COUNT(*), 4) "
+                        f"AS DOUBLE) AS pct FROM {t}"
+                    )
+                    out.append(
+                        Candidate(sql, "template_predicate_ratio", 0.85)
+                    )
             # the group phrase can name a DIMENSION one FK hop away
             # ("share of customers per nation name" groups by
             # nation.n_name, not a customer column)

@@ -908,6 +908,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     ),
     # NL2Doc histogram phrasing → $bucket pipeline — NEW r5.
     "nl52_doc_length_histogram": _nl52_doc_length_histogram,
+    # Ungrouped predicate-ratio tier ("what percentage of orders are
+    # urgent" → one CASE ratio, domain-grounded) — NEW r5.
+    "nl53_pct_urgent_orders": _nl2sql(
+        "what percentage of orders are urgent"
+    ),
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -2433,6 +2438,15 @@ ORACLE_SQL: dict[str, str | None] = {
                                   ROWS UNBOUNDED PRECEDING), 2)
                    AS running_total
         FROM m ORDER BY month_key
+    """,
+    "nl53_pct_urgent_orders": """
+        SELECT count(*) AS n_total,
+               sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_match,
+               round(100.0 * sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                      THEN 1 ELSE 0 END) / count(*), 4)::DOUBLE
+                   AS pct
+        FROM orders
     """,
     "nl52_doc_length_histogram": """
         SELECT CAST(CAST(floor(n_chars / 150) * 150 AS BIGINT) AS VARCHAR)

@@ -685,3 +685,22 @@ def test_trend_and_histogram_paraphrases(spark, sf_smoke):
     for v in hist_variants:
         _df, sql = eng.query_df(v)
         assert "FLOOR(o_totalprice / 50000) * 50000" in sql
+
+
+def test_predicate_ratio_template(spark, sf_smoke):
+    """A percent cue with no 'per <g>' breakdown and one domain-grounded
+    value compiles to an ungrouped CASE ratio; a 'per' phrasing keeps
+    the grouped share-of-total shape."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    df, sql = eng.query_df("what percentage of orders are urgent")
+    s = " ".join(sql.split())
+    assert "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END" in s
+    assert "GROUP BY" not in s
+    row = df.collect()[0]
+    assert row["n_total"] > 0 and 0.0 < row["pct"] < 100.0
+    assert abs(row["pct"] - 100.0 * row["n_match"] / row["n_total"]) < 0.01
+
+    _df, sql = eng.query_df("share of customers per mktsegment")
+    assert "GROUP BY c_mktsegment" in " ".join(sql.split())
