@@ -154,6 +154,16 @@ def _acc_to_agg(alias: str, spec: dict[str, Any]) -> Column:
         return F.max(_ref(arg)).alias(alias)
     if op == "$count":
         return F.count(F.lit(1)).alias(alias)
+    if op == "$push":
+        # Mongo's $push preserves document order; Spark's collect_list
+        # order is partition-dependent, so the translation SORTS the
+        # collected array — deterministic (and oracle-hashable) at the
+        # cost of diverging from Mongo's insertion-order contract,
+        # which no distributed engine can honor anyway
+        return F.sort_array(F.collect_list(_ref(arg))).alias(alias)
+    if op == "$addToSet":
+        # same determinism rule; Mongo's set order is unspecified
+        return F.sort_array(F.collect_set(_ref(arg))).alias(alias)
     raise DocumentQueryError(f"Unsupported accumulator: {op}")
 
 

@@ -1574,3 +1574,56 @@ Q151_ORACLE_SQL = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def q152_month_spine_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free monthly order rollup via a RECURSIVE month spine
+    (Spark 4 WITH RECURSIVE): the spine enumerates every calendar month
+    between the corpus bounds, so months with ZERO orders appear as
+    explicit 0 rows — the reporting contract a plain GROUP BY silently
+    violates (its empty months just vanish; see the planted-gap
+    pytest). The recursion is acyclic and bounded by the data's own
+    max month (UNION ALL + monotone step — Spark does not yet support
+    UNION-distinct recursion), and the spine is months-sized, so the
+    recursive part is metadata-scale no matter how big the fact table;
+    the counts side is one ordinary aggregate.
+    """
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+          UNION ALL
+          SELECT add_months(m, 1) FROM spine
+          WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        ), c AS (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS month_key,
+                 COUNT(*) AS n
+          FROM orders GROUP BY month_key
+        )
+        SELECT date_format(spine.m, 'yyyy-MM') AS month_key,
+               COALESCE(c.n, 0) AS cnt
+        FROM spine LEFT JOIN c ON date_format(spine.m, 'yyyy-MM') = c.month_key
+        ORDER BY month_key
+        """
+    )
+
+
+Q152_ORACLE_SQL = """
+    WITH RECURSIVE spine(m) AS (
+      SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM spine
+      WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+    ), c AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_key,
+             count(*) AS n
+      FROM orders GROUP BY month_key
+    )
+    SELECT strftime(spine.m, '%Y-%m') AS month_key,
+           coalesce(c.n, 0)::BIGINT AS cnt
+    FROM spine LEFT JOIN c ON strftime(spine.m, '%Y-%m') = c.month_key
+    ORDER BY month_key
+"""

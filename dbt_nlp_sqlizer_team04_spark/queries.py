@@ -956,6 +956,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q150_hotkey_audit": _q150_hotkey,
     # VARIANT parse-once/extract-many over JSON props — NEW r5.
     "q151_variant_props_rollup": R.q151_variant_props_rollup,
+    # Recursive month spine → gap-free monthly rollup — NEW r5.
+    "q152_month_spine_rollup": R.q152_month_spine_rollup,
     # Winsorized per-type value stats (percentile clamp, one shuffle) —
     # NEW r5.
     "q144_winsorized_stats": _q144,
@@ -2398,6 +2400,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q149_top_sources": DOC.Q149_ORACLE_SQL,
     "q150_hotkey_audit": _HOTKEY_oracle(),
     "q151_variant_props_rollup": R.Q151_ORACLE_SQL,
+    "q152_month_spine_rollup": R.Q152_ORACLE_SQL,
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,

@@ -573,3 +573,34 @@ def test_sort_by_count_stage(store):
     assert counts == sorted(counts, reverse=True)
     with pytest.raises(DocumentQueryError):
         store.aggregate("documents", [{"$sortByCount": "lang"}])
+
+
+def test_push_and_add_to_set_accumulators(store, spark):
+    """$push / $addToSet collect per-group arrays (sorted for
+    determinism — the documented divergence from Mongo's unspecified
+    order), and duplicates collapse only under $addToSet."""
+    st = DocumentStore(spark)
+    st.register(
+        "t",
+        spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "a"), (2, "c")], "g long, v string"
+        ),
+    )
+    out = {
+        r["_id"]: r
+        for r in st.aggregate(
+            "t",
+            [
+                {
+                    "$group": {
+                        "_id": "$g",
+                        "all_v": {"$push": "$v"},
+                        "set_v": {"$addToSet": "$v"},
+                    }
+                }
+            ],
+        ).collect()
+    }
+    assert out[1]["all_v"] == ["a", "a", "b"]
+    assert out[1]["set_v"] == ["a", "b"]
+    assert out[2]["all_v"] == ["c"] and out[2]["set_v"] == ["c"]

@@ -343,3 +343,43 @@ def test_plan_contracts_r5_batch3(spark, sf_smoke):
     pushed = [l for l in p138.splitlines() if "PushedFilters" in l]
     assert any("o_orderdate" in l for l in pushed)
     assert any("l_shipdate" in l for l in pushed)
+
+
+def test_month_spine_fills_gaps(spark):
+    """q152's contract on SPARSE data: a fact table with a missing
+    middle month still yields that month as an explicit zero row (a
+    plain GROUP BY drops it)."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 15)),
+            (2, dt.date(2024, 1, 20)),
+            (3, dt.date(2024, 3, 2)),  # February absent entirely
+        ],
+        "o_orderkey long, o_orderdate date",
+    ).createOrReplaceTempView("orders")
+    out = spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+          UNION ALL
+          SELECT add_months(m, 1) FROM spine
+          WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        ), c AS (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS month_key,
+                 COUNT(*) AS n
+          FROM orders GROUP BY month_key
+        )
+        SELECT date_format(spine.m, 'yyyy-MM') AS month_key,
+               COALESCE(c.n, 0) AS cnt
+        FROM spine LEFT JOIN c ON date_format(spine.m, 'yyyy-MM') = c.month_key
+        ORDER BY month_key
+        """
+    ).collect()
+    assert [(r["month_key"], r["cnt"]) for r in out] == [
+        ("2024-01", 2),
+        ("2024-02", 0),
+        ("2024-03", 1),
+    ]
+    spark.catalog.dropTempView("orders")
