@@ -1627,3 +1627,43 @@ Q152_ORACLE_SQL = """
     FROM spine LEFT JOIN c ON strftime(spine.m, '%Y-%m') = c.month_key
     ORDER BY month_key
 """
+
+
+def q153_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH decile histogram of order totalprice: NTILE(10) over
+    a unique (value, key) order splits the table into ten equal-count
+    buckets and reports each bucket's boundaries — the complement of
+    q143's equi-WIDTH buckets (equi-depth adapts to the distribution;
+    it is how engines build height-balanced stats histograms).
+
+    The tie order is pinned by the unique o_orderkey so both engines
+    assign identical tiles. One window shuffle (unpartitioned by
+    necessity — a global ranking; the window carries only the two
+    ranking columns) + a ten-row aggregate. At 100 TB you'd replace the
+    exact global sort with approx_percentile cut points; this exact
+    form is that sketch's oracle.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q153_ORACLE_SQL = """
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, count(*) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM t GROUP BY decile ORDER BY decile
+"""

@@ -958,6 +958,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q151_variant_props_rollup": R.q151_variant_props_rollup,
     # Recursive month spine → gap-free monthly rollup — NEW r5.
     "q152_month_spine_rollup": R.q152_month_spine_rollup,
+    # Equi-depth decile histogram (NTILE; exact oracle for the sketch
+    # path) — NEW r5.
+    "q153_equidepth_histogram": R.q153_equidepth_histogram,
     # Winsorized per-type value stats (percentile clamp, one shuffle) —
     # NEW r5.
     "q144_winsorized_stats": _q144,
@@ -981,7 +984,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
 #     window-zoo/grouping-sets q117-q118, corpus card q119, BPE q120,
 #     dedup q106).
 # Still-deferred never-checked entries (q92, q113, q115, q116,
-# nl24-nl44) head the tail and cycle in next round; every tail entry
+# nl24-nl44, plus everything added later in r5: q124-q153 and
+# nl47-nl53) head the tail and cycle in next round; every tail entry
 # stays locally hash-verified per round by test_relational_oracle.py.
 _R5_WINDOW = [
     "q74_segment_dedup",
@@ -2401,6 +2405,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q150_hotkey_audit": _HOTKEY_oracle(),
     "q151_variant_props_rollup": R.Q151_ORACLE_SQL,
     "q152_month_spine_rollup": R.Q152_ORACLE_SQL,
+    "q153_equidepth_histogram": R.Q153_ORACLE_SQL,
     "nl48_orders_facet_breakdown": """
         WITH g AS (
           SELECT o_orderstatus, o_orderpriority,
