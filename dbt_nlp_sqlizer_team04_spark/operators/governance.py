@@ -2,8 +2,12 @@
 
 A takedown/GDPR request is not satisfied by deleting rows from the
 source corpus: every DERIVED artifact the engine persisted at ingest —
-shingle sets (dedup), MinHash signatures, chunk vectors (retrieval) —
-still carries content derived from the forgotten documents. This module
+shingle sets (dedup), MinHash signatures, near-dup PAIRS, chunk vectors
+(retrieval) — still carries content derived from the forgotten
+documents. (The fitted chunk-ENCODER sidecar holds only aggregate
+vocabulary statistics, not per-document rows — aggregate model state is
+out of scope for row-level deletion, the same line every DP/ML
+governance policy draws.) This module
 purges a doc-id set from every doc-derived table and returns an audit
 report proving absence, the evidence a compliance review asks for.
 
@@ -11,13 +15,14 @@ No reference analog (the reference is read-only over Postgres/Mongo and
 persists no derived state); this is the governance completion of the
 builder-brief index substrate (SURVEY.md §2.E).
 
-Swap protocol (the crash-safe pattern ADVICE r4 fixed in
-``sources/compaction.py``): the purged copy is written to a staging
-table FIRST (reading the original), then the original is renamed aside,
-the staging renamed in, and the aside copy dropped — a readable copy of
-the data exists at every instant; a crash between steps leaves either
-the original or both (recover by re-running the purge or dropping the
-``__old`` leftover), never zero copies.
+Swap protocol: the purged copy is written to a staging table FIRST
+(``<table>__purged``, reading the original), then the original is
+dropped and the staging table renamed in (Spark's managed-table RENAME
+cannot move onto an existing location, so a rename-aside swap is not
+available without a table format). The purged DATA exists on disk at
+every instant — during the drop→rename window it is readable under the
+staging name; recovery from a crash inside the window is re-running the
+purge (idempotent: the staging build re-reads whichever copy survives).
 
 Scale: the purge is one filtered rewrite per artifact (anti-join shape;
 the id set ships as a literal for request-sized lists and should become
@@ -33,15 +38,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _any_match(id_cols: list[str], ids: list[int]):
+    """True iff ANY id column provably matches (NULLs never match)."""
+    cond = F.lit(False)
+    for c in id_cols:
+        cond = cond | F.coalesce(F.col(c).isin(ids), F.lit(False))
+    return cond
+
+
 def purge_table(
-    spark: SparkSession, table: str, id_col: str, ids: list[int]
+    spark: SparkSession, table: str, id_col: str | list[str], ids: list[int]
 ) -> dict:
-    """Rewrite ``table`` without the rows whose ``id_col`` is in
-    ``ids`` (crash-safe swap, see module docstring); returns the audit
-    counts including a post-swap recount of remaining matches."""
+    """Rewrite ``table`` without the rows where ANY of the ``id_col``
+    columns is in ``ids`` (crash-safe swap, see module docstring);
+    returns the audit counts including a post-swap recount of remaining
+    matches. Multi-column form covers edge-list artifacts (a near-dup
+    PAIR carries the forgotten document on either side)."""
     import os
     import shutil
 
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     before = spark.table(table).count()
     staging, aside = f"{table}__purged", f"{table}__old"
     warehouse = spark.conf.get(
@@ -56,7 +72,12 @@ def purge_table(
             shutil.rmtree(loc)
     (
         spark.table(table)
-        .filter(~F.col(id_col).isin(ids))
+        # coalesce: a plain ~isin drops NULL-keyed rows (NULL NOT IN
+        # is NULL), silently deleting records no takedown requested —
+        # a row goes ONLY when some id column provably matches
+        .filter(
+            ~_any_match(id_cols, ids)
+        )
         .write.mode("overwrite")
         .format("parquet")
         .saveAsTable(staging)
@@ -78,11 +99,11 @@ def purge_table(
     spark.catalog.refreshTable(table)
     after = spark.table(table).count()
     remaining = (
-        spark.table(table).filter(F.col(id_col).isin(ids)).count()
+        spark.table(table).filter(_any_match(id_cols, ids)).count()
     )
     return {
         "artifact": table,
-        "id_col": id_col,
+        "id_col": "|".join(id_cols),
         "n_before": before,
         "n_after": after,
         "n_removed": before - after,
@@ -109,11 +130,16 @@ def forget_documents(
     index, which is exactly right post-takedown and exactly wrong if
     the source deletion never happened.
     """
-    from .dedup import minhash_table_for, ngram_table_for
+    from .dedup import (
+        minhash_table_for,
+        ngram_table_for,
+        pairs_table_for,
+    )
     from .retrieval import _CHUNK_INDEX_CACHE, chunk_index_for
 
     ngram = ngram_table_for(spark, sf_dir)
     minhash = minhash_table_for(spark, sf_dir)
+    pairs = pairs_table_for(spark, sf_dir)
     _enc, chunk_df = chunk_index_for(spark, sf_dir)
     # recover the chunk table NAME from the cache key contract
     from .dedup import _sf_tag
@@ -122,6 +148,8 @@ def forget_documents(
     reports = [
         purge_table(spark, ngram, "id", doc_ids),
         purge_table(spark, minhash, "doc_id", doc_ids),
+        # the pair table carries a forgotten doc on EITHER side
+        purge_table(spark, pairs, ["id_a", "id_b"], doc_ids),
         purge_table(spark, chunks, "doc_id", doc_ids),
     ]
     # cached DataFrames hold the PRE-swap file listing — drop them so

@@ -154,10 +154,18 @@ def infer_relationships(tables: dict[str, TableInfo]) -> list[FKRelationship]:
             stem = re.sub(r"^[a-z]+_", "", pkcol)
             if stem != "id":  # bare-id PKs are resolved by rule 2
                 pk_by_stem[stem] = (tname, pkcol)
-    id_pk_tables = {
-        tname for tname, info in tables.items()
-        if info.primary_key == ["id"]
-    }
+    # table -> its id-style PK: a bare ``id`` OR a self-named
+    # ``<entity>_id`` (students.student_id) — both resolve rule-2
+    # references; the bare-id form matches any ``<entity>_id`` column,
+    # the self-named form only a column spelled exactly like the PK
+    id_pk: dict[str, str] = {}
+    for tname, info in tables.items():
+        if info.primary_key == ["id"]:
+            id_pk[tname] = "id"
+        elif len(info.primary_key) == 1 and info.primary_key[0].endswith(
+            "_id"
+        ):
+            id_pk[tname] = info.primary_key[0]
     for tname, info in tables.items():
         for col in info.columns:
             if col.is_primary_key:
@@ -166,8 +174,13 @@ def infer_relationships(tables: dict[str, TableInfo]) -> list[FKRelationship]:
             if target is None and col.name.endswith("_id"):
                 entity = col.name[:-3]
                 for cand in (entity, entity + "s", entity + "es"):
-                    if cand in id_pk_tables and cand != tname:
-                        target = (cand, "id")
+                    pk_name = id_pk.get(cand)
+                    if (
+                        pk_name is not None
+                        and cand != tname
+                        and pk_name in ("id", col.name)
+                    ):
+                        target = (cand, pk_name)
                         break
             if target and target[0] != tname:
                 col.is_foreign_key = True
@@ -691,10 +704,14 @@ class CheckSuite:
         # the aggregated row)
         self._checks: list[tuple[str, object, object]] = []
 
-    def _add(self, name: str, metric, passed) -> "CheckSuite":
-        if any(n == name for n, _, _ in self._checks):
+    def _add(self, name: str, metric, passed, verdict=None) -> "CheckSuite":
+        """``metric`` is the DISPLAYED value; ``verdict`` (optional) is
+        a separate aggregated expression the pass/fail lambda judges —
+        used when the display rounds but the verdict must not (has_min:
+        a rounded boundary min would flip the verdict)."""
+        if any(n == name for n, *_ in self._checks):
             raise ValueError(f"duplicate check name: {name}")
-        self._checks.append((name, metric, passed))
+        self._checks.append((name, metric, passed, verdict))
         return self
 
     def is_complete(self, col: str) -> "CheckSuite":
@@ -714,8 +731,15 @@ class CheckSuite:
         )
 
     def has_min(self, col: str, gt: float) -> "CheckSuite":
+        # verdict on the RAW min (rounding first would flip boundary
+        # cases: true min 0.004 rounds to 0.0 and 0.0 > 0 fails even
+        # though every value is positive — the oracle SQL already
+        # passes on the raw min); the 2dp round is display-only
         return self._add(
-            f"min_{col}", F.round(F.min(col), 2), lambda m: m > F.lit(gt)
+            f"min_{col}",
+            F.round(F.min(col), 2),
+            lambda v, g=gt: v > F.lit(g),
+            verdict=F.min(col),
         )
 
     def is_in(self, col: str, allowed: list[str]) -> "CheckSuite":
@@ -747,19 +771,21 @@ class CheckSuite:
         the aggregated row as ``(check_name, metric, passed)``."""
         if not self._checks:
             raise ValueError("empty check suite")
-        aggs = [
-            m.cast("double").alias(f"__m_{i}")
-            for i, (_, m, _) in enumerate(self._checks)
-        ]
+        aggs = []
+        for i, (_, m, _, verdict) in enumerate(self._checks):
+            aggs.append(m.cast("double").alias(f"__m_{i}"))
+            if verdict is not None:
+                aggs.append(verdict.cast("double").alias(f"__v_{i}"))
         row = df.agg(*aggs)
         parts = []
-        for i, (name, _, passed) in enumerate(self._checks):
+        for i, (name, _, passed, verdict) in enumerate(self._checks):
             m = F.col(f"__m_{i}")
+            judged = F.col(f"__v_{i}") if verdict is not None else m
             parts.append(
                 F.struct(
                     F.lit(name).alias("check_name"),
                     m.alias("metric"),
-                    passed(m).cast("int").alias("passed"),
+                    passed(judged).cast("int").alias("passed"),
                 )
             )
         return (

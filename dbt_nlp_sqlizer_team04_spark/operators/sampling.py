@@ -516,7 +516,9 @@ def source_token_budget(
     """
     from pyspark.sql import Window
 
-    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    from .dedup import tokens_expr
+
+    toks = F.size(tokens_expr(F.col(text_col)))
     order_key = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
     w = (
         Window.partitionBy(group_col)

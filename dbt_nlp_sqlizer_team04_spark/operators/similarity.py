@@ -125,6 +125,7 @@ def filtered_cosine_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     exclude_id: int | None = None,
+    carry_cols: tuple[str, ...] = ("label",),
 ) -> DataFrame:
     """Metadata-FILTERED exact top-k: vector search restricted to rows
     matching a relational predicate (the "filtered ANN" contract every
@@ -146,9 +147,10 @@ def filtered_cosine_topk(
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != F.lit(exclude_id))
     cos = cosine_expr(emb, _vector_lit(query_vec))
+    carried = [F.col(c) for c in carry_cols if c in df.columns]
     return (
         out.select(
-            F.col(id_col), F.col("label"), F.round(cos, 6).alias("cosine")
+            F.col(id_col), *carried, F.round(cos, 6).alias("cosine")
         )
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)

@@ -767,7 +767,8 @@ class NL2SQLEngine:
                 flt = self._extract_filters(t, question)
                 if len(flt) == 1:
                     fc, fv = flt[0]
-                    hit = f"CASE WHEN {fc} = '{fv}' THEN 1 ELSE 0 END"
+                    fv_esc = fv.replace(chr(39), chr(39) * 2)
+                    hit = f"CASE WHEN {fc} = '{fv_esc}' THEN 1 ELSE 0 END"
                     sql = (
                         f"SELECT COUNT(*) AS n_total, "
                         f"SUM({hit}) AS n_match, "

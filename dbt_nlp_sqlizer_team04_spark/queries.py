@@ -2483,6 +2483,6 @@ ORACLE_SQL: dict[str, str | None] = {
                    AS _id,
                n
         FROM g
-        ORDER BY facet, _id
+        ORDER BY facet, _id NULLS FIRST
     """,
 }

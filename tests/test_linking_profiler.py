@@ -176,3 +176,42 @@ def test_drift_psi_detects_planted_shift(spark):
     assert out["stable"]["psi"] < 0.1
     assert out["drifted"]["psi"] > 1.0
     assert out["drifted"]["n_ref"] + out["drifted"]["n_cur"] == 400
+
+
+def test_fk_inference_self_named_id_pk():
+    """Rule 2 resolves <entity>_id references against BOTH bare-id PKs
+    (students.id) and self-named PKs (students.student_id) — the two
+    Spider-style conventions; a bare-id stem never rides rule 1."""
+    from dbt_nlp_sqlizer_team04_spark.catalog.metadata import (
+        ColumnInfo, TableInfo,
+    )
+    from dbt_nlp_sqlizer_team04_spark.operators.profiler import (
+        infer_relationships,
+    )
+
+    def t(name, cols, pk):
+        infos = [
+            ColumnInfo(name=c, type_str="bigint", nullable=False,
+                       distinct_count=10, null_count=0)
+            for c in cols
+        ]
+        for i in infos:
+            i.is_primary_key = i.name in pk
+        return TableInfo(name=name, columns=infos, primary_key=pk,
+                         sample_rows=[], row_count=10)
+
+    tables = {
+        "students": t("students", ["student_id", "name"], ["student_id"]),
+        "courses": t("courses", ["id", "title"], ["id"]),
+        "enrollments": t(
+            "enrollments",
+            ["enroll_id", "student_id", "course_id"],
+            ["enroll_id"],
+        ),
+    }
+    rels = {
+        (r.from_table, r.from_column, r.to_table, r.to_column)
+        for r in infer_relationships(tables)
+    }
+    assert ("enrollments", "student_id", "students", "student_id") in rels
+    assert ("enrollments", "course_id", "courses", "id") in rels
