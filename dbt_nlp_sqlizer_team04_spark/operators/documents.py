@@ -17,9 +17,13 @@ partial aggregation, TakeOrderedAndProject) instead of a document DB:
 - sort          → ``df.orderBy`` (insertion-ordered spec, 1/-1)
 - limit         → ``df.limit`` — injected at 100 when absent, matching
                   nl2mongo.py:171-174's $limit injection
-- pipeline      → $match/$group/$sort/$limit/$project/$count/$unwind
+- pipeline      → $match/$group/$sort/$limit/$project/$count/$unwind/
+                  $lookup/$facet/$bucket/$sortByCount/$addFields/$set
                   mapped to filter/groupBy().agg()/orderBy/limit/
-                  select/count/explode
+                  select/count/explode/join+collect_list/grouping-sets/
+                  CASE-chain aggregate/withColumns; accumulators and
+                  $addFields speak the expression dialect ($cond,
+                  comparisons, arithmetic, string ops — all codegen)
 
 Flattening keeps the reference's display contract: columns = union of
 fields with ``_id`` first, nested structs/maps/arrays rendered as JSON
@@ -168,10 +172,60 @@ def _acc_to_agg(alias: str, spec: dict[str, Any]) -> Column:
 
 
 def _ref(arg: Any) -> Column:
-    """'$field' → column reference; literals pass through."""
+    """'$field' → column reference; literals pass through; operator
+    dicts recurse into the expression language (:func:`_expr`)."""
     if isinstance(arg, str) and arg.startswith("$"):
         return F.col(arg[1:])
+    if isinstance(arg, dict):
+        return _expr(arg)
     return F.lit(arg)
+
+
+# Mongo aggregation expression operators → Column expressions. Every
+# operand recurses through _ref, so field refs, literals, and nested
+# operator dicts compose ("$cond" over "$eq" over "$multiply"). All of
+# it stays whole-stage-codegen — the expression dialect compiles to
+# native Catalyst expressions, never a UDF.
+_EXPR_OPS = {
+    "$eq": lambda a, b: a.eqNullSafe(b),
+    "$ne": lambda a, b: ~a.eqNullSafe(b),
+    "$gt": lambda a, b: a > b,
+    "$gte": lambda a, b: a >= b,
+    "$lt": lambda a, b: a < b,
+    "$lte": lambda a, b: a <= b,
+    "$add": lambda *xs: sum(xs[1:], xs[0]),
+    "$subtract": lambda a, b: a - b,
+    "$multiply": lambda *xs: __import__("functools").reduce(
+        lambda p, x: p * x, xs
+    ),
+    "$divide": lambda a, b: a / b,
+    "$toUpper": lambda a: F.upper(a),
+    "$toLower": lambda a: F.lower(a),
+    "$concat": lambda *xs: F.concat(*xs),
+    "$strLenCP": lambda a: F.length(a),
+}
+
+
+def _expr(spec: dict[str, Any]) -> Column:
+    """One {$op: operands} expression document → a Column."""
+    if len(spec) != 1:
+        raise DocumentQueryError(f"Bad expression: {spec!r}")
+    op, operands = next(iter(spec.items()))
+    if op == "$cond":
+        if isinstance(operands, dict):
+            parts = [operands.get("if"), operands.get("then"),
+                     operands.get("else")]
+        else:
+            parts = list(operands)
+        if len(parts) != 3 or any(p is None for p in parts):
+            raise DocumentQueryError(f"$cond needs if/then/else: {spec!r}")
+        cond, then, other = (_ref(p) for p in parts)
+        return F.when(cond, then).otherwise(other)
+    fn = _EXPR_OPS.get(op)
+    if fn is None:
+        raise DocumentQueryError(f"Unsupported expression operator: {op}")
+    args = operands if isinstance(operands, list) else [operands]
+    return fn(*[_ref(a) for a in args])
 
 
 def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
@@ -486,6 +540,17 @@ class DocumentStore:
                 # BEYOND the reference surface: explicit-boundary
                 # histogram, see bucket_group
                 df = bucket_group(df, spec)
+            elif op in ("$addFields", "$set"):
+                # computed columns from the expression dialect; pure
+                # projections (withColumns), so Catalyst folds them
+                # into the surrounding stage plan
+                if not isinstance(spec, dict) or not spec:
+                    raise DocumentQueryError(
+                        f"{op} expects a non-empty field map: {spec!r}"
+                    )
+                df = df.withColumns(
+                    {name: _ref(e) for name, e in spec.items()}
+                )
             elif op == "$sortByCount":
                 # sugar for $group{_id,count}+$sort{count:-1} (Mongo
                 # leaves tie order unspecified; _id breaks ties here so
@@ -772,6 +837,52 @@ Q143_ORACLE_SQL = f"""
            round(avg(n_chars), 4) AS avg_chars
     FROM documents
     GROUP BY _id
+    ORDER BY _id
+"""
+
+
+def q154_doc_lang_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source English share via the expression dialect: a $cond
+    riding a $sum accumulator plus an $addFields division — the
+    conditional-ratio shape Mongo ratio queries use, all compiled to
+    one groupBy (oracle: CASE/avg twin)."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {
+                    "$group": {
+                        "_id": "$source",
+                        "n_docs": {"$sum": 1},
+                        "n_en": {
+                            "$sum": {
+                                "$cond": [
+                                    {"$eq": ["$lang", "en"]}, 1, 0
+                                ]
+                            }
+                        },
+                    }
+                },
+                {
+                    "$addFields": {
+                        "en_ratio": {"$divide": ["$n_en", "$n_docs"]}
+                    }
+                },
+                {"$sort": {"_id": 1}},
+            ],
+        }
+    )
+    return out.withColumn("en_ratio", F.round("en_ratio", 6))
+
+
+Q154_ORACLE_SQL = """
+    SELECT source AS _id,
+           count(*) AS n_docs,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS en_ratio
+    FROM documents
+    GROUP BY source
     ORDER BY _id
 """
 

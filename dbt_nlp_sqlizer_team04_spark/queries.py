@@ -951,6 +951,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q148_forecast_revenue": R.q148_forecast_revenue,
     # Mongo $sortByCount sugar stage — NEW r5.
     "q149_top_sources": DOC.q149_top_sources,
+    # Mongo expression dialect ($cond in $sum + $addFields $divide) —
+    # NEW r5.
+    "q154_doc_lang_ratio": DOC.q154_doc_lang_ratio,
     # Join-key skew audit (pre-flight for salting/AQE decisions) —
     # NEW r5.
     "q150_hotkey_audit": _q150_hotkey,
@@ -2402,6 +2405,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q147_stream_drift": _stream_drift_oracle(),
     "q148_forecast_revenue": R.Q148_ORACLE_SQL,
     "q149_top_sources": DOC.Q149_ORACLE_SQL,
+    "q154_doc_lang_ratio": DOC.Q154_ORACLE_SQL,
     "q150_hotkey_audit": _HOTKEY_oracle(),
     "q151_variant_props_rollup": R.Q151_ORACLE_SQL,
     "q152_month_spine_rollup": R.Q152_ORACLE_SQL,

@@ -604,3 +604,43 @@ def test_push_and_add_to_set_accumulators(store, spark):
     assert out[1]["all_v"] == ["a", "a", "b"]
     assert out[1]["set_v"] == ["a", "b"]
     assert out[2]["all_v"] == ["c"] and out[2]["set_v"] == ["c"]
+
+
+def test_expression_dialect_cond_and_arith(store, spark):
+    """$addFields + $cond/$eq/$multiply/$concat compile to native
+    Column expressions, and $cond rides a $sum accumulator (the
+    conditional-count shape every Mongo ratio query uses)."""
+    st = DocumentStore(spark)
+    st.register(
+        "t",
+        spark.createDataFrame(
+            [(1, "en", 10), (2, "fr", 20), (3, "en", 30)],
+            "id long, lang string, n long",
+        ),
+    )
+    out = st.aggregate(
+        "t",
+        [
+            {"$addFields": {
+                "double_n": {"$multiply": ["$n", 2]},
+                "tag": {"$concat": [{"$toUpper": "$lang"}, "-x"]},
+            }},
+            {"$group": {
+                "_id": None,
+                "n_en": {"$sum": {"$cond": [{"$eq": ["$lang", "en"]}, 1, 0]}},
+                "total_doubled": {"$sum": "$double_n"},
+            }},
+        ],
+    ).collect()[0]
+    assert out["n_en"] == 2
+    assert out["total_doubled"] == 120
+
+    rows = st.aggregate(
+        "t",
+        [{"$addFields": {"tag": {"$concat": [{"$toUpper": "$lang"}, "-x"]}}},
+         {"$sort": {"id": 1}}, {"$limit": 3}],
+    ).collect()
+    assert [r["tag"] for r in rows] == ["EN-x", "FR-x", "EN-x"]
+
+    with pytest.raises(DocumentQueryError):
+        st.aggregate("t", [{"$addFields": {"bad": {"$nope": ["$n"]}}}])
