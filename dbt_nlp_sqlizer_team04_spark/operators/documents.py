@@ -104,6 +104,12 @@ def filter_condition(filter_dict: dict[str, Any]) -> Column:
             for s in sub[1:]:
                 c = c | s
             conds.append(c)
+        elif key == "$expr":
+            # Mongo's aggregation-expression filter: cross-field
+            # predicates in $match ("n_chars > 2 * x") via the same
+            # dialect accumulators use — still a codegen Column, so
+            # Catalyst can push what is pushable
+            conds.append(_ref(spec).cast("boolean"))
         elif key.startswith("$"):
             raise DocumentQueryError(f"Unsupported top-level operator: {key}")
         else:
@@ -122,6 +128,20 @@ def apply_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFr
     projection keeps ``_id`` by default when the collection has one."""
     if not projection:
         return df
+    computed = {
+        f: v for f, v in projection.items()
+        if isinstance(v, (dict, str)) and v not in (1, 0)
+        and (isinstance(v, dict) or str(v).startswith("$"))
+    }
+    if computed:
+        # Mongo computed projection: {alias: <expression>} rides the
+        # same dialect as $addFields; computed fields are implicitly
+        # included alongside the 1-valued includes
+        df = df.withColumns({name: _ref(e) for name, e in computed.items()})
+        projection = {
+            **{f: 1 for f in computed},
+            **{f: v for f, v in projection.items() if f not in computed},
+        }
     includes = [f for f, v in projection.items() if v]
     excludes = [f for f, v in projection.items() if not v]
     if includes and [e for e in excludes if e != "_id"]:

@@ -644,3 +644,28 @@ def test_expression_dialect_cond_and_arith(store, spark):
 
     with pytest.raises(DocumentQueryError):
         st.aggregate("t", [{"$addFields": {"bad": {"$nope": ["$n"]}}}])
+
+
+def test_expr_filter_and_computed_projection(store, spark):
+    """$expr enables cross-field $match predicates, and $project grows
+    Mongo's computed-field form ({alias: expression}) on the same
+    dialect."""
+    st = DocumentStore(spark)
+    st.register(
+        "t",
+        spark.createDataFrame(
+            [(1, 5, 12), (2, 10, 8), (3, 4, 9)], "id long, a long, b long"
+        ),
+    )
+    out = st.find("t", {"$expr": {"$gt": ["$b", {"$multiply": ["$a", 2]}]}})
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]  # b > 2a
+
+    rows = st.aggregate(
+        "t",
+        [
+            {"$project": {"id": 1, "ratio": {"$divide": ["$b", "$a"]}}},
+            {"$sort": {"id": 1}},
+            {"$limit": 3},
+        ],
+    ).collect()
+    assert [round(r["ratio"], 2) for r in rows] == [2.4, 0.8, 2.25]
