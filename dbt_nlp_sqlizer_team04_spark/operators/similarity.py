@@ -1259,18 +1259,17 @@ def kmeans_assign(
 
 
 def _kmeans_driver(
-    rows: list, seeds: list[list[float]], n_iter: int
+    X, seeds: list[list[float]], n_iter: int
 ) -> tuple[list[list[float]], list[int], list[float]]:
     """Exact Lloyd iterations over a BOUNDED collected (id-sorted)
-    vector list — the fast tier, same reasoning as the pagerank/
-    connected_components driver tiers: each distributed superstep costs
-    ~0.3 s of job overhead and the final codegen assignment ~0.7 s of
-    Janino, regardless of data size. Returns (centroids, assignment,
-    dist2) with numpy argmin's first-minimum tie break (same rule as
-    the expression tier's struct ordering)."""
+    n × dim numpy matrix — the fast tier, same reasoning as the
+    pagerank/connected_components driver tiers: each distributed
+    superstep costs ~0.3 s of job overhead and the final codegen
+    assignment ~0.7 s of Janino, regardless of data size. Returns
+    (centroids, assignment, dist2) with numpy argmin's first-minimum
+    tie break (same rule as the expression tier's struct ordering)."""
     import numpy as np
 
-    X = np.array([r[1] for r in rows], dtype=np.float64)
     cm = np.asarray(seeds)
     a = None
     for _ in range(n_iter):
@@ -1291,16 +1290,22 @@ def _kmeans_driver(
 
 def _collect_sorted(
     vecs: DataFrame, id_col: str, emb_col: str
-) -> list:
-    """Collect (id, vector) sorted by id — a deterministic driver-side
-    snapshot independent of scan partition order."""
-    return [
-        (r[0], list(r[1]))
-        for r in sorted(
-            vecs.select(F.col(id_col), _as_double(emb_col).alias("v")).collect(),
-            key=lambda r: r[0],
-        )
-    ]
+) -> tuple["list", "object"]:
+    """Collect (ids, n × dim float64 matrix) sorted by id — a
+    deterministic driver-side snapshot independent of scan partition
+    order. Goes through Arrow (``toPandas`` on the two slim columns)
+    into ONE contiguous numpy matrix rather than Python row objects:
+    at the 100k-row tier bound with 64-dim vectors that is
+    100_000 × 64 × 8 B = 51.2 MB of driver RSS (plus an id column),
+    not the gigabyte-class boxed-float graph a ``collect()`` of list
+    rows would build."""
+    import numpy as np
+
+    pdf = vecs.select(F.col(id_col), _as_double(emb_col).alias("v")).toPandas()
+    pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    ids = pdf[id_col].tolist()
+    X = np.array(pdf["v"].tolist(), dtype=np.float64)
+    return ids, X
 
 
 def kmeans_fit(
@@ -1309,13 +1314,18 @@ def kmeans_fit(
     n_iter: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    driver_max_rows: int = 500_000,
+    driver_max_rows: int = 100_000,
 ) -> list[list[float]]:
     """Lloyd's k-means with DataFrame-native supersteps (above
     ``driver_max_rows``) or exact driver-side iteration below it — the
     adaptive convention shared with connected_components/pagerank;
     seeds and update rule are identical in both tiers, and the planted
-    fixtures pin their agreement.
+    fixtures pin their agreement. The bound's budget math (same style
+    as connected_components' 2M-edge bound): the snapshot lands as one
+    Arrow-backed float64 matrix, 100_000 × 64 dims × 8 B ≈ 51 MB, and
+    Lloyd's pairwise-distance temp adds n × k × 8 B ≈ 8 MB at k=10 —
+    comfortably inside a driver heap, and an order of magnitude below
+    the old 500k boxed-list default the r5 review flagged.
 
     Per round: one assignment pass (broadcast centroid literals, no
     shuffle) + one update aggregation — ``posexplode`` to (cluster,
@@ -1348,9 +1358,8 @@ def kmeans_fit(
 
     cents = _kmeans_seeds(vecs, k, id_col, emb_col)
     if vecs.count() <= driver_max_rows:
-        cm, _a, _d = _kmeans_driver(
-            _collect_sorted(vecs, id_col, emb_col), cents, n_iter
-        )
+        _ids, X = _collect_sorted(vecs, id_col, emb_col)
+        cm, _a, _d = _kmeans_driver(X, cents, n_iter)
         return cm
     dim = len(cents[0])
     src = vecs.select(_as_double(emb_col).alias("v")).localCheckpoint()
@@ -1396,23 +1405,24 @@ def kmeans_clusters(
     n_iter: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    driver_max_rows: int = 500_000,
+    driver_max_rows: int = 100_000,
 ) -> DataFrame:
     """Final per-vector cluster assignment after :func:`kmeans_fit` —
     the corpus-organization primitive under SemDeDup/IVF (those persist
     their cells at ingest; this is the reusable fit+assign surface).
-    Bounded inputs fit AND assign on the driver (one collect, no
+    Bounded inputs fit AND assign on the driver (one Arrow collect into
+    a numpy matrix — see :func:`_collect_sorted`'s bytes math — no
     codegen compile); larger ones use the distributed fit plus the
     expression assignment pass."""
     seeds = _kmeans_seeds(vecs, k, id_col, emb_col)
     if vecs.count() <= driver_max_rows:
-        rows = _collect_sorted(vecs, id_col, emb_col)
-        _cm, assign, d2 = _kmeans_driver(rows, seeds, n_iter)
+        ids, X = _collect_sorted(vecs, id_col, emb_col)
+        _cm, assign, d2 = _kmeans_driver(X, seeds, n_iter)
         import math
 
         out = [
-            (rows[i][0], assign[i], round(math.sqrt(d2[i]), 6))
-            for i in range(len(rows))
+            (ids[i], assign[i], round(math.sqrt(d2[i]), 6))
+            for i in range(len(ids))
         ]
         return vecs.sparkSession.createDataFrame(
             out, f"{id_col} long, cluster int, dist double"

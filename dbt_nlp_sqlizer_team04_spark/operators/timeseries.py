@@ -720,9 +720,10 @@ def winsorized_stats(
     final groupBy reuses the window's hash partitioning (no second
     exchange). At 100 TB the per-type window is the documented
     hot-partition shape: types are few but rows per type are many, so a
-    deployment would pre-aggregate per (type, salt) with the sketch
-    substrate (q113's KLL bound) instead of exact window percentiles —
-    this operator is the exact-tier oracle for that path.
+    deployment runs the GK-sketch twin instead
+    (:func:`winsorized_stats_sketch`, registry q155) — this operator is
+    that tier's exact oracle, and test_sketches.py pins the twin's rank
+    error against it.
     """
     w = Window.partitionBy("event_type")
     p_lo = F.percentile(F.col("value"), F.lit(lo)).over(w)
@@ -778,3 +779,73 @@ def winsorized_oracle_sql(
         GROUP BY event_type
         ORDER BY event_type
     """
+
+
+# The accuracy knob for the sketch tier: GK rank error <= n / ACC rows
+# per group. At sf0.01 each event type holds ~12k rows, so the clamp
+# bounds land within ~12 ranks of the exact percentile — tight enough
+# that the winsorized mean moves in the 4th decimal at most, and the
+# pytest contract (test_sketches.py::test_winsorized_sketch_rank_error)
+# pins the rank bound itself, not the mean.
+WINSOR_SKETCH_ACC = 1000
+
+
+def winsorized_stats_sketch(
+    events: DataFrame,
+    lo: float = WINSOR_LO,
+    hi: float = WINSOR_HI,
+    accuracy: int = WINSOR_SKETCH_ACC,
+) -> DataFrame:
+    """Sketch tier of :func:`winsorized_stats` — the 100 TB path that
+    the exact operator's docstring promises (q144 is this operator's
+    oracle; ``tests/test_sketches.py`` pins the GK rank-error bound).
+
+    Where the exact tier rides ONE per-type window (a full sort of
+    every row within each type — the documented hot-partition shape),
+    this tier never sorts: pass 1 is a map-side-combinable aggregate
+    producing one GK percentile sketch row per type (bytes per type,
+    not rows), which is then BROADCAST back onto the events scan for
+    the clamp — so the big table is scanned twice but shuffled only as
+    partial aggregates, and no partition ever materializes a type's
+    full value list. ``percentile_approx`` is Spark's built-in
+    Greenwald–Khanna sketch: rank error <= n_type / accuracy, merged
+    associatively across partitions (exactly the property that makes
+    it safe at 1000 executors).
+
+    Output schema matches :func:`winsorized_stats` column-for-column so
+    the pytest can diff the tiers row-by-row; a hash oracle is
+    impossible (DuckDB has no bit-identical GK implementation), so the
+    registry entry is rows-only and the accuracy contract lives in
+    test_sketches.py against the exact twin.
+    """
+    vals = events.select("event_type", "value")
+    bounds = vals.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(lo), F.lit(hi)), F.lit(accuracy)
+        ).alias("pp")
+    ).select(
+        "event_type",
+        F.col("pp")[0].alias("p_lo"),
+        F.col("pp")[1].alias("p_hi"),
+    )
+    joined = vals.join(F.broadcast(bounds), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p_lo"), 4).alias("p01"),
+            F.round(F.min("p_hi"), 4).alias("p99"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q155_winsorized_stats_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-tier winsorized stats (GK percentile clamp; q144 exact
+    twin is the oracle, rank-error pytest in test_sketches.py)."""
+    return winsorized_stats_sketch(load_table(spark, sf_dir, "events"))
