@@ -248,34 +248,75 @@ def _expr(spec: dict[str, Any]) -> Column:
     return fn(*[_ref(a) for a in args])
 
 
+def _acc_to_agg_masked(alias: str, spec: dict[str, Any], cond: Column) -> Column:
+    """Masked accumulator: aggregate only rows satisfying ``cond`` —
+    the per-facet ``$match`` prelude folded INTO the shared
+    grouping-sets aggregate (``agg(when(cond, x))``; Spark aggregates
+    skip nulls, so unmatched rows contribute nothing). Keeps $facet
+    preludes on the single-scan plan instead of one scan per facet."""
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise DocumentQueryError(f"Bad accumulator for {alias!r}: {spec!r}")
+    op, arg = next(iter(spec.items()))
+    if op in ("$count",) or (op == "$sum" and arg == 1):
+        return F.count(F.when(cond, F.lit(1))).alias(alias)
+    masked = F.when(cond, _ref(arg))
+    if op == "$sum":
+        return F.sum(masked).alias(alias)
+    if op == "$avg":
+        return F.avg(masked).alias(alias)
+    if op == "$min":
+        return F.min(masked).alias(alias)
+    if op == "$max":
+        return F.max(masked).alias(alias)
+    if op == "$push":
+        return F.sort_array(F.collect_list(masked)).alias(alias)
+    if op == "$addToSet":
+        return F.sort_array(F.collect_set(masked)).alias(alias)
+    raise DocumentQueryError(f"Unsupported accumulator: {op}")
+
+
 def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
     """``$facet`` restricted to the analytic subset: every sub-pipeline
-    is exactly ONE ``$group`` stage with a scalar ``"$field"`` key and
-    IDENTICAL accumulator sets across facets. That restriction is what
-    lets all facets compile into a single GROUPING SETS pass — Mongo
-    executes N sub-pipelines over the input; the Spark translation
-    scans the collection ONCE, Expands each row into its facet
-    groupings map-side, and one shuffle serves every facet (the q118
-    lattice machinery applied to the document plane). Output is the
-    flattened long form: ``(facet, _id, <accumulators...>)``.
+    is an optional ``$match`` prelude followed by exactly ONE ``$group``
+    stage with a scalar ``"$field"`` key and IDENTICAL accumulator sets
+    across facets. That restriction is what lets all facets compile
+    into a single GROUPING SETS pass — Mongo executes N sub-pipelines
+    over the input; the Spark translation scans the collection ONCE,
+    Expands each row into its facet groupings map-side, and one shuffle
+    serves every facet (the q118 lattice machinery applied to the
+    document plane). A facet's ``$match`` prelude does NOT fall back to
+    a second scan: its condition is folded into that facet's
+    accumulators as ``agg(when(cond, x))`` masks, and groups whose rows
+    all fail the prelude are dropped by a per-facet matched-row count —
+    so filtered facets ride the same Expand. Output is the flattened
+    long form: ``(facet, _id, <accumulators...>)``.
 
-    Scale: one scan + one shuffle regardless of facet count, vs N scans
-    for the sub-pipeline-per-facet translation.
+    Scale: one scan + one shuffle regardless of facet count (with or
+    without preludes), vs N scans for the sub-pipeline-per-facet
+    translation.
     """
     names: list[str] = []
     fields: list[str] = []
+    conds: list[Column | None] = []
     acc_specs: dict[str, Any] | None = None
     for name, sub in facets.items():
-        if (
-            not isinstance(sub, list)
-            or len(sub) != 1
-            or not isinstance(sub[0], dict)
-            or set(sub[0]) != {"$group"}
+        if not isinstance(sub, list) or not all(
+            isinstance(st, dict) for st in sub
         ):
             raise DocumentQueryError(
-                f"$facet sub-pipeline {name!r} must be a single $group stage"
+                f"$facet sub-pipeline {name!r} must be a stage list"
             )
-        g = sub[0]["$group"]
+        cond: Column | None = None
+        stages = list(sub)
+        if len(stages) == 2 and set(stages[0]) == {"$match"}:
+            cond = filter_condition(stages[0]["$match"])
+            stages = stages[1:]
+        if len(stages) != 1 or set(stages[0]) != {"$group"}:
+            raise DocumentQueryError(
+                f"$facet sub-pipeline {name!r} must be a single $group "
+                "stage (optionally preceded by one $match)"
+            )
+        g = stages[0]["$group"]
         gid = g.get("_id")
         if not (isinstance(gid, str) and gid.startswith("$")):
             raise DocumentQueryError(
@@ -295,9 +336,23 @@ def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
             )
         names.append(name)
         fields.append(gid[1:])
+        conds.append(cond)
     if acc_specs is None:
         raise DocumentQueryError("$facet requires at least one facet")
-    aggs = [_acc_to_agg(a, s) for a, s in acc_specs.items()]
+    any_prelude = any(c is not None for c in conds)
+    if not any_prelude:
+        aggs = [_acc_to_agg(a, s) for a, s in acc_specs.items()]
+    else:
+        # one masked copy of the accumulator set per facet, plus a
+        # matched-row count to drop groups the prelude fully excludes
+        aggs = []
+        for i, c in enumerate(conds):
+            mask = c if c is not None else F.lit(True)
+            aggs.extend(
+                _acc_to_agg_masked(f"{a}__{i}", s, mask)
+                for a, s in acc_specs.items()
+            )
+            aggs.append(F.count(F.when(mask, F.lit(1))).alias(f"__n__{i}"))
     # grouping() indicators are only legal inside the aggregate list —
     # compute them there, pick the facet name from them afterwards
     gcols = [F.grouping(f).alias(f"__g_{f}") for f in fields]
@@ -313,11 +368,33 @@ def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
             else facet_col.when(cond, F.lit(name))
         )
     id_col = F.coalesce(*[F.col(f).cast("string") for f in fields])
-    return grouped.select(
-        facet_col.alias("facet"),
-        id_col.alias("_id"),
-        *list(acc_specs),
-    ).orderBy("facet", "_id")
+    if not any_prelude:
+        return grouped.select(
+            facet_col.alias("facet"),
+            id_col.alias("_id"),
+            *list(acc_specs),
+        ).orderBy("facet", "_id")
+
+    def pick(alias: str) -> Column:
+        out = None
+        for i, field in enumerate(fields):
+            is_facet = F.col(f"__g_{field}") == 0
+            val = F.col(f"{alias}__{i}")
+            out = F.when(is_facet, val) if out is None else out.when(is_facet, val)
+        return out.alias(alias)
+
+    keep = pick("__n")  # matched-row count for THIS row's facet
+    return (
+        grouped.select(
+            facet_col.alias("facet"),
+            id_col.alias("_id"),
+            *[pick(a) for a in acc_specs],
+            keep,
+        )
+        .where(F.col("__n") > 0)
+        .drop("__n")
+        .orderBy("facet", "_id")
+    )
 
 
 def apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
@@ -368,7 +445,9 @@ def bucket_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     if "groupBy" not in spec or "boundaries" not in spec:
         raise DocumentQueryError("$bucket requires groupBy and boundaries")
     bounds = spec["boundaries"]
-    if len(bounds) < 2 or sorted(bounds) != list(bounds):
+    # STRICTLY increasing, like Mongo: a duplicate boundary would
+    # silently create a dead [b, b) bucket instead of erroring
+    if len(bounds) < 2 or any(a >= b for a, b in zip(bounds, bounds[1:])):
         raise DocumentQueryError(f"Bad $bucket boundaries: {bounds!r}")
     val = _ref(spec["groupBy"])
     label = None
@@ -476,7 +555,7 @@ class DocumentStore:
 
     # -- aggregate (C5)
     def aggregate(self, collection: str, pipeline: list[dict]) -> DataFrame:
-        df = self.collection(collection)
+        df = self._apply_pipeline(self.collection(collection), pipeline)
         has_limit = any("$limit" in st for st in pipeline if isinstance(st, dict))
         # aggregate-shaped pipelines are bounded by their GROUP KEY
         # cardinality, and truncating one at 100 rows silently drops
@@ -494,6 +573,15 @@ class DocumentStore:
             if isinstance(st, dict)
             for op in _AGG_STAGES
         )
+        if not has_limit and not aggregates:
+            df = df.limit(DEFAULT_LIMIT)  # $limit injection, nl2mongo.py:171-174
+        return df
+
+    def _apply_pipeline(self, df: DataFrame, pipeline: list[dict]) -> DataFrame:
+        """Run the stage list with NO limit injection — shared by
+        :meth:`aggregate` (which injects the cap afterwards) and the
+        ``$lookup`` pipeline form (a sub-pipeline must never be
+        truncated: its result is the join payload)."""
         for stage in pipeline:
             if not isinstance(stage, dict) or len(stage) != 1:
                 raise DocumentQueryError(f"Bad pipeline stage: {stage!r}")
@@ -514,16 +602,53 @@ class DocumentStore:
                 field = spec[1:] if isinstance(spec, str) else spec["path"][1:]
                 df = df.withColumn(field, F.explode(F.col(field)))
             elif op == "$lookup":
-                # {"from": coll, "localField": f, "foreignField": g,
-                #  "as": name} — Mongo's left outer equi-join: matches
-                # collect into an array column (possibly empty). BEYOND
-                # the reference surface (its translator never emits
-                # $lookup) but the natural completion of the pipeline
-                # plane; Spark shape = left join + collect_list of the
-                # foreign side's struct, grouped back on the local row.
-                # Scale: an equi-join shuffle on the lookup key plus a
-                # regroup on the (unique) local id — broadcast when the
-                # foreign side is dim-sized.
+                # Two supported forms, both BEYOND the reference surface
+                # (its translator never emits $lookup):
+                #   {"from", "localField", "foreignField", "as"} —
+                #     Mongo's left outer equi-join: matches collect into
+                #     an array column (possibly empty). Spark shape =
+                #     left join + collect_list of the foreign side's
+                #     struct, grouped back on the local row. Scale: an
+                #     equi-join shuffle on the lookup key plus a regroup
+                #     on the (unique) local id — broadcast when the
+                #     foreign side is dim-sized.
+                #   {"from", "pipeline", "as"} with NO "let" — the
+                #     UNCORRELATED sub-pipeline form: the sub-pipeline
+                #     runs once over the foreign collection and every
+                #     local row receives the full result as one array
+                #     (Mongo's semantics when no let-variables
+                #     correlate). Spark shape = run the sub-pipeline,
+                #     collapse it to a single sorted array row, and
+                #     broadcast-cross-join it onto the local scan — the
+                #     payload is one row of metadata-sized aggregate
+                #     output, never re-executed per local row.
+                # The CORRELATED form ("let" + $$var references) has no
+                # equi-join translation without expression rewriting —
+                # rejected loudly rather than mis-executed.
+                if "let" in spec:
+                    raise DocumentQueryError(
+                        "$lookup with 'let' (correlated sub-pipeline) is "
+                        "not supported; use localField/foreignField or "
+                        "an uncorrelated 'pipeline'"
+                    )
+                if "pipeline" in spec:
+                    if "localField" in spec or "foreignField" in spec:
+                        raise DocumentQueryError(
+                            "$lookup concise correlated form "
+                            "(pipeline + localField) is not supported"
+                        )
+                    sub = self._apply_pipeline(
+                        self.collection(spec["from"]), spec["pipeline"]
+                    )
+                    payload = sub.agg(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(*[F.col(c) for c in sub.columns])
+                            )
+                        ).alias(spec["as"])
+                    )
+                    df = df.crossJoin(F.broadcast(payload))
+                    continue
                 fdf = self.collection(spec["from"])
                 local, foreign = spec["localField"], spec["foreignField"]
                 out_name = spec["as"]
@@ -586,8 +711,6 @@ class DocumentStore:
                 )
             else:
                 raise DocumentQueryError(f"Unsupported pipeline stage: {op}")
-        if not has_limit and not aggregates:
-            df = df.limit(DEFAULT_LIMIT)  # $limit injection, nl2mongo.py:171-174
         return df
 
     # -- query-dict entry point (nl2mongo.py:116-193 shape)
@@ -941,4 +1064,111 @@ Q132_ORACLE_SQL = """
            n_docs, avg_chars
     FROM g
     ORDER BY facet, _id NULLS FIRST
+"""
+
+
+def q157_doc_lookup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$lookup in its UNCORRELATED-pipeline form: the five longest-doc
+    rows each receive the corpus-wide per-language counts (the
+    sub-pipeline runs ONCE over the foreign collection and its
+    aggregate result is broadcast onto the local rows — never
+    re-executed per row), then $unwind flattens the array for the
+    hash oracle. New r6 — closes the r5 verdict's '$lookup pipeline
+    form' gap; the correlated 'let' form stays a loud error
+    (test_documents pins the contract)."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {"$match": {"n_chars": {"$gte": 500}}},
+                {"$sort": {"doc_id": 1}},
+                {"$limit": 5},
+                {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}},
+                {
+                    "$lookup": {
+                        "from": "documents",
+                        "as": "lang_counts",
+                        "pipeline": [
+                            {"$group": {"_id": "$lang", "n": {"$sum": 1}}}
+                        ],
+                    }
+                },
+                {"$unwind": "$lang_counts"},
+            ],
+        }
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("lang_counts._id").alias("corpus_lang"),
+        F.col("lang_counts.n").alias("corpus_n"),
+    ).orderBy("doc_id", "corpus_lang")
+
+
+Q157_ORACLE_SQL = """
+    WITH top5 AS (
+      SELECT doc_id, lang, n_chars
+      FROM documents WHERE n_chars >= 500
+      ORDER BY doc_id LIMIT 5
+    ), lc AS (
+      SELECT lang AS corpus_lang, count(*) AS corpus_n
+      FROM documents GROUP BY lang
+    )
+    SELECT doc_id, lang, n_chars, corpus_lang, corpus_n
+    FROM top5 CROSS JOIN lc
+    ORDER BY doc_id, corpus_lang
+"""
+
+
+def q158_doc_facet_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$facet with PER-FACET $match preludes — each facet filters its
+    own input before grouping, and the translation still runs ONE
+    grouping-sets scan: the preludes become agg(when(cond, x)) masks
+    plus a matched-row-count group filter (see :func:`facet_group`).
+    New r6 — closes the r5 verdict's 'per-facet $match prelude' gap;
+    a plan pytest asserts the single documents scan."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {
+                    "$facet": {
+                        "long_by_lang": [
+                            {"$match": {"n_chars": {"$gte": 300}}},
+                            {
+                                "$group": {
+                                    "_id": "$lang",
+                                    "n_docs": {"$sum": 1},
+                                    "avg_chars": {"$avg": "$n_chars"},
+                                }
+                            },
+                        ],
+                        "en_by_source": [
+                            {"$match": {"lang": "en"}},
+                            {
+                                "$group": {
+                                    "_id": "$source",
+                                    "n_docs": {"$sum": 1},
+                                    "avg_chars": {"$avg": "$n_chars"},
+                                }
+                            },
+                        ],
+                    }
+                }
+            ],
+        }
+    )
+    return out.withColumn("avg_chars", F.round("avg_chars", 4))
+
+
+Q158_ORACLE_SQL = """
+    SELECT 'long_by_lang' AS facet, lang AS _id,
+           count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM documents WHERE n_chars >= 300 GROUP BY lang
+    UNION ALL
+    SELECT 'en_by_source', source,
+           count(*), round(avg(n_chars), 4)
+    FROM documents WHERE lang = 'en' GROUP BY source
+    ORDER BY facet, _id
 """

@@ -292,6 +292,12 @@ class NL2DocEngine:
         # 150" — the document-plane twin of NL2SQL's histogram tier):
         # boundary list = multiples of the step wide enough for the
         # corpus; out-of-range values fall in the "other" default.
+        # NOTE: unlike every other template tier (plan-only), this one
+        # runs ONE eager max() aggregate at COMPILE time — the boundary
+        # list must be data-derived before the $bucket stage can be
+        # emitted (the same planner-side bounded action q156's cut-point
+        # collect documents). The max is taken over the PRELUDE-FILTERED
+        # frame, so a $match narrows the boundary list with the data.
         hm = _re.search(
             r"\b(?:histogram|distribution) of ([a-z_]+)\b.*?"
             r"\b(?:buckets|bins|steps) of (\d+)\b",
@@ -302,7 +308,12 @@ class NL2DocEngine:
             step = int(step_s)
             measure = best_field(numeric=True, exclude=filtered, text=m_word)
             if measure is not None and step > 0:
-                hi = self.store.collection(coll).agg(
+                from ..operators.documents import filter_condition
+
+                frame = self.store.collection(coll)
+                if match:
+                    frame = frame.filter(filter_condition(match))
+                hi = frame.agg(
                     F.max(measure).alias("m")
                 ).collect()[0]["m"]
                 n_b = int(hi // step) + 1 if hi is not None else 1
@@ -432,13 +443,22 @@ class NL2DocEngine:
     # -------------------------------------------------------- execution
     def ask(self, question: str, flatten: bool = True) -> tuple[DataFrame, dict]:
         """LLM-first with template fallback (routes_ai.py ladder);
-        returns (DataFrame, query_dict actually executed)."""
+        returns (DataFrame, query_dict actually executed). A candidate
+        that fails to execute falls through to the next tier (the
+        reference's routes_ai.py:205-226 fall-through), but the LAST
+        failure is carried as the raised error's __cause__ so a doomed
+        question reports WHY its best candidate died (dialect gap vs
+        typo'd collection) instead of a bare 'no viable query'."""
+        last_exc: Exception | None = None
         for q in (self.llm_query(question), self.template_query(question)):
             if q is None:
                 continue
             try:
                 df = self.store.execute(q)
                 return (flatten_for_display(df) if flatten else df), q
-            except Exception:  # noqa: BLE001
+            except Exception as exc:  # noqa: BLE001
+                last_exc = exc
                 continue
-        raise ValueError(f"no viable document query for {question!r}")
+        raise ValueError(
+            f"no viable document query for {question!r}"
+        ) from last_exc

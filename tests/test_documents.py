@@ -669,3 +669,151 @@ def test_expr_filter_and_computed_projection(store, spark):
         ],
     ).collect()
     assert [round(r["ratio"], 2) for r in rows] == [2.4, 0.8, 2.25]
+
+
+def test_lookup_pipeline_form_and_let_contract(spark):
+    """$lookup uncorrelated-pipeline form: the sub-pipeline runs once
+    over the foreign collection and EVERY local row receives the full
+    result array; 'let' (correlated) and the concise correlated form
+    raise the documented error instead of mis-executing."""
+    import pytest as _pytest
+
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentQueryError,
+        DocumentStore,
+    )
+
+    store = DocumentStore(spark)
+    store.register(
+        "users",
+        spark.createDataFrame(
+            [(1, "ann"), (2, "bo")], "uid long, name string"
+        ),
+    )
+    store.register(
+        "posts",
+        spark.createDataFrame(
+            [(10, 1, "hi"), (11, 1, "yo"), (12, 2, "ok")],
+            "pid long, author long, title string",
+        ),
+    )
+    out = store.aggregate(
+        "users",
+        [
+            {
+                "$lookup": {
+                    "from": "posts",
+                    "as": "per_author",
+                    "pipeline": [
+                        {"$group": {"_id": "$author", "n": {"$sum": 1}}}
+                    ],
+                }
+            },
+            {"$sort": {"uid": 1}},
+        ],
+    ).collect()
+    assert len(out) == 2
+    for r in out:  # every local row carries the SAME full aggregate
+        assert [(x["_id"], x["n"]) for x in r["per_author"]] == [(1, 2), (2, 1)]
+
+    with _pytest.raises(DocumentQueryError, match="let"):
+        store.aggregate(
+            "users",
+            [{"$lookup": {"from": "posts", "let": {"u": "$uid"},
+                          "pipeline": [], "as": "x"}}],
+        )
+    with _pytest.raises(DocumentQueryError, match="concise correlated"):
+        store.aggregate(
+            "users",
+            [{"$lookup": {"from": "posts", "localField": "uid",
+                          "foreignField": "author",
+                          "pipeline": [{"$limit": 1}], "as": "x"}}],
+        )
+
+
+def test_facet_match_prelude_single_scan(spark, sf_check):
+    """Per-facet $match preludes: values match per-facet filtered
+    groupBys, groups fully excluded by a prelude are dropped, and the
+    whole $facet still compiles to ONE scan of the collection (the
+    masked-aggregate grouping-sets plan, not one scan per facet)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentStore, facet_group,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("en", "web", 10),
+            ("en", "book", 400),
+            ("fr", "web", 500),
+            ("de", "zine", 50),
+        ],
+        "lang string, source string, n_chars long",
+    )
+    out = facet_group(
+        df,
+        {
+            "long_by_lang": [
+                {"$match": {"n_chars": {"$gte": 300}}},
+                {"$group": {"_id": "$lang", "n": {"$sum": 1},
+                            "avg_c": {"$avg": "$n_chars"}}},
+            ],
+            "en_by_source": [
+                {"$match": {"lang": "en"}},
+                {"$group": {"_id": "$source", "n": {"$sum": 1},
+                            "avg_c": {"$avg": "$n_chars"}}},
+            ],
+        },
+    ).collect()
+    got = {(r["facet"], r["_id"]): (r["n"], r["avg_c"]) for r in out}
+    # 'de' never matches either prelude → no row at all
+    assert got == {
+        ("long_by_lang", "en"): (1, 400.0),
+        ("long_by_lang", "fr"): (1, 500.0),
+        ("en_by_source", "web"): (1, 10.0),
+        ("en_by_source", "book"): (1, 400.0),
+    }
+
+    # single-scan plan contract on the real corpus query (q158)
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        q158_doc_facet_prefiltered,
+    )
+
+    plan = q158_doc_facet_prefiltered(spark, sf_check)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") <= 1 or plan.count("FileScan") == 1
+
+
+def test_bucket_rejects_non_strict_boundaries(spark):
+    """Mongo requires strictly increasing $bucket boundaries; a
+    duplicate must error, not silently create a dead bucket."""
+    import pytest as _pytest
+
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentQueryError, bucket_group,
+    )
+
+    df = spark.createDataFrame([(5,), (15,)], "v long")
+    with _pytest.raises(DocumentQueryError, match="boundaries"):
+        bucket_group(df, {"groupBy": "$v", "boundaries": [0, 10, 10, 20],
+                          "default": "other"})
+
+
+def test_ask_ladder_carries_failure_cause(store):
+    """A doomed question raises 'no viable document query' WITH the
+    last candidate's failure as __cause__ (dialect gap vs typo'd
+    collection is no longer hidden by the fall-through)."""
+    import pytest as _pytest
+
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentQueryError,
+    )
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    # candidate tiers: LLM emits a query against a typo'd collection,
+    # template has nothing — the raised error must chain the cause
+    eng.llm_query = lambda q: {"collection": "documentz", "find": {}}
+    eng.template_query = lambda q: None
+    with _pytest.raises(ValueError, match="no viable") as ei:
+        eng.ask("gibberish question")
+    assert isinstance(ei.value.__cause__, DocumentQueryError)
+    assert "documentz" in str(ei.value.__cause__)
