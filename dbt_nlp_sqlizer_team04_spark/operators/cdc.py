@@ -116,12 +116,11 @@ def _orders_changelog(orders: DataFrame) -> DataFrame:
     return upd.unionByName(dele)
 
 
-def q135_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged orders snapshot after a synthetic changelog (10% repriced,
-    5% deleted) — per-status rollup of the result so the output is
-    gate-sized while every merged row still feeds the hash."""
-    o = load_table(spark, sf_dir, "orders").withColumn("__v", F.lit(1))
-    merged = merge_snapshot(o, _orders_changelog(o), "o_orderkey", "__v")
+def snapshot_rollup(merged: DataFrame) -> DataFrame:
+    """Per-status rollup of a merged orders snapshot — gate-sized
+    output in which every merged row still feeds the hash. Shared by
+    the batch merge (q135) and its streaming twin (q159,
+    ``streaming/cdc.py``) so both hash against the same oracle."""
     return (
         merged.groupBy("o_orderstatus")
         .agg(
@@ -138,6 +137,15 @@ def q135_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def q135_cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged orders snapshot after a synthetic changelog (10% repriced,
+    5% deleted) — per-status rollup of the result so the output is
+    gate-sized while every merged row still feeds the hash."""
+    o = load_table(spark, sf_dir, "orders").withColumn("__v", F.lit(1))
+    merged = merge_snapshot(o, _orders_changelog(o), "o_orderkey", "__v")
+    return snapshot_rollup(merged)
 
 
 CDC_MERGE_ORACLE_SQL = """

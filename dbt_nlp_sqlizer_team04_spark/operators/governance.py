@@ -58,8 +58,18 @@ def purge_table(
     import shutil
 
     id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
-    before = spark.table(table).count()
     staging, aside = f"{table}__purged", f"{table}__old"
+    # entry-time healing: a crash between DROP TABLE and the RENAME
+    # leaves the base table missing with the fully-purged copy orphaned
+    # under the staging name — rename it in so a direct re-run of
+    # purge_table works (without this, only forget_documents'
+    # rebuild-from-source path could recover)
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        staging
+    ):
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        spark.catalog.refreshTable(table)
+    before = spark.table(table).count()
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")

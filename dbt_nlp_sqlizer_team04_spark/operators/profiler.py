@@ -882,7 +882,12 @@ def drift_psi(events: DataFrame, n_buckets: int = PSI_BUCKETS) -> DataFrame:
             F.least(
                 F.floor(
                     (F.col("value") - F.col("v0"))
-                    / ((F.col("v1") - F.col("v0")) / n_buckets)
+                    # zero-range guard: a constant-valued feed makes
+                    # v1 == v0; without the epsilon floor the width is
+                    # 0 and every bucket is NULL (engine-dependent in
+                    # the oracle) instead of the expected PSI of 0
+                    / (F.greatest(F.col("v1") - F.col("v0"),
+                                  F.lit(PSI_EPS)) / n_buckets)
                 ),
                 F.lit(n_buckets - 1),
             )
@@ -942,7 +947,8 @@ def drift_psi_oracle_sql(
                  CASE WHEN epoch(ts) <= (s.t0 + s.t1) / 2
                       THEN 1 ELSE 0 END AS is_ref,
                  least(CAST(floor((value - s.v0)
-                                  / ((s.v1 - s.v0) / {n_buckets})) AS INT),
+                                  / (greatest(s.v1 - s.v0, {eps})
+                                     / {n_buckets})) AS INT),
                        {n_buckets - 1}) AS bucket
           FROM events, s
         ), c AS (

@@ -97,3 +97,74 @@ def test_scd2_null_attr_transitions(spark):
         key=lambda r: r["valid_from"],
     )
     assert [r["event_type"] for r in out] == [None, "A", None]
+
+
+# ------------------------------------------------- streaming CDC sink
+def test_cdc_stream_matches_batch_replay_and_restart(spark, sf_check, tmp_path):
+    """streaming/cdc.py end-to-end: (1) a multi-epoch drain of the
+    changelog produces EXACTLY the batch q135 snapshot; (2) re-invoking
+    the sink with a re-delivered batch moves nothing (at-least-once
+    foreachBatch); (3) a restarted stream over the same checkpoint
+    resumes with the snapshot intact."""
+    import os
+
+    from dbt_nlp_sqlizer_team04_spark.operators.cdc import (
+        _orders_changelog,
+        merge_snapshot,
+        q135_cdc_merge_snapshot,
+        snapshot_rollup,
+    )
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.cdc import run_cdc_stream
+
+    orders = load_table(spark, sf_check, "orders").withColumn("__v", F.lit(1))
+    changelog = _orders_changelog(orders)
+    changes_dir = str(tmp_path / "changes")
+    changelog.filter(F.col("op") == "U").coalesce(1).write.mode(
+        "append"
+    ).parquet(changes_dir)
+    changelog.filter(F.col("op") == "D").coalesce(1).write.mode(
+        "append"
+    ).parquet(changes_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    sink = run_cdc_stream(
+        spark, orders, changes_dir, out_dir,
+        key="o_orderkey", version="__v", checkpoint_dir=ckpt,
+    )
+    stream_rollup = [tuple(r) for r in snapshot_rollup(sink.snapshot(spark)).collect()]
+    batch_rollup = [tuple(r) for r in q135_cdc_merge_snapshot(spark, sf_check).collect()]
+    assert stream_rollup == batch_rollup
+
+    # (2) replay: re-deliver the delete batch straight into the sink
+    deletes = spark.read.parquet(changes_dir).filter(F.col("op") == "D")
+    before = {r["o_orderkey"]: r for r in sink.snapshot(spark).collect()}
+    sink(deletes, batch_id=999)
+    after = {r["o_orderkey"]: r for r in sink.snapshot(spark).collect()}
+    assert after.keys() == before.keys()
+    assert all(tuple(after[k]) == tuple(before[k]) for k in before)
+
+    # ...and replaying the UPDATE batch is equally a no-op
+    updates = spark.read.parquet(changes_dir).filter(F.col("op") == "U")
+    sink(updates, batch_id=1000)
+    again = {r["o_orderkey"]: tuple(r) for r in sink.snapshot(spark).collect()}
+    assert again == {k: tuple(v) for k, v in before.items()}
+
+    # (3) restart over the same checkpoint: committed epochs skipped,
+    # snapshot unchanged (run_cdc_stream must NOT re-seed from base)
+    sink2 = run_cdc_stream(
+        spark, orders, changes_dir, out_dir,
+        key="o_orderkey", version="__v", checkpoint_dir=ckpt,
+    )
+    restart_rollup = [
+        tuple(r) for r in snapshot_rollup(sink2.snapshot(spark)).collect()
+    ]
+    assert restart_rollup == batch_rollup
+
+    # crash-healing contract: orphaned __old with snapshot missing is
+    # renamed back on entry
+    snap_dir = sink.snapshot_dir
+    os.rename(snap_dir, snap_dir + "__old")
+    healed = sink.snapshot(spark)
+    assert [tuple(r) for r in snapshot_rollup(healed).collect()] == batch_rollup
+    assert os.path.isdir(snap_dir) and not os.path.isdir(snap_dir + "__old")

@@ -178,6 +178,29 @@ def test_drift_psi_detects_planted_shift(spark):
     assert out["drifted"]["n_ref"] + out["drifted"]["n_cur"] == 400
 
 
+def test_drift_psi_constant_value_feed_is_zero(spark):
+    """A constant-valued feed (v1 == v0) must yield PSI = 0, not NULL
+    buckets from a zero bucket width (the r5 ADVICE divide-by-zero)."""
+    import datetime as dt
+
+    from dbt_nlp_sqlizer_team04_spark.operators.profiler import drift_psi
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "flat", 42.0, None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = drift_psi(df).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == 0.0
+    assert out[0]["n_ref"] + out[0]["n_cur"] == 40
+
+
 def test_fk_inference_self_named_id_pk():
     """Rule 2 resolves <entity>_id references against BOTH bare-id PKs
     (students.id) and self-named PKs (students.student_id) — the two

@@ -1151,3 +1151,32 @@ def test_forget_documents_purges_all_artifacts(spark, sf_smoke):
     D_._MINHASH_TABLE_CACHE.clear()
     D_._PAIRS_TABLE_CACHE.clear()
     RT_._CHUNK_INDEX_CACHE.clear()
+
+
+def test_purge_table_heals_crash_between_drop_and_rename(spark):
+    """A crash between DROP TABLE and RENAME leaves the base missing
+    with the purged copy orphaned under <table>__purged; a direct
+    purge_table re-run must heal (rename it in) instead of dying at
+    the initial count."""
+    from dbt_nlp_sqlizer_team04_spark.operators.governance import purge_table
+
+    spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "id long, payload string"
+    ).write.mode("overwrite").format("parquet").saveAsTable("purge_crash_t")
+    try:
+        # simulate the crash window: purged copy staged, base dropped
+        spark.table("purge_crash_t").filter(~F.col("id").isin([1, 2])).write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable("purge_crash_t__purged")
+        spark.sql("DROP TABLE purge_crash_t")
+
+        report = purge_table(spark, "purge_crash_t", "id", [1, 2])
+        assert report["clean"] is True
+        assert report["n_before"] == 8  # healed snapshot was already purged
+        assert report["n_removed"] == 0
+        assert spark.table("purge_crash_t").count() == 8
+        assert not spark.catalog.tableExists("purge_crash_t__purged")
+    finally:
+        for t in ("purge_crash_t", "purge_crash_t__purged",
+                  "purge_crash_t__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
