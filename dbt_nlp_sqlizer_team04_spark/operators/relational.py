@@ -1191,18 +1191,21 @@ def q126_sole_returner_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit/receipt dates, so "kept waiting" maps to "returned".)
 
     Scale: the two correlated self-joins de-correlate into a TWO-LEVEL
-    aggregate — (order, supplier) grain first (map-side combine
-    collapses each order's lines per supplier; ``has_r`` = did this
-    supplier return), then a tiny order-grain rollup where
-    ``count(*)`` IS the distinct-supplier count and ``sum(has_r)`` the
-    distinct-returner count. This avoids the double
-    ``count(DISTINCT ...)`` form, whose single-pass plan Expands every
-    lineitem row ×2 before the shuffle. Qualifying orders (n_supp > 1
-    AND n_ret = 1) then semi-join back to the returned lineitems, so
-    the fact table is scanned twice on slim projections but never
-    self-joined row×row. The nation-scoped supplier dimension
-    broadcasts. The oracle SQL keeps the literal EXISTS/NOT-EXISTS
-    form as written proof of the equivalence.
+    aggregate over ONE lineitem scan — (order, supplier) grain first
+    (map-side combine collapses each order's lines per supplier;
+    ``has_r`` = did this supplier return), then an order-partitioned
+    WINDOW over that compacted grain where ``count(*)`` IS the
+    distinct-supplier count and ``sum(has_r)`` the distinct-returner
+    count; the sole returner of a qualifying order is its own per_os
+    row (``has_r = 1``), so no probe back into the fact table is ever
+    needed (the r5 review's second lineitem scan is gone) and
+    ``numwait`` is a plain count of qualifying rows per supplier. This
+    also avoids the double ``count(DISTINCT ...)`` form, whose
+    single-pass plan Expands every lineitem row ×2 before the shuffle.
+    The window input is the aggregate output — orders × suppliers
+    rows, a fraction of lineitem — and the nation-scoped supplier
+    dimension broadcasts. The oracle SQL keeps the literal
+    EXISTS/NOT-EXISTS form as written proof of the equivalence.
     """
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
@@ -1210,14 +1213,16 @@ def q126_sole_returner_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
         F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
     )
-    sole = (
-        per_os.groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.sum("has_r").alias("n_ret"),
+    w = Window.partitionBy("l_orderkey")
+    sole_returners = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_ret", F.sum("has_r").over(w))
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_ret") == 1)
+            & (F.col("has_r") == 1)
         )
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1))
-        .select("l_orderkey")
+        .select("l_orderkey", "l_suppkey")
     )
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     s = (
@@ -1226,11 +1231,9 @@ def q126_sole_returner_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        l.filter(F.col("l_returnflag") == "R")
-        .join(sole, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        sole_returners.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
@@ -1639,9 +1642,11 @@ def q153_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tie order is pinned by the unique o_orderkey so both engines
     assign identical tiles. One window shuffle (unpartitioned by
     necessity — a global ranking; the window carries only the two
-    ranking columns) + a ten-row aggregate. At 100 TB you'd replace the
-    exact global sort with approx_percentile cut points; this exact
-    form is that sketch's oracle.
+    ranking columns) + a ten-row aggregate. At 100 TB you'd run the
+    GK-sketch twin instead (q156_equidepth_histogram_sketch — one
+    merged approx_percentile aggregate, no global sort); this exact
+    form is that tier's oracle, and test_sketches.py pins the twin's
+    per-bucket count deviation against the rank bound.
     """
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     w = Window.orderBy("o_totalprice", "o_orderkey")
@@ -1666,4 +1671,277 @@ Q153_ORACLE_SQL = """
     SELECT decile, count(*) AS n,
            min(o_totalprice) AS lo, max(o_totalprice) AS hi
     FROM t GROUP BY decile ORDER BY decile
+"""
+
+
+# Rank error of the equi-depth sketch cut points: <= n / ACC rows each.
+# With ACC=1000 and 10 buckets, every bucket count sits within
+# 2 * n/1000 of the ideal n/10 — the pytest contract.
+EQUIDEPTH_SKETCH_ACC = 1000
+
+
+def q156_equidepth_histogram_sketch(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 10,
+    accuracy: int = EQUIDEPTH_SKETCH_ACC,
+) -> DataFrame:
+    """Sketch tier of q153's equi-depth histogram — the 100 TB path its
+    docstring promises. Instead of NTILE's global sort (a single-reducer
+    ranking no cluster survives at corpus scale), the nine interior cut
+    points come from ONE map-side-combinable ``percentile_approx``
+    aggregate (Spark's Greenwald–Khanna sketch: rank error
+    <= n/accuracy, associatively merged across partitions), and bucket
+    assignment is a broadcast of the 9-value cut array into a codegen
+    projection over a second slim scan. Two scans, zero sorts, shuffles
+    carry only partial aggregates.
+
+    Buckets are left-closed on the cut points (value < cut_i → bucket
+    i), so every bucket count deviates from n/n_buckets by at most
+    2·n/accuracy — pinned against the exact q153 twin in
+    test_sketches.py. Rows-only registry entry: DuckDB has no
+    bit-identical GK sketch to hash against.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = o.agg(
+        F.percentile_approx(
+            "o_totalprice",
+            F.array(*[F.lit(q) for q in qs]),
+            F.lit(accuracy),
+        ).alias("cuts")
+    )
+    # 9 values on the driver is metadata-scale; at 100 TB this is the
+    # same bounded collect every histogram planner performs.
+    cut_vals = cuts.collect()[0]["cuts"]
+    bucket = F.lit(1)
+    for c in cut_vals:
+        bucket = bucket + F.when(F.col("o_totalprice") >= F.lit(c), 1).otherwise(0)
+    return (
+        o.withColumn("decile", bucket)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------- r6 analogs
+# The last four TPC-H shapes expressible on this corpus's columns
+# (there is no partsupp table, no l_shipmode/commit/receipt dates —
+# each analog's docstring names the substitution). With these, every
+# TPC-H query whose inputs exist in the schema has an analog in the
+# registry: Q1-Q22 minus nothing.
+
+
+def q160_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style product-type profit: revenue from 'red' parts per
+    (supplier nation, order year). Substitution: the corpus has no
+    partsupp.ps_supplycost, so profit = revenue (the join/aggregation
+    shape — a fact scan against THREE dimensions plus the orders date
+    source — is what Q9 exercises).
+
+    Scale: part (name-filtered), supplier and nation all broadcast —
+    the only shuffle is lineitem⋈orders on orderkey (two fact-sized
+    sides, the unavoidable one) followed by a partial-aggregated
+    groupBy on (nation, year). Decimal-exact revenue sum.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(30,6)")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q160_ORACLE_SQL = """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(30,6)))::DOUBLE, 2) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+"""
+
+
+def q161_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style important stock: parts whose total revenue
+    exceeds 1.1× the average per-part revenue — the GROUP BY + HAVING
+    sum > (scalar subquery over the same aggregate) shape.
+    Substitution: no partsupp, so "value held" is lineitem revenue.
+
+    Scale: Q11's trap is computing the threshold with a SECOND fact
+    scan; here the per-part aggregate is computed ONCE and the global
+    threshold derives from that part-grain frame (a parts-sized
+    intermediate, not the fact table) via a 1-row broadcast cross join.
+    AQE reuses the aggregate's shuffle for both consumers
+    (ReusedExchange, asserted on the executed plan in
+    test_relational_oracle.py), so lineitem is scanned once at runtime
+    even though the static plan prints the subtree twice.
+    """
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(30,6)")
+    per_part = l.groupBy("l_partkey").agg(F.sum(rev).alias("value"))
+    # localCheckpoint would also work; reusing the lazy frame twice is
+    # fine because BOTH consumers sit above the same aggregate — Spark
+    # reuses the exchange (ReusedExchange in the plan), so lineitem is
+    # still scanned once
+    thresh = per_part.agg(
+        (F.avg(F.col("value").cast("double")) * 1.1).alias("__t")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value").cast("double") > F.col("__t"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value").cast("double"), 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q161_ORACLE_SQL = """
+    WITH per_part AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                 AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(value::DOUBLE, 2) AS value
+    FROM per_part
+    WHERE value::DOUBLE > (SELECT avg(value::DOUBLE) * 1.1 FROM per_part)
+    ORDER BY value DESC, l_partkey
+"""
+
+
+def q162_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-style shipping-mode audit: per delay band (shipped
+    within 30 days of the order vs later), how many line items belong
+    to critical-priority orders vs not — Q12's CASE-sum-over-join
+    shape. Substitution: the corpus has no l_shipmode/commit/receipt
+    dates, so the grouping key is the ship-delay band and "late" is
+    ship minus order date.
+
+    Scale: one equi-join shuffle (lineitem⋈orders on orderkey, both
+    sides slim projections), the band is a codegen date_diff CASE, the
+    CASE-sums ride map-side partial aggregation into a 2-row result.
+    """
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy(
+            F.when(late, F.lit("late")).otherwise(F.lit("on_time"))
+            .alias("delay_band")
+        )
+        .agg(
+            F.sum(crit.cast("long")).alias("critical_count"),
+            F.sum((~crit).cast("long")).alias("normal_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+Q162_ORACLE_SQL = """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                THEN 'late' ELSE 'on_time' END AS delay_band,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS critical_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END)::BIGINT AS normal_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY delay_band
+    ORDER BY delay_band
+"""
+
+
+def q163_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-style parts/supplier relationship: how many distinct
+    suppliers have shipped each (brand, type, size) combination,
+    excluding one brand, one type prefix, and "complaint" suppliers
+    (NOT IN subquery — substituted as negative account balance, the
+    corpus's only supplier-quality signal).
+
+    Scale: the exclusion list is dimension-sized (collected once,
+    broadcast as an anti-join), part broadcasts into the fact scan, and
+    the countDistinct runs on the (brand, type, size, suppkey)
+    pre-deduplicated grain — one Expand-free distinct aggregate.
+    """
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#2")
+            & ~F.col("p_type").like("ECONOMY%")
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("__bad"))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("__bad"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q163_ORACLE_SQL = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type NOT LIKE 'ECONOMY%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """

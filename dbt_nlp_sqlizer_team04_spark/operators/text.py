@@ -997,15 +997,13 @@ def bpe_encode_stats(
                 "compression"
             ),
         )
-        # presentational sort for the gate ONLY — this output is
-        # corpus-grain (one row per document), so the repartition(1)
-        # funnels the WHOLE result through one task; at corpus scale
-        # you'd drop the sort entirely (consumers key on doc_id), the
-        # same caveat dedup.py's per-doc audits carry. Kept here because
-        # the oracle compare wants deterministic order without a global
-        # orderBy's range-sampling re-read of the plan.
-        .repartition(1)
-        .sortWithinPartitions(id_col)
+        # NO output sort: this result is corpus-grain (one row per
+        # document), so any global ordering — orderBy's range-sampling
+        # re-read or a repartition(1) single-task funnel — is pure
+        # presentation cost the operator shouldn't pay. The correctness
+        # gate's value hash is order-insensitive (rows are sorted inside
+        # the compare, tests/oracle_harness.py:normalize), and real
+        # consumers key on doc_id.
     )
 
 

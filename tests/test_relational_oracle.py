@@ -275,14 +275,20 @@ def test_plan_contracts_r5_analogs(spark, sf_smoke):
     assert reads and all("l_shipdate" not in l and "l_tax" not in l for l in reads)
 
     # Q21 analog: the double correlation is de-correlated — no self
-    # nested-loop, returnflag filter pushed on the probe branch, the
-    # nation-scoped supplier dim broadcasts
+    # nested-loop, ONE lineitem scan total (the r6 rework derives the
+    # sole-returner rows from the (order, supplier) aggregate grain
+    # instead of probing the fact table again), the nation-scoped
+    # supplier dim broadcasts
     p126 = plan_of("q126_sole_returner_suppliers")
     assert "CartesianProduct" not in p126
     assert "BroadcastNestedLoopJoin" not in p126
     assert "BroadcastHashJoin" in p126
-    pushed = [l for l in p126.splitlines() if "PushedFilters" in l]
-    assert any("l_returnflag" in l for l in pushed)
+    lineitem_scans = [
+        l for l in p126.splitlines()
+        if "FileScan" in l and "l_orderkey" in l
+    ]
+    assert len(lineitem_scans) == 1
+    assert p126.count("FileScan") == 3  # lineitem, supplier, nation
 
     # Q20 analog: date range AND part-type both reach the parquet
     # readers; the membership chain is semi-join shaped
@@ -383,3 +389,42 @@ def test_month_spine_fills_gaps(spark):
         ("2024-03", 1),
     ]
     spark.catalog.dropTempView("orders")
+
+
+def test_plan_contracts_r6_analogs(spark, sf_smoke):
+    """q160-q163 (the last TPC-H shapes expressible here): dimensions
+    broadcast, fact scans stay single and slim, no products; q161's
+    threshold derives from the part-grain aggregate (ReusedExchange),
+    never a second lineitem scan."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    def plan_of(name):
+        df = SPARK_QUERIES[name](spark, sf_smoke)
+        return df._jdf.queryExecution().toString()
+
+    p160 = plan_of("q160_nation_profit")
+    assert p160.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "CartesianProduct" not in p160
+    pushed = [l for l in p160.splitlines() if "PushedFilters" in l]
+    assert any("p_name" in l for l in pushed)  # LIKE reaches the part scan
+
+    # q161: the threshold branch must REUSE the per-part aggregate's
+    # exchange at runtime (AQE inserts ReusedExchange), so lineitem is
+    # scanned once even though the static plan prints the subtree twice
+    df161 = SPARK_QUERIES["q161_important_parts"](spark, sf_smoke)
+    df161.collect()
+    p161 = df161._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p161
+    assert "CartesianProduct" not in p161
+
+    p162 = plan_of("q162_ship_delay_priority")
+    assert "CartesianProduct" not in p162
+    reads = [l for l in p162.splitlines() if "ReadSchema" in l]
+    # slim projections: neither side reads price/discount columns
+    assert reads and all("l_extendedprice" not in l for l in reads)
+
+    p163 = plan_of("q163_supplier_count_by_part")
+    assert "LeftAnti" in p163  # the NOT-IN exclusion is an anti join
+    assert "CartesianProduct" not in p163
+    pushed163 = [l for l in p163.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed163)
