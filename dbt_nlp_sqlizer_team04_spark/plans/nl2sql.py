@@ -2047,6 +2047,7 @@ class NL2SQLEngine:
 
         relevant = self._relevant(question)
         last_err: Exception | None = None
+        self.last_method: str | None = None
         for cand in self.generate(question):
             try:
                 final = validate(
@@ -2058,6 +2059,10 @@ class NL2SQLEngine:
                 )
                 df = self.spark.sql(final)
                 df.schema  # force analysis so bad candidates fall through
+                # which ladder tier won (llm / template / template_join):
+                # the parity harness records this per question so the
+                # LLM→template fallback path is measurable
+                self.last_method = cand.method
                 return df, final
             except Exception as e:  # noqa: BLE001
                 last_err = e

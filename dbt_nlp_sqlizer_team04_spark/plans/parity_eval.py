@@ -381,12 +381,48 @@ def _norm_sql(sql: str) -> str:
     return re.sub(r"\s+", " ", sql).strip().rstrip(";").lower()
 
 
+def _canned_llm_double():
+    """Deterministic LLM stand-in for the parity run (the container has
+    no live LLM): answers HALF the questions with their gold SQL and
+    the other half with prose containing no SQL — so the artifact
+    measures BOTH ladder branches (llm candidate wins; llm yields
+    nothing → template fallback), per question, via the ``method``
+    field. Same injection seam as test_nl2sql_pipeline's canned
+    fixtures (``plans.nl2sql.chat_complete``)."""
+    # single-line form: parse_llm_candidates treats each SELECT-leading
+    # LINE as a separate candidate, so a multi-line gold would be
+    # truncated to its first line
+    answered = {
+        q.question: " ".join(q.gold_sql.split())
+        for i, q in enumerate(QUESTIONS)
+        if i % 2 == 0
+    }
+
+    def double(_sys: str, prompt: str) -> str:
+        first = prompt.split("\n", 1)[0]
+        question = first[3:] if first.startswith("Q: ") else first
+        gold = answered.get(question)
+        return gold if gold else "I cannot produce a query for that."
+
+    return double
+
+
 def run_parity_eval(
-    spark: SparkSession, fixture_root: str, out_path: str | None = None
+    spark: SparkSession,
+    fixture_root: str,
+    out_path: str | None = None,
+    with_llm_double: bool = True,
 ) -> dict:
     """Build fixtures, run the 12 questions through the full engine
     path, compute the pilot metrics, optionally write the JSON report.
+
+    ``with_llm_double=True`` (default) installs :func:`_canned_llm_double`
+    for the duration of the eval so the LLM→template retry ladder is
+    exercised and each per-question record carries ``method`` (which
+    tier's candidate won); ``False`` measures the pure template tier
+    (every method then reports template/template_join).
     """
+    from . import nl2sql as _nl2sql_mod
     from .nl2sql import NL2SQLEngine
     from .safety import SQLSafetyError, validate
 
@@ -426,57 +462,66 @@ def run_parity_eval(
     latencies = []
     n_success = n_exact = n_unsafe = 0
     f1s = []
-    for q in QUESTIONS:
-        gold_rows = cons[q.schema].execute(q.gold_sql).fetchall()
-        rec = {"schema": q.schema, "question": q.question}
-        t0 = time.perf_counter()
-        try:
-            df, sql = engines[q.schema].query_df(q.question)
-            pred_rows = [tuple(r) for r in df.collect()]
-            rec["sql"] = " ".join(sql.split())
-            rec["rows"] = len(pred_rows)
-            n_success += 1
-            rec["success"] = True
-            f1 = result_f1(pred_rows, gold_rows)
-            # post-hoc re-validation: executed SQL must still pass the
-            # full safety gate (S1-S5) — any regression counts unsafe
+    saved_chat = _nl2sql_mod.chat_complete
+    if with_llm_double:
+        _nl2sql_mod.chat_complete = _canned_llm_double()
+    try:
+        for q in QUESTIONS:
+            gold_rows = cons[q.schema].execute(q.gold_sql).fetchall()
+            rec = {"schema": q.schema, "question": q.question}
+            t0 = time.perf_counter()
             try:
-                validate(sql)
-            except SQLSafetyError:
-                n_unsafe += 1
-                rec["unsafe"] = True
-            if _norm_sql(sql) == _norm_sql(q.gold_sql):
-                n_exact += 1
-        except Exception as e:  # noqa: BLE001 — a miss is a metric, not a crash
-            rec["success"] = False
-            rec["error"] = str(e)[:200]
-            f1 = 0.0
-        latencies.append(time.perf_counter() - t0)
-        rec["f1"] = round(f1, 4)
-        f1s.append(f1)
-        per_q.append(rec)
+                df, sql = engines[q.schema].query_df(q.question)
+                pred_rows = [tuple(r) for r in df.collect()]
+                rec["sql"] = " ".join(sql.split())
+                rec["rows"] = len(pred_rows)
+                rec["method"] = engines[q.schema].last_method
+                n_success += 1
+                rec["success"] = True
+                f1 = result_f1(pred_rows, gold_rows)
+                # post-hoc re-validation: executed SQL must still pass the
+                # full safety gate (S1-S5) — any regression counts unsafe
+                try:
+                    validate(sql)
+                except SQLSafetyError:
+                    n_unsafe += 1
+                    rec["unsafe"] = True
+                if _norm_sql(sql) == _norm_sql(q.gold_sql):
+                    n_exact += 1
+            except Exception as e:  # noqa: BLE001 — a miss is a metric, not a crash
+                rec["success"] = False
+                rec["error"] = str(e)[:200]
+                f1 = 0.0
+            latencies.append(time.perf_counter() - t0)
+            rec["f1"] = round(f1, 4)
+            f1s.append(f1)
+            per_q.append(rec)
 
-    blocked = 0
-    probe_recs = []
-    for cat, probe in SAFETY_PROBES:
-        schema = "school" if "student" in probe or "enroll" in probe else "store"
-        ok = False
-        try:
-            df, sql = engines[schema].query_df(probe)
-            s = _norm_sql(sql)
-            if cat == "ddl":
-                # reaching execution with any write/DDL verb = NOT blocked
-                ok = not re.search(
-                    r"\b(drop|delete|alter|truncate|update|insert)\b", s
-                )
-            else:
-                # unbounded probes are "blocked" when the executed SQL
-                # carries the injected LIMIT bound
-                ok = bool(re.search(r"\blimit\s+\d+", s))
-        except Exception:  # noqa: BLE001 — refusal IS the blocked outcome
-            ok = True
-        blocked += int(ok)
-        probe_recs.append({"category": cat, "probe": probe, "blocked": ok})
+        blocked = 0
+        probe_recs = []
+        for cat, probe in SAFETY_PROBES:
+            schema = (
+                "school" if "student" in probe or "enroll" in probe else "store"
+            )
+            ok = False
+            try:
+                df, sql = engines[schema].query_df(probe)
+                s = _norm_sql(sql)
+                if cat == "ddl":
+                    # reaching execution with any write/DDL verb = NOT blocked
+                    ok = not re.search(
+                        r"\b(drop|delete|alter|truncate|update|insert)\b", s
+                    )
+                else:
+                    # unbounded probes are "blocked" when the executed SQL
+                    # carries the injected LIMIT bound
+                    ok = bool(re.search(r"\blimit\s+\d+", s))
+            except Exception:  # noqa: BLE001 — refusal IS the blocked outcome
+                ok = True
+            blocked += int(ok)
+            probe_recs.append({"category": cat, "probe": probe, "blocked": ok})
+    finally:
+        _nl2sql_mod.chat_complete = saved_chat
 
     lat_sorted = sorted(latencies)
     report = {

@@ -66,3 +66,14 @@ def test_eval_does_not_leak_views_into_caller_session(report, spark):
         assert not spark.catalog.tableExists(t), f"fixture view leaked: {t}"
     if spark.catalog.tableExists("orders"):
         assert "o_orderkey" in spark.table("orders").columns
+
+
+def test_ladder_methods_recorded(report):
+    """With the canned LLM double installed, the artifact records WHICH
+    ladder tier won per question, and both branches actually ran: the
+    even-indexed questions ride the llm candidate, the odd-indexed fall
+    back to templates (the double answers only half the set)."""
+    methods = [r.get("method") for r in report["per_question"]]
+    assert all(m for m in methods)
+    assert methods.count("llm") == 6
+    assert sum(1 for m in methods if m.startswith("template")) == 6
