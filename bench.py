@@ -157,6 +157,24 @@ HEADLINE = [
     "q145_drift_psi",
     "q146_label_centroids",
     "q147_stream_drift",
+    "q148_forecast_revenue",
+    "q149_top_sources",
+    "q150_hotkey_audit",
+    "q151_variant_props_rollup",
+    "q152_month_spine_rollup",
+    "q153_equidepth_histogram",
+    "q154_doc_lang_ratio",
+    # r6 additions: sketch tiers vs their exact oracles, Mongo dialect
+    # growth, streaming CDC upsert
+    "q155_winsorized_stats_sketch",
+    "q156_equidepth_histogram_sketch",
+    "q157_doc_lookup_pipeline",
+    "q158_doc_facet_prefiltered",
+    "q159_cdc_stream_snapshot",
+    "q160_nation_profit",
+    "q161_important_parts",
+    "q162_ship_delay_priority",
+    "q163_supplier_count_by_part",
 ]
 
 

@@ -360,6 +360,18 @@ def _q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q144_winsorized_stats(spark, sf_dir)
 
 
+def _q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import q155_winsorized_stats_sketch
+
+    return q155_winsorized_stats_sketch(spark, sf_dir)
+
+
+def _cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.cdc import q159_cdc_stream_snapshot
+
+    return q159_cdc_stream_snapshot(spark, sf_dir)
+
+
 def _q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import q106_hourly_first_events
 
@@ -967,55 +979,87 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Winsorized per-type value stats (percentile clamp, one shuffle) —
     # NEW r5.
     "q144_winsorized_stats": _q144,
+    # GK-sketch winsorize tier — the 100 TB path q144 promises; q144 is
+    # its exact oracle (rank-error pytest in test_sketches.py) — NEW r6.
+    "q155_winsorized_stats_sketch": _q155,
+    # GK-sketch equi-depth histogram tier — q153's 100 TB path, no
+    # global sort (bucket-deviation pytest vs the exact twin) — NEW r6.
+    "q156_equidepth_histogram_sketch": R.q156_equidepth_histogram_sketch,
+    # $lookup uncorrelated-pipeline form (sub-pipeline broadcast onto
+    # local rows; 'let' stays a loud error) — NEW r6.
+    "q157_doc_lookup_pipeline": DOC.q157_doc_lookup_pipeline,
+    # $facet with per-facet $match preludes, still ONE grouping-sets
+    # scan (masked aggregates; plan-asserted) — NEW r6.
+    "q158_doc_facet_prefiltered": DOC.q158_doc_facet_prefiltered,
+    # Streaming CDC: the q135 changelog drained through a foreachBatch
+    # latest-wins upsert into a persisted snapshot (replay/restart
+    # pytest-pinned; hash oracle = the batch twin's SQL) — NEW r6.
+    "q159_cdc_stream_snapshot": _cdc_stream,
+    # The last four TPC-H shapes expressible on this schema (Q9, Q11,
+    # Q12, Q16 analogs — substitutions documented per docstring);
+    # every TPC-H query whose inputs exist now has an analog — NEW r6.
+    "q160_nation_profit": R.q160_nation_profit,
+    "q161_important_parts": R.q161_important_parts,
+    "q162_ship_delay_priority": R.q162_ship_delay_priority,
+    "q163_supplier_count_by_part": R.q163_supplier_count_by_part,
 }
 
-# --- round-5 driver window (explicit form of the rotation policy at the
-# top of this dict). The driver hash-checks the FIRST 50 entries only, so
-# each round the window re-orders under the same rules; from r5 the
-# chosen window is an explicit list (clearer to audit than dict-ordering
-# surgery, and the policy comment stays the single source of truth):
-#   rule 2 — impl changed since its last driver check: q74 (single-agg
-#     segment scrub rework this round);
-#   rule 3 — longest-unchecked (the r2/r3 re-confirmation debt the r4
-#     verdict names): q23 q25 q27 q30 q33 q36 q44-q47 q50 q51 q53-q55
-#     q57 q62 q66 q68 q69;
-#   rule 1 — never driver-checked: nl45/nl46 (new this round) plus 27 of
-#     the 52 never-checked late-r4 additions, picking the changed ones
-#     (q105 sigma guard, q114 null-safe $lookup, q123 window rework)
-#     and the widest family spread (TPC-H analogs q93-q98/q121-q122,
-#     graph/span q99-q104, kNN q107-q109, profile/PMI q111-q112,
-#     window-zoo/grouping-sets q117-q118, corpus card q119, BPE q120,
-#     dedup q106).
-# Still-deferred never-checked entries (q92, q113, q115, q116,
-# nl24-nl44, plus everything added later in r5: q124-q153 and
-# nl47-nl53) head the tail and cycle in next round; every tail entry
-# stays locally hash-verified per round by test_relational_oracle.py.
-_R5_WINDOW = [
-    "q74_segment_dedup",
-    "q23_cosine_topk", "q25_sim_pairs_blocked", "q27_dedup_normalized",
-    "q30_text_stats", "q33_tfidf_top_terms", "q36_doc_pipeline",
-    "q44_asof_last_click", "q45_user_sessions", "q46_range_join_nearby",
-    "q47_rollup_cascade_daily", "q50_train_val_test_split",
-    "q51_stratified_sample", "q53_cosine_near_dup_pairs",
-    "q54_pii_scrub_stats", "q55_session_window_details",
-    "q57_repetition_quality", "q62_source_mixing", "q66_doc_chunks",
-    "q68_shard_manifest", "q69_sliding_rollup",
-    "nl45_customers_acctbal_recorded", "nl46_orders_big_or_small",
-    "q93_binational_volume", "q94_returned_items",
-    "q95_order_count_distribution", "q96_large_quantity_orders",
-    "q97_market_share", "q98_idle_rich_customers", "q99_dup_span_stats",
-    "q100_curriculum_order", "q101_enriched_events", "q102_cosine_range",
-    "q103_event_transitions", "q104_label_profile",
-    "q105_event_anomalies", "q106_hourly_first_events", "q107_knn_graph",
-    "q108_mutual_knn_clusters", "q109_rolling_user_value",
-    "q111_incremental_profile", "q112_term_pmi", "q114_doc_lookup_rollup",
-    "q117_window_zoo", "q118_grouping_sets", "q119_corpus_report",
-    "q120_bpe_encode_stats", "q121_promo_revenue_share",
-    "q122_top_suppliers", "q123_small_quantity_revenue",
+# --- round-6 driver window (explicit form of the rotation policy at the
+# top of this dict; the driver hash-checks the FIRST 50 entries only).
+# This round's window is the NEVER-CONFIRMED tail the r5 verdict names:
+#   lead — the 7 entries whose only driver rows are r2 `err`s and which
+#     the driver has therefore never seen work: q24 q28 q29 q32 q39 q40
+#     q43 (q32 oracle-backed since r4; the other six rows-only, which
+#     still proves err-free execution externally);
+#   rule 1 — every r5 addition, none ever driver-checked: q124-q154 and
+#     nl47-nl53 (all oracle-backed except q124/q130);
+#   rule 1 — the r6 additions: q155/q156 (sketch tiers, rows-only with
+#     rank-error pytests vs their exact oracles), q157/q158 (Mongo
+#     $lookup-pipeline / $facet-prelude, SQL-twin oracles), q159
+#     (streaming CDC, shares q135's oracle).
+# Explicit r7 plan (the remaining never-checked tail, 33 entries):
+#   nl24-nl44, nl28, q92, q113, q115, q116, and the rows-only
+#   q63 q65 q67 q73 q78 q89 q110 — those fill the next window first,
+#   topped up with the oldest re-confirmation debt (the 19 entries last
+#   green in r2: q02 q04-q06 q09 q10 q13 q18 q20 q21 q26 q31 q34 q35
+#   q37 q41 q42 q48 q49). tests/test_window_policy.py enforces this
+#   mechanically: an entry may not wait more than 3 rounds without
+#   either a driver-green record (tests/driver_manifest.json) or a seat
+#   in the current window. Every tail entry stays locally hash-verified
+#   per round by test_relational_oracle.py.
+_R6_WINDOW = [
+    # never-green lead (r2 errs, fixed since, never re-confirmed)
+    "q24_ann_lsh_topk", "q28_near_dup_minhash",
+    "q29_simhash_fingerprints", "q32_lang_id_dist",
+    "q39_media_decode_stats", "q40_media_embedding_topk",
+    "q43_ann_ivf_topk",
+    # r5 additions, never driver-checked
+    "q124_knn_graph_ivf", "q125_min_cost_supplier",
+    "q126_sole_returner_suppliers", "q127_part_volume_suppliers",
+    "q128_expectation_suite", "q129_measure_unpivot", "q130_mmr_topk",
+    "q131_lateral_topn", "q132_doc_facet", "q133_token_entropy",
+    "q134_doc_expectations", "q135_cdc_merge_snapshot",
+    "q136_scd2_intervals", "q137_disjunctive_revenue",
+    "q138_priority_order_check", "q139_filtered_cosine_topk",
+    "q140_canonical_selection", "q141_source_overlap",
+    "q142_source_token_budget", "q143_doc_length_buckets",
+    "q144_winsorized_stats", "q145_drift_psi", "q146_label_centroids",
+    "q147_stream_drift", "q148_forecast_revenue", "q149_top_sources",
+    "q150_hotkey_audit", "q151_variant_props_rollup",
+    "q152_month_spine_rollup", "q153_equidepth_histogram",
+    "q154_doc_lang_ratio",
+    "nl47_doc_facet_breakdown", "nl48_orders_facet_breakdown",
+    "nl49_month_over_month_revenue", "nl50_running_monthly_revenue",
+    "nl51_totalprice_histogram", "nl52_doc_length_histogram",
+    "nl53_pct_urgent_orders",
+    # r6 additions
+    "q155_winsorized_stats_sketch", "q156_equidepth_histogram_sketch",
+    "q157_doc_lookup_pipeline", "q158_doc_facet_prefiltered",
+    "q159_cdc_stream_snapshot",
 ]
-assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
-SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R5_WINDOW} | {
-    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R5_WINDOW)
+assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
+SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R6_WINDOW} | {
+    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R6_WINDOW)
 }
 
 def _TS_cohort_oracle() -> str:
@@ -2400,6 +2444,19 @@ ORACLE_SQL: dict[str, str | None] = {
     "q142_source_token_budget": SMP.source_token_budget_sql(),
     "q143_doc_length_buckets": DOC.Q143_ORACLE_SQL,
     "q144_winsorized_stats": _TS_oracle("winsorized_oracle_sql"),
+    # GK sketches have no bit-identical DuckDB twin: rows-only, with the
+    # rank-error contract pinned vs the exact oracles in test_sketches.py
+    "q155_winsorized_stats_sketch": None,
+    "q156_equidepth_histogram_sketch": None,
+    "q157_doc_lookup_pipeline": DOC.Q157_ORACLE_SQL,
+    "q158_doc_facet_prefiltered": DOC.Q158_ORACLE_SQL,
+    # the streaming snapshot is hash-identical to the batch merge by
+    # the kappa contract, so it shares q135's oracle
+    "q159_cdc_stream_snapshot": CDC.CDC_MERGE_ORACLE_SQL,
+    "q160_nation_profit": R.Q160_ORACLE_SQL,
+    "q161_important_parts": R.Q161_ORACLE_SQL,
+    "q162_ship_delay_priority": R.Q162_ORACLE_SQL,
+    "q163_supplier_count_by_part": R.Q163_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),
