@@ -17,13 +17,17 @@ partial aggregation, TakeOrderedAndProject) instead of a document DB:
 - sort          → ``df.orderBy`` (insertion-ordered spec, 1/-1)
 - limit         → ``df.limit`` — injected at 100 when absent, matching
                   nl2mongo.py:171-174's $limit injection
-- pipeline      → $match/$group/$sort/$limit/$project/$count/$unwind/
-                  $lookup/$facet/$bucket/$sortByCount/$addFields/$set
-                  mapped to filter/groupBy().agg()/orderBy/limit/
-                  select/count/explode/join+collect_list/grouping-sets/
-                  CASE-chain aggregate/withColumns; accumulators and
-                  $addFields speak the expression dialect ($cond,
-                  comparisons, arithmetic, string ops — all codegen)
+- pipeline      → $match/$group/$sort/$limit/$project/$count/$unwind
+                  (incl. preserveNullAndEmptyArrays + includeArrayIndex
+                  via explode_outer/posexplode)/$lookup (equi-join AND
+                  uncorrelated-pipeline forms)/$facet (per-facet $match
+                  preludes + mixed accumulator sets, one grouping-sets
+                  scan)/$bucket/$sortByCount/$addFields/$set mapped to
+                  filter/groupBy().agg()/orderBy/limit/select/count/
+                  explode/join+collect_list/grouping-sets/CASE-chain
+                  aggregate/withColumns; accumulators and $addFields
+                  speak the expression dialect ($cond, comparisons,
+                  arithmetic, string ops — all codegen)
 
 Flattening keeps the reference's display contract: columns = union of
 fields with ``_id`` first, nested structs/maps/arrays rendered as JSON
@@ -278,27 +282,34 @@ def _acc_to_agg_masked(alias: str, spec: dict[str, Any], cond: Column) -> Column
 def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
     """``$facet`` restricted to the analytic subset: every sub-pipeline
     is an optional ``$match`` prelude followed by exactly ONE ``$group``
-    stage with a scalar ``"$field"`` key and IDENTICAL accumulator sets
-    across facets. That restriction is what lets all facets compile
-    into a single GROUPING SETS pass — Mongo executes N sub-pipelines
-    over the input; the Spark translation scans the collection ONCE,
-    Expands each row into its facet groupings map-side, and one shuffle
-    serves every facet (the q118 lattice machinery applied to the
-    document plane). A facet's ``$match`` prelude does NOT fall back to
-    a second scan: its condition is folded into that facet's
-    accumulators as ``agg(when(cond, x))`` masks, and groups whose rows
-    all fail the prelude are dropped by a per-facet matched-row count —
-    so filtered facets ride the same Expand. Output is the flattened
-    long form: ``(facet, _id, <accumulators...>)``.
+    stage with a scalar ``"$field"`` key. All facets compile into a
+    single GROUPING SETS pass — Mongo executes N sub-pipelines over the
+    input; the Spark translation scans the collection ONCE, Expands
+    each row into its facet groupings map-side, and one shuffle serves
+    every facet (the q118 lattice machinery applied to the document
+    plane).
 
-    Scale: one scan + one shuffle regardless of facet count (with or
-    without preludes), vs N scans for the sub-pipeline-per-facet
+    Generality within the single scan:
+    - a facet's ``$match`` prelude does NOT fall back to a second scan:
+      its condition is folded into that facet's accumulators as
+      ``agg(when(cond, x))`` masks, and groups whose rows all fail the
+      prelude are dropped by a per-facet matched-row count;
+    - facets may declare DIFFERENT accumulator sets (an r6 relaxation —
+      Mongo never required them to match): each facet computes its own
+      namespaced aggregates, and the flattened output schema is the
+      ordered union of accumulator names with NULLs where a facet
+      doesn't define one.
+    Output is the flattened long form ``(facet, _id,
+    <union of accumulators...>)``.
+
+    Scale: one scan + one shuffle regardless of facet count, preludes,
+    or accumulator mix, vs N scans for the sub-pipeline-per-facet
     translation.
     """
     names: list[str] = []
     fields: list[str] = []
     conds: list[Column | None] = []
-    acc_specs: dict[str, Any] | None = None
+    accs_list: list[dict[str, Any]] = []
     for name, sub in facets.items():
         if not isinstance(sub, list) or not all(
             isinstance(st, dict) for st in sub
@@ -322,14 +333,6 @@ def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
             raise DocumentQueryError(
                 f"$facet group key for {name!r} must be a '$field' reference"
             )
-        accs = {k: v for k, v in g.items() if k != "_id"}
-        if acc_specs is None:
-            acc_specs = accs
-        elif accs != acc_specs:
-            raise DocumentQueryError(
-                "$facet sub-pipelines must share one accumulator set "
-                "(the single-scan grouping-sets contract)"
-            )
         if gid[1:] in fields:
             raise DocumentQueryError(
                 "$facet group keys must be distinct fields"
@@ -337,20 +340,28 @@ def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
         names.append(name)
         fields.append(gid[1:])
         conds.append(cond)
-    if acc_specs is None:
+        accs_list.append({k: v for k, v in g.items() if k != "_id"})
+    if not names:
         raise DocumentQueryError("$facet requires at least one facet")
     any_prelude = any(c is not None for c in conds)
-    if not any_prelude:
-        aggs = [_acc_to_agg(a, s) for a, s in acc_specs.items()]
+    uniform = all(a == accs_list[0] for a in accs_list)
+    # ordered union of accumulator aliases across facets
+    out_aliases: list[str] = []
+    for accs in accs_list:
+        for a in accs:
+            if a not in out_aliases:
+                out_aliases.append(a)
+    if uniform and not any_prelude:
+        aggs = [_acc_to_agg(a, s) for a, s in accs_list[0].items()]
     else:
-        # one masked copy of the accumulator set per facet, plus a
+        # one masked copy of EACH facet's accumulator set, plus a
         # matched-row count to drop groups the prelude fully excludes
         aggs = []
-        for i, c in enumerate(conds):
+        for i, (c, accs) in enumerate(zip(conds, accs_list)):
             mask = c if c is not None else F.lit(True)
             aggs.extend(
                 _acc_to_agg_masked(f"{a}__{i}", s, mask)
-                for a, s in acc_specs.items()
+                for a, s in accs.items()
             )
             aggs.append(F.count(F.when(mask, F.lit(1))).alias(f"__n__{i}"))
     # grouping() indicators are only legal inside the aggregate list —
@@ -368,16 +379,18 @@ def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
             else facet_col.when(cond, F.lit(name))
         )
     id_col = F.coalesce(*[F.col(f).cast("string") for f in fields])
-    if not any_prelude:
+    if uniform and not any_prelude:
         return grouped.select(
             facet_col.alias("facet"),
             id_col.alias("_id"),
-            *list(acc_specs),
+            *out_aliases,
         ).orderBy("facet", "_id")
 
     def pick(alias: str) -> Column:
         out = None
         for i, field in enumerate(fields):
+            if alias != "__n" and alias not in accs_list[i]:
+                continue  # this facet doesn't define the accumulator
             is_facet = F.col(f"__g_{field}") == 0
             val = F.col(f"{alias}__{i}")
             out = F.when(is_facet, val) if out is None else out.when(is_facet, val)
@@ -388,7 +401,7 @@ def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
         grouped.select(
             facet_col.alias("facet"),
             id_col.alias("_id"),
-            *[pick(a) for a in acc_specs],
+            *[pick(a) for a in out_aliases],
             keep,
         )
         .where(F.col("__n") > 0)
@@ -599,8 +612,30 @@ class DocumentStore:
             elif op == "$count":
                 df = df.agg(F.count(F.lit(1)).alias(str(spec)))
             elif op == "$unwind":
-                field = spec[1:] if isinstance(spec, str) else spec["path"][1:]
-                df = df.withColumn(field, F.explode(F.col(field)))
+                # string form plus the options document:
+                # preserveNullAndEmptyArrays → explode_outer (the row
+                # survives with a NULL element, Mongo's semantics);
+                # includeArrayIndex → posexplode(_outer) with the index
+                # column named by the option. All four combinations are
+                # native generators — never a UDF.
+                if isinstance(spec, str):
+                    field, idx_name, preserve = spec[1:], None, False
+                else:
+                    field = spec["path"][1:]
+                    idx_name = spec.get("includeArrayIndex")
+                    preserve = bool(
+                        spec.get("preserveNullAndEmptyArrays", False)
+                    )
+                if idx_name:
+                    gen = F.posexplode_outer if preserve else F.posexplode
+                    others = [c for c in df.columns if c != field]
+                    df = df.select(
+                        *others,
+                        gen(F.col(field)).alias(idx_name, field),
+                    )
+                else:
+                    gen = F.explode_outer if preserve else F.explode
+                    df = df.withColumn(field, gen(F.col(field)))
             elif op == "$lookup":
                 # Two supported forms, both BEYOND the reference surface
                 # (its translator never emits $lookup):

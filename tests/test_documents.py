@@ -462,16 +462,25 @@ def test_facet_single_scan_values(spark):
     # contract violations are loud
     with _pytest.raises(DocumentQueryError, match="single \\$group"):
         facet_group(df, {"bad": [{"$match": {"lang": "en"}}]})
-    with _pytest.raises(DocumentQueryError, match="accumulator set"):
-        facet_group(df, {
-            "a": [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}],
-            "b": [{"$group": {"_id": "$source", "m": {"$sum": 1}}}],
-        })
     with _pytest.raises(DocumentQueryError, match="distinct fields"):
         facet_group(df, {
             "a": [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}],
             "b": [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}],
         })
+
+    # DIFFERENT accumulator sets per facet (r6 relaxation): still one
+    # scan; the flattened schema is the union with NULLs where a facet
+    # doesn't define the accumulator
+    mixed = facet_group(df, {
+        "a": [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}],
+        "b": [{"$group": {"_id": "$source", "m": {"$max": "$n_chars"}}}],
+    })
+    got = {(r["facet"], r["_id"]): (r["n"], r["m"]) for r in mixed.collect()}
+    assert got == {
+        ("a", "en"): (2, None), ("a", "fr"): (1, None),
+        ("b", "web"): (None, 30), ("b", "book"): (None, 20),
+    }
+    assert "Expand" in mixed._jdf.queryExecution().toString()
 
 
 def test_nl2doc_facet_breakdown_compiles(store):
@@ -817,3 +826,41 @@ def test_ask_ladder_carries_failure_cause(store):
         eng.ask("gibberish question")
     assert isinstance(ei.value.__cause__, DocumentQueryError)
     assert "documentz" in str(ei.value.__cause__)
+
+
+def test_unwind_options(spark):
+    """$unwind's options document: preserveNullAndEmptyArrays keeps
+    rows whose array is null/empty (NULL element — explode_outer), and
+    includeArrayIndex adds the position column (posexplode)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import DocumentStore
+
+    store = DocumentStore(spark)
+    store.register(
+        "t",
+        spark.createDataFrame(
+            [(1, ["a", "b"]), (2, []), (3, None)],
+            "id long, tags array<string>",
+        ),
+    )
+    plain = store.aggregate(
+        "t", [{"$unwind": "$tags"}, {"$sort": {"id": 1}}]
+    ).collect()
+    assert [(r["id"], r["tags"]) for r in plain] == [(1, "a"), (1, "b")]
+
+    preserved = store.aggregate(
+        "t",
+        [{"$unwind": {"path": "$tags",
+                      "preserveNullAndEmptyArrays": True}},
+         {"$sort": {"id": 1}}],
+    ).collect()
+    assert [(r["id"], r["tags"]) for r in preserved] == [
+        (1, "a"), (1, "b"), (2, None), (3, None)]
+
+    indexed = store.aggregate(
+        "t",
+        [{"$unwind": {"path": "$tags", "includeArrayIndex": "pos",
+                      "preserveNullAndEmptyArrays": True}},
+         {"$sort": {"id": 1, "pos": 1}}],
+    ).collect()
+    assert [(r["id"], r["pos"], r["tags"]) for r in indexed] == [
+        (1, 0, "a"), (1, 1, "b"), (2, None, None), (3, None, None)]
