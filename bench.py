@@ -175,6 +175,7 @@ HEADLINE = [
     "q161_important_parts",
     "q162_ship_delay_priority",
     "q163_supplier_count_by_part",
+    "q164_token_coverage",
 ]
 
 

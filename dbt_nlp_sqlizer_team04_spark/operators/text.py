@@ -1013,13 +1013,13 @@ def q120_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(load_table(spark, sf_dir, "documents"))
 
 
-def bpe_encode_oracle_sql(
-    merges: tuple[tuple[str, str], ...] = BPE_APPLY_MERGES,
-) -> str:
-    """DuckDB twin of :func:`bpe_encode_stats`: the same greedy fold as
-    a ``list_reduce`` with a chr(31)-joined string accumulator (the
+def _bpe_units_sql(merges: tuple[tuple[str, str], ...]) -> str:
+    """DuckDB expression: BPE unit count of column ``term`` under
+    ``merges`` — the same greedy fold as :func:`bpe_unit_count_expr`,
+    as a ``list_reduce`` with a chr(31)-joined string accumulator (the
     unit separator can't occur in whitespace-split tokens), one
-    ``string_split`` between merge passes."""
+    ``string_split`` between merge passes. Shared by the q120 and q164
+    oracles."""
     us = "chr(31)"
     expr = "string_split(term, '')"
     for left, right in merges:
@@ -1033,7 +1033,17 @@ def bpe_encode_oracle_sql(
             f"ELSE acc || {us} || x END)"
         )
         expr = f"string_split({fold}, {us})"
-    n_units = f"len({expr})"
+    return f"len({expr})"
+
+
+def bpe_encode_oracle_sql(
+    merges: tuple[tuple[str, str], ...] = BPE_APPLY_MERGES,
+) -> str:
+    """DuckDB twin of :func:`bpe_encode_stats`: the same greedy fold as
+    a ``list_reduce`` with a chr(31)-joined string accumulator (the
+    unit separator can't occur in whitespace-split tokens), one
+    ``string_split`` between merge passes."""
+    n_units = _bpe_units_sql(merges)
     return f"""
         WITH toks AS (
           SELECT doc_id,
@@ -1383,4 +1393,89 @@ def token_entropy_oracle_sql() -> str:
         FROM per_tok
         GROUP BY doc_id
         ORDER BY doc_id
+    """
+
+
+# --------------------------------------------- tokenizer coverage audit
+FRAG_UNITS = 3  # a token encoding to >= this many units counts as fragmented
+
+
+def token_coverage(
+    df: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_APPLY_MERGES,
+    frag_units: int = FRAG_UNITS,
+    text_col: str = "text",
+    by_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-coverage audit per corpus slice: of each source's word
+    tokens, how many FRAGMENT under the merge table (encode to >=
+    ``frag_units`` BPE units — the out-of-vocabulary cost driver) and
+    what the average unit fan-out is. This is the audit run before
+    committing a tokenizer to a new corpus slice: a source with a high
+    fragmentation rate (code, another language, OCR noise) inflates
+    training cost per character and signals the merge table needs
+    retraining on that slice.
+
+    Scale: identical shape to q120's apply step — the fold machinery
+    runs once per DISTINCT vocabulary term (Zipf-bounded), unit counts
+    come back via a broadcast join onto the exploded token stream, one
+    corpus scan, and the final rollup is sources-sized with map-side
+    combine.
+    """
+    toks = df.select(
+        F.col(by_col),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.select("term").distinct()
+    enc = vocab.select(
+        "term", bpe_unit_count_expr(F.col("term"), merges).alias("n_units")
+    )
+    frag = (F.col("n_units") >= frag_units).cast("long")
+    return (
+        toks.join(F.broadcast(enc), "term")
+        .groupBy(by_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(frag).alias("n_fragmented"),
+            F.round(F.sum(frag) / F.count(F.lit(1)), 6).alias("frag_rate"),
+            F.round(F.avg("n_units"), 4).alias("avg_units"),
+        )
+        .orderBy(by_col)
+    )
+
+
+def q164_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fragmentation audit under the pinned demo
+    merge table (oracle: DuckDB list_reduce fold twin)."""
+    return token_coverage(load_table(spark, sf_dir, "documents"))
+
+
+def token_coverage_oracle_sql(
+    merges: tuple[tuple[str, str], ...] = BPE_APPLY_MERGES,
+    frag_units: int = FRAG_UNITS,
+) -> str:
+    """DuckDB twin of :func:`token_coverage` (same fold as the q120
+    oracle, rolled up per source)."""
+    n_units = _bpe_units_sql(merges)
+    return f"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+          FROM documents
+        ), t AS (
+          SELECT source, term FROM toks WHERE term <> ''
+        ), enc AS (
+          SELECT term, {n_units} AS n_units
+          FROM (SELECT DISTINCT term FROM t)
+        )
+        SELECT source,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN n_units >= {frag_units} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fragmented,
+               round(sum(CASE WHEN n_units >= {frag_units} THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6) AS frag_rate,
+               round(avg(n_units), 4) AS avg_units
+        FROM t JOIN enc USING (term)
+        GROUP BY source
+        ORDER BY source
     """

@@ -1002,6 +1002,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q161_important_parts": R.q161_important_parts,
     "q162_ship_delay_priority": R.q162_ship_delay_priority,
     "q163_supplier_count_by_part": R.q163_supplier_count_by_part,
+    # Tokenizer-coverage audit: per-source BPE fragmentation rate under
+    # the pinned merge table (the pre-training tokenizer-fit check) —
+    # NEW r6.
+    "q164_token_coverage": X.q164_token_coverage,
 }
 
 # --- round-6 driver window (explicit form of the rotation policy at the
@@ -2457,6 +2461,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q161_important_parts": R.Q161_ORACLE_SQL,
     "q162_ship_delay_priority": R.Q162_ORACLE_SQL,
     "q163_supplier_count_by_part": R.Q163_ORACLE_SQL,
+    "q164_token_coverage": X.token_coverage_oracle_sql(),
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),
