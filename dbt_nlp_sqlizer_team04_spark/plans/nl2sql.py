@@ -1389,6 +1389,32 @@ class NL2SQLEngine:
                 )
                 out.append(Candidate(sql, "template_histogram", 0.85))
 
+        # --- equi-depth tier: "decile/quintile/quartile (breakdown/
+        # distribution) of <m>" → NTILE over a PK-tie-pinned order
+        # (the q153 shape from NL; equi-DEPTH complements the
+        # equi-width histogram tier above). The tiebreak uses the
+        # crawled primary key so both engines assign identical tiles.
+        dm = re.search(
+            r"\b(decile|quintile|quartile)s?\b"
+            r"(?: breakdown| distribution)? of (\w+)\b",
+            ql,
+        )
+        if dm:
+            tile_word, m_word = dm.groups()
+            n_tiles = {"decile": 10, "quintile": 5, "quartile": 4}[tile_word]
+            m_d = self._best_numeric_column(t, m_word)
+            pk = self.metadata.tables[t].primary_key
+            if m_d is not None and pk:
+                order = f"{m_d}, {pk[0]}"
+                sql = (
+                    f"SELECT tile, COUNT(*) AS cnt, "
+                    f"MIN({m_d}) AS lo, MAX({m_d}) AS hi "
+                    f"FROM (SELECT {m_d}, NTILE({n_tiles}) OVER "
+                    f"(ORDER BY {order}) AS tile FROM {t}) "
+                    f"GROUP BY tile ORDER BY tile"
+                )
+                out.append(Candidate(sql, "template_equidepth", 0.85))
+
         # --- HAVING tier 2: "<groups> with avg <measure> above N" ----
         am = _HAVING_AGG_RE.search(question.lower())
         if am:

@@ -925,6 +925,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl53_pct_urgent_orders": _nl2sql(
         "what percentage of orders are urgent"
     ),
+    # Equi-depth tier from NL ("decile breakdown of totalprice" →
+    # NTILE over a PK-tie-pinned order, the q153 shape) — NEW r6.
+    "nl54_totalprice_deciles": _nl2sql(
+        "decile breakdown of totalprice in orders"
+    ),
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -2527,6 +2532,16 @@ ORACLE_SQL: dict[str, str | None] = {
                    AS _id,
                count(*) AS n
         FROM documents GROUP BY _id ORDER BY _id
+    """,
+    "nl54_totalprice_deciles": """
+        WITH t AS (
+          SELECT o_totalprice,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+          FROM orders
+        )
+        SELECT tile, count(*) AS cnt,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM t GROUP BY tile ORDER BY tile
     """,
     "nl51_totalprice_histogram": """
         SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT)

@@ -704,3 +704,21 @@ def test_predicate_ratio_template(spark, sf_smoke):
 
     _df, sql = eng.query_df("share of customers per mktsegment")
     assert "GROUP BY c_mktsegment" in " ".join(sql.split())
+
+
+def test_equidepth_template(spark, sf_smoke):
+    """'decile/quartile breakdown of <m>' compiles to the NTILE
+    equi-depth shape with the crawled primary key pinning tie order
+    (the q153 shape from NL); tile count follows the word."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    df, sql = eng.query_df("decile breakdown of totalprice in orders")
+    s = " ".join(sql.split())
+    assert "NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)" in s
+    rows = df.collect()
+    assert [r["tile"] for r in rows] == list(range(1, 11))
+    assert sum(r["cnt"] for r in rows) > 0
+
+    _df, sql4 = eng.query_df("quartile distribution of acctbal in customer")
+    assert "NTILE(4)" in sql4
