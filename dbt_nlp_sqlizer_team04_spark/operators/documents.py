@@ -744,6 +744,16 @@ class DocumentStore:
                     .agg(F.count(F.lit(1)).alias("count"))
                     .orderBy(F.desc("count"), "_id")
                 )
+            elif op in ("$out", "$merge"):
+                # the document plane honors the same read-only contract
+                # as the SQL safety gate (B18/S1: SELECT-only, writes
+                # denied loudly) — Mongo's write stages get a denial
+                # that names the policy, not a generic unsupported error
+                raise DocumentQueryError(
+                    f"{op} is a write stage; this engine executes "
+                    "read-only pipelines (write/DDL denial, same "
+                    "policy as the SQL safety gate)"
+                )
             else:
                 raise DocumentQueryError(f"Unsupported pipeline stage: {op}")
         return df

@@ -864,3 +864,17 @@ def test_unwind_options(spark):
     ).collect()
     assert [(r["id"], r["pos"], r["tags"]) for r in indexed] == [
         (1, 0, "a"), (1, 1, "b"), (2, None, None), (3, None, None)]
+
+
+def test_write_stages_denied(store):
+    """$out/$merge get the read-only denial (document-plane twin of the
+    SQL gate's write/DDL denial), not a generic unsupported error."""
+    import pytest as _pytest
+
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentQueryError,
+    )
+
+    for stage in ({"$out": "evil"}, {"$merge": {"into": "evil"}}):
+        with _pytest.raises(DocumentQueryError, match="read-only"):
+            store.aggregate("documents", [stage])
