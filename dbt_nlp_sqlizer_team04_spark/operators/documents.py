@@ -167,32 +167,10 @@ def apply_sort(df: DataFrame, sort: dict[str, int] | None) -> DataFrame:
 
 # ----------------------------------------------------- $group stage (C5)
 def _acc_to_agg(alias: str, spec: dict[str, Any]) -> Column:
-    if not isinstance(spec, dict) or len(spec) != 1:
-        raise DocumentQueryError(f"Bad accumulator for {alias!r}: {spec!r}")
-    op, arg = next(iter(spec.items()))
-    if op == "$sum":
-        if arg == 1:
-            return F.count(F.lit(1)).alias(alias)
-        return F.sum(_ref(arg)).alias(alias)
-    if op == "$avg":
-        return F.avg(_ref(arg)).alias(alias)
-    if op == "$min":
-        return F.min(_ref(arg)).alias(alias)
-    if op == "$max":
-        return F.max(_ref(arg)).alias(alias)
-    if op == "$count":
-        return F.count(F.lit(1)).alias(alias)
-    if op == "$push":
-        # Mongo's $push preserves document order; Spark's collect_list
-        # order is partition-dependent, so the translation SORTS the
-        # collected array — deterministic (and oracle-hashable) at the
-        # cost of diverging from Mongo's insertion-order contract,
-        # which no distributed engine can honor anyway
-        return F.sort_array(F.collect_list(_ref(arg))).alias(alias)
-    if op == "$addToSet":
-        # same determinism rule; Mongo's set order is unspecified
-        return F.sort_array(F.collect_set(_ref(arg))).alias(alias)
-    raise DocumentQueryError(f"Unsupported accumulator: {op}")
+    """Unmasked accumulator — delegates to the masked dispatch with a
+    constant-true condition (Catalyst folds the no-op CASE away), so
+    there is exactly ONE accumulator table to extend."""
+    return _acc_to_agg_masked(alias, spec, F.lit(True))
 
 
 def _ref(arg: Any) -> Column:
@@ -253,11 +231,20 @@ def _expr(spec: dict[str, Any]) -> Column:
 
 
 def _acc_to_agg_masked(alias: str, spec: dict[str, Any], cond: Column) -> Column:
-    """Masked accumulator: aggregate only rows satisfying ``cond`` —
-    the per-facet ``$match`` prelude folded INTO the shared
-    grouping-sets aggregate (``agg(when(cond, x))``; Spark aggregates
-    skip nulls, so unmatched rows contribute nothing). Keeps $facet
-    preludes on the single-scan plan instead of one scan per facet."""
+    """THE accumulator dispatch table (single source of truth —
+    :func:`_acc_to_agg` delegates here with a constant-true mask, which
+    Catalyst folds away). A non-trivial ``cond`` aggregates only rows
+    satisfying it — the per-facet ``$match`` prelude folded INTO the
+    shared grouping-sets aggregate (``agg(when(cond, x))``; Spark
+    aggregates skip nulls, so unmatched rows contribute nothing),
+    keeping $facet preludes on the single-scan plan instead of one scan
+    per facet.
+
+    $push/$addToSet note: Mongo preserves document/insertion order;
+    Spark's collect_list order is partition-dependent, so the
+    translation SORTS the collected array — deterministic (and
+    oracle-hashable) at the cost of diverging from Mongo's order
+    contract, which no distributed engine can honor anyway."""
     if not isinstance(spec, dict) or len(spec) != 1:
         raise DocumentQueryError(f"Bad accumulator for {alias!r}: {spec!r}")
     op, arg = next(iter(spec.items()))
@@ -628,10 +615,18 @@ class DocumentStore:
                     )
                 if idx_name:
                     gen = F.posexplode_outer if preserve else F.posexplode
-                    others = [c for c in df.columns if c != field]
+                    # keep the unwound field at its original position
+                    # (the generator emits (pos, value) adjacently, so
+                    # the index column lands immediately before it) —
+                    # positional consumers must not see the field
+                    # relocated to the end
+                    pos = df.columns.index(field)
+                    before = [F.col(c) for c in df.columns[:pos]]
+                    after = [F.col(c) for c in df.columns[pos + 1:]]
                     df = df.select(
-                        *others,
+                        *before,
                         gen(F.col(field)).alias(idx_name, field),
+                        *after,
                     )
                 else:
                     gen = F.explode_outer if preserve else F.explode
@@ -675,12 +670,21 @@ class DocumentStore:
                     sub = self._apply_pipeline(
                         self.collection(spec["from"]), spec["pipeline"]
                     )
-                    payload = sub.agg(
-                        F.sort_array(
-                            F.collect_list(
-                                F.struct(*[F.col(c) for c in sub.columns])
-                            )
-                        ).alias(spec["as"])
+                    # materialize the payload on the DRIVER: collect()
+                    # preserves the sub-pipeline's $sort order (Mongo's
+                    # array-order contract — a distributed collect_list
+                    # would scramble it), and the result is the same
+                    # memory class as the broadcast it feeds — one row
+                    # holding the whole array either way. A sub-pipeline
+                    # big enough to hurt here would also be too big to
+                    # broadcast, which is the actual design bound.
+                    rows = [tuple(r) for r in sub.collect()]
+                    spark = df.sparkSession
+                    payload = spark.createDataFrame(
+                        [(rows,)],
+                        T.StructType(
+                            [T.StructField(spec["as"], T.ArrayType(sub.schema))]
+                        ),
                     )
                     df = df.crossJoin(F.broadcast(payload))
                     continue

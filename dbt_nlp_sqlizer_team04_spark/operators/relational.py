@@ -1606,6 +1606,8 @@ def q152_month_spine_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(min(o_orderdate) AS DATE), "
         "CAST(max(o_orderdate) AS DATE) FROM orders"
     ).collect()[0]
+    if lo is None or hi is None:  # empty/all-NULL corpus: empty spine
+        return spark.createDataFrame([], "month_key string, cnt bigint")
     return spark.sql(
         f"""
         WITH RECURSIVE spine(m) AS (
@@ -1722,8 +1724,9 @@ def q156_equidepth_histogram_sketch(
         ).alias("cuts")
     )
     # 9 values on the driver is metadata-scale; at 100 TB this is the
-    # same bounded collect every histogram planner performs.
-    cut_vals = cuts.collect()[0]["cuts"]
+    # same bounded collect every histogram planner performs. NULL cuts
+    # (empty/all-NULL column) degrade to a single bucket of nothing.
+    cut_vals = cuts.collect()[0]["cuts"] or []
     bucket = F.lit(1)
     for c in cut_vals:
         bucket = bucket + F.when(F.col("o_totalprice") >= F.lit(c), 1).otherwise(0)
@@ -1874,7 +1877,11 @@ def q162_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30
-    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # coalesce: a NULL priority must count as normal (the oracle's CASE
+    # ELSE branch), not vanish from sum() as a NULL boolean would
+    crit = F.coalesce(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(False)
+    )
     return (
         l.join(o, F.col("l_orderkey") == o.o_orderkey)
         .groupBy(

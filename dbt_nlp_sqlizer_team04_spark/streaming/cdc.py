@@ -145,7 +145,11 @@ def run_cdc_stream(
     snapshot from ``base`` only when no snapshot exists yet, so a
     RESTART resumes the maintained state instead of resetting it."""
     sink = CdcUpsertSink(out_dir, key=key, version=version)
-    if not os.path.isdir(sink.snapshot_dir):
+    # existence check through the Hadoop FS API, NOT os.path — on
+    # HDFS/S3 a local isdir() is always False and a restart would
+    # re-seed from base, silently destroying the maintained snapshot
+    Path, fs = sink._fs(spark)
+    if not fs.exists(Path(sink.snapshot_dir)):
         sink.init_snapshot(base)
     schema = spark.read.parquet(changes_dir).schema
     stream = (

@@ -788,7 +788,8 @@ def test_facet_match_prelude_single_scan(spark, sf_check):
     )
 
     plan = q158_doc_facet_prefiltered(spark, sf_check)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("documents.parquet") <= 1 or plan.count("FileScan") == 1
+    assert plan.count("FileScan") == 1  # one scan serves BOTH facets
+    assert "Expand" in plan
 
 
 def test_bucket_rejects_non_strict_boundaries(spark):
@@ -878,3 +879,56 @@ def test_write_stages_denied(store):
     for stage in ({"$out": "evil"}, {"$merge": {"into": "evil"}}):
         with _pytest.raises(DocumentQueryError, match="read-only"):
             store.aggregate("documents", [stage])
+
+
+def test_lookup_pipeline_preserves_sort_order(spark):
+    """Mongo's array-order contract: the 'as' array follows the
+    sub-pipeline's $sort (a review found the first translation
+    re-sorted by struct field order, flipping descending sorts)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import DocumentStore
+
+    store = DocumentStore(spark)
+    store.register(
+        "users", spark.createDataFrame([(1, "ann")], "uid long, name string")
+    )
+    store.register(
+        "posts",
+        spark.createDataFrame(
+            [(10, 1, "hi"), (11, 1, "yo"), (12, 2, "ok")],
+            "pid long, author long, title string",
+        ),
+    )
+    out = store.aggregate(
+        "users",
+        [
+            {
+                "$lookup": {
+                    "from": "posts",
+                    "as": "per_author",
+                    "pipeline": [
+                        {"$group": {"_id": "$author", "n": {"$sum": 1}}},
+                        {"$sort": {"n": -1, "_id": 1}},
+                    ],
+                }
+            }
+        ],
+    ).collect()
+    assert [(x["_id"], x["n"]) for x in out[0]["per_author"]] == [(1, 2), (2, 1)]
+
+    # descending by _id: the array must flip with the sort
+    out2 = store.aggregate(
+        "users",
+        [
+            {
+                "$lookup": {
+                    "from": "posts",
+                    "as": "per_author",
+                    "pipeline": [
+                        {"$group": {"_id": "$author", "n": {"$sum": 1}}},
+                        {"$sort": {"_id": -1}},
+                    ],
+                }
+            }
+        ],
+    ).collect()
+    assert [x["_id"] for x in out2[0]["per_author"]] == [2, 1]
