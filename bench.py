@@ -176,6 +176,7 @@ HEADLINE = [
     "q162_ship_delay_priority",
     "q163_supplier_count_by_part",
     "q164_token_coverage",
+    "q165_hotkey_sketch",
 ]
 
 

@@ -184,3 +184,90 @@ HOTKEY_ORACLE_SQL = """
     ORDER BY n DESC, key
     LIMIT 10
 """
+
+
+# -------------------------------------- heavy hitters without a shuffle
+CMS_EPS, CMS_CONF, CMS_SEED = 1e-4, 0.99, 42
+
+
+def hotkey_audit_sketch(
+    df: DataFrame,
+    key_col: str,
+    sample_cols: list[str],
+    top: int = 10,
+    eps: float = CMS_EPS,
+    confidence: float = CMS_CONF,
+    sample_mod: int = 100,
+) -> DataFrame:
+    """Sketch tier of :func:`hotkey_audit` — heavy hitters WITHOUT the
+    per-key counts shuffle. The exact audit's one shuffle is keys-sized
+    and usually fine; at 100 TB with a high-cardinality key (billions of
+    distinct values) even the counts exchange is worth skipping, and
+    this is the standard count-min + candidate-sample recipe for that:
+
+    - ONE map-side-combinable aggregate builds a count-min sketch over
+      the key column (sketches merge associatively across partitions —
+      nothing keyed ever shuffles) plus the exact total row count;
+    - candidates come from a deterministic ~1/sample_mod row sample
+      (xxhash64 of ``sample_cols`` — reproducible across retries, unlike
+      rand()), counted within the sample only (a sample-sized shuffle);
+      any key holding >= a few×sample_mod rows appears in the sample
+      with overwhelming probability, so true heavy hitters can't hide;
+    - each candidate is probed against the sketch on the driver for its
+      CORRECTED full-table estimate, and the top-N by estimate ship.
+
+    Accuracy contract (pinned vs the exact twin in test_skew.py): CMS
+    never undercounts, and overcounts by <= e·eps·N with probability
+    ``confidence`` — at eps=1e-4 that is <=0.03% of the table per key.
+    Driver memory: width ceil(e/eps)=27183 × depth 5 longs ≈ 1.1 MB —
+    the sketch is the only thing collected besides the top rows. Keys
+    probe as strings (CMS hashes by runtime type; a Python int would
+    arrive as Integer and miss the Long buckets).
+    """
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.xxhash64(*[F.col(c) for c in sample_cols]).alias("__h"),
+    )
+    agg = keyed.agg(
+        F.count_min_sketch(
+            F.col("key"), F.lit(eps), F.lit(confidence), F.lit(CMS_SEED)
+        ).alias("s"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    total = agg["total"]
+    spark = df.sparkSession
+    jvm = spark._jvm  # noqa: SLF001
+    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(agg["s"]))
+    )
+    candidates = [
+        r["key"]
+        for r in keyed.filter(F.pmod(F.col("__h"), sample_mod) == 0)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_sample"))
+        .orderBy(F.desc("n_sample"), "key")
+        .limit(top * 5)
+        .collect()
+    ]
+    est = sorted(
+        ((k, int(sk.estimateCount(k))) for k in candidates),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:top]
+    return spark.createDataFrame(
+        [(k, n, round(n / total, 6)) for k, n in est],
+        "key string, n_est long, share_est double",
+    )
+
+
+def q165_hotkey_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS heavy-hitter tier over lineitem's supplier key (rows-only:
+    q150 is the exact oracle; the never-undercount / eps-bounded
+    overcount contract is pinned in test_skew.py)."""
+    from ..sources.parquet import load_table
+
+    return hotkey_audit_sketch(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_suppkey",
+        sample_cols=["l_orderkey", "l_linenumber"],
+        top=10,
+    )

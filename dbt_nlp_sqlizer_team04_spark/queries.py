@@ -354,6 +354,12 @@ def _q150_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q150_hotkey_audit(spark, sf_dir)
 
 
+def _q165_hotkey_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import q165_hotkey_sketch
+
+    return q165_hotkey_sketch(spark, sf_dir)
+
+
 def _q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import q144_winsorized_stats
 
@@ -1011,6 +1017,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # the pinned merge table (the pre-training tokenizer-fit check) —
     # NEW r6.
     "q164_token_coverage": X.q164_token_coverage,
+    # CMS heavy-hitter tier: hot keys WITHOUT the counts shuffle
+    # (count-min + deterministic candidate sample; q150 is the exact
+    # oracle, bound pytest in test_skew.py) — NEW r6.
+    "q165_hotkey_sketch": _q165_hotkey_sketch,
 }
 
 # --- round-6 driver window (explicit form of the rotation policy at the
@@ -2467,6 +2477,8 @@ ORACLE_SQL: dict[str, str | None] = {
     "q162_ship_delay_priority": R.Q162_ORACLE_SQL,
     "q163_supplier_count_by_part": R.Q163_ORACLE_SQL,
     "q164_token_coverage": X.token_coverage_oracle_sql(),
+    # CMS estimates have no DuckDB twin: rows-only, bound pytest vs q150
+    "q165_hotkey_sketch": None,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -110,3 +110,35 @@ def test_analyze_stats_flip_join_to_broadcast(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS cbo_dim_test")
+
+
+def test_hotkey_sketch_vs_exact(spark, sf_check):
+    """q165 (CMS + candidate sample, no key shuffle) vs q150 (exact
+    counts shuffle): estimates never undercount, overcount <= e*eps*N,
+    and every exact top key whose margin over the cutoff exceeds the
+    CMS tolerance appears in the sketch's top set."""
+    import math
+
+    from dbt_nlp_sqlizer_team04_spark.operators.skew import (
+        CMS_EPS,
+        q150_hotkey_audit,
+        q165_hotkey_sketch,
+    )
+
+    exact = {str(r["key"]): r["n"] for r in q150_hotkey_audit(spark, sf_check).collect()}
+    sketch = {r["key"]: r["n_est"] for r in q165_hotkey_sketch(spark, sf_check).collect()}
+    assert len(sketch) == 10
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    n_total = load_table(spark, sf_check, "lineitem").count()
+    tol = math.e * CMS_EPS * n_total
+    for k, n in exact.items():
+        if k in sketch:
+            assert sketch[k] >= n              # CMS never undercounts
+            assert sketch[k] <= n + tol        # eps-bounded overcount
+    # unambiguous heavy hitters (clear the exact cutoff by > tol) must
+    # be found by the sketch path
+    cutoff = min(exact.values())
+    for k, n in exact.items():
+        if n > cutoff + tol:
+            assert k in sketch, (k, n)
