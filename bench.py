@@ -177,6 +177,7 @@ HEADLINE = [
     "q163_supplier_count_by_part",
     "q164_token_coverage",
     "q165_hotkey_sketch",
+    "q166_edit_distance_pairs",
 ]
 
 

@@ -1504,3 +1504,93 @@ def dup_span_oracle_sql(k: int = SPAN_K, top: int = 20) -> str:
         ORDER BY dup_frac DESC, doc_id
         LIMIT {top}
     """
+
+
+# --------------------------------------- edit-distance near-dup verify
+EDIT_PREFIX, EDIT_MAX_DIST, EDIT_LEN_BAND = 120, 12, 20
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    prefix: int = EDIT_PREFIX,
+    max_dist: int = EDIT_MAX_DIST,
+    len_band: int = EDIT_LEN_BAND,
+) -> DataFrame:
+    """Edit-distance near-dup verification: among length-banded
+    candidate pairs (|n_chars difference| <= ``len_band`` — the dedup
+    prior that near-identical documents have near-identical lengths),
+    keep pairs whose ``prefix``-char prefixes are within Levenshtein
+    distance ``max_dist``. This adds the character-level family the
+    dedup plane lacked (Jaccard/MinHash/SimHash see token sets; cosine
+    sees embeddings; edit distance catches small in-place edits,
+    typo-level rewrites, and boilerplate injection that token sets
+    absorb).
+
+    Plan shape: the length band compiles to a LOSSLESS bucket
+    equi-join — each doc explodes to its three neighboring
+    floor(n_chars/len_band) buckets on the probe side, so the join is
+    hash-partitioned (never a cartesian), and the exact |Δlen| filter
+    re-checks inside the bucket (the q46 banded-range-join shape). The
+    Levenshtein kernel runs JVM-side (``F.levenshtein`` is codegen) on
+    bounded prefixes, so per-pair cost is capped at prefix² regardless
+    of document length. At 100 TB the candidate source is the persisted
+    MinHash pair table (the banded index built at ingest) and this
+    operator is its VERIFY kernel; the self-contained length-band form
+    here is the oracle-checkable definition (DuckDB's levenshtein is
+    unit-cost identical).
+    """
+    slim = docs.select(
+        "doc_id",
+        "n_chars",
+        F.substring("text", 1, prefix).alias("p"),
+        F.floor(F.col("n_chars") / len_band).alias("b"),
+    )
+    probe = slim.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_chars").alias("nb"),
+        F.col("p").alias("pb"),
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("b"),
+    )
+    dist = F.levenshtein(F.col("p"), F.col("pb"))
+    return (
+        slim.join(probe, "b")
+        .filter(
+            (F.col("doc_id") < F.col("doc_b"))
+            & (F.abs(F.col("n_chars") - F.col("nb")) <= len_band)
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            dist.alias("prefix_dist"),
+        )
+        .filter(F.col("prefix_dist") <= max_dist)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q166_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs over documents (oracle-checked:
+    DuckDB levenshtein twin on the same length-banded candidates)."""
+    return edit_distance_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def edit_distance_oracle_sql(
+    prefix: int = EDIT_PREFIX,
+    max_dist: int = EDIT_MAX_DIST,
+    len_band: int = EDIT_LEN_BAND,
+) -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` (same candidates,
+    same unit-cost Levenshtein)."""
+    return f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(substr(a.text, 1, {prefix}),
+                           substr(b.text, 1, {prefix})) AS prefix_dist
+        FROM documents a JOIN documents b
+          ON a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= {len_band}
+        WHERE levenshtein(substr(a.text, 1, {prefix}),
+                          substr(b.text, 1, {prefix})) <= {max_dist}
+        ORDER BY doc_a, doc_b
+    """

@@ -1021,6 +1021,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # (count-min + deterministic candidate sample; q150 is the exact
     # oracle, bound pytest in test_skew.py) — NEW r6.
     "q165_hotkey_sketch": _q165_hotkey_sketch,
+    # Edit-distance near-dup verify (character-level family; lossless
+    # length-band bucket join, bounded-prefix Levenshtein kernel) —
+    # NEW r6.
+    "q166_edit_distance_pairs": D.q166_edit_distance_pairs,
 }
 
 # --- round-6 driver window (explicit form of the rotation policy at the
@@ -2479,6 +2483,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q164_token_coverage": X.token_coverage_oracle_sql(),
     # CMS estimates have no DuckDB twin: rows-only, bound pytest vs q150
     "q165_hotkey_sketch": None,
+    "q166_edit_distance_pairs": D.edit_distance_oracle_sql(),
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -1180,3 +1180,25 @@ def test_purge_table_heals_crash_between_drop_and_rename(spark):
         for t in ("purge_crash_t", "purge_crash_t__purged",
                   "purge_crash_t__old"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_edit_distance_pairs_planted(spark):
+    """Planted near-dups: a one-word edit is found with the right
+    distance; length-band blocking excludes same-prefix docs whose
+    total lengths diverge past the band (the candidate prior)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base, len(base)),
+        (2, base.replace("lazy", "hazy", 1), len(base)),  # 1-char edit
+        (3, base + "x" * 500, len(base) + 500),  # same prefix, far length
+        (4, "completely different text here", 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {(r["doc_a"], r["doc_b"]): r["prefix_dist"]
+           for r in edit_distance_pairs(df, prefix=60, max_dist=5,
+                                        len_band=20).collect()}
+    assert out == {(1, 2): 1}  # found with exact distance; 3 banded out
