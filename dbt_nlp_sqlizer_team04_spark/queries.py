@@ -1043,9 +1043,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
 # Explicit r7 plan (the remaining never-checked tail, 33 entries):
 #   nl24-nl44, nl28, q92, q113, q115, q116, and the rows-only
 #   q63 q65 q67 q73 q78 q89 q110 — those fill the next window first,
-#   topped up with the oldest re-confirmation debt (the 19 entries last
-#   green in r2: q02 q04-q06 q09 q10 q13 q18 q20 q21 q26 q31 q34 q35
-#   q37 q41 q42 q48 q49). tests/test_window_policy.py enforces this
+#   topped up with the oldest re-confirmation debt (15 of the 19
+#   entries last green in r2: q02 q04-q06 q09 q10 q13 q18 q20 q21 q26
+#   q31 q34 q35 q37; q41/q42/q48/q49 carry round-8 targets so round 7
+#   keeps three free seats for its own additions).
+#   tests/test_window_policy.py enforces this
 #   mechanically: an entry may not wait more than 3 rounds without
 #   either a driver-green record (tests/driver_manifest.json) or a seat
 #   in the current window. Every tail entry stays locally hash-verified

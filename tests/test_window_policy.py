@@ -60,6 +60,12 @@ PLANNED: dict[str, int] = {
         "q13_case_when", "q18_categorical_domain", "q20_events_json_props",
         "q21_pivot_status", "q26_exact_dup_groups", "q31_quality_by_source",
         "q34_doc_fingerprints", "q35_doc_find", "q37_doc_find_or_regex",
+    )},
+    # seat-count arithmetic: 32 never-checked + 19 r2-debt = 51 > 50
+    # window slots, and round 7 will add its own entries — the four
+    # set-operation/percentile r2 entries (all covered by the identical
+    # q-shape smoke every round) take round-8 targets instead
+    **{k: 8 for k in (
         "q41_intersect_nations", "q42_except_unordered_parts",
         "q48_cube_status_priority", "q49_price_percentiles",
     )},
