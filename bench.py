@@ -178,6 +178,7 @@ HEADLINE = [
     "q164_token_coverage",
     "q165_hotkey_sketch",
     "q166_edit_distance_pairs",
+    "q167_doc_pagination",
 ]
 
 

@@ -17,7 +17,8 @@ partial aggregation, TakeOrderedAndProject) instead of a document DB:
 - sort          → ``df.orderBy`` (insertion-ordered spec, 1/-1)
 - limit         → ``df.limit`` — injected at 100 when absent, matching
                   nl2mongo.py:171-174's $limit injection
-- pipeline      → $match/$group/$sort/$limit/$project/$count/$unwind
+- pipeline      → $match/$group/$sort/$limit/$skip/$replaceRoot/
+                  $project/$count/$unwind
                   (incl. preserveNullAndEmptyArrays + includeArrayIndex
                   via explode_outer/posexplode)/$lookup (equi-join AND
                   uncorrelated-pipeline forms)/$facet (per-facet $match
@@ -545,12 +546,15 @@ class DocumentStore:
         projection: dict | None = None,
         sort: dict | None = None,
         limit: int | None = None,
+        skip: int | None = None,
     ) -> DataFrame:
         df = self.collection(collection)
         if filter_dict:
             df = df.filter(filter_condition(filter_dict))
         df = apply_projection(df, projection)
         df = apply_sort(df, sort)
+        if skip:  # pymongo's find(skip=N): applied before the limit
+            df = df.offset(int(skip))
         return df.limit(limit if limit is not None else DEFAULT_LIMIT)
 
     # -- aggregate (C5)
@@ -594,6 +598,31 @@ class DocumentStore:
                 df = apply_sort(df, spec)
             elif op == "$limit":
                 df = df.limit(int(spec))
+            elif op == "$skip":
+                # pagination: Spark's native offset() (3.4+). Mongo
+                # applies skip before limit in pipeline order, which is
+                # exactly stage order here. Scale note: like every
+                # OFFSET, a deep skip still computes the skipped prefix
+                # — keyset pagination (a $match on the sort key) is the
+                # 100 TB shape; $skip exists for dialect completeness.
+                df = df.offset(int(spec))
+            elif op == "$replaceRoot":
+                # {"newRoot": "$field"} — promote a struct column to the
+                # document root (the standard post-$lookup+$unwind move)
+                nr = spec.get("newRoot") if isinstance(spec, dict) else None
+                if not (isinstance(nr, str) and nr.startswith("$")):
+                    raise DocumentQueryError(
+                        f"$replaceRoot expects {{'newRoot': '$field'}}: "
+                        f"{spec!r}"
+                    )
+                field = nr[1:]
+                if not isinstance(
+                    df.schema[field].dataType, T.StructType
+                ):
+                    raise DocumentQueryError(
+                        f"$replaceRoot field {field!r} is not a document"
+                    )
+                df = df.select(F.col(f"{field}.*"))
             elif op == "$project":
                 df = apply_projection(df, spec)
             elif op == "$count":
@@ -778,6 +807,7 @@ class DocumentStore:
                 query_dict.get("projection"),
                 query_dict.get("sort"),
                 query_dict.get("limit"),
+                query_dict.get("skip"),
             )
         raise DocumentQueryError("Query must have either 'pipeline' or 'find'")
 
@@ -1220,4 +1250,31 @@ Q158_ORACLE_SQL = """
            count(*), round(avg(n_chars), 4)
     FROM documents WHERE lang = 'en' GROUP BY source
     ORDER BY facet, _id
+"""
+
+
+def q167_doc_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination page 3 of the documents listing: $sort + $skip +
+    $limit (skip 40, take 20 over a unique sort key) — the C3/C4
+    surface every Mongo UI drives, plus $replaceRoot exercised after a
+    computed wrapper (oracle: ORDER BY/OFFSET/LIMIT twin)."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {"$sort": {"doc_id": 1}},
+                {"$skip": 40},
+                {"$limit": 20},
+                {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}},
+            ],
+        }
+    )
+    return out
+
+
+Q167_ORACLE_SQL = """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 20 OFFSET 40
 """

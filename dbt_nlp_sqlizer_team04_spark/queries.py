@@ -1025,6 +1025,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # length-band bucket join, bounded-prefix Levenshtein kernel) —
     # NEW r6.
     "q166_edit_distance_pairs": D.q166_edit_distance_pairs,
+    # $skip/$replaceRoot pagination surface (page-3 listing over a
+    # unique sort key; OFFSET oracle) — NEW r6.
+    "q167_doc_pagination": DOC.q167_doc_pagination,
 }
 
 # --- round-6 driver window (explicit form of the rotation policy at the
@@ -2486,6 +2489,7 @@ ORACLE_SQL: dict[str, str | None] = {
     # CMS estimates have no DuckDB twin: rows-only, bound pytest vs q150
     "q165_hotkey_sketch": None,
     "q166_edit_distance_pairs": D.edit_distance_oracle_sql(),
+    "q167_doc_pagination": DOC.Q167_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -932,3 +932,35 @@ def test_lookup_pipeline_preserves_sort_order(spark):
         ],
     ).collect()
     assert [x["_id"] for x in out2[0]["per_author"]] == [2, 1]
+
+
+def test_skip_and_replace_root(store, spark):
+    """$skip paginates (sort-stable, before $limit), find(skip=) rides
+    the same offset, and $replaceRoot promotes a struct to the root."""
+    page = store.aggregate(
+        "documents",
+        [{"$sort": {"doc_id": 1}}, {"$skip": 10}, {"$limit": 5},
+         {"$project": {"doc_id": 1}}],
+    ).collect()
+    assert [r["doc_id"] for r in page] == [10, 11, 12, 13, 14]
+
+    via_find = store.execute(
+        {"collection": "documents", "find": {},
+         "projection": {"doc_id": 1}, "sort": {"doc_id": 1},
+         "skip": 10, "limit": 5}
+    ).collect()
+    assert [r["doc_id"] for r in via_find] == [10, 11, 12, 13, 14]
+
+    s = DocumentStore(spark)
+    s.register(
+        "wrapped",
+        spark.createDataFrame([(1,)], "x long").selectExpr(
+            "named_struct('a', x, 'b', 'y') AS doc", "x"
+        ),
+    )
+    out = s.aggregate("wrapped", [{"$replaceRoot": {"newRoot": "$doc"}},
+                                  {"$limit": 5}]).collect()
+    assert out[0].asDict() == {"a": 1, "b": "y"}
+
+    with pytest.raises(DocumentQueryError, match="not a document"):
+        s.aggregate("wrapped", [{"$replaceRoot": {"newRoot": "$x"}}])
