@@ -1030,64 +1030,60 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q167_doc_pagination": DOC.q167_doc_pagination,
 }
 
-# --- round-6 driver window (explicit form of the rotation policy at the
+# --- round-7 driver window (explicit form of the rotation policy at the
 # top of this dict; the driver hash-checks the FIRST 50 entries only).
-# This round's window is the NEVER-CONFIRMED tail the r5 verdict names:
-#   lead — the 7 entries whose only driver rows are r2 `err`s and which
-#     the driver has therefore never seen work: q24 q28 q29 q32 q39 q40
-#     q43 (q32 oracle-backed since r4; the other six rows-only, which
-#     still proves err-free execution externally);
-#   rule 1 — every r5 addition, none ever driver-checked: q124-q154 and
-#     nl47-nl53 (all oracle-backed except q124/q130);
-#   rule 1 — the r6 additions: q155/q156 (sketch tiers, rows-only with
-#     rank-error pytests vs their exact oracles), q157/q158 (Mongo
-#     $lookup-pipeline / $facet-prelude, SQL-twin oracles), q159
-#     (streaming CDC, shares q135's oracle).
-# Explicit r7 plan (the remaining never-checked tail, 33 entries):
-#   nl24-nl44, nl28, q92, q113, q115, q116, and the rows-only
-#   q63 q65 q67 q73 q78 q89 q110 — those fill the next window first,
-#   topped up with the oldest re-confirmation debt (15 of the 19
-#   entries last green in r2: q02 q04-q06 q09 q10 q13 q18 q20 q21 q26
-#   q31 q34 q35 q37; q41/q42/q48/q49 carry round-8 targets so round 7
-#   keeps three free seats for its own additions).
-#   tests/test_window_policy.py enforces this
-#   mechanically: an entry may not wait more than 3 rounds without
-#   either a driver-green record (tests/driver_manifest.json) or a seat
-#   in the current window. Every tail entry stays locally hash-verified
-#   per round by test_relational_oracle.py.
-_R6_WINDOW = [
-    # never-green lead (r2 errs, fixed since, never re-confirmed)
-    "q24_ann_lsh_topk", "q28_near_dup_minhash",
-    "q29_simhash_fingerprints", "q32_lang_id_dist",
-    "q39_media_decode_stats", "q40_media_embedding_topk",
-    "q43_ann_ivf_topk",
-    # r5 additions, never driver-checked
-    "q124_knn_graph_ivf", "q125_min_cost_supplier",
-    "q126_sole_returner_suppliers", "q127_part_volume_suppliers",
-    "q128_expectation_suite", "q129_measure_unpivot", "q130_mmr_topk",
-    "q131_lateral_topn", "q132_doc_facet", "q133_token_entropy",
-    "q134_doc_expectations", "q135_cdc_merge_snapshot",
-    "q136_scd2_intervals", "q137_disjunctive_revenue",
-    "q138_priority_order_check", "q139_filtered_cosine_topk",
-    "q140_canonical_selection", "q141_source_overlap",
-    "q142_source_token_budget", "q143_doc_length_buckets",
-    "q144_winsorized_stats", "q145_drift_psi", "q146_label_centroids",
-    "q147_stream_drift", "q148_forecast_revenue", "q149_top_sources",
-    "q150_hotkey_audit", "q151_variant_props_rollup",
-    "q152_month_spine_rollup", "q153_equidepth_histogram",
-    "q154_doc_lang_ratio",
-    "nl47_doc_facet_breakdown", "nl48_orders_facet_breakdown",
-    "nl49_month_over_month_revenue", "nl50_running_monthly_revenue",
-    "nl51_totalprice_histogram", "nl52_doc_length_histogram",
-    "nl53_pct_urgent_orders",
-    # r6 additions
-    "q155_winsorized_stats_sketch", "q156_equidepth_histogram_sketch",
-    "q157_doc_lookup_pipeline", "q158_doc_facet_prefiltered",
-    "q159_cdc_stream_snapshot",
+# This round executes the machine-planned rotation from
+# tests/test_window_policy.py PLANNED (written r6, target round 7):
+#   rule 2 — the 32 never-driver-checked entries: nl24-nl44 (r4 NL
+#     additions), q92/q113/q115/q116 (oracle-backed), and the rows-only
+#     q63 q65 q67 q73 q78 q89 q110 (recall/fixture pytests carry them
+#     locally; the driver seat proves err-free execution);
+#   rule 3 — the 15 oldest re-confirmation debts, last green r2:
+#     q02 q04-q06 q09 q10 q13 q18 q20 q21 q26 q31 q34 q35 q37;
+#   rule 1 — three of the r6 additions: q164 (token coverage), q166
+#     (edit-distance near-dup), nl54 (decile NL tier). The remaining
+#     r6 additions (q160-q163, q165, q167) carry machine-checked
+#     round-8 targets in PLANNED, alongside the r2-debt leftovers
+#     q41/q42/q48/q49. Round-7 additions (q168+, nl55+) take round-8/9
+#     targets as they land.
+# tests/test_window_policy.py enforces all of this mechanically: an
+# entry may not wait more than 3 rounds without either a driver-green
+# record (tests/driver_manifest.json) or a seat in the current window,
+# and a PLANNED target that comes due fails the build. Every tail entry
+# stays locally hash-verified per round by test_relational_oracle.py.
+_R7_WINDOW = [
+    # never driver-checked: r4 NL tiers
+    "nl24_distinct_customers_in_orders", "nl25_most_recent_orders",
+    "nl26_pct_orders_per_status", "nl27_customers_without_orders",
+    "nl28_doc_top5_longest", "nl29_nations_with_min_customers",
+    "nl30_rich_segments", "nl31_events_per_day",
+    "nl32_minmax_balance_per_segment", "nl33_customer_share_per_nation",
+    "nl34_orders_before_1997", "nl35_cheapest_orders",
+    "nl36_richest_nation", "nl37_doc_events_before_date",
+    "nl38_big_building_segments", "nl39_top3_nations_by_customers",
+    "nl40_top5_parts_by_price", "nl41_above_avg_orders",
+    "nl42_union_names_like", "nl43_customers_with_nation_avg",
+    "nl44_rank_orders_by_price",
+    # never driver-checked: oracle-backed operators
+    "q92_quality_weighted_sample", "q113_salted_segment_sales",
+    "q115_frame_sample_rollup", "q116_resize_rollup",
+    # never driver-checked: rows-only (driver seat proves err-free)
+    "q63_semantic_dedup", "q65_ann_pq_topk", "q67_chunk_retrieval",
+    "q73_learned_quality_scores", "q78_kmeans_clusters",
+    "q89_neardup_pagerank", "q110_bpe_merges",
+    # oldest re-confirmation debt (last green r2)
+    "q02_filter_topn", "q04_like_search", "q05_null_handling",
+    "q06_date_rollup", "q09_distinct_segments", "q10_union_names",
+    "q13_case_when", "q18_categorical_domain", "q20_events_json_props",
+    "q21_pivot_status", "q26_exact_dup_groups", "q31_quality_by_source",
+    "q34_doc_fingerprints", "q35_doc_find", "q37_doc_find_or_regex",
+    # r6 additions taking their r7 seats
+    "q164_token_coverage", "q166_edit_distance_pairs",
+    "nl54_totalprice_deciles",
 ]
-assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
-SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R6_WINDOW} | {
-    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R6_WINDOW)
+assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
+SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R7_WINDOW} | {
+    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R7_WINDOW)
 }
 
 def _TS_cohort_oracle() -> str:
