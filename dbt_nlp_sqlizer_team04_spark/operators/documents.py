@@ -38,6 +38,7 @@ strings (``F.to_json``), scalars untouched.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -325,10 +326,27 @@ def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
             raise DocumentQueryError(
                 "$facet group keys must be distinct fields"
             )
+        accs = {k: v for k, v in g.items() if k != "_id"}
+        # the masked-copy compilation below namespaces per-facet
+        # columns as '<alias>__<idx>' plus internal '__n__<idx>' /
+        # '__g_<field>' helpers — a user alias shaped like any of
+        # those would collide into an ambiguous-column
+        # AnalysisException at runtime, so refuse it loudly here
+        for a in accs:
+            if (
+                a == "__n"
+                or a.startswith("__g_")
+                or re.fullmatch(r".+__\d+", a)
+            ):
+                raise DocumentQueryError(
+                    f"$facet accumulator alias {a!r} in {name!r} "
+                    "collides with the compiler's reserved "
+                    "'__n'/'__g_*'/'*__<n>' namespace — rename it"
+                )
         names.append(name)
         fields.append(gid[1:])
         conds.append(cond)
-        accs_list.append({k: v for k, v in g.items() if k != "_id"})
+        accs_list.append(accs)
     if not names:
         raise DocumentQueryError("$facet requires at least one facet")
     any_prelude = any(c is not None for c in conds)
@@ -616,9 +634,19 @@ class DocumentStore:
                         f"{spec!r}"
                     )
                 field = nr[1:]
-                if not isinstance(
-                    df.schema[field].dataType, T.StructType
-                ):
+                try:
+                    ftype = df.schema[field].dataType
+                except Exception as exc:
+                    # schema[...] raises a bare KeyError (or a Spark
+                    # IllegalArgument) for missing / dotted-nested
+                    # names — keep the dialect's loud typed-error
+                    # contract that nl2doc's ask() fall-through
+                    # reports via __cause__
+                    raise DocumentQueryError(
+                        f"$replaceRoot unknown field {field!r} "
+                        "(top-level struct columns only)"
+                    ) from exc
+                if not isinstance(ftype, T.StructType):
                     raise DocumentQueryError(
                         f"$replaceRoot field {field!r} is not a document"
                     )

@@ -223,32 +223,53 @@ def hotkey_audit_sketch(
     the sketch is the only thing collected besides the top rows. Keys
     probe as strings (CMS hashes by runtime type; a Python int would
     arrive as Integer and miss the Long buckets).
+
+    Scan count: the sketch pass and the candidate-sample pass are TWO
+    actions, so the slim (key, hash) projection — ~16 bytes/row, the
+    only columns either pass reads — is persisted MEMORY_AND_DISK
+    between them: the fact table's full columns are scanned ONCE, and
+    the second pass reads the cached projection (spilling to local
+    disk at 100 TB rather than re-reading the source). The sample
+    count genuinely cannot fold into the sketch aggregate: the sample
+    pass needs a per-key groupBy on ~1/sample_mod of the rows, while
+    the whole point of the sketch pass is that nothing keyed shuffles.
     """
+    from pyspark import StorageLevel
+
     keyed = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.xxhash64(*[F.col(c) for c in sample_cols]).alias("__h"),
-    )
-    agg = keyed.agg(
-        F.count_min_sketch(
-            F.col("key"), F.lit(eps), F.lit(confidence), F.lit(CMS_SEED)
-        ).alias("s"),
-        F.count(F.lit(1)).alias("total"),
-    ).collect()[0]
-    total = agg["total"]
-    spark = df.sparkSession
-    jvm = spark._jvm  # noqa: SLF001
-    sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(agg["s"]))
-    )
-    candidates = [
-        r["key"]
-        for r in keyed.filter(F.pmod(F.col("__h"), sample_mod) == 0)
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n_sample"))
-        .orderBy(F.desc("n_sample"), "key")
-        .limit(top * 5)
-        .collect()
-    ]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        agg = keyed.agg(
+            F.count_min_sketch(
+                F.col("key"), F.lit(eps), F.lit(confidence), F.lit(CMS_SEED)
+            ).alias("s"),
+            F.count(F.lit(1)).alias("total"),
+        ).collect()[0]
+        total = agg["total"]
+        spark = df.sparkSession
+        if total == 0:
+            # empty input: no candidates, no shares to compute (and
+            # n/total below would divide by zero) — clean empty result
+            return spark.createDataFrame(
+                [], "key string, n_est long, share_est double"
+            )
+        jvm = spark._jvm  # noqa: SLF001
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(agg["s"]))
+        )
+        candidates = [
+            r["key"]
+            for r in keyed.filter(F.pmod(F.col("__h"), sample_mod) == 0)
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_sample"))
+            .orderBy(F.desc("n_sample"), "key")
+            .limit(top * 5)
+            .collect()
+        ]
+    finally:
+        keyed.unpersist()
     est = sorted(
         ((k, int(sk.estimateCount(k))) for k in candidates),
         key=lambda kv: (-kv[1], kv[0]),

@@ -3,6 +3,7 @@ SCD2 interval construction on planted change streams."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dbt_nlp_sqlizer_team04_spark.operators.cdc import (
@@ -100,8 +101,12 @@ def test_scd2_null_attr_transitions(spark):
 
 
 # ------------------------------------------------- streaming CDC sink
-def test_cdc_stream_matches_batch_replay_and_restart(spark, sf_check, tmp_path):
-    """streaming/cdc.py end-to-end: (1) a multi-epoch drain of the
+@pytest.mark.parametrize("n_buckets", [None, 8], ids=["monolithic", "bucketed"])
+def test_cdc_stream_matches_batch_replay_and_restart(
+    spark, sf_check, tmp_path, n_buckets
+):
+    """streaming/cdc.py end-to-end, in BOTH snapshot layouts (monolithic
+    full-rewrite and key-hash-bucketed): (1) a multi-epoch drain of the
     changelog produces EXACTLY the batch q135 snapshot; (2) re-invoking
     the sink with a re-delivered batch moves nothing (at-least-once
     foreachBatch); (3) a restarted stream over the same checkpoint
@@ -131,6 +136,7 @@ def test_cdc_stream_matches_batch_replay_and_restart(spark, sf_check, tmp_path):
     sink = run_cdc_stream(
         spark, orders, changes_dir, out_dir,
         key="o_orderkey", version="__v", checkpoint_dir=ckpt,
+        n_buckets=n_buckets,
     )
     stream_rollup = [tuple(r) for r in snapshot_rollup(sink.snapshot(spark)).collect()]
     batch_rollup = [tuple(r) for r in q135_cdc_merge_snapshot(spark, sf_check).collect()]
@@ -155,16 +161,87 @@ def test_cdc_stream_matches_batch_replay_and_restart(spark, sf_check, tmp_path):
     sink2 = run_cdc_stream(
         spark, orders, changes_dir, out_dir,
         key="o_orderkey", version="__v", checkpoint_dir=ckpt,
+        n_buckets=n_buckets,
     )
     restart_rollup = [
         tuple(r) for r in snapshot_rollup(sink2.snapshot(spark)).collect()
     ]
     assert restart_rollup == batch_rollup
 
-    # crash-healing contract: orphaned __old with snapshot missing is
-    # renamed back on entry
+    # crash-healing contract: an orphaned aside dir with its snapshot
+    # (bucket) missing is renamed back on entry
     snap_dir = sink.snapshot_dir
-    os.rename(snap_dir, snap_dir + "__old")
-    healed = sink.snapshot(spark)
+    if n_buckets is None:
+        os.rename(snap_dir, snap_dir + "__old")
+        healed = sink.snapshot(spark)
+        assert os.path.isdir(snap_dir) and not os.path.isdir(snap_dir + "__old")
+    else:
+        bucket = next(
+            d for d in sorted(os.listdir(snap_dir)) if d.startswith("__bucket=")
+        )
+        i = int(bucket.split("=")[1])
+        os.rename(os.path.join(snap_dir, bucket), sink._old_dir(i))
+        healed = sink.snapshot(spark)
+        assert os.path.isdir(os.path.join(snap_dir, bucket))
+        assert not os.path.isdir(sink._old_dir(i))
     assert [tuple(r) for r in snapshot_rollup(healed).collect()] == batch_rollup
-    assert os.path.isdir(snap_dir) and not os.path.isdir(snap_dir + "__old")
+
+
+def test_cdc_bucketed_epoch_touches_only_its_buckets(spark, sf_check, tmp_path):
+    """The 100 TB contract of the bucketed snapshot: an epoch whose
+    batch keys hash into one bucket rewrites ONLY that bucket — every
+    other bucket's files stay byte-identical (name, size, mtime)."""
+    import os
+
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+    from dbt_nlp_sqlizer_team04_spark.streaming.cdc import CdcUpsertSink
+
+    orders = load_table(spark, sf_check, "orders").withColumn("__v", F.lit(1))
+    sink = CdcUpsertSink(
+        str(tmp_path / "out"), key="o_orderkey", version="__v", n_buckets=8
+    )
+    sink.init_snapshot(orders)
+
+    # one updated key → exactly one touched bucket
+    one = orders.orderBy("o_orderkey").limit(1)
+    batch = one.withColumn("__v", F.lit(2)).withColumn(
+        "o_totalprice", F.lit(12345.67)
+    ).withColumn("op", F.lit("U"))
+    [key_row] = one.select(
+        "o_orderkey",
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(8)).alias("b"),
+    ).collect()
+    touched = key_row["b"]
+
+    def listing(bucket_dir):
+        return sorted(
+            (f, os.path.getsize(p), os.path.getmtime(p))
+            for f in os.listdir(bucket_dir)
+            if not f.startswith(".")
+            for p in [os.path.join(bucket_dir, f)]
+        )
+
+    before = {
+        d: listing(os.path.join(sink.snapshot_dir, d))
+        for d in os.listdir(sink.snapshot_dir)
+        if d.startswith("__bucket=")
+    }
+    sink(batch, batch_id=0)
+    after = {
+        d: listing(os.path.join(sink.snapshot_dir, d))
+        for d in os.listdir(sink.snapshot_dir)
+        if d.startswith("__bucket=")
+    }
+    assert set(before) == set(after)
+    for d in before:
+        if d == f"__bucket={touched}":
+            assert before[d] != after[d]
+        else:
+            assert before[d] == after[d], f"untouched bucket {d} rewritten"
+
+    # and the merge result is the expected upsert
+    got = sink.snapshot(spark).filter(
+        F.col("o_orderkey") == key_row["o_orderkey"]
+    ).collect()
+    assert len(got) == 1 and got[0]["o_totalprice"] == 12345.67
+    assert sink.snapshot(spark).count() == orders.count()

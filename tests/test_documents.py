@@ -964,3 +964,27 @@ def test_skip_and_replace_root(store, spark):
 
     with pytest.raises(DocumentQueryError, match="not a document"):
         s.aggregate("wrapped", [{"$replaceRoot": {"newRoot": "$x"}}])
+
+    # missing / dotted-nested fields raise the dialect's TYPED error
+    # (bare KeyError would break ask()'s __cause__ reporting)
+    with pytest.raises(DocumentQueryError, match="unknown field"):
+        s.aggregate("wrapped", [{"$replaceRoot": {"newRoot": "$nope"}}])
+    with pytest.raises(DocumentQueryError, match="unknown field"):
+        s.aggregate("wrapped", [{"$replaceRoot": {"newRoot": "$doc.a"}}])
+
+
+def test_facet_reserved_alias_rejected(store):
+    """Accumulator aliases shaped like the facet compiler's internal
+    '__n'/'__g_*'/'*__<idx>' namespace are refused at parse time with a
+    typed error instead of an ambiguous-column AnalysisException."""
+    for bad in ("__n", "__g_lang", "cnt__0"):
+        with pytest.raises(DocumentQueryError, match="reserved"):
+            store.aggregate(
+                "documents",
+                [{"$facet": {
+                    "by_lang": [{"$group": {"_id": "$lang",
+                                            bad: {"$sum": 1}}}],
+                    "by_source": [{"$group": {"_id": "$source",
+                                              "n2": {"$sum": 1}}}],
+                }}],
+            )

@@ -142,3 +142,14 @@ def test_hotkey_sketch_vs_exact(spark, sf_check):
     for k, n in exact.items():
         if n > cutoff + tol:
             assert k in sketch, (k, n)
+
+
+def test_hotkey_sketch_empty_input(spark):
+    """Empty table → clean empty result (no ZeroDivisionError on the
+    share computation), same schema as the populated path."""
+    from dbt_nlp_sqlizer_team04_spark.operators.skew import hotkey_audit_sketch
+
+    empty = spark.createDataFrame([], "k string, a long, b long")
+    out = hotkey_audit_sketch(empty, "k", sample_cols=["a", "b"], top=5)
+    assert out.columns == ["key", "n_est", "share_est"]
+    assert out.count() == 0
