@@ -179,6 +179,7 @@ HEADLINE = [
     "q165_hotkey_sketch",
     "q166_edit_distance_pairs",
     "q167_doc_pagination",
+    "q168_doc_lookup_correlated",
 ]
 
 

@@ -167,6 +167,123 @@ def apply_sort(df: DataFrame, sort: dict[str, int] | None) -> DataFrame:
     return df.orderBy(*cols)
 
 
+# ------------------------------------------- correlated $lookup (C5+)
+def lookup_correlated(
+    df: DataFrame, fdf: DataFrame, spec: dict[str, Any]
+) -> DataFrame:
+    """The correlated ``$lookup`` forms, de-correlated into ONE left
+    outer join — the rewrite Catalyst itself performs for LATERAL
+    (q131's precedent, relational.py): instead of running the
+    sub-pipeline once per local row (Mongo's executable semantics),
+    substitute the ``let`` bindings into the ``$match.$expr`` so
+    ``$$var`` tokens become LOCAL-side columns and ``$field`` tokens
+    become FOREIGN-side columns, and the whole $match collapses to a
+    join condition. Two accepted shapes:
+
+    - ``{from, let, pipeline: [{$match: {$expr}} (+ $project)], as}`` —
+      the classic correlated form;
+    - ``{from, localField, foreignField, pipeline: [...], as}`` — the
+      concise correlated form (Mongo 5.0+): the equi-condition is
+      AND-ed with the pipeline's $expr.
+
+    Sub-pipeline stages beyond one leading ``$match {$expr}`` plus an
+    optional include-only ``$project`` stay a loud error — those would
+    need per-group re-aggregation, not a join rewrite.
+
+    Scale: equality conjuncts written as ``$eq`` compile to
+    ``eqNullSafe`` equi-join keys, so Catalyst plans a hash/sort-merge
+    join (broadcast when the foreign side is dim-sized) — the
+    de-correlated plan shuffles each side once on the key instead of
+    probing the foreign collection per local row. A correlation with
+    NO equality conjunct degrades to a broadcast-nested-loop join;
+    that is the honest cost of a pure-inequality correlation on any
+    engine. Matches regroup onto the (unique) local row id; unmatched
+    rows get an EMPTY array because the foreign payload struct is
+    built pre-join (a left-join miss leaves it NULL and collect_list
+    drops nulls — Mongo's empty-array contract)."""
+    let = spec.get("let", {})
+    pipe = list(spec.get("pipeline") or [])
+    out_name = spec["as"]
+    concise = "localField" in spec or "foreignField" in spec
+    if concise and not ("localField" in spec and "foreignField" in spec):
+        raise DocumentQueryError(
+            "$lookup concise correlated form needs BOTH localField and "
+            "foreignField"
+        )
+    cond_spec = None
+    project = None
+    if pipe and set(pipe[0]) == {"$match"}:
+        m = pipe.pop(0)["$match"]
+        if not (isinstance(m, dict) and set(m) == {"$expr"}):
+            raise DocumentQueryError(
+                "correlated $lookup $match must be a single $expr "
+                f"document: {m!r}"
+            )
+        cond_spec = m["$expr"]
+    if pipe and set(pipe[0]) == {"$project"}:
+        project = pipe.pop(0)["$project"]
+    if pipe:
+        raise DocumentQueryError(
+            "correlated $lookup supports one leading $match {$expr} plus "
+            "an optional include-only $project; unsupported stages: "
+            f"{[next(iter(s)) for s in pipe]}"
+        )
+    if not concise and cond_spec is None:
+        raise DocumentQueryError(
+            "$lookup with 'let' needs a pipeline starting with "
+            "{$match: {$expr: ...}} to correlate on"
+        )
+    payload_cols = list(fdf.columns)
+    if project is not None:
+        if not all(v in (1, True) for v in project.values()):
+            raise DocumentQueryError(
+                "correlated $lookup $project must be include-only"
+            )
+        unknown = [f for f in project if f not in fdf.columns]
+        if unknown:
+            raise DocumentQueryError(
+                f"correlated $lookup $project unknown fields: {unknown}"
+            )
+        payload_cols = list(project)
+
+    def resolve(tok: str) -> Column:
+        if tok.startswith("$$"):
+            var = tok[2:]
+            if var not in let:
+                raise DocumentQueryError(
+                    f"$lookup let variable {var!r} is not defined"
+                )
+            b = let[var]
+            if isinstance(b, str) and b.startswith("$"):
+                return F.col(f"__l.{b[1:]}")
+            return F.lit(b)
+        return F.col(f"__f.{tok[1:]}")
+
+    row_id = "__rowid"
+    base_cols = list(df.columns)
+    left = df.withColumn(row_id, F.monotonically_increasing_id()).alias("__l")
+    fprep = fdf.withColumn(
+        "__frow", F.struct(*[F.col(c) for c in payload_cols])
+    ).alias("__f")
+    cond = None
+    if concise:
+        cond = F.col(f"__l.{spec['localField']}").eqNullSafe(
+            F.col(f"__f.{spec['foreignField']}")
+        )
+    if cond_spec is not None:
+        expr_cond = _ref(cond_spec, resolve).cast("boolean")
+        cond = expr_cond if cond is None else cond & expr_cond
+    joined = left.join(fprep, cond, "left")
+    return (
+        joined.groupBy(F.col(f"__l.{row_id}"))
+        .agg(
+            *[F.first(F.col(f"__l.{c}")).alias(c) for c in base_cols],
+            F.collect_list(F.col("__f.__frow")).alias(out_name),
+        )
+        .drop(row_id)
+    )
+
+
 # ----------------------------------------------------- $group stage (C5)
 def _acc_to_agg(alias: str, spec: dict[str, Any]) -> Column:
     """Unmasked accumulator — delegates to the masked dispatch with a
@@ -175,13 +292,16 @@ def _acc_to_agg(alias: str, spec: dict[str, Any]) -> Column:
     return _acc_to_agg_masked(alias, spec, F.lit(True))
 
 
-def _ref(arg: Any) -> Column:
+def _ref(arg: Any, resolve=None) -> Column:
     """'$field' → column reference; literals pass through; operator
-    dicts recurse into the expression language (:func:`_expr`)."""
+    dicts recurse into the expression language (:func:`_expr`). An
+    optional ``resolve`` callable overrides how '$field' / '$$var'
+    tokens become Columns — the correlated-$lookup compiler uses it to
+    bind '$field' to the foreign side and '$$var' to the local side."""
     if isinstance(arg, str) and arg.startswith("$"):
-        return F.col(arg[1:])
+        return resolve(arg) if resolve is not None else F.col(arg[1:])
     if isinstance(arg, dict):
-        return _expr(arg)
+        return _expr(arg, resolve)
     return F.lit(arg)
 
 
@@ -207,10 +327,11 @@ _EXPR_OPS = {
     "$toLower": lambda a: F.lower(a),
     "$concat": lambda *xs: F.concat(*xs),
     "$strLenCP": lambda a: F.length(a),
+    "$size": lambda a: F.size(a).cast("long"),
 }
 
 
-def _expr(spec: dict[str, Any]) -> Column:
+def _expr(spec: dict[str, Any], resolve=None) -> Column:
     """One {$op: operands} expression document → a Column."""
     if len(spec) != 1:
         raise DocumentQueryError(f"Bad expression: {spec!r}")
@@ -223,13 +344,23 @@ def _expr(spec: dict[str, Any]) -> Column:
             parts = list(operands)
         if len(parts) != 3 or any(p is None for p in parts):
             raise DocumentQueryError(f"$cond needs if/then/else: {spec!r}")
-        cond, then, other = (_ref(p) for p in parts)
+        cond, then, other = (_ref(p, resolve) for p in parts)
         return F.when(cond, then).otherwise(other)
+    if op in ("$and", "$or"):
+        import functools
+        import operator as _op
+
+        subs = [_ref(a, resolve).cast("boolean") for a in operands]
+        if not subs:
+            raise DocumentQueryError(f"{op} needs operands: {spec!r}")
+        return functools.reduce(
+            _op.and_ if op == "$and" else _op.or_, subs
+        )
     fn = _EXPR_OPS.get(op)
     if fn is None:
         raise DocumentQueryError(f"Unsupported expression operator: {op}")
     args = operands if isinstance(operands, list) else [operands]
-    return fn(*[_ref(a) for a in args])
+    return fn(*[_ref(a, resolve) for a in args])
 
 
 def _acc_to_agg_masked(alias: str, spec: dict[str, Any], cond: Column) -> Column:
@@ -689,8 +820,9 @@ class DocumentStore:
                     gen = F.explode_outer if preserve else F.explode
                     df = df.withColumn(field, gen(F.col(field)))
             elif op == "$lookup":
-                # Two supported forms, both BEYOND the reference surface
-                # (its translator never emits $lookup):
+                # Four supported forms, all BEYOND the reference surface
+                # (its translator never emits $lookup,
+                # NLP_SQLizer/backend/app/ai/nl2mongo.py:64-67):
                 #   {"from", "localField", "foreignField", "as"} —
                 #     Mongo's left outer equi-join: matches collect into
                 #     an array column (possibly empty). Spark shape =
@@ -709,21 +841,23 @@ class DocumentStore:
                 #     broadcast-cross-join it onto the local scan — the
                 #     payload is one row of metadata-sized aggregate
                 #     output, never re-executed per local row.
-                # The CORRELATED form ("let" + $$var references) has no
-                # equi-join translation without expression rewriting —
-                # rejected loudly rather than mis-executed.
-                if "let" in spec:
-                    raise DocumentQueryError(
-                        "$lookup with 'let' (correlated sub-pipeline) is "
-                        "not supported; use localField/foreignField or "
-                        "an uncorrelated 'pipeline'"
+                #   {"from", "let", "pipeline", "as"} and the concise
+                #     {"from", "localField", "foreignField", "pipeline",
+                #     "as"} — the CORRELATED forms, de-correlated into
+                #     one left outer join by substituting the let
+                #     bindings into the $match's $expr (Catalyst's own
+                #     LATERAL rewrite — see :func:`lookup_correlated`
+                #     for the accepted sub-pipeline shapes and the loud
+                #     contract on everything else).
+                if "let" in spec or (
+                    "pipeline" in spec
+                    and ("localField" in spec or "foreignField" in spec)
+                ):
+                    df = lookup_correlated(
+                        df, self.collection(spec["from"]), spec
                     )
+                    continue
                 if "pipeline" in spec:
-                    if "localField" in spec or "foreignField" in spec:
-                        raise DocumentQueryError(
-                            "$lookup concise correlated form "
-                            "(pipeline + localField) is not supported"
-                        )
                     sub = self._apply_pipeline(
                         self.collection(spec["from"]), spec["pipeline"]
                     )
@@ -1305,4 +1439,60 @@ Q167_ORACLE_SQL = """
     FROM documents
     ORDER BY doc_id
     LIMIT 20 OFFSET 40
+"""
+
+
+def q168_doc_lookup_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated ``$lookup`` (the post-2019 Mongo join idiom the
+    reference's translator never emits — beyond-parity): the 10 richest
+    customers each receive their own orders above 100k via a
+    ``let``/``$expr`` sub-pipeline, counted with ``$size``. The
+    de-correlation compiles the $match to an eqNullSafe equi-join
+    (hash/sort-merge, broadcast-able — see :func:`lookup_correlated`),
+    so the 100 TB plan is one key-shuffle, never a per-row probe.
+    Oracle: LEFT JOIN + GROUP BY twin."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("customer", load_table(spark, sf_dir, "customer"))
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "customer",
+        [
+            {"$sort": {"c_acctbal": -1, "c_custkey": 1}},
+            {"$limit": 10},
+            {"$lookup": {
+                "from": "orders",
+                "let": {"cid": "$c_custkey"},
+                "pipeline": [{"$match": {"$expr": {"$and": [
+                    {"$eq": ["$o_custkey", "$$cid"]},
+                    {"$gt": ["$o_totalprice", 100000]},
+                ]}}}],
+                "as": "big_orders",
+            }},
+            {"$project": {
+                "c_custkey": 1,
+                "c_acctbal": 1,
+                "n_big": {"$size": "$big_orders"},
+            }},
+        ],
+    )
+    return out.select("c_custkey", F.round("c_acctbal", 2).alias("acctbal"),
+                      "n_big")
+
+
+Q168_ORACLE_SQL = """
+    WITH top10 AS (
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 10
+    )
+    SELECT t.c_custkey,
+           round(t.c_acctbal, 2) AS acctbal,
+           count(o.o_orderkey)   AS n_big
+    FROM top10 t
+    LEFT JOIN orders o
+      ON o.o_custkey = t.c_custkey AND o.o_totalprice > 100000
+    GROUP BY t.c_custkey, t.c_acctbal
 """

@@ -1028,6 +1028,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $skip/$replaceRoot pagination surface (page-3 listing over a
     # unique sort key; OFFSET oracle) — NEW r6.
     "q167_doc_pagination": DOC.q167_doc_pagination,
+    # Correlated $lookup (let/$expr + concise form) de-correlated into
+    # one equi-join — closes the last loud hole in the Mongo dialect.
+    # NEW r7.
+    "q168_doc_lookup_correlated": DOC.q168_doc_lookup_correlated,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2486,6 +2490,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q165_hotkey_sketch": None,
     "q166_edit_distance_pairs": D.edit_distance_oracle_sql(),
     "q167_doc_pagination": DOC.Q167_ORACLE_SQL,
+    "q168_doc_lookup_correlated": DOC.Q168_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

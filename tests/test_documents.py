@@ -725,19 +725,105 @@ def test_lookup_pipeline_form_and_let_contract(spark):
     for r in out:  # every local row carries the SAME full aggregate
         assert [(x["_id"], x["n"]) for x in r["per_author"]] == [(1, 2), (2, 1)]
 
+    # narrowed error contract (r7): 'let' without a correlating $match
+    # and sub-pipeline stages beyond $match(+$project) stay loud errors
     with _pytest.raises(DocumentQueryError, match="let"):
         store.aggregate(
             "users",
             [{"$lookup": {"from": "posts", "let": {"u": "$uid"},
                           "pipeline": [], "as": "x"}}],
         )
-    with _pytest.raises(DocumentQueryError, match="concise correlated"):
+    with _pytest.raises(DocumentQueryError, match="unsupported stages"):
         store.aggregate(
             "users",
             [{"$lookup": {"from": "posts", "localField": "uid",
                           "foreignField": "author",
                           "pipeline": [{"$limit": 1}], "as": "x"}}],
         )
+    with _pytest.raises(DocumentQueryError, match="not defined"):
+        store.aggregate(
+            "users",
+            [{"$lookup": {"from": "posts", "let": {"u": "$uid"},
+                          "pipeline": [{"$match": {"$expr": {
+                              "$eq": ["$author", "$$nope"]}}}],
+                          "as": "x"}}],
+        )
+
+
+def test_lookup_correlated_let_and_concise_forms(spark):
+    """Correlated $lookup de-correlates to ONE left outer join: the
+    classic let/$expr form, the concise form (equi + extra predicate),
+    the empty-array contract for unmatched rows, and the $project
+    payload narrowing."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import DocumentStore
+
+    store = DocumentStore(spark)
+    store.register(
+        "users",
+        spark.createDataFrame(
+            [(1, "ann"), (2, "bo"), (3, "cy")], "uid long, name string"
+        ),
+    )
+    store.register(
+        "posts",
+        spark.createDataFrame(
+            [(10, 1, 5), (11, 1, 1), (12, 2, 7)],
+            "pid long, author long, score long",
+        ),
+    )
+    # classic correlated form: per-user posts with score above a bound
+    out = store.aggregate(
+        "users",
+        [
+            {"$lookup": {
+                "from": "posts",
+                "let": {"u": "$uid"},
+                "pipeline": [{"$match": {"$expr": {"$and": [
+                    {"$eq": ["$author", "$$u"]},
+                    {"$gt": ["$score", 2]},
+                ]}}}],
+                "as": "good_posts",
+            }},
+            {"$sort": {"uid": 1}},
+        ],
+    ).collect()
+    by_uid = {r["uid"]: sorted(p["pid"] for p in r["good_posts"]) for r in out}
+    assert by_uid == {1: [10], 2: [12], 3: []}  # cy: EMPTY array, not null
+
+    # concise correlated form + include-only $project payload
+    out2 = store.aggregate(
+        "users",
+        [
+            {"$lookup": {
+                "from": "posts",
+                "localField": "uid",
+                "foreignField": "author",
+                "pipeline": [
+                    {"$match": {"$expr": {"$gt": ["$score", 2]}}},
+                    {"$project": {"pid": 1}},
+                ],
+                "as": "good_posts",
+            }},
+            {"$sort": {"uid": 1}},
+        ],
+    ).collect()
+    by_uid2 = {r["uid"]: sorted(p["pid"] for p in r["good_posts"]) for r in out2}
+    assert by_uid2 == {1: [10], 2: [12], 3: []}
+    nonempty = next(r for r in out2 if r["uid"] == 1)
+    assert list(nonempty["good_posts"][0].asDict()) == ["pid"]  # projected
+
+    # the de-correlated plan is a real equi-join, not a nested loop
+    plan_df = store.aggregate(
+        "users",
+        [{"$lookup": {
+            "from": "posts",
+            "let": {"u": "$uid"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$author", "$$u"]}}}],
+            "as": "p",
+        }}],
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_facet_match_prelude_single_scan(spark, sf_check):
