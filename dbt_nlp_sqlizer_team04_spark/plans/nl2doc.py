@@ -260,6 +260,101 @@ class NL2DocEngine:
         filtered = set(match)
         prelude = [{"$match": match}] if match else []
 
+        # pagination phrasing — "page N of ..." / "second page of ..."
+        # (+ optional "M per page", default 25) compiles to the find
+        # form's sort/skip/limit (q167's $skip surface): a unique-ish
+        # sort key keeps pages stable — the "by <field>" phrase wins,
+        # else the first id-suffixed field, else the first field
+        ql = question.lower()
+        pg = _re.search(
+            r"\b(?:page\s+(\d+)|(first|second|third|fourth|fifth)\s+page)"
+            r"\s+of\b",
+            ql,
+        )
+        if pg:
+            n_page = (
+                int(pg.group(1))
+                if pg.group(1)
+                else {"first": 1, "second": 2, "third": 3,
+                      "fourth": 4, "fifth": 5}[pg.group(2)]
+            )
+            ps = _re.search(r"\b(\d+)\s+per\s+page\b", ql)
+            size = int(ps.group(1)) if ps else 25
+            bym = _re.search(r"\bby\s+([a-z_]+)", ql)
+            f = (
+                best_field(exclude_id=False, text=bym.group(1))
+                if bym
+                else None
+            )
+            if f is None:
+                f = next(
+                    (x for x in fields if x.endswith("id")), fields[0]
+                )
+            return {
+                "collection": coll,
+                "find": match,
+                "sort": {f: 1},
+                "skip": (n_page - 1) * size,
+                "limit": size,
+            }
+
+        # join phrasing — "... with their <g> counts" compiles to the
+        # uncorrelated $lookup pipeline form (q157's shape: the
+        # per-<g> counts aggregate runs ONCE over the collection and
+        # broadcasts onto the shortlisted rows), then $unwind + a
+        # computed $project flatten the payload for display
+        lm = _re.search(r"\bwith (?:their|the) ([a-z_]+) counts\b", ql)
+        if lm:
+            g = best_field(exclude=filtered, text=lm.group(1))
+            if g is not None:
+                nm2 = _re.search(
+                    r"\b(\d+)\s+(shortest|longest|smallest|largest|"
+                    r"cheapest|lowest|highest)\s+[a-z_]+?s?\s+by\s+"
+                    r"([a-z_]+)\b",
+                    ql,
+                )
+                n_lim = int(nm2.group(1)) if nm2 else 5
+                measure = best_field(
+                    numeric=True,
+                    exclude=filtered | {g},
+                    text=nm2.group(3) if nm2 else question,
+                )
+                if measure is not None:
+                    direction = (
+                        1
+                        if nm2
+                        and nm2.group(2)
+                        in ("shortest", "smallest", "cheapest", "lowest")
+                        else -1
+                    )
+                    idf = next(
+                        (x for x in fields if x.endswith("id")), None
+                    )
+                    sort: dict[str, int] = {measure: direction}
+                    if idf and idf != measure:
+                        sort[idf] = 1
+                    as_name = f"{g}_counts"
+                    proj: dict = {fld: 1 for fld in fields}
+                    proj[f"{g}_value"] = f"${as_name}._id"
+                    proj[f"{g}_n"] = f"${as_name}.n"
+                    return {
+                        "collection": coll,
+                        "pipeline": prelude + [
+                            {"$sort": sort},
+                            {"$limit": n_lim},
+                            {"$lookup": {
+                                "from": coll,
+                                "as": as_name,
+                                "pipeline": [{"$group": {
+                                    "_id": f"${g}",
+                                    "n": {"$sum": 1},
+                                }}],
+                            }},
+                            {"$unwind": f"${as_name}"},
+                            {"$project": proj},
+                        ],
+                    }
+
         # multi-facet breakdown: an explicit breakdown cue + two or more
         # "by <field>" phrases compile to $facet (ONE grouping-sets scan
         # — operators/documents.py:facet_group), e.g. "break down

@@ -227,6 +227,41 @@ def _nl47_doc_facet_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl55_doc_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc pagination phrasing: 'page N of ... by <key>, M per page'
+    compiles to the find form's sort/skip/limit (q167's $skip surface;
+    oracle: the ORDER BY/OFFSET/LIMIT SQL the template must produce)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "page 2 of documents by doc_id, 20 per page"
+    )
+    return df
+
+
+def _nl56_doc_lookup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc join phrasing: '... with their <g> counts' compiles to
+    the uncorrelated $lookup pipeline form (q157's broadcast shape) +
+    $unwind + computed $project (oracle: shortlist CROSS JOIN the
+    per-<g> counts)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "5 longest documents by n_chars with their lang counts"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -936,6 +971,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl54_totalprice_deciles": _nl2sql(
         "decile breakdown of totalprice in orders"
     ),
+    # NL pagination over the document surface ("page 2 ... 20 per
+    # page" → sort/skip/limit, the q167 machinery) — NEW r7.
+    "nl55_doc_pagination": _nl55_doc_pagination,
+    # NL join phrasing ("with their lang counts" → uncorrelated
+    # $lookup + $unwind, the q157 machinery) — NEW r7.
+    "nl56_doc_lookup_counts": _nl56_doc_lookup_counts,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -2572,6 +2613,25 @@ ORACLE_SQL: dict[str, str | None] = {
                    AS bucket_lo,
                count(*) AS cnt
         FROM orders GROUP BY bucket_lo ORDER BY bucket_lo
+    """,
+    "nl55_doc_pagination": """
+        SELECT doc_id, lang, n_chars, source, text
+        FROM documents
+        ORDER BY doc_id
+        LIMIT 20 OFFSET 20
+    """,
+    "nl56_doc_lookup_counts": """
+        WITH top5 AS (
+          SELECT doc_id, text, lang, source, n_chars
+          FROM documents
+          ORDER BY n_chars DESC, doc_id
+          LIMIT 5
+        ), lc AS (
+          SELECT lang AS lang_value, count(*) AS lang_n
+          FROM documents GROUP BY lang
+        )
+        SELECT doc_id, lang, lang_n, lang_value, n_chars, source, text
+        FROM top5 CROSS JOIN lc
     """,
     "nl47_doc_facet_breakdown": """
         WITH g AS (

@@ -507,6 +507,48 @@ def test_nl2doc_facet_breakdown_compiles(store):
     assert total == sum(r["n"] for r in rows if r["facet"] == "by_source")
 
 
+def test_nl2doc_pagination_compiles(store):
+    """'page N of ... by <key>, M per page' compiles to the find form's
+    sort/skip/limit; ordinal words and the page-size default work; no
+    'page' cue means no skip."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    df, q = eng.ask("page 2 of documents by doc_id, 20 per page")
+    assert q == {"collection": "documents", "find": {},
+                 "sort": {"doc_id": 1}, "skip": 20, "limit": 20}
+    assert [r["doc_id"] for r in df.collect()] == list(range(20, 40))
+
+    q2 = eng.template_query("third page of documents by doc_id")
+    assert q2["skip"] == 50 and q2["limit"] == 25  # default 25/page
+
+    q3 = eng.template_query("documents by doc_id")
+    assert "skip" not in q3
+
+
+def test_nl2doc_lookup_counts_compiles(store):
+    """'... with their <g> counts' compiles to the uncorrelated $lookup
+    pipeline form + $unwind + computed $project, and the executed frame
+    carries each shortlisted row once per corpus <g> value."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    df, q = NL2DocEngine(store).ask(
+        "5 longest documents by n_chars with their lang counts"
+    )
+    stages = [next(iter(s)) for s in q["pipeline"]]
+    assert stages == ["$sort", "$limit", "$lookup", "$unwind", "$project"]
+    lk = q["pipeline"][2]["$lookup"]
+    assert lk["from"] == "documents" and "let" not in lk
+    assert lk["pipeline"] == [{"$group": {"_id": "$lang", "n": {"$sum": 1}}}]
+    assert q["pipeline"][0]["$sort"] == {"n_chars": -1, "doc_id": 1}
+    rows = df.collect()
+    n_langs = store.collection("documents").select("lang").distinct().count()
+    assert len(rows) == 5 * n_langs
+    # every shortlisted doc carries the SAME corpus-wide counts
+    counts = {(r["lang_value"], r["lang_n"]) for r in rows}
+    assert len(counts) == n_langs
+
+
 def test_nl2doc_single_by_not_faceted(store):
     """One 'by' phrase (or no breakdown cue) must NOT trigger $facet —
     the plain grouped count keeps its shape."""
