@@ -180,6 +180,7 @@ HEADLINE = [
     "q166_edit_distance_pairs",
     "q167_doc_pagination",
     "q168_doc_lookup_correlated",
+    "q169_doc_union_with",
 ]
 
 

@@ -907,6 +907,42 @@ class DocumentStore:
                     )
                     .drop(row_id)
                 )
+            elif op == "$unionWith":
+                # {"coll": name} / bare "name" / {"coll", "pipeline"} —
+                # Mongo appends the other collection's documents to the
+                # stream WITH duplicates (SQL UNION ALL, B14's parity).
+                # Spark shape: unionByName — a no-shuffle concatenation
+                # of the two scans (Catalyst unions the file lists; at
+                # 100 TB this is exactly as cheap as reading both
+                # inputs). Mongo tolerates heterogeneous documents;
+                # a DataFrame engine cannot — schema drift between the
+                # two sides is a loud typed error naming the columns,
+                # not a silent null-fill. The sub-pipeline recurses
+                # through _apply_pipeline, so $out/$merge inside it hit
+                # the same read-only denial.
+                if isinstance(spec, str):
+                    other = self.collection(spec)
+                elif isinstance(spec, dict) and "coll" in spec:
+                    other = self.collection(spec["coll"])
+                    if spec.get("pipeline"):
+                        other = self._apply_pipeline(
+                            other, spec["pipeline"]
+                        )
+                else:
+                    raise DocumentQueryError(
+                        "$unionWith expects a collection name or "
+                        f"{{'coll', 'pipeline'}}: {spec!r}"
+                    )
+                missing = set(df.columns) - set(other.columns)
+                extra = set(other.columns) - set(df.columns)
+                if missing or extra:
+                    raise DocumentQueryError(
+                        "$unionWith schema drift between the two sides "
+                        f"(missing from union side: {sorted(missing)}, "
+                        f"extra on union side: {sorted(extra)}) — "
+                        "project both sides to a shared shape first"
+                    )
+                df = df.unionByName(other)
             elif op == "$facet":
                 # BEYOND the reference surface (like $lookup): the
                 # single-scan grouping-sets translation, see facet_group
@@ -1495,4 +1531,44 @@ Q168_ORACLE_SQL = """
     LEFT JOIN orders o
       ON o.o_custkey = t.c_custkey AND o.o_totalprice > 100000
     GROUP BY t.c_custkey, t.c_acctbal
+"""
+
+
+def q169_doc_union_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$unionWith`` (read-only union stage): English documents
+    unioned with the long-document slice of the SAME collection — the
+    two filters OVERLAP, so the per-language counts after the union
+    prove UNION ALL semantics (overlapping docs counted twice; B14's
+    parity on the document plane). Spark shape: two pushed-filter
+    scans concatenated with unionByName — no shuffle beyond the final
+    small groupBy. Oracle: UNION ALL twin."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {"$match": {"lang": "en"}},
+                {"$project": {"doc_id": 1, "lang": 1}},
+                {"$unionWith": {
+                    "coll": "documents",
+                    "pipeline": [
+                        {"$match": {"n_chars": {"$gte": 500}}},
+                        {"$project": {"doc_id": 1, "lang": 1}},
+                    ],
+                }},
+                {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+                {"$sort": {"_id": 1}},
+            ],
+        }
+    )
+    return out
+
+
+Q169_ORACLE_SQL = """
+    WITH u AS (
+      SELECT doc_id, lang FROM documents WHERE lang = 'en'
+      UNION ALL
+      SELECT doc_id, lang FROM documents WHERE n_chars >= 500
+    )
+    SELECT lang AS _id, count(*) AS n
+    FROM u GROUP BY lang ORDER BY _id
 """

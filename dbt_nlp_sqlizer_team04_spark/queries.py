@@ -1073,6 +1073,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # one equi-join — closes the last loud hole in the Mongo dialect.
     # NEW r7.
     "q168_doc_lookup_correlated": DOC.q168_doc_lookup_correlated,
+    # $unionWith read-only union stage (UNION ALL semantics, schema
+    # drift refused loudly) — NEW r7.
+    "q169_doc_union_with": DOC.q169_doc_union_with,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2532,6 +2535,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q166_edit_distance_pairs": D.edit_distance_oracle_sql(),
     "q167_doc_pagination": DOC.Q167_ORACLE_SQL,
     "q168_doc_lookup_correlated": DOC.Q168_ORACLE_SQL,
+    "q169_doc_union_with": DOC.Q169_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

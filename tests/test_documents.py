@@ -1116,3 +1116,35 @@ def test_facet_reserved_alias_rejected(store):
                                               "n2": {"$sum": 1}}}],
                 }}],
             )
+
+
+def test_union_with_semantics_and_drift_contract(store, spark):
+    """$unionWith keeps duplicates (UNION ALL), accepts the bare-name
+    and sub-pipelined forms, refuses schema drift loudly, and the
+    read-only denial reaches write stages inside its sub-pipeline."""
+    # bare name: documents ∪ documents = every doc twice
+    n = store.collection("documents").count()
+    out = store.aggregate(
+        "documents",
+        [{"$project": {"doc_id": 1}},
+         {"$unionWith": {"coll": "documents",
+                         "pipeline": [{"$project": {"doc_id": 1}}]}},
+         {"$group": {"_id": None, "n": {"$sum": 1}}}],
+    ).collect()
+    assert out[0]["n"] == 2 * n
+
+    with pytest.raises(DocumentQueryError, match="schema drift"):
+        store.aggregate(
+            "documents",
+            [{"$project": {"doc_id": 1}},
+             {"$unionWith": {"coll": "documents",
+                             "pipeline": [{"$project": {"lang": 1}}]}}],
+        )
+    with pytest.raises(DocumentQueryError, match="read-only"):
+        store.aggregate(
+            "documents",
+            [{"$unionWith": {"coll": "documents",
+                             "pipeline": [{"$out": "evil"}]}}],
+        )
+    with pytest.raises(DocumentQueryError, match="unionWith expects"):
+        store.aggregate("documents", [{"$unionWith": 42}])
