@@ -183,6 +183,16 @@ HEADLINE = [
     "q169_doc_union_with",
 ]
 
+# Round-over-round comparability (VERDICT r6 task 9): when a query's
+# time moves >2x between rounds BY DESIGN — a semantics fix that buys
+# scale-correctness at local micro-batch cost (the q147 r5→r6 lesson:
+# complete-mode → update-mode upsert so the watermark really evicts
+# state), or an operator deliberately re-tiered — the reason is recorded
+# here and shipped in the JSON line, so BENCH_r{N} vs BENCH_r{N-1}
+# deltas stay interpretable without commit archaeology. Host-load noise
+# does NOT get a note; only deliberate changes do.
+NOTES: dict[str, str] = {}
+
 
 def ingest(spark, sf_dir: str) -> None:
     """One-time index builds a real deployment runs at INGEST, not per
@@ -262,6 +272,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if NOTES:
+        payload["notes"] = NOTES
     line = json.dumps(payload)
     if len(line) > 1800:
         full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

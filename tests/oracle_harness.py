@@ -98,6 +98,72 @@ def compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> dict:
     return res
 
 
+# ------------------------------------------------ differential oracles
+# Entries whose semantics no SQL engine reproduces (iterative float
+# algorithms) but whose result is DETERMINISTIC: an INDEPENDENT
+# in-harness reference (pure Python, no shared code with the operator)
+# computes the expected rows and the same normalize/hash compare runs —
+# the q150 differential precedent promoted to registry level (r6
+# verdict task 8). The driver still records these as rows-only (it only
+# knows SQL oracles); this harness and the judge's re-run see values.
+def _q89_reference(spark, sf_dir: str):
+    """Pure-Python PageRank (dict arithmetic — no numpy, no code shared
+    with operators/graph.py) over the same persisted near-dup pair
+    table q89 reads: symmetrize, 6 damped power-iteration rounds from
+    the uniform vector, round to 6, top-20 by (rank desc, id)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.dedup import pairs_table_for
+
+    pairs = spark.table(pairs_table_for(spark, sf_dir)).collect()
+    edges: set[tuple[int, int]] = set()
+    for r in pairs:
+        a, b = int(r["id_a"]), int(r["id_b"])
+        if a != b:
+            edges.add((a, b))
+            edges.add((b, a))
+    nodes = sorted({a for a, _ in edges})
+    n = len(nodes)
+    if n == 0:
+        return ["id", "rank"], []
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    damping, base = 0.85, 0.15 / n
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(6):
+        mass = dict.fromkeys(nodes, 0.0)
+        for a, b in sorted(edges):  # deterministic accumulation order
+            mass[b] += rank[a] / deg[a]
+        rank = {v: base + damping * mass[v] for v in nodes}
+    top = sorted(
+        ((v, round(rank[v], 6)) for v in nodes),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    return ["id", "rank"], [tuple(kv) for kv in top]
+
+
+DIFFERENTIAL = {"q89_neardup_pagerank": _q89_reference}
+
+
+def compare_differential(spark, sf_dir: str, name: str, fn, ref) -> dict:
+    sdf = fn(spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    o_cols, o_rows = ref(spark, sf_dir)
+    res = {"name": name, "spark_rows": len(s_rows), "oracle_rows": len(o_rows)}
+    nsc, nsr = normalize(sdf.columns, s_rows)
+    noc, nor = normalize(o_cols, o_rows)
+    if nsc != noc:
+        res["status"] = "SCHEMA-MISMATCH"
+        res["detail"] = f"spark={nsc} ref={noc}"
+    elif len(nsr) != len(nor):
+        res["status"] = "ROWCOUNT-MISMATCH"
+    elif nsr != nor:
+        res["status"] = "VALUE-MISMATCH"
+        res["detail"] = str([(a, b) for a, b in zip(nsr, nor) if a != b][:3])
+    else:
+        res["status"] = "OK-diff"
+    return res
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
     from dbt_nlp_sqlizer_team04_spark.queries import ORACLE_SQL, SPARK_QUERIES
     from dbt_nlp_sqlizer_team04_spark.session import get_spark
@@ -108,10 +174,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         if only and name not in only:
             continue
         try:
-            r = compare(spark, sf_dir, name, fn, ORACLE_SQL.get(name))
+            if ORACLE_SQL.get(name) is None and name in DIFFERENTIAL:
+                r = compare_differential(
+                    spark, sf_dir, name, fn, DIFFERENTIAL[name]
+                )
+            else:
+                r = compare(spark, sf_dir, name, fn, ORACLE_SQL.get(name))
         except Exception as e:  # noqa: BLE001
             r = {"name": name, "status": "ERROR", "detail": str(e)[:300]}
-        if r["status"] not in ("OK", "rows-only"):
+        if r["status"] not in ("OK", "rows-only", "OK-diff"):
             failures += 1
         print(f"{r['status']:18s} {name:32s} rows={r.get('spark_rows','?')}"
               + (f" detail={r['detail']}" if "detail" in r else ""))
