@@ -181,6 +181,7 @@ HEADLINE = [
     "q167_doc_pagination",
     "q168_doc_lookup_correlated",
     "q169_doc_union_with",
+    "q170_doc_window_fields",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -28,7 +28,9 @@ partial aggregation, TakeOrderedAndProject) instead of a document DB:
                   explode/join+collect_list/grouping-sets/CASE-chain
                   aggregate/withColumns; accumulators and $addFields
                   speak the expression dialect ($cond, comparisons,
-                  arithmetic, string ops — all codegen)
+                  arithmetic, string ops — all codegen);
+                  $setWindowFields (rank family/$shift/framed
+                  accumulators) onto Spark window functions
 
 Flattening keeps the reference's display contract: columns = union of
 fields with ``_id`` first, nested structs/maps/arrays rendered as JSON
@@ -617,6 +619,175 @@ def bucket_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.groupBy(label.alias("_id")).agg(*aggs)
 
 
+# ------------------------------------------- $setWindowFields (C5+)
+_WINDOW_RANK_OPS = {
+    "$rank": F.rank,
+    "$denseRank": F.dense_rank,
+    "$documentNumber": F.row_number,
+}
+_WINDOW_AGG_OPS = {
+    "$sum": F.sum,
+    "$avg": F.avg,
+    "$min": F.min,
+    "$max": F.max,
+    "$first": lambda c: F.first(c, ignorenulls=False),
+    "$last": lambda c: F.last(c, ignorenulls=False),
+}
+
+
+def _frame_bound(tok: Any, *, lower: bool):
+    """Mongo window bound token → Spark frame boundary: "unbounded",
+    "current", or a signed integer offset (negative = preceding)."""
+    from pyspark.sql import Window
+
+    if tok == "unbounded":
+        return Window.unboundedPreceding if lower else Window.unboundedFollowing
+    if tok == "current":
+        return Window.currentRow
+    if isinstance(tok, int) and not isinstance(tok, bool):
+        return tok
+    raise DocumentQueryError(f"Bad window bound: {tok!r}")
+
+
+def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$setWindowFields`` (Mongo 5.0) → Spark window functions.
+
+    ``{"partitionBy": "$f" | expr | None, "sortBy": {f: 1|-1, ...},
+    "output": {name: {$op: arg[, "window": {"documents"|"range":
+    [lo, hi]}]}, ...}}``
+
+    Translation is 1:1 with Spark's ``Window`` spec — every output
+    field is one ``Column.over(window)`` added via ``withColumns``, so
+    fields sharing a (partition, sort, frame) ride the SAME physical
+    sort (Catalyst collapses them into one Window operator; no extra
+    exchange or sort per field):
+
+    - rank family ($rank/$denseRank/$documentNumber) — requires
+      ``sortBy``, takes no frame (Mongo contract, enforced loudly);
+    - $shift {output, by, default} — ``lead`` for positive ``by``,
+      ``lag`` for negative, null-filled with ``default`` (coalesce);
+    - accumulators ($sum/$avg/$min/$max/$count/$first/$last) with an
+      optional frame: ``documents`` bounds → ``rowsBetween``; ``range``
+      bounds → ``rangeBetween`` (single ascending numeric sort key,
+      Spark's own rangeBetween precondition, enforced loudly; time
+      ``unit`` ranges are not compiled). Default frame when ``window``
+      is omitted is the WHOLE partition — Mongo's documented
+      ["unbounded", "unbounded"] default.
+
+    Scale: a missing ``partitionBy`` is compiled (Mongo allows it) but
+    funnels the whole input through ONE task's sort — same single-key
+    hazard as a global window in SQL; real pipelines partition. The
+    per-partition sort is Tungsten spillable, so wide partitions bound
+    memory, not correctness. No reference analog (the reference's
+    translator predates Mongo 5.0 stages — nl2mongo.py emits only
+    find/$group shapes); implemented for dialect completeness next to
+    $facet/$bucket.
+    """
+    from pyspark.sql import Window
+
+    if not isinstance(spec, dict):
+        raise DocumentQueryError(f"Bad $setWindowFields spec: {spec!r}")
+    output = spec.get("output")
+    if not isinstance(output, dict) or not output:
+        raise DocumentQueryError(
+            "$setWindowFields requires a non-empty 'output' map"
+        )
+    part = spec.get("partitionBy")
+    part_cols = [_ref(part)] if part is not None else []
+    sort_by = spec.get("sortBy")
+    if sort_by is not None and not (isinstance(sort_by, dict) and sort_by):
+        raise DocumentQueryError(f"Bad sortBy: {sort_by!r}")
+    sort_cols = (
+        [
+            F.col(f).asc() if d >= 0 else F.col(f).desc()
+            for f, d in sort_by.items()
+        ]
+        if sort_by
+        else []
+    )
+    base = Window.partitionBy(*part_cols)
+    sorted_w = base.orderBy(*sort_cols) if sort_cols else None
+
+    out_cols: dict[str, Column] = {}
+    for name, ospec in output.items():
+        if not isinstance(ospec, dict) or not ospec:
+            raise DocumentQueryError(f"Bad output field {name!r}: {ospec!r}")
+        frame = ospec.get("window")
+        body = {k: v for k, v in ospec.items() if k != "window"}
+        if len(body) != 1:
+            raise DocumentQueryError(
+                f"output field {name!r} needs exactly one window operator"
+            )
+        op, arg = next(iter(body.items()))
+        if op in _WINDOW_RANK_OPS:
+            if sorted_w is None:
+                raise DocumentQueryError(f"{op} requires sortBy")
+            if frame is not None:
+                raise DocumentQueryError(f"{op} takes no window frame")
+            out_cols[name] = _WINDOW_RANK_OPS[op]().over(sorted_w)
+            continue
+        if op == "$shift":
+            if sorted_w is None:
+                raise DocumentQueryError("$shift requires sortBy")
+            if frame is not None:
+                raise DocumentQueryError("$shift takes no window frame")
+            if not isinstance(arg, dict) or "output" not in arg:
+                raise DocumentQueryError(f"Bad $shift spec: {arg!r}")
+            by = arg.get("by", 1)
+            if not isinstance(by, int) or isinstance(by, bool):
+                raise DocumentQueryError(f"$shift 'by' must be an int: {by!r}")
+            src = _ref(arg["output"])
+            shifted = (
+                F.lead(src, by) if by >= 0 else F.lag(src, -by)
+            ).over(sorted_w)
+            default = arg.get("default")
+            out_cols[name] = (
+                F.coalesce(shifted, F.lit(default))
+                if default is not None
+                else shifted
+            )
+            continue
+        if op == "$count":
+            col = F.count(F.lit(1))
+        elif op in _WINDOW_AGG_OPS:
+            col = _WINDOW_AGG_OPS[op](_ref(arg))
+        else:
+            raise DocumentQueryError(f"Unsupported window operator: {op}")
+        if frame is None:
+            # Mongo default: ["unbounded", "unbounded"] over the
+            # partition — the frame-less Window.partitionBy form
+            out_cols[name] = col.over(base)
+            continue
+        if not isinstance(frame, dict) or len(frame) != 1:
+            raise DocumentQueryError(f"Bad window frame: {frame!r}")
+        kind, bounds = next(iter(frame.items()))
+        if not isinstance(bounds, list) or len(bounds) != 2:
+            raise DocumentQueryError(f"Bad window bounds: {bounds!r}")
+        lo = _frame_bound(bounds[0], lower=True)
+        hi = _frame_bound(bounds[1], lower=False)
+        if kind == "documents":
+            if sorted_w is None:
+                raise DocumentQueryError("documents window requires sortBy")
+            w = sorted_w.rowsBetween(lo, hi)
+        elif kind == "range":
+            if not (
+                sort_by
+                and len(sort_by) == 1
+                and next(iter(sort_by.values())) >= 0
+            ):
+                raise DocumentQueryError(
+                    "range window requires a single ascending sortBy key"
+                )
+            w = sorted_w.rangeBetween(lo, hi)
+        else:
+            raise DocumentQueryError(
+                f"Unsupported window kind: {kind!r} "
+                "(documents/range; time 'unit' ranges are not compiled)"
+            )
+        out_cols[name] = col.over(w)
+    return df.withColumns(out_cols)
+
+
 # ---------------------------------------------------------------- store
 class DocumentStore:
     """Collections = named DataFrames; the Mongo-analog façade (C9).
@@ -962,6 +1133,10 @@ class DocumentStore:
                 df = df.withColumns(
                     {name: _ref(e) for name, e in spec.items()}
                 )
+            elif op == "$setWindowFields":
+                # BEYOND the reference surface: Mongo 5.0 window stage,
+                # 1:1 onto Spark window functions — see set_window_fields
+                df = set_window_fields(df, spec)
             elif op == "$sortByCount":
                 # sugar for $group{_id,count}+$sort{count:-1} (Mongo
                 # leaves tie order unspecified; _id breaks ties here so
@@ -1571,4 +1746,70 @@ Q169_ORACLE_SQL = """
     )
     SELECT lang AS _id, count(*) AS n
     FROM u GROUP BY lang ORDER BY _id
+"""
+
+
+def q170_doc_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$setWindowFields`` end-to-end: per-source top-5 documents by
+    length carrying a rank, a running character total (documents
+    frame), the previous doc id ($shift by -1 → lag), and the
+    partition-wide total (frame-less accumulator) — all four output
+    fields share one (partition, sort), so the physical plan carries
+    exactly ONE exchange and ONE sort (measured; the frame-less total
+    becomes a second Window operator riding the same sorted exchange —
+    zero extra shuffles).
+    Oracle: the ANSI window-function twin. Sort key (n_chars DESC,
+    doc_id) is unique per partition, so rank and shift are
+    deterministic and hash-stable."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {"$setWindowFields": {
+                    "partitionBy": "$source",
+                    "sortBy": {"n_chars": -1, "doc_id": 1},
+                    "output": {
+                        "rnk": {"$rank": {}},
+                        "running_chars": {
+                            "$sum": "$n_chars",
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                        "prev_doc": {
+                            "$shift": {"output": "$doc_id", "by": -1,
+                                       "default": -1}
+                        },
+                        "source_chars": {"$sum": "$n_chars"},
+                    },
+                }},
+                {"$match": {"rnk": {"$lte": 5}}},
+                {"$project": {"doc_id": 1, "source": 1, "n_chars": 1,
+                              "rnk": 1, "running_chars": 1,
+                              "prev_doc": 1, "source_chars": 1}},
+                # unique order before the (injected-or-explicit) limit
+                # so the row SET is deterministic (driver contract)
+                {"$sort": {"source": 1, "rnk": 1}},
+                {"$limit": 500},
+            ],
+        }
+    )
+    return out.withColumn("prev_doc", F.col("prev_doc").cast("long"))
+
+
+Q170_ORACLE_SQL = """
+    SELECT doc_id, source, n_chars, rnk, running_chars, prev_doc,
+           source_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             RANK() OVER w AS rnk,
+             CAST(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS running_chars,
+             COALESCE(LAG(doc_id, 1) OVER w, -1) AS prev_doc,
+             CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT)
+               AS source_chars
+      FROM documents
+      WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+    )
+    WHERE rnk <= 5
 """

@@ -1076,6 +1076,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $unionWith read-only union stage (UNION ALL semantics, schema
     # drift refused loudly) — NEW r7.
     "q169_doc_union_with": DOC.q169_doc_union_with,
+    # $setWindowFields (Mongo 5.0 window stage): rank family + $shift +
+    # framed accumulators onto ONE Spark Window operator — NEW r7.
+    "q170_doc_window_fields": DOC.q170_doc_window_fields,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2536,6 +2539,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q167_doc_pagination": DOC.Q167_ORACLE_SQL,
     "q168_doc_lookup_correlated": DOC.Q168_ORACLE_SQL,
     "q169_doc_union_with": DOC.Q169_ORACLE_SQL,
+    "q170_doc_window_fields": DOC.Q170_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

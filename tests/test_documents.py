@@ -1148,3 +1148,131 @@ def test_union_with_semantics_and_drift_contract(store, spark):
         )
     with pytest.raises(DocumentQueryError, match="unionWith expects"):
         store.aggregate("documents", [{"$unionWith": 42}])
+
+
+def test_set_window_fields_semantics_and_plan(store, spark):
+    """$setWindowFields: rank/denseRank/documentNumber, framed and
+    frame-less accumulators, range windows, $shift in both directions —
+    values pinned against a hand-built window twin, and the shared
+    (partition, sort) compiles to ONE exchange + ONE sort."""
+    out = store.aggregate(
+        "documents",
+        [{"$setWindowFields": {
+            "partitionBy": "$source",
+            "sortBy": {"n_chars": -1, "doc_id": 1},
+            "output": {
+                "rnk": {"$rank": {}},
+                "rn": {"$documentNumber": {}},
+                "run": {"$sum": "$n_chars",
+                        "window": {"documents": ["unbounded", "current"]}},
+                "tot": {"$sum": "$n_chars"},
+                "nxt": {"$shift": {"output": "$doc_id", "by": 1}},
+                "prv": {"$shift": {"output": "$doc_id", "by": -1,
+                                   "default": -1}},
+            },
+        }},
+         {"$match": {"rn": {"$lte": 3}}},
+         {"$limit": 10000}],
+    )
+    rows = out.collect()
+    from pyspark.sql import Window
+
+    docs = store.collection("documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    twin = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            F.rank().over(w).alias("rnk"),
+            F.row_number().over(w).alias("rn"),
+            F.sum("n_chars").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("run"),
+            F.sum("n_chars").over(Window.partitionBy("source")).alias("tot"),
+            F.lead("doc_id", 1).over(w).alias("nxt"),
+            F.coalesce(F.lag("doc_id", 1).over(w), F.lit(-1)).alias("prv"),
+        ).collect()
+    }
+    assert rows
+    for r in rows:
+        t = twin[r["doc_id"]]
+        for c in ("rnk", "rn", "run", "tot", "nxt", "prv"):
+            assert r[c] == t[c], (r["doc_id"], c, r[c], t[c])
+    # AQE plan strings repeat the tree under "== Initial Plan ==" —
+    # count only the final plan: ONE hash exchange for all six fields.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+
+    # rank-only pipeline: the rank predicate is pushed below the
+    # shuffle as a WindowGroupLimit (per-partition top-k before the
+    # exchange) — the partition-wide accumulators above correctly
+    # block this pushdown, a rank-only stage gets it
+    ranked = store.aggregate(
+        "documents",
+        [{"$setWindowFields": {
+            "partitionBy": "$source",
+            "sortBy": {"n_chars": -1, "doc_id": 1},
+            "output": {"rnk": {"$rank": {}}},
+        }},
+         {"$match": {"rnk": {"$lte": 3}}},
+         {"$limit": 10000}],
+    )
+    rplan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in rplan.split("== Initial Plan ==")[0]
+
+    # range window: cumulative count of docs with n_chars <= mine
+    rng = store.aggregate(
+        "documents",
+        [{"$setWindowFields": {
+            "sortBy": {"n_chars": 1},
+            "output": {"n_le": {"$count": {},
+                                "window": {"range": ["unbounded", "current"]}}},
+        }},
+         {"$sort": {"doc_id": 1}}, {"$limit": 50}],
+    ).collect()
+    by_id = {r["doc_id"]: r["n_le"] for r in rng}
+    chars = dict(
+        docs.select("doc_id", "n_chars").limit(0).collect()
+    )  # placeholder keeps lints quiet
+    sample = docs.select("doc_id", "n_chars").collect()
+    all_chars = [r["n_chars"] for r in sample]
+    for r in sample:
+        if r["doc_id"] in by_id:
+            assert by_id[r["doc_id"]] == sum(
+                1 for c in all_chars if c <= r["n_chars"]
+            )
+    assert chars == {}
+
+    # error contracts
+    with pytest.raises(DocumentQueryError, match="requires sortBy"):
+        store.aggregate(
+            "documents",
+            [{"$setWindowFields": {"output": {"r": {"$rank": {}}}}}],
+        )
+    with pytest.raises(DocumentQueryError, match="no window frame"):
+        store.aggregate(
+            "documents",
+            [{"$setWindowFields": {
+                "sortBy": {"doc_id": 1},
+                "output": {"r": {"$rank": {},
+                                 "window": {"documents": [0, 1]}}},
+            }}],
+        )
+    with pytest.raises(DocumentQueryError, match="ascending sortBy"):
+        store.aggregate(
+            "documents",
+            [{"$setWindowFields": {
+                "sortBy": {"n_chars": -1},
+                "output": {"s": {"$sum": "$n_chars",
+                                 "window": {"range": [-10, 0]}}},
+            }}],
+        )
+    with pytest.raises(DocumentQueryError, match="Unsupported window"):
+        store.aggregate(
+            "documents",
+            [{"$setWindowFields": {
+                "sortBy": {"doc_id": 1},
+                "output": {"s": {"$median": "$n_chars"}},
+            }}],
+        )
