@@ -182,6 +182,7 @@ HEADLINE = [
     "q168_doc_lookup_correlated",
     "q169_doc_union_with",
     "q170_doc_window_fields",
+    "q171_doc_densify_fill",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -333,11 +333,29 @@ _EXPR_OPS = {
 }
 
 
+_DATE_TRUNC_UNITS = {"year", "quarter", "month", "week", "day", "hour",
+                     "minute"}
+
+
 def _expr(spec: dict[str, Any], resolve=None) -> Column:
     """One {$op: operands} expression document → a Column."""
     if len(spec) != 1:
         raise DocumentQueryError(f"Bad expression: {spec!r}")
     op, operands = next(iter(spec.items()))
+    if op == "$dateTrunc":
+        # {"date": "$ts", "unit": "day"} → date_trunc; day-or-coarser
+        # units come back as DATE (Mongo returns a Date at the
+        # boundary), finer units stay TIMESTAMP
+        if not (isinstance(operands, dict) and "date" in operands
+                and "unit" in operands):
+            raise DocumentQueryError(f"$dateTrunc needs date+unit: {spec!r}")
+        unit = operands["unit"]
+        if unit not in _DATE_TRUNC_UNITS:
+            raise DocumentQueryError(f"$dateTrunc bad unit: {unit!r}")
+        truncated = F.date_trunc(unit, _ref(operands["date"], resolve))
+        if unit in ("year", "quarter", "month", "week", "day"):
+            return truncated.cast("date")
+        return truncated
     if op == "$cond":
         if isinstance(operands, dict):
             parts = [operands.get("if"), operands.get("then"),
@@ -788,6 +806,234 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.withColumns(out_cols)
 
 
+# ------------------------------------------- $densify / $fill (C5+)
+_DENSIFY_MAX_POINTS = 10_000_000  # per-partition spine cap, see below
+
+
+def densify_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$densify`` (Mongo 5.1) — insert documents at step intervals of
+    a numeric or date/timestamp field so downstream windows see a
+    gapless axis.
+
+    ``{"field": f, "partitionByFields": [p, ...], "range": {"step": k
+    [, "unit": "day"|...], "bounds": "full" | "partition" |
+    [lo, hi]}}``
+
+    Spark shape (three bounded pieces, no driver loop):
+
+    1. a bounds frame — per-partition ``min/max`` (``"partition"``), the
+       global min/max broadcast-crossed with the distinct partition
+       keys (``"full"``), or literal ``[lo, hi)`` bounds (Mongo's
+       half-open contract; the spine filters ``< hi``) — a
+       partitions-sized aggregate with map-side combine;
+    2. the spine: ``explode(sequence(lo, hi, step))`` over that frame —
+       date/timestamp fields step by ``interval k unit``; integral
+       fields by a literal step (a fractional numeric step is a loud
+       typed error — binary-float steps silently drift off-grid);
+    3. generated docs = spine ANTI-JOIN existing (on partition+field,
+       the only shuffle, bounded by spine size), then
+       ``unionByName(allowMissingColumns=True)`` back onto the input —
+       original documents (on- OR off-grid) pass through untouched,
+       generated docs carry partition keys + field and nulls elsewhere,
+       exactly Mongo's contract.
+
+    Guard: a runaway numeric spine ((hi-lo)/step points per partition)
+    is refused at RUN time by an ``assert_true`` woven into the bound
+    column itself (can't be pruned — sequence() consumes it); dates are
+    bounded by the calendar (~3.7M day-points per 10k years), and
+    sequence() itself hard-stops past the array limit. Mongo's own cap
+    is 500k docs total; ours is _DENSIFY_MAX_POINTS (10M) per
+    partition — the distributed setting tolerates more.
+
+    100 TB: the expensive side is the anti-join; it shuffles
+    (partition, field) pairs only — 16-byte rows, never documents —
+    and the union is a no-shuffle concat.
+    """
+    if not (isinstance(spec, dict) and "field" in spec
+            and isinstance(spec.get("range"), dict)):
+        raise DocumentQueryError(f"Bad $densify spec: {spec!r}")
+    field = spec["field"]
+    if field not in df.columns:
+        raise DocumentQueryError(f"$densify unknown field {field!r}")
+    rng = spec["range"]
+    step, unit, bounds = rng.get("step"), rng.get("unit"), rng.get("bounds")
+    if step is None or bounds is None:
+        raise DocumentQueryError(f"$densify range needs step+bounds: {rng!r}")
+    ftype = df.schema[field].dataType
+    is_temporal = isinstance(ftype, (T.DateType, T.TimestampType,
+                                     T.TimestampNTZType))
+    if is_temporal:
+        if unit not in _DATE_TRUNC_UNITS:
+            raise DocumentQueryError(
+                f"$densify on a date field needs a unit: {unit!r}"
+            )
+        if not isinstance(step, int) or isinstance(step, bool) or step <= 0:
+            raise DocumentQueryError(f"$densify bad step: {step!r}")
+        step_col = F.expr(f"interval {int(step)} {unit}")
+    else:
+        if unit is not None:
+            raise DocumentQueryError(
+                "$densify 'unit' applies to date fields only"
+            )
+        if not isinstance(step, int) or isinstance(step, bool) or step <= 0:
+            raise DocumentQueryError(
+                f"$densify numeric step must be a positive int: {step!r} "
+                "(fractional steps drift off-grid in binary floats)"
+            )
+        step_col = F.lit(step)
+    parts = spec.get("partitionByFields") or []
+    if not isinstance(parts, list) or any(
+        p not in df.columns for p in parts
+    ):
+        raise DocumentQueryError(f"Bad partitionByFields: {parts!r}")
+
+    fcol = F.col(field)
+    half_open = False
+    if isinstance(bounds, list):
+        if len(bounds) != 2:
+            raise DocumentQueryError(f"Bad $densify bounds: {bounds!r}")
+        lo = F.lit(bounds[0]).cast(ftype)
+        hi = F.lit(bounds[1]).cast(ftype)
+        half_open = True  # Mongo: literal bounds are [lo, hi)
+        if parts:
+            bframe = df.select(*parts).distinct().select(
+                *parts, lo.alias("__lo"), hi.alias("__hi")
+            )
+        else:
+            bframe = df.sparkSession.range(1).select(
+                lo.alias("__lo"), hi.alias("__hi")
+            )
+    elif bounds == "partition":
+        if not parts:
+            raise DocumentQueryError(
+                "$densify bounds 'partition' requires partitionByFields"
+            )
+        bframe = df.groupBy(*parts).agg(
+            F.min(fcol).alias("__lo"), F.max(fcol).alias("__hi")
+        )
+    elif bounds == "full":
+        gl = df.agg(
+            F.min(fcol).alias("__lo"), F.max(fcol).alias("__hi")
+        )
+        bframe = (
+            df.select(*parts).distinct().crossJoin(F.broadcast(gl))
+            if parts
+            else gl
+        )
+    else:
+        raise DocumentQueryError(f"Bad $densify bounds: {bounds!r}")
+
+    lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    if not is_temporal:
+        # runaway-spine guard, woven into the bound so Catalyst can't
+        # prune it: assert_true returns NULL when the predicate holds,
+        # so coalesce() evaluates it then yields the real bound
+        n_points = (hi_c - lo_c) / F.lit(step)
+        hi_c = F.coalesce(
+            F.assert_true(
+                n_points <= F.lit(_DENSIFY_MAX_POINTS),
+                F.lit(f"$densify spine exceeds {_DENSIFY_MAX_POINTS} "
+                      "points in one partition"),
+            ).cast(ftype),
+            hi_c,
+        )
+    seq = F.sequence(lo_c, hi_c, step_col)
+    spine = bframe.select(
+        *parts, F.explode(seq).alias(field)
+    ).filter(fcol.isNotNull())
+    if half_open:
+        # Mongo's literal-bounds contract is [lo, hi): sequence() is
+        # inclusive, so trim the upper bound back off
+        spine = spine.filter(fcol < F.lit(bounds[1]).cast(ftype))
+    existing = df.select(*parts, field).distinct()
+    generated = spine.join(existing, on=[*parts, field], how="left_anti")
+    return df.unionByName(generated, allowMissingColumns=True)
+
+
+def fill_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$fill`` (Mongo 5.3) — fill null fields per partition.
+
+    ``{"partitionBy": "$p" | None | "partitionByFields": [...],
+    "sortBy": {f: 1|-1}, "output": {col: {"value": v|expr} |
+    {"method": "locf" | "linear"}}}``
+
+    - ``value`` → ``coalesce(col, expr)`` — pure projection, no window;
+    - ``locf`` → ``last(col, ignorenulls=True)`` over the sorted
+      partition, unbounded-preceding..current — one window;
+    - ``linear`` → interpolation between the bracketing non-null
+      neighbours along a SINGLE ascending numeric sortBy key:
+      ``prev + (next-prev)·(x-prev_x)/(next_x-prev_x)``; leading and
+      trailing nulls stay null (Mongo's contract). Four helper columns
+      over two frames (preceding last / following first) of the SAME
+      sort — one exchange, one sort, two Window operators.
+
+    All methods sharing the (partition, sort) ride one physical sort;
+    locf/linear require ``sortBy`` (loud otherwise). State is a window
+    frame, not driver memory — spillable at any partition width.
+    """
+    from pyspark.sql import Window
+
+    if not isinstance(spec, dict) or not isinstance(spec.get("output"), dict) \
+            or not spec["output"]:
+        raise DocumentQueryError(f"Bad $fill spec: {spec!r}")
+    parts: list[Column] = []
+    if spec.get("partitionBy") is not None:
+        parts = [_ref(spec["partitionBy"])]
+    elif spec.get("partitionByFields"):
+        parts = [F.col(p) for p in spec["partitionByFields"]]
+    sort_by = spec.get("sortBy")
+    if sort_by is not None and not (isinstance(sort_by, dict) and sort_by):
+        raise DocumentQueryError(f"Bad sortBy: {sort_by!r}")
+    sort_cols = (
+        [F.col(f).asc() if d >= 0 else F.col(f).desc()
+         for f, d in sort_by.items()]
+        if sort_by
+        else []
+    )
+    out_cols: dict[str, Column] = {}
+    for name, fspec in spec["output"].items():
+        if name not in df.columns:
+            raise DocumentQueryError(f"$fill unknown field {name!r}")
+        if not isinstance(fspec, dict) or len(fspec) != 1:
+            raise DocumentQueryError(f"Bad $fill output {name!r}: {fspec!r}")
+        col = F.col(name)
+        if "value" in fspec:
+            out_cols[name] = F.coalesce(col, _ref(fspec["value"]))
+            continue
+        method = fspec.get("method")
+        if method not in ("locf", "linear"):
+            raise DocumentQueryError(f"Bad $fill method: {fspec!r}")
+        if not sort_cols:
+            raise DocumentQueryError(f"$fill method {method!r} requires sortBy")
+        w = Window.partitionBy(*parts).orderBy(*sort_cols)
+        if method == "locf":
+            out_cols[name] = F.last(col, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            continue
+        # linear
+        if len(sort_by) != 1 or next(iter(sort_by.values())) < 0:
+            raise DocumentQueryError(
+                "$fill linear requires a single ascending sortBy key"
+            )
+        xs = F.col(next(iter(sort_by))).cast("double")
+        wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        known_v = F.when(col.isNotNull(), col.cast("double"))
+        known_x = F.when(col.isNotNull(), xs)
+        prev_v = F.last(known_v, ignorenulls=True).over(wp)
+        prev_x = F.last(known_x, ignorenulls=True).over(wp)
+        next_v = F.first(known_v, ignorenulls=True).over(wf)
+        next_x = F.first(known_x, ignorenulls=True).over(wf)
+        interp = prev_v + (next_v - prev_v) * (xs - prev_x) / (
+            next_x - prev_x
+        )
+        out_cols[name] = F.when(col.isNotNull(), col.cast("double")).otherwise(
+            F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        )
+    return df.withColumns(out_cols)
+
+
 # ---------------------------------------------------------------- store
 class DocumentStore:
     """Collections = named DataFrames; the Mongo-analog façade (C9).
@@ -1137,6 +1383,14 @@ class DocumentStore:
                 # BEYOND the reference surface: Mongo 5.0 window stage,
                 # 1:1 onto Spark window functions — see set_window_fields
                 df = set_window_fields(df, spec)
+            elif op == "$densify":
+                # BEYOND the reference surface: gapless axis via
+                # sequence()+anti-join+union — see densify_stage
+                df = densify_stage(df, spec)
+            elif op == "$fill":
+                # BEYOND the reference surface: coalesce/locf/linear
+                # null-filling over window frames — see fill_stage
+                df = fill_stage(df, spec)
             elif op == "$sortByCount":
                 # sugar for $group{_id,count}+$sort{count:-1} (Mongo
                 # leaves tie order unspecified; _id breaks ties here so
@@ -1812,4 +2066,64 @@ Q170_ORACLE_SQL = """
       WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
     )
     WHERE rnk <= 5
+"""
+
+
+def q171_doc_densify_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$dateTrunc`` → ``$group`` → ``$densify`` → ``$fill`` end-to-end:
+    daily counts+revenue of big purchases (the >= 300 filter leaves
+    real day GAPS at every SF), densified to a gapless day axis
+    (bounds "full", step 1 day), then filled — counts with the literal
+    0, revenue carried forward (locf). The generated days prove both
+    fill methods: n=0 rows exist only where $densify inserted them.
+    Oracle: generate_series + LEFT JOIN + IGNORE NULLS window twin.
+    Spark plan: partitions-sized bounds agg → sequence explode →
+    16-byte anti-join → no-shuffle union → one window sort."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "events",
+            "pipeline": [
+                {"$match": {"event_type": "purchase",
+                            "value": {"$gte": 300}}},
+                {"$addFields": {
+                    "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}}
+                }},
+                {"$group": {"_id": "$day", "n": {"$sum": 1},
+                            "total": {"$sum": "$value"}}},
+                {"$densify": {"field": "_id",
+                              "range": {"step": 1, "unit": "day",
+                                        "bounds": "full"}}},
+                {"$fill": {"sortBy": {"_id": 1},
+                           "output": {"n": {"value": 0},
+                                      "total": {"method": "locf"}}}},
+                {"$sort": {"_id": 1}},
+                {"$limit": 1000},
+            ],
+        }
+    )
+    return out.select(
+        "_id", "n", F.round("total", 2).alias("total")
+    )
+
+
+Q171_ORACLE_SQL = """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n, sum(value) AS total
+      FROM events
+      WHERE event_type = 'purchase' AND value >= 300
+      GROUP BY 1
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(
+               (SELECT min(day) FROM d),
+               (SELECT max(day) FROM d),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    )
+    SELECT spine.day AS _id,
+           COALESCE(d.n, 0) AS n,
+           ROUND(LAST_VALUE(d.total IGNORE NULLS) OVER (
+             ORDER BY spine.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS total
+    FROM spine LEFT JOIN d ON spine.day = d.day
 """

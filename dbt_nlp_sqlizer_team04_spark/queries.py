@@ -1079,6 +1079,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $setWindowFields (Mongo 5.0 window stage): rank family + $shift +
     # framed accumulators onto ONE Spark Window operator — NEW r7.
     "q170_doc_window_fields": DOC.q170_doc_window_fields,
+    # $densify + $fill (gapless axis via sequence+anti-join+union, then
+    # value/locf/linear null-filling over window frames) — NEW r7.
+    "q171_doc_densify_fill": DOC.q171_doc_densify_fill,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2540,6 +2543,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q168_doc_lookup_correlated": DOC.Q168_ORACLE_SQL,
     "q169_doc_union_with": DOC.Q169_ORACLE_SQL,
     "q170_doc_window_fields": DOC.Q170_ORACLE_SQL,
+    "q171_doc_densify_fill": DOC.Q171_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -1276,3 +1276,121 @@ def test_set_window_fields_semantics_and_plan(store, spark):
                 "output": {"s": {"$median": "$n_chars"}},
             }}],
         )
+
+
+def test_densify_bounds_forms_and_guards(spark):
+    """$densify: partition/full/literal bounds over numeric and date
+    fields — generated rows carry partition keys + nulls, originals
+    (even off-grid) pass through, literal bounds are half-open."""
+    s = DocumentStore(spark)
+    rows = [("a", 1, 10.0), ("a", 4, 40.0), ("a", 7, 70.0),
+            ("b", 2, 20.0), ("b", 3, 25.0)]
+    s.register("m", spark.createDataFrame(rows, "g string, x long, v double"))
+
+    # bounds partition, step 1: a fills 2,3,5,6; b fills nothing
+    out = s.aggregate(
+        "m",
+        [{"$densify": {"field": "x", "partitionByFields": ["g"],
+                       "range": {"step": 1, "bounds": "partition"}}},
+         {"$limit": 100}],
+    ).collect()
+    a = sorted((r["x"], r["v"]) for r in out if r["g"] == "a")
+    assert a == [(1, 10.0), (2, None), (3, None), (4, 40.0), (5, None),
+                 (6, None), (7, 70.0)]
+    assert sorted(r["x"] for r in out if r["g"] == "b") == [2, 3]
+
+    # bounds full: both partitions span the global 1..7
+    out = s.aggregate(
+        "m",
+        [{"$densify": {"field": "x", "partitionByFields": ["g"],
+                       "range": {"step": 1, "bounds": "full"}}},
+         {"$limit": 100}],
+    ).collect()
+    assert sorted(r["x"] for r in out if r["g"] == "b") == [1, 2, 3, 4, 5, 6, 7]
+
+    # literal bounds are [lo, hi): 10 is NOT generated; off-grid
+    # originals (x=4 with step 3 from 0) still pass through
+    out = s.aggregate(
+        "m",
+        [{"$match": {"g": "a"}},
+         {"$densify": {"field": "x", "range": {"step": 3,
+                                               "bounds": [0, 10]}}},
+         {"$limit": 100}],
+    ).collect()
+    assert sorted(r["x"] for r in out) == [0, 1, 3, 4, 6, 7, 9]
+
+    # error contracts
+    with pytest.raises(DocumentQueryError, match="positive int"):
+        s.aggregate("m", [{"$densify": {"field": "x",
+                                        "range": {"step": 0.5,
+                                                  "bounds": "full"}}}])
+    with pytest.raises(DocumentQueryError, match="unknown field"):
+        s.aggregate("m", [{"$densify": {"field": "zz",
+                                        "range": {"step": 1,
+                                                  "bounds": "full"}}}])
+    with pytest.raises(DocumentQueryError, match="requires partitionByFields"):
+        s.aggregate("m", [{"$densify": {"field": "x",
+                                        "range": {"step": 1,
+                                                  "bounds": "partition"}}}])
+    # runaway-spine guard fires at RUN time (assert_true woven into the
+    # bound column — unprunable because sequence() consumes it)
+    import pyspark.errors
+
+    s.register("wide", spark.createDataFrame(
+        [(0,), (100_000_000,)], "x long"))
+    with pytest.raises(pyspark.errors.PySparkException):
+        s.aggregate("wide", [
+            {"$densify": {"field": "x",
+                          "range": {"step": 1, "bounds": "full"}}},
+            {"$group": {"_id": None, "n": {"$sum": 1}}},
+        ]).collect()
+
+
+def test_fill_value_locf_linear(spark):
+    """$fill: literal value, locf carry-forward, and linear
+    interpolation between bracketing neighbours (leading/trailing
+    nulls stay null); methods require sortBy."""
+    s = DocumentStore(spark)
+    rows = [
+        ("a", 0, None), ("a", 1, 10.0), ("a", 2, None), ("a", 3, None),
+        ("a", 4, 40.0), ("a", 6, None),
+        ("b", 0, 5.0), ("b", 1, None),
+    ]
+    s.register("t", spark.createDataFrame(rows, "g string, x long, v double"))
+    out = s.aggregate(
+        "t",
+        [{"$fill": {"partitionByFields": ["g"], "sortBy": {"x": 1},
+                    "output": {"v": {"method": "linear"}}}},
+         {"$limit": 100}],
+    ).collect()
+    got = {(r["g"], r["x"]): r["v"] for r in out}
+    assert got[("a", 0)] is None            # leading null stays
+    assert got[("a", 2)] == 20.0            # 10 + (40-10)*(2-1)/(4-1)
+    assert got[("a", 3)] == 30.0
+    assert got[("a", 6)] is None            # trailing null stays
+    assert got[("b", 1)] is None            # no right bracket
+
+    out = s.aggregate(
+        "t",
+        [{"$fill": {"partitionByFields": ["g"], "sortBy": {"x": 1},
+                    "output": {"v": {"method": "locf"}}}},
+         {"$limit": 100}],
+    ).collect()
+    got = {(r["g"], r["x"]): r["v"] for r in out}
+    assert got[("a", 2)] == 10.0 and got[("a", 6)] == 40.0
+    assert got[("b", 1)] == 5.0
+
+    out = s.aggregate(
+        "t",
+        [{"$fill": {"output": {"v": {"value": -1}}}}, {"$limit": 100}],
+    ).collect()
+    assert all(r["v"] is not None for r in out)
+
+    with pytest.raises(DocumentQueryError, match="requires sortBy"):
+        s.aggregate("t", [{"$fill": {"output": {"v": {"method": "locf"}}}}])
+    with pytest.raises(DocumentQueryError, match="single ascending"):
+        s.aggregate("t", [{"$fill": {"sortBy": {"x": -1},
+                                     "output": {"v": {"method": "linear"}}}}])
+    with pytest.raises(DocumentQueryError, match="unknown field"):
+        s.aggregate("t", [{"$fill": {"sortBy": {"x": 1},
+                                     "output": {"zz": {"method": "locf"}}}}])
