@@ -183,6 +183,7 @@ HEADLINE = [
     "q169_doc_union_with",
     "q170_doc_window_fields",
     "q171_doc_densify_fill",
+    "q172_doc_graph_lookup",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

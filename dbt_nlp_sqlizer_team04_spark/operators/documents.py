@@ -1034,6 +1034,144 @@ def fill_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.withColumns(out_cols)
 
 
+# ------------------------------------------- $graphLookup (C5+)
+_GRAPH_LOOKUP_MAX_ROUNDS = 100
+
+
+def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$graphLookup`` — recursive graph traversal from each input
+    document over a foreign collection.
+
+    ``{"from", "startWith": "$expr", "connectFromField",
+    "connectToField", "as" [, "maxDepth", "depthField",
+    "restrictSearchWithMatch"]}``
+
+    Spark shape: the iterative-superstep BFS the dedup plane already
+    uses (graph.py's pagerank / dedup's label propagation), driven per
+    LOCAL ROW instead of globally:
+
+    - each local row gets an internal key; round 0's frontier is its
+      ``startWith`` value;
+    - one superstep = equi-join frontier (row, node) against the
+      foreign side on ``connectToField`` (AQE broadcasts dim-sized
+      foreign collections; otherwise a hash join on the node key —
+      16-byte frontier rows either way), recording matches with their
+      BFS depth, then the matches' ``connectFromField`` values anti-
+      joined against the visited set become the next frontier;
+    - the visited (row, node) set both dedups matches (a doc is
+      emitted once, at its FIRST discovery depth — Mongo's contract)
+      and guarantees termination on cyclic graphs: the frontier
+      strictly shrinks against it, so rounds ≤ graph diameter.
+      ``maxDepth`` bounds rounds explicitly (depth 0 = first lookup);
+      without it a _GRAPH_LOOKUP_MAX_ROUNDS backstop raises loudly
+      rather than looping a degenerate graph forever;
+    - every round's frontier/matched/visited are ``localCheckpoint``-ed
+      (the q60 convention) so lineage stays O(1) per round, not O(d);
+    - finally the matches regroup per local row as a sorted array of
+      foreign-doc structs (+ ``depthField``), left-joined back — rows
+      that matched nothing keep Mongo's empty-array contract.
+
+    Scalar connect fields only (Mongo also walks arrays; a loud typed
+    error names the limitation). ``restrictSearchWithMatch`` filters
+    the foreign side BEFORE the walk with the ordinary find dialect —
+    it reaches the parquet scan as a pushed predicate.
+    """
+    for k in ("startWith", "connectFromField", "connectToField", "as"):
+        if k not in spec:
+            raise DocumentQueryError(f"$graphLookup missing {k!r}")
+    start, as_field = spec["startWith"], spec["as"]
+    cfrom, cto = spec["connectFromField"], spec["connectToField"]
+    if not (isinstance(start, str) and start.startswith("$")) and not isinstance(
+        start, dict
+    ):
+        raise DocumentQueryError(f"$graphLookup bad startWith: {start!r}")
+    if cfrom not in fdf.columns or cto not in fdf.columns:
+        raise DocumentQueryError(
+            f"$graphLookup connect fields {cfrom!r}/{cto!r} must exist "
+            f"in the foreign collection"
+        )
+    for f in (cfrom, cto):
+        if isinstance(fdf.schema[f].dataType, (T.ArrayType, T.MapType,
+                                               T.StructType)):
+            raise DocumentQueryError(
+                f"$graphLookup connect field {f!r} must be scalar "
+                "(array-valued connect fields are not compiled)"
+            )
+    restrict = spec.get("restrictSearchWithMatch")
+    if restrict is not None:
+        fdf = fdf.filter(filter_condition(restrict))
+    max_depth = spec.get("maxDepth")
+    if max_depth is not None and (
+        not isinstance(max_depth, int) or isinstance(max_depth, bool)
+        or max_depth < 0
+    ):
+        raise DocumentQueryError(f"$graphLookup bad maxDepth: {max_depth!r}")
+    depth_field = spec.get("depthField")
+
+    base = df.withColumn("__gl_row", F.monotonically_increasing_id())
+    base = base.localCheckpoint()  # pin the nondeterministic row ids
+    frontier = (
+        base.select("__gl_row", _ref(start).alias("__node"))
+        .filter(F.col("__node").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    visited = frontier  # (row, node) pairs already probed
+    fkeyed = fdf.withColumn("__to", F.col(cto))
+    payload_cols = [c for c in fdf.columns]
+    matched = None
+    depth = 0
+    while True:
+        hits = (
+            frontier.join(fkeyed, frontier["__node"] == fkeyed["__to"])
+            .select(
+                "__gl_row",
+                F.lit(depth).cast("long").alias("__depth"),
+                *payload_cols,
+            )
+            .localCheckpoint()
+        )
+        matched = hits if matched is None else matched.union(hits).localCheckpoint()
+        if max_depth is not None and depth >= max_depth:
+            break
+        nxt = (
+            hits.select("__gl_row", F.col(cfrom).alias("__node"))
+            .filter(F.col("__node").isNotNull())
+            .distinct()
+            .join(visited, ["__gl_row", "__node"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+        depth += 1
+        if depth >= _GRAPH_LOOKUP_MAX_ROUNDS:
+            raise DocumentQueryError(
+                f"$graphLookup exceeded {_GRAPH_LOOKUP_MAX_ROUNDS} rounds "
+                "without converging — set maxDepth"
+            )
+    doc = F.struct(
+        *[F.col(c) for c in payload_cols],
+        *([F.col("__depth").alias(depth_field)] if depth_field else []),
+    )
+    grouped = matched.groupBy("__gl_row").agg(
+        F.sort_array(F.collect_list(doc)).alias(as_field)
+    )
+    out = (
+        base.join(grouped, "__gl_row", "left")
+        .withColumn(
+            as_field,
+            F.coalesce(
+                F.col(as_field),
+                F.array().cast(grouped.schema[as_field].dataType),
+            ),
+        )
+        .drop("__gl_row")
+    )
+    return out
+
+
 # ---------------------------------------------------------------- store
 class DocumentStore:
     """Collections = named DataFrames; the Mongo-analog façade (C9).
@@ -1383,6 +1521,14 @@ class DocumentStore:
                 # BEYOND the reference surface: Mongo 5.0 window stage,
                 # 1:1 onto Spark window functions — see set_window_fields
                 df = set_window_fields(df, spec)
+            elif op == "$graphLookup":
+                # BEYOND the reference surface: per-row BFS with a
+                # visited-set — see graph_lookup
+                if not isinstance(spec, dict) or "from" not in spec:
+                    raise DocumentQueryError(
+                        f"$graphLookup expects a spec with 'from': {spec!r}"
+                    )
+                df = graph_lookup(df, self.collection(spec["from"]), spec)
             elif op == "$densify":
                 # BEYOND the reference surface: gapless axis via
                 # sequence()+anti-join+union — see densify_stage
@@ -2126,4 +2272,69 @@ Q171_ORACLE_SQL = """
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 2) AS total
     FROM spine LEFT JOIN d ON spine.day = d.day
+"""
+
+
+def q172_doc_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$graphLookup`` end-to-end: ancestor chains in a derived 4-ary
+    forest over the documents corpus (parent = (doc_id-1)//4, root 0 —
+    a deterministic synthetic hierarchy, the standard org-chart shape).
+    The 11 highest-id leaves walk their full ancestor chain (BFS ~4-6),
+    then $unwind + $addFields flatten (leaf, ancestor, depth) rows.
+    Oracle: WITH RECURSIVE twin over the same derivation. The tree has
+    unique paths, so depths and row sets match exactly."""
+    from ..sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    tree = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") > 0,
+            F.floor((F.col("doc_id") - 1) / 4).cast("long"),
+        ).alias("parent"),
+        "source",
+    )
+    store = DocumentStore(spark)
+    store.register("doc_tree", tree)
+    out = store.execute(
+        {
+            "collection": "doc_tree",
+            "pipeline": [
+                {"$match": {"doc_id": {"$gte": n - 10}}},
+                {"$graphLookup": {
+                    "from": "doc_tree",
+                    "startWith": "$parent",
+                    "connectFromField": "parent",
+                    "connectToField": "doc_id",
+                    "as": "ancestors",
+                    "depthField": "depth",
+                }},
+                {"$unwind": "$ancestors"},
+                {"$addFields": {"anc": "$ancestors.doc_id",
+                                "depth": "$ancestors.depth"}},
+                {"$project": {"doc_id": 1, "anc": 1, "depth": 1}},
+                {"$sort": {"doc_id": 1, "depth": 1}},
+                {"$limit": 1000},
+            ],
+        }
+    )
+    return out
+
+
+Q172_ORACLE_SQL = """
+    WITH RECURSIVE tree AS (
+      SELECT doc_id,
+             CASE WHEN doc_id > 0
+                  THEN CAST(floor((doc_id - 1) / 4) AS BIGINT) END AS parent
+      FROM documents
+    ), anc AS (
+      SELECT t.doc_id AS doc_id, p.doc_id AS anc, 0 AS depth, p.parent AS up
+      FROM tree t JOIN tree p ON p.doc_id = t.parent
+      WHERE t.doc_id >= (SELECT max(doc_id) - 9 FROM documents)
+      UNION ALL
+      SELECT a.doc_id, p.doc_id, a.depth + 1, p.parent
+      FROM anc a JOIN tree p ON p.doc_id = a.up
+    )
+    SELECT doc_id, anc, CAST(depth AS BIGINT) AS depth FROM anc
 """

@@ -1082,6 +1082,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $densify + $fill (gapless axis via sequence+anti-join+union, then
     # value/locf/linear null-filling over window frames) — NEW r7.
     "q171_doc_densify_fill": DOC.q171_doc_densify_fill,
+    # $graphLookup (per-row BFS with a visited-set over iterative
+    # supersteps; ancestor chains in a derived 4-ary forest) — NEW r7.
+    "q172_doc_graph_lookup": DOC.q172_doc_graph_lookup,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2544,6 +2547,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q169_doc_union_with": DOC.Q169_ORACLE_SQL,
     "q170_doc_window_fields": DOC.Q170_ORACLE_SQL,
     "q171_doc_densify_fill": DOC.Q171_ORACLE_SQL,
+    "q172_doc_graph_lookup": DOC.Q172_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

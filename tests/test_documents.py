@@ -1394,3 +1394,79 @@ def test_fill_value_locf_linear(spark):
     with pytest.raises(DocumentQueryError, match="unknown field"):
         s.aggregate("t", [{"$fill": {"sortBy": {"x": 1},
                                      "output": {"zz": {"method": "locf"}}}}])
+
+
+def test_graph_lookup_bfs_semantics(spark):
+    """$graphLookup: first-discovery depth, cycle termination via the
+    visited set, maxDepth bounding, restrictSearchWithMatch pushdown,
+    the empty-array contract for unmatched rows, and error contracts."""
+    s = DocumentStore(spark)
+    # a -> b -> c -> a cycle plus an isolated node z
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("z", None)]
+    s.register("g", spark.createDataFrame(edges, "id string, nxt string"))
+
+    out = s.aggregate(
+        "g",
+        [{"$match": {"id": "a"}},
+         {"$graphLookup": {"from": "g", "startWith": "$nxt",
+                           "connectFromField": "nxt",
+                           "connectToField": "id",
+                           "as": "chain", "depthField": "d"}},
+         {"$limit": 10}],
+    ).collect()
+    assert len(out) == 1
+    chain = {(r["id"], r["d"]) for r in out[0]["chain"]}
+    # walks b (depth 0), c (1), back to a (2) — then the visited set
+    # stops the cycle; every doc appears ONCE at first-discovery depth
+    assert chain == {("b", 0), ("c", 1), ("a", 2)}
+
+    # maxDepth: 0 = only the first lookup
+    out = s.aggregate(
+        "g",
+        [{"$match": {"id": "a"}},
+         {"$graphLookup": {"from": "g", "startWith": "$nxt",
+                           "connectFromField": "nxt",
+                           "connectToField": "id",
+                           "as": "chain", "maxDepth": 0}},
+         {"$limit": 10}],
+    ).collect()
+    assert [r["id"] for r in out[0]["chain"]] == ["b"]
+
+    # unmatched start → empty array, not null (Mongo contract)
+    out = s.aggregate(
+        "g",
+        [{"$match": {"id": "z"}},
+         {"$graphLookup": {"from": "g", "startWith": "$nxt",
+                           "connectFromField": "nxt",
+                           "connectToField": "id", "as": "chain"}},
+         {"$limit": 10}],
+    ).collect()
+    assert out[0]["chain"] == []
+
+    # restrictSearchWithMatch prunes the foreign side before the walk:
+    # excluding c cuts the chain after b
+    out = s.aggregate(
+        "g",
+        [{"$match": {"id": "a"}},
+         {"$graphLookup": {"from": "g", "startWith": "$nxt",
+                           "connectFromField": "nxt",
+                           "connectToField": "id", "as": "chain",
+                           "restrictSearchWithMatch": {
+                               "id": {"$ne": "c"}}}},
+         {"$limit": 10}],
+    ).collect()
+    assert [r["id"] for r in out[0]["chain"]] == ["b"]
+
+    with pytest.raises(DocumentQueryError, match="missing"):
+        s.aggregate("g", [{"$graphLookup": {"from": "g",
+                                            "startWith": "$nxt"}}])
+    with pytest.raises(DocumentQueryError, match="must exist"):
+        s.aggregate("g", [{"$graphLookup": {
+            "from": "g", "startWith": "$nxt", "connectFromField": "zz",
+            "connectToField": "id", "as": "c"}}])
+    s.register("arr", spark.createDataFrame(
+        [("a", ["b"])], "id string, nxt array<string>"))
+    with pytest.raises(DocumentQueryError, match="must be scalar"):
+        s.aggregate("arr", [{"$graphLookup": {
+            "from": "arr", "startWith": "$id", "connectFromField": "nxt",
+            "connectToField": "id", "as": "c"}}])
