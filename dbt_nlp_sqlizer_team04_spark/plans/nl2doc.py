@@ -355,6 +355,78 @@ class NL2DocEngine:
                         ],
                     }
 
+        # running-total phrasing — "running total of <m> by <s>
+        # [per <p>]" compiles to $setWindowFields (q170's surface): one
+        # framed $sum over the (partition, sort) window; the final sort
+        # repeats the window sort (+ id tiebreak) so the injected limit
+        # sees a deterministic row set
+        rt = _re.search(
+            r"\brunning total of ([a-z_]+) by ([a-z_]+)"
+            r"(?:\s+per\s+([a-z_]+))?",
+            ql,
+        )
+        if rt:
+            m_word, s_word, p_word = rt.groups()
+            measure = best_field(numeric=True, exclude=filtered, text=m_word)
+            skey = best_field(exclude_id=False, text=s_word)
+            if measure is not None and skey is not None:
+                part = (
+                    best_field(exclude=filtered | {measure, skey},
+                               text=p_word)
+                    if p_word
+                    else None
+                )
+                swf: dict = {
+                    "sortBy": {skey: 1},
+                    "output": {"running_total": {
+                        "$sum": f"${measure}",
+                        "window": {"documents": ["unbounded", "current"]},
+                    }},
+                }
+                if part:
+                    swf["partitionBy"] = f"${part}"
+                proj = {skey: 1, measure: 1, "running_total": 1}
+                if part:
+                    proj[part] = 1
+                sort: dict[str, int] = {skey: 1}
+                idf = next(
+                    (x for x in fields if x.endswith("id")), None
+                )
+                if idf and idf != skey:
+                    sort[idf] = 1
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$setWindowFields": swf},
+                        {"$project": proj},
+                        {"$sort": sort},
+                    ],
+                }
+
+        # gap-filled daily series — "daily count of <coll> ...
+        # missing days ..." compiles to $dateTrunc → $group → $densify
+        # (bounds full, step 1 day) → $fill (count 0) — q171's surface
+        # from NL; filters ("value over 300") ride the ordinary prelude
+        if _re.search(r"\bdaily (?:count|number)\b", ql) and _re.search(
+            r"\bmissing days?\b|\bgaps? filled\b|\bgapless\b", ql
+        ):
+            dfld = self._date_field(coll)
+            if dfld is not None:
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$addFields": {"day": {"$dateTrunc": {
+                            "date": f"${dfld}", "unit": "day"}}}},
+                        {"$group": {"_id": "$day", "n": {"$sum": 1}}},
+                        {"$densify": {"field": "_id",
+                                      "range": {"step": 1, "unit": "day",
+                                                "bounds": "full"}}},
+                        {"$fill": {"sortBy": {"_id": 1},
+                                   "output": {"n": {"value": 0}}}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+
         # multi-facet breakdown: an explicit breakdown cue + two or more
         # "by <field>" phrases compile to $facet (ONE grouping-sets scan
         # — operators/documents.py:facet_group), e.g. "break down

@@ -262,6 +262,41 @@ def _nl56_doc_lookup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl57_doc_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc running-total phrasing compiles to $setWindowFields
+    (q170's surface from NL): one framed $sum per (partition, sort)
+    window; oracle: the ANSI cumulative-window SQL the template must
+    produce (unique sort key -> deterministic injected-limit set)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "running total of n_chars by doc_id per source for documents"
+    )
+    return df
+
+
+def _nl58_doc_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc gap-filled daily-series phrasing compiles to $dateTrunc →
+    $group → $densify → $fill (q171's surface from NL; the 'value over
+    300' filter rides the prelude and leaves real day gaps at sf0.01)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "daily count of events with value over 300, missing days as zero"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -977,6 +1012,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # NL join phrasing ("with their lang counts" → uncorrelated
     # $lookup + $unwind, the q157 machinery) — NEW r7.
     "nl56_doc_lookup_counts": _nl56_doc_lookup_counts,
+    # NL running-total -> $setWindowFields (q170's surface) — NEW r7.
+    "nl57_doc_running_total": _nl57_doc_running_total,
+    # NL gap-filled daily series -> $densify/$fill (q171's) — NEW r7.
+    "nl58_doc_daily_gapfill": _nl58_doc_daily_gapfill,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -2648,6 +2687,31 @@ ORACLE_SQL: dict[str, str | None] = {
         )
         SELECT doc_id, lang, lang_n, lang_value, n_chars, source, text
         FROM top5 CROSS JOIN lc
+    """,
+    "nl57_doc_running_total": """
+        SELECT doc_id, n_chars,
+               CAST(SUM(n_chars) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS running_total,
+               source
+        FROM documents
+        ORDER BY doc_id
+        LIMIT 100
+    """,
+    "nl58_doc_daily_gapfill": """
+        WITH d AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 count(*) AS n
+          FROM events WHERE value > 300 GROUP BY 1
+        ), spine AS (
+          SELECT CAST(unnest(generate_series(
+                   (SELECT min(day) FROM d),
+                   (SELECT max(day) FROM d),
+                   INTERVAL 1 DAY)) AS DATE) AS day
+        )
+        SELECT spine.day AS _id, COALESCE(d.n, 0) AS n
+        FROM spine LEFT JOIN d ON spine.day = d.day
     """,
     "nl47_doc_facet_breakdown": """
         WITH g AS (

@@ -1470,3 +1470,54 @@ def test_graph_lookup_bfs_semantics(spark):
         s.aggregate("arr", [{"$graphLookup": {
             "from": "arr", "startWith": "$id", "connectFromField": "nxt",
             "connectToField": "id", "as": "c"}}])
+
+
+def test_nl2doc_running_total_compiles(store):
+    """'running total of <m> by <s> per <p>' compiles to
+    $setWindowFields with a cumulative documents frame; without 'per'
+    the window is unpartitioned."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    df, q = eng.ask(
+        "running total of n_chars by doc_id per source for documents"
+    )
+    swf = q["pipeline"][0]["$setWindowFields"]
+    assert swf["partitionBy"] == "$source"
+    assert swf["sortBy"] == {"doc_id": 1}
+    assert swf["output"]["running_total"] == {
+        "$sum": "$n_chars",
+        "window": {"documents": ["unbounded", "current"]},
+    }
+    rows = df.collect()
+    # per-source cumulative sums reproduce by hand
+    seen: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        seen[r["source"]] = seen.get(r["source"], 0) + r["n_chars"]
+        assert r["running_total"] == seen[r["source"]]
+
+    q2 = eng.template_query("running total of n_chars by doc_id")
+    assert "partitionBy" not in q2["pipeline"][0]["$setWindowFields"]
+
+
+def test_nl2doc_daily_gapfill_compiles(store):
+    """'daily count ... missing days ...' compiles to
+    $dateTrunc → $group → $densify → $fill, the comparison filter rides
+    the prelude, and generated days carry n=0."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    df, q = NL2DocEngine(store).ask(
+        "daily count of events with value over 300, missing days as zero"
+    )
+    stages = [next(iter(s)) for s in q["pipeline"]]
+    assert stages == ["$match", "$addFields", "$group", "$densify",
+                      "$fill", "$sort"]
+    assert q["pipeline"][0]["$match"] == {"value": {"$gt": 300}}
+    assert q["pipeline"][3]["$densify"]["range"]["unit"] == "day"
+    rows = df.collect()
+    days = [r["_id"] for r in rows]
+    # gapless axis: every day between min and max present exactly once
+    assert len(days) == (max(days) - min(days)).days + 1
+    assert len(set(days)) == len(days)
+    assert any(r["n"] == 0 for r in rows)  # filled gap days exist
+    assert all(r["n"] is not None for r in rows)
