@@ -184,6 +184,7 @@ HEADLINE = [
     "q170_doc_window_fields",
     "q171_doc_densify_fill",
     "q172_doc_graph_lookup",
+    "q173_doc_bucket_auto",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -637,6 +637,108 @@ def bucket_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.groupBy(label.alias("_id")).agg(*aggs)
 
 
+def bucket_auto_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$bucketAuto`` — equi-depth histogram with data-derived
+    boundaries: N buckets of approximately equal document counts, equal
+    groupBy values NEVER split across buckets (Mongo's contract; its
+    own docs promise only "approximately" equal counts, so the exact
+    packing is implementation-defined — this one is the deterministic
+    first-row-index formula below, byte-stable across runs and
+    reproducible in ANSI SQL for the oracle).
+
+    ``{"groupBy": "$f", "buckets": N, "output": {alias: {$acc: arg}}}``
+    → ``_id = {min, max}`` structs where max = next bucket's min
+    (half-open), last bucket inclusive of the overall max.
+
+    Spark shape (the q153 equi-depth recipe adapted to ties-together):
+
+    1. per-distinct-value counts — ONE map-side-combinable aggregate
+       (the only scan of the data);
+    2. a window over the DISTINCT-VALUE frame ordered by value derives
+       each value's first global row index (cumsum - count), and
+       ``bucket = (start · N) div total`` in pure integer math — ties
+       share a start, hence a bucket. The frame is distinct-values-
+       sized: sorting it in one task is the same bounded cost as
+       q153's cut-point collect, and q156's GK-sketch tier is the
+       100 TB path when even the distinct domain is huge;
+    3. bucket bounds: per-bucket min + lead() for the half-open max;
+    4. accumulators: the value→bucket map (distinct-values-sized)
+       broadcast-joins back onto the documents, then ONE
+       groupBy(bucket).agg(...) — partial aggregation as usual.
+
+    Divergences, stated loudly: ``granularity`` (R5/E-series boundary
+    rounding) is not compiled (typed error); documents whose groupBy
+    value is null are EXCLUDED (Mongo folds them into the first
+    bucket; a null min boundary would poison the half-open contract
+    here) — both documented, neither silent. Skewed domains can leave
+    some of the N bucket ids empty (a value holding >1/N of the rows
+    swallows its whole stride); Mongo merges those differently, the
+    count contract ("approximately equal") holds either way.
+    """
+    from pyspark.sql import Window
+
+    if not isinstance(spec, dict) or "groupBy" not in spec \
+            or "buckets" not in spec:
+        raise DocumentQueryError("$bucketAuto requires groupBy and buckets")
+    if "granularity" in spec:
+        raise DocumentQueryError(
+            "$bucketAuto granularity (R5/E-series rounding) is not "
+            "compiled — omit it for the count-based packing"
+        )
+    n = spec["buckets"]
+    if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+        raise DocumentQueryError(f"$bucketAuto bad buckets: {n!r}")
+    val = _ref(spec["groupBy"])
+    vals = (
+        df.groupBy(val.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__v").isNotNull())
+    )
+    w = Window.orderBy("__v")
+    run = F.sum("__c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("__c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    assign = vals.select(
+        "__v",
+        (run - F.col("__c")).alias("__start"),
+        total.alias("__total"),
+    ).select(
+        "__v",
+        # exact INTEGER division (SQL div) — a double `/` + cast can
+        # land one bucket off at representation boundaries, and the
+        # DuckDB oracle twin uses true integer `//`
+        F.expr(f"(__start * {int(n)}) div __total").alias("__b"),
+    )
+    bframe = assign.groupBy("__b").agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi_in")
+    )
+    w2 = Window.orderBy("__b")
+    gmax = F.max("__hi_in").over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    bounds = bframe.select(
+        "__b",
+        "__lo",
+        F.coalesce(F.lead("__lo", 1).over(w2), gmax).alias("__hi"),
+    )
+    out_spec = spec.get("output") or {"count": {"$sum": 1}}
+    aggs = [_acc_to_agg(a, s) for a, s in out_spec.items()]
+    docs = df.join(F.broadcast(assign), val.eqNullSafe(F.col("__v")), "inner")
+    per_bucket = docs.groupBy("__b").agg(*aggs)
+    return (
+        per_bucket.join(F.broadcast(bounds), "__b")
+        .select(
+            F.struct(
+                F.col("__lo").alias("min"), F.col("__hi").alias("max")
+            ).alias("_id"),
+            *[F.col(a) for a in out_spec],
+        )
+    )
+
+
 # ------------------------------------------- $setWindowFields (C5+)
 _WINDOW_RANK_OPS = {
     "$rank": F.rank,
@@ -1506,6 +1608,10 @@ class DocumentStore:
                 # BEYOND the reference surface: explicit-boundary
                 # histogram, see bucket_group
                 df = bucket_group(df, spec)
+            elif op == "$bucketAuto":
+                # BEYOND the reference surface: equi-depth histogram
+                # with ties-together packing, see bucket_auto_group
+                df = bucket_auto_group(df, spec)
             elif op in ("$addFields", "$set"):
                 # computed columns from the expression dialect; pure
                 # projections (withColumns), so Catalyst folds them
@@ -2337,4 +2443,56 @@ Q172_ORACLE_SQL = """
       FROM anc a JOIN tree p ON p.doc_id = a.up
     )
     SELECT doc_id, anc, CAST(depth AS BIGINT) AS depth FROM anc
+"""
+
+
+def q173_doc_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$bucketAuto`` end-to-end: documents packed into 4 equi-depth
+    buckets by length, counts + summed chars per bucket, boundaries
+    flattened for display. Oracle: the same first-row-index integer
+    formula in ANSI SQL (cumsum window + integer div + lead)."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {"$bucketAuto": {
+                    "groupBy": "$n_chars",
+                    "buckets": 4,
+                    "output": {"n": {"$sum": 1},
+                               "sum_chars": {"$sum": "$n_chars"}},
+                }},
+                {"$addFields": {"lo": "$_id.min", "hi": "$_id.max"}},
+                {"$project": {"_id": 0, "lo": 1, "hi": 1, "n": 1,
+                              "sum_chars": 1}},
+                {"$sort": {"lo": 1}},
+            ],
+        }
+    )
+    return out
+
+
+Q173_ORACLE_SQL = """
+    WITH vals AS (
+      SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1
+    ), cum AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v) - c AS start,
+             SUM(c) OVER () AS total
+      FROM vals
+    ), assign AS (
+      SELECT v, CAST((start * 4) // total AS BIGINT) AS b FROM cum
+    ), bframe AS (
+      SELECT b, min(v) AS lo, max(v) AS hi_in FROM assign GROUP BY b
+    ), bounds AS (
+      SELECT b, lo,
+             COALESCE(LEAD(lo) OVER (ORDER BY b),
+                      (SELECT max(hi_in) FROM bframe)) AS hi
+      FROM bframe
+    )
+    SELECT bounds.lo AS lo, bounds.hi AS hi,
+           count(*) AS n, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d
+    JOIN assign ON d.n_chars = assign.v
+    JOIN bounds ON assign.b = bounds.b
+    GROUP BY 1, 2
 """

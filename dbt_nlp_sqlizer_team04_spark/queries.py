@@ -1124,6 +1124,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $graphLookup (per-row BFS with a visited-set over iterative
     # supersteps; ancestor chains in a derived 4-ary forest) — NEW r7.
     "q172_doc_graph_lookup": DOC.q172_doc_graph_lookup,
+    # $bucketAuto (equi-depth histogram, ties-together integer-div
+    # packing; q153's recipe on the document plane) — NEW r7.
+    "q173_doc_bucket_auto": DOC.q173_doc_bucket_auto,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2587,6 +2590,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q170_doc_window_fields": DOC.Q170_ORACLE_SQL,
     "q171_doc_densify_fill": DOC.Q171_ORACLE_SQL,
     "q172_doc_graph_lookup": DOC.Q172_ORACLE_SQL,
+    "q173_doc_bucket_auto": DOC.Q173_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -1521,3 +1521,47 @@ def test_nl2doc_daily_gapfill_compiles(store):
     assert len(set(days)) == len(days)
     assert any(r["n"] == 0 for r in rows)  # filled gap days exist
     assert all(r["n"] is not None for r in rows)
+
+
+def test_bucket_auto_ties_and_contracts(spark):
+    """$bucketAuto: ~equal counts, equal values never split, half-open
+    boundaries with an inclusive last max, default count output, and
+    the granularity/validation error contracts."""
+    s = DocumentStore(spark)
+    # 12 docs over values 1,1,1,1,2,2,3,3,3,3,4,5 — a tie block (1s)
+    # exactly fills bucket 0; the 3s straddle a stride boundary and
+    # must stay together
+    vals = [1, 1, 1, 1, 2, 2, 3, 3, 3, 3, 4, 5]
+    s.register("b", spark.createDataFrame([(v,) for v in vals], "x long"))
+    out = s.aggregate(
+        "b",
+        [{"$bucketAuto": {"groupBy": "$x", "buckets": 4}},
+         {"$limit": 100}],
+    ).collect()
+    got = sorted(
+        ((r["_id"]["min"], r["_id"]["max"], r["count"]) for r in out)
+    )
+    # start indices: 1→0 (b0), 2→4 (b1), 3→6 (b2), 4→10, 5→11 (b3);
+    # all four 3s land in ONE bucket, last max is inclusive (5)
+    assert got == [(1, 2, 4), (2, 3, 2), (3, 4, 4), (4, 5, 2)]
+
+    # custom accumulators + null groupBy values excluded (documented)
+    s.register("bn", spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (None, 99.0)], "x long, v double"))
+    out = s.aggregate(
+        "bn",
+        [{"$bucketAuto": {"groupBy": "$x", "buckets": 2,
+                          "output": {"n": {"$sum": 1},
+                                     "sv": {"$sum": "$v"}}}},
+         {"$limit": 100}],
+    ).collect()
+    assert sum(r["n"] for r in out) == 2        # the null row is out
+    assert sum(r["sv"] for r in out) == 30.0
+
+    with pytest.raises(DocumentQueryError, match="granularity"):
+        s.aggregate("b", [{"$bucketAuto": {"groupBy": "$x", "buckets": 2,
+                                           "granularity": "R5"}}])
+    with pytest.raises(DocumentQueryError, match="bad buckets"):
+        s.aggregate("b", [{"$bucketAuto": {"groupBy": "$x", "buckets": 0}}])
+    with pytest.raises(DocumentQueryError, match="requires groupBy"):
+        s.aggregate("b", [{"$bucketAuto": {"buckets": 2}}])
