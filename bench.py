@@ -185,6 +185,7 @@ HEADLINE = [
     "q171_doc_densify_fill",
     "q172_doc_graph_lookup",
     "q173_doc_bucket_auto",
+    "q174_doc_sample",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

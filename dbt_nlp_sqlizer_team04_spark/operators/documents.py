@@ -1612,6 +1612,27 @@ class DocumentStore:
                 # BEYOND the reference surface: equi-depth histogram
                 # with ties-together packing, see bucket_auto_group
                 df = bucket_auto_group(df, spec)
+            elif op == "$sample":
+                # {"size": N} — Mongo samples RANDOMLY; this engine's
+                # whole sampling plane is reproducible by design (the
+                # q50/q51 md5 convention), so $sample is the same
+                # uniform-but-DETERMINISTIC draw: order by the md5 of
+                # the document's JSON rendering, take N (that loud
+                # divergence beats a result the driver's hash compare
+                # and any retry could never reproduce). Spark plan:
+                # TakeOrderedAndProject on the hash — per-partition
+                # top-N, never a full global sort.
+                if not (isinstance(spec, dict)
+                        and isinstance(spec.get("size"), int)
+                        and not isinstance(spec["size"], bool)
+                        and spec["size"] >= 0):
+                    raise DocumentQueryError(
+                        f"$sample expects {{'size': N>=0}}: {spec!r}"
+                    )
+                key = F.md5(
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+                )
+                df = df.orderBy(key).limit(spec["size"])
             elif op in ("$addFields", "$set"):
                 # computed columns from the expression dialect; pure
                 # projections (withColumns), so Catalyst folds them
@@ -2495,4 +2516,29 @@ Q173_ORACLE_SQL = """
     JOIN assign ON d.n_chars = assign.v
     JOIN bounds ON assign.b = bounds.b
     GROUP BY 1, 2
+"""
+
+
+def q174_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$sample`` end-to-end: a deterministic uniform 25-document draw
+    (md5-of-JSON order — the engine's reproducible-sampling contract,
+    documented divergence from Mongo's randomness). Projected to the
+    id first so the oracle can rebuild the exact hash key as a string
+    concat. Oracle: ORDER BY md5('{"doc_id":' || doc_id || '}')."""
+    return _store(spark, sf_dir).execute(
+        {
+            "collection": "documents",
+            "pipeline": [
+                {"$project": {"_id": 0, "doc_id": 1}},
+                {"$sample": {"size": 25}},
+            ],
+        }
+    )
+
+
+Q174_ORACLE_SQL = """
+    SELECT doc_id
+    FROM documents
+    ORDER BY md5('{"doc_id":' || doc_id || '}')
+    LIMIT 25
 """

@@ -1127,6 +1127,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $bucketAuto (equi-depth histogram, ties-together integer-div
     # packing; q153's recipe on the document plane) — NEW r7.
     "q173_doc_bucket_auto": DOC.q173_doc_bucket_auto,
+    # $sample (deterministic md5-order draw — the reproducible-sampling
+    # contract, documented divergence from Mongo randomness) — NEW r7.
+    "q174_doc_sample": DOC.q174_doc_sample,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2591,6 +2594,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q171_doc_densify_fill": DOC.Q171_ORACLE_SQL,
     "q172_doc_graph_lookup": DOC.Q172_ORACLE_SQL,
     "q173_doc_bucket_auto": DOC.Q173_ORACLE_SQL,
+    "q174_doc_sample": DOC.Q174_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -1565,3 +1565,29 @@ def test_bucket_auto_ties_and_contracts(spark):
         s.aggregate("b", [{"$bucketAuto": {"groupBy": "$x", "buckets": 0}}])
     with pytest.raises(DocumentQueryError, match="requires groupBy"):
         s.aggregate("b", [{"$bucketAuto": {"buckets": 2}}])
+
+
+def test_sample_deterministic_and_top_n_plan(store):
+    """$sample: same draw every run (the reproducible-sampling
+    contract), a subset of the collection, size honored, size 0 empty,
+    and the physical plan is TakeOrdered — never a full global sort."""
+    pipe = [{"$project": {"_id": 0, "doc_id": 1}}, {"$sample": {"size": 10}}]
+    a = sorted(r["doc_id"] for r in store.aggregate("documents", pipe).collect())
+    b = sorted(r["doc_id"] for r in store.aggregate("documents", pipe).collect())
+    assert a == b and len(a) == 10
+    all_ids = {r["doc_id"]
+               for r in store.collection("documents").select("doc_id").collect()}
+    assert set(a) <= all_ids
+
+    df = store.aggregate("documents", pipe)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+
+    assert store.aggregate(
+        "documents",
+        [{"$sample": {"size": 0}}],
+    ).count() == 0
+    with pytest.raises(DocumentQueryError, match="sample expects"):
+        store.aggregate("documents", [{"$sample": {"size": -1}}])
+    with pytest.raises(DocumentQueryError, match="sample expects"):
+        store.aggregate("documents", [{"$sample": 10}])

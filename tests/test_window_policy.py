@@ -87,6 +87,19 @@ PLANNED: dict[str, int] = {
         "q17_profile_stats", "q19_events_hourly",
         "q22_rollup_region_nation",
     )},
+    # round-7 additions — the policy comment's "additions rotate in
+    # within two rounds" made machine-checkable at land time (split
+    # r8/r9 so neither window starves the debt seats above)
+    **{k: 8 for k in (
+        "q168_doc_lookup_correlated", "q169_doc_union_with",
+        "q170_doc_window_fields", "q171_doc_densify_fill",
+        "nl55_doc_pagination", "nl56_doc_lookup_counts",
+    )},
+    **{k: 9 for k in (
+        "q172_doc_graph_lookup", "q173_doc_bucket_auto",
+        "nl57_doc_running_total", "nl58_doc_daily_gapfill",
+        "q174_doc_sample",
+    )},
 }
 
 
