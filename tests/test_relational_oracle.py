@@ -39,15 +39,22 @@ def test_registry_consistency():
 
 # Rows-only entries allowed a window seat: the hash gate can't use
 # them, but a driver row still proves err-free execution externally —
-# exactly what the r6 window needs for the never-confirmed entries
-# (q24/q28/q29/q39/q40/q43's only driver rows are r2 errors) and the
-# new sketch/ANN tiers whose accuracy contract lives in pytest
-# (q124/q130/q155/q156). Every other window slot must carry an oracle.
+# exactly what each round's window needs for its never-confirmed
+# rows-only entries. The r7 rotation seats the seven remaining
+# never-driver-checked rows-only entries (the PLANNED list in
+# test_window_policy.py): recall/fixture/differential pytests carry
+# their accuracy locally (q89 additionally has a value-level
+# differential oracle in tests/oracle_harness.py's DIFFERENTIAL map).
+# Every other window slot must carry an oracle.
 _ROWS_ONLY_SEATS = {
     "q24_ann_lsh_topk", "q28_near_dup_minhash", "q29_simhash_fingerprints",
     "q39_media_decode_stats", "q40_media_embedding_topk", "q43_ann_ivf_topk",
     "q124_knn_graph_ivf", "q130_mmr_topk",
     "q155_winsorized_stats_sketch", "q156_equidepth_histogram_sketch",
+    # r7 window seats (never driver-checked rows-only tail)
+    "q63_semantic_dedup", "q65_ann_pq_topk", "q67_chunk_retrieval",
+    "q73_learned_quality_scores", "q78_kmeans_clusters",
+    "q89_neardup_pagerank", "q110_bpe_merges",
 }
 
 
