@@ -725,6 +725,15 @@ def bucket_auto_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         F.coalesce(F.lead("__lo", 1).over(w2), gmax).alias("__hi"),
     )
     out_spec = spec.get("output") or {"count": {"$sum": 1}}
+    for alias in out_spec:
+        # the compiler's internal namespace (same contract as $facet's
+        # reserved-alias guard): a user alias of __b/__v/__lo/__hi/_id
+        # would collide with the bucket plumbing mid-plan
+        if alias.startswith("__") or alias == "_id":
+            raise DocumentQueryError(
+                f"$bucketAuto output alias {alias!r} collides with the "
+                "compiler's reserved __*/_id namespace"
+            )
     aggs = [_acc_to_agg(a, s) for a, s in out_spec.items()]
     docs = df.join(F.broadcast(assign), val.eqNullSafe(F.col("__v")), "inner")
     per_bucket = docs.groupBy("__b").agg(*aggs)
@@ -1118,7 +1127,16 @@ def fill_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             raise DocumentQueryError(
                 "$fill linear requires a single ascending sortBy key"
             )
-        xs = F.col(next(iter(sort_by))).cast("double")
+        sfield = next(iter(sort_by))
+        if sfield not in df.columns or not isinstance(
+            df.schema[sfield].dataType, T.NumericType
+        ):
+            # a silent cast("double") of a non-numeric key would yield
+            # all-null x positions and a no-op fill — loud beats silent
+            raise DocumentQueryError(
+                f"$fill linear sortBy key {sfield!r} must be numeric"
+            )
+        xs = F.col(sfield).cast("double")
         wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         known_v = F.when(col.isNotNull(), col.cast("double"))
@@ -1210,6 +1228,11 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
         raise DocumentQueryError(f"$graphLookup bad maxDepth: {max_depth!r}")
     depth_field = spec.get("depthField")
 
+    if as_field in df.columns:
+        # Mongo OVERWRITES an existing field named by "as" — drop the
+        # old column rather than letting the join-back raise an
+        # ambiguous-column AnalysisException
+        df = df.drop(as_field)
     base = df.withColumn("__gl_row", F.monotonically_increasing_id())
     base = base.localCheckpoint()  # pin the nondeterministic row ids
     frontier = (

@@ -1591,3 +1591,38 @@ def test_sample_deterministic_and_top_n_plan(store):
         store.aggregate("documents", [{"$sample": {"size": -1}}])
     with pytest.raises(DocumentQueryError, match="sample expects"):
         store.aggregate("documents", [{"$sample": 10}])
+
+
+def test_new_stage_edge_contracts(spark):
+    """Edge contracts added after self-review: $graphLookup overwrites
+    an existing 'as' field (Mongo semantics, not an ambiguous-column
+    crash); $bucketAuto rejects reserved output aliases; $fill linear
+    rejects non-numeric sort keys loudly instead of no-op filling."""
+    s = DocumentStore(spark)
+    s.register("g2", spark.createDataFrame(
+        [("a", "b", 1), ("b", None, 2)], "id string, nxt string, chain int"))
+    out = s.aggregate(
+        "g2",
+        [{"$match": {"id": "a"}},
+         {"$graphLookup": {"from": "g2", "startWith": "$nxt",
+                           "connectFromField": "nxt",
+                           "connectToField": "id", "as": "chain"}},
+         {"$limit": 10}],
+    ).collect()
+    assert [r["id"] for r in out[0]["chain"]] == ["b"]  # int col replaced
+
+    s.register("b2", spark.createDataFrame([(1,), (2,)], "x long"))
+    with pytest.raises(DocumentQueryError, match="reserved"):
+        s.aggregate("b2", [{"$bucketAuto": {
+            "groupBy": "$x", "buckets": 2,
+            "output": {"__b": {"$sum": 1}}}}])
+    with pytest.raises(DocumentQueryError, match="reserved"):
+        s.aggregate("b2", [{"$bucketAuto": {
+            "groupBy": "$x", "buckets": 2,
+            "output": {"_id": {"$sum": 1}}}}])
+
+    s.register("f2", spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "k string, v double"))
+    with pytest.raises(DocumentQueryError, match="must be numeric"):
+        s.aggregate("f2", [{"$fill": {"sortBy": {"k": 1},
+                                      "output": {"v": {"method": "linear"}}}}])
