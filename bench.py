@@ -186,6 +186,7 @@ HEADLINE = [
     "q172_doc_graph_lookup",
     "q173_doc_bucket_auto",
     "q174_doc_sample",
+    "q175_doc_trailing_window",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

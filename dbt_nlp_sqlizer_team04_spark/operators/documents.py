@@ -887,14 +887,20 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             # partition — the frame-less Window.partitionBy form
             out_cols[name] = col.over(base)
             continue
-        if not isinstance(frame, dict) or len(frame) != 1:
+        if not isinstance(frame, dict):
             raise DocumentQueryError(f"Bad window frame: {frame!r}")
-        kind, bounds = next(iter(frame.items()))
+        unit = frame.get("unit")
+        body_frame = {k: v for k, v in frame.items() if k != "unit"}
+        if len(body_frame) != 1:
+            raise DocumentQueryError(f"Bad window frame: {frame!r}")
+        kind, bounds = next(iter(body_frame.items()))
         if not isinstance(bounds, list) or len(bounds) != 2:
             raise DocumentQueryError(f"Bad window bounds: {bounds!r}")
         lo = _frame_bound(bounds[0], lower=True)
         hi = _frame_bound(bounds[1], lower=False)
         if kind == "documents":
+            if unit is not None:
+                raise DocumentQueryError("'unit' applies to range windows")
             if sorted_w is None:
                 raise DocumentQueryError("documents window requires sortBy")
             w = sorted_w.rowsBetween(lo, hi)
@@ -907,11 +913,40 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 raise DocumentQueryError(
                     "range window requires a single ascending sortBy key"
                 )
-            w = sorted_w.rangeBetween(lo, hi)
+            if unit is not None:
+                # time-unit range (Mongo: {"range": [-7, 0], "unit":
+                # "day"} over a date/timestamp sortBy) — compiled by
+                # RE-SORTING on the key's epoch seconds and scaling
+                # the bounds to seconds; fixed-width units only
+                # (month/year vary — Spark's rangeBetween can't
+                # express them either, loud error)
+                secs = {"second": 1, "minute": 60, "hour": 3600,
+                        "day": 86400, "week": 604800}.get(unit)
+                if secs is None:
+                    raise DocumentQueryError(
+                        f"range window bad unit: {unit!r} "
+                        "(fixed-width units second..week only)"
+                    )
+                skey = next(iter(sort_by))
+                epoch = F.col(skey).cast("timestamp").cast("long")
+
+                # scale only REAL integer offsets from the spec —
+                # unboundedPreceding/currentRow sentinels pass through
+                # (they are Python ints too; multiplying the sentinel
+                # would overflow the frame)
+                def _scaled(tok, b):
+                    return b * secs if isinstance(tok, int) and not isinstance(
+                        tok, bool
+                    ) else b
+
+                w = base.orderBy(epoch.asc()).rangeBetween(
+                    _scaled(bounds[0], lo), _scaled(bounds[1], hi)
+                )
+            else:
+                w = sorted_w.rangeBetween(lo, hi)
         else:
             raise DocumentQueryError(
-                f"Unsupported window kind: {kind!r} "
-                "(documents/range; time 'unit' ranges are not compiled)"
+                f"Unsupported window kind: {kind!r} (documents/range)"
             )
         out_cols[name] = col.over(w)
     return df.withColumns(out_cols)
@@ -2564,4 +2599,55 @@ Q174_ORACLE_SQL = """
     FROM documents
     ORDER BY md5('{"doc_id":' || doc_id || '}')
     LIMIT 25
+"""
+
+
+def q175_doc_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-unit range window end-to-end: per-day purchase revenue with
+    a TRAILING 7-DAY rolling total ({"range": [-6, 0], "unit": "day"} —
+    range, not rows: days absent from the data contribute nothing,
+    which a documents-frame window would get wrong on sparse axes).
+    Spark shape: the $group's day axis re-sorted on epoch seconds,
+    rangeBetween(-6·86400, 0). Oracle: RANGE BETWEEN INTERVAL twin."""
+    out = _store(spark, sf_dir).execute(
+        {
+            "collection": "events",
+            "pipeline": [
+                {"$match": {"event_type": "purchase"}},
+                {"$addFields": {
+                    "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}}
+                }},
+                {"$group": {"_id": "$day", "daily": {"$sum": "$value"}}},
+                {"$setWindowFields": {
+                    "sortBy": {"_id": 1},
+                    "output": {"trail7": {
+                        "$sum": "$daily",
+                        "window": {"range": [-6, 0], "unit": "day"},
+                    }},
+                }},
+                {"$sort": {"_id": 1}},
+                {"$limit": 1000},
+            ],
+        }
+    )
+    return out.select(
+        "_id",
+        F.round("daily", 2).alias("daily"),
+        F.round("trail7", 2).alias("trail7"),
+    )
+
+
+Q175_ORACLE_SQL = """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(value) AS daily
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT day AS _id,
+           ROUND(daily, 2) AS daily,
+           ROUND(SUM(daily) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS trail7
+    FROM d
 """

@@ -1130,6 +1130,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $sample (deterministic md5-order draw — the reproducible-sampling
     # contract, documented divergence from Mongo randomness) — NEW r7.
     "q174_doc_sample": DOC.q174_doc_sample,
+    # time-unit range window (trailing 7-day rolling sum; range vs
+    # rows semantics on a sparse day axis) — NEW r7.
+    "q175_doc_trailing_window": DOC.q175_doc_trailing_window,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2595,6 +2598,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q172_doc_graph_lookup": DOC.Q172_ORACLE_SQL,
     "q173_doc_bucket_auto": DOC.Q173_ORACLE_SQL,
     "q174_doc_sample": DOC.Q174_ORACLE_SQL,
+    "q175_doc_trailing_window": DOC.Q175_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

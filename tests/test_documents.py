@@ -1626,3 +1626,47 @@ def test_new_stage_edge_contracts(spark):
     with pytest.raises(DocumentQueryError, match="must be numeric"):
         s.aggregate("f2", [{"$fill": {"sortBy": {"k": 1},
                                       "output": {"v": {"method": "linear"}}}}])
+
+
+def test_set_window_fields_time_unit_range(spark):
+    """Time-unit range windows: a trailing 2-day range over a SPARSE
+    day axis sums only days inside the interval (absent days contribute
+    nothing — the semantics a documents frame would get wrong), and the
+    unit validation is loud."""
+    import datetime as dt
+
+    s = DocumentStore(spark)
+    rows = [
+        (dt.date(2024, 1, 1), 10.0),
+        (dt.date(2024, 1, 2), 20.0),
+        (dt.date(2024, 1, 5), 40.0),   # 2-day gap before this row
+        (dt.date(2024, 1, 6), 80.0),
+    ]
+    s.register("dd", spark.createDataFrame(rows, "d date, v double"))
+    out = s.aggregate(
+        "dd",
+        [{"$setWindowFields": {
+            "sortBy": {"d": 1},
+            "output": {"t": {"$sum": "$v",
+                             "window": {"range": [-1, 0], "unit": "day"}}},
+        }},
+         {"$limit": 10}],
+    ).collect()
+    got = {r["d"]: r["t"] for r in out}
+    assert got[dt.date(2024, 1, 1)] == 10.0
+    assert got[dt.date(2024, 1, 2)] == 30.0    # 1+2 inside 2 days
+    assert got[dt.date(2024, 1, 5)] == 40.0    # gap: jan 4 absent
+    assert got[dt.date(2024, 1, 6)] == 120.0   # 5+6
+
+    with pytest.raises(DocumentQueryError, match="bad unit"):
+        s.aggregate("dd", [{"$setWindowFields": {
+            "sortBy": {"d": 1},
+            "output": {"t": {"$sum": "$v",
+                             "window": {"range": [-1, 0],
+                                        "unit": "month"}}}}}])
+    with pytest.raises(DocumentQueryError, match="applies to range"):
+        s.aggregate("dd", [{"$setWindowFields": {
+            "sortBy": {"d": 1},
+            "output": {"t": {"$sum": "$v",
+                             "window": {"documents": [-1, 0],
+                                        "unit": "day"}}}}}])
