@@ -427,6 +427,32 @@ class NL2DocEngine:
                     ],
                 }
 
+        # equi-depth phrasing — "N equal(-count) buckets by <m>"
+        # compiles to $bucketAuto (q173's surface from NL; the
+        # explicit-boundary "buckets of <step>" phrasing below stays
+        # the equi-WIDTH $bucket tier)
+        eb = _re.search(
+            r"\b(\d+)\s+equal(?:[- ]count|[- ]sized?)?\s+buckets?\s+"
+            r"(?:of|by)\s+([a-z_]+)",
+            ql,
+        )
+        if eb:
+            n_b, m_word = int(eb.group(1)), eb.group(2)
+            measure = best_field(numeric=True, exclude=filtered, text=m_word)
+            if measure is not None and n_b > 0:
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$bucketAuto": {"groupBy": f"${measure}",
+                                         "buckets": n_b}},
+                        {"$addFields": {"lo": "$_id.min",
+                                        "hi": "$_id.max"}},
+                        {"$project": {"_id": 0, "lo": 1, "hi": 1,
+                                      "count": 1}},
+                        {"$sort": {"lo": 1}},
+                    ],
+                }
+
         # multi-facet breakdown: an explicit breakdown cue + two or more
         # "by <field>" phrases compile to $facet (ONE grouping-sets scan
         # — operators/documents.py:facet_group), e.g. "break down

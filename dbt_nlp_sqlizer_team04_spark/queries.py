@@ -297,6 +297,24 @@ def _nl58_doc_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl59_doc_equal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc equi-depth phrasing compiles to $bucketAuto (q173's
+    surface from NL; oracle: the identical first-row-index integer
+    formula). The equi-WIDTH 'buckets of <step>' phrasing stays nl52's
+    $bucket tier."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "split documents into 4 equal buckets by n_chars"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1016,6 +1034,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl57_doc_running_total": _nl57_doc_running_total,
     # NL gap-filled daily series -> $densify/$fill (q171's) — NEW r7.
     "nl58_doc_daily_gapfill": _nl58_doc_daily_gapfill,
+    # NL equi-depth buckets -> $bucketAuto (q173's surface) — NEW r7.
+    "nl59_doc_equal_buckets": _nl59_doc_equal_buckets,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -2710,6 +2730,30 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM documents
         ORDER BY doc_id
         LIMIT 100
+    """,
+    "nl59_doc_equal_buckets": """
+        WITH vals AS (
+          SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1
+        ), cum AS (
+          SELECT v, c,
+                 SUM(c) OVER (ORDER BY v) - c AS start,
+                 SUM(c) OVER () AS total
+          FROM vals
+        ), assign AS (
+          SELECT v, CAST((start * 4) // total AS BIGINT) AS b FROM cum
+        ), bframe AS (
+          SELECT b, min(v) AS lo, max(v) AS hi_in FROM assign GROUP BY b
+        ), bounds AS (
+          SELECT b, lo,
+                 COALESCE(LEAD(lo) OVER (ORDER BY b),
+                          (SELECT max(hi_in) FROM bframe)) AS hi
+          FROM bframe
+        )
+        SELECT count(*) AS count, bounds.hi AS hi, bounds.lo AS lo
+        FROM documents d
+        JOIN assign ON d.n_chars = assign.v
+        JOIN bounds ON assign.b = bounds.b
+        GROUP BY 2, 3
     """,
     "nl58_doc_daily_gapfill": """
         WITH d AS (

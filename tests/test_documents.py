@@ -1670,3 +1670,26 @@ def test_set_window_fields_time_unit_range(spark):
             "output": {"t": {"$sum": "$v",
                              "window": {"documents": [-1, 0],
                                         "unit": "day"}}}}}])
+
+
+def test_nl2doc_equal_buckets_compiles(store):
+    """'N equal buckets by <m>' compiles to $bucketAuto with flattened
+    bounds; counts are ~equal and cover the corpus; the equi-WIDTH
+    'buckets of <step>' phrasing still hits the $bucket tier."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    df, q = eng.ask("split documents into 4 equal buckets by n_chars")
+    assert q["pipeline"][0]["$bucketAuto"] == {
+        "groupBy": "$n_chars", "buckets": 4,
+    }
+    rows = df.collect()
+    total = store.collection("documents").count()
+    assert sum(r["count"] for r in rows) == total
+    assert len(rows) <= 4
+    assert max(r["count"] for r in rows) <= total // 4 + total // 10
+
+    q2 = eng.template_query("histogram of chars for documents in buckets of 150")
+    assert "$bucket" in q2["pipeline"][-2] or any(
+        "$bucket" in s for s in q2["pipeline"]
+    )
