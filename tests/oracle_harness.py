@@ -141,7 +141,53 @@ def _q89_reference(spark, sf_dir: str):
     return ["id", "rank"], [tuple(kv) for kv in top]
 
 
-DIFFERENTIAL = {"q89_neardup_pagerank": _q89_reference}
+def _q110_reference(spark, sf_dir: str):
+    """Pure-Python Sennrich BPE (dict get_stats/merge_vocab — no code
+    shared with operators/text.py) over the same documents corpus:
+    whitespace vocab, 10 greedy merges, ties broken (weight desc, left,
+    right) — the test_differential reference promoted to registry
+    level against the real corpus."""
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    vocab: dict[tuple, int] = {}
+    for r in rows:
+        for term in (r["text"] or "").strip().lower().split():
+            if term:
+                key = tuple(term)
+                vocab[key] = vocab.get(key, 0) + 1
+    merges = []
+    for step in range(10):
+        stats: dict[tuple, int] = {}
+        for syms, tf in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] = stats.get((a, b), 0) + tf
+        if not stats:
+            break
+        (left, right), w = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, w))
+        new_vocab: dict[tuple, int] = {}
+        for syms, tf in vocab.items():
+            s, i, out = list(syms), 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + tf
+        vocab = new_vocab
+    return ["step", "left", "right", "weight"], merges
+
+
+DIFFERENTIAL = {
+    "q89_neardup_pagerank": _q89_reference,
+    "q110_bpe_merges": _q110_reference,
+}
 
 
 def compare_differential(spark, sf_dir: str, name: str, fn, ref) -> dict:
