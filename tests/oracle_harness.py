@@ -184,9 +184,80 @@ def _q110_reference(spark, sf_dir: str):
     return ["step", "left", "right", "weight"], merges
 
 
+def _q130_reference(spark, sf_dir: str):
+    """Pure-Python MMR (Carbonell & Goldstein greedy — no code shared
+    with operators/similarity.py) over the same embeddings: exact
+    cosine shortlist-50 around vec_id 0 (left-fold dot products — the
+    same IEEE order as the JVM aggregate()), 6dp HALF_UP relevance
+    (Spark round), HALF_EVEN pairwise sims and scores (numpy round),
+    λ=0.7, k=10, ties on id."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    q = vecs[0]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def r6up(x):  # Spark F.round: HALF_UP on the exact binary value
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    nq = norm(q)
+    cand = []
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        nn = norm(v) * nq
+        cand.append((vid, r6up(dot(v, q) / nn) if nn > 0 else 0.0))
+    cand.sort(key=lambda t: (-t[1], t[0]))
+    cand = cand[:50]
+    nvecs = []
+    for vid, _ in cand:
+        v, nv = vecs[vid], norm(vecs[vid])
+        nvecs.append([x / nv if nv > 0 else 0.0 for x in v])
+    sims = [
+        [round(dot(a, b), 6) for b in nvecs] for a in nvecs
+    ]  # builtin round = HALF_EVEN, numpy's contract
+    lam, picked, scores = 0.7, [], []
+    avail = list(range(len(cand)))
+    while avail and len(picked) < 10:
+        best_i, best_key = None, None
+        for i in avail:
+            red = max((sims[i][j] for j in picked), default=0.0)
+            mmr = lam * cand[i][1] - (1.0 - lam) * red
+            key = (-mmr, cand[i][0])
+            if best_key is None or key < best_key:
+                best_i, best_key = i, key
+        picked.append(best_i)
+        scores.append(round(-best_key[0], 6))
+        avail.remove(best_i)
+    out = [
+        (r + 1, cand[j][0], cand[j][1], scores[r])
+        for r, j in enumerate(picked)
+    ]
+    return ["rank", "vec_id", "cosine", "mmr"], out
+
+
 DIFFERENTIAL = {
     "q89_neardup_pagerank": _q89_reference,
     "q110_bpe_merges": _q110_reference,
+    "q130_mmr_topk": _q130_reference,
 }
 
 
