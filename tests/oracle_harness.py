@@ -254,7 +254,36 @@ def _q130_reference(spark, sf_dir: str):
     return ["rank", "vec_id", "cosine", "mmr"], out
 
 
+def _q39_reference(spark, sf_dir: str):
+    """Closed-form twin of the synthetic-media decode rollup (pure
+    arithmetic, no code shared with operators/multimodal.py): the media
+    table derives entirely from the id — modality cycles
+    image/audio/video, w=16+(i%8)·4, h=16+(i%5)·4, frames=1+(i%10),
+    payload = 12-byte header + (w·h mod 4096) fill bytes — so the
+    per-modality stats of the mapInPandas decode path are computable
+    without Spark."""
+    stats: dict[str, list] = {}
+    for i in range(64):
+        modality = ("image", "audio", "video")[i % 3]
+        w, fr = 16 + (i % 8) * 4, 1 + (i % 10)
+        h = 16 + (i % 5) * 4
+        n_bytes = 12 + (w * h % 4096)
+        s = stats.setdefault(modality, [0, 0, 0, 0])
+        s[0] += 1
+        s[1] = max(s[1], w)
+        s[2] = max(s[2], fr)
+        s[3] += n_bytes
+    rows = [
+        (m, s[0], s[1], s[2], s[3]) for m, s in sorted(stats.items())
+    ]
+    return (
+        ["modality", "n_items", "max_width", "max_frames", "total_bytes"],
+        rows,
+    )
+
+
 DIFFERENTIAL = {
+    "q39_media_decode_stats": _q39_reference,
     "q89_neardup_pagerank": _q89_reference,
     "q110_bpe_merges": _q110_reference,
     "q130_mmr_topk": _q130_reference,
