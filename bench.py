@@ -187,6 +187,7 @@ HEADLINE = [
     "q173_doc_bucket_auto",
     "q174_doc_sample",
     "q175_doc_trailing_window",
+    "q176_ann_ivfpq_topk",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -1691,6 +1691,23 @@ class DocumentStore:
                     F.to_json(F.struct(*[F.col(c) for c in df.columns]))
                 )
                 df = df.orderBy(key).limit(spec["size"])
+            elif op == "$unset":
+                # string / list-of-strings sugar for the exclusion
+                # projection (Mongo 4.2) — maps to df.drop, which is
+                # column pruning Catalyst pushes into the scan
+                fields = [spec] if isinstance(spec, str) else spec
+                if not (isinstance(fields, list) and fields and all(
+                    isinstance(f, str) and f for f in fields
+                )):
+                    raise DocumentQueryError(
+                        f"$unset expects a field or list of fields: {spec!r}"
+                    )
+                missing = [f for f in fields if f not in df.columns]
+                if missing:
+                    raise DocumentQueryError(
+                        f"$unset unknown fields: {missing}"
+                    )
+                df = df.drop(*fields)
             elif op in ("$addFields", "$set"):
                 # computed columns from the expression dialect; pure
                 # projections (withColumns), so Catalyst folds them

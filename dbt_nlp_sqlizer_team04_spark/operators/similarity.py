@@ -1101,6 +1101,83 @@ def q65_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, emb, books, q, k=10, exclude_id=0)
 
 
+_IVFPQ_CACHE: dict = {}
+
+
+def ivfpq_table_for(spark: SparkSession, sf_dir: str) -> tuple[str, list, str]:
+    """Persisted IVF+PQ scan table — the FAISS IVFADC layout: ``(vec_id,
+    codes, cell)`` PARTITIONED BY cell, built ONCE per corpus at ingest
+    by joining the PQ codes onto the IVF cell assignments. Returns
+    (table name, codebooks, centroid side-table name). Codebooks are
+    re-derived per session rather than persisted: ``pq_train`` is
+    seeded AND content-addressed (md5-ordered sample), so any session
+    training against the same corpus gets byte-identical books — the
+    adopted on-disk codes stay decodable (a deployment would persist
+    the few-KB books next to the table; here determinism substitutes).
+    """
+    key = (id(spark), sf_dir)
+    if key not in _IVFPQ_CACHE:
+        from .dedup import _sf_tag, reuse_persisted_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = pq_train(emb)
+        ivf_name = ivf_table_for(spark, sf_dir)
+        name = f"embeddings_ivfpq_{_sf_tag(sf_dir)}"
+        if not reuse_persisted_table(spark, name):
+            codes = pq_encode(emb, books)
+            cells = spark.table(ivf_name).select("vec_id", "cell")
+            (
+                codes.join(cells, "vec_id")
+                .repartition("cell")
+                .write.partitionBy("cell")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        _IVFPQ_CACHE[key] = (name, books, f"{ivf_name}_centroids")
+    return _IVFPQ_CACHE[key]
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 6,
+    refine: int = 100,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF+PQ approximate top-k (Jégou et al.'s IVFADC): rank cells by
+    centroid cosine on the driver (metadata-sized), PARTITION-PRUNE the
+    persisted code table to the ``n_probe`` probed cells, ADC-scan just
+    those cells' 16-byte codes, exact-rerank the ``refine`` shortlist
+    against the raw vectors. The 100 TB composition: IVF's pruning cuts
+    the scan to n_probe/n_cells of the corpus and PQ cuts what remains
+    to codes — neither tier alone does both; recall is governed by
+    (n_probe, refine), both spelled in the plan, not by quantization
+    distortion (the rerank is full-precision — the q65 contract)."""
+    name, books, cent_table = ivfpq_table_for(spark, sf_dir)
+    centroids = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.table(cent_table).collect()
+    }
+    probe = _rank_cells(query_vec, centroids)[:n_probe]
+    codes = spark.table(name).filter(F.col("cell").isin(probe))
+    raw = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        codes, raw, books, query_vec, k=k, refine=refine,
+        exclude_id=exclude_id,
+    )
+
+
+def q176_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ approximate top-10 of vec_id=0 (rows-only; pytest pins
+    recall vs exact q23, the partition-pruned scan, exact-cosine
+    rerank values, and determinism)."""
+    q = _query_vector(spark, sf_dir, 0)
+    return ivfpq_topk(spark, sf_dir, q, k=10, exclude_id=0)
+
+
 def q63_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table at cosine ≥ 0.4, against the
     persisted TWO-probe IVF table (each vector in its 2 nearest cells,

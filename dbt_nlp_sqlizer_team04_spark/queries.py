@@ -1153,6 +1153,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # time-unit range window (trailing 7-day rolling sum; range vs
     # rows semantics on a sparse day axis) — NEW r7.
     "q175_doc_trailing_window": DOC.q175_doc_trailing_window,
+    # IVF+PQ (IVFADC): partition-pruned cells × 16-byte ADC codes ×
+    # exact rerank — rows-only, recall/plan pytest vs exact q23 — NEW r7.
+    "q176_ann_ivfpq_topk": V.q176_ann_ivfpq_topk,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2619,6 +2622,9 @@ ORACLE_SQL: dict[str, str | None] = {
     "q173_doc_bucket_auto": DOC.Q173_ORACLE_SQL,
     "q174_doc_sample": DOC.Q174_ORACLE_SQL,
     "q175_doc_trailing_window": DOC.Q175_ORACLE_SQL,
+    # seeded k-means geometry has no DuckDB twin: rows-only, recall +
+    # partition-pruning + exact-rerank pytest vs exact q23
+    "q176_ann_ivfpq_topk": None,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

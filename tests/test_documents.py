@@ -1693,3 +1693,22 @@ def test_nl2doc_equal_buckets_compiles(store):
     assert "$bucket" in q2["pipeline"][-2] or any(
         "$bucket" in s for s in q2["pipeline"]
     )
+
+
+def test_unset_stage(store):
+    """$unset: string and list forms drop columns (exclusion-projection
+    sugar); unknown fields are a loud typed error."""
+    out = store.aggregate(
+        "documents",
+        [{"$unset": "text"}, {"$limit": 5}],
+    )
+    assert "text" not in out.columns and "doc_id" in out.columns
+    out = store.aggregate(
+        "documents",
+        [{"$unset": ["text", "lang"]}, {"$limit": 5}],
+    )
+    assert set(out.columns) == {"doc_id", "source", "n_chars"}
+    with pytest.raises(DocumentQueryError, match="unknown fields"):
+        store.aggregate("documents", [{"$unset": "zz"}])
+    with pytest.raises(DocumentQueryError, match="expects a field"):
+        store.aggregate("documents", [{"$unset": 5}])

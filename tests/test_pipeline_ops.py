@@ -1202,3 +1202,44 @@ def test_edit_distance_pairs_planted(spark):
            for r in edit_distance_pairs(df, prefix=60, max_dist=5,
                                         len_band=20).collect()}
     assert out == {(1, 2): 1}  # found with exact distance; 3 banded out
+
+
+def test_ivfpq_recall_pruning_and_exact_rerank(spark, sf_check):
+    """IVF+PQ composition: recall@10 >= 0.5 at (n_probe=6, refine=100)
+    on the hard near-orthogonal random corpus (the q43 bound — the two
+    tiers compound, so the compose needs q43's probe count), the code
+    scan is PARTITION-PRUNED to the probed cells, returned cosines are
+    exact full-precision rescores, more probes can only help, and the
+    whole path is deterministic."""
+    emb = load_table(spark, sf_check, "embeddings")
+    q = V._query_vector(spark, sf_check, 0)
+    exact = {r["vec_id"] for r in V.cosine_topk(emb, q, k=10, exclude_id=0).collect()}
+    got_df = V.ivfpq_topk(spark, sf_check, q, k=10, exclude_id=0)
+    got = [tuple(r) for r in got_df.collect()]
+    ids = {t[0] for t in got}
+    assert len(ids & exact) / 10 >= 0.5
+    # probing more cells can only improve (or tie) the candidate set
+    more = {r["vec_id"] for r in V.ivfpq_topk(
+        spark, sf_check, q, k=10, n_probe=16, refine=200, exclude_id=0
+    ).collect()}
+    assert len(more & exact) >= len(ids & exact)
+    # cosines are exact rescores of the shortlist
+    want = {r["vec_id"]: r["cosine"]
+            for r in V.cosine_topk(emb, q, k=500, exclude_id=0).collect()}
+    for vid, cos in ((t[0], t[1]) for t in got):
+        assert abs(cos - want[vid]) < 1e-9
+    # the persisted code table is read with a cell partition filter
+    name, _books, _cents = V.ivfpq_table_for(spark, sf_check)
+    probe_df = spark.table(name).filter(F.col("cell").isin([0, 1, 2, 3]))
+    plan = probe_df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        probe_df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, plan[:2000]
+    # deterministic end-to-end
+    again = [tuple(r) for r in V.ivfpq_topk(
+        spark, sf_check, q, k=10, exclude_id=0
+    ).collect()]
+    assert got == again

@@ -99,7 +99,7 @@ PLANNED: dict[str, int] = {
         "q172_doc_graph_lookup", "q173_doc_bucket_auto",
         "nl57_doc_running_total", "nl58_doc_daily_gapfill",
         "q174_doc_sample", "q175_doc_trailing_window",
-        "nl59_doc_equal_buckets",
+        "nl59_doc_equal_buckets", "q176_ann_ivfpq_topk",
     )},
 }
 
