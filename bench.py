@@ -224,6 +224,7 @@ def ingest(spark, sf_dir: str) -> None:
     from dbt_nlp_sqlizer_team04_spark.operators.retrieval import chunk_index_for
     from dbt_nlp_sqlizer_team04_spark.operators.similarity import (
         ivf_table_for,
+        ivfpq_table_for,
         knn_table_for,
     )
 
@@ -234,6 +235,7 @@ def ingest(spark, sf_dir: str) -> None:
     ivf_table_for(spark, sf_dir, n_probe_assign=2)  # q63's 2-probe index
     knn_table_for(spark, sf_dir)  # q108's persisted neighbor graph
     chunk_index_for(spark, sf_dir)  # q67's chunk vectors + encoder
+    ivfpq_table_for(spark, sf_dir)  # q176's cell-partitioned PQ codes
 
 
 def main() -> None:

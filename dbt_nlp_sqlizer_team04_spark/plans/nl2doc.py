@@ -427,6 +427,19 @@ class NL2DocEngine:
                     ],
                 }
 
+        # sample phrasing — "(random) sample of N <coll>" compiles to
+        # $sample (q174's deterministic md5 draw; "random" is accepted
+        # in the phrasing, determinism is the engine's documented
+        # sampling contract)
+        sm = _re.search(r"\b(?:random\s+)?sample\s+of\s+(\d+)\b", ql)
+        if sm:
+            return {
+                "collection": coll,
+                "pipeline": prelude + [
+                    {"$sample": {"size": int(sm.group(1))}},
+                ],
+            }
+
         # equi-depth phrasing — "N equal(-count) buckets by <m>"
         # compiles to $bucketAuto (q173's surface from NL; the
         # explicit-boundary "buckets of <step>" phrasing below stays

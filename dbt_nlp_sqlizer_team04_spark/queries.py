@@ -315,6 +315,22 @@ def _nl59_doc_equal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl60_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc sample phrasing compiles to $sample (q174's deterministic
+    md5-of-JSON draw). Oracle: DuckDB's to_json(struct_pack(...))
+    renders byte-identically to Spark's to_json(struct(...)) on these
+    columns, so the hash key rebuilds engine-independently."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask("random sample of 25 documents")
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1036,6 +1052,8 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl58_doc_daily_gapfill": _nl58_doc_daily_gapfill,
     # NL equi-depth buckets -> $bucketAuto (q173's surface) — NEW r7.
     "nl59_doc_equal_buckets": _nl59_doc_equal_buckets,
+    # NL sample -> $sample deterministic draw (q174's surface) — NEW r7.
+    "nl60_doc_sample": _nl60_doc_sample,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -2736,6 +2754,14 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM documents
         ORDER BY doc_id
         LIMIT 100
+    """,
+    "nl60_doc_sample": """
+        SELECT doc_id, lang, n_chars, source, text
+        FROM documents
+        ORDER BY md5(to_json(struct_pack(
+          doc_id := doc_id, text := text, lang := lang,
+          source := source, n_chars := n_chars))::VARCHAR)
+        LIMIT 25
     """,
     "nl59_doc_equal_buckets": """
         WITH vals AS (

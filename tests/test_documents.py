@@ -1712,3 +1712,19 @@ def test_unset_stage(store):
         store.aggregate("documents", [{"$unset": "zz"}])
     with pytest.raises(DocumentQueryError, match="expects a field"):
         store.aggregate("documents", [{"$unset": 5}])
+
+
+def test_nl2doc_sample_compiles(store):
+    """'(random) sample of N <coll>' compiles to $sample; the draw is
+    the engine's deterministic md5 contract (same rows every ask)."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    df, q = eng.ask("random sample of 25 documents")
+    assert q["pipeline"][-1] == {"$sample": {"size": 25}}
+    a = sorted(r["doc_id"] for r in df.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in eng.ask("random sample of 25 documents")[0].collect()
+    )
+    assert a == b and len(a) == 25
