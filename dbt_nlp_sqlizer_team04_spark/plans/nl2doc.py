@@ -29,7 +29,11 @@ MONGO_SYS_PROMPT = (
     'Format: {"collection": "name", "pipeline": [...]} OR '
     '{"collection": "name", "find": {...}, "limit": 100} '
     "Use pipeline for aggregations/grouping. Use find for simple queries. "
-    "READ-only. LIMIT 100."
+    "Supported stages: $match $group $sort $limit $skip $project $count "
+    "$unwind $lookup $unionWith $facet $bucket $bucketAuto $sortByCount "
+    "$setWindowFields $densify $fill $graphLookup $sample $replaceRoot "
+    "$addFields $set $unset. "
+    "READ-only ($out/$merge refused). LIMIT 100."
 )
 
 
