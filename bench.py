@@ -188,6 +188,7 @@ HEADLINE = [
     "q174_doc_sample",
     "q175_doc_trailing_window",
     "q176_ann_ivfpq_topk",
+    "q177_doc_lookup_topn",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

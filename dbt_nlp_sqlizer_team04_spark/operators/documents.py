@@ -222,13 +222,30 @@ def lookup_correlated(
                 f"document: {m!r}"
             )
         cond_spec = m["$expr"]
-    if pipe and set(pipe[0]) == {"$project"}:
-        project = pipe.pop(0)["$project"]
+    sub_sort: dict | None = None
+    sub_limit: int | None = None
+    while pipe:
+        sop = next(iter(pipe[0]))
+        if sop == "$sort" and sub_sort is None and project is None:
+            sub_sort = pipe.pop(0)["$sort"]
+            if not (isinstance(sub_sort, dict) and sub_sort):
+                raise DocumentQueryError(f"Bad sub-pipeline $sort: {sub_sort!r}")
+        elif sop == "$limit" and sub_limit is None:
+            if sub_sort is None:
+                raise DocumentQueryError(
+                    "correlated $lookup $limit requires a preceding $sort "
+                    "(an unsorted per-group page is nondeterministic)"
+                )
+            sub_limit = int(pipe.pop(0)["$limit"])
+        elif sop == "$project" and project is None:
+            project = pipe.pop(0)["$project"]
+        else:
+            break
     if pipe:
         raise DocumentQueryError(
             "correlated $lookup supports one leading $match {$expr} plus "
-            "an optional include-only $project; unsupported stages: "
-            f"{[next(iter(s)) for s in pipe]}"
+            "optional $sort / $limit / include-only $project; "
+            f"unsupported stages: {[next(iter(s)) for s in pipe]}"
         )
     if not concise and cond_spec is None:
         raise DocumentQueryError(
@@ -276,11 +293,50 @@ def lookup_correlated(
         expr_cond = _ref(cond_spec, resolve).cast("boolean")
         cond = expr_cond if cond is None else cond & expr_cond
     joined = left.join(fprep, cond, "left")
+    if sub_sort is None:
+        return (
+            joined.groupBy(F.col(f"__l.{row_id}"))
+            .agg(
+                *[F.first(F.col(f"__l.{c}")).alias(c) for c in base_cols],
+                F.collect_list(F.col("__f.__frow")).alias(out_name),
+            )
+            .drop(row_id)
+        )
+    # $sort (+$limit): the per-group top-N window rewrite — rank the
+    # matches inside each local row's group, keep rn <= limit, and
+    # rebuild the array IN the sub-pipeline's sort order (sort_array on
+    # (rn, payload) structs, then strip the rank). An unmatched local
+    # row contributes one all-null foreign row: rn=1 survives any
+    # limit and the null payload is filtered out of the array — the
+    # empty-array contract holds. Scale: the window and the regroup
+    # share the row-id partitioning (one exchange, reused).
+    from pyspark.sql import Window
+
+    unknown = [f for f in sub_sort if f not in fdf.columns]
+    if unknown:
+        raise DocumentQueryError(
+            f"correlated $lookup $sort unknown fields: {unknown}"
+        )
+    order_cols = [
+        F.col(f"__f.{f}").asc() if d >= 0 else F.col(f"__f.{f}").desc()
+        for f, d in sub_sort.items()
+    ]
+    w = Window.partitionBy(F.col(f"__l.{row_id}")).orderBy(*order_cols)
+    ranked = joined.withColumn("__rn", F.row_number().over(w))
+    if sub_limit is not None:
+        ranked = ranked.filter(F.col("__rn") <= sub_limit)
+    pair = F.struct(F.col("__rn").alias("__rn"),
+                    F.col("__f.__frow").alias("__p"))
     return (
-        joined.groupBy(F.col(f"__l.{row_id}"))
+        ranked.groupBy(F.col(f"__l.{row_id}"))
         .agg(
             *[F.first(F.col(f"__l.{c}")).alias(c) for c in base_cols],
-            F.collect_list(F.col("__f.__frow")).alias(out_name),
+            F.filter(
+                F.transform(
+                    F.sort_array(F.collect_list(pair)), lambda x: x["__p"]
+                ),
+                lambda p: p.isNotNull(),
+            ).alias(out_name),
         )
         .drop(row_id)
     )
@@ -2667,4 +2723,62 @@ Q175_ORACLE_SQL = """
              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
            ), 2) AS trail7
     FROM d
+"""
+
+
+def q177_doc_lookup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated ``$lookup`` with a per-group ``$sort + $limit`` — the
+    "latest N related records" idiom (each of the 5 richest customers
+    carries its 3 most recent orders, IN recency order). De-correlated
+    to one equi-join + a row_number window on the local row id; the
+    $unwind's includeArrayIndex proves the array preserved the
+    sub-pipeline's sort. Oracle: ROW_NUMBER twin (idx = rn-1)."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("customer", load_table(spark, sf_dir, "customer"))
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "customer",
+        [
+            {"$sort": {"c_acctbal": -1, "c_custkey": 1}},
+            {"$limit": 5},
+            {"$lookup": {
+                "from": "orders",
+                "let": {"cid": "$c_custkey"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$o_custkey", "$$cid"]}}},
+                    {"$sort": {"o_orderdate": -1, "o_orderkey": 1}},
+                    {"$limit": 3},
+                    {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+                ],
+                "as": "recent",
+            }},
+            {"$unwind": {"path": "$recent", "includeArrayIndex": "idx"}},
+            {"$addFields": {"o_orderkey": "$recent.o_orderkey",
+                            "price": "$recent.o_totalprice"}},
+            {"$project": {"_id": 0, "c_custkey": 1, "idx": 1,
+                          "o_orderkey": 1, "price": 1}},
+            {"$sort": {"c_custkey": 1, "idx": 1}},
+            {"$limit": 100},
+        ],
+    )
+    return out.withColumn("price", F.round("price", 2))
+
+
+Q177_ORACLE_SQL = """
+    WITH top5 AS (
+      SELECT c_custkey FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+    ), r AS (
+      SELECT t.c_custkey, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.c_custkey
+               ORDER BY o.o_orderdate DESC, o.o_orderkey
+             ) AS rn
+      FROM top5 t JOIN orders o ON o.o_custkey = t.c_custkey
+    )
+    SELECT c_custkey, CAST(rn - 1 AS BIGINT) AS idx, o_orderkey,
+           ROUND(o_totalprice, 2) AS price
+    FROM r WHERE rn <= 3
 """

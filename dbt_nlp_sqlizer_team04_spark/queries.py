@@ -1174,6 +1174,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # IVF+PQ (IVFADC): partition-pruned cells × 16-byte ADC codes ×
     # exact rerank — rows-only, recall/plan pytest vs exact q23 — NEW r7.
     "q176_ann_ivfpq_topk": V.q176_ann_ivfpq_topk,
+    # correlated $lookup + per-group $sort/$limit (latest-N idiom via
+    # the row_number window rewrite, array order preserved) — NEW r7.
+    "q177_doc_lookup_topn": DOC.q177_doc_lookup_topn,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2643,6 +2646,7 @@ ORACLE_SQL: dict[str, str | None] = {
     # seeded k-means geometry has no DuckDB twin: rows-only, recall +
     # partition-pruning + exact-rerank pytest vs exact q23
     "q176_ann_ivfpq_topk": None,
+    "q177_doc_lookup_topn": DOC.Q177_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

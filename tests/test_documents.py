@@ -1728,3 +1728,53 @@ def test_nl2doc_sample_compiles(store):
         for r in eng.ask("random sample of 25 documents")[0].collect()
     )
     assert a == b and len(a) == 25
+
+
+def test_lookup_correlated_sort_limit(spark):
+    """Correlated $lookup with per-group $sort/$limit: the array comes
+    back IN the sub-pipeline's sort order, the limit applies per local
+    row, unmatched rows keep the empty-array contract, and $limit
+    without $sort / unknown sort fields raise loudly."""
+    s = DocumentStore(spark)
+    s.register("u", spark.createDataFrame(
+        [(1,), (2,), (3,)], "uid long"))
+    s.register("ev", spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "c"), (1, 20, "b"), (2, 5, "x")],
+        "uid long, ts long, tag string"))
+    out = s.aggregate(
+        "u",
+        [{"$lookup": {
+            "from": "ev",
+            "let": {"u": "$uid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$uid", "$$u"]}}},
+                {"$sort": {"ts": -1}},
+                {"$limit": 2},
+                {"$project": {"ts": 1, "tag": 1}},
+            ],
+            "as": "recent",
+        }},
+         {"$limit": 10}],
+    ).collect()
+    by_uid = {r["uid"]: [(e["ts"], e["tag"]) for e in r["recent"]]
+              for r in out}
+    assert by_uid[1] == [(30, "c"), (20, "b")]   # newest-first, top-2
+    assert by_uid[2] == [(5, "x")]
+    assert by_uid[3] == []                        # unmatched stays empty
+
+    with pytest.raises(DocumentQueryError, match="requires a preceding"):
+        s.aggregate("u", [{"$lookup": {
+            "from": "ev", "let": {"u": "$uid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$uid", "$$u"]}}},
+                {"$limit": 2},
+            ],
+            "as": "r"}}])
+    with pytest.raises(DocumentQueryError, match="sort unknown fields"):
+        s.aggregate("u", [{"$lookup": {
+            "from": "ev", "let": {"u": "$uid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$uid", "$$u"]}}},
+                {"$sort": {"zz": 1}},
+            ],
+            "as": "r"}}])
