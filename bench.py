@@ -189,6 +189,7 @@ HEADLINE = [
     "q175_doc_trailing_window",
     "q176_ann_ivfpq_topk",
     "q177_doc_lookup_topn",
+    "q178_doc_lookup_group",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

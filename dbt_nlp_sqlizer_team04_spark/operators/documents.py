@@ -224,6 +224,24 @@ def lookup_correlated(
         cond_spec = m["$expr"]
     sub_sort: dict | None = None
     sub_limit: int | None = None
+    sub_group: dict | None = None
+    if pipe and set(pipe[0]) == {"$group"}:
+        # trailing per-correlation aggregate: {$group: {_id: None,
+        # accs}} — the textbook de-correlation target (join + regrouped
+        # aggregate); a keyed _id inside a correlated sub-pipeline
+        # (array of per-key groups) stays a loud error
+        sub_group = pipe.pop(0)["$group"]
+        if not (isinstance(sub_group, dict) and sub_group.get("_id",
+                                                              "?") is None):
+            raise DocumentQueryError(
+                "correlated $lookup $group supports _id: None only "
+                f"(per-correlation aggregate): {sub_group!r}"
+            )
+        if pipe:
+            raise DocumentQueryError(
+                "correlated $lookup $group must be the final sub-stage; "
+                f"found: {[next(iter(s)) for s in pipe]}"
+            )
     while pipe:
         sop = next(iter(pipe[0]))
         if sop == "$sort" and sub_sort is None and project is None:
@@ -293,6 +311,46 @@ def lookup_correlated(
         expr_cond = _ref(cond_spec, resolve).cast("boolean")
         cond = expr_cond if cond is None else cond & expr_cond
     joined = left.join(fprep, cond, "left")
+    if sub_group is not None:
+        # per-correlation aggregate: accumulators run over each local
+        # row's matches only (mask = a real foreign row joined), with
+        # '$field' resolving to the FOREIGN side. Mongo's result shape
+        # is an ARRAY holding the one aggregate doc — and an empty
+        # array when nothing matched ($group over zero docs emits no
+        # doc), hence the match-count gate.
+        matched_c = F.col("__f.__frow").isNotNull()
+
+        def fresolve(tok: str) -> Column:
+            if tok.startswith("$$"):
+                return resolve(tok)
+            return F.col(f"__f.{tok[1:]}")
+
+        aggs = [
+            _acc_to_agg_masked(a, s_, matched_c, fresolve)
+            for a, s_ in sub_group.items()
+            if a != "_id"
+        ]
+        agged = joined.groupBy(F.col(f"__l.{row_id}")).agg(
+            *[F.first(F.col(f"__l.{c}")).alias(c) for c in base_cols],
+            F.count(F.when(matched_c, F.lit(1))).alias("__nm"),
+            *aggs,
+        )
+        doc = F.struct(
+            F.lit(None).cast("string").alias("_id"),
+            *[F.col(a) for a in sub_group if a != "_id"],
+        )
+        return (
+            agged.withColumn(
+                out_name,
+                # [] when nothing matched, [doc] otherwise — filter on
+                # the singleton array keeps the element type without
+                # naming it (when/otherwise(NULL) would yield null,
+                # breaking the empty-array contract)
+                F.filter(F.array(doc), lambda _x: F.col("__nm") > 0),
+            )
+            .drop("__nm", *[a for a in sub_group if a != "_id"])
+            .drop(row_id)
+        )
     if sub_sort is None:
         return (
             joined.groupBy(F.col(f"__l.{row_id}"))
@@ -343,11 +401,11 @@ def lookup_correlated(
 
 
 # ----------------------------------------------------- $group stage (C5)
-def _acc_to_agg(alias: str, spec: dict[str, Any]) -> Column:
+def _acc_to_agg(alias: str, spec: dict[str, Any], resolve=None) -> Column:
     """Unmasked accumulator — delegates to the masked dispatch with a
     constant-true condition (Catalyst folds the no-op CASE away), so
     there is exactly ONE accumulator table to extend."""
-    return _acc_to_agg_masked(alias, spec, F.lit(True))
+    return _acc_to_agg_masked(alias, spec, F.lit(True), resolve)
 
 
 def _ref(arg: Any, resolve=None) -> Column:
@@ -439,7 +497,9 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
     return fn(*[_ref(a, resolve) for a in args])
 
 
-def _acc_to_agg_masked(alias: str, spec: dict[str, Any], cond: Column) -> Column:
+def _acc_to_agg_masked(
+    alias: str, spec: dict[str, Any], cond: Column, resolve=None
+) -> Column:
     """THE accumulator dispatch table (single source of truth —
     :func:`_acc_to_agg` delegates here with a constant-true mask, which
     Catalyst folds away). A non-trivial ``cond`` aggregates only rows
@@ -459,7 +519,7 @@ def _acc_to_agg_masked(alias: str, spec: dict[str, Any], cond: Column) -> Column
     op, arg = next(iter(spec.items()))
     if op in ("$count",) or (op == "$sum" and arg == 1):
         return F.count(F.when(cond, F.lit(1))).alias(alias)
-    masked = F.when(cond, _ref(arg))
+    masked = F.when(cond, _ref(arg, resolve))
     if op == "$sum":
         return F.sum(masked).alias(alias)
     if op == "$avg":
@@ -2781,4 +2841,55 @@ Q177_ORACLE_SQL = """
     SELECT c_custkey, CAST(rn - 1 AS BIGINT) AS idx, o_orderkey,
            ROUND(o_totalprice, 2) AS price
     FROM r WHERE rn <= 3
+"""
+
+
+def q178_doc_lookup_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated ``$lookup`` with a trailing per-correlation
+    ``$group`` — "customers with their order count and total spend"
+    WITHOUT materializing the order array: the de-correlation compiles
+    to join + ONE regrouped aggregate (masked accumulators over each
+    local row's matches), the textbook unnesting rewrite. Unmatched
+    customers keep the empty array ($group over zero docs emits
+    nothing), so the plain $unwind drops them — matching the INNER
+    JOIN oracle."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("customer", load_table(spark, sf_dir, "customer"))
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "customer",
+        [
+            {"$sort": {"c_acctbal": -1, "c_custkey": 1}},
+            {"$limit": 10},
+            {"$lookup": {
+                "from": "orders",
+                "let": {"cid": "$c_custkey"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$o_custkey", "$$cid"]}}},
+                    {"$group": {"_id": None, "n": {"$sum": 1},
+                                "spend": {"$sum": "$o_totalprice"}}},
+                ],
+                "as": "stats",
+            }},
+            {"$unwind": "$stats"},
+            {"$addFields": {"n": "$stats.n", "spend": "$stats.spend"}},
+            {"$project": {"_id": 0, "c_custkey": 1, "n": 1, "spend": 1}},
+            {"$sort": {"c_custkey": 1}},
+            {"$limit": 100},
+        ],
+    )
+    return out.withColumn("spend", F.round("spend", 2))
+
+
+Q178_ORACLE_SQL = """
+    WITH top10 AS (
+      SELECT c_custkey FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    )
+    SELECT t.c_custkey, count(*) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS spend
+    FROM top10 t JOIN orders o ON o.o_custkey = t.c_custkey
+    GROUP BY 1
 """

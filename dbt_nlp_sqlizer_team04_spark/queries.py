@@ -1177,6 +1177,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # correlated $lookup + per-group $sort/$limit (latest-N idiom via
     # the row_number window rewrite, array order preserved) — NEW r7.
     "q177_doc_lookup_topn": DOC.q177_doc_lookup_topn,
+    # correlated $lookup + trailing $group (per-correlation aggregate —
+    # join + ONE regrouped aggregate, no array materialized) — NEW r7.
+    "q178_doc_lookup_group": DOC.q178_doc_lookup_group,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2647,6 +2650,7 @@ ORACLE_SQL: dict[str, str | None] = {
     # partition-pruning + exact-rerank pytest vs exact q23
     "q176_ann_ivfpq_topk": None,
     "q177_doc_lookup_topn": DOC.Q177_ORACLE_SQL,
+    "q178_doc_lookup_group": DOC.Q178_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

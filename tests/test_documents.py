@@ -1778,3 +1778,49 @@ def test_lookup_correlated_sort_limit(spark):
                 {"$sort": {"zz": 1}},
             ],
             "as": "r"}}])
+
+
+def test_lookup_correlated_group(spark):
+    """Correlated $lookup with a trailing $group: per-correlation
+    aggregates with foreign-side field refs, [] for unmatched rows
+    (Mongo: $group over zero docs emits nothing), and keyed _id /
+    non-final $group are loud errors."""
+    s = DocumentStore(spark)
+    s.register("u2", spark.createDataFrame([(1,), (2,), (3,)], "uid long"))
+    s.register("ev2", spark.createDataFrame(
+        [(1, 10.0), (1, 30.0), (2, 5.0)], "uid long, v double"))
+    out = s.aggregate(
+        "u2",
+        [{"$lookup": {
+            "from": "ev2", "let": {"u": "$uid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$uid", "$$u"]}}},
+                {"$group": {"_id": None, "total": {"$sum": "$v"},
+                            "n": {"$sum": 1}, "mx": {"$max": "$v"}}},
+            ],
+            "as": "agg"}},
+         {"$limit": 10}],
+    ).collect()
+    got = {r["uid"]: r["agg"] for r in out}
+    assert got[1][0]["total"] == 40.0 and got[1][0]["n"] == 2
+    assert got[1][0]["mx"] == 30.0
+    assert got[2][0]["total"] == 5.0 and got[2][0]["n"] == 1
+    assert got[3] == []
+
+    with pytest.raises(DocumentQueryError, match="_id: None only"):
+        s.aggregate("u2", [{"$lookup": {
+            "from": "ev2", "let": {"u": "$uid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$uid", "$$u"]}}},
+                {"$group": {"_id": "$v", "n": {"$sum": 1}}},
+            ],
+            "as": "a"}}])
+    with pytest.raises(DocumentQueryError, match="final sub-stage"):
+        s.aggregate("u2", [{"$lookup": {
+            "from": "ev2", "let": {"u": "$uid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$uid", "$$u"]}}},
+                {"$group": {"_id": None, "n": {"$sum": 1}}},
+                {"$sort": {"n": 1}},
+            ],
+            "as": "a"}}])

@@ -100,7 +100,7 @@ PLANNED: dict[str, int] = {
         "nl57_doc_running_total", "nl58_doc_daily_gapfill",
         "q174_doc_sample", "q175_doc_trailing_window",
         "nl59_doc_equal_buckets", "q176_ann_ivfpq_topk",
-        "nl60_doc_sample", "q177_doc_lookup_topn",
+        "nl60_doc_sample", "q177_doc_lookup_topn", "q178_doc_lookup_group",
     )},
 }
 
