@@ -775,7 +775,10 @@ def test_lookup_pipeline_form_and_let_contract(spark):
             [{"$lookup": {"from": "posts", "let": {"u": "$uid"},
                           "pipeline": [], "as": "x"}}],
         )
-    with _pytest.raises(DocumentQueryError, match="unsupported stages"):
+    # $limit is now a supported sub-stage — but only after a $sort (an
+    # unsorted per-group page is nondeterministic), so the bare form
+    # still fails loudly, with the narrower message
+    with _pytest.raises(DocumentQueryError, match="requires a preceding"):
         store.aggregate(
             "users",
             [{"$lookup": {"from": "posts", "localField": "uid",
