@@ -1827,3 +1827,24 @@ def test_lookup_correlated_group(spark):
                 {"$sort": {"n": 1}},
             ],
             "as": "a"}}])
+
+
+def test_densify_timestamp_hours(spark):
+    """$densify steps TIMESTAMP fields by sub-day units too (interval k
+    hour), not just the date/day path q171 exercises."""
+    import datetime as dt
+
+    s = DocumentStore(spark)
+    rows = [(dt.datetime(2024, 1, 1, 0), 1.0),
+            (dt.datetime(2024, 1, 1, 3), 2.0)]
+    s.register("ts", spark.createDataFrame(rows, "t timestamp, v double"))
+    out = s.aggregate(
+        "ts",
+        [{"$densify": {"field": "t",
+                       "range": {"step": 1, "unit": "hour",
+                                 "bounds": "full"}}},
+         {"$limit": 10}],
+    ).collect()
+    hours = sorted(r["t"].hour for r in out)
+    assert hours == [0, 1, 2, 3]
+    assert sum(1 for r in out if r["v"] is None) == 2  # generated rows
