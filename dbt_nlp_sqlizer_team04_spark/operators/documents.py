@@ -318,6 +318,18 @@ def lookup_correlated(
         # is an ARRAY holding the one aggregate doc — and an empty
         # array when nothing matched ($group over zero docs emits no
         # doc), hence the match-count gate.
+        for alias in sub_group:
+            if alias == "_id":
+                continue
+            # an alias shadowing a LOCAL column would make the agg
+            # output ambiguous AND the post-array drop() would take the
+            # local column with it — refuse at parse time (the
+            # $facet/$bucketAuto reserved-alias contract)
+            if alias in df.columns or alias.startswith("__"):
+                raise DocumentQueryError(
+                    f"correlated $lookup $group alias {alias!r} collides "
+                    "with a local field or the compiler's __* namespace"
+                )
         matched_c = F.col("__f.__frow").isNotNull()
 
         def fresolve(tok: str) -> Column:

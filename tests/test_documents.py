@@ -1848,3 +1848,21 @@ def test_densify_timestamp_hours(spark):
     hours = sorted(r["t"].hour for r in out)
     assert hours == [0, 1, 2, 3]
     assert sum(1 for r in out if r["v"] is None) == 2  # generated rows
+
+
+def test_lookup_correlated_group_alias_guard(spark):
+    """A $group alias shadowing a local field (or the __* namespace) is
+    refused at parse time — it would otherwise be ambiguous in the agg
+    and the post-array drop would take the local column with it."""
+    s = DocumentStore(spark)
+    s.register("u3", spark.createDataFrame([(1,)], "uid long"))
+    s.register("e3", spark.createDataFrame([(1, 2.0)], "uid long, v double"))
+    for bad in ("uid", "__nm"):
+        with pytest.raises(DocumentQueryError, match="collides"):
+            s.aggregate("u3", [{"$lookup": {
+                "from": "e3", "let": {"u": "$uid"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$uid", "$$u"]}}},
+                    {"$group": {"_id": None, bad: {"$sum": 1}}},
+                ],
+                "as": "a"}}])
