@@ -190,6 +190,9 @@ HEADLINE = [
     "q176_ann_ivfpq_topk",
     "q177_doc_lookup_topn",
     "q178_doc_lookup_group",
+    "q179_doc_graph_lookup_array",
+    "q180_doc_window_stats",
+    "q181_doc_lookup_group_keyed",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

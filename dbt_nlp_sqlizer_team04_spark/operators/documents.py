@@ -188,9 +188,12 @@ def lookup_correlated(
       concise correlated form (Mongo 5.0+): the equi-condition is
       AND-ed with the pipeline's $expr.
 
-    Sub-pipeline stages beyond one leading ``$match {$expr}`` plus an
-    optional include-only ``$project`` stay a loud error — those would
-    need per-group re-aggregation, not a join rewrite.
+    Accepted sub-pipeline stages: one leading ``$match {$expr}``, then
+    either a trailing ``$group`` (``_id: None`` → one aggregate doc per
+    local row; keyed ``_id`` → an array of per-key group docs, sorted
+    by ``_id``) or optional ``$sort`` / ``$limit`` / include-only
+    ``$project``. Anything else stays a loud error. An existing local
+    column named by ``as`` is OVERWRITTEN (Mongo's contract).
 
     Scale: equality conjuncts written as ``$eq`` compile to
     ``eqNullSafe`` equi-join keys, so Catalyst plans a hash/sort-merge
@@ -226,16 +229,17 @@ def lookup_correlated(
     sub_limit: int | None = None
     sub_group: dict | None = None
     if pipe and set(pipe[0]) == {"$group"}:
-        # trailing per-correlation aggregate: {$group: {_id: None,
-        # accs}} — the textbook de-correlation target (join + regrouped
-        # aggregate); a keyed _id inside a correlated sub-pipeline
-        # (array of per-key groups) stays a loud error
+        # trailing per-correlation aggregate — two accepted shapes:
+        # {$group: {_id: None, accs}} (ONE aggregate doc per local row)
+        # and the keyed {$group: {_id: "$k" | expr, accs}} (an array of
+        # per-key group docs per local row, sorted by _id for
+        # determinism). Both are the textbook de-correlation target:
+        # join + regrouped aggregate, never a per-row re-execution.
         sub_group = pipe.pop(0)["$group"]
-        if not (isinstance(sub_group, dict) and sub_group.get("_id",
-                                                              "?") is None):
+        if not (isinstance(sub_group, dict) and "_id" in sub_group):
             raise DocumentQueryError(
-                "correlated $lookup $group supports _id: None only "
-                f"(per-correlation aggregate): {sub_group!r}"
+                "correlated $lookup $group needs an _id "
+                f"(None or a key expression): {sub_group!r}"
             )
         if pipe:
             raise DocumentQueryError(
@@ -296,8 +300,22 @@ def lookup_correlated(
             return F.lit(b)
         return F.col(f"__f.{tok[1:]}")
 
+    if out_name in df.columns:
+        # Mongo OVERWRITES an existing field named by "as" (the
+        # graph_lookup contract) — drop the old column rather than
+        # emitting a duplicate-named output
+        df = df.drop(out_name)
     row_id = "__rowid"
     base_cols = list(df.columns)
+    # Row-id determinism: monotonically_increasing_id is safe here
+    # WITHOUT a localCheckpoint pin (contrast graph_lookup, which
+    # re-joins `base` against a separately-derived plan) because the
+    # lineage below is LINEAR — `left` has exactly one consumer chain
+    # (join → regroup inside one plan), so the ids are generated once
+    # per task and a task retry regenerates identical ids from the same
+    # partition contents. If this ever gains a second consumer of
+    # `left` (a cached/retried-lineage refactor), add
+    # `.localCheckpoint()` like graph_lookup does.
     left = df.withColumn(row_id, F.monotonically_increasing_id()).alias("__l")
     fprep = fdf.withColumn(
         "__frow", F.struct(*[F.col(c) for c in payload_cols])
@@ -323,12 +341,16 @@ def lookup_correlated(
                 continue
             # an alias shadowing a LOCAL column would make the agg
             # output ambiguous AND the post-array drop() would take the
-            # local column with it — refuse at parse time (the
-            # $facet/$bucketAuto reserved-alias contract)
-            if alias in df.columns or alias.startswith("__"):
+            # local column with it; an alias equal to the $lookup's own
+            # "as" name would likewise be swallowed by the final drop —
+            # refuse at parse time (the $facet/$bucketAuto
+            # reserved-alias contract)
+            if alias in base_cols or alias == out_name \
+                    or alias.startswith("__"):
                 raise DocumentQueryError(
                     f"correlated $lookup $group alias {alias!r} collides "
-                    "with a local field or the compiler's __* namespace"
+                    "with a local field, the $lookup 'as' name, or the "
+                    "compiler's __* namespace"
                 )
         matched_c = F.col("__f.__frow").isNotNull()
 
@@ -337,11 +359,50 @@ def lookup_correlated(
                 return resolve(tok)
             return F.col(f"__f.{tok[1:]}")
 
+        acc_aliases = [a for a in sub_group if a != "_id"]
         aggs = [
             _acc_to_agg_masked(a, s_, matched_c, fresolve)
             for a, s_ in sub_group.items()
             if a != "_id"
         ]
+        gid = sub_group["_id"]
+        if gid is not None:
+            # keyed per-correlation $group: {_id: "$k" | expr, accs} →
+            # groupBy(row_id, key) computes each local row's per-key
+            # aggregates in ONE pass, then the regroup on row_id folds
+            # them into an array of {_id: k, accs} docs (sorted by _id,
+            # the dialect's determinism convention). Unmatched local
+            # rows form a single (row, null-key) group with zero
+            # matches; the when() mask nulls its doc and collect_list
+            # drops nulls — the empty-array contract. A REAL null
+            # foreign key still appears: its group has matches, so the
+            # mask keeps it. Scale: two key-partitioned aggregates —
+            # (row_id, k) then row_id — both map-side-combinable; no
+            # per-row re-execution and no skew beyond the data's own
+            # key distribution.
+            key_c = _ref(gid, fresolve)
+            per_key = joined.groupBy(
+                F.col(f"__l.{row_id}").alias(row_id),
+                key_c.alias("__gk"),
+            ).agg(
+                *[F.first(F.col(f"__l.{c}")).alias(c) for c in base_cols],
+                F.count(F.when(matched_c, F.lit(1))).alias("__nm"),
+                *aggs,
+            )
+            doc = F.struct(
+                F.col("__gk").alias("_id"),
+                *[F.col(a) for a in acc_aliases],
+            )
+            return (
+                per_key.groupBy(row_id)
+                .agg(
+                    *[F.first(F.col(c)).alias(c) for c in base_cols],
+                    F.sort_array(
+                        F.collect_list(F.when(F.col("__nm") > 0, doc))
+                    ).alias(out_name),
+                )
+                .drop(row_id)
+            )
         agged = joined.groupBy(F.col(f"__l.{row_id}")).agg(
             *[F.first(F.col(f"__l.{c}")).alias(c) for c in base_cols],
             F.count(F.when(matched_c, F.lit(1))).alias("__nm"),
@@ -349,7 +410,7 @@ def lookup_correlated(
         )
         doc = F.struct(
             F.lit(None).cast("string").alias("_id"),
-            *[F.col(a) for a in sub_group if a != "_id"],
+            *[F.col(a) for a in acc_aliases],
         )
         return (
             agged.withColumn(
@@ -360,7 +421,7 @@ def lookup_correlated(
                 # breaking the empty-array contract)
                 F.filter(F.array(doc), lambda _x: F.col("__nm") > 0),
             )
-            .drop("__nm", *[a for a in sub_group if a != "_id"])
+            .drop("__nm", *acc_aliases)
             .drop(row_id)
         )
     if sub_sort is None:
@@ -461,6 +522,13 @@ _EXPR_OPS = {
 
 _DATE_TRUNC_UNITS = {"year", "quarter", "month", "week", "day", "hour",
                      "minute"}
+# Mongo $dateTrunc startOfWeek day names → Spark dayofweek() index
+# (1=Sunday..7=Saturday); Mongo's documented default is SUNDAY
+_START_OF_WEEK = {
+    "sunday": 1, "monday": 2, "tuesday": 3, "wednesday": 4,
+    "thursday": 5, "friday": 6, "saturday": 7,
+    "sun": 1, "mon": 2, "tue": 3, "wed": 4, "thu": 5, "fri": 6, "sat": 7,
+}
 
 
 def _expr(spec: dict[str, Any], resolve=None) -> Column:
@@ -471,15 +539,32 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
     if op == "$dateTrunc":
         # {"date": "$ts", "unit": "day"} → date_trunc; day-or-coarser
         # units come back as DATE (Mongo returns a Date at the
-        # boundary), finer units stay TIMESTAMP
+        # boundary), finer units stay TIMESTAMP. Unit "week" does NOT
+        # use Spark's date_trunc('week') (ISO, Monday-based): Mongo's
+        # $dateTrunc defaults startOfWeek to SUNDAY, so the week path
+        # computes date_sub(day, (dayofweek - start) mod 7) honoring an
+        # optional {"startOfWeek": "monday"|...} operand.
         if not (isinstance(operands, dict) and "date" in operands
                 and "unit" in operands):
             raise DocumentQueryError(f"$dateTrunc needs date+unit: {spec!r}")
         unit = operands["unit"]
         if unit not in _DATE_TRUNC_UNITS:
             raise DocumentQueryError(f"$dateTrunc bad unit: {unit!r}")
+        if unit == "week":
+            sow = operands.get("startOfWeek", "sunday")
+            idx = _START_OF_WEEK.get(str(sow).lower())
+            if idx is None:
+                raise DocumentQueryError(
+                    f"$dateTrunc bad startOfWeek: {sow!r}"
+                )
+            day = F.to_date(_ref(operands["date"], resolve))
+            # dayofweek(): 1=Sunday..7=Saturday; step back to the most
+            # recent start-of-week day (0..6 days)
+            return F.date_sub(
+                day, (F.dayofweek(day) - F.lit(idx) + F.lit(7)) % F.lit(7)
+            )
         truncated = F.date_trunc(unit, _ref(operands["date"], resolve))
-        if unit in ("year", "quarter", "month", "week", "day"):
+        if unit in ("year", "quarter", "month", "day"):
             return truncated.cast("date")
         return truncated
     if op == "$cond":
@@ -889,7 +974,29 @@ _WINDOW_AGG_OPS = {
     "$max": F.max,
     "$first": lambda c: F.first(c, ignorenulls=False),
     "$last": lambda c: F.last(c, ignorenulls=False),
+    # $push/$addToSet follow the module's $group convention (see
+    # _acc_to_agg_masked): the collected array is SORTED — deterministic
+    # and oracle-hashable, diverging from Mongo's document-order
+    # contract, which no distributed engine can honor anyway. The sort
+    # wraps the WINDOWED value (_WINDOW_POST below) — sort_array is not
+    # itself a window function, so it can't sit under .over().
+    "$push": F.collect_list,
+    "$addToSet": F.collect_set,
+    "$stdDevSamp": F.stddev_samp,
+    "$stdDevPop": F.stddev_pop,
 }
+_WINDOW_POST = {"$push": F.sort_array, "$addToSet": F.sort_array}
+# two-operand window accumulators: {"$covarianceSamp": ["$x", "$y"]}
+_WINDOW_AGG_OPS2 = {
+    "$covarianceSamp": F.covar_samp,
+    "$covariancePop": F.covar_pop,
+}
+# documented refusals — each needs per-row recursive state ($expMovingAvg
+# weights every prior row; $derivative/$integral need the sortBy field's
+# VALUE deltas under Mongo's unit algebra) that Spark's window frames
+# don't express natively; a silent approximation would diverge, so the
+# error names the operator instead
+_WINDOW_REFUSED = ("$expMovingAvg", "$derivative", "$integral")
 
 
 def _frame_bound(tok: Any, *, lower: bool):
@@ -923,13 +1030,21 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
       ``sortBy``, takes no frame (Mongo contract, enforced loudly);
     - $shift {output, by, default} — ``lead`` for positive ``by``,
       ``lag`` for negative, null-filled with ``default`` (coalesce);
-    - accumulators ($sum/$avg/$min/$max/$count/$first/$last) with an
+    - accumulators ($sum/$avg/$min/$max/$count/$first/$last, plus
+      $push/$addToSet — sorted arrays, the module's determinism
+      convention — $stdDevSamp/$stdDevPop and the two-operand
+      $covarianceSamp/$covariancePop) with an
       optional frame: ``documents`` bounds → ``rowsBetween``; ``range``
       bounds → ``rangeBetween`` (single ascending numeric sort key,
       Spark's own rangeBetween precondition, enforced loudly; time
       ``unit`` ranges are not compiled). Default frame when ``window``
       is omitted is the WHOLE partition — Mongo's documented
-      ["unbounded", "unbounded"] default.
+      ["unbounded", "unbounded"] default — except $first/$last, which
+      require ``sortBy`` and read the first/last row in SORT order
+      (Mongo's contract; an unordered partition read would be
+      nondeterministic). $expMovingAvg/$derivative/$integral are
+      documented refusals (per-row recursive state / sort-key value
+      deltas Spark frames don't express).
 
     Scale: a missing ``partitionBy`` is compiled (Mongo allows it) but
     funnels the whole input through ONE task's sort — same single-key
@@ -1004,16 +1119,44 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 else shifted
             )
             continue
+        if op in _WINDOW_REFUSED:
+            raise DocumentQueryError(
+                f"{op} is not compiled (needs per-row recursive state / "
+                "sort-key value deltas beyond Spark window frames) — "
+                "documented refusal"
+            )
         if op == "$count":
             col = F.count(F.lit(1))
+        elif op in _WINDOW_AGG_OPS2:
+            if not (isinstance(arg, list) and len(arg) == 2):
+                raise DocumentQueryError(
+                    f"{op} expects a two-element operand list: {arg!r}"
+                )
+            col = _WINDOW_AGG_OPS2[op](_ref(arg[0]), _ref(arg[1]))
         elif op in _WINDOW_AGG_OPS:
             col = _WINDOW_AGG_OPS[op](_ref(arg))
         else:
             raise DocumentQueryError(f"Unsupported window operator: {op}")
         if frame is None:
+            if op in ("$first", "$last"):
+                # Mongo requires sortBy for $first/$last, and frame-less
+                # they mean first/last IN SORT ORDER over the whole
+                # partition — col.over(base) would read an arbitrary
+                # row's value (partition order is nondeterministic)
+                if sorted_w is None:
+                    raise DocumentQueryError(f"{op} requires sortBy")
+                out_cols[name] = col.over(
+                    sorted_w.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                continue
             # Mongo default: ["unbounded", "unbounded"] over the
             # partition — the frame-less Window.partitionBy form
-            out_cols[name] = col.over(base)
+            wc = col.over(base)
+            out_cols[name] = (
+                _WINDOW_POST[op](wc) if op in _WINDOW_POST else wc
+            )
             continue
         if not isinstance(frame, dict):
             raise DocumentQueryError(f"Bad window frame: {frame!r}")
@@ -1076,7 +1219,8 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             raise DocumentQueryError(
                 f"Unsupported window kind: {kind!r} (documents/range)"
             )
-        out_cols[name] = col.over(w)
+        wc = col.over(w)
+        out_cols[name] = _WINDOW_POST[op](wc) if op in _WINDOW_POST else wc
     return df.withColumns(out_cols)
 
 
@@ -1241,6 +1385,14 @@ def fill_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
       over two frames (preceding last / following first) of the SAME
       sort — one exchange, one sort, two Window operators.
 
+      Documented divergence: ``linear`` PROMOTES an integer column to
+      double for all rows — the interpolant is fractional and a
+      DataFrame column has exactly ONE type, unlike Mongo's
+      per-document types which keep untouched values as ints. Existing
+      non-null VALUES are preserved exactly (doubles are exact for
+      |n| < 2^53); only the dtype widens. A column already double/float
+      keeps its values untouched with no cast.
+
     All methods sharing the (partition, sort) ride one physical sort;
     locf/linear require ``sortBy`` (loud otherwise). State is a window
     frame, not driver memory — spillable at any partition width.
@@ -1311,7 +1463,13 @@ def fill_stage(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         interp = prev_v + (next_v - prev_v) * (xs - prev_x) / (
             next_x - prev_x
         )
-        out_cols[name] = F.when(col.isNotNull(), col.cast("double")).otherwise(
+        # int→double promotion is a documented divergence (see
+        # docstring); skip the no-op cast when the column is already
+        # floating so those columns pass through bit-identical
+        keep = col if isinstance(
+            df.schema[name].dataType, (T.DoubleType, T.FloatType)
+        ) else col.cast("double")
+        out_cols[name] = F.when(col.isNotNull(), keep).otherwise(
             F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
         )
     return df.withColumns(out_cols)
@@ -1354,8 +1512,25 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
       foreign-doc structs (+ ``depthField``), left-joined back — rows
       that matched nothing keep Mongo's empty-array contract.
 
-    Scalar connect fields only (Mongo also walks arrays; a loud typed
-    error names the limitation). ``restrictSearchWithMatch`` filters
+    Connect fields may be scalar or ARRAYS of scalars (Mongo walks
+    arrays element-wise):
+
+    - array ``connectFromField`` → the next frontier explodes each
+      match's array into (row, node) pairs — the BFS loop already
+      operates on that shape, only frontier derivation changes;
+    - array ``connectToField`` → the foreign side is exploded ONCE
+      before the walk into (node, doc) pairs, so each superstep stays
+      one equi-join; because one doc is then reachable through several
+      of its to-nodes (possibly at different depths), matches are
+      deduped post-loop to the FIRST discovery depth via a
+      group-by-payload min(depth) — exactly Mongo's emit-once
+      contract. The scalar path skips both the explode and the dedup,
+      keeping its r7 plan unchanged;
+    - a ``startWith`` expression that resolves to an array seeds the
+      round-0 frontier with each element.
+
+    Map/struct connect fields (and arrays of non-atomic elements) stay
+    a loud typed error. ``restrictSearchWithMatch`` filters
     the foreign side BEFORE the walk with the ordinary find dialect —
     it reaches the parquet scan as a pushed predicate.
     """
@@ -1373,12 +1548,33 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
             f"$graphLookup connect fields {cfrom!r}/{cto!r} must exist "
             f"in the foreign collection"
         )
-    for f in (cfrom, cto):
-        if isinstance(fdf.schema[f].dataType, (T.ArrayType, T.MapType,
-                                               T.StructType)):
+    def _conn_is_array(f: str) -> bool:
+        dt = fdf.schema[f].dataType
+        if isinstance(dt, (T.MapType, T.StructType)):
             raise DocumentQueryError(
-                f"$graphLookup connect field {f!r} must be scalar "
-                "(array-valued connect fields are not compiled)"
+                f"$graphLookup connect field {f!r} must be scalar or an "
+                "array of scalars"
+            )
+        if isinstance(dt, T.ArrayType):
+            if not isinstance(dt.elementType, T.AtomicType):
+                raise DocumentQueryError(
+                    f"$graphLookup connect field {f!r} must hold atomic "
+                    f"elements, not {dt.elementType}"
+                )
+            return True
+        return False
+
+    cfrom_arr, cto_arr = _conn_is_array(cfrom), _conn_is_array(cto)
+    if cto_arr:
+        # doc dedup below group-bys the full payload struct; Spark can
+        # hash/compare arrays but not maps — refuse the one shape the
+        # regroup could not execute
+        bad = [c for c in fdf.columns
+               if isinstance(fdf.schema[c].dataType, T.MapType)]
+        if bad:
+            raise DocumentQueryError(
+                "$graphLookup with an array connectToField cannot dedup "
+                f"documents carrying map columns: {bad}"
             )
     restrict = spec.get("restrictSearchWithMatch")
     if restrict is not None:
@@ -1398,15 +1594,24 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
         df = df.drop(as_field)
     base = df.withColumn("__gl_row", F.monotonically_increasing_id())
     base = base.localCheckpoint()  # pin the nondeterministic row ids
+    seeds = base.select("__gl_row", _ref(start).alias("__node"))
+    if isinstance(seeds.schema["__node"].dataType, T.ArrayType):
+        # an array-valued startWith seeds one frontier node per element
+        seeds = seeds.select(
+            "__gl_row", F.explode("__node").alias("__node")
+        )
     frontier = (
-        base.select("__gl_row", _ref(start).alias("__node"))
-        .filter(F.col("__node").isNotNull())
+        seeds.filter(F.col("__node").isNotNull())
         .distinct()
         .localCheckpoint()
     )
     visited = frontier  # (row, node) pairs already probed
-    fkeyed = fdf.withColumn("__to", F.col(cto))
     payload_cols = [c for c in fdf.columns]
+    # array connectToField: explode the foreign side ONCE into
+    # (node, doc) pairs so every superstep stays a single equi-join
+    fkeyed = fdf.withColumn(
+        "__to", F.explode(F.col(cto)) if cto_arr else F.col(cto)
+    )
     matched = None
     depth = 0
     while True:
@@ -1423,7 +1628,11 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
         if max_depth is not None and depth >= max_depth:
             break
         nxt = (
-            hits.select("__gl_row", F.col(cfrom).alias("__node"))
+            hits.select(
+                "__gl_row",
+                (F.explode(F.col(cfrom)) if cfrom_arr
+                 else F.col(cfrom)).alias("__node"),
+            )
             .filter(F.col("__node").isNotNull())
             .distinct()
             .join(visited, ["__gl_row", "__node"], "left_anti")
@@ -1439,6 +1648,14 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
                 f"$graphLookup exceeded {_GRAPH_LOOKUP_MAX_ROUNDS} rounds "
                 "without converging — set maxDepth"
             )
+    if cto_arr:
+        # one doc is reachable through several of its to-nodes, possibly
+        # at different depths — emit it ONCE, at its first discovery
+        # depth (Mongo's contract). The scalar path needs no dedup: each
+        # doc's single to-node is probed at most once per row.
+        matched = matched.groupBy("__gl_row", *payload_cols).agg(
+            F.min("__depth").alias("__depth")
+        )
     doc = F.struct(
         *[F.col(c) for c in payload_cols],
         *([F.col("__depth").alias(depth_field)] if depth_field else []),
@@ -1784,6 +2001,23 @@ class DocumentStore:
                         f"(missing from union side: {sorted(missing)}, "
                         f"extra on union side: {sorted(extra)}) — "
                         "project both sides to a shared shape first"
+                    )
+                # name-matched TYPE drift is the same contract: without
+                # this check a long-vs-string column surfaces as a raw
+                # AnalysisException and a long-vs-double silently widens
+                mismatched = [
+                    (c, str(df.schema[c].dataType),
+                     str(other.schema[c].dataType))
+                    for c in df.columns
+                    if df.schema[c].dataType != other.schema[c].dataType
+                ]
+                if mismatched:
+                    raise DocumentQueryError(
+                        "$unionWith type drift between the two sides: "
+                        + ", ".join(
+                            f"{c} ({a} vs {b})" for c, a, b in mismatched
+                        )
+                        + " — cast both sides to a shared type first"
                     )
                 df = df.unionByName(other)
             elif op == "$facet":
@@ -2904,4 +3138,191 @@ Q178_ORACLE_SQL = """
            ROUND(SUM(o.o_totalprice), 2) AS spend
     FROM top10 t JOIN orders o ON o.o_custkey = t.c_custkey
     GROUP BY 1
+"""
+
+
+def q179_doc_graph_lookup_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$graphLookup`` over an ARRAY-valued ``connectFromField`` — the
+    adjacency-LIST shape Mongo walks element-wise (q172's scalar parent
+    pointers inverted into per-node ``kids`` arrays: node k's children
+    are 4k+1..4k+4 within the corpus). Three roots walk descendants to
+    maxDepth 2 with an array ``startWith`` seeding depth 0; the frontier
+    explodes each match's kids array into (row, node) pairs — the only
+    change vs the scalar BFS. Oracle: WITH RECURSIVE twin over the
+    EXPLODED edge list (parent BETWEEN-join). Tree paths are unique, so
+    depths and row sets match exactly."""
+    from ..sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    tree = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(array(doc_id*4+1, doc_id*4+2, doc_id*4+3, doc_id*4+4),"
+            f" x -> x < {n})"
+        ).alias("kids"),
+    )
+    store = DocumentStore(spark)
+    store.register("doc_tree", tree)
+    out = store.execute(
+        {
+            "collection": "doc_tree",
+            "pipeline": [
+                {"$match": {"doc_id": {"$lte": 2}}},
+                {"$graphLookup": {
+                    "from": "doc_tree",
+                    "startWith": "$kids",
+                    "connectFromField": "kids",
+                    "connectToField": "doc_id",
+                    "as": "descendants",
+                    "depthField": "depth",
+                    "maxDepth": 2,
+                }},
+                {"$unwind": "$descendants"},
+                {"$addFields": {"node": "$descendants.doc_id",
+                                "depth": "$descendants.depth"}},
+                {"$project": {"doc_id": 1, "node": 1, "depth": 1}},
+                {"$sort": {"doc_id": 1, "node": 1}},
+                {"$limit": 2000},
+            ],
+        }
+    )
+    return out
+
+
+Q179_ORACLE_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT p.doc_id AS parent, c.doc_id AS child
+      FROM documents p
+      JOIN documents c
+        ON c.doc_id BETWEEN 4 * p.doc_id + 1 AND 4 * p.doc_id + 4
+    ), walk AS (
+      SELECT e.parent AS root, e.child AS node, 0 AS depth
+      FROM edges e WHERE e.parent <= 2
+      UNION ALL
+      SELECT w.root, e.child, w.depth + 1
+      FROM walk w JOIN edges e ON e.parent = w.node
+      WHERE w.depth < 2
+    )
+    SELECT root AS doc_id, node, CAST(depth AS BIGINT) AS depth
+    FROM walk ORDER BY doc_id, node LIMIT 2000
+"""
+
+
+def q180_doc_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$setWindowFields`` statistical + collecting accumulators: the
+    40 priciest orders carry their status-partition sample stddev and
+    custkey/price covariance (frame-less → whole partition) plus a
+    trailing-3 $push of order keys (documents frame, sorted array per
+    the dialect's determinism convention, flattened to a string so the
+    hash compare stays scalar). Oracle: STDDEV_SAMP / COVAR_SAMP /
+    list() window twins. One (partition, sort) pair → one exchange."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "orders",
+        [
+            {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+            {"$limit": 40},
+            {"$setWindowFields": {
+                "partitionBy": "$o_orderstatus",
+                "sortBy": {"o_orderkey": 1},
+                "output": {
+                    "sd": {"$stdDevSamp": "$o_totalprice"},
+                    "cov": {"$covarianceSamp": ["$o_custkey",
+                                                "$o_totalprice"]},
+                    "trail_ids": {
+                        "$push": "$o_orderkey",
+                        "window": {"documents": [-2, "current"]},
+                    },
+                },
+            }},
+            {"$project": {"o_orderkey": 1, "o_orderstatus": 1,
+                          "sd": 1, "cov": 1, "trail_ids": 1}},
+            {"$sort": {"o_orderkey": 1}},
+            {"$limit": 100},
+        ],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("sd", 4).alias("sd"),
+        F.round("cov", 4).alias("cov"),
+        F.concat_ws("|", F.col("trail_ids").cast("array<string>"))
+        .alias("trail_ids"),
+    )
+
+
+Q180_ORACLE_SQL = """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_custkey
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 40
+    )
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(STDDEV_SAMP(o_totalprice) OVER
+                 (PARTITION BY o_orderstatus), 4) AS sd,
+           ROUND(COVAR_SAMP(o_custkey, o_totalprice) OVER
+                 (PARTITION BY o_orderstatus), 4) AS cov,
+           array_to_string(list_sort(list(o_orderkey) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           )), '|') AS trail_ids
+    FROM t ORDER BY o_orderkey LIMIT 100
+"""
+
+
+def q181_doc_lookup_group_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated ``$lookup`` with a trailing KEYED ``$group`` — each of
+    the 10 richest customers carries an array of per-status order
+    aggregates ({_id: status, n, spend}, sorted by _id). De-correlated
+    to groupBy(row_id, status) → regroup-to-array: two map-side-
+    combinable aggregates, never a per-row re-execution. $unwind +
+    flatten exposes (custkey, status, n, spend) rows; unmatched
+    customers keep the empty array and drop out — matching the INNER
+    JOIN + two-level GROUP BY oracle."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("customer", load_table(spark, sf_dir, "customer"))
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "customer",
+        [
+            {"$sort": {"c_acctbal": -1, "c_custkey": 1}},
+            {"$limit": 10},
+            {"$lookup": {
+                "from": "orders",
+                "let": {"cid": "$c_custkey"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$o_custkey", "$$cid"]}}},
+                    {"$group": {"_id": "$o_orderstatus",
+                                "n": {"$sum": 1},
+                                "spend": {"$sum": "$o_totalprice"}}},
+                ],
+                "as": "by_status",
+            }},
+            {"$unwind": "$by_status"},
+            {"$addFields": {"status": "$by_status._id",
+                            "n": "$by_status.n",
+                            "spend": "$by_status.spend"}},
+            {"$project": {"_id": 0, "c_custkey": 1, "status": 1,
+                          "n": 1, "spend": 1}},
+            {"$sort": {"c_custkey": 1, "status": 1}},
+            {"$limit": 200},
+        ],
+    )
+    return out.withColumn("spend", F.round("spend", 2))
+
+
+Q181_ORACLE_SQL = """
+    WITH top10 AS (
+      SELECT c_custkey FROM customer
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    )
+    SELECT t.c_custkey, o.o_orderstatus AS status, count(*) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS spend
+    FROM top10 t JOIN orders o ON o.o_custkey = t.c_custkey
+    GROUP BY 1, 2
 """

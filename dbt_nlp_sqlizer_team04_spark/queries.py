@@ -1180,6 +1180,15 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # correlated $lookup + trailing $group (per-correlation aggregate —
     # join + ONE regrouped aggregate, no array materialized) — NEW r7.
     "q178_doc_lookup_group": DOC.q178_doc_lookup_group,
+    # $graphLookup over ARRAY connect fields (adjacency-list walk;
+    # frontier explodes each match's kids array) — NEW r8.
+    "q179_doc_graph_lookup_array": DOC.q179_doc_graph_lookup_array,
+    # $setWindowFields statistical/collecting accumulators ($stdDevSamp,
+    # $covarianceSamp, framed $push) — NEW r8.
+    "q180_doc_window_stats": DOC.q180_doc_window_stats,
+    # correlated $lookup + trailing KEYED $group (per-key aggregates
+    # regrouped to an array of {_id, accs} docs) — NEW r8.
+    "q181_doc_lookup_group_keyed": DOC.q181_doc_lookup_group_keyed,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2651,6 +2660,9 @@ ORACLE_SQL: dict[str, str | None] = {
     "q176_ann_ivfpq_topk": None,
     "q177_doc_lookup_topn": DOC.Q177_ORACLE_SQL,
     "q178_doc_lookup_group": DOC.Q178_ORACLE_SQL,
+    "q179_doc_graph_lookup_array": DOC.Q179_ORACLE_SQL,
+    "q180_doc_window_stats": DOC.Q180_ORACLE_SQL,
+    "q181_doc_lookup_group_keyed": DOC.Q181_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -1467,11 +1467,20 @@ def test_graph_lookup_bfs_semantics(spark):
         s.aggregate("g", [{"$graphLookup": {
             "from": "g", "startWith": "$nxt", "connectFromField": "zz",
             "connectToField": "id", "as": "c"}}])
-    s.register("arr", spark.createDataFrame(
-        [("a", ["b"])], "id string, nxt array<string>"))
-    with pytest.raises(DocumentQueryError, match="must be scalar"):
-        s.aggregate("arr", [{"$graphLookup": {
-            "from": "arr", "startWith": "$id", "connectFromField": "nxt",
+    # maps/structs (and arrays of non-atomic elements) stay refused;
+    # arrays of scalars are walked element-wise (r8) — see
+    # test_graph_lookup_array_connect_fields
+    s.register("mp", spark.createDataFrame(
+        [("a", {"k": "b"})], "id string, nxt map<string,string>"))
+    with pytest.raises(DocumentQueryError, match="scalar or an"):
+        s.aggregate("mp", [{"$graphLookup": {
+            "from": "mp", "startWith": "$id", "connectFromField": "nxt",
+            "connectToField": "id", "as": "c"}}])
+    s.register("nested", spark.createDataFrame(
+        [("a", [["b"]])], "id string, nxt array<array<string>>"))
+    with pytest.raises(DocumentQueryError, match="atomic"):
+        s.aggregate("nested", [{"$graphLookup": {
+            "from": "nested", "startWith": "$id", "connectFromField": "nxt",
             "connectToField": "id", "as": "c"}}])
 
 
@@ -1786,7 +1795,7 @@ def test_lookup_correlated_sort_limit(spark):
 def test_lookup_correlated_group(spark):
     """Correlated $lookup with a trailing $group: per-correlation
     aggregates with foreign-side field refs, [] for unmatched rows
-    (Mongo: $group over zero docs emits nothing), and keyed _id /
+    (Mongo: $group over zero docs emits nothing), and missing-_id /
     non-final $group are loud errors."""
     s = DocumentStore(spark)
     s.register("u2", spark.createDataFrame([(1,), (2,), (3,)], "uid long"))
@@ -1810,12 +1819,14 @@ def test_lookup_correlated_group(spark):
     assert got[2][0]["total"] == 5.0 and got[2][0]["n"] == 1
     assert got[3] == []
 
-    with pytest.raises(DocumentQueryError, match="_id: None only"):
+    # a $group with NO _id at all stays refused; keyed _id is supported
+    # since r8 (test_lookup_correlated_keyed_group)
+    with pytest.raises(DocumentQueryError, match="needs an _id"):
         s.aggregate("u2", [{"$lookup": {
             "from": "ev2", "let": {"u": "$uid"},
             "pipeline": [
                 {"$match": {"$expr": {"$eq": ["$uid", "$$u"]}}},
-                {"$group": {"_id": "$v", "n": {"$sum": 1}}},
+                {"$group": {"n": {"$sum": 1}}},
             ],
             "as": "a"}}])
     with pytest.raises(DocumentQueryError, match="final sub-stage"):
@@ -1866,3 +1877,288 @@ def test_lookup_correlated_group_alias_guard(spark):
                     {"$group": {"_id": None, bad: {"$sum": 1}}},
                 ],
                 "as": "a"}}])
+
+
+# ------------------------------------------ r8: array $graphLookup
+
+
+def test_graph_lookup_array_connect_fields(spark):
+    """Array connectFrom/connectTo/startWith: element-wise walk,
+    emit-once at FIRST discovery depth when a doc is reachable through
+    several of its to-nodes, cycle termination, maxDepth."""
+    s = DocumentStore(spark)
+    # adjacency lists with a cycle a->b->c->a and a diamond to d
+    s.register("g", spark.createDataFrame(
+        [("a", ["b", "c"]), ("b", ["d"]), ("c", ["d"]), ("d", ["a"])],
+        "id string, nxt array<string>"))
+    s.register("start", spark.createDataFrame([("a",)], "root string"))
+
+    out = s.aggregate(
+        "start",
+        [{"$graphLookup": {"from": "g", "startWith": "$root",
+                           "connectFromField": "nxt", "connectToField": "id",
+                           "as": "reach", "depthField": "d"}},
+         {"$limit": 10}],
+    ).collect()
+    depths = {r["id"]: r["d"] for r in out[0]["reach"]}
+    # a(0) -> b,c(1) -> d(2) -> back to a: visited set terminates the cycle
+    assert depths == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+    # array startWith seeds every element at depth 0
+    out = s.aggregate(
+        "g",
+        [{"$match": {"id": "a"}},
+         {"$graphLookup": {"from": "g", "startWith": "$nxt",
+                           "connectFromField": "nxt", "connectToField": "id",
+                           "as": "reach", "depthField": "d", "maxDepth": 0}},
+         {"$limit": 10}],
+    ).collect()
+    assert {r["id"]: r["d"] for r in out[0]["reach"]} == {"b": 0, "c": 0}
+
+    # array connectToField: one doc reachable via two member nodes at
+    # DIFFERENT depths is emitted once, at the first-discovery depth
+    s.register("groups", spark.createDataFrame(
+        [("g1", ["a"], "b"), ("g2", ["a", "b"], "z")],
+        "gid string, members array<string>, nxt string"))
+    out = s.aggregate(
+        "start",
+        [{"$graphLookup": {"from": "groups", "startWith": "$root",
+                           "connectFromField": "nxt",
+                           "connectToField": "members",
+                           "as": "gs", "depthField": "d"}},
+         {"$limit": 10}],
+    ).collect()
+    got = {r["gid"]: r["d"] for r in out[0]["gs"]}
+    # g2 matches via member a at depth 0 AND via member b (g1's nxt) at
+    # depth 1 — emitted once at depth 0
+    assert got == {"g1": 0, "g2": 0}
+
+    # array connectTo + a map payload column cannot dedup -> loud error
+    s.register("gm", spark.createDataFrame(
+        [("g1", ["a"], {"k": "v"})],
+        "gid string, members array<string>, meta map<string,string>"))
+    with pytest.raises(DocumentQueryError, match="map columns"):
+        s.aggregate("start", [{"$graphLookup": {
+            "from": "gm", "startWith": "$root", "connectFromField": "gid",
+            "connectToField": "members", "as": "c"}}])
+
+
+def test_graph_lookup_scalar_plan_unchanged(spark):
+    """The scalar path must not pay the array path's explode/dedup: no
+    Generate (explode) node and ONE aggregate pass over matches."""
+    s = DocumentStore(spark)
+    s.register("g", spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", None)], "id string, nxt string"))
+    out = s.aggregate(
+        "g",
+        [{"$match": {"id": "a"}},
+         {"$graphLookup": {"from": "g", "startWith": "$nxt",
+                           "connectFromField": "nxt", "connectToField": "id",
+                           "as": "chain"}},
+         {"$limit": 10}],
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in plan  # no explode on the scalar path
+
+
+# ---------------------------- r8: $setWindowFields accumulator table
+
+
+def test_window_fields_first_last_sorted(spark):
+    """Frame-less $first/$last read the first/last row IN SORT ORDER
+    (Mongo requires sortBy; an unordered partition read would be
+    nondeterministic) — and refuse loudly without sortBy."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 30), (2, "a", 10), (3, "b", 5)], "id int, g string, v int"))
+    rows = s.aggregate(
+        "t",
+        [{"$setWindowFields": {"partitionBy": "$g", "sortBy": {"v": 1},
+                               "output": {"fv": {"$first": "$v"},
+                                          "lv": {"$last": "$v"}}}},
+         {"$sort": {"id": 1}}, {"$limit": 10}],
+    ).collect()
+    assert [(r["fv"], r["lv"]) for r in rows] == [(10, 30), (10, 30), (5, 5)]
+    for op in ("$first", "$last"):
+        with pytest.raises(DocumentQueryError, match="requires sortBy"):
+            s.aggregate("t", [{"$setWindowFields": {
+                "partitionBy": "$g", "output": {"x": {op: "$v"}}}}])
+
+
+def test_window_fields_stats_and_collect(spark):
+    """$push/$addToSet (sorted arrays), $stdDevSamp/Pop, and the
+    two-operand $covarianceSamp/Pop; $expMovingAvg/$derivative/$integral
+    stay documented refusals; $covariance needs a 2-list."""
+    import math
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 10, 1.0), (2, "a", 30, 3.0), (3, "a", 10, 5.0)],
+        "id int, g string, v int, w double"))
+    rows = s.aggregate(
+        "t",
+        [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"id": 1},
+            "output": {"p": {"$push": "$v"}, "u": {"$addToSet": "$v"},
+                       "sds": {"$stdDevSamp": "$v"},
+                       "sdp": {"$stdDevPop": "$v"},
+                       "cs": {"$covarianceSamp": ["$v", "$w"]},
+                       "cp": {"$covariancePop": ["$v", "$w"]}}}},
+         {"$sort": {"id": 1}}, {"$limit": 10}],
+    ).collect()
+    r = rows[0]
+    assert r["p"] == [10, 10, 30] and r["u"] == [10, 30]
+    assert math.isclose(r["sds"], 11.547005383792515)
+    assert math.isclose(r["sdp"], 9.428090415820634)
+    # covar_samp([10,30,10],[1,3,5]) = sum((v-m)(w-m))/2 = 10/2... manual:
+    # mv=50/3, mw=3: (10-50/3)(1-3)+(30-50/3)(3-3)+(10-50/3)(5-3) = 0
+    assert math.isclose(r["cs"], 0.0, abs_tol=1e-9)
+    assert math.isclose(r["cp"], 0.0, abs_tol=1e-9)
+    for op in ("$expMovingAvg", "$derivative", "$integral"):
+        with pytest.raises(DocumentQueryError, match="documented refusal"):
+            s.aggregate("t", [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"id": 1},
+                "output": {"x": {op: "$v"}}}}])
+    with pytest.raises(DocumentQueryError, match="two-element"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "output": {"x": {"$covarianceSamp": "$v"}}}}])
+
+
+def test_window_fields_push_framed(spark):
+    """$push over a documents frame collects the frame's values (array
+    sorted per the dialect convention)."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 9)], "id int, v int"))
+    rows = s.aggregate(
+        "t",
+        [{"$setWindowFields": {
+            "sortBy": {"id": 1},
+            "output": {"tr": {"$push": "$v",
+                              "window": {"documents": [-1, "current"]}}}}},
+         {"$sort": {"id": 1}}, {"$limit": 10}],
+    ).collect()
+    assert [r["tr"] for r in rows] == [[5], [3, 5], [3, 9]]
+
+
+# -------------------------- r8: correlated $lookup keyed $group
+
+
+def test_lookup_correlated_keyed_group(spark):
+    """{_id: '$k', accs}: per-key aggregate docs regrouped to a sorted
+    array; empty array for unmatched rows; a REAL null foreign key
+    still forms a group."""
+    s = DocumentStore(spark)
+    s.register("c", spark.createDataFrame(
+        [(1,), (2,), (3,)], "cid int"))
+    s.register("o", spark.createDataFrame(
+        [(1, "A", 5.0), (1, "B", 7.0), (1, "A", 3.0), (2, None, 1.0)],
+        "cid int, st string, p double"))
+    rows = s.aggregate(
+        "c",
+        [{"$lookup": {
+            "from": "o", "let": {"k": "$cid"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$cid", "$$k"]}}},
+                {"$group": {"_id": "$st", "n": {"$sum": 1},
+                            "tot": {"$sum": "$p"}}},
+            ],
+            "as": "by_st"}},
+         {"$sort": {"cid": 1}}, {"$limit": 10}],
+    ).collect()
+    by = {r["cid"]: [(d["_id"], d["n"], d["tot"]) for d in r["by_st"]]
+          for r in rows}
+    assert by[1] == [("A", 2, 8.0), ("B", 1, 7.0)]
+    assert by[2] == [(None, 1, 1.0)]  # real null key forms a group
+    assert by[3] == []  # unmatched -> empty array
+
+
+def test_lookup_correlated_reserved_out_name(spark):
+    """Alias == the $lookup's own 'as' name is refused (the final drop
+    would swallow the output); an existing LOCAL column named by 'as'
+    is overwritten, not duplicated (Mongo's contract) — on both the
+    $group and the plain array paths."""
+    s = DocumentStore(spark)
+    s.register("c", spark.createDataFrame([(1, "x")], "cid int, tag string"))
+    s.register("o", spark.createDataFrame([(1, 2.0)], "cid int, p double"))
+    with pytest.raises(DocumentQueryError, match="'as' name"):
+        s.aggregate("c", [{"$lookup": {
+            "from": "o", "let": {"k": "$cid"},
+            "pipeline": [{"$match": {"$expr": {"$eq": ["$cid", "$$k"]}}},
+                         {"$group": {"_id": None, "stats": {"$sum": "$p"}}}],
+            "as": "stats"}}])
+    for pipe in (
+        [{"$match": {"$expr": {"$eq": ["$cid", "$$k"]}}}],
+        [{"$match": {"$expr": {"$eq": ["$cid", "$$k"]}}},
+         {"$group": {"_id": None, "n": {"$sum": 1}}}],
+    ):
+        out = s.aggregate("c", [{"$lookup": {
+            "from": "o", "let": {"k": "$cid"}, "pipeline": pipe,
+            "as": "tag"}}, {"$limit": 5}])
+        assert out.columns.count("tag") == 1
+        assert out.collect()[0]["tag"] != "x"  # overwritten
+
+
+# ------------------------------- r8: $unionWith type drift contract
+
+
+def test_union_with_type_drift_is_loud(spark):
+    s = DocumentStore(spark)
+    s.register("a", spark.createDataFrame([(1, "x")], "id int, v string"))
+    s.register("b", spark.createDataFrame([(2, 3.5)], "id int, v double"))
+    with pytest.raises(DocumentQueryError, match="type drift.*v.*String"):
+        s.aggregate("a", [{"$unionWith": "b"}])
+
+
+# --------------------------------- r8: $dateTrunc week start-of-week
+
+
+def test_date_trunc_week_sunday_default(spark):
+    """Mongo's $dateTrunc defaults startOfWeek to SUNDAY (Spark's
+    date_trunc('week') is ISO-Monday — deliberately not used); an
+    explicit startOfWeek is honored, a bad one refused."""
+    import datetime
+
+    s = DocumentStore(spark)
+    s.register("d", spark.createDataFrame(
+        [(datetime.date(2026, 8, 12),),   # Wednesday
+         (datetime.date(2026, 8, 9),),    # Sunday (fixpoint)
+         (datetime.date(2026, 8, 10),)],  # Monday
+        "d date"))
+    rows = s.aggregate("d", [
+        {"$addFields": {
+            "wk": {"$dateTrunc": {"date": "$d", "unit": "week"}},
+            "wkm": {"$dateTrunc": {"date": "$d", "unit": "week",
+                                   "startOfWeek": "monday"}}}},
+        {"$sort": {"d": 1}}, {"$limit": 10}]).collect()
+    assert [str(r["wk"]) for r in rows] == ["2026-08-09"] * 3
+    assert [str(r["wkm"]) for r in rows] == [
+        "2026-08-03", "2026-08-10", "2026-08-10"]
+    with pytest.raises(DocumentQueryError, match="startOfWeek"):
+        s.aggregate("d", [{"$addFields": {"x": {"$dateTrunc": {
+            "date": "$d", "unit": "week", "startOfWeek": "caturday"}}}}])
+
+
+# ----------------------------------- r8: $fill linear dtype contract
+
+
+def test_fill_linear_dtype_promotion(spark):
+    """linear promotes int columns to double (documented divergence —
+    one column type; values preserved exactly), and leaves an
+    already-double column's non-null values bit-identical."""
+    s = DocumentStore(spark)
+    s.register("ti", spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "x int, v int"))
+    out = s.aggregate("ti", [
+        {"$fill": {"sortBy": {"x": 1}, "output": {"v": {"method": "linear"}}}},
+        {"$sort": {"x": 1}}, {"$limit": 10}])
+    assert dict(out.dtypes)["v"] == "double"
+    assert [r["v"] for r in out.collect()] == [10.0, 20.0, 30.0]
+    s.register("td", spark.createDataFrame(
+        [(1, 0.1), (2, None), (3, 0.3)], "x int, v double"))
+    out = s.aggregate("td", [
+        {"$fill": {"sortBy": {"x": 1}, "output": {"v": {"method": "linear"}}}},
+        {"$sort": {"x": 1}}, {"$limit": 10}])
+    vals = [r["v"] for r in out.collect()]
+    assert vals[0] == 0.1 and vals[2] == 0.3  # untouched, no cast round-trip
