@@ -193,6 +193,8 @@ HEADLINE = [
     "q179_doc_graph_lookup_array",
     "q180_doc_window_stats",
     "q181_doc_lookup_group_keyed",
+    "q182_unigram_lm_vocab",
+    "q183_unigram_encode_stats",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's
@@ -210,6 +212,13 @@ NOTES: dict[str, str] = {
         "epoch pays more local file ops to buy partial rewrites at "
         "scale — an epoch touching one bucket leaves the others "
         "byte-identical (pytest-pinned)."
+    ),
+    "q165_hotkey_sketch": (
+        "r6 1.0s -> r7+ ~1.4s by design: the sketch input is persisted "
+        "before the two-pass audit so both passes read one "
+        "materialization instead of recomputing the scan — the "
+        "scale-correct trade (at 100 TB recomputing the upstream scan "
+        "twice dwarfs the cache write)."
     ),
 }
 

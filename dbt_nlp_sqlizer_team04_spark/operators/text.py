@@ -1479,3 +1479,243 @@ def token_coverage_oracle_sql(
         GROUP BY source
         ORDER BY source
     """
+
+
+# ------------------- unigram-LM (SentencePiece-style) tokenizer trainer
+# The OTHER tokenizer family a training-data pipeline fits (Kudo 2018,
+# arXiv:1804.10959) next to the BPE loop (q110/q120): seed a candidate
+# piece vocabulary from substring statistics, then EM — Viterbi-segment
+# the corpus vocabulary under current piece probabilities, re-estimate
+# probabilities from the segmentation counts. No reference analog (the
+# reference has no tokenizer training at all); implemented as the
+# second tier of the tokenizer plane.
+UNIGRAM_MAX_PIECE_LEN = 6
+UNIGRAM_SEED_SIZE = 200
+UNIGRAM_EM_ITERS = 3
+UNIGRAM_UNK_LOGP = -20.0  # unseen single-char fallback keeps every term
+#                           segmentable (full char coverage)
+
+
+def _viterbi_segment(
+    term: str, logp: dict[str, float], max_len: int, unk: float
+) -> list[str]:
+    """Best segmentation of ``term`` under piece log-probs: dp[i] =
+    best score of the i-prefix; pieces ending at i are scanned
+    SHORTEST-first and a candidate replaces the incumbent only on a
+    strictly greater score, so ties break to the shortest piece —
+    fully deterministic. Unknown single chars score ``unk`` (never
+    None), so dp[i] always exists."""
+    n = len(term)
+    dp: list[float] = [0.0] + [0.0] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best = None
+        bj = 0
+        for plen in range(1, min(max_len, i) + 1):
+            j = i - plen
+            piece = term[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if plen > 1:
+                    continue
+                lp = unk
+            s = dp[j] + lp
+            if best is None or s > best:
+                best, bj = s, j
+        dp[i] = best if best is not None else unk
+        back[i] = bj
+    units: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        units.append(term[j:i])
+        i = j
+    units.reverse()
+    return units
+
+
+def unigram_lm_train(
+    df: DataFrame,
+    seed_size: int = UNIGRAM_SEED_SIZE,
+    max_len: int = UNIGRAM_MAX_PIECE_LEN,
+    n_iter: int = UNIGRAM_EM_ITERS,
+    text_col: str = "text",
+) -> tuple[dict[str, float], dict[str, int]]:
+    """Train the unigram LM: returns (piece → logprob, piece → final
+    EM count).
+
+    Spark shape — the corpus is touched ONCE (the same (term, tf)
+    vocabulary aggregate the BPE trainer starts from); everything after
+    is vocab-sized:
+
+    - seeding: tf-weighted counts of every substring up to ``max_len``
+      — a JVM-side nested-sequence explode over the DISTINCT vocabulary
+      (Zipf-bounded), one groupBy(piece) with map-side combine. The
+      seed set is the top ``seed_size`` pieces by (weight DESC, piece)
+      plus ALL single characters (full coverage), collected driver-side
+      — piece tables are metadata, a few KB, exactly like the PQ
+      codebooks;
+    - each EM iteration: one Arrow-batched mapInPandas Viterbi pass
+      over the vocabulary with the current (broadcast-by-closure) piece
+      table, emitting integer tf-weighted piece counts → groupBy(piece)
+      SUM (exact integer arithmetic — order-independent, so the result
+      is deterministic under any partitioning) → driver-side add-one
+      re-estimation (piece-vocab-sized);
+    - probabilities: logp = log((count+1) / (total+V)) over the FIXED
+      seed set — add-one smoothing keeps zero-count pieces finite, no
+      pruning, so the piece set never depends on float comparisons.
+
+    At 100 TB the corpus scan is the only full pass; the per-iteration
+    work is proportional to the distinct vocabulary, and the learned
+    table ships as an ingest artifact like the BPE merge list.
+    """
+    import math as _math
+
+    import pandas as pd  # noqa: PLC0415
+
+    vocab = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    subs = vocab.select(
+        F.expr(
+            "explode(flatten(transform(sequence(1, length(term)), i -> "
+            f"transform(sequence(i, least(i + {max_len - 1}, length(term))), "
+            "j -> substring(term, i, j - i + 1))))) AS piece"
+        ),
+        "tf",
+    ).groupBy("piece").agg(F.sum("tf").alias("weight"))
+    top = subs.orderBy(F.desc("weight"), "piece").limit(seed_size).collect()
+    chars = subs.filter(F.length("piece") == 1).collect()
+    weights: dict[str, int] = {}
+    for r in list(top) + list(chars):
+        weights[r["piece"]] = int(r["weight"])
+
+    def mstep(counts: dict[str, int]) -> dict[str, float]:
+        total = sum(counts.values())
+        v = len(weights)
+        return {
+            p: _math.log((counts.get(p, 0) + 1) / (total + v))
+            for p in weights
+        }
+
+    logp = mstep(weights)
+    counts: dict[str, int] = dict(weights)
+    for _ in range(n_iter):
+        lp, ml, unk = dict(logp), max_len, UNIGRAM_UNK_LOGP
+
+        def estep(batches, _lp=lp, _ml=ml, _unk=unk):
+            for pdf in batches:
+                out: dict[str, int] = {}
+                for term, tf in zip(pdf["term"], pdf["tf"]):
+                    for piece in _viterbi_segment(term, _lp, _ml, _unk):
+                        if piece in _lp:
+                            out[piece] = out.get(piece, 0) + int(tf)
+                yield pd.DataFrame(
+                    {"piece": list(out), "c": list(out.values())}
+                )
+
+        rows = (
+            vocab.mapInPandas(estep, "piece string, c long")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        counts = {r["piece"]: int(r["c"]) for r in rows}
+        logp = mstep(counts)
+    return logp, counts
+
+
+_UNIGRAM_CACHE: dict = {}
+
+
+def unigram_model_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, float], dict[str, int]]:
+    """Once-per-(session, corpus) trained unigram LM — the ingest
+    artifact a deployment persists next to the BPE merge table (the
+    _PQ_CACHE convention)."""
+    key = (id(spark), sf_dir)
+    if key not in _UNIGRAM_CACHE:
+        _UNIGRAM_CACHE[key] = unigram_lm_train(
+            load_table(spark, sf_dir, "documents")
+        )
+    return _UNIGRAM_CACHE[key]
+
+
+def q182_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 learned unigram-LM pieces (piece, final EM count,
+    logprob) over the documents corpus. Rows-only to the driver (the
+    EM loop has no SQL analog); the harness DIFFERENTIAL reference
+    replays seed+EM in pure Python and value-checks all three columns."""
+    logp, counts = unigram_model_for(spark, sf_dir)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    return spark.createDataFrame(
+        [(p, c, round(logp[p], 6)) for p, c in top],
+        "piece string, count long, logprob double",
+    )
+
+
+def unigram_encode_stats(
+    df: DataFrame,
+    logp: dict[str, float],
+    max_len: int = UNIGRAM_MAX_PIECE_LEN,
+    frag_units: int = FRAG_UNITS,
+    text_col: str = "text",
+    by_col: str = "source",
+) -> DataFrame:
+    """Tokenizer APPLY + per-slice coverage audit (the q164 shape for
+    the unigram family): Viterbi-encode the DISTINCT vocabulary once
+    (Arrow-batched, piece table broadcast by closure), broadcast-join
+    unit counts back onto the exploded token stream, roll up per
+    ``by_col`` — tokens, units, fragmentation rate, mean fan-out."""
+    import pandas as pd  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(by_col),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.select("term").distinct()
+    lp, ml, unk = dict(logp), max_len, UNIGRAM_UNK_LOGP
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "n_units": [
+                        len(_viterbi_segment(t, lp, ml, unk))
+                        for t in pdf["term"]
+                    ],
+                }
+            )
+
+    enc = vocab.mapInPandas(encode, "term string, n_units long")
+    frag = (F.col("n_units") >= frag_units).cast("long")
+    return (
+        toks.join(F.broadcast(enc), "term")
+        .groupBy(by_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_units").alias("n_units"),
+            F.round(F.sum(frag) / F.count(F.lit(1)), 6).alias("frag_rate"),
+            F.round(F.sum("n_units") / F.count(F.lit(1)), 4).alias(
+                "avg_units"
+            ),
+        )
+        .orderBy(by_col)
+    )
+
+
+def q183_unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source coverage audit under the TRAINED unigram LM (q164's
+    audit shape for the second tokenizer family). Rows-only to the
+    driver; the harness DIFFERENTIAL reference replays train + Viterbi
+    apply in pure Python."""
+    logp, _ = unigram_model_for(spark, sf_dir)
+    return unigram_encode_stats(
+        load_table(spark, sf_dir, "documents"), logp
+    )

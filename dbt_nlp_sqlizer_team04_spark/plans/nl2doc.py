@@ -302,6 +302,39 @@ class NL2DocEngine:
                 "limit": size,
             }
 
+        # union phrasing — "combine <A> with <B>[, counts per <f>]"
+        # appends the second filtered scan of the SAME collection via
+        # $unionWith (q169's surface from NL): UNION ALL semantics,
+        # overlapping documents counted twice; each side's phrase
+        # compiles through the ordinary filter extractor, so both
+        # pushed-filter scans concatenate with no shuffle before the
+        # optional trailing count rollup
+        um = _re.search(
+            r"\bcombine\s+(.+?)\s+with\s+(.+?)"
+            r"(?:,\s*counts?\s+per\s+([a-z_]+)\b.*)?$",
+            ql,
+        )
+        if um:
+            fa = self._extract_filters(coll, um.group(1))
+            fb = self._extract_filters(coll, um.group(2))
+            if fa and fb:
+                pipe: list[dict] = [
+                    {"$match": fa},
+                    {"$unionWith": {"coll": coll,
+                                    "pipeline": [{"$match": fb}]}},
+                ]
+                if um.group(3):
+                    key = best_field(
+                        exclude=set(fa) | set(fb), text=um.group(3)
+                    )
+                    if key is not None:
+                        pipe += [
+                            {"$group": {"_id": f"${key}",
+                                        "n": {"$sum": 1}}},
+                            {"$sort": {"_id": 1}},
+                        ]
+                return {"collection": coll, "pipeline": pipe}
+
         # join phrasing — "... with their <g> counts" compiles to the
         # uncorrelated $lookup pipeline form (q157's shape: the
         # per-<g> counts aggregate runs ONCE over the collection and

@@ -331,6 +331,26 @@ def _nl60_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl61_doc_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc union/combination phrasing compiles to $unionWith (q169's
+    surface from NL): both sides' filters push to their scans, the
+    concat is shuffle-free, and the trailing counts-per rollup proves
+    UNION ALL semantics (overlapping documents counted twice). Oracle:
+    the UNION ALL twin."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "combine text containing data with n_chars over 500 for "
+        "documents, counts per lang"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1054,6 +1074,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl59_doc_equal_buckets": _nl59_doc_equal_buckets,
     # NL sample -> $sample deterministic draw (q174's surface) — NEW r7.
     "nl60_doc_sample": _nl60_doc_sample,
+    # NL union/combination phrasing -> $unionWith (q169's surface) —
+    # NEW r8.
+    "nl61_doc_union": _nl61_doc_union,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -1189,6 +1212,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # correlated $lookup + trailing KEYED $group (per-key aggregates
     # regrouped to an array of {_id, accs} docs) — NEW r8.
     "q181_doc_lookup_group_keyed": DOC.q181_doc_lookup_group_keyed,
+    # unigram-LM (SentencePiece-style) tokenizer: EM-trained piece vocab
+    # and the per-source coverage audit under it — NEW r8 (rows-only to
+    # the driver; DIFFERENTIAL pure-Python replay in the harness).
+    "q182_unigram_lm_vocab": X.q182_unigram_lm_vocab,
+    "q183_unigram_encode_stats": X.q183_unigram_encode_stats,
 }
 
 # --- round-7 driver window (explicit form of the rotation policy at the
@@ -2661,6 +2689,10 @@ ORACLE_SQL: dict[str, str | None] = {
     "q177_doc_lookup_topn": DOC.Q177_ORACLE_SQL,
     "q178_doc_lookup_group": DOC.Q178_ORACLE_SQL,
     "q179_doc_graph_lookup_array": DOC.Q179_ORACLE_SQL,
+    # unigram-LM EM loop has no SQL analog -> rows-only to the driver;
+    # value-checked by the harness DIFFERENTIAL references
+    "q182_unigram_lm_vocab": None,
+    "q183_unigram_encode_stats": None,
     "q180_doc_window_stats": DOC.Q180_ORACLE_SQL,
     "q181_doc_lookup_group_keyed": DOC.Q181_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
@@ -2782,6 +2814,15 @@ ORACLE_SQL: dict[str, str | None] = {
           doc_id := doc_id, text := text, lang := lang,
           source := source, n_chars := n_chars))::VARCHAR)
         LIMIT 25
+    """,
+    "nl61_doc_union": """
+        WITH u AS (
+          SELECT lang FROM documents WHERE regexp_matches(text, 'data')
+          UNION ALL
+          SELECT lang FROM documents WHERE n_chars > 500
+        )
+        SELECT lang AS _id, count(*) AS n
+        FROM u GROUP BY lang ORDER BY _id
     """,
     "nl59_doc_equal_buckets": """
         WITH vals AS (

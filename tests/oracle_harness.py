@@ -282,11 +282,286 @@ def _q39_reference(spark, sf_dir: str):
     )
 
 
+def _spark_round(x: float, nd: int = 6) -> float:
+    """Spark ROUND(double, nd) twin: HALF_UP over the shortest decimal
+    repr (Spark routes doubles through BigDecimal.valueOf, which uses
+    Double.toString — Python's repr is the same shortest form), where
+    Python's round() is HALF_EVEN."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _spark_round6(x: float) -> float:
+    return _spark_round(x, 6)
+
+
+def _cos_leftfold(a: list[float], b: list[float]) -> float:
+    """cosine_expr twin: F.aggregate is a LEFT FOLD from 0.0 — replicate
+    the accumulation order so the double is bit-identical."""
+    d = 0.0
+    for x, y in zip(a, b):
+        d = d + x * y
+    sa = 0.0
+    for x in a:
+        sa = sa + x * x
+    sb = 0.0
+    for y in b:
+        sb = sb + y * y
+    nn = math.sqrt(sa) * math.sqrt(sb)
+    return d / nn if nn > 0 else 0.0
+
+
+def _pq_reference_index(sf_dir: str):
+    """Independent numpy replay of the PQ ingest (Jégou et al. IVFADC):
+    content-addressed 4096-sample (md5-of-id order), seeded per-subspace
+    Lloyd k-means, then whole-corpus encoding — the same published
+    algorithm re-derived from the parquet file, no engine code called.
+    Returns (ids, raw float64 vectors, codebooks, codes)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(table_path(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [list(map(float, v)) for v in t.column("embedding").to_pylist()]
+    by_id = dict(zip(ids, vecs))
+    sample_ids = sorted(
+        ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:4096]
+    x = np.asarray([by_id[i] for i in sample_ids], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1), 1e-12)[:, None]
+    n, dim = x.shape
+    m, k = 16, 16
+    sub = dim // m
+    rng = np.random.default_rng(42)
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cent = xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(25):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        books.append(cent)
+    allx = np.asarray([by_id[i] for i in ids], dtype=np.float64)
+    allx /= np.maximum(np.linalg.norm(allx, axis=1), 1e-12)[:, None]
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for j in range(m):
+        xs = allx[:, j * sub:(j + 1) * sub]
+        d = -2.0 * (xs @ books[j].T) + (books[j] ** 2).sum(axis=1)
+        codes[:, j] = d.argmin(axis=1)
+    return ids, {i: by_id[i] for i in ids}, books, codes
+
+
+def _pq_search_reference(
+    sf_dir: str, cand_ids: set | None, refine: int, query_id: int = 0
+):
+    """ADC shortlist + exact left-fold rerank over an optional candidate
+    set (None = whole corpus) — the search half shared by the q65 and
+    q176 references."""
+    import numpy as np
+
+    ids, by_id, books, codes = _pq_reference_index(sf_dir)
+    m, sub = len(books), books[0].shape[1]
+    q = np.asarray(by_id[query_id], dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    lut = np.stack([books[j] @ q[j * sub:(j + 1) * sub] for j in range(m)])
+    adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
+    scored = [
+        (i, s) for i, s in zip(ids, adc)
+        if i != query_id and (cand_ids is None or i in cand_ids)
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    shortlist = [i for i, _ in scored[:refine]]
+    qn = [float(v) for v in q]
+    rer = [
+        (i, _spark_round6(_cos_leftfold(by_id[i], qn))) for i in shortlist
+    ]
+    rer.sort(key=lambda t: (-t[1], t[0]))
+    return ["vec_id", "cosine"], rer[:10]
+
+
+def _q65_reference(spark, sf_dir: str):
+    """PQ+refine twin of q65: ADC over the whole corpus, 50-shortlist,
+    exact rerank (numpy replay of the published pipeline — no code
+    shared with operators/similarity.py)."""
+    return _pq_search_reference(sf_dir, None, refine=50)
+
+
+def _q176_reference(spark, sf_dir: str):
+    """IVFADC twin of q176: the persisted IVF cell assignments are the
+    ingest artifact taken as given (the q89 pairs-table precedent); the
+    reference re-derives codebooks/codes from the parquet, ranks cells
+    by pure-Python centroid cosine, prunes to the 6 probed cells, and
+    replays ADC + 100-shortlist + exact rerank."""
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import (
+        ivf_table_for,
+    )
+
+    ivf_name = ivf_table_for(spark, sf_dir)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.table(ivf_name).select("vec_id", "cell").collect()
+    }
+    centroids = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.table(f"{ivf_name}_centroids").collect()
+    }
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(table_path(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    qvec = None
+    for i, v in zip(t.column("vec_id").to_pylist(),
+                    t.column("embedding").to_pylist()):
+        if i == 0:
+            qvec = list(map(float, v))
+            break
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = set(
+        sorted(centroids, key=lambda c: -cos(qvec, centroids[c]))[:6]
+    )
+    cand = {i for i, c in cells.items() if c in probe}
+    return _pq_search_reference(sf_dir, cand, refine=100)
+
+
+def _unigram_reference_model(sf_dir: str):
+    """Pure-Python replay of the unigram-LM trainer (Kudo 2018 seed+EM
+    — tokenize, substring seeding, 3 Viterbi/re-estimate rounds; no
+    code shared with operators/text.py). Returns (logp, counts,
+    per-doc token lists, sources)."""
+    import math as _math
+    import re
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(table_path(sf_dir, "documents"),
+                      columns=["text", "source"])
+    texts = t.column("text").to_pylist()
+    sources = t.column("source").to_pylist()
+    tf: dict[str, int] = {}
+    doc_toks: list[list[str]] = []
+    for txt in texts:
+        terms = [w for w in re.split(r"\s+", txt.lower(), flags=re.ASCII)
+                 if w != ""]
+        doc_toks.append(terms)
+        for w in terms:
+            tf[w] = tf.get(w, 0) + 1
+    ml, unk = 6, -20.0
+    wts: dict[str, int] = {}
+    for term, f in tf.items():
+        n = len(term)
+        for i in range(n):
+            for j in range(i + 1, min(i + ml, n) + 1):
+                p = term[i:j]
+                wts[p] = wts.get(p, 0) + f
+    seed = dict(sorted(wts.items(), key=lambda kv: (-kv[1], kv[0]))[:200])
+    for p, w in wts.items():
+        if len(p) == 1:
+            seed[p] = w
+
+    def viterbi(term: str, lp: dict[str, float]) -> list[str]:
+        n = len(term)
+        dp = [0.0] * (n + 1)
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best, bj = None, 0
+            for plen in range(1, min(ml, i) + 1):
+                j = i - plen
+                piece = term[j:i]
+                v = lp.get(piece)
+                if v is None:
+                    if plen > 1:
+                        continue
+                    v = unk
+                s = dp[j] + v
+                if best is None or s > best:
+                    best, bj = s, j
+            dp[i] = best if best is not None else unk
+            back[i] = bj
+        out, i = [], n
+        while i > 0:
+            j = back[i]
+            out.append(term[j:i])
+            i = j
+        out.reverse()
+        return out
+
+    def mstep(counts: dict[str, int]) -> dict[str, float]:
+        total = sum(counts.values())
+        v = len(seed)
+        return {p: _math.log((counts.get(p, 0) + 1) / (total + v))
+                for p in seed}
+
+    logp = mstep(seed)
+    counts = dict(seed)
+    for _ in range(3):
+        c: dict[str, int] = {}
+        for term, f in tf.items():
+            for piece in viterbi(term, logp):
+                if piece in logp:
+                    c[piece] = c.get(piece, 0) + f
+        counts = c
+        logp = mstep(counts)
+    return logp, counts, viterbi, doc_toks, sources
+
+
+def _q182_reference(spark, sf_dir: str):
+    logp, counts, _vit, _dt, _src = _unigram_reference_model(sf_dir)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    return (
+        ["piece", "count", "logprob"],
+        [(p, c, round(logp[p], 6)) for p, c in top],
+    )
+
+
+def _q183_reference(spark, sf_dir: str):
+    logp, _counts, viterbi, doc_toks, sources = _unigram_reference_model(
+        sf_dir
+    )
+    units = {t: len(viterbi(t, logp))
+             for t in {w for ts in doc_toks for w in ts}}
+    agg: dict[str, list[int]] = {}
+    for src, toks in zip(sources, doc_toks):
+        a = agg.setdefault(src, [0, 0, 0])
+        for w in toks:
+            u = units[w]
+            a[0] += 1
+            a[1] += u
+            a[2] += 1 if u >= 3 else 0
+    rows = [
+        (s, a[0], a[1], _spark_round(a[2] / a[0], 6),
+         _spark_round(a[1] / a[0], 4))
+        for s, a in sorted(agg.items())
+    ]
+    return ["source", "n_tokens", "n_units", "frag_rate", "avg_units"], rows
+
+
 DIFFERENTIAL = {
     "q39_media_decode_stats": _q39_reference,
+    "q65_ann_pq_topk": _q65_reference,
     "q89_neardup_pagerank": _q89_reference,
     "q110_bpe_merges": _q110_reference,
     "q130_mmr_topk": _q130_reference,
+    "q176_ann_ivfpq_topk": _q176_reference,
+    "q182_unigram_lm_vocab": _q182_reference,
+    "q183_unigram_encode_stats": _q183_reference,
 }
 
 

@@ -322,3 +322,133 @@ def test_hotkey_audit_matches_python_reference(spark, seed):
         for r in hotkey_audit(df, "k", top=5).collect()
     ]
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_unigram_lm_matches_python_reference(spark, seed):
+    """Unigram-LM trainer (seed + 3 EM rounds) vs an independent
+    pure-Python replay on a generated corpus — piece counts AND
+    log-probs must match exactly (integer counts; identical float ops
+    in identical order on the driver side)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.text import (
+        UNIGRAM_UNK_LOGP,
+        unigram_lm_train,
+    )
+
+    corpus = _random_corpus(seed)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    logp, counts = unigram_lm_train(
+        docs, seed_size=40, max_len=4, n_iter=3
+    )
+
+    # ---- reference: same published algorithm, no engine code
+    tf: dict[str, int] = {}
+    for _i, t in corpus:
+        for w in t.split():
+            tf[w] = tf.get(w, 0) + 1
+    wts: dict[str, int] = {}
+    for term, f in tf.items():
+        for i in range(len(term)):
+            for j in range(i + 1, min(i + 4, len(term)) + 1):
+                wts[term[i:j]] = wts.get(term[i:j], 0) + f
+    seed_set = dict(sorted(wts.items(), key=lambda kv: (-kv[1], kv[0]))[:40])
+    for p, w in wts.items():
+        if len(p) == 1:
+            seed_set[p] = w
+
+    def viterbi(term, lp):
+        n = len(term)
+        dp, back = [0.0] * (n + 1), [0] * (n + 1)
+        for i in range(1, n + 1):
+            best, bj = None, 0
+            for plen in range(1, min(4, i) + 1):
+                j = i - plen
+                v = lp.get(term[j:i])
+                if v is None:
+                    if plen > 1:
+                        continue
+                    v = UNIGRAM_UNK_LOGP
+                s = dp[j] + v
+                if best is None or s > best:
+                    best, bj = s, j
+            dp[i], back[i] = best, bj
+        out, i = [], n
+        while i > 0:
+            out.append(term[back[i]:i])
+            i = back[i]
+        return out
+
+    def mstep(c):
+        total, v = sum(c.values()), len(seed_set)
+        return {p: math.log((c.get(p, 0) + 1) / (total + v))
+                for p in seed_set}
+
+    want_lp = mstep(seed_set)
+    want_counts = dict(seed_set)
+    for _ in range(3):
+        c: dict[str, int] = {}
+        for term, f in tf.items():
+            for piece in viterbi(term, want_lp):
+                if piece in want_lp:
+                    c[piece] = c.get(piece, 0) + f
+        want_counts = c
+        want_lp = mstep(c)
+
+    assert counts == want_counts
+    assert logp == want_lp  # exact float equality: same ops, same order
+
+
+def test_unigram_viterbi_contract(spark):
+    """Tie-break (shortest piece wins on equal score), unk single-char
+    fallback (every term segmentable), greedy preference for the
+    higher-probability longer piece."""
+    from dbt_nlp_sqlizer_team04_spark.operators.text import _viterbi_segment
+
+    lp = {"a": -1.0, "b": -1.0, "ab": -2.0}
+    # score([a,b]) == score([ab]) == -2.0 -> shortest-first tie-break
+    assert _viterbi_segment("ab", lp, 4, -20.0) == ["a", "b"]
+    # a clearly better long piece wins
+    lp2 = {"a": -3.0, "b": -3.0, "ab": -1.0}
+    assert _viterbi_segment("ab", lp2, 4, -20.0) == ["ab"]
+    # unknown chars fall back to unk and never fail
+    assert _viterbi_segment("xay", {"a": -1.0}, 4, -20.0) == ["x", "a", "y"]
+    # max_len bounds the candidate pieces
+    lp3 = {"abcde": -0.1, "a": -1.0, "b": -1.0, "c": -1.0, "d": -1.0,
+           "e": -1.0}
+    assert _viterbi_segment("abcde", lp3, 4, -20.0) == [
+        "a", "b", "c", "d", "e"]
+
+
+def test_unigram_encode_stats_consistency(spark):
+    """The per-source audit's n_tokens must equal the plain token count
+    per source, n_units >= n_tokens (a piece never spans tokens), and
+    the trained-corpus unk path is never needed (full coverage: every
+    char of the corpus is in the seed)."""
+    from pyspark.sql import functions as F
+
+    from dbt_nlp_sqlizer_team04_spark.operators.text import (
+        tokens_expr,
+        unigram_encode_stats,
+        unigram_lm_train,
+    )
+
+    corpus = [(i, t, "s" + str(i % 2)) for i, t in _random_corpus(7)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, source string")
+    logp, _ = unigram_lm_train(docs, seed_size=30, max_len=4, n_iter=2)
+    out = {r["source"]: r for r in unigram_encode_stats(docs, logp).collect()}
+    want = {
+        r["source"]: r["n"]
+        for r in docs.select(
+            "source", F.explode(tokens_expr(F.col("text"))).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(out) == set(want)
+    for s, r in out.items():
+        assert r["n_tokens"] == want[s]
+        assert r["n_units"] >= r["n_tokens"]
+        assert 0.0 <= r["frag_rate"] <= 1.0
+        assert abs(r["avg_units"] - round(r["n_units"] / r["n_tokens"], 4)) < 1e-9

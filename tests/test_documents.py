@@ -2162,3 +2162,33 @@ def test_fill_linear_dtype_promotion(spark):
         {"$sort": {"x": 1}}, {"$limit": 10}])
     vals = [r["v"] for r in out.collect()]
     assert vals[0] == 0.1 and vals[2] == 0.3  # untouched, no cast round-trip
+
+
+def test_nl2doc_union_compiles(store):
+    """'combine <A> with <B>, counts per <f>' compiles to $match →
+    $unionWith{coll, pipeline:[$match]} → $group/$sort (q169's shape);
+    without the counts clause the pipeline stops at the union."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    df, q = eng.ask(
+        "combine text containing data with n_chars over 500 for "
+        "documents, counts per lang"
+    )
+    ops = [next(iter(s)) for s in q["pipeline"]]
+    assert ops == ["$match", "$unionWith", "$group", "$sort"]
+    uw = q["pipeline"][1]["$unionWith"]
+    assert uw["coll"] == "documents"
+    assert uw["pipeline"] == [{"$match": {"n_chars": {"$gt": 500}}}]
+    assert q["pipeline"][0]["$match"] == {"text": {"$regex": "data"}}
+    assert q["pipeline"][2]["$group"]["_id"] == "$lang"
+    # UNION ALL semantics: the union count is >= either single side
+    n_union = sum(r["n"] for r in df.collect())
+    n_en = store.find("documents", {"n_chars": {"$gt": 500}},
+                      limit=10**9).count()
+    assert n_union >= n_en
+
+    _df2, q2 = eng.ask(
+        "combine text containing data with n_chars over 500 for documents"
+    )
+    assert [next(iter(s)) for s in q2["pipeline"]] == ["$match", "$unionWith"]
