@@ -1219,60 +1219,64 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q183_unigram_encode_stats": X.q183_unigram_encode_stats,
 }
 
-# --- round-7 driver window (explicit form of the rotation policy at the
+# --- round-8 driver window (explicit form of the rotation policy at the
 # top of this dict; the driver hash-checks the FIRST 50 entries only).
 # This round executes the machine-planned rotation from
-# tests/test_window_policy.py PLANNED (written r6, target round 7):
-#   rule 2 — the 32 never-driver-checked entries: nl24-nl44 (r4 NL
-#     additions), q92/q113/q115/q116 (oracle-backed), and the rows-only
-#     q63 q65 q67 q73 q78 q89 q110 (recall/fixture pytests carry them
-#     locally; the driver seat proves err-free execution);
-#   rule 3 — the 15 oldest re-confirmation debts, last green r2:
-#     q02 q04-q06 q09 q10 q13 q18 q20 q21 q26 q31 q34 q35 q37;
-#   rule 1 — three of the r6 additions: q164 (token coverage), q166
-#     (edit-distance near-dup), nl54 (decile NL tier). The remaining
-#     r6 additions (q160-q163, q165, q167) carry machine-checked
-#     round-8 targets in PLANNED, alongside the r2-debt leftovers
-#     q41/q42/q48/q49. Round-7 additions (q168+, nl55+) take round-8/9
-#     targets as they land.
+# tests/test_window_policy.py PLANNED (targets written r6/r7 for round
+# 8):
+#   - the four set-operation/percentile r2 debts q41/q42/q48/q49;
+#   - the r6 additions that didn't fit the r7 window: q160-q163, q165
+#     (rows-only — _ROWS_ONLY_SEATS), q167;
+#   - the r3-debt dozen q01/q03/q07/q08/q11/q12/q14-q17/q19/q22;
+#   - the r7 additions q168-q171, nl55, nl56.
+# That is 28 mandatory seats; the remaining 22 go to the oldest slice
+# of the r4 re-confirmation debt that comes due this round (49 entries
+# reach wait > MAX_WAIT at round 8): nl01-nl22. The rest of that wave
+# (nl23 + 26 q-entries) and the round-8 additions (q179-q183, nl61)
+# carry machine-checked round-9/10 targets in PLANNED — deferral is
+# allowed, silence is not.
 # tests/test_window_policy.py enforces all of this mechanically: an
 # entry may not wait more than 3 rounds without either a driver-green
 # record (tests/driver_manifest.json) or a seat in the current window,
 # and a PLANNED target that comes due fails the build. Every tail entry
 # stays locally hash-verified per round by test_relational_oracle.py.
-_R7_WINDOW = [
-    # never driver-checked: r4 NL tiers
-    "nl24_distinct_customers_in_orders", "nl25_most_recent_orders",
-    "nl26_pct_orders_per_status", "nl27_customers_without_orders",
-    "nl28_doc_top5_longest", "nl29_nations_with_min_customers",
-    "nl30_rich_segments", "nl31_events_per_day",
-    "nl32_minmax_balance_per_segment", "nl33_customer_share_per_nation",
-    "nl34_orders_before_1997", "nl35_cheapest_orders",
-    "nl36_richest_nation", "nl37_doc_events_before_date",
-    "nl38_big_building_segments", "nl39_top3_nations_by_customers",
-    "nl40_top5_parts_by_price", "nl41_above_avg_orders",
-    "nl42_union_names_like", "nl43_customers_with_nation_avg",
-    "nl44_rank_orders_by_price",
-    # never driver-checked: oracle-backed operators
-    "q92_quality_weighted_sample", "q113_salted_segment_sales",
-    "q115_frame_sample_rollup", "q116_resize_rollup",
-    # never driver-checked: rows-only (driver seat proves err-free)
-    "q63_semantic_dedup", "q65_ann_pq_topk", "q67_chunk_retrieval",
-    "q73_learned_quality_scores", "q78_kmeans_clusters",
-    "q89_neardup_pagerank", "q110_bpe_merges",
-    # oldest re-confirmation debt (last green r2)
-    "q02_filter_topn", "q04_like_search", "q05_null_handling",
-    "q06_date_rollup", "q09_distinct_segments", "q10_union_names",
-    "q13_case_when", "q18_categorical_domain", "q20_events_json_props",
-    "q21_pivot_status", "q26_exact_dup_groups", "q31_quality_by_source",
-    "q34_doc_fingerprints", "q35_doc_find", "q37_doc_find_or_regex",
-    # r6 additions taking their r7 seats
-    "q164_token_coverage", "q166_edit_distance_pairs",
-    "nl54_totalprice_deciles",
+_R8_WINDOW = [
+    # PLANNED target-8: r2-debt set operations / percentiles
+    "q41_intersect_nations", "q42_except_unordered_parts",
+    "q48_cube_status_priority", "q49_price_percentiles",
+    # PLANNED target-8: r6 additions rotating in
+    "q160_nation_profit", "q161_important_parts",
+    "q162_ship_delay_priority", "q163_supplier_count_by_part",
+    "q165_hotkey_sketch", "q167_doc_pagination",
+    # PLANNED target-8: the r3-debt dozen
+    "q01_pricing_summary", "q03_top_revenue_orders",
+    "q07_window_partition_avg", "q08_rank_orders",
+    "q11_scalar_subquery", "q12_cte_nation_sales",
+    "q14_group_having", "q15_exists_semi", "q16_not_exists_anti",
+    "q17_profile_stats", "q19_events_hourly",
+    "q22_rollup_region_nation",
+    # PLANNED target-8: r7 additions rotating in
+    "q168_doc_lookup_correlated", "q169_doc_union_with",
+    "q170_doc_window_fields", "q171_doc_densify_fill",
+    "nl55_doc_pagination", "nl56_doc_lookup_counts",
+    # r4 re-confirmation debt coming due this round (oldest slice)
+    "nl01_count_per_priority", "nl02_avg_balance_per_segment",
+    "nl03_distinct_segments", "nl04_doc_count_per_type",
+    "nl05_sum_price_per_status", "nl06_top5_orders",
+    "nl07_max_balance_per_nation", "nl08_count_parts_per_brand",
+    "nl09_trained_balance_by_segment", "nl10_trained_count_per_priority",
+    "nl11_trained_doc_avg_chars", "nl12_count_customers_per_region",
+    "nl13_orders_per_month", "nl14_building_customers_per_nation",
+    "nl15_big_orders_per_priority", "nl16_orders_1995_per_priority",
+    "nl17_customers_name_contains", "nl18_doc_regex_count_per_lang",
+    "nl19_orders_per_status_and_priority",
+    "nl20_midrange_orders_per_priority",
+    "nl21_orders_count_and_avg_per_priority",
+    "nl22_top3_segments_by_avg_balance",
 ]
-assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
-SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R7_WINDOW} | {
-    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R7_WINDOW)
+assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
+SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R8_WINDOW} | {
+    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R8_WINDOW)
 }
 
 def _TS_cohort_oracle() -> str:

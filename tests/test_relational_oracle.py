@@ -55,6 +55,8 @@ _ROWS_ONLY_SEATS = {
     "q63_semantic_dedup", "q65_ann_pq_topk", "q67_chunk_retrieval",
     "q73_learned_quality_scores", "q78_kmeans_clusters",
     "q89_neardup_pagerank", "q110_bpe_merges",
+    # r8 window seat (sketch tier — accuracy pytest vs the exact twin)
+    "q165_hotkey_sketch",
 }
 
 

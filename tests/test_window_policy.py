@@ -27,80 +27,52 @@ import os
 MANIFEST = os.path.join(os.path.dirname(__file__), "driver_manifest.json")
 MAX_WAIT = 3
 
-# The r7 window plan (mirrors the policy comment at queries.py's
-# _R6_WINDOW): the remaining never-checked tail plus the oldest
-# re-confirmation debt. If round 7 arrives and these are neither
-# driver-green nor seated, test_no_overdue_entries fails.
+# The r8+ window plan (mirrors the policy comment at queries.py's
+# _R8_WINDOW). The round-8 window seats every target-8 entry plus the
+# nl01-nl22 slice of the r4 re-confirmation wave; what did not fit
+# takes round-9/10 targets below. When a target round arrives and the
+# entry is neither driver-green nor seated, test_no_overdue_entries
+# fails the build.
 PLANNED: dict[str, int] = {
-    # never driver-checked, added r4 — planned r7 seats
-    **{k: 7 for k in (
-        "nl24_distinct_customers_in_orders", "nl25_most_recent_orders",
-        "nl26_pct_orders_per_status", "nl27_customers_without_orders",
-        "nl28_doc_top5_longest", "nl29_nations_with_min_customers",
-        "nl30_rich_segments", "nl31_events_per_day",
-        "nl32_minmax_balance_per_segment", "nl33_customer_share_per_nation",
-        "nl34_orders_before_1997", "nl35_cheapest_orders",
-        "nl36_richest_nation", "nl37_doc_events_before_date",
-        "nl38_big_building_segments", "nl39_top3_nations_by_customers",
-        "nl40_top5_parts_by_price", "nl41_above_avg_orders",
-        "nl42_union_names_like", "nl43_customers_with_nation_avg",
-        "nl44_rank_orders_by_price",
-        "q92_quality_weighted_sample", "q113_salted_segment_sales",
-        "q115_frame_sample_rollup", "q116_resize_rollup",
-        # rows-only never-checked (recall/fixture pytests carry them
-        # locally; the driver seat proves err-free execution)
-        "q63_semantic_dedup", "q65_ann_pq_topk", "q67_chunk_retrieval",
-        "q73_learned_quality_scores", "q78_kmeans_clusters",
-        "q89_neardup_pagerank", "q110_bpe_merges",
-    )},
-    # oldest re-confirmation debt (last green r2) — planned r7 seats
-    **{k: 7 for k in (
-        "q02_filter_topn", "q04_like_search", "q05_null_handling",
-        "q06_date_rollup", "q09_distinct_segments", "q10_union_names",
-        "q13_case_when", "q18_categorical_domain", "q20_events_json_props",
-        "q21_pivot_status", "q26_exact_dup_groups", "q31_quality_by_source",
-        "q34_doc_fingerprints", "q35_doc_find", "q37_doc_find_or_regex",
-    )},
-    # seat-count arithmetic: 32 never-checked + 19 r2-debt = 51 > 50
-    # window slots, and round 7 will add its own entries — the four
-    # set-operation/percentile r2 entries (all covered by the identical
-    # q-shape smoke every round) take round-8 targets instead
-    **{k: 8 for k in (
-        "q41_intersect_nations", "q42_except_unordered_parts",
-        "q48_cube_status_priority", "q49_price_percentiles",
-    )},
-    # r6 additions that didn't fit the r7 window (3 seats went to
-    # q164/q166/nl54) — policy at queries.py says additions rotate in
-    # within two rounds, so these take machine-checked round-8 targets
-    **{k: 8 for k in (
-        "q160_nation_profit", "q161_important_parts",
-        "q162_ship_delay_priority", "q163_supplier_count_by_part",
-        "q165_hotkey_sketch", "q167_doc_pagination",
-    )},
-    # second-oldest re-confirmation debt (last green r3, waited past
-    # MAX_WAIT at round 7 while the r7 window seats the r2/never tail)
-    **{k: 8 for k in (
-        "q01_pricing_summary", "q03_top_revenue_orders",
-        "q07_window_partition_avg", "q08_rank_orders",
-        "q11_scalar_subquery", "q12_cte_nation_sales",
-        "q14_group_having", "q15_exists_semi", "q16_not_exists_anti",
-        "q17_profile_stats", "q19_events_hourly",
-        "q22_rollup_region_nation",
-    )},
-    # round-7 additions — the policy comment's "additions rotate in
-    # within two rounds" made machine-checkable at land time (split
-    # r8/r9 so neither window starves the debt seats above)
-    **{k: 8 for k in (
-        "q168_doc_lookup_correlated", "q169_doc_union_with",
-        "q170_doc_window_fields", "q171_doc_densify_fill",
-        "nl55_doc_pagination", "nl56_doc_lookup_counts",
-    )},
+    # round-7 additions still owed a first driver seat (split r8/r9 at
+    # land time; the r8 half is seated in _R8_WINDOW)
     **{k: 9 for k in (
         "q172_doc_graph_lookup", "q173_doc_bucket_auto",
         "nl57_doc_running_total", "nl58_doc_daily_gapfill",
         "q174_doc_sample", "q175_doc_trailing_window",
         "nl59_doc_equal_buckets", "q176_ann_ivfpq_topk",
         "nl60_doc_sample", "q177_doc_lookup_topn", "q178_doc_lookup_group",
+    )},
+    # round-8 additions — "additions rotate in within two rounds" made
+    # machine-checkable at land time
+    **{k: 9 for k in (
+        "q179_doc_graph_lookup_array", "q180_doc_window_stats",
+        "q181_doc_lookup_group_keyed", "q182_unigram_lm_vocab",
+        "q183_unigram_encode_stats", "nl61_doc_union",
+    )},
+    # the r4 re-confirmation wave that came due at round 8 but did not
+    # fit the 50-seat window behind the 28 mandatory target-8 seats:
+    # 22 of 49 are seated (nl01-nl22, _R8_WINDOW); the remainder takes
+    # round-9 targets (22 — leaving ~11 r9 seats for the r5 wave that
+    # comes due there) and round-10 targets (5)
+    **{k: 9 for k in (
+        "nl23_priority_with_most_orders",
+        "q38_events_stream_rollup", "q52_ngram_jaccard_pairs",
+        "q56_sequence_packing", "q58_materialized_sequences",
+        "q59_contamination_check", "q60_dup_clusters",
+        "q61_corpus_funnel", "q64_incremental_rollup",
+        "q70_incremental_dedup", "q71_vocab_head",
+        "q72_unigram_doc_scores", "q75_bm25_topk",
+        "q76_gopher_quality", "q77_int8_quant_topk",
+        "q79_bigram_doc_scores", "q80_hybrid_rrf_topk",
+        "q81_price_histogram", "q82_best_docs_per_source",
+        "q83_local_supplier_volume", "q84_media_decode_rollup",
+        "q85_dataset_diff",
+    )},
+    **{k: 10 for k in (
+        "q86_bpe_pair_stats", "q87_conversion_funnel",
+        "q88_cohort_retention", "q90_lineitem_correlations",
+        "q91_custkey_skew",
     )},
 }
 
@@ -155,6 +127,6 @@ def test_no_overdue_entries():
 def test_window_is_exactly_the_declared_list():
     """The first 50 registry keys ARE the explicit window list — the
     dict reordering did what the policy comment says."""
-    from dbt_nlp_sqlizer_team04_spark.queries import _R7_WINDOW, SPARK_QUERIES
+    from dbt_nlp_sqlizer_team04_spark.queries import _R8_WINDOW, SPARK_QUERIES
 
-    assert list(SPARK_QUERIES)[:50] == _R7_WINDOW
+    assert list(SPARK_QUERIES)[:50] == _R8_WINDOW
