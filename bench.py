@@ -195,6 +195,7 @@ HEADLINE = [
     "q181_doc_lookup_group_keyed",
     "q182_unigram_lm_vocab",
     "q183_unigram_encode_stats",
+    "q184_doc_expr_dialect",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

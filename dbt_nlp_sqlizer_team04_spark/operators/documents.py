@@ -517,7 +517,71 @@ _EXPR_OPS = {
     "$concat": lambda *xs: F.concat(*xs),
     "$strLenCP": lambda a: F.length(a),
     "$size": lambda a: F.size(a).cast("long"),
+    # ---- numeric (r8): all native Catalyst, codegen-friendly.
+    # $round/$trunc follow Mongo's HALF_EVEN contract — Spark's
+    # bround IS banker's rounding (plain round() is HALF_UP and would
+    # silently diverge).
+    "$abs": lambda a: F.abs(a),
+    "$ceil": lambda a: F.ceil(a),
+    "$floor": lambda a: F.floor(a),
+    "$mod": lambda a, b: a % b,
+    "$pow": lambda a, b: F.pow(a, b),
+    "$sqrt": lambda a: F.sqrt(a),
+    "$exp": lambda a: F.exp(a),
+    "$ln": lambda a: F.log(a),
+    "$log10": lambda a: F.log10(a),
+    # ---- string (r8)
+    "$trim": lambda a: F.trim(a),
+    "$ltrim": lambda a: F.ltrim(a),
+    "$rtrim": lambda a: F.rtrim(a),
+    "$toString": lambda a: a.cast("string"),
+    "$toInt": lambda a: a.cast("int"),
+    "$toLong": lambda a: a.cast("long"),
+    "$toDouble": lambda a: a.cast("double"),
+    "$toDate": lambda a: a.cast("date"),
+    # ---- array (r8)
+    "$concatArrays": lambda *xs: F.concat(*xs),
+    "$ifNull": lambda *xs: F.coalesce(*xs),
+    "$in": lambda v, arr: F.array_contains(arr, v),
+    "$setUnion": lambda *xs: F.array_sort(F.array_distinct(F.concat(*xs))),
+    "$setIntersection": lambda a, b: F.array_sort(F.array_intersect(a, b)),
+    "$setDifference": lambda a, b: F.array_sort(F.array_except(a, b)),
+    "$reverseArray": lambda a: F.reverse(a),
+    # ---- date parts (r8): Mongo returns ints
+    "$year": lambda a: F.year(a),
+    "$month": lambda a: F.month(a),
+    "$dayOfMonth": lambda a: F.dayofmonth(a),
+    "$hour": lambda a: F.hour(a),
+    "$minute": lambda a: F.minute(a),
+    "$second": lambda a: F.second(a),
+    "$dayOfWeek": lambda a: F.dayofweek(a),
 }
+
+
+def _int_literal(x: Any, op: str) -> int:
+    if not isinstance(x, int) or isinstance(x, bool):
+        raise DocumentQueryError(
+            f"{op} expects an integer literal, got {x!r}"
+        )
+    return x
+
+
+def _scoped_resolve(outer, bindings: dict[str, Column]):
+    """Resolver for array-expression lambda bodies: '$$<var>' tokens in
+    ``bindings`` become the lambda parameters; everything else delegates
+    to the enclosing resolver (so $filter inside a correlated $lookup
+    still sees the right sides)."""
+
+    def resolve(tok: str) -> Column:
+        if tok.startswith("$$") and tok[2:] in bindings:
+            return bindings[tok[2:]]
+        if outer is not None:
+            return outer(tok)
+        if tok.startswith("$$"):
+            raise DocumentQueryError(f"Unbound expression variable: {tok}")
+        return F.col(tok[1:])
+
+    return resolve
 
 
 _DATE_TRUNC_UNITS = {"year", "quarter", "month", "week", "day", "hour",
@@ -587,6 +651,183 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         return functools.reduce(
             _op.and_ if op == "$and" else _op.or_, subs
         )
+    # ---- special forms (r8): operators whose operands are not all
+    # plain sub-expressions — literal places/delimiters, lambda bodies
+    # with $$-variables, or named documents.
+    if op == "$switch":
+        # {"branches": [{"case": e, "then": e}, ...], "default": e}
+        if not (isinstance(operands, dict)
+                and isinstance(operands.get("branches"), list)
+                and operands["branches"]):
+            raise DocumentQueryError(f"Bad $switch: {spec!r}")
+        out = None
+        for br in operands["branches"]:
+            if not (isinstance(br, dict) and "case" in br and "then" in br):
+                raise DocumentQueryError(f"Bad $switch branch: {br!r}")
+            c = _ref(br["case"], resolve).cast("boolean")
+            t = _ref(br["then"], resolve)
+            out = F.when(c, t) if out is None else out.when(c, t)
+        if "default" in operands:
+            out = out.otherwise(_ref(operands["default"], resolve))
+        # Mongo errors at RUN time when no branch matches and there is
+        # no default; a DataFrame engine can't raise per-row — the
+        # documented divergence is NULL instead (when() without
+        # otherwise), which downstream null handling treats uniformly
+        return out
+    if op == "$round" or op == "$trunc":
+        args = operands if isinstance(operands, list) else [operands]
+        place = _int_literal(args[1], op) if len(args) > 1 else 0
+        val = _ref(args[0], resolve)
+        if op == "$round":
+            # Mongo rounds HALF_EVEN — Spark's bround IS banker's
+            # rounding (plain round() is HALF_UP and would diverge)
+            return F.bround(val, place)
+        scale = F.lit(float(10 ** place))
+        scaled = val * scale
+        return (
+            F.when(scaled >= 0, F.floor(scaled)).otherwise(F.ceil(scaled))
+            / scale
+        )
+    if op == "$split":
+        # Mongo's delimiter is a LITERAL string; Spark's split takes a
+        # regex — escape metacharacters so '.' splits on dots
+        import re as _re_mod
+
+        if not (isinstance(operands, list) and len(operands) == 2
+                and isinstance(operands[1], str)
+                and not operands[1].startswith("$")):
+            # Mongo allows a field-path delimiter; the compile-time
+            # regex escape can't — refuse '$'-refs loudly rather than
+            # treating them as literal text
+            raise DocumentQueryError(
+                f"$split expects [expr, literal delimiter]: {spec!r}"
+            )
+        # split with limit -1 keeps trailing empties (Mongo keeps them)
+        return F.split(
+            _ref(operands[0], resolve), _re_mod.escape(operands[1]), -1
+        )
+    if op == "$substrCP":
+        # Mongo is 0-based; Spark substring is 1-based
+        if not (isinstance(operands, list) and len(operands) == 3):
+            raise DocumentQueryError(f"$substrCP needs 3 operands: {spec!r}")
+        s = _ref(operands[0], resolve)
+        start = _ref(operands[1], resolve) + F.lit(1)
+        return F.substring(s, start, _ref(operands[2], resolve))
+    if op == "$arrayElemAt":
+        # Mongo: 0-based, negative counts from the end; element_at is
+        # 1-based with the same negative convention
+        if not (isinstance(operands, list) and len(operands) == 2):
+            raise DocumentQueryError(f"$arrayElemAt needs 2 operands: {spec!r}")
+        arr = _ref(operands[0], resolve)
+        idx = _ref(operands[1], resolve)
+        return F.element_at(
+            arr, F.when(idx >= 0, idx + F.lit(1)).otherwise(idx).cast("int")
+        )
+    if op == "$slice":
+        if not (isinstance(operands, list) and len(operands) in (2, 3)):
+            raise DocumentQueryError(f"$slice needs 2-3 operands: {spec!r}")
+        arr = _ref(operands[0], resolve)
+        if len(operands) == 2:
+            n = _int_literal(operands[1], "$slice")
+            # Mongo 2-arg: first n (n>0) or last n (n<0)
+            if n >= 0:
+                return F.slice(arr, 1, n)
+            return F.slice(arr, F.greatest(
+                F.size(arr) + F.lit(n + 1), F.lit(1)
+            ), F.lit(-n))
+        pos = _int_literal(operands[1], "$slice")
+        n = _int_literal(operands[2], "$slice")
+        if n <= 0:
+            raise DocumentQueryError("$slice 3-arg count must be positive")
+        start = pos + 1 if pos >= 0 else pos  # slice() shares the
+        #                       negative-from-end convention for starts
+        return F.slice(arr, start, n)
+    if op in ("$filter", "$map"):
+        if not (isinstance(operands, dict) and "input" in operands):
+            raise DocumentQueryError(f"Bad {op}: {spec!r}")
+        var = operands.get("as", "this")
+        body_key = "cond" if op == "$filter" else "in"
+        if body_key not in operands:
+            raise DocumentQueryError(f"{op} needs {body_key!r}: {spec!r}")
+        inp = _ref(operands["input"], resolve)
+        body = operands[body_key]
+        is_filter = op == "$filter"
+
+        # a SINGLE-parameter closure: pyspark inspects the lambda's
+        # arity to decide between (x) and (x, i) forms, so default-arg
+        # captures would be mistaken for extra lambda parameters
+        def make_lam(_body, _var, _resolve, _is_filter):
+            def lam(x):
+                c = _ref(_body, _scoped_resolve(_resolve, {_var: x}))
+                return c.cast("boolean") if _is_filter else c
+
+            return lam
+
+        return (F.filter if is_filter else F.transform)(
+            inp, make_lam(body, var, resolve, is_filter)
+        )
+    if op == "$reduce":
+        if not (isinstance(operands, dict) and "input" in operands
+                and "initialValue" in operands and "in" in operands):
+            raise DocumentQueryError(f"Bad $reduce: {spec!r}")
+        inp = _ref(operands["input"], resolve)
+        init = _ref(operands["initialValue"], resolve)
+        body = operands["in"]
+
+        def make_merge(_body, _resolve):
+            def merge(acc, x):
+                return _ref(_body, _scoped_resolve(
+                    _resolve, {"value": acc, "this": x}
+                ))
+
+            return merge
+
+        return F.aggregate(inp, init, make_merge(body, resolve))
+    if op in ("$dateDiff", "$dateAdd", "$dateSubtract"):
+        if not (isinstance(operands, dict) and "unit" in operands):
+            raise DocumentQueryError(f"Bad {op}: {spec!r}")
+        unit = operands["unit"]
+        if op == "$dateDiff":
+            if not ("startDate" in operands and "endDate" in operands):
+                raise DocumentQueryError(f"{op} needs startDate+endDate")
+            a = _ref(operands["startDate"], resolve)
+            b = _ref(operands["endDate"], resolve)
+            if unit == "day":
+                # Mongo counts day BOUNDARY crossings, not 24h spans
+                return F.datediff(F.to_date(b), F.to_date(a)).cast("long")
+            if unit == "year":
+                return (F.year(b) - F.year(a)).cast("long")
+            if unit == "month":
+                return (
+                    (F.year(b) - F.year(a)) * F.lit(12)
+                    + (F.month(b) - F.month(a))
+                ).cast("long")
+            if unit == "week":
+                # boundary-crossing count under the Sunday default
+                sow = _expr(
+                    {"$dateTrunc": {"date": operands["startDate"],
+                                    "unit": "week"}}, resolve)
+                eow = _expr(
+                    {"$dateTrunc": {"date": operands["endDate"],
+                                    "unit": "week"}}, resolve)
+                return (F.datediff(eow, sow) / F.lit(7)).cast("long")
+            if unit in ("hour", "minute", "second"):
+                secs = {"hour": 3600, "minute": 60, "second": 1}[unit]
+                return (
+                    (b.cast("timestamp").cast("long")
+                     - a.cast("timestamp").cast("long")) / F.lit(secs)
+                ).cast("long")
+            raise DocumentQueryError(f"{op} bad unit: {unit!r}")
+        if "startDate" not in operands or "amount" not in operands:
+            raise DocumentQueryError(f"{op} needs startDate+amount")
+        amt = _int_literal(operands["amount"], op)
+        if op == "$dateSubtract":
+            amt = -amt
+        d = _ref(operands["startDate"], resolve)
+        if unit not in ("year", "quarter", "month", "week", "day",
+                        "hour", "minute", "second"):
+            raise DocumentQueryError(f"{op} bad unit: {unit!r}")
+        return d + F.expr(f"interval {amt} {unit}")
     fn = _EXPR_OPS.get(op)
     if fn is None:
         raise DocumentQueryError(f"Unsupported expression operator: {op}")
@@ -629,6 +870,10 @@ def _acc_to_agg_masked(
         return F.sort_array(F.collect_list(masked)).alias(alias)
     if op == "$addToSet":
         return F.sort_array(F.collect_set(masked)).alias(alias)
+    if op == "$stdDevSamp":
+        return F.stddev_samp(masked).alias(alias)
+    if op == "$stdDevPop":
+        return F.stddev_pop(masked).alias(alias)
     raise DocumentQueryError(f"Unsupported accumulator: {op}")
 
 
@@ -3325,4 +3570,100 @@ Q181_ORACLE_SQL = """
            ROUND(SUM(o.o_totalprice), 2) AS spend
     FROM top10 t JOIN orders o ON o.o_custkey = t.c_custkey
     GROUP BY 1, 2
+"""
+
+
+def q184_doc_expr_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 expression-dialect surface end-to-end over one $addFields:
+    HALF_EVEN $round (Spark bround — Mongo's banker's contract, NOT
+    HALF_UP), $trunc-toward-zero with a place, $split + $arrayElemAt
+    (0-based), $filter/$reduce with $$-variable bodies, $switch,
+    $substrCP (0-based), $dateDiff (boundary-crossing day/month),
+    $dateAdd, $year. Everything compiles to native Catalyst expressions
+    inside one projection — zero UDFs, zero extra stages (the scan +
+    one whole-stage-codegen project). Oracle: DuckDB's round_even /
+    trunc / string_split / list_transform+list_sum / CASE twins."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "orders",
+        [
+            {"$match": {"o_orderkey": {"$lte": 200}}},
+            {"$addFields": {
+                "sev": {"$round": [{"$divide": ["$o_totalprice", 7]}, 2]},
+                "ktr": {"$trunc": [{"$divide": ["$o_totalprice", 7]}, 1]},
+                "prio_word": {"$arrayElemAt": [
+                    {"$split": ["$o_orderpriority", "-"]}, 1]},
+                "n_parts": {"$size": {"$split": ["$o_orderpriority",
+                                                 "-"]}},
+                "long_parts": {"$size": {"$filter": {
+                    "input": {"$split": ["$o_orderpriority", "-"]},
+                    "as": "w",
+                    "cond": {"$gte": [{"$strLenCP": "$$w"}, 5]}}}},
+                "chars": {"$reduce": {
+                    "input": {"$split": ["$o_orderpriority", "-"]},
+                    "initialValue": 0,
+                    "in": {"$add": ["$$value",
+                                    {"$strLenCP": "$$this"}]}}},
+                "status_word": {"$switch": {"branches": [
+                    {"case": {"$eq": ["$o_orderstatus", "F"]},
+                     "then": "finished"},
+                    {"case": {"$eq": ["$o_orderstatus", "O"]},
+                     "then": "open"}],
+                    "default": "partial"}},
+                "prio_tail": {"$substrCP": ["$o_orderpriority", 2, 3]},
+                "age_days": {"$dateDiff": {"startDate": "$o_orderdate",
+                                           "endDate": "1998-12-01",
+                                           "unit": "day"}},
+                "age_months": {"$dateDiff": {"startDate": "$o_orderdate",
+                                             "endDate": "1998-12-01",
+                                             "unit": "month"}},
+                "follow_up": {"$dateAdd": {"startDate": "$o_orderdate",
+                                           "unit": "month", "amount": 3}},
+                "yr": {"$year": "$o_orderdate"},
+            }},
+            {"$project": {"o_orderkey": 1, "sev": 1, "ktr": 1,
+                          "prio_word": 1, "n_parts": 1, "long_parts": 1,
+                          "chars": 1, "status_word": 1, "prio_tail": 1,
+                          "age_days": 1, "age_months": 1,
+                          "follow_up": 1, "yr": 1}},
+            {"$sort": {"o_orderkey": 1}},
+            {"$limit": 100},
+        ],
+    )
+    # date + year-month interval comes back TIMESTAMP on this plan;
+    # the entry's contract (like Mongo's date-in/date-out for whole
+    # units) is a date
+    return out.withColumn("follow_up", F.col("follow_up").cast("date"))
+
+
+Q184_ORACLE_SQL = """
+    SELECT o_orderkey,
+           round_even(o_totalprice / 7, 2) AS sev,
+           trunc(o_totalprice / 7 * 10) / 10 AS ktr,
+           string_split(o_orderpriority, '-')[2] AS prio_word,
+           CAST(len(string_split(o_orderpriority, '-')) AS BIGINT)
+             AS n_parts,
+           CAST(len(list_filter(string_split(o_orderpriority, '-'),
+                                w -> length(w) >= 5)) AS BIGINT)
+             AS long_parts,
+           CAST(list_sum(list_transform(string_split(o_orderpriority, '-'),
+                                        w -> length(w))) AS BIGINT)
+             AS chars,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'partial' END AS status_word,
+           substring(o_orderpriority, 3, 3) AS prio_tail,
+           CAST(datediff('day', o_orderdate, DATE '1998-12-01')
+                AS BIGINT) AS age_days,
+           CAST(datediff('month', o_orderdate, DATE '1998-12-01')
+                AS BIGINT) AS age_months,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS follow_up,
+           year(o_orderdate) AS yr
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    LIMIT 100
 """

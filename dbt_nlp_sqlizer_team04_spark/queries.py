@@ -1217,6 +1217,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # the driver; DIFFERENTIAL pure-Python replay in the harness).
     "q182_unigram_lm_vocab": X.q182_unigram_lm_vocab,
     "q183_unigram_encode_stats": X.q183_unigram_encode_stats,
+    # r8 expression-dialect surface ($round/$trunc/$split/$filter/
+    # $reduce/$switch/$substrCP/$dateDiff/$dateAdd...) in one
+    # whole-stage-codegen projection — NEW r8.
+    "q184_doc_expr_dialect": DOC.q184_doc_expr_dialect,
 }
 
 # --- round-8 driver window (explicit form of the rotation policy at the
@@ -2699,6 +2703,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q183_unigram_encode_stats": None,
     "q180_doc_window_stats": DOC.Q180_ORACLE_SQL,
     "q181_doc_lookup_group_keyed": DOC.Q181_ORACLE_SQL,
+    "q184_doc_expr_dialect": DOC.Q184_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -2192,3 +2192,151 @@ def test_nl2doc_union_compiles(store):
         "combine text containing data with n_chars over 500 for documents"
     )
     assert [next(iter(s)) for s in q2["pipeline"]] == ["$match", "$unionWith"]
+
+
+def test_r8_entry_plan_contracts(spark, sf_check):
+    """Physical-plan shapes of the r8 registry entries stay what the
+    docstrings promise: q180's window fields share one pass (two Window
+    operators — sorted frame + frame-less base — and no extra exchange
+    beyond the shortlist's own), q181's keyed lookup-$group is ONE join
+    plus two logical aggregates (4 physical partial/final), and neither
+    plans a cartesian product."""
+    import re
+
+    from dbt_nlp_sqlizer_team04_spark.operators import documents as DOC
+
+    def head(df):
+        # AQE repeats the tree under "== Initial Plan ==" — split first
+        # or every operator double-counts (the r7 lesson)
+        return (df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0])
+
+    p = head(DOC.q180_doc_window_stats(spark, sf_check))
+    assert len(re.findall(r"\bWindow\b", p)) == 2
+    assert p.count("Exchange") <= 1
+    assert "Cartesian" not in p
+
+    p = head(DOC.q181_doc_lookup_group_keyed(spark, sf_check))
+    assert len(re.findall(r"Join", p)) == 1
+    assert len(re.findall(r"HashAggregate|ObjectHashAggregate|SortAggregate",
+                          p)) <= 4
+    assert "Cartesian" not in p
+
+    # q179's BFS supersteps stay equi-joins — the optimized plan of the
+    # walk carries no cartesian/nested-loop stage
+    out = DOC.q179_doc_graph_lookup_array(spark, sf_check)
+    p = head(out)
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+
+# --------------------------------- r8: expression dialect extensions
+
+
+def test_expr_dialect_r8_values(spark):
+    """The r8 expression operators: HALF_EVEN $round (bround, NOT
+    HALF_UP), $trunc toward zero, $split literal delimiter (regex
+    metachars escaped), 0-based $substrCP/$arrayElemAt (negative from
+    the end), $slice both forms, $filter/$map/$reduce $$-variable
+    bodies, $switch with default, $ifNull/$in/set ops, $dateDiff
+    boundary-crossing day/month, $dateAdd/$dateSubtract, date parts."""
+    import datetime
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, 2.345, "a.b.c", [3, 1, 2], datetime.date(2026, 1, 31),
+          datetime.datetime(2026, 8, 15, 13, 45))],
+        "id int, x double, s string, arr array<int>, d date, ts timestamp"))
+    r = s.aggregate("t", [{"$addFields": {
+        "r_even": {"$round": [2.345, 2]},      # HALF_EVEN -> 2.34
+        "r_up_would_be": {"$round": [2.335, 2]},  # -> 2.34 (even)
+        "tr": {"$trunc": [-2.39, 1]},          # toward zero -> -2.3
+        "sp": {"$split": ["$s", "."]},         # literal dot, not regex
+        "sub": {"$substrCP": ["$s", 2, 3]},    # 0-based -> "b.c"
+        "el": {"$arrayElemAt": ["$arr", -1]},  # -> 2
+        "el0": {"$arrayElemAt": ["$arr", 0]},  # -> 3
+        "sl2": {"$slice": ["$arr", -2]},       # last 2 -> [1,2]
+        "sl3": {"$slice": ["$arr", 1, 2]},     # from idx 1 -> [1,2]
+        "fl": {"$filter": {"input": "$arr",
+                           "cond": {"$gte": ["$$this", 2]}}},
+        "mp": {"$map": {"input": "$arr", "as": "v",
+                        "in": {"$multiply": ["$$v", 10]}}},
+        "rd": {"$reduce": {"input": "$arr", "initialValue": 100,
+                           "in": {"$add": ["$$value", "$$this"]}}},
+        "sw": {"$switch": {"branches": [
+            {"case": {"$gt": ["$x", 10]}, "then": "big"}],
+            "default": "small"}},
+        "swnull": {"$switch": {"branches": [
+            {"case": {"$gt": ["$x", 10]}, "then": "big"}]}},
+        "ifn": {"$ifNull": [None, "$id"]},
+        "inn": {"$in": [9, "$arr"]},
+        "su": {"$setUnion": ["$arr", [2, 9]]},
+        "sd": {"$setDifference": ["$arr", [1]]},
+        "dd": {"$dateDiff": {"startDate": "$d", "endDate": "$ts",
+                             "unit": "day"}},
+        "dm": {"$dateDiff": {"startDate": "$d", "endDate": "$ts",
+                             "unit": "month"}},
+        "da": {"$dateAdd": {"startDate": "$d", "unit": "month",
+                            "amount": 1}},
+        "ds": {"$dateSubtract": {"startDate": "$d", "unit": "day",
+                                 "amount": 31}},
+        "yy": {"$year": "$ts"}, "hh": {"$hour": "$ts"},
+    }}])
+    row = r.collect()[0].asDict()
+    assert row["r_even"] == 2.34 and row["r_up_would_be"] == 2.34
+    assert row["tr"] == -2.3
+    assert row["sp"] == ["a", "b", "c"] and row["sub"] == "b.c"
+    assert row["el"] == 2 and row["el0"] == 3
+    assert row["sl2"] == [1, 2] and row["sl3"] == [1, 2]
+    assert row["fl"] == [3, 2] and row["mp"] == [30, 10, 20]
+    assert row["rd"] == 106
+    assert row["sw"] == "small" and row["swnull"] is None  # documented
+    assert row["ifn"] == 1 and row["inn"] is False
+    assert row["su"] == [1, 2, 3, 9] and row["sd"] == [2, 3]
+    assert row["dd"] == 196 and row["dm"] == 7
+    assert str(row["da"]) == "2026-02-28"
+    assert str(row["ds"]) == "2025-12-31"
+    assert row["yy"] == 2026 and row["hh"] == 13
+
+
+def test_expr_dialect_r8_errors(spark):
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame([(1.0, "a-b", [1])],
+                                          "x double, s string, a array<int>"))
+    cases = [
+        ({"$switch": {"branches": []}}, "Bad \\$switch"),
+        ({"$round": ["$x", "two"]}, "integer literal"),
+        ({"$split": ["$s", "$s"]}, "literal delimiter"),
+        ({"$substrCP": ["$s", 1]}, "3 operands"),
+        ({"$arrayElemAt": ["$a"]}, "2 operands"),
+        ({"$slice": ["$a", 1, 0]}, "positive"),
+        ({"$filter": {"input": "$a"}}, "needs 'cond'"),
+        ({"$reduce": {"input": "$a", "in": 1}}, "Bad \\$reduce"),
+        ({"$dateDiff": {"unit": "fortnight", "startDate": "$x",
+                        "endDate": "$x"}}, "bad unit"),
+        ({"$dateAdd": {"startDate": "$x", "unit": "day"}},
+         "needs startDate\\+amount"),
+    ]
+    for bad, msg in cases:
+        with pytest.raises(DocumentQueryError, match=msg):
+            s.aggregate("t", [{"$addFields": {"z": bad}}]).collect()
+    # an unbound $$var inside a lambda body is loud, not a silent null
+    with pytest.raises(DocumentQueryError, match="Unbound"):
+        s.aggregate("t", [{"$addFields": {"z": {"$map": {
+            "input": "$a", "as": "v", "in": "$$nope"}}}}]).collect()
+
+
+def test_group_stddev_accumulators(spark):
+    """$stdDevSamp/$stdDevPop in $group (and inside $facet's masked
+    form) — the same accumulator table serves both."""
+    import math
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [("a", 10.0), ("a", 30.0), ("b", 7.0)], "g string, v double"))
+    rows = {r["_id"]: r for r in s.aggregate("t", [
+        {"$group": {"_id": "$g", "sds": {"$stdDevSamp": "$v"},
+                    "sdp": {"$stdDevPop": "$v"}}},
+        {"$sort": {"_id": 1}}]).collect()}
+    assert math.isclose(rows["a"]["sds"], 14.142135623730951)
+    assert math.isclose(rows["a"]["sdp"], 10.0)
+    assert rows["b"]["sds"] is None and rows["b"]["sdp"] == 0.0

@@ -49,6 +49,7 @@ PLANNED: dict[str, int] = {
         "q179_doc_graph_lookup_array", "q180_doc_window_stats",
         "q181_doc_lookup_group_keyed", "q182_unigram_lm_vocab",
         "q183_unigram_encode_stats", "nl61_doc_union",
+        "q184_doc_expr_dialect",
     )},
     # the r4 re-confirmation wave that came due at round 8 but did not
     # fit the 50-seat window behind the 28 mandatory target-8 seats:
