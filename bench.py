@@ -196,6 +196,8 @@ HEADLINE = [
     "q182_unigram_lm_vocab",
     "q183_unigram_encode_stats",
     "q184_doc_expr_dialect",
+    "q185_doc_window_rates",
+    "q186_doc_ema",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -1236,12 +1236,11 @@ _WINDOW_AGG_OPS2 = {
     "$covarianceSamp": F.covar_samp,
     "$covariancePop": F.covar_pop,
 }
-# documented refusals — each needs per-row recursive state ($expMovingAvg
-# weights every prior row; $derivative/$integral need the sortBy field's
-# VALUE deltas under Mongo's unit algebra) that Spark's window frames
-# don't express natively; a silent approximation would diverge, so the
-# error names the operator instead
-_WINDOW_REFUSED = ("$expMovingAvg", "$derivative", "$integral")
+# fixed-width time units for $derivative/$integral (and time-unit range
+# windows below) — month/year vary in length, so Mongo's unit algebra is
+# only honored for these; anything else is a loud error
+_FIXED_UNIT_SECS = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400, "week": 604800}
 
 
 def _frame_bound(tok: Any, *, lower: bool):
@@ -1287,9 +1286,24 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
       ["unbounded", "unbounded"] default — except $first/$last, which
       require ``sortBy`` and read the first/last row in SORT order
       (Mongo's contract; an unordered partition read would be
-      nondeterministic). $expMovingAvg/$derivative/$integral are
-      documented refusals (per-row recursive state / sort-key value
-      deltas Spark frames don't express).
+      nondeterministic);
+    - $derivative — (last − first of input) / (sortBy span in ``unit``)
+      over the frame, four endpoint reads on ONE window; one-document
+      frames → null. sortBy must be a single ascending field: epoch
+      microseconds + required fixed-width unit for dates, raw value
+      (unit forbidden) for numerics;
+    - $integral — trapezoid sum between consecutive docs inside the
+      frame, compiled as a running-sum endpoint diff (C_last − C_first
+      where C is the cumulative pairwise trapezoid — works for
+      documents AND range frames; see the inline comment). Null inputs
+      skip their trapezoid segments (documented divergence; Mongo
+      requires numerics anyway). Tied sort-key values make the pairing
+      order-dependent — keep the sort key unique (Mongo's own result
+      is equally unspecified under ties);
+    - $expMovingAvg {input, N|alpha} — per-partition recursion via ONE
+      Arrow-batched applyInPandas pass (``_apply_ema``): no frame
+      (loud), requires sortBy, exact pandas ``ewm(adjust=False)``
+      semantics.
 
     Scale: a missing ``partitionBy`` is compiled (Mongo allows it) but
     funnels the whole input through ONE task's sort — same single-key
@@ -1325,8 +1339,116 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     base = Window.partitionBy(*part_cols)
     sorted_w = base.orderBy(*sort_cols) if sort_cols else None
 
+    def _w_from_frame(frame):
+        """Frame dict → Spark Window: ``documents`` → rowsBetween,
+        ``range`` → rangeBetween (incl. fixed-width time units)."""
+        if not isinstance(frame, dict):
+            raise DocumentQueryError(f"Bad window frame: {frame!r}")
+        unit = frame.get("unit")
+        body_frame = {k: v for k, v in frame.items() if k != "unit"}
+        if len(body_frame) != 1:
+            raise DocumentQueryError(f"Bad window frame: {frame!r}")
+        kind, bounds = next(iter(body_frame.items()))
+        if not isinstance(bounds, list) or len(bounds) != 2:
+            raise DocumentQueryError(f"Bad window bounds: {bounds!r}")
+        lo = _frame_bound(bounds[0], lower=True)
+        hi = _frame_bound(bounds[1], lower=False)
+        if kind == "documents":
+            if unit is not None:
+                raise DocumentQueryError("'unit' applies to range windows")
+            if sorted_w is None:
+                raise DocumentQueryError("documents window requires sortBy")
+            return sorted_w.rowsBetween(lo, hi)
+        if kind == "range":
+            if not (
+                sort_by
+                and len(sort_by) == 1
+                and next(iter(sort_by.values())) >= 0
+            ):
+                raise DocumentQueryError(
+                    "range window requires a single ascending sortBy key"
+                )
+            if unit is not None:
+                # time-unit range (Mongo: {"range": [-7, 0], "unit":
+                # "day"} over a date/timestamp sortBy) — compiled by
+                # RE-SORTING on the key's epoch seconds and scaling
+                # the bounds to seconds; fixed-width units only
+                # (month/year vary — Spark's rangeBetween can't
+                # express them either, loud error)
+                secs = _FIXED_UNIT_SECS.get(unit)
+                if secs is None:
+                    raise DocumentQueryError(
+                        f"range window bad unit: {unit!r} "
+                        "(fixed-width units second..week only)"
+                    )
+                skey = next(iter(sort_by))
+                epoch = F.col(skey).cast("timestamp").cast("long")
+
+                # scale only REAL integer offsets from the spec —
+                # unboundedPreceding/currentRow sentinels pass through
+                # (they are Python ints too; multiplying the sentinel
+                # would overflow the frame)
+                def _scaled(tok, b):
+                    return b * secs if isinstance(tok, int) and not isinstance(
+                        tok, bool
+                    ) else b
+
+                return base.orderBy(epoch.asc()).rangeBetween(
+                    _scaled(bounds[0], lo), _scaled(bounds[1], hi)
+                )
+            return sorted_w.rangeBetween(lo, hi)
+        raise DocumentQueryError(
+            f"Unsupported window kind: {kind!r} (documents/range)"
+        )
+
+    def _rate_sort_key(op, unit):
+        """$derivative/$integral read the sortBy field's VALUE deltas:
+        single ascending field; date/timestamp → epoch microseconds +
+        REQUIRED fixed-width unit (Mongo's contract — month/year vary),
+        numeric → raw value, unit forbidden."""
+        if not (
+            sort_by
+            and len(sort_by) == 1
+            and next(iter(sort_by.values())) >= 0
+        ):
+            raise DocumentQueryError(
+                f"{op} requires a single ascending sortBy field"
+            )
+        skey = next(iter(sort_by))
+        dt = df.schema[skey].dataType
+        if isinstance(dt, (T.DateType, T.TimestampType)):
+            if unit not in _FIXED_UNIT_SECS:
+                raise DocumentQueryError(
+                    f"{op} over a date/timestamp sortBy requires a "
+                    f"fixed-width unit (second..week), got {unit!r}"
+                )
+            return (
+                F.unix_micros(F.col(skey).cast("timestamp")),
+                float(_FIXED_UNIT_SECS[unit]) * 1e6,
+            )
+        if isinstance(dt, T.NumericType):
+            if unit is not None:
+                raise DocumentQueryError(
+                    f"{op} unit applies only to date/timestamp sortBy"
+                )
+            return F.col(skey).cast("double"), None
+        raise DocumentQueryError(
+            f"{op} sortBy field {skey!r} must be numeric or date/timestamp"
+        )
+
     out_cols: dict[str, Column] = {}
+    # $integral's cumulative trapezoid columns — materialized in a FIRST
+    # projection so the frame diff in out_cols can reference them
+    pre_cols: dict[str, Column] = {}
+    # $expMovingAvg recursions — applied AFTER the window projection via
+    # one Arrow-batched applyInPandas pass (see _apply_ema)
+    ema_specs: dict[str, tuple[Column, float]] = {}
     for name, ospec in output.items():
+        if name.startswith("__"):
+            raise DocumentQueryError(
+                f"output field {name!r} collides with the compiler's "
+                "reserved __* namespace"
+            )
         if not isinstance(ospec, dict) or not ospec:
             raise DocumentQueryError(f"Bad output field {name!r}: {ospec!r}")
         frame = ospec.get("window")
@@ -1364,12 +1486,92 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 else shifted
             )
             continue
-        if op in _WINDOW_REFUSED:
-            raise DocumentQueryError(
-                f"{op} is not compiled (needs per-row recursive state / "
-                "sort-key value deltas beyond Spark window frames) — "
-                "documented refusal"
+        if op == "$expMovingAvg":
+            if frame is not None:
+                raise DocumentQueryError("$expMovingAvg takes no window frame")
+            if sorted_w is None:
+                raise DocumentQueryError("$expMovingAvg requires sortBy")
+            if not isinstance(arg, dict) or "input" not in arg:
+                raise DocumentQueryError(
+                    f"Bad $expMovingAvg spec (needs input + N|alpha): {arg!r}"
+                )
+            n, alpha = arg.get("N"), arg.get("alpha")
+            if (n is None) == (alpha is None):
+                raise DocumentQueryError(
+                    "$expMovingAvg needs exactly one of N / alpha"
+                )
+            if n is not None:
+                if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                    raise DocumentQueryError(f"$expMovingAvg bad N: {n!r}")
+                alpha = 2.0 / (n + 1)
+            elif not (
+                isinstance(alpha, (int, float))
+                and not isinstance(alpha, bool)
+                and 0 < alpha < 1
+            ):
+                raise DocumentQueryError(f"$expMovingAvg bad alpha: {alpha!r}")
+            ema_specs[name] = (_ref(arg["input"]), float(alpha))
+            continue
+        if op in ("$derivative", "$integral"):
+            if not isinstance(arg, dict) or "input" not in arg:
+                raise DocumentQueryError(f"Bad {op} spec (needs input): {arg!r}")
+            k_col, unit_scale = _rate_sort_key(op, arg.get("unit"))
+            w = (
+                _w_from_frame(frame)
+                if frame is not None
+                else sorted_w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
             )
+            y = _ref(arg["input"]).cast("double")
+            if op == "$derivative":
+                # Mongo: (last(y) - first(y)) / (sort-key span in unit)
+                # over the frame — all four endpoint reads ride the SAME
+                # window (one Window operator); a one-document frame has
+                # zero span → null (Mongo's contract)
+                dy = (
+                    F.last(y, ignorenulls=False).over(w)
+                    - F.first(y, ignorenulls=False).over(w)
+                )
+                dk = (
+                    F.last(k_col, ignorenulls=False).over(w)
+                    - F.first(k_col, ignorenulls=False).over(w)
+                )
+                r = dy / dk
+                if unit_scale is not None:
+                    r = r * F.lit(unit_scale)
+                out_cols[name] = F.when(dk != F.lit(0), r)
+            else:
+                # $integral = trapezoid sum between consecutive docs
+                # INSIDE the frame. Pairwise trapezoids telescope through
+                # a running sum: trap_i = (y_i + y_{i-1})/2 · (k_i -
+                # k_{i-1}) over the PARTITION sort, C_i = Σ_{j≤i} trap_j,
+                # and the frame integral is C_last − C_first — the
+                # endpoint diff excludes the frame-head's inbound
+                # trapezoid and works for documents AND range frames
+                # (a frame-relative rows shift could not express range
+                # bounds). C rides pre_cols: Spark can't nest window
+                # functions in one projection.
+                trap = F.coalesce(
+                    (y + F.lag(y, 1).over(sorted_w))
+                    * F.lit(0.5)
+                    * (k_col - F.lag(k_col, 1).over(sorted_w)),
+                    F.lit(0.0),
+                )
+                tmp = f"__swf_cum_{name}"
+                pre_cols[tmp] = F.sum(trap).over(
+                    sorted_w.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                r = (
+                    F.last(F.col(tmp), ignorenulls=False).over(w)
+                    - F.first(F.col(tmp), ignorenulls=False).over(w)
+                )
+                if unit_scale is not None:
+                    r = r / F.lit(unit_scale)
+                out_cols[name] = r
+            continue
         if op == "$count":
             col = F.count(F.lit(1))
         elif op in _WINDOW_AGG_OPS2:
@@ -1403,70 +1605,71 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 _WINDOW_POST[op](wc) if op in _WINDOW_POST else wc
             )
             continue
-        if not isinstance(frame, dict):
-            raise DocumentQueryError(f"Bad window frame: {frame!r}")
-        unit = frame.get("unit")
-        body_frame = {k: v for k, v in frame.items() if k != "unit"}
-        if len(body_frame) != 1:
-            raise DocumentQueryError(f"Bad window frame: {frame!r}")
-        kind, bounds = next(iter(body_frame.items()))
-        if not isinstance(bounds, list) or len(bounds) != 2:
-            raise DocumentQueryError(f"Bad window bounds: {bounds!r}")
-        lo = _frame_bound(bounds[0], lower=True)
-        hi = _frame_bound(bounds[1], lower=False)
-        if kind == "documents":
-            if unit is not None:
-                raise DocumentQueryError("'unit' applies to range windows")
-            if sorted_w is None:
-                raise DocumentQueryError("documents window requires sortBy")
-            w = sorted_w.rowsBetween(lo, hi)
-        elif kind == "range":
-            if not (
-                sort_by
-                and len(sort_by) == 1
-                and next(iter(sort_by.values())) >= 0
-            ):
-                raise DocumentQueryError(
-                    "range window requires a single ascending sortBy key"
-                )
-            if unit is not None:
-                # time-unit range (Mongo: {"range": [-7, 0], "unit":
-                # "day"} over a date/timestamp sortBy) — compiled by
-                # RE-SORTING on the key's epoch seconds and scaling
-                # the bounds to seconds; fixed-width units only
-                # (month/year vary — Spark's rangeBetween can't
-                # express them either, loud error)
-                secs = {"second": 1, "minute": 60, "hour": 3600,
-                        "day": 86400, "week": 604800}.get(unit)
-                if secs is None:
-                    raise DocumentQueryError(
-                        f"range window bad unit: {unit!r} "
-                        "(fixed-width units second..week only)"
-                    )
-                skey = next(iter(sort_by))
-                epoch = F.col(skey).cast("timestamp").cast("long")
-
-                # scale only REAL integer offsets from the spec —
-                # unboundedPreceding/currentRow sentinels pass through
-                # (they are Python ints too; multiplying the sentinel
-                # would overflow the frame)
-                def _scaled(tok, b):
-                    return b * secs if isinstance(tok, int) and not isinstance(
-                        tok, bool
-                    ) else b
-
-                w = base.orderBy(epoch.asc()).rangeBetween(
-                    _scaled(bounds[0], lo), _scaled(bounds[1], hi)
-                )
-            else:
-                w = sorted_w.rangeBetween(lo, hi)
-        else:
-            raise DocumentQueryError(
-                f"Unsupported window kind: {kind!r} (documents/range)"
-            )
-        wc = col.over(w)
+        wc = col.over(_w_from_frame(frame))
         out_cols[name] = _WINDOW_POST[op](wc) if op in _WINDOW_POST else wc
-    return df.withColumns(out_cols)
+    if pre_cols:
+        df = df.withColumns(pre_cols)
+    out = df.withColumns(out_cols)
+    if pre_cols:
+        out = out.drop(*pre_cols)
+    if ema_specs:
+        out = _apply_ema(
+            out, part_cols[0] if part_cols else None, sort_by, ema_specs
+        )
+    return out
+
+
+def _apply_ema(
+    df: DataFrame,
+    part_col: Column | None,
+    sort_by: dict[str, int],
+    ema_specs: dict[str, tuple[Column, float]],
+) -> DataFrame:
+    """``$expMovingAvg``: the per-partition recursion ``ema_i = α·x_i +
+    (1−α)·ema_{i−1}`` with ``ema_1 = x_1`` (Mongo's contract; ``α =
+    2/(N+1)`` for the N form) — exactly pandas ``ewm(alpha,
+    adjust=False).mean()`` over the sort order.
+
+    No Spark window frame expresses the recursion (every prior row
+    carries a DISTINCT weight — first/last/sum over any frame can't
+    weight rows by distance), so this is the module's one Arrow-batched
+    ``applyInPandas`` window path: shuffle by the partition key, one
+    pandas pass per group, all requested EMA fields in the SAME pass.
+
+    100 TB: the exchange is the same one the projection's window fields
+    ride; per-group work is a single sequential scan (pandas streams the
+    recursion in C). A missing ``partitionBy`` funnels the whole input
+    through ONE group — the same documented hazard as the frame-less
+    window path; real pipelines partition. Null inputs follow pandas
+    ``adjust=False`` semantics (the output carries the prior state and
+    the null row does not update it) — matching Mongo's
+    ignore-non-numeric contract for the all-numeric case.
+    """
+    sort_fields = [(f, d >= 0) for f, d in sort_by.items()]
+    in_names = {name: f"__swf_ema_in_{name}" for name in ema_specs}
+    alphas = {name: a for name, (_c, a) in ema_specs.items()}
+    work = df.withColumn(
+        "__swf_g", part_col if part_col is not None else F.lit(1)
+    ).withColumns(
+        {in_names[n]: c.cast("double") for n, (c, _a) in ema_specs.items()}
+    )
+    out_schema = T.StructType(
+        list(work.schema.fields)
+        + [T.StructField(n, T.DoubleType()) for n in ema_specs]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(
+            [f for f, _ in sort_fields],
+            ascending=[asc for _, asc in sort_fields],
+            kind="mergesort",
+        )
+        for n, src in in_names.items():
+            pdf[n] = pdf[src].ewm(alpha=alphas[n], adjust=False).mean()
+        return pdf
+
+    out = work.groupBy("__swf_g").applyInPandas(fn, out_schema)
+    return out.drop("__swf_g", *in_names.values())
 
 
 # ------------------------------------------- $densify / $fill (C5+)
@@ -3667,3 +3870,126 @@ Q184_ORACLE_SQL = """
     ORDER BY o_orderkey
     LIMIT 100
 """
+
+
+def q185_doc_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$setWindowFields`` calculus accumulators: per event type,
+    ``$derivative`` (value change per HOUR over a trailing-4 documents
+    frame — Mongo's unit algebra on the ts sortBy) and ``$integral``
+    (running trapezoid area in value·hours). Both ride native window
+    functions: the derivative is four endpoint reads on ONE window; the
+    integral is the cumulative-trapezoid endpoint diff (no UDF, no
+    self-join). Oracle: lag-built trapezoids + first/last window twins
+    over epoch_us — the arithmetic mirrors the Spark plan operation for
+    operation, so the doubles agree bit-for-bit before rounding (the
+    integral's running sum may associate differently in DuckDB's
+    segment-tree windows; round(4) absorbs ulp drift). ts is unique at
+    every SF (TESTDATA), so the sort order — and with it the trapezoid
+    pairing — is deterministic."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("events", load_table(spark, sf_dir, "events"))
+    out = store.aggregate(
+        "events",
+        [
+            {"$match": {"event_id": {"$lt": 2000}}},
+            {"$setWindowFields": {
+                "partitionBy": "$event_type",
+                "sortBy": {"ts": 1},
+                "output": {
+                    "rate": {
+                        "$derivative": {"input": "$value", "unit": "hour"},
+                        "window": {"documents": [-3, "current"]},
+                    },
+                    "area": {
+                        "$integral": {"input": "$value", "unit": "hour"},
+                        "window": {"documents": ["unbounded", "current"]},
+                    },
+                },
+            }},
+            {"$project": {"event_id": 1, "event_type": 1,
+                          "rate": 1, "area": 1}},
+            {"$sort": {"event_id": 1}},
+            {"$limit": 500},
+        ],
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("rate", 6).alias("rate"),
+        F.round("area", 4).alias("area"),
+    )
+
+
+Q185_ORACLE_SQL = """
+    WITH base AS (
+      SELECT event_id, event_type, value, epoch_us(ts) AS k
+      FROM events WHERE event_id < 2000
+    ), t AS (
+      SELECT event_id, event_type, value, k,
+             (value + lag(value) OVER ws) * 0.5
+               * (k - lag(k) OVER ws) AS trap
+      FROM base
+      WINDOW ws AS (PARTITION BY event_type ORDER BY k)
+    ), c AS (
+      SELECT event_id, event_type, value, k,
+             sum(coalesce(trap, 0.0)) OVER (
+               PARTITION BY event_type ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT event_id, event_type,
+           ROUND(CASE WHEN last(k) OVER w4 - first(k) OVER w4 <> 0 THEN
+                   (last(value) OVER w4 - first(value) OVER w4)
+                   / (last(k) OVER w4 - first(k) OVER w4)
+                   * 3600000000.0
+                 END, 6) AS rate,
+           ROUND((last(cum) OVER wu - first(cum) OVER wu)
+                 / 3600000000.0, 4) AS area
+    FROM c
+    WINDOW w4 AS (PARTITION BY event_type ORDER BY k
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+           wu AS (PARTITION BY event_type ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY event_id LIMIT 500
+"""
+
+
+def q186_doc_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$expMovingAvg`` in both Mongo forms (N=5 → α=1/3, and a raw
+    α=0.25) per user over the ts order — the one $setWindowFields
+    operator whose per-row recursion no Spark frame expresses, compiled
+    to ONE Arrow-batched applyInPandas pass (_apply_ema) computing both
+    fields per group. Rows-only to the driver; the harness value-checks
+    it DIFFERENTIALLY against a pure-pandas groupby-ewm replay (same
+    recursion, same library → bit-identical doubles before rounding)."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("events", load_table(spark, sf_dir, "events"))
+    out = store.aggregate(
+        "events",
+        [
+            {"$match": {"user_id": {"$lt": 40}}},
+            {"$setWindowFields": {
+                "partitionBy": "$user_id",
+                "sortBy": {"ts": 1},
+                "output": {
+                    "ema5": {"$expMovingAvg": {"input": "$value", "N": 5}},
+                    "ema_a": {"$expMovingAvg": {"input": "$value",
+                                                "alpha": 0.25}},
+                },
+            }},
+            {"$project": {"event_id": 1, "user_id": 1,
+                          "ema5": 1, "ema_a": 1}},
+            {"$sort": {"event_id": 1}},
+            {"$limit": 800},
+        ],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("ema5", 6).alias("ema5"),
+        F.round("ema_a", 6).alias("ema_a"),
+    )

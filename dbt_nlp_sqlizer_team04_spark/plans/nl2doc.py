@@ -440,6 +440,67 @@ class NL2DocEngine:
                     ],
                 }
 
+        # rate-of-change phrasing — "<hourly|daily|weekly|per-minute|
+        # per-second> rate of change of <m> [per <p>]" compiles to
+        # $setWindowFields $derivative over the collection's date field
+        # (q185's surface from NL): consecutive-pair slope (documents
+        # [-1, current] frame), unit from the cadence word; the final
+        # sort repeats the (unique) date sort so the injected limit
+        # sees a deterministic row set
+        rc = _re.search(
+            r"\b(hourly|daily|weekly|per[- ]minute|per[- ]second)\s+"
+            r"rate of change of ([a-z_]+)(?:\s+per\s+([a-z_]+))?",
+            ql,
+        )
+        if rc:
+            cadence, m_word, p_word = rc.groups()
+            if p_word is None and pm:
+                # "… of value FOR EVENTS per event_type" — the partition
+                # phrase need not be adjacent; reuse the global 'per'
+                # scoping already extracted for measure/group resolution
+                p_word = pm.group(1).split()[0]
+            unit = {"hourly": "hour", "daily": "day", "weekly": "week",
+                    "per minute": "minute",
+                    "per second": "second"}[cadence.replace("-", " ")]
+            measure = best_field(numeric=True, exclude=filtered,
+                                 text=m_word)
+            dfld = self._date_field(coll)
+            if measure is not None and dfld is not None:
+                part = (
+                    best_field(exclude=filtered | {measure}, text=p_word)
+                    if p_word
+                    else None
+                )
+                swf: dict = {
+                    "sortBy": {dfld: 1},
+                    "output": {"rate": {
+                        "$derivative": {"input": f"${measure}",
+                                        "unit": unit},
+                        "window": {"documents": [-1, "current"]},
+                    }},
+                }
+                if part:
+                    swf["partitionBy"] = f"${part}"
+                idf = next(
+                    (x for x in fields if x.endswith("id")), None
+                )
+                proj = {dfld: 1, measure: 1, "rate": 1}
+                if part:
+                    proj[part] = 1
+                if idf:
+                    proj[idf] = 1
+                sort: dict[str, int] = {dfld: 1}
+                if idf and idf != dfld:
+                    sort[idf] = 1
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$setWindowFields": swf},
+                        {"$project": proj},
+                        {"$sort": sort},
+                    ],
+                }
+
         # gap-filled daily series — "daily count of <coll> ...
         # missing days ..." compiles to $dateTrunc → $group → $densify
         # (bounds full, step 1 day) → $fill (count 0) — q171's surface

@@ -351,6 +351,26 @@ def _nl61_doc_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl62_doc_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc rate-of-change phrasing compiles to $setWindowFields
+    $derivative (q185's surface from NL): consecutive-pair slope over
+    the collection's date field, unit from the cadence word, partition
+    from the (possibly non-adjacent) 'per' phrase. Oracle: the lag-pair
+    twin over epoch_us — the same IEEE operation order, so the doubles
+    agree bit-for-bit."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "hourly rate of change of value for events per event_type"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1077,6 +1097,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # NL union/combination phrasing -> $unionWith (q169's surface) —
     # NEW r8.
     "nl61_doc_union": _nl61_doc_union,
+    # rate-of-change phrasing -> $setWindowFields $derivative (q185's
+    # surface from NL) — NEW r8.
+    "nl62_doc_rate_of_change": _nl62_doc_rate_of_change,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -1221,6 +1244,14 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $reduce/$switch/$substrCP/$dateDiff/$dateAdd...) in one
     # whole-stage-codegen projection — NEW r8.
     "q184_doc_expr_dialect": DOC.q184_doc_expr_dialect,
+    # $setWindowFields calculus accumulators: $derivative + $integral
+    # as native window endpoint reads / cumulative-trapezoid diffs —
+    # NEW r8.
+    "q185_doc_window_rates": DOC.q185_doc_window_rates,
+    # $expMovingAvg (both N and alpha forms) — the one per-row-recursive
+    # window op, ONE Arrow applyInPandas pass; rows-only to the driver,
+    # DIFFERENTIAL pandas-ewm replay in the harness — NEW r8.
+    "q186_doc_ema": DOC.q186_doc_ema,
 }
 
 # --- round-8 driver window (explicit form of the rotation policy at the
@@ -2704,6 +2735,10 @@ ORACLE_SQL: dict[str, str | None] = {
     "q180_doc_window_stats": DOC.Q180_ORACLE_SQL,
     "q181_doc_lookup_group_keyed": DOC.Q181_ORACLE_SQL,
     "q184_doc_expr_dialect": DOC.Q184_ORACLE_SQL,
+    "q185_doc_window_rates": DOC.Q185_ORACLE_SQL,
+    # per-row EMA recursion has no SQL analog -> rows-only to the
+    # driver; value-checked by the harness DIFFERENTIAL pandas replay
+    "q186_doc_ema": None,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),
@@ -2823,6 +2858,22 @@ ORACLE_SQL: dict[str, str | None] = {
           doc_id := doc_id, text := text, lang := lang,
           source := source, n_chars := n_chars))::VARCHAR)
         LIMIT 25
+    """,
+    "nl62_doc_rate_of_change": """
+        WITH base AS (
+          SELECT event_id, ts, value, event_type, epoch_us(ts) AS k
+          FROM events
+        )
+        SELECT ts, value,
+               CASE WHEN k - lag(k) OVER w <> 0 THEN
+                 (value - lag(value) OVER w) / (k - lag(k) OVER w)
+                 * 3600000000.0
+               END AS rate,
+               event_type, event_id
+        FROM base
+        WINDOW w AS (PARTITION BY event_type ORDER BY k)
+        ORDER BY ts, event_id
+        LIMIT 100
     """,
     "nl61_doc_union": """
         WITH u AS (

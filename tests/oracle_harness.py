@@ -553,6 +553,85 @@ def _q183_reference(spark, sf_dir: str):
     return ["source", "n_tokens", "n_units", "frag_rate", "avg_units"], rows
 
 
+def _q67_reference(spark, sf_dir: str):
+    """Driver-side single-machine replay of q67's chunk-retrieval path:
+    chunk in a plain Python loop (same 500-char windows, 400 stride,
+    substring semantics incl. the one-empty-chunk-for-empty-text
+    contract), the same md5-ordered 2048-text encoder fit, then numpy
+    encode + the left-fold cosine over EVERY chunk, HALF_UP 6dp, rank
+    desc with (doc_id, chunk_id) tie-break, top-5. The pure-numpy
+    encoder module is shared (it is already driver-side code); what the
+    differential proves is the DISTRIBUTED plumbing — the persisted
+    mapInPandas encode table, the float32 round-trip, the cosine fold
+    and the TakeOrdered top-k — reproduces the single-machine answer."""
+    import hashlib
+
+    import pandas as pd
+
+    from dbt_nlp_sqlizer_team04_spark.models.embedder import (
+        HashingTfidfEncoder,
+    )
+
+    pdf = pd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    chunks = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        t = text if isinstance(text, str) else ""
+        last = max(len(t) - 1, 0)
+        off, cid = 0, 0
+        while True:
+            chunks.append((int(doc_id), cid, t[off:off + 500]))
+            cid += 1
+            off += 400
+            if off > last:
+                break
+    sample = sorted(
+        chunks,
+        key=lambda c: hashlib.md5(f"{c[0]}_{c[1]}".encode()).hexdigest(),
+    )[:2048]
+    enc = HashingTfidfEncoder(dim=256).fit([c[2] for c in sample])
+    q_text = pdf.loc[pdf["doc_id"] == 0, "text"].iloc[0][:200]
+    q = [float(x) for x in enc.encode(q_text)]
+    scored = []
+    for doc_id, cid, text in chunks:
+        emb = [float(x) for x in enc.encode(text)]
+        scored.append((doc_id, cid, _spark_round(_cos_leftfold(emb, q), 6)))
+    scored.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return ["doc_id", "chunk_id", "cosine"], scored[:5]
+
+
+def _q186_reference(spark, sf_dir: str):
+    """Pandas groupby-ewm replay of q186's $expMovingAvg fields: the
+    engine's _apply_ema runs pandas ewm(adjust=False) per user group
+    inside applyInPandas, so an independent pandas pass over the same
+    parquet (same alphas 2/(5+1) and 0.25, same ts sort — ts is unique
+    at every SF) reproduces the recursion bit-for-bit before the
+    HALF_UP 6dp round."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    pdf = pdf[pdf.user_id < 40].sort_values("ts")
+    for name, alpha in (("ema5", 2.0 / 6.0), ("ema_a", 0.25)):
+        pdf[name] = pdf.groupby("user_id")["value"].transform(
+            lambda s, a=alpha: s.ewm(alpha=a, adjust=False).mean()
+        )
+    pdf = pdf.sort_values("event_id").head(800)
+    rows = [
+        (
+            int(r.event_id),
+            int(r.user_id),
+            _spark_round(r.ema5, 6),
+            _spark_round(r.ema_a, 6),
+        )
+        for r in pdf.itertuples()
+    ]
+    return ["event_id", "user_id", "ema5", "ema_a"], rows
+
+
 DIFFERENTIAL = {
     "q39_media_decode_stats": _q39_reference,
     "q65_ann_pq_topk": _q65_reference,
@@ -561,7 +640,9 @@ DIFFERENTIAL = {
     "q130_mmr_topk": _q130_reference,
     "q176_ann_ivfpq_topk": _q176_reference,
     "q182_unigram_lm_vocab": _q182_reference,
+    "q67_chunk_retrieval": _q67_reference,
     "q183_unigram_encode_stats": _q183_reference,
+    "q186_doc_ema": _q186_reference,
 }
 
 

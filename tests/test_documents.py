@@ -2015,7 +2015,8 @@ def test_window_fields_stats_and_collect(spark):
     assert math.isclose(r["cs"], 0.0, abs_tol=1e-9)
     assert math.isclose(r["cp"], 0.0, abs_tol=1e-9)
     for op in ("$expMovingAvg", "$derivative", "$integral"):
-        with pytest.raises(DocumentQueryError, match="documented refusal"):
+        # the calculus trio takes a {input: ...} spec, not a bare ref
+        with pytest.raises(DocumentQueryError, match="spec"):
             s.aggregate("t", [{"$setWindowFields": {
                 "partitionBy": "$g", "sortBy": {"id": 1},
                 "output": {"x": {op: "$v"}}}}])
@@ -2340,3 +2341,155 @@ def test_group_stddev_accumulators(spark):
     assert math.isclose(rows["a"]["sds"], 14.142135623730951)
     assert math.isclose(rows["a"]["sdp"], 10.0)
     assert rows["b"]["sds"] is None and rows["b"]["sdp"] == 0.0
+
+
+def test_window_fields_derivative_integral(spark):
+    """$derivative/$integral over numeric and timestamp sortBy: exact
+    trapezoid/slope values, null for one-document frames, unit algebra
+    (hour), and the loud contracts (unit required for dates / forbidden
+    for numerics, single ascending sortBy, month refused, __ names)."""
+    import datetime as dt
+
+    s = DocumentStore(spark)
+    rows = [
+        (i, "a" if i < 4 else "b",
+         dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), float(i * i))
+        for i in range(8)
+    ]
+    s.register("t", spark.createDataFrame(
+        rows, "id int, g string, ts timestamp, v double"))
+    out = s.aggregate("t", [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"ts": 1},
+            "output": {
+                "dv": {"$derivative": {"input": "$v", "unit": "hour"},
+                       "window": {"documents": [-1, "current"]}},
+                "iv": {"$integral": {"input": "$v", "unit": "hour"},
+                       "window": {"documents": ["unbounded", "current"]}},
+            }}},
+        {"$sort": {"id": 1}}, {"$limit": 20},
+    ]).collect()
+    got = [(r["id"], r["dv"], r["iv"]) for r in out]
+    # v = i^2 on an hourly grid: slope between consecutive hours is
+    # i^2-(i-1)^2 = 2i-1; running trapezoid area accumulates
+    # (v_i+v_{i-1})/2 per hour step; partition heads: null slope, 0 area
+    assert got == [
+        (0, None, 0.0), (1, 1.0, 0.5), (2, 3.0, 3.0), (3, 5.0, 9.5),
+        (4, None, 0.0), (5, 9.0, 20.5), (6, 11.0, 51.0), (7, 13.0, 93.5),
+    ]
+    # numeric sortBy: no unit, raw value deltas; derivative over the
+    # whole partition (frame-less) = (last-first)/(id span)
+    out2 = s.aggregate("t", [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"id": 1},
+            "output": {"dv": {"$derivative": {"input": "$v"}}}}},
+        {"$sort": {"id": 1}}, {"$limit": 20},
+    ]).collect()
+    assert [r["dv"] for r in out2] == [3.0] * 4 + [11.0] * 4  # (9-0)/3, (49-16)/3
+    # a range frame works for $integral (the cumulative endpoint-diff
+    # shape — a rows shift could not express it)
+    out3 = s.aggregate("t", [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"id": 1},
+            "output": {"iv": {"$integral": {"input": "$v"},
+                              "window": {"range": [-2, 0]}}}}},
+        {"$sort": {"id": 1}}, {"$limit": 20},
+    ]).collect()
+    # ids 0..3 in g=a: frame [-2,0] at id=2 holds ids 0..2 ->
+    # (0+1)/2+(1+4)/2 = 3.0; at id=3 holds 1..3 -> (1+4)/2+(4+9)/2 = 9.0
+    assert [r["iv"] for r in out3][:4] == [0.0, 0.5, 3.0, 9.0]
+    for bad, msg in [
+        ({"$derivative": {"input": "$v"}}, "requires a fixed-width unit"),
+        ({"$derivative": {"input": "$v", "unit": "month"}},
+         "requires a fixed-width unit"),
+    ]:
+        with pytest.raises(DocumentQueryError, match=msg):
+            s.aggregate("t", [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"ts": 1},
+                "output": {"x": bad}}}])
+    with pytest.raises(DocumentQueryError, match="only to date"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"id": 1},
+            "output": {"x": {"$integral": {"input": "$v",
+                                           "unit": "hour"}}}}}])
+    with pytest.raises(DocumentQueryError, match="single ascending"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"ts": -1},
+            "output": {"x": {"$derivative": {"input": "$v",
+                                             "unit": "hour"}}}}}])
+    with pytest.raises(DocumentQueryError, match="must be numeric or date"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"g": 1},
+            "output": {"x": {"$derivative": {"input": "$v"}}}}}])
+    with pytest.raises(DocumentQueryError, match="reserved __"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"id": 1},
+            "output": {"__x": {"$sum": "$v"}}}}])
+
+
+def test_window_fields_exp_moving_avg(spark):
+    """$expMovingAvg: Mongo's recursion (ema_1 = x_1, ema_i = α·x_i +
+    (1-α)·ema_{i-1}) in both the N and alpha forms, plus the loud
+    contracts (sortBy required, no frame, N xor alpha, bad N/alpha)."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 4.0), (2, "a", 8.0), (3, "a", 2.0), (4, "b", 10.0)],
+        "id int, g string, v double"))
+    out = s.aggregate("t", [
+        {"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"id": 1},
+            "output": {
+                "e3": {"$expMovingAvg": {"input": "$v", "N": 3}},
+                "eh": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}},
+            }}},
+        {"$sort": {"id": 1}}, {"$limit": 10},
+    ]).collect()
+    got = [(r["id"], r["e3"], r["eh"]) for r in out]
+    # N=3 -> alpha 0.5 here too: 4, 6, 4 ; partition b: 10
+    assert got == [(1, 4.0, 4.0), (2, 6.0, 6.0), (3, 4.0, 4.0),
+                   (4, 10.0, 10.0)]
+    for bad, msg in [
+        ({"input": "$v"}, "exactly one of N / alpha"),
+        ({"input": "$v", "N": 3, "alpha": 0.5}, "exactly one of N / alpha"),
+        ({"input": "$v", "N": 0}, "bad N"),
+        ({"input": "$v", "alpha": 1.5}, "bad alpha"),
+    ]:
+        with pytest.raises(DocumentQueryError, match=msg):
+            s.aggregate("t", [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"id": 1},
+                "output": {"x": {"$expMovingAvg": bad}}}}])
+    with pytest.raises(DocumentQueryError, match="requires sortBy"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "output": {"x": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}])
+    with pytest.raises(DocumentQueryError, match="takes no window frame"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"id": 1},
+            "output": {"x": {"$expMovingAvg": {"input": "$v", "N": 3},
+                             "window": {"documents": [-1, 0]}}}}}])
+
+
+def test_nl2doc_rate_of_change_compiles(store):
+    """'<cadence> rate of change of <m> [per <p>]' compiles to
+    $setWindowFields $derivative with the consecutive-pair frame; the
+    partition phrase may sit non-adjacent ('... for events per
+    event_type'); daily cadence maps to unit day; without 'per' the
+    window is unpartitioned. (The tier needs a date field, so it
+    targets events — documents has none and falls through.)"""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query(
+        "hourly rate of change of value for events per event_type"
+    )
+    swf = q["pipeline"][0]["$setWindowFields"]
+    assert swf["partitionBy"] == "$event_type"
+    assert swf["sortBy"] == {"ts": 1}
+    assert swf["output"]["rate"] == {
+        "$derivative": {"input": "$value", "unit": "hour"},
+        "window": {"documents": [-1, "current"]},
+    }
+    q2 = eng.template_query("daily rate of change of value for events")
+    swf2 = q2["pipeline"][0]["$setWindowFields"]
+    assert "partitionBy" not in swf2
+    assert swf2["output"]["rate"]["$derivative"]["unit"] == "day"

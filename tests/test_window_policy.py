@@ -51,6 +51,12 @@ PLANNED: dict[str, int] = {
         "q183_unigram_encode_stats", "nl61_doc_union",
         "q184_doc_expr_dialect",
     )},
+    # late-r8 additions (landed after the r8 window was frozen) — the
+    # two-round rotation contract gives them round-10 targets
+    **{k: 10 for k in (
+        "q185_doc_window_rates", "q186_doc_ema",
+        "nl62_doc_rate_of_change",
+    )},
     # the r4 re-confirmation wave that came due at round 8 but did not
     # fit the 50-seat window behind the 28 mandatory target-8 seats:
     # 22 of 49 are seated (nl01-nl22, _R8_WINDOW); the remainder takes
