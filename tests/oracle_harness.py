@@ -553,6 +553,250 @@ def _q183_reference(spark, sf_dir: str):
     return ["source", "n_tokens", "n_units", "frag_rate", "avg_units"], rows
 
 
+# --- pure-Python xxHash64 (Collet's published spec), validated
+# bit-for-bit against Spark's xxhash64 incl. the multi-column chaining
+# (each column hashed with the running hash as seed, ints via the
+# 4-byte lane, longs via the 8-byte lane, strings as UTF-8 bytes,
+# default seed 42). Enables independent replays of every hash-defined
+# operator (SimHash, MinHash) with NO engine code involved.
+_XXH_M = (1 << 64) - 1
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH_M
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XXH_P2) & _XXH_M
+    return (_xxh_rotl(acc, 31) * _XXH_P1) & _XXH_M
+
+
+def _xxh_merge(acc: int, val: int) -> int:
+    acc ^= _xxh_round(0, val)
+    return (acc * _XXH_P1 + _XXH_P4) & _XXH_M
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_M
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_M
+    return h ^ (h >> 32)
+
+
+def xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _XXH_M
+        v2 = (seed + _XXH_P2) & _XXH_M
+        v3 = seed & _XXH_M
+        v4 = (seed - _XXH_P1) & _XXH_M
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (
+            _xxh_rotl(v1, 1) + _xxh_rotl(v2, 7)
+            + _xxh_rotl(v3, 12) + _xxh_rotl(v4, 18)
+        ) & _XXH_M
+        h = _xxh_merge(h, v1)
+        h = _xxh_merge(h, v2)
+        h = _xxh_merge(h, v3)
+        h = _xxh_merge(h, v4)
+    else:
+        h = (seed + _XXH_P5) & _XXH_M
+    h = (h + n) & _XXH_M
+    while i + 8 <= n:
+        h ^= _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_xxh_rotl(h, 27) * _XXH_P1 + _XXH_P4) & _XXH_M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _XXH_P1) & _XXH_M
+        h = (_xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3) & _XXH_M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _XXH_M
+        h = (_xxh_rotl(h, 11) * _XXH_P1) & _XXH_M
+        i += 1
+    return _xxh_fmix(h)
+
+
+def xxh64_int(i32: int, seed: int) -> int:
+    h = (seed + _XXH_P5 + 4) & _XXH_M
+    h ^= ((i32 & 0xFFFFFFFF) * _XXH_P1) & _XXH_M
+    h = (_xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3) & _XXH_M
+    return _xxh_fmix(h)
+
+
+def xxh64_long(i64: int, seed: int) -> int:
+    h = (seed + _XXH_P5 + 8) & _XXH_M
+    h ^= _xxh_round(0, i64 & _XXH_M)
+    h = (_xxh_rotl(h, 27) * _XXH_P1 + _XXH_P4) & _XXH_M
+    return _xxh_fmix(h)
+
+
+def _xxh_signed(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _py_tokens(text) -> list[str]:
+    """tokens_expr twin: split(trim(lower(text)), '\\s+') with Java's
+    \\s class ([ \\t\\n\\x0B\\f\\r]), empty text → ['']."""
+    import re
+
+    t = (text if isinstance(text, str) else "").lower().strip(
+        " \t\n\x0b\f\r"
+    )
+    return re.split("[ \t\n\x0b\f\r]+", t)
+
+
+def _py_shingles(toks: list[str], n: int = 3) -> list[str]:
+    """shingles_expr twin: distinct word n-grams (first-occurrence
+    order), whole-text fallback under n tokens."""
+    if len(toks) < n:
+        return [" ".join(toks)]
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        g = " ".join(toks[i:i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def _q24_reference(spark, sf_dir: str):
+    """Independent sign-LSH replay (Charikar's SimHash-for-angles):
+    the same stdlib random.Random(42) Gaussian hyperplanes, the same
+    left-fold dot-product sign bits (bit-identical doubles — the plan's
+    F.aggregate is a left fold over the float32→float64 round-trip),
+    the integer band fold, arrays-overlap candidacy against vec 0's
+    bands, exact left-fold cosine rerank, HALF_UP 6dp, top-10 on
+    (desc cosine, vec_id). No engine code called."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    embs = [[float(x) for x in e] for e in t["embedding"].to_pylist()]
+    dim, n_bits, n_bands = 64, 16, 4
+    rng = random.Random(42)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
+    ]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def bands_of(vec):
+        bits = [1 if dot(vec, hp) >= 0.0 else 0 for hp in planes]
+        per = n_bits // n_bands
+        out = []
+        for b in range(n_bands):
+            h = b
+            for bit in bits[b * per:(b + 1) * per]:
+                h = h * 2 + bit
+            out.append(h)
+        return out
+
+    q = embs[ids.index(0)]
+    qb = set(bands_of(q))
+    rows = []
+    for vid, e in zip(ids, embs):
+        if vid == 0:
+            continue
+        if qb & set(bands_of(e)):
+            rows.append((int(vid), _spark_round(_cos_leftfold(e, q), 6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return ["vec_id", "cosine"], rows[:10]
+
+
+def _q28_reference(spark, sf_dir: str):
+    """Independent MinHash-LSH replay: shingle → 16 seeded min-hashes
+    (min over SIGNED longs — Spark's array_min ordering) → 4 banded
+    bucket ids (the same running-seed multi-column xxhash64 chain) →
+    in-bucket candidate pairs → exact shingle-Jaccard ≥ 0.5 with
+    HALF_UP 6dp. Every hash from the spec-level xxHash64 above — no
+    engine code involved."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    K, BANDS, PER = 16, 4, 4
+    seeds = [xxh64_int(j, 42) for j in range(K)]
+    band_seeds = [xxh64_int(b, 42) for b in range(BANDS)]
+    sh_sets: dict[int, set] = {}
+    buckets: dict[int, list[int]] = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        did = int(doc_id)
+        grams = _py_shingles(_py_tokens(text))
+        sh_sets[did] = set(grams)
+        gb = [g.encode() for g in grams]
+        # min over SIGNED values — Spark's array_min compares longs in
+        # two's complement, so the sign conversion must precede the min
+        mins = [
+            min(_xxh_signed(xxh64_bytes(g, s)) for g in gb) for s in seeds
+        ]
+        for b in range(BANDS):
+            h = band_seeds[b]
+            for part in mins[b * PER:(b + 1) * PER]:
+                h = xxh64_long(part, h)
+            buckets.setdefault(_xxh_signed(h), []).append(did)
+    pairs = set()
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        sa, sb = sh_sets[a], sh_sets[b]
+        jac = _spark_round(len(sa & sb) / len(sa | sb), 6)
+        if jac >= 0.5:
+            rows.append((a, b, jac))
+    return ["id_a", "id_b", "jaccard"], rows
+
+
+def _q29_reference(spark, sf_dir: str):
+    """Independent SimHash replay (Charikar 2002): per token
+    xxhash64(token), per-bit +1/-1 votes over ALL tokens (duplicates
+    included — the engine folds the raw token array), sign-fold into a
+    signed 64-bit long with bit 63 as the two's-complement min-long
+    weight."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(
+        table_path(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        votes = [0] * 64
+        for t in _py_tokens(text):
+            h = xxh64_bytes(t.encode())
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if votes[b] >= 0:
+                v += -(1 << 63) if b == 63 else (1 << b)
+        rows.append((int(doc_id), v))
+    rows.sort()
+    return ["doc_id", "simhash"], rows
+
+
 def _q67_reference(spark, sf_dir: str):
     """Driver-side single-machine replay of q67's chunk-retrieval path:
     chunk in a plain Python loop (same 500-char windows, 400 stride,
@@ -640,6 +884,9 @@ DIFFERENTIAL = {
     "q130_mmr_topk": _q130_reference,
     "q176_ann_ivfpq_topk": _q176_reference,
     "q182_unigram_lm_vocab": _q182_reference,
+    "q24_ann_lsh_topk": _q24_reference,
+    "q28_near_dup_minhash": _q28_reference,
+    "q29_simhash_fingerprints": _q29_reference,
     "q67_chunk_retrieval": _q67_reference,
     "q183_unigram_encode_stats": _q183_reference,
     "q186_doc_ema": _q186_reference,
