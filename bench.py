@@ -198,6 +198,7 @@ HEADLINE = [
     "q184_doc_expr_dialect",
     "q185_doc_window_rates",
     "q186_doc_ema",
+    "q187_doc_selection_accs",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

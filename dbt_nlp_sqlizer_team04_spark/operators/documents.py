@@ -835,6 +835,150 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
     return fn(*[_ref(a, resolve) for a in args])
 
 
+def _acc_selection_ops(
+    alias: str, op: str, arg: Any, cond: Column, resolve=None
+) -> Column:
+    """Mongo 5.2/7.0 selection + percentile accumulators, all native
+    Catalyst aggregates:
+
+    - ``$topN``/``$bottomN {output, sortBy, n}`` — collect
+      ``struct(sort keys…, output)`` (masked rows collapse to NULL and
+      collect_list skips them), ``array_sort`` with a chained
+      COMPARATOR honoring each key's ±1 direction, slice n, project the
+      output field. $bottomN sorts with every direction REVERSED and
+      re-reverses the slice, so the result reads in Mongo's sort order.
+      Sort-key ties fall through to the OUTPUT value ascending — the
+      module's determinism convention (Mongo leaves ties unspecified);
+      null sort keys follow Spark comparator semantics (group them out
+      with $match if they matter). n must be a literal positive int
+      (Mongo's expression-n is not compiled).
+    - ``$top``/``$bottom {output, sortBy}`` — the N=1 forms, returning
+      the scalar itself (element_at of the same plan, no extra pass).
+    - ``$minN``/``$maxN {input, n}`` — N smallest/largest BY VALUE:
+      sort_array over the collected values, slice n ($maxN descending,
+      Mongo's output order).
+    - ``$firstN``/``$lastN`` — loud refusal: they are DOCUMENT-order
+      defined, which a distributed group cannot reproduce; use
+      $minN/$maxN or $setWindowFields with sortBy.
+    - ``$median {input, method: 'approximate'}`` /
+      ``$percentile {input, p: […], method}`` — compiled to Spark's
+      EXACT interpolated percentile (Mongo's 'approximate' names its
+      t-digest estimator; the exact answer is a documented
+      better-accuracy divergence, same convention as the $push sort).
+      method is required by Mongo and validated here.
+
+    Scale: every one of these is a single map-side-combinable aggregate
+    (collect/percentile partials merge), never a per-group re-scan; the
+    top/bottom collect is bounded by the group's row count — at 100 TB
+    use $match/$sample shaping for pathological groups (same guidance
+    as $push).
+    """
+    if op in ("$firstN", "$lastN"):
+        raise DocumentQueryError(
+            f"{op} is document-order defined — a distributed group has "
+            "no deterministic document order; use $minN/$maxN (value "
+            "order) or $setWindowFields with sortBy"
+        )
+    if not isinstance(arg, dict):
+        raise DocumentQueryError(f"Bad {op} spec: {arg!r}")
+
+    def _lit_n() -> int:
+        n = arg.get("n")
+        if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+            raise DocumentQueryError(
+                f"{op} needs a literal positive int n, got {n!r}"
+            )
+        return n
+
+    if op in ("$minN", "$maxN"):
+        if "input" not in arg:
+            raise DocumentQueryError(f"{op} needs input, got {arg!r}")
+        col = F.when(cond, _ref(arg["input"], resolve))
+        arr = F.sort_array(F.collect_list(col), asc=(op == "$minN"))
+        return F.slice(arr, 1, _lit_n()).alias(alias)
+    if op in ("$median", "$percentile"):
+        if arg.get("method") != "approximate":
+            raise DocumentQueryError(
+                f"{op} requires method: 'approximate' (Mongo's contract; "
+                "compiled to the EXACT interpolated percentile — a "
+                "documented better-accuracy divergence)"
+            )
+        if "input" not in arg:
+            raise DocumentQueryError(f"{op} needs input, got {arg!r}")
+        col = F.when(cond, _ref(arg["input"], resolve))
+        if op == "$median":
+            return F.median(col).alias(alias)
+        ps = arg.get("p")
+        if not (
+            isinstance(ps, list)
+            and ps
+            and all(
+                isinstance(p, (int, float))
+                and not isinstance(p, bool)
+                and 0 <= p <= 1
+                for p in ps
+            )
+        ):
+            raise DocumentQueryError(
+                f"$percentile needs p: a list of fractions in [0,1], "
+                f"got {ps!r}"
+            )
+        return F.percentile(
+            col, F.array(*[F.lit(float(p)) for p in ps])
+        ).alias(alias)
+
+    # $topN/$bottomN/$top/$bottom
+    if "output" not in arg or "sortBy" not in arg:
+        raise DocumentQueryError(f"{op} needs output + sortBy, got {arg!r}")
+    sort_by = arg["sortBy"]
+    if not (
+        isinstance(sort_by, dict)
+        and sort_by
+        and all(d in (1, -1) for d in sort_by.values())
+    ):
+        raise DocumentQueryError(f"{op} bad sortBy: {sort_by!r}")
+    n = 1 if op in ("$top", "$bottom") else _lit_n()
+    items = list(sort_by.items())
+    bottom = op in ("$bottomN", "$bottom")
+    row = F.when(
+        cond,
+        F.struct(
+            *[
+                _ref(f"${f}", resolve).alias(f"__k{i}")
+                for i, (f, _d) in enumerate(items)
+            ],
+            _ref(arg["output"], resolve).alias("__o"),
+        ),
+    )
+
+    def comparator(l: Column, r: Column) -> Column:
+        # ties on every sort key fall through to the output ascending
+        cmpe = (
+            F.when(l["__o"] < r["__o"], F.lit(-1))
+            .when(l["__o"] > r["__o"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        for i, (_f, d) in reversed(list(enumerate(items))):
+            d_eff = -d if bottom else d
+            lt = F.lit(-1 if d_eff >= 0 else 1)
+            gt = F.lit(1 if d_eff >= 0 else -1)
+            ki = f"__k{i}"
+            cmpe = (
+                F.when(l[ki] < r[ki], lt)
+                .when(l[ki] > r[ki], gt)
+                .otherwise(cmpe)
+            )
+        return cmpe
+
+    arr = F.slice(F.array_sort(F.collect_list(row), comparator), 1, n)
+    out = F.transform(arr, lambda x: x["__o"])
+    if bottom:
+        out = F.reverse(out)
+    if op in ("$top", "$bottom"):
+        return F.element_at(out, 1).alias(alias)
+    return out.alias(alias)
+
+
 def _acc_to_agg_masked(
     alias: str, spec: dict[str, Any], cond: Column, resolve=None
 ) -> Column:
@@ -857,6 +1001,11 @@ def _acc_to_agg_masked(
     op, arg = next(iter(spec.items()))
     if op in ("$count",) or (op == "$sum" and arg == 1):
         return F.count(F.when(cond, F.lit(1))).alias(alias)
+    if op in ("$topN", "$bottomN", "$top", "$bottom", "$minN", "$maxN",
+              "$firstN", "$lastN", "$median", "$percentile"):
+        # spec-dict accumulators (Mongo 5.2/7.0) — dispatched BEFORE the
+        # masked _ref: their args are option dicts, not expressions
+        return _acc_selection_ops(alias, op, arg, cond, resolve)
     masked = F.when(cond, _ref(arg, resolve))
     if op == "$sum":
         return F.sum(masked).alias(alias)
@@ -3993,3 +4142,86 @@ def q186_doc_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ema5", 6).alias("ema5"),
         F.round("ema_a", 6).alias("ema_a"),
     )
+
+
+def q187_doc_selection_accs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mongo 5.2/7.0 selection + percentile accumulator surface in
+    one $group: $topN/$bottomN/$top (comparator-sorted collect with the
+    output-ascending tie convention), $minN/$maxN (value order), and
+    exact $median/$percentile (documented better-accuracy divergence
+    from Mongo's t-digest 'approximate'). Oracle: DuckDB ORDER BY-list
+    slices (bottomN = reversed ascending slice — the same element set
+    the comparator picks under ties) and quantile_cont twins. One
+    map-side-combinable aggregate per accumulator, one shuffle total."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "orders",
+        [
+            {"$match": {"o_orderkey": {"$lte": 3000}}},
+            {"$group": {
+                "_id": "$o_orderstatus",
+                "top3": {"$topN": {"output": "$o_orderkey",
+                                   "sortBy": {"o_totalprice": -1},
+                                   "n": 3}},
+                "bottom3": {"$bottomN": {"output": "$o_orderkey",
+                                         "sortBy": {"o_totalprice": -1},
+                                         "n": 3}},
+                "hi": {"$top": {"output": "$o_orderkey",
+                                "sortBy": {"o_totalprice": -1}}},
+                "cheap2": {"$minN": {"input": "$o_totalprice", "n": 2}},
+                "rich2": {"$maxN": {"input": "$o_totalprice", "n": 2}},
+                "med": {"$median": {"input": "$o_totalprice",
+                                    "method": "approximate"}},
+                "pct": {"$percentile": {"input": "$o_totalprice",
+                                        "p": [0.25, 0.9],
+                                        "method": "approximate"}},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+    return out.select(
+        "_id",
+        F.concat_ws("|", F.col("top3").cast("array<string>")).alias("top3"),
+        F.concat_ws("|", F.col("bottom3").cast("array<string>"))
+        .alias("bottom3"),
+        "hi",
+        F.round(F.element_at("cheap2", 1), 2).alias("cheap1"),
+        F.round(F.element_at("cheap2", 2), 2).alias("cheap2"),
+        F.round(F.element_at("rich2", 1), 2).alias("rich1"),
+        F.round(F.element_at("rich2", 2), 2).alias("rich2"),
+        F.round("med", 4).alias("med"),
+        F.round(F.element_at("pct", 1), 4).alias("p25"),
+        F.round(F.element_at("pct", 2), 4).alias("p90"),
+    )
+
+
+Q187_ORACLE_SQL = """
+    WITH t AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey <= 3000
+    )
+    SELECT o_orderstatus AS _id,
+           array_to_string(
+             (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3],
+             '|') AS top3,
+           array_to_string(list_reverse(
+             (list(o_orderkey ORDER BY o_totalprice ASC, o_orderkey))[1:3]),
+             '|') AS bottom3,
+           (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1]
+             AS hi,
+           ROUND((list(o_totalprice ORDER BY o_totalprice))[1], 2)
+             AS cheap1,
+           ROUND((list(o_totalprice ORDER BY o_totalprice))[2], 2)
+             AS cheap2,
+           ROUND((list(o_totalprice ORDER BY o_totalprice DESC))[1], 2)
+             AS rich1,
+           ROUND((list(o_totalprice ORDER BY o_totalprice DESC))[2], 2)
+             AS rich2,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM t GROUP BY o_orderstatus ORDER BY _id
+"""

@@ -1252,6 +1252,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # window op, ONE Arrow applyInPandas pass; rows-only to the driver,
     # DIFFERENTIAL pandas-ewm replay in the harness — NEW r8.
     "q186_doc_ema": DOC.q186_doc_ema,
+    # Mongo 5.2/7.0 selection + percentile accumulators ($topN/$bottomN/
+    # $top/$bottom/$minN/$maxN/$median/$percentile) — NEW r8.
+    "q187_doc_selection_accs": DOC.q187_doc_selection_accs,
 }
 
 # --- round-8 driver window (explicit form of the rotation policy at the
@@ -2739,6 +2742,7 @@ ORACLE_SQL: dict[str, str | None] = {
     # per-row EMA recursion has no SQL analog -> rows-only to the
     # driver; value-checked by the harness DIFFERENTIAL pandas replay
     "q186_doc_ema": None,
+    "q187_doc_selection_accs": DOC.Q187_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -2493,3 +2493,66 @@ def test_nl2doc_rate_of_change_compiles(store):
     swf2 = q2["pipeline"][0]["$setWindowFields"]
     assert "partitionBy" not in swf2
     assert swf2["output"]["rate"]["$derivative"]["unit"] == "day"
+
+
+def test_group_selection_accumulators(spark):
+    """$topN/$bottomN/$top/$bottom (comparator sort, ties -> output
+    ascending), $minN/$maxN (value order), exact $median/$percentile;
+    the loud contracts ($firstN/$lastN refusal, method required, bad n,
+    bad sortBy, bad p)."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0), (4, "a", 5.0),
+         (5, "b", 7.0)],
+        "id int, g string, v double"))
+    r = {row["_id"]: row for row in s.aggregate("t", [
+        {"$group": {
+            "_id": "$g",
+            "top2": {"$topN": {"output": "$id", "sortBy": {"v": -1},
+                               "n": 2}},
+            "bot2": {"$bottomN": {"output": "$id", "sortBy": {"v": -1},
+                                  "n": 2}},
+            "t1": {"$top": {"output": "$id", "sortBy": {"v": -1}}},
+            "b1": {"$bottom": {"output": "$id", "sortBy": {"v": -1}}},
+            "min2": {"$minN": {"input": "$v", "n": 2}},
+            "max2": {"$maxN": {"input": "$v", "n": 2}},
+            "med": {"$median": {"input": "$v", "method": "approximate"}},
+            "pct": {"$percentile": {"input": "$v", "p": [0.25, 0.5],
+                                    "method": "approximate"}},
+        }}, {"$sort": {"_id": 1}},
+    ]).collect()}
+    a = r["a"]
+    # v desc sequence in group a: ids [2(30), 3(20), 1(10), 4(5)]
+    assert a["top2"] == [2, 3] and a["bot2"] == [1, 4]
+    assert a["t1"] == 2 and a["b1"] == 4
+    assert a["min2"] == [5.0, 10.0] and a["max2"] == [30.0, 20.0]
+    assert a["med"] == 15.0 and a["pct"] == [8.75, 15.0]
+    b = r["b"]
+    assert b["top2"] == [5] and b["bot2"] == [5] and b["med"] == 7.0
+    # ties on the sort key break toward the OUTPUT ascending
+    s.register("ties", spark.createDataFrame(
+        [(1, 10.0), (2, 10.0), (3, 10.0), (4, 20.0)], "id int, v double"))
+    row = s.aggregate("ties", [
+        {"$group": {"_id": None,
+                    "top2": {"$topN": {"output": "$id",
+                                       "sortBy": {"v": -1}, "n": 2}},
+                    "bot2": {"$bottomN": {"output": "$id",
+                                          "sortBy": {"v": -1}, "n": 2}}}},
+    ]).collect()[0]
+    assert row["top2"] == [4, 1]       # 20 first, then tie -> id asc
+    assert row["bot2"] == [2, 1]       # reversed ascending slice
+    import pytest as _pt
+    for bad, msg in [
+        ({"$firstN": {"input": "$v", "n": 2}}, "document-order"),
+        ({"$lastN": {"input": "$v", "n": 2}}, "document-order"),
+        ({"$median": {"input": "$v"}}, "method"),
+        ({"$percentile": {"input": "$v", "p": [0.5]}}, "method"),
+        ({"$percentile": {"input": "$v", "p": [1.5],
+                          "method": "approximate"}}, "fractions"),
+        ({"$topN": {"output": "$id", "sortBy": {"v": -1}}}, "positive int"),
+        ({"$topN": {"output": "$id", "sortBy": {"v": 0}, "n": 2}},
+         "bad sortBy"),
+        ({"$minN": {"n": 2}}, "needs input"),
+    ]:
+        with _pt.raises(DocumentQueryError, match=msg):
+            s.aggregate("t", [{"$group": {"_id": "$g", "x": bad}}])

@@ -55,7 +55,7 @@ PLANNED: dict[str, int] = {
     # two-round rotation contract gives them round-10 targets
     **{k: 10 for k in (
         "q185_doc_window_rates", "q186_doc_ema",
-        "nl62_doc_rate_of_change",
+        "nl62_doc_rate_of_change", "q187_doc_selection_accs",
     )},
     # the r4 re-confirmation wave that came due at round 8 but did not
     # fit the 50-seat window behind the 28 mandatory target-8 seats:
