@@ -637,6 +637,50 @@ class NL2DocEngine:
                     ],
                 }
 
+        # median / percentile phrasing — "median <m> [per <g>]" /
+        # "<P>th percentile of <m> [per <g>]" compiles to the Mongo 7.0
+        # $median/$percentile accumulators (q187's surface from NL;
+        # the engine computes the EXACT interpolated percentile). The
+        # $percentile array is unwrapped to a scalar via $arrayElemAt
+        # for display.
+        mp = _re.search(
+            r"\b(?:median|(\d{1,2})(?:st|nd|rd|th)\s+percentile)"
+            r"(?:\s+of)?\s+([a-z_]+)",
+            ql,
+        )
+        if mp:
+            pc_word, m_word = mp.groups()
+            measure = best_field(numeric=True, exclude=filtered,
+                                 text=m_word)
+            if measure is not None:
+                g = (
+                    best_field(exclude=filtered | {measure},
+                               text=group_text)
+                    if pm
+                    else None
+                )
+                if pc_word:
+                    alias = f"p{pc_word}_{measure}"
+                    acc_spec: dict = {"$percentile": {
+                        "input": f"${measure}",
+                        "p": [int(pc_word) / 100.0],
+                        "method": "approximate",
+                    }}
+                else:
+                    alias = f"median_{measure}"
+                    acc_spec = {"$median": {"input": f"${measure}",
+                                            "method": "approximate"}}
+                pipe: list[dict] = [
+                    {"$group": {"_id": f"${g}" if g else None,
+                                alias: acc_spec}},
+                ]
+                if pc_word:
+                    pipe.append({"$addFields": {
+                        alias: {"$arrayElemAt": [f"${alias}", 0]}}})
+                if g:
+                    pipe.append({"$sort": {"_id": 1}})
+                return {"collection": coll, "pipeline": prelude + pipe}
+
         acc = _AGG_ACCUMULATORS.get(analysis.agg_func or "")
         if acc is not None:
             # AVG/SUM/MAX/MIN over a measure field ($group accumulators,

@@ -371,6 +371,24 @@ def _nl62_doc_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl63_doc_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc percentile phrasing compiles to the Mongo 7.0 $percentile
+    accumulator (q187's surface from NL; exact interpolated percentile,
+    $arrayElemAt unwrap). Oracle: quantile_cont twin — both engines
+    interpolate linearly on the sorted values; 4dp absorbs ulp drift."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "90th percentile of value per event_type for events"
+    )
+    return df.withColumn("p90_value", F.round("p90_value", 4))
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1100,6 +1118,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # rate-of-change phrasing -> $setWindowFields $derivative (q185's
     # surface from NL) — NEW r8.
     "nl62_doc_rate_of_change": _nl62_doc_rate_of_change,
+    # percentile phrasing -> $percentile (q187's surface from NL) —
+    # NEW r8.
+    "nl63_doc_percentile": _nl63_doc_percentile,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -2862,6 +2883,11 @@ ORACLE_SQL: dict[str, str | None] = {
           doc_id := doc_id, text := text, lang := lang,
           source := source, n_chars := n_chars))::VARCHAR)
         LIMIT 25
+    """,
+    "nl63_doc_percentile": """
+        SELECT event_type AS _id,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90_value
+        FROM events GROUP BY event_type ORDER BY _id
     """,
     "nl62_doc_rate_of_change": """
         WITH base AS (

@@ -2556,3 +2556,26 @@ def test_group_selection_accumulators(spark):
     ]:
         with _pt.raises(DocumentQueryError, match=msg):
             s.aggregate("t", [{"$group": {"_id": "$g", "x": bad}}])
+
+
+def test_nl2doc_median_percentile_compiles(store):
+    """'median <m> per <g>' / '<P>th percentile of <m>' compile to the
+    $median/$percentile accumulators; the percentile form unwraps its
+    array via $arrayElemAt; ungrouped median gets _id None."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query("median value per event_type for events")
+    g = q["pipeline"][0]["$group"]
+    assert g["_id"] == "$event_type"
+    assert g["median_value"] == {
+        "$median": {"input": "$value", "method": "approximate"}}
+    q2 = eng.template_query(
+        "90th percentile of value per event_type for events")
+    g2 = q2["pipeline"][0]["$group"]
+    assert g2["p90_value"] == {"$percentile": {
+        "input": "$value", "p": [0.9], "method": "approximate"}}
+    assert q2["pipeline"][1] == {"$addFields": {
+        "p90_value": {"$arrayElemAt": ["$p90_value", 0]}}}
+    q3 = eng.template_query("median n_chars for documents")
+    assert q3["pipeline"][0]["$group"]["_id"] is None
