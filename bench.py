@@ -199,6 +199,7 @@ HEADLINE = [
     "q185_doc_window_rates",
     "q186_doc_ema",
     "q187_doc_selection_accs",
+    "q188_doc_window_nselect",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -1721,6 +1721,50 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                     r = r / F.lit(unit_scale)
                 out_cols[name] = r
             continue
+        if op in ("$firstN", "$lastN", "$minN", "$maxN"):
+            # Mongo 5.2 N-selection window forms. $firstN/$lastN are
+            # SORT-order defined here (unlike $group, where they are
+            # refused): collect_list over an ORDERED window buffers
+            # rows in frame order, so the first/last n slices are the
+            # first/last n documents of the frame. $minN/$maxN sort the
+            # collected frame BY VALUE ($maxN descending — Mongo's
+            # output order).
+            if not isinstance(arg, dict) or "input" not in arg:
+                raise DocumentQueryError(
+                    f"Bad {op} spec (needs input + n): {arg!r}"
+                )
+            n = arg.get("n")
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise DocumentQueryError(
+                    f"{op} needs a literal positive int n, got {n!r}"
+                )
+            y = _ref(arg["input"])
+            if op in ("$firstN", "$lastN"):
+                if sorted_w is None:
+                    raise DocumentQueryError(f"{op} requires sortBy")
+                w = (
+                    _w_from_frame(frame)
+                    if frame is not None
+                    else sorted_w.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                arr = F.collect_list(y).over(w)
+                if op == "$firstN":
+                    out_cols[name] = F.slice(arr, 1, n)
+                else:
+                    # negative-start slice errors when |start| exceeds
+                    # the array size — short frames return whole
+                    out_cols[name] = F.when(
+                        F.size(arr) > n, F.slice(arr, -n, n)
+                    ).otherwise(arr)
+            else:
+                w = _w_from_frame(frame) if frame is not None else base
+                arr = F.sort_array(
+                    F.collect_list(y).over(w), asc=(op == "$minN")
+                )
+                out_cols[name] = F.slice(arr, 1, n)
+            continue
         if op == "$count":
             col = F.count(F.lit(1))
         elif op in _WINDOW_AGG_OPS2:
@@ -4224,4 +4268,80 @@ Q187_ORACLE_SQL = """
            ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
            ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
     FROM t GROUP BY o_orderstatus ORDER BY _id
+"""
+
+
+def q188_doc_window_nselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mongo 5.2 N-selection WINDOW forms in one $setWindowFields:
+    $firstN/$lastN (sort-order slices of the frame — well-defined here,
+    unlike $group where they are refused) and $minN/$maxN (value-order
+    slices), over both the whole partition and a trailing documents
+    frame. All four ride collect_list on the SAME (partition, sort)
+    window — one exchange, one sort. Oracle: DuckDB window list()
+    slices (lastN via the [-n:] negative slice; maxN via list_sort
+    DESC)."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("events", load_table(spark, sf_dir, "events"))
+    out = store.aggregate(
+        "events",
+        [
+            {"$match": {"event_id": {"$lt": 1500}}},
+            {"$setWindowFields": {
+                "partitionBy": "$event_type",
+                "sortBy": {"ts": 1},
+                "output": {
+                    "first2": {"$firstN": {"input": "$value", "n": 2}},
+                    "last2": {"$lastN": {"input": "$value", "n": 2}},
+                    "trail3min2": {
+                        "$minN": {"input": "$value", "n": 2},
+                        "window": {"documents": [-2, "current"]},
+                    },
+                    "trail3max2": {
+                        "$maxN": {"input": "$value", "n": 2},
+                        "window": {"documents": [-2, "current"]},
+                    },
+                },
+            }},
+            {"$project": {"event_id": 1, "event_type": 1, "first2": 1,
+                          "last2": 1, "trail3min2": 1, "trail3max2": 1}},
+            {"$sort": {"event_id": 1}},
+            {"$limit": 400},
+        ],
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.concat_ws("|", F.col("first2").cast("array<string>"))
+        .alias("first2"),
+        F.concat_ws("|", F.col("last2").cast("array<string>"))
+        .alias("last2"),
+        F.concat_ws("|", F.col("trail3min2").cast("array<string>"))
+        .alias("min2"),
+        F.concat_ws("|", F.col("trail3max2").cast("array<string>"))
+        .alias("max2"),
+    )
+
+
+Q188_ORACLE_SQL = """
+    WITH t AS (
+      SELECT event_id, event_type, ts, value
+      FROM events WHERE event_id < 1500
+    )
+    SELECT event_id, event_type,
+           array_to_string((list(value) OVER wp)[1:2], '|') AS first2,
+           array_to_string((list(value) OVER wp)[-2:], '|') AS last2,
+           array_to_string(list_sort(list(value) OVER w3)[1:2], '|')
+             AS min2,
+           array_to_string(
+             list_reverse(list_sort(list(value) OVER w3))[1:2], '|')
+             AS max2
+    FROM t
+    WINDOW wp AS (PARTITION BY event_type ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING),
+           w3 AS (PARTITION BY event_type ORDER BY ts
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id LIMIT 400
 """

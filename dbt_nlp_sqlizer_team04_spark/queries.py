@@ -1276,6 +1276,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Mongo 5.2/7.0 selection + percentile accumulators ($topN/$bottomN/
     # $top/$bottom/$minN/$maxN/$median/$percentile) — NEW r8.
     "q187_doc_selection_accs": DOC.q187_doc_selection_accs,
+    # Mongo 5.2 N-selection WINDOW forms ($firstN/$lastN sort-order,
+    # $minN/$maxN value-order, framed) — NEW r8.
+    "q188_doc_window_nselect": DOC.q188_doc_window_nselect,
 }
 
 # --- round-8 driver window (explicit form of the rotation policy at the
@@ -2764,6 +2767,7 @@ ORACLE_SQL: dict[str, str | None] = {
     # driver; value-checked by the harness DIFFERENTIAL pandas replay
     "q186_doc_ema": None,
     "q187_doc_selection_accs": DOC.Q187_ORACLE_SQL,
+    "q188_doc_window_nselect": DOC.Q188_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

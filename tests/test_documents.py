@@ -2579,3 +2579,38 @@ def test_nl2doc_median_percentile_compiles(store):
         "p90_value": {"$arrayElemAt": ["$p90_value", 0]}}}
     q3 = eng.template_query("median n_chars for documents")
     assert q3["pipeline"][0]["$group"]["_id"] is None
+
+
+def test_window_fields_nselect(spark):
+    """Window-form $firstN/$lastN (sort-order frame slices) and
+    $minN/$maxN (value order), framed and frame-less; loud contracts
+    (sortBy required for first/last, literal positive n)."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0), (4, "a", 5.0),
+         (5, "b", 7.0)],
+        "id int, g string, v double"))
+    rows = s.aggregate("t", [
+        {"$setWindowFields": {"partitionBy": "$g", "sortBy": {"id": 1},
+                              "output": {
+            "f2": {"$firstN": {"input": "$v", "n": 2}},
+            "l2": {"$lastN": {"input": "$v", "n": 2}},
+            "m2": {"$minN": {"input": "$v", "n": 2}},
+            "x2t": {"$maxN": {"input": "$v", "n": 2},
+                    "window": {"documents": [-2, "current"]}},
+        }}},
+        {"$sort": {"id": 1}}, {"$limit": 10},
+    ]).collect()
+    r1, r3 = rows[0], rows[2]
+    assert r1["f2"] == [10.0, 30.0] and r1["l2"] == [20.0, 5.0]
+    assert r1["m2"] == [5.0, 10.0] and r1["x2t"] == [10.0]
+    assert r3["x2t"] == [30.0, 20.0]
+    assert rows[4]["l2"] == [7.0]  # short partition returns whole
+    with pytest.raises(DocumentQueryError, match="requires sortBy"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g",
+            "output": {"x": {"$firstN": {"input": "$v", "n": 2}}}}}])
+    with pytest.raises(DocumentQueryError, match="positive int"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"id": 1},
+            "output": {"x": {"$minN": {"input": "$v", "n": 0}}}}}])

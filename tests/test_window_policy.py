@@ -56,7 +56,7 @@ PLANNED: dict[str, int] = {
     **{k: 10 for k in (
         "q185_doc_window_rates", "q186_doc_ema",
         "nl62_doc_rate_of_change", "q187_doc_selection_accs",
-        "nl63_doc_percentile",
+        "nl63_doc_percentile", "q188_doc_window_nselect",
     )},
     # the r4 re-confirmation wave that came due at round 8 but did not
     # fit the 50-seat window behind the 28 mandatory target-8 seats:
