@@ -928,6 +928,23 @@ def _acc_selection_ops(
         ).alias(alias)
 
     # $topN/$bottomN/$top/$bottom
+    n = 1 if op in ("$top", "$bottom") else _lit_n()
+    row, finish = _topn_parts(op, arg, cond, resolve)
+    out = finish(F.collect_list(row), n)
+    if op in ("$top", "$bottom"):
+        return F.element_at(out, 1).alias(alias)
+    return out.alias(alias)
+
+
+def _topn_parts(op: str, arg: dict, cond: Column, resolve=None):
+    """Shared $topN-family machinery for the $group AND window forms:
+    validate {output, sortBy}, build the ``struct(sort keys…, output)``
+    row (masked rows collapse to NULL — both collect_list forms skip
+    them), and return ``(row, finish)`` where finish(collected, n)
+    comparator-sorts the collected array per the spec's ±1 directions
+    (ties → output ascending, the dialect convention), slices n,
+    projects the output field, and re-reverses the bottom forms into
+    Mongo's sort order."""
     if "output" not in arg or "sortBy" not in arg:
         raise DocumentQueryError(f"{op} needs output + sortBy, got {arg!r}")
     sort_by = arg["sortBy"]
@@ -937,7 +954,6 @@ def _acc_selection_ops(
         and all(d in (1, -1) for d in sort_by.values())
     ):
         raise DocumentQueryError(f"{op} bad sortBy: {sort_by!r}")
-    n = 1 if op in ("$top", "$bottom") else _lit_n()
     items = list(sort_by.items())
     bottom = op in ("$bottomN", "$bottom")
     row = F.when(
@@ -970,13 +986,12 @@ def _acc_selection_ops(
             )
         return cmpe
 
-    arr = F.slice(F.array_sort(F.collect_list(row), comparator), 1, n)
-    out = F.transform(arr, lambda x: x["__o"])
-    if bottom:
-        out = F.reverse(out)
-    if op in ("$top", "$bottom"):
-        return F.element_at(out, 1).alias(alias)
-    return out.alias(alias)
+    def finish(collected: Column, n: int) -> Column:
+        arr = F.slice(F.array_sort(collected, comparator), 1, n)
+        out = F.transform(arr, lambda x: x["__o"])
+        return F.reverse(out) if bottom else out
+
+    return row, finish
 
 
 def _acc_to_agg_masked(
@@ -1720,6 +1735,29 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 if unit_scale is not None:
                     r = r / F.lit(unit_scale)
                 out_cols[name] = r
+            continue
+        if op in ("$topN", "$bottomN", "$top", "$bottom"):
+            # Mongo 5.2 rank-selection window forms — the $group
+            # machinery (_topn_parts: struct row + direction-honoring
+            # comparator + slice/project/reverse) applied to a window
+            # collect. The op's OWN sortBy orders the selection; the
+            # stage's sortBy only shapes the frame.
+            if not isinstance(arg, dict):
+                raise DocumentQueryError(f"Bad {op} spec: {arg!r}")
+            if op in ("$top", "$bottom"):
+                n = 1
+            else:
+                n = arg.get("n")
+                if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                    raise DocumentQueryError(
+                        f"{op} needs a literal positive int n, got {n!r}"
+                    )
+            row, finish = _topn_parts(op, arg, F.lit(True), None)
+            w = _w_from_frame(frame) if frame is not None else base
+            out = finish(F.collect_list(row).over(w), n)
+            out_cols[name] = (
+                F.element_at(out, 1) if op in ("$top", "$bottom") else out
+            )
             continue
         if op in ("$firstN", "$lastN", "$minN", "$maxN"):
             # Mongo 5.2 N-selection window forms. $firstN/$lastN are
@@ -4302,10 +4340,21 @@ def q188_doc_window_nselect(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "$maxN": {"input": "$value", "n": 2},
                         "window": {"documents": [-2, "current"]},
                     },
+                    "top2ids": {
+                        "$topN": {"output": "$event_id",
+                                  "sortBy": {"value": -1}, "n": 2},
+                        "window": {"documents": [-2, "current"]},
+                    },
+                    "bot1id": {
+                        "$bottom": {"output": "$event_id",
+                                    "sortBy": {"value": -1}},
+                        "window": {"documents": [-2, "current"]},
+                    },
                 },
             }},
             {"$project": {"event_id": 1, "event_type": 1, "first2": 1,
-                          "last2": 1, "trail3min2": 1, "trail3max2": 1}},
+                          "last2": 1, "trail3min2": 1, "trail3max2": 1,
+                          "top2ids": 1, "bot1id": 1}},
             {"$sort": {"event_id": 1}},
             {"$limit": 400},
         ],
@@ -4321,6 +4370,9 @@ def q188_doc_window_nselect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("min2"),
         F.concat_ws("|", F.col("trail3max2").cast("array<string>"))
         .alias("max2"),
+        F.concat_ws("|", F.col("top2ids").cast("array<string>"))
+        .alias("top2ids"),
+        "bot1id",
     )
 
 
@@ -4336,7 +4388,15 @@ Q188_ORACLE_SQL = """
              AS min2,
            array_to_string(
              list_reverse(list_sort(list(value) OVER w3))[1:2], '|')
-             AS max2
+             AS max2,
+           array_to_string(list_transform(
+             list_sort(list(struct_pack(s := -value, i := event_id))
+                       OVER w3)[1:2],
+             x -> x.i), '|') AS top2ids,
+           list_transform(
+             list_sort(list(struct_pack(s := value, i := event_id))
+                       OVER w3)[1:1],
+             x -> x.i)[1] AS bot1id
     FROM t
     WINDOW wp AS (PARTITION BY event_type ORDER BY ts
                   ROWS BETWEEN UNBOUNDED PRECEDING

@@ -2614,3 +2614,20 @@ def test_window_fields_nselect(spark):
         s.aggregate("t", [{"$setWindowFields": {
             "partitionBy": "$g", "sortBy": {"id": 1},
             "output": {"x": {"$minN": {"input": "$v", "n": 0}}}}}])
+    # rank-selection window forms: the op's OWN sortBy orders the
+    # selection inside the frame
+    rows2 = s.aggregate("t", [
+        {"$setWindowFields": {"partitionBy": "$g", "sortBy": {"id": 1},
+                              "output": {
+            "t2": {"$topN": {"output": "$id", "sortBy": {"v": -1},
+                             "n": 2}},
+            "b1": {"$bottom": {"output": "$id", "sortBy": {"v": -1}},
+                   "window": {"documents": [-1, "current"]}},
+        }}},
+        {"$sort": {"id": 1}}, {"$limit": 10},
+    ]).collect()
+    # whole-partition top2 by v desc in g=a: ids [2(30), 3(20)]
+    assert rows2[0]["t2"] == [2, 3]
+    # trailing-pair bottom (lowest v of {prev, current}): id1 alone -> 1;
+    # {1(10),2(30)} -> 1; {2(30),3(20)} -> 3; {3(20),4(5)} -> 4
+    assert [r["b1"] for r in rows2] == [1, 1, 3, 4, 5]
