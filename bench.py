@@ -200,6 +200,7 @@ HEADLINE = [
     "q186_doc_ema",
     "q187_doc_selection_accs",
     "q188_doc_window_nselect",
+    "q189_doc_window_fill",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -633,12 +633,23 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         return truncated
     if op == "$cond":
         if isinstance(operands, dict):
+            # dict form: a missing key and an explicit null are
+            # indistinguishable — keep the strict guard (use the array
+            # form for literal-null branches)
             parts = [operands.get("if"), operands.get("then"),
                      operands.get("else")]
+            if any(p is None for p in parts):
+                raise DocumentQueryError(
+                    f"$cond needs if/then/else: {spec!r}"
+                )
         else:
+            # array form: [if, then, else] — a None element is Mongo's
+            # literal null branch, compiled as such
             parts = list(operands)
-        if len(parts) != 3 or any(p is None for p in parts):
-            raise DocumentQueryError(f"$cond needs if/then/else: {spec!r}")
+            if len(parts) != 3:
+                raise DocumentQueryError(
+                    f"$cond needs if/then/else: {spec!r}"
+                )
         cond, then, other = (_ref(p, resolve) for p in parts)
         return F.when(cond, then).otherwise(other)
     if op in ("$and", "$or"):
@@ -1735,6 +1746,107 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 if unit_scale is not None:
                     r = r / F.lit(unit_scale)
                 out_cols[name] = r
+            continue
+        if op == "$locf":
+            # Mongo 5.3 last-observation-carried-forward: the running
+            # last non-null in sort order (no window param in Mongo)
+            if sorted_w is None:
+                raise DocumentQueryError("$locf requires sortBy")
+            if frame is not None:
+                raise DocumentQueryError("$locf takes no window frame")
+            out_cols[name] = F.last(_ref(arg), ignorenulls=True).over(
+                sorted_w.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            continue
+        if op == "$linearFill":
+            # Mongo 5.3 linear interpolation between the bracketing
+            # non-null neighbors along the sortBy axis — the $fill
+            # stage's linear math as a window operator. Output promotes
+            # to double (the $fill stage's documented divergence); nulls
+            # outside the bracketing range stay null.
+            if frame is not None:
+                raise DocumentQueryError("$linearFill takes no window frame")
+            if not (
+                sort_by
+                and len(sort_by) == 1
+                and next(iter(sort_by.values())) >= 0
+            ):
+                raise DocumentQueryError(
+                    "$linearFill requires a single ascending sortBy field"
+                )
+            skey = next(iter(sort_by))
+            dt = df.schema[skey].dataType
+            if isinstance(dt, (T.DateType, T.TimestampType)):
+                xs = F.unix_micros(F.col(skey).cast("timestamp")).cast(
+                    "double"
+                )
+            elif isinstance(dt, T.NumericType):
+                xs = F.col(skey).cast("double")
+            else:
+                raise DocumentQueryError(
+                    f"$linearFill sortBy field {skey!r} must be numeric "
+                    "or date/timestamp"
+                )
+            y = _ref(arg)
+            wp = sorted_w.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            wf = sorted_w.rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+            known_v = F.when(y.isNotNull(), y.cast("double"))
+            known_x = F.when(y.isNotNull(), xs)
+            prev_v = F.last(known_v, ignorenulls=True).over(wp)
+            prev_x = F.last(known_x, ignorenulls=True).over(wp)
+            next_v = F.first(known_v, ignorenulls=True).over(wf)
+            next_x = F.first(known_x, ignorenulls=True).over(wf)
+            interp = prev_v + (next_v - prev_v) * (xs - prev_x) / (
+                next_x - prev_x
+            )
+            out_cols[name] = F.when(y.isNotNull(), y.cast("double")).otherwise(
+                F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+            )
+            continue
+        if op in ("$median", "$percentile"):
+            # Mongo 7.0 window forms — Spark's EXACT interpolated
+            # percentile over the frame (same better-accuracy
+            # divergence as the $group forms; method validated)
+            if not isinstance(arg, dict) or arg.get("method") != "approximate":
+                raise DocumentQueryError(
+                    f"{op} requires method: 'approximate' (compiled to "
+                    "the EXACT interpolated percentile — documented "
+                    "divergence)"
+                )
+            if "input" not in arg:
+                raise DocumentQueryError(f"{op} needs input, got {arg!r}")
+            pcol = _ref(arg["input"])
+            w = _w_from_frame(frame) if frame is not None else base
+            if op == "$median":
+                # percentile(col, 0.5), not F.median: Spark refuses
+                # median over an ORDER BY/framed window while percentile
+                # is frame-capable — identical value by definition
+                out_cols[name] = F.percentile(pcol, F.lit(0.5)).over(w)
+            else:
+                ps = arg.get("p")
+                if not (
+                    isinstance(ps, list)
+                    and ps
+                    and all(
+                        isinstance(p, (int, float))
+                        and not isinstance(p, bool)
+                        and 0 <= p <= 1
+                        for p in ps
+                    )
+                ):
+                    raise DocumentQueryError(
+                        f"$percentile needs p: a list of fractions in "
+                        f"[0,1], got {ps!r}"
+                    )
+                out_cols[name] = F.percentile(
+                    pcol, F.array(*[F.lit(float(p)) for p in ps])
+                ).over(w)
             continue
         if op in ("$topN", "$bottomN", "$top", "$bottom"):
             # Mongo 5.2 rank-selection window forms — the $group
@@ -4404,4 +4516,97 @@ Q188_ORACLE_SQL = """
            w3 AS (PARTITION BY event_type ORDER BY ts
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     ORDER BY event_id LIMIT 400
+"""
+
+
+def q189_doc_window_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last four Mongo window operators, completing the
+    $setWindowFields table: $locf (running last non-null), $linearFill
+    (bracketing-neighbor interpolation along the ts axis — the $fill
+    stage's math as a window op), and the 7.0 window forms of
+    $median/$percentile (exact interpolated, framed and
+    whole-partition). The gappy column is manufactured by a $cond so
+    the fills have real nulls to bridge. Oracle: IGNORE NULLS
+    last_value/first_value + quantile_cont window twins. Cost note: the
+    framed percentile recomputes its buffer per row (O(frame) each) —
+    the documented price of exact percentiles in sliding windows; at
+    100 TB prefer the merge-only sketch tiers (q155/q156) for wide
+    frames."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("events", load_table(spark, sf_dir, "events"))
+    out = store.aggregate(
+        "events",
+        [
+            {"$match": {"event_id": {"$lt": 1200}}},
+            {"$addFields": {"gappy": {"$cond": [
+                {"$gt": ["$value", 40]}, None, "$value"]}}},
+            {"$setWindowFields": {
+                "partitionBy": "$event_type",
+                "sortBy": {"ts": 1},
+                "output": {
+                    "lo": {"$locf": "$gappy"},
+                    "lf": {"$linearFill": "$gappy"},
+                    "med10": {"$median": {"input": "$value",
+                                          "method": "approximate"},
+                              "window": {"documents": [-9, "current"]}},
+                    "p90": {"$percentile": {"input": "$value",
+                                            "p": [0.9],
+                                            "method": "approximate"}},
+                },
+            }},
+            {"$project": {"event_id": 1, "event_type": 1, "lo": 1,
+                          "lf": 1, "med10": 1, "p90": 1}},
+            {"$sort": {"event_id": 1}},
+            {"$limit": 400},
+        ],
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("lo", 2).alias("lo"),
+        F.round("lf", 6).alias("lf"),
+        F.round("med10", 4).alias("med10"),
+        F.round(F.element_at("p90", 1), 4).alias("p90"),
+    )
+
+
+Q189_ORACLE_SQL = """
+    WITH t AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN value > 40 THEN NULL ELSE value END AS gappy,
+             epoch_us(ts)::DOUBLE AS k
+      FROM events WHERE event_id < 1200
+    ), f AS (
+      SELECT event_id, event_type, value, gappy, k,
+             last_value(gappy IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN gappy IS NOT NULL THEN k END
+                        IGNORE NULLS) OVER wp AS prev_x,
+             first_value(gappy IGNORE NULLS) OVER wf AS next_v,
+             first_value(CASE WHEN gappy IS NOT NULL THEN k END
+                         IGNORE NULLS) OVER wf AS next_x,
+             quantile_cont(value, 0.5) OVER w10 AS med10,
+             quantile_cont(value, 0.9) OVER wall AS p90
+      FROM t
+      WINDOW wp AS (PARTITION BY event_type ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY k
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+             w10 AS (PARTITION BY event_type ORDER BY k
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+             wall AS (PARTITION BY event_type ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, event_type,
+           ROUND(prev_v, 2) AS lo,
+           ROUND(CASE WHEN gappy IS NOT NULL THEN gappy
+                      WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                      THEN prev_v + (next_v - prev_v) * (k - prev_x)
+                           / (next_x - prev_x)
+                 END, 6) AS lf,
+           ROUND(med10, 4) AS med10,
+           ROUND(p90, 4) AS p90
+    FROM f ORDER BY event_id LIMIT 400
 """

@@ -1279,6 +1279,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Mongo 5.2 N-selection WINDOW forms ($firstN/$lastN sort-order,
     # $minN/$maxN value-order, framed) — NEW r8.
     "q188_doc_window_nselect": DOC.q188_doc_window_nselect,
+    # the last four window operators — $locf/$linearFill + window
+    # $median/$percentile — completing the $setWindowFields table —
+    # NEW r8.
+    "q189_doc_window_fill": DOC.q189_doc_window_fill,
 }
 
 # --- round-8 driver window (explicit form of the rotation policy at the
@@ -2768,6 +2772,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q186_doc_ema": None,
     "q187_doc_selection_accs": DOC.Q187_ORACLE_SQL,
     "q188_doc_window_nselect": DOC.Q188_ORACLE_SQL,
+    "q189_doc_window_fill": DOC.Q189_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

@@ -1271,12 +1271,22 @@ def test_set_window_fields_semantics_and_plan(store, spark):
                                  "window": {"range": [-10, 0]}}},
             }}],
         )
-    with pytest.raises(DocumentQueryError, match="Unsupported window"):
+    # $median joined the compiled table in r8 — a bare ref now trips
+    # its method contract, and a truly unknown op stays loud
+    with pytest.raises(DocumentQueryError, match="method"):
         store.aggregate(
             "documents",
             [{"$setWindowFields": {
                 "sortBy": {"doc_id": 1},
                 "output": {"s": {"$median": "$n_chars"}},
+            }}],
+        )
+    with pytest.raises(DocumentQueryError, match="Unsupported window"):
+        store.aggregate(
+            "documents",
+            [{"$setWindowFields": {
+                "sortBy": {"doc_id": 1},
+                "output": {"s": {"$mode": "$n_chars"}},
             }}],
         )
 
@@ -2631,3 +2641,60 @@ def test_window_fields_nselect(spark):
     # trailing-pair bottom (lowest v of {prev, current}): id1 alone -> 1;
     # {1(10),2(30)} -> 1; {2(30),3(20)} -> 3; {3(20),4(5)} -> 4
     assert [r["b1"] for r in rows2] == [1, 1, 3, 4, 5]
+
+
+def test_window_fields_locf_linearfill_percentile(spark):
+    """$locf (running last non-null), $linearFill (bracketing
+    interpolation; boundary nulls stay null), window $median/$percentile
+    (exact; framed + frame-less); loud contracts (no frame for
+    locf/linearFill, method required, single ascending sortBy)."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "a", None), (4, "a", 40.0),
+         (5, "a", None), (6, "b", 7.0)],
+        "id int, g string, v double"))
+    rows = s.aggregate("t", [
+        {"$setWindowFields": {"partitionBy": "$g", "sortBy": {"id": 1},
+                              "output": {
+            "lo": {"$locf": "$v"},
+            "lf": {"$linearFill": "$v"},
+            "md": {"$median": {"input": "$v", "method": "approximate"}},
+            "pt": {"$percentile": {"input": "$v", "p": [0.5],
+                                   "method": "approximate"},
+                   "window": {"documents": [-1, "current"]}},
+        }}},
+        {"$sort": {"id": 1}}, {"$limit": 10},
+    ]).collect()
+    assert [r["lo"] for r in rows] == [10.0, 10.0, 10.0, 40.0, 40.0, 7.0]
+    # id2 = 10 + 30*(2-1)/(4-1) = 20; id3 = 30; trailing null stays null
+    assert [r["lf"] for r in rows] == [10.0, 20.0, 30.0, 40.0, None, 7.0]
+    assert rows[0]["md"] == 25.0 and rows[5]["md"] == 7.0
+    assert rows[1]["pt"] == [10.0] and rows[2]["pt"] is None
+    for bad, msg in [
+        ({"x": {"$locf": "$v", "window": {"documents": [-1, 0]}}},
+         "no window frame"),
+        ({"x": {"$linearFill": "$v", "window": {"documents": [-1, 0]}}},
+         "no window frame"),
+        ({"x": {"$median": {"input": "$v"}}}, "method"),
+        ({"x": {"$percentile": {"input": "$v", "p": [2.0],
+                                "method": "approximate"}}}, "fractions"),
+    ]:
+        with pytest.raises(DocumentQueryError, match=msg):
+            s.aggregate("t", [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"id": 1},
+                "output": bad}}])
+    with pytest.raises(DocumentQueryError, match="single ascending"):
+        s.aggregate("t", [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"id": -1},
+            "output": {"x": {"$linearFill": "$v"}}}}])
+    # array-form $cond accepts a literal-null branch (q189's gappy
+    # column); the dict form keeps its strict missing-key guard
+    got = s.aggregate("t", [
+        {"$addFields": {"gap": {"$cond": [{"$gt": ["$v", 20]},
+                                          None, "$v"]}}},
+        {"$sort": {"id": 1}}, {"$limit": 2},
+    ]).collect()
+    assert got[0]["gap"] == 10.0
+    with pytest.raises(DocumentQueryError, match="if/then/else"):
+        s.aggregate("t", [{"$addFields": {"gap": {"$cond": {
+            "if": {"$gt": ["$v", 20]}, "then": None}}}}])
