@@ -201,6 +201,7 @@ HEADLINE = [
     "q187_doc_selection_accs",
     "q188_doc_window_nselect",
     "q189_doc_window_fill",
+    "q190_doc_group_first_last",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -1200,17 +1200,80 @@ def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
     )
 
 
-def apply_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+def _first_last_agg(
+    df: DataFrame, alias: str, spec: dict[str, Any], sort_ctx: dict | None
+) -> Column:
+    """``$first``/``$last`` in ``$group`` — Mongo's sort-then-group
+    top-1-per-group idiom. Document order is undefined in a distributed
+    group, so these REQUIRE the immediately preceding ``$sort``'s keys
+    (threaded through by ``_apply_pipeline``; a $match/$limit/$skip in
+    between preserves the context, anything else clears it): the
+    translation is ``min_by``/``max_by`` over a direction-normalized
+    key struct — ONE map-side-combinable aggregate, never a window or a
+    re-join. Descending keys are normalized by negation (numeric) or
+    negated epoch-micros (date/timestamp); a descending STRING key has
+    no total-order inversion and is refused loudly. Sort-key ties break
+    toward the output value (min side for $first, max side for $last) —
+    the dialect's determinism convention, where Mongo is unspecified.
+    """
+    op, arg = next(iter(spec.items()))
+    if not sort_ctx:
+        raise DocumentQueryError(
+            f"{op} in $group requires an immediately preceding $sort "
+            "(document order is undefined in a distributed group — the "
+            "sort keys define it; $match/$limit/$skip in between are "
+            "fine)"
+        )
+    keys: list[Column] = []
+    for f, d in sort_ctx.items():
+        if f not in df.columns:
+            raise DocumentQueryError(
+                f"{op}: sort key {f!r} is not a column at the $group "
+                "stage"
+            )
+        c = F.col(f)
+        if d >= 0:
+            keys.append(c)
+            continue
+        dt = df.schema[f].dataType
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            keys.append(-F.unix_micros(c.cast("timestamp")))
+        elif isinstance(dt, T.NumericType):
+            keys.append(-c)
+        else:
+            raise DocumentQueryError(
+                f"{op}: descending sort key {f!r} of type "
+                f"{dt.simpleString()} has no order inversion — sort "
+                "ascending or use a numeric/date key"
+            )
+    out = _ref(arg)
+    ordc = F.struct(*keys, out)
+    agg = F.min_by(out, ordc) if op == "$first" else F.max_by(out, ordc)
+    return agg.alias(alias)
+
+
+def apply_group(
+    df: DataFrame, spec: dict[str, Any], sort_ctx: dict | None = None
+) -> DataFrame:
     """$group: {_id: None | "$f" | {alias: "$f", ...}, out: {$acc: arg}}.
 
     Maps to groupBy().agg() — partial (map-side) aggregation for free.
     The group key is exposed as ``_id`` (scalar) or ``_id.<alias>``
-    struct (dict spec), matching Mongo's result shape.
+    struct (dict spec), matching Mongo's result shape. ``sort_ctx``
+    carries the immediately preceding ``$sort`` spec so ``$first``/
+    ``$last`` can compile (see :func:`_first_last_agg`).
     """
     if "_id" not in spec:
         raise DocumentQueryError("$group requires _id")
     id_spec = spec["_id"]
-    aggs = [_acc_to_agg(a, s) for a, s in spec.items() if a != "_id"]
+    aggs = [
+        _first_last_agg(df, a, s, sort_ctx)
+        if isinstance(s, dict) and len(s) == 1
+        and next(iter(s)) in ("$first", "$last")
+        else _acc_to_agg(a, s)
+        for a, s in spec.items()
+        if a != "_id"
+    ]
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("__n")]
         drop_n = True
@@ -1591,7 +1654,7 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             )
         skey = next(iter(sort_by))
         dt = df.schema[skey].dataType
-        if isinstance(dt, (T.DateType, T.TimestampType)):
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
             if unit not in _FIXED_UNIT_SECS:
                 raise DocumentQueryError(
                     f"{op} over a date/timestamp sortBy requires a "
@@ -1778,7 +1841,7 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
                 )
             skey = next(iter(sort_by))
             dt = df.schema[skey].dataType
-            if isinstance(dt, (T.DateType, T.TimestampType)):
+            if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
                 xs = F.unix_micros(F.col(skey).cast("timestamp")).cast(
                     "double"
                 )
@@ -2586,16 +2649,27 @@ class DocumentStore:
         :meth:`aggregate` (which injects the cap afterwards) and the
         ``$lookup`` pipeline form (a sub-pipeline must never be
         truncated: its result is the join payload)."""
+        # the most recent $sort's spec, kept alive across the
+        # order-preserving stages ($match/$limit/$skip) so a following
+        # $group can compile $first/$last against its keys; any stage
+        # that reshapes rows or columns clears it (a $project could
+        # silently overwrite a sort key)
+        last_sort: dict | None = None
         for stage in pipeline:
             if not isinstance(stage, dict) or len(stage) != 1:
                 raise DocumentQueryError(f"Bad pipeline stage: {stage!r}")
             op, spec = next(iter(stage.items()))
+            if op not in ("$match", "$limit", "$skip", "$sort", "$group"):
+                last_sort = None
             if op == "$match":
                 df = df.filter(filter_condition(spec))
             elif op == "$group":
-                df = apply_group(df, spec)
+                df = apply_group(df, spec, sort_ctx=last_sort)
+                last_sort = None
             elif op == "$sort":
                 df = apply_sort(df, spec)
+                if isinstance(spec, dict):
+                    last_sort = spec
             elif op == "$limit":
                 df = df.limit(int(spec))
             elif op == "$skip":
@@ -4609,4 +4683,54 @@ Q189_ORACLE_SQL = """
            ROUND(med10, 4) AS med10,
            ROUND(p90, 4) AS p90
     FROM f ORDER BY event_id LIMIT 400
+"""
+
+
+def q190_doc_group_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo's defining sort-then-group idiom: latest/earliest order
+    per customer via $sort {date desc, key asc} → $group with
+    $first/$last. Compiled to min_by/max_by over the direction-
+    normalized key struct — ONE map-side-combinable aggregate riding
+    the same shuffle as the $sum, never a window, self-join, or
+    re-sort (the preceding $sort's global sort is still executed for
+    stage fidelity; at 100 TB drop it and let the accumulators carry
+    the ordering — they never needed the physical sort). Oracle:
+    DuckDB ORDER BY-list endpoints."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "orders",
+        [
+            {"$match": {"o_custkey": {"$lte": 300}}},
+            {"$sort": {"o_orderdate": -1, "o_orderkey": 1}},
+            {"$group": {
+                "_id": "$o_custkey",
+                "latest_key": {"$first": "$o_orderkey"},
+                "latest_price": {"$first": "$o_totalprice"},
+                "earliest_key": {"$last": "$o_orderkey"},
+                "n": {"$sum": 1},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+    return out.withColumn("latest_price", F.round("latest_price", 2))
+
+
+Q190_ORACLE_SQL = """
+    WITH t AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_custkey <= 300
+    )
+    SELECT o_custkey AS _id,
+           (list(o_orderkey ORDER BY o_orderdate DESC, o_orderkey))[1]
+             AS latest_key,
+           ROUND((list(o_totalprice
+                       ORDER BY o_orderdate DESC, o_orderkey))[1], 2)
+             AS latest_price,
+           (list(o_orderkey ORDER BY o_orderdate DESC, o_orderkey))[-1]
+             AS earliest_key,
+           count(*) AS n
+    FROM t GROUP BY o_custkey ORDER BY _id
 """

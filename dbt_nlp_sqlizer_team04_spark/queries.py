@@ -1283,6 +1283,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $median/$percentile — completing the $setWindowFields table —
     # NEW r8.
     "q189_doc_window_fill": DOC.q189_doc_window_fill,
+    # $first/$last in $group (the sort-then-group top-1 idiom) via
+    # min_by/max_by over direction-normalized key structs — NEW r8.
+    "q190_doc_group_first_last": DOC.q190_doc_group_first_last,
 }
 
 # --- round-8 driver window (explicit form of the rotation policy at the
@@ -2773,6 +2776,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q187_doc_selection_accs": DOC.Q187_ORACLE_SQL,
     "q188_doc_window_nselect": DOC.Q188_ORACLE_SQL,
     "q189_doc_window_fill": DOC.Q189_ORACLE_SQL,
+    "q190_doc_group_first_last": DOC.Q190_ORACLE_SQL,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

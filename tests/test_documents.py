@@ -2698,3 +2698,44 @@ def test_window_fields_locf_linearfill_percentile(spark):
     with pytest.raises(DocumentQueryError, match="if/then/else"):
         s.aggregate("t", [{"$addFields": {"gap": {"$cond": {
             "if": {"$gt": ["$v", 20]}, "then": None}}}}])
+
+
+def test_group_first_last_sort_idiom(spark):
+    """$first/$last in $group compile against the immediately preceding
+    $sort's keys (min_by/max_by over a direction-normalized struct);
+    $match between $sort and $group preserves the context; missing
+    $sort, descending string keys, and projected-away keys are loud."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 10.0, "x"), (2, "a", 30.0, "y"), (3, "a", 20.0, "z"),
+         (4, "b", 7.0, "w")],
+        "id int, g string, v double, tag string"))
+    rows = s.aggregate("t", [
+        {"$sort": {"v": -1}},
+        {"$group": {"_id": "$g", "best": {"$first": "$id"},
+                    "worst": {"$last": "$id"},
+                    "best_tag": {"$first": "$tag"},
+                    "n": {"$sum": 1}}},
+        {"$sort": {"_id": 1}},
+    ]).collect()
+    assert [(r["_id"], r["best"], r["worst"], r["best_tag"], r["n"])
+            for r in rows] == [("a", 2, 1, "y", 3), ("b", 4, 4, "w", 1)]
+    got = s.aggregate("t", [
+        {"$sort": {"v": 1}},
+        {"$match": {"v": {"$gt": 8}}},
+        {"$group": {"_id": "$g", "lo": {"$first": "$v"}}},
+        {"$sort": {"_id": 1}},
+    ]).collect()
+    assert [(r["_id"], r["lo"]) for r in got] == [("a", 10.0)]
+    with pytest.raises(DocumentQueryError, match="preceding .sort"):
+        s.aggregate("t", [{"$group": {"_id": "$g",
+                                      "x": {"$first": "$id"}}}])
+    with pytest.raises(DocumentQueryError, match="no order inversion"):
+        s.aggregate("t", [{"$sort": {"tag": -1}},
+                          {"$group": {"_id": "$g",
+                                      "x": {"$first": "$id"}}}])
+    with pytest.raises(DocumentQueryError, match="preceding .sort"):
+        s.aggregate("t", [
+            {"$sort": {"v": -1}},
+            {"$project": {"g": 1, "id": 1}},
+            {"$group": {"_id": "$g", "x": {"$first": "$id"}}}])
