@@ -33,6 +33,9 @@ MONGO_SYS_PROMPT = (
     "$unwind $lookup $unionWith $facet $bucket $bucketAuto $sortByCount "
     "$setWindowFields $densify $fill $graphLookup $sample $replaceRoot "
     "$addFields $set $unset. "
+    "Accumulators incl. $first/$last (after $sort), $topN/$bottomN/"
+    "$minN/$maxN, $median/$percentile (method approximate); window ops "
+    "incl. $derivative/$integral/$expMovingAvg/$locf/$linearFill. "
     "READ-only ($out/$merge refused). LIMIT 100."
 )
 
@@ -498,6 +501,40 @@ class NL2DocEngine:
                         {"$setWindowFields": swf},
                         {"$project": proj},
                         {"$sort": sort},
+                    ],
+                }
+
+        # latest-per-group phrasing — "<latest|most recent|newest|
+        # earliest|oldest> <field> per <g>" compiles to the
+        # sort-then-group $first idiom (q190's surface from NL):
+        # $sort {date ∓1, field 1} → $group {$first} + count
+        lt = _re.search(
+            r"\b(latest|most recent|newest|earliest|oldest)\s+"
+            r"([a-z_]+)\s+per\s+([a-z_]+)",
+            ql,
+        )
+        if lt:
+            word, f_word, g_word = lt.groups()
+            dfld = self._date_field(coll)
+            # exclude_id=False: "per user_id" names an id-suffixed
+            # group key, which the default resolver filters out
+            g = best_field(exclude_id=False, exclude=filtered,
+                           text=g_word)
+            pick = best_field(exclude_id=False,
+                              exclude=filtered | ({g} if g else set()),
+                              text=f_word)
+            if dfld is not None and g is not None and pick is not None \
+                    and pick != dfld:
+                desc = word in ("latest", "most recent", "newest")
+                label = ("latest" if desc else "earliest") + f"_{pick}"
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$sort": {dfld: -1 if desc else 1, pick: 1}},
+                        {"$group": {"_id": f"${g}",
+                                    label: {"$first": f"${pick}"},
+                                    "n": {"$sum": 1}}},
+                        {"$sort": {"_id": 1}},
                     ],
                 }
 

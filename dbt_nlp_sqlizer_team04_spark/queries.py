@@ -389,6 +389,23 @@ def _nl63_doc_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("p90_value", F.round("p90_value", 4))
 
 
+def _nl64_doc_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc latest-per-group phrasing compiles to the sort-then-group
+    $first idiom (q190's surface from NL): $sort {ts desc, id asc} →
+    $group {$first} + count. Oracle: DuckDB ORDER BY-list endpoint."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "latest event_id per user_id for events"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1121,6 +1138,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # percentile phrasing -> $percentile (q187's surface from NL) —
     # NEW r8.
     "nl63_doc_percentile": _nl63_doc_percentile,
+    # latest-per-group phrasing -> sort-then-group $first (q190's
+    # surface from NL) — NEW r8.
+    "nl64_doc_latest_per_group": _nl64_doc_latest_per_group,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -2896,6 +2916,13 @@ ORACLE_SQL: dict[str, str | None] = {
           doc_id := doc_id, text := text, lang := lang,
           source := source, n_chars := n_chars))::VARCHAR)
         LIMIT 25
+    """,
+    "nl64_doc_latest_per_group": """
+        SELECT user_id AS _id,
+               (list(event_id ORDER BY ts DESC, event_id))[1]
+                 AS latest_event_id,
+               count(*) AS n
+        FROM events GROUP BY user_id ORDER BY _id
     """,
     "nl63_doc_percentile": """
         SELECT event_type AS _id,

@@ -2739,3 +2739,20 @@ def test_group_first_last_sort_idiom(spark):
             {"$sort": {"v": -1}},
             {"$project": {"g": 1, "id": 1}},
             {"$group": {"_id": "$g", "x": {"$first": "$id"}}}])
+
+
+def test_nl2doc_latest_per_group_compiles(store):
+    """'<latest|earliest> <field> per <g>' compiles to $sort + $group
+    $first (q190's idiom); 'earliest' flips the date direction."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query("latest event_id per user_id for events")
+    assert q["pipeline"][0] == {"$sort": {"ts": -1, "event_id": 1}}
+    g = q["pipeline"][1]["$group"]
+    assert g["_id"] == "$user_id"
+    assert g["latest_event_id"] == {"$first": "$event_id"}
+    q2 = eng.template_query("earliest event_id per event_type for events")
+    assert q2["pipeline"][0] == {"$sort": {"ts": 1, "event_id": 1}}
+    assert q2["pipeline"][1]["$group"]["earliest_event_id"] == {
+        "$first": "$event_id"}
