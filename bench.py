@@ -202,6 +202,8 @@ HEADLINE = [
     "q188_doc_window_nselect",
     "q189_doc_window_fill",
     "q190_doc_group_first_last",
+    "q191_wordpiece_merges",
+    "q192_wordpiece_encode_stats",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -1719,3 +1719,257 @@ def q183_unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode_stats(
         load_table(spark, sf_dir, "documents"), logp
     )
+
+
+# ---------------------------------------- WordPiece (third tokenizer)
+WORDPIECE_MERGES = 10
+
+
+def _wp_rewrite_syms(syms: list, left: str, right: str) -> list:
+    """One greedy left-to-right WordPiece merge pass: fusing (l, r)
+    yields l + r-without-its-'##' (continuations keep the LEFT
+    symbol's prefix status)."""
+    fused = left + right[2:]
+    s, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            s.append(fused)
+            i += 2
+        else:
+            s.append(syms[i])
+            i += 1
+    return s
+
+
+def wordpiece_train_merges(
+    df: DataFrame, n_merges: int = WORDPIECE_MERGES, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, int, float]], set[str]]:
+    """WordPiece trainer (Schuster & Nakajima 2012 — BERT's tokenizer),
+    the third tokenizer family next to BPE (q110, frequency-greedy) and
+    unigram-LM (q182, EM): each round merges the pair maximizing the
+    LIKELIHOOD gain ``score(a,b) = count(ab) / (count(a)·count(b))`` —
+    rare-but-exclusive pairs beat merely-frequent ones.
+
+    Returns (merge table rows ``(step, left, right, weight, score)``,
+    final symbol vocabulary = corpus alphabet ∪ merge products).
+
+    Spark shape — ``bpe_train_merges``'s exactly: the corpus is touched
+    ONCE (the (term, tf) vocabulary aggregate); initial symbols are the
+    BERT convention (first char bare, continuations '##'-prefixed);
+    each round runs TWO vocab-sized aggregates (adjacent-pair counts
+    and symbol counts, slim keys, map-side combine), collects BOTH —
+    they are symbol-vocabulary-bounded metadata (alphabet + merges,
+    like the PQ codebooks), NOT corpus-sized — scores the pairs with
+    exact driver-side arithmetic (integer counts → one IEEE division
+    per pair; ties break on (weight DESC, left, right) — fully
+    deterministic, pinned by the pure-Python differential replay), and
+    rewrites the symbol arrays in one Arrow pass; ``localCheckpoint``
+    truncates lineage per round. At 100 TB the corpus scan is the only
+    full pass and the learned table ships as an ingest artifact.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    vocab = (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # split("") of an empty tail yields [""], which would mint a bare
+    # "##" symbol for single-char terms — filter it before prefixing
+    syms = F.concat(
+        F.array(F.substring("term", 1, 1)),
+        F.transform(
+            F.filter(
+                F.split(F.expr("substring(term, 2)"), ""),
+                lambda c: c != F.lit(""),
+            ),
+            lambda c: F.concat(F.lit("##"), c),
+        ),
+    )
+    work = vocab.select(syms.alias("syms"), "tf").localCheckpoint()
+
+    merges: list[tuple[int, str, str, int, float]] = []
+    for step in range(n_merges):
+        pairs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pair_rows = (
+            work.select(F.explode(pairs).alias("p"), "tf")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("tf").alias("w"))
+            .collect()
+        )
+        sym_rows = (
+            work.select(F.explode("syms").alias("s"), "tf")
+            .groupBy("s")
+            .agg(F.sum("tf").alias("c"))
+            .collect()
+        )
+        if not pair_rows:
+            break
+        sc = {r["s"]: int(r["c"]) for r in sym_rows}
+        best = min(
+            (
+                (
+                    int(r["w"]) / (sc[r["l"]] * sc[r["r"]]),
+                    int(r["w"]),
+                    r["l"],
+                    r["r"],
+                )
+                for r in pair_rows
+            ),
+            key=lambda t: (-t[0], -t[1], t[2], t[3]),
+        )
+        score, w, l, r = best
+        merges.append((step, l, r, w, score))
+
+        def rewrite(batches, _l=l, _r=r):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "syms": [
+                            _wp_rewrite_syms(list(s), _l, _r)
+                            for s in pdf["syms"]
+                        ],
+                        "tf": pdf["tf"],
+                    }
+                )
+
+        work = work.mapInPandas(
+            rewrite, "syms array<string>, tf bigint"
+        ).localCheckpoint()
+
+    alphabet = {
+        r["s"]
+        for r in vocab.select(
+            F.explode(syms).alias("s")
+        ).distinct().collect()
+    }
+    vocab_set = alphabet | {l + r[2:] for _s, l, r, _w, _sc in merges}
+    return merges, vocab_set
+
+
+def _wp_greedy_encode(term: str, vocab: set[str], max_len: int = 64):
+    """BERT's greedy longest-match-first WordPiece encode: returns
+    (n_units, is_unk). A position with no vocab match makes the whole
+    term a single [UNK] (the reference contract)."""
+    units, start, n = 0, 0, len(term)
+    while start < n:
+        end = min(n, start + max_len)
+        cur = None
+        while end > start:
+            piece = term[start:end]
+            if start > 0:
+                piece = "##" + piece
+            if piece in vocab:
+                cur = end
+                break
+            end -= 1
+        if cur is None:
+            return 1, True
+        units += 1
+        start = cur
+    return max(units, 1), False
+
+
+_WORDPIECE_CACHE: dict = {}
+
+
+def wordpiece_model_for(spark: SparkSession, sf_dir: str):
+    """Once-per-(session, corpus) trained WordPiece model — the ingest
+    artifact convention (_UNIGRAM_CACHE / _PQ_CACHE)."""
+    key = (id(spark), sf_dir)
+    if key not in _WORDPIECE_CACHE:
+        _WORDPIECE_CACHE[key] = wordpiece_train_merges(
+            load_table(spark, sf_dir, "documents")
+        )
+    return _WORDPIECE_CACHE[key]
+
+
+def q191_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 learned WordPiece merges (step, left, right, weight,
+    likelihood score) over the documents corpus. Rows-only to the
+    driver (iterative likelihood loop has no SQL analog); the harness
+    DIFFERENTIAL reference replays the trainer in pure Python and
+    value-checks all five columns."""
+    merges, _vocab = wordpiece_model_for(spark, sf_dir)
+    return spark.createDataFrame(
+        [(s, l, r, w, round(sc, 10)) for s, l, r, w, sc in merges],
+        "step int, left string, right string, weight long, score double",
+    )
+
+
+def wordpiece_encode_stats(
+    df: DataFrame,
+    vocab: set[str],
+    frag_units: int = FRAG_UNITS,
+    text_col: str = "text",
+    by_col: str = "source",
+) -> DataFrame:
+    """Tokenizer APPLY + per-slice coverage audit for the WordPiece
+    family (the q164/q183 audit shape): greedy-encode the DISTINCT
+    vocabulary once (Arrow-batched, vocab broadcast by closure),
+    broadcast-join unit counts back onto the exploded token stream,
+    roll up per ``by_col`` — tokens, units, unk rate, fragmentation
+    rate, mean fan-out."""
+    import pandas as pd  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(by_col),
+        F.explode(tokens_expr(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    terms = toks.select("term").distinct()
+    vb = set(vocab)
+
+    def encode(batches):
+        for pdf in batches:
+            nu, unk = [], []
+            for t in pdf["term"]:
+                u, isu = _wp_greedy_encode(t, vb)
+                nu.append(u)
+                unk.append(isu)
+            yield pd.DataFrame(
+                {"term": pdf["term"], "n_units": nu, "is_unk": unk}
+            )
+
+    enc = terms.mapInPandas(
+        encode, "term string, n_units long, is_unk boolean"
+    )
+    frag = (F.col("n_units") >= frag_units).cast("long")
+    return (
+        toks.join(F.broadcast(enc), "term")
+        .groupBy(by_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_units").alias("n_units"),
+            F.round(
+                F.sum(F.col("is_unk").cast("long")) / F.count(F.lit(1)), 6
+            ).alias("unk_rate"),
+            F.round(F.sum(frag) / F.count(F.lit(1)), 6).alias("frag_rate"),
+            F.round(F.sum("n_units") / F.count(F.lit(1)), 4).alias(
+                "avg_units"
+            ),
+        )
+        .orderBy(by_col)
+    )
+
+
+def q192_wordpiece_encode_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source coverage audit under the TRAINED WordPiece vocab
+    (the audit shape's third tokenizer family). Rows-only to the
+    driver; the harness DIFFERENTIAL reference replays train + greedy
+    apply in pure Python."""
+    _merges, vocab = wordpiece_model_for(spark, sf_dir)
+    return wordpiece_encode_stats(
+        load_table(spark, sf_dir, "documents"), vocab
+    )

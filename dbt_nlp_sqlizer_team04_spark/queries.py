@@ -1306,6 +1306,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $first/$last in $group (the sort-then-group top-1 idiom) via
     # min_by/max_by over direction-normalized key structs — NEW r8.
     "q190_doc_group_first_last": DOC.q190_doc_group_first_last,
+    # WordPiece tokenizer — the THIRD family next to BPE (q110) and
+    # unigram-LM (q182): likelihood merges + greedy longest-match
+    # apply; rows-only to the driver, DIFFERENTIAL pure-Python replay
+    # in the harness — NEW r8.
+    "q191_wordpiece_merges": X.q191_wordpiece_merges,
+    "q192_wordpiece_encode_stats": X.q192_wordpiece_encode_stats,
 }
 
 # --- round-8 driver window (explicit form of the rotation policy at the
@@ -2797,6 +2803,10 @@ ORACLE_SQL: dict[str, str | None] = {
     "q188_doc_window_nselect": DOC.Q188_ORACLE_SQL,
     "q189_doc_window_fill": DOC.Q189_ORACLE_SQL,
     "q190_doc_group_first_last": DOC.Q190_ORACLE_SQL,
+    # WordPiece likelihood loop has no SQL analog -> rows-only to the
+    # driver; value-checked by the harness DIFFERENTIAL references
+    "q191_wordpiece_merges": None,
+    "q192_wordpiece_encode_stats": None,
     "q145_drift_psi": P.drift_psi_oracle_sql(),
     "q146_label_centroids": V.LABEL_CENTROID_ORACLE_SQL,
     "q147_stream_drift": _stream_drift_oracle(),

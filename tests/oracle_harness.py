@@ -845,6 +845,126 @@ def _q67_reference(spark, sf_dir: str):
     return ["doc_id", "chunk_id", "cosine"], scored[:5]
 
 
+def _wp_reference_model(sf_dir: str):
+    """Pure-Python WordPiece trainer replay (Schuster & Nakajima
+    likelihood merges, BERT '##' convention) — no engine code: term
+    frequencies from the parquet, 10 rounds of pair/symbol counting,
+    exact integer counts → one IEEE division per pair, ties on
+    (score desc, weight desc, left, right)."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(table_path(sf_dir, "documents"),
+                          columns=["text"])
+    tf: dict[str, int] = {}
+    for text in pdf["text"]:
+        for t in _py_tokens(text):
+            if t:
+                tf[t] = tf.get(t, 0) + 1
+
+    def syms_of(t):
+        return [t[0]] + ["##" + c for c in t[1:]]
+
+    def rewrite(syms, left, right):
+        fused = left + right[2:]
+        s, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                s.append(fused)
+                i += 2
+            else:
+                s.append(syms[i])
+                i += 1
+        return s
+
+    work = [(syms_of(t), w) for t, w in tf.items()]
+    merges = []
+    for step in range(10):
+        pc: dict[tuple, int] = {}
+        sc: dict[str, int] = {}
+        for syms, w in work:
+            for s in syms:
+                sc[s] = sc.get(s, 0) + w
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + w
+        if not pc:
+            break
+        score, w0, l, r = min(
+            ((w0 / (sc[a] * sc[b]), w0, a, b) for (a, b), w0 in pc.items()),
+            key=lambda t: (-t[0], -t[1], t[2], t[3]),
+        )
+        merges.append((step, l, r, w0, score))
+        work = [(rewrite(syms, l, r), w) for syms, w in work]
+    alphabet = {s for t in tf for s in syms_of(t)}
+    vocab = alphabet | {l + r[2:] for _s, l, r, _w, _sc in merges}
+    return tf, merges, vocab
+
+
+def _q191_reference(spark, sf_dir: str):
+    _tf, merges, _vocab = _wp_reference_model(sf_dir)
+    rows = [(s, l, r, w, round(sc, 10)) for s, l, r, w, sc in merges]
+    return ["step", "left", "right", "weight", "score"], rows
+
+
+def _q192_reference(spark, sf_dir: str):
+    """Replay train + BERT greedy longest-match apply, then the
+    per-source rollup with Spark-round (HALF_UP) mirrors."""
+    import pandas as pd
+
+    _tf, _merges, vocab = _wp_reference_model(sf_dir)
+
+    def encode(term, max_len=64):
+        units, start, n = 0, 0, len(term)
+        while start < n:
+            end = min(n, start + max_len)
+            cur = None
+            while end > start:
+                piece = term[start:end]
+                if start > 0:
+                    piece = "##" + piece
+                if piece in vocab:
+                    cur = end
+                    break
+                end -= 1
+            if cur is None:
+                return 1, True
+            units += 1
+            start = cur
+        return max(units, 1), False
+
+    pdf = pd.read_parquet(table_path(sf_dir, "documents"),
+                          columns=["source", "text"])
+    enc_cache: dict[str, tuple[int, bool]] = {}
+    agg: dict[str, list[int]] = {}
+    for src, text in zip(pdf["source"], pdf["text"]):
+        a = agg.setdefault(src, [0, 0, 0, 0])
+        for t in _py_tokens(text):
+            if not t:
+                continue
+            if t not in enc_cache:
+                enc_cache[t] = encode(t)
+            u, isu = enc_cache[t]
+            a[0] += 1
+            a[1] += u
+            a[2] += 1 if isu else 0
+            a[3] += 1 if u >= 3 else 0
+    rows = [
+        (
+            s,
+            a[0],
+            a[1],
+            _spark_round(a[2] / a[0], 6),
+            _spark_round(a[3] / a[0], 6),
+            _spark_round(a[1] / a[0], 4),
+        )
+        for s, a in sorted(agg.items())
+    ]
+    return (
+        ["source", "n_tokens", "n_units", "unk_rate", "frag_rate",
+         "avg_units"],
+        rows,
+    )
+
+
 def _q186_reference(spark, sf_dir: str):
     """Pandas groupby-ewm replay of q186's $expMovingAvg fields: the
     engine's _apply_ema runs pandas ewm(adjust=False) per user group
@@ -890,6 +1010,8 @@ DIFFERENTIAL = {
     "q67_chunk_retrieval": _q67_reference,
     "q183_unigram_encode_stats": _q183_reference,
     "q186_doc_ema": _q186_reference,
+    "q191_wordpiece_merges": _q191_reference,
+    "q192_wordpiece_encode_stats": _q192_reference,
 }
 
 

@@ -59,6 +59,7 @@ PLANNED: dict[str, int] = {
         "nl63_doc_percentile", "q188_doc_window_nselect",
         "q189_doc_window_fill", "q190_doc_group_first_last",
         "nl64_doc_latest_per_group",
+        "q191_wordpiece_merges", "q192_wordpiece_encode_stats",
     )},
     # the r4 re-confirmation wave that came due at round 8 but did not
     # fit the 50-seat window behind the 28 mandatory target-8 seats:
