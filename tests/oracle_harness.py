@@ -845,6 +845,55 @@ def _q67_reference(spark, sf_dir: str):
     return ["doc_id", "chunk_id", "cosine"], scored[:5]
 
 
+def _q43_reference(spark, sf_dir: str):
+    """Query-side IVF replay over the persisted ingest artifacts (the
+    q89 pairs-table precedent): centroids + cell assignments read from
+    the index tables, cell ranking re-derived with the same driver
+    cosine arithmetic, candidate set = the 6 probed cells' rows, exact
+    left-fold cosine rerank, HALF_UP 6dp, top-10 on (desc cosine, id).
+    Verifies the partition-pruned scan, the probe-rank dedup, and the
+    rerank math; the KMeans fit itself is the artifact (Spark ML's
+    distributed float reductions are not bit-replayable)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import (
+        ivf_table_for,
+    )
+
+    name = ivf_table_for(spark, sf_dir)
+    cent = {
+        int(r["cell"]): [float(x) for x in r["centroid"]]
+        for r in spark.table(f"{name}_centroids").collect()
+    }
+    rows = spark.table(name).collect()
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dot / (na * nb) if na and nb else 0.0
+
+    by_id = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in rows
+        if r["probe_rank"] == 0
+    }
+    q = by_id[0]
+    probe = set(sorted(cent, key=lambda i: -cos(q, cent[i]))[:6])
+    cand = {
+        int(r["vec_id"])
+        for r in rows
+        if r["probe_rank"] == 0 and int(r["cell"]) in probe
+        and int(r["vec_id"]) != 0
+    }
+    scored = sorted(
+        (
+            (vid, _spark_round(_cos_leftfold(by_id[vid], q), 6))
+            for vid in cand
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    return ["vec_id", "cosine"], scored
+
+
 def _wp_reference_model(sf_dir: str):
     """Pure-Python WordPiece trainer replay (Schuster & Nakajima
     likelihood merges, BERT '##' convention) — no engine code: term
@@ -1007,6 +1056,7 @@ DIFFERENTIAL = {
     "q24_ann_lsh_topk": _q24_reference,
     "q28_near_dup_minhash": _q28_reference,
     "q29_simhash_fingerprints": _q29_reference,
+    "q43_ann_ivf_topk": _q43_reference,
     "q67_chunk_retrieval": _q67_reference,
     "q183_unigram_encode_stats": _q183_reference,
     "q186_doc_ema": _q186_reference,
