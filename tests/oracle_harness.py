@@ -845,6 +845,46 @@ def _q67_reference(spark, sf_dir: str):
     return ["doc_id", "chunk_id", "cosine"], scored[:5]
 
 
+def _q40_reference(spark, sf_dir: str):
+    """Closed-form replay of the media-embedding top-k (the q39
+    precedent): the synthetic payloads derive from media_id alone
+    (header + fill-byte body), the stub embedding is sha256 → repeated
+    big-endian uint32 lanes → [-1,1] scale → float64 L2-normalize →
+    float32 — all recomputed here from the spec; then the float32
+    round-trip, left-fold cosine, HALF_UP 6dp, top-5 on (desc cosine,
+    id), id 0 excluded."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    def payload(i: int) -> bytes:
+        w, h, fr = 16 + (i % 8) * 4, 16 + (i % 5) * 4, 1 + (i % 10)
+        body = bytes([i % 256]) * (w * h % 4096)
+        return struct.pack(">4sHHI", b"FAKE", w, h, fr) + body
+
+    def embed(raw: bytes) -> list[float]:
+        digest = hashlib.sha256(raw).digest()
+        need = 16 * 4
+        buf = (digest * (need // len(digest) + 1))[:need]
+        v = np.frombuffer(buf, dtype=">u4").astype(np.float64)
+        v = (v / np.iinfo(np.uint32).max) * 2.0 - 1.0
+        n = np.linalg.norm(v)
+        return [float(x) for x in (v / n if n else v).astype(np.float32)]
+
+    embs = {i: embed(payload(i)) for i in range(64)}
+    q = embs[0]
+    scored = sorted(
+        (
+            (i, _spark_round(_cos_leftfold(e, q), 6))
+            for i, e in embs.items()
+            if i != 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    return ["media_id", "cosine"], scored
+
+
 def _q43_reference(spark, sf_dir: str):
     """Query-side IVF replay over the persisted ingest artifacts (the
     q89 pairs-table precedent): centroids + cell assignments read from
@@ -1056,6 +1096,7 @@ DIFFERENTIAL = {
     "q24_ann_lsh_topk": _q24_reference,
     "q28_near_dup_minhash": _q28_reference,
     "q29_simhash_fingerprints": _q29_reference,
+    "q40_media_embedding_topk": _q40_reference,
     "q43_ann_ivf_topk": _q43_reference,
     "q67_chunk_retrieval": _q67_reference,
     "q183_unigram_encode_stats": _q183_reference,
