@@ -845,6 +845,124 @@ def _q67_reference(spark, sf_dir: str):
     return ["doc_id", "chunk_id", "cosine"], scored[:5]
 
 
+def _q63_reference(spark, sf_dir: str):
+    """SemDeDup replay over the persisted TWO-probe IVF artifact: per
+    cell the same numpy normalize + gemm (identical dtype/ops → bit-
+    identical cosines before the 6dp round), pairs ≥ 0.4 deduped across
+    shared cells, union-find transitive closure with min-id canonical
+    labels, cluster sizes over rank-0 rows. The KMeans geometry is the
+    artifact (q43's convention); everything downstream is re-derived."""
+    import numpy as np
+
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import (
+        ivf_table_for,
+    )
+
+    name = ivf_table_for(spark, sf_dir, n_probe_assign=2)
+    rows = spark.table(name).collect()
+    cells: dict[int, list] = {}
+    primary: dict[int, int] = {}
+    for r in rows:
+        cells.setdefault(int(r["cell"]), []).append(
+            (int(r["vec_id"]), r["embedding"])
+        )
+        if r["probe_rank"] == 0:
+            primary[int(r["vec_id"])] = int(r["cell"])
+    pairs: set[tuple[int, int]] = set()
+    for members in cells.values():
+        ids = np.asarray([i for i, _v in members])
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for _i, v in members]
+        )
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sim = mn @ mn.T
+        iu = np.triu_indices(len(ids), k=1)
+        cos = np.round(sim[iu], 6)
+        keep = cos >= 0.4
+        for a, b in zip(ids[iu[0][keep]], ids[iu[1][keep]]):
+            pairs.add((int(min(a, b)), int(max(a, b))))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    comp = {i: find(i) for i in primary}
+    sizes: dict[int, int] = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    out = [
+        (i, primary[i], comp[i], sizes[comp[i]], int(i == comp[i]))
+        for i in sorted(primary)
+    ]
+    return ["vec_id", "cell", "component", "cluster_size",
+            "is_canonical"], out
+
+
+def _q124_reference(spark, sf_dir: str):
+    """IVF k-NN-graph replay over the persisted 2-probe cells (q63's
+    convention): per cell the same numpy normalize + gemm + 6dp round +
+    stable id-tie-broken local top-k, max-merge of shared-cell pairs,
+    global top-5 per id under (cosine desc, nbr) with 1-based ranks."""
+    import numpy as np
+
+    from dbt_nlp_sqlizer_team04_spark.operators.similarity import (
+        ivf_table_for,
+    )
+
+    name = ivf_table_for(spark, sf_dir, n_probe_assign=2)
+    rows = spark.table(name).collect()
+    cells: dict[int, list] = {}
+    for r in rows:
+        cells.setdefault(int(r["cell"]), []).append(
+            (int(r["vec_id"]), r["embedding"])
+        )
+    best: dict[tuple[int, int], float] = {}
+    for members in cells.values():
+        if len(members) < 2:
+            continue
+        ids = np.asarray([i for i, _v in members])
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for _i, v in members]
+        )
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        order = np.argsort(ids, kind="stable")
+        idb, mb = ids[order], m[order]
+        cos = np.round(m @ mb.T, 6)
+        cos[ids[:, None] == idb[None, :]] = -np.inf
+        kk = min(5, cos.shape[1] - 1)
+        top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        for rix, i in enumerate(ids):
+            for t in top[rix]:
+                v = cos[rix, t]
+                if np.isneginf(v):
+                    continue
+                key = (int(i), int(idb[t]))
+                if v > best.get(key, -2.0):
+                    best[key] = float(v)
+    by_id: dict[int, list] = {}
+    for (i, nbr), v in best.items():
+        by_id.setdefault(i, []).append((v, nbr))
+    out = []
+    for i in sorted(by_id):
+        for rank, (v, nbr) in enumerate(
+            sorted(by_id[i], key=lambda t: (-t[0], t[1]))[:5], start=1
+        ):
+            out.append((i, nbr, v, rank))
+    return ["id", "nbr", "cosine", "rank"], out
+
+
 def _q40_reference(spark, sf_dir: str):
     """Closed-form replay of the media-embedding top-k (the q39
     precedent): the synthetic payloads derive from media_id alone
@@ -1098,6 +1216,8 @@ DIFFERENTIAL = {
     "q29_simhash_fingerprints": _q29_reference,
     "q40_media_embedding_topk": _q40_reference,
     "q43_ann_ivf_topk": _q43_reference,
+    "q63_semantic_dedup": _q63_reference,
+    "q124_knn_graph_ivf": _q124_reference,
     "q67_chunk_retrieval": _q67_reference,
     "q183_unigram_encode_stats": _q183_reference,
     "q186_doc_ema": _q186_reference,
