@@ -141,3 +141,32 @@ def test_window_is_exactly_the_declared_list():
     from dbt_nlp_sqlizer_team04_spark.queries import _R8_WINDOW, SPARK_QUERIES
 
     assert list(SPARK_QUERIES)[:50] == _R8_WINDOW
+
+
+def test_differential_ledger_consistency():
+    """The three places a differential entry is declared stay in sync:
+    every DIFFERENTIAL reference targets a registry entry whose
+    ORACLE_SQL is None (the driver sees rows-only), and the
+    driver-manifest row carries the 'oracle: differential' annotation —
+    so a future promotion (or removal) can't silently desync the
+    ledger the judge reads."""
+    import tests.oracle_harness as oh
+    from dbt_nlp_sqlizer_team04_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    with open(MANIFEST) as f:
+        entries = json.load(f)["entries"]
+    diff = set(oh.DIFFERENTIAL)
+    assert diff <= set(SPARK_QUERIES), diff - set(SPARK_QUERIES)
+    for name in diff:
+        assert ORACLE_SQL.get(name) is None, (
+            f"{name} has BOTH a SQL oracle and a differential reference"
+        )
+        assert entries[name].get("oracle") == "differential", (
+            f"{name} missing the manifest 'oracle: differential' note"
+        )
+    annotated = {
+        n for n, v in entries.items() if v.get("oracle") == "differential"
+    }
+    assert annotated == diff, (
+        f"manifest/DIFFERENTIAL drift: {annotated ^ diff}"
+    )
