@@ -2756,3 +2756,56 @@ def test_nl2doc_latest_per_group_compiles(store):
     assert q2["pipeline"][0] == {"$sort": {"ts": 1, "event_id": 1}}
     assert q2["pipeline"][1]["$group"]["earliest_event_id"] == {
         "$first": "$event_id"}
+
+
+def test_r8_window_ops_plan_contracts(spark):
+    """Machine-checked 100 TB plan shapes for the r8 window/group
+    additions: the calculus trio + N-selection share ONE hash exchange
+    and ONE sort (Window operators chain on the same spec); the EMA
+    stage is one exchange + one Arrow group pass; $first/$last in
+    $group ride the ordinary partial→final aggregate (one hash
+    exchange, no window, no join)."""
+    import datetime as dt
+
+    s = DocumentStore(spark)
+    rows = [
+        (i, "a" if i % 2 == 0 else "b",
+         dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), float(i))
+        for i in range(12)
+    ]
+    s.register("t", spark.createDataFrame(
+        rows, "id int, g string, ts timestamp, v double"))
+
+    def final_plan(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return p.split("== Initial Plan ==")[0]
+
+    calc = s.aggregate("t", [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"ts": 1},
+        "output": {
+            "dv": {"$derivative": {"input": "$v", "unit": "hour"},
+                   "window": {"documents": [-2, "current"]}},
+            "iv": {"$integral": {"input": "$v", "unit": "hour"}},
+            "f2": {"$firstN": {"input": "$v", "n": 2}},
+            "m2": {"$minN": {"input": "$v", "n": 2},
+                   "window": {"documents": [-2, "current"]}},
+        }}}])
+    fp = final_plan(calc)
+    assert fp.count("Exchange hashpartitioning") == 1, fp
+    assert fp.count("+- Sort ") == 1, fp
+
+    ema = s.aggregate("t", [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"ts": 1},
+        "output": {"e": {"$expMovingAvg": {"input": "$v", "N": 3}}}}}])
+    fp = final_plan(ema)
+    assert fp.count("Exchange hashpartitioning") == 1, fp
+    assert fp.count("FlatMapGroupsInPandas") == 1, fp
+
+    fl = s.aggregate("t", [
+        {"$sort": {"v": -1}},
+        {"$group": {"_id": "$g", "best": {"$first": "$id"},
+                    "n": {"$sum": 1}}},
+    ])
+    fp = final_plan(fl)
+    assert fp.count("Exchange hashpartitioning") == 1, fp
+    assert "Window" not in fp and "Join" not in fp, fp
