@@ -674,6 +674,44 @@ class NL2DocEngine:
                     ],
                 }
 
+        # top-N-per-group phrasing — "top <n> <o> by <m> per <g>"
+        # compiles to the $topN accumulator (q187's surface from NL):
+        # one map-side-combinable aggregate, never a window or
+        # per-group re-sort
+        tn = _re.search(
+            r"\btop\s+(\d+)\s+([a-z_]+)\s+by\s+([a-z_]+)\s+per\s+"
+            r"([a-z_]+)",
+            ql,
+        )
+        if tn:
+            n_top, o_word, m_word, g_word = tn.groups()
+            pick = best_field(exclude_id=False, exclude=filtered,
+                              text=o_word)
+            measure = best_field(
+                numeric=True,
+                exclude=filtered | ({pick} if pick else set()),
+                text=m_word,
+            )
+            g = best_field(
+                exclude_id=False,
+                exclude=filtered
+                | {f for f in (pick, measure) if f is not None},
+                text=g_word,
+            )
+            if pick is not None and measure is not None and g is not None:
+                alias = f"top{n_top}_{pick}"
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$group": {"_id": f"${g}",
+                                    alias: {"$topN": {
+                                        "output": f"${pick}",
+                                        "sortBy": {measure: -1},
+                                        "n": int(n_top)}}}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+
         # median / percentile phrasing — "median <m> [per <g>]" /
         # "<P>th percentile of <m> [per <g>]" compiles to the Mongo 7.0
         # $median/$percentile accumulators (q187's surface from NL;

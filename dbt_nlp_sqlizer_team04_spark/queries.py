@@ -406,6 +406,29 @@ def _nl64_doc_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl65_doc_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc top-N-per-group phrasing compiles to the $topN accumulator
+    (q187's surface from NL) — one map-side-combinable aggregate, never
+    a window or per-group re-sort. Oracle: ORDER BY-list slice (ties on
+    the measure fall to the output ascending — the dialect convention,
+    mirrored by the twin's secondary sort key). Array flattened to a
+    string so the hash compare stays scalar."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "top 3 event_id by value per event_type for events"
+    )
+    # ask() routes through the executor's JSON-safe coercion (S10), so
+    # the array column arrives as a compact JSON string — already
+    # scalar and deterministic; the oracle mirrors with to_json
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1141,6 +1164,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # latest-per-group phrasing -> sort-then-group $first (q190's
     # surface from NL) — NEW r8.
     "nl64_doc_latest_per_group": _nl64_doc_latest_per_group,
+    # top-N-per-group phrasing -> $topN accumulator (q187's surface
+    # from NL) — NEW r8.
+    "nl65_doc_topn_per_group": _nl65_doc_topn_per_group,
     # Token-entropy degenerate-text gate — NEW r5.
     "q133_token_entropy": X.q133_token_entropy,
     # Declarative expectation suite over documents (cross-field check) —
@@ -2926,6 +2952,12 @@ ORACLE_SQL: dict[str, str | None] = {
           doc_id := doc_id, text := text, lang := lang,
           source := source, n_chars := n_chars))::VARCHAR)
         LIMIT 25
+    """,
+    "nl65_doc_topn_per_group": """
+        SELECT event_type AS _id,
+               to_json((list(event_id ORDER BY value DESC, event_id))[1:3])
+                 ::VARCHAR AS top3_event_id
+        FROM events GROUP BY event_type ORDER BY _id
     """,
     "nl64_doc_latest_per_group": """
         SELECT user_id AS _id,

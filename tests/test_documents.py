@@ -2809,3 +2809,16 @@ def test_r8_window_ops_plan_contracts(spark):
     fp = final_plan(fl)
     assert fp.count("Exchange hashpartitioning") == 1, fp
     assert "Window" not in fp and "Join" not in fp, fp
+
+
+def test_nl2doc_topn_per_group_compiles(store):
+    """'top <n> <o> by <m> per <g>' compiles to the $topN accumulator
+    with the measure descending."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query("top 3 event_id by value per event_type for events")
+    g = q["pipeline"][0]["$group"]
+    assert g["_id"] == "$event_type"
+    assert g["top3_event_id"] == {"$topN": {
+        "output": "$event_id", "sortBy": {"value": -1}, "n": 3}}

@@ -60,6 +60,7 @@ PLANNED: dict[str, int] = {
         "q189_doc_window_fill", "q190_doc_group_first_last",
         "nl64_doc_latest_per_group",
         "q191_wordpiece_merges", "q192_wordpiece_encode_stats",
+        "nl65_doc_topn_per_group",
     )},
     # the r4 re-confirmation wave that came due at round 8 but did not
     # fit the 50-seat window behind the 28 mandatory target-8 seats:
