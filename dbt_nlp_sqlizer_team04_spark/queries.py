@@ -1340,64 +1340,67 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q192_wordpiece_encode_stats": X.q192_wordpiece_encode_stats,
 }
 
-# --- round-8 driver window (explicit form of the rotation policy at the
+# --- round-9 driver window (explicit form of the rotation policy at the
 # top of this dict; the driver hash-checks the FIRST 50 entries only).
 # This round executes the machine-planned rotation from
-# tests/test_window_policy.py PLANNED (targets written r6/r7 for round
-# 8):
-#   - the four set-operation/percentile r2 debts q41/q42/q48/q49;
-#   - the r6 additions that didn't fit the r7 window: q160-q163, q165
-#     (rows-only — _ROWS_ONLY_SEATS), q167;
-#   - the r3-debt dozen q01/q03/q07/q08/q11/q12/q14-q17/q19/q22;
-#   - the r7 additions q168-q171, nl55, nl56.
-# That is 28 mandatory seats; the remaining 22 go to the oldest slice
-# of the r4 re-confirmation debt that comes due this round (49 entries
-# reach wait > MAX_WAIT at round 8): nl01-nl22. The rest of that wave
-# (nl23 + 26 q-entries) and the round-8 additions (q179-q183, nl61)
-# carry machine-checked round-9/10 targets in PLANNED — deferral is
-# allowed, silence is not.
+# tests/test_window_policy.py PLANNED (targets written r7/r8 for round
+# 9):
+#   - the r7 additions owed a first driver seat: q172-q178, nl57-nl60
+#     (q176 rows-only — _ROWS_ONLY_SEATS);
+#   - the r8 additions q179-q184, nl61 (q182/q183 rows-only —
+#     _ROWS_ONLY_SEATS; both carry DIFFERENTIAL replays locally);
+#   - the r4 re-confirmation remainder that took round-9 targets when
+#     the r8 window filled: nl23, q38, q52, q56, q58-q61, q64,
+#     q70-q72, q75-q77, q79-q85.
+# That is 40 mandatory seats; the remaining 10 go to the oldest slice
+# (added r2, last green r5) of the r5 re-confirmation wave that comes
+# due this round (50 entries reach wait > MAX_WAIT at round 9):
+# q23/q25/q27/q30/q33/q36/q44-q47. The rest of that wave takes
+# machine-checked round-10 targets (33, filling the round-10 window
+# behind its 17 standing seats) and round-11 targets (7) in PLANNED —
+# deferral is allowed, silence is not.
 # tests/test_window_policy.py enforces all of this mechanically: an
 # entry may not wait more than 3 rounds without either a driver-green
 # record (tests/driver_manifest.json) or a seat in the current window,
 # and a PLANNED target that comes due fails the build. Every tail entry
 # stays locally hash-verified per round by test_relational_oracle.py.
-_R8_WINDOW = [
-    # PLANNED target-8: r2-debt set operations / percentiles
-    "q41_intersect_nations", "q42_except_unordered_parts",
-    "q48_cube_status_priority", "q49_price_percentiles",
-    # PLANNED target-8: r6 additions rotating in
-    "q160_nation_profit", "q161_important_parts",
-    "q162_ship_delay_priority", "q163_supplier_count_by_part",
-    "q165_hotkey_sketch", "q167_doc_pagination",
-    # PLANNED target-8: the r3-debt dozen
-    "q01_pricing_summary", "q03_top_revenue_orders",
-    "q07_window_partition_avg", "q08_rank_orders",
-    "q11_scalar_subquery", "q12_cte_nation_sales",
-    "q14_group_having", "q15_exists_semi", "q16_not_exists_anti",
-    "q17_profile_stats", "q19_events_hourly",
-    "q22_rollup_region_nation",
-    # PLANNED target-8: r7 additions rotating in
-    "q168_doc_lookup_correlated", "q169_doc_union_with",
-    "q170_doc_window_fields", "q171_doc_densify_fill",
-    "nl55_doc_pagination", "nl56_doc_lookup_counts",
-    # r4 re-confirmation debt coming due this round (oldest slice)
-    "nl01_count_per_priority", "nl02_avg_balance_per_segment",
-    "nl03_distinct_segments", "nl04_doc_count_per_type",
-    "nl05_sum_price_per_status", "nl06_top5_orders",
-    "nl07_max_balance_per_nation", "nl08_count_parts_per_brand",
-    "nl09_trained_balance_by_segment", "nl10_trained_count_per_priority",
-    "nl11_trained_doc_avg_chars", "nl12_count_customers_per_region",
-    "nl13_orders_per_month", "nl14_building_customers_per_nation",
-    "nl15_big_orders_per_priority", "nl16_orders_1995_per_priority",
-    "nl17_customers_name_contains", "nl18_doc_regex_count_per_lang",
-    "nl19_orders_per_status_and_priority",
-    "nl20_midrange_orders_per_priority",
-    "nl21_orders_count_and_avg_per_priority",
-    "nl22_top3_segments_by_avg_balance",
+_R9_WINDOW = [
+    # PLANNED target-9: r7 additions owed a first driver seat
+    "q172_doc_graph_lookup", "q173_doc_bucket_auto",
+    "q174_doc_sample", "q175_doc_trailing_window",
+    "q176_ann_ivfpq_topk", "q177_doc_lookup_topn",
+    "q178_doc_lookup_group",
+    "nl57_doc_running_total", "nl58_doc_daily_gapfill",
+    "nl59_doc_equal_buckets", "nl60_doc_sample",
+    # PLANNED target-9: r8 additions rotating in
+    "q179_doc_graph_lookup_array", "q180_doc_window_stats",
+    "q181_doc_lookup_group_keyed", "q182_unigram_lm_vocab",
+    "q183_unigram_encode_stats", "q184_doc_expr_dialect",
+    "nl61_doc_union",
+    # PLANNED target-9: the r4 re-confirmation remainder
+    "nl23_priority_with_most_orders",
+    "q38_events_stream_rollup", "q52_ngram_jaccard_pairs",
+    "q56_sequence_packing", "q58_materialized_sequences",
+    "q59_contamination_check", "q60_dup_clusters",
+    "q61_corpus_funnel", "q64_incremental_rollup",
+    "q70_incremental_dedup", "q71_vocab_head",
+    "q72_unigram_doc_scores", "q75_bm25_topk",
+    "q76_gopher_quality", "q77_int8_quant_topk",
+    "q79_bigram_doc_scores", "q80_hybrid_rrf_topk",
+    "q81_price_histogram", "q82_best_docs_per_source",
+    "q83_local_supplier_volume", "q84_media_decode_rollup",
+    "q85_dataset_diff",
+    # r5 re-confirmation debt coming due this round (oldest slice,
+    # added r2)
+    "q23_cosine_topk", "q25_sim_pairs_blocked",
+    "q27_dedup_normalized", "q30_text_stats",
+    "q33_tfidf_top_terms", "q36_doc_pipeline",
+    "q44_asof_last_click", "q45_user_sessions",
+    "q46_range_join_nearby", "q47_rollup_cascade_daily",
 ]
-assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
-SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R8_WINDOW} | {
-    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R8_WINDOW)
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R9_WINDOW} | {
+    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R9_WINDOW)
 }
 
 def _TS_cohort_oracle() -> str:

@@ -57,6 +57,11 @@ _ROWS_ONLY_SEATS = {
     "q89_neardup_pagerank", "q110_bpe_merges",
     # r8 window seat (sketch tier — accuracy pytest vs the exact twin)
     "q165_hotkey_sketch",
+    # r9 window seats: the IVFADC sketch tier and the unigram-LM
+    # tokenizer pair — all three carry DIFFERENTIAL pure-Python value
+    # replays in tests/oracle_harness.py
+    "q176_ann_ivfpq_topk", "q182_unigram_lm_vocab",
+    "q183_unigram_encode_stats",
 }
 
 

@@ -27,30 +27,13 @@ import os
 MANIFEST = os.path.join(os.path.dirname(__file__), "driver_manifest.json")
 MAX_WAIT = 3
 
-# The r8+ window plan (mirrors the policy comment at queries.py's
-# _R8_WINDOW). The round-8 window seats every target-8 entry plus the
-# nl01-nl22 slice of the r4 re-confirmation wave; what did not fit
-# takes round-9/10 targets below. When a target round arrives and the
-# entry is neither driver-green nor seated, test_no_overdue_entries
+# The r9+ window plan (mirrors the policy comment at queries.py's
+# _R9_WINDOW). The round-9 window seats every target-9 entry plus the
+# oldest slice (added r2) of the r5 re-confirmation wave; what did not
+# fit takes round-10/11 targets below. When a target round arrives and
+# the entry is neither driver-green nor seated, test_no_overdue_entries
 # fails the build.
 PLANNED: dict[str, int] = {
-    # round-7 additions still owed a first driver seat (split r8/r9 at
-    # land time; the r8 half is seated in _R8_WINDOW)
-    **{k: 9 for k in (
-        "q172_doc_graph_lookup", "q173_doc_bucket_auto",
-        "nl57_doc_running_total", "nl58_doc_daily_gapfill",
-        "q174_doc_sample", "q175_doc_trailing_window",
-        "nl59_doc_equal_buckets", "q176_ann_ivfpq_topk",
-        "nl60_doc_sample", "q177_doc_lookup_topn", "q178_doc_lookup_group",
-    )},
-    # round-8 additions — "additions rotate in within two rounds" made
-    # machine-checkable at land time
-    **{k: 9 for k in (
-        "q179_doc_graph_lookup_array", "q180_doc_window_stats",
-        "q181_doc_lookup_group_keyed", "q182_unigram_lm_vocab",
-        "q183_unigram_encode_stats", "nl61_doc_union",
-        "q184_doc_expr_dialect",
-    )},
     # late-r8 additions (landed after the r8 window was frozen) — the
     # two-round rotation contract gives them round-10 targets
     **{k: 10 for k in (
@@ -62,29 +45,43 @@ PLANNED: dict[str, int] = {
         "q191_wordpiece_merges", "q192_wordpiece_encode_stats",
         "nl65_doc_topn_per_group",
     )},
-    # the r4 re-confirmation wave that came due at round 8 but did not
-    # fit the 50-seat window behind the 28 mandatory target-8 seats:
-    # 22 of 49 are seated (nl01-nl22, _R8_WINDOW); the remainder takes
-    # round-9 targets (22 — leaving ~11 r9 seats for the r5 wave that
-    # comes due there) and round-10 targets (5)
-    **{k: 9 for k in (
-        "nl23_priority_with_most_orders",
-        "q38_events_stream_rollup", "q52_ngram_jaccard_pairs",
-        "q56_sequence_packing", "q58_materialized_sequences",
-        "q59_contamination_check", "q60_dup_clusters",
-        "q61_corpus_funnel", "q64_incremental_rollup",
-        "q70_incremental_dedup", "q71_vocab_head",
-        "q72_unigram_doc_scores", "q75_bm25_topk",
-        "q76_gopher_quality", "q77_int8_quant_topk",
-        "q79_bigram_doc_scores", "q80_hybrid_rrf_topk",
-        "q81_price_histogram", "q82_best_docs_per_source",
-        "q83_local_supplier_volume", "q84_media_decode_rollup",
-        "q85_dataset_diff",
-    )},
+    # the r4-wave tail deferred r8 -> r10 (did not fit behind the 28
+    # mandatory r8 seats, nor the 40 mandatory r9 seats)
     **{k: 10 for k in (
         "q86_bpe_pair_stats", "q87_conversion_funnel",
         "q88_cohort_retention", "q90_lineitem_correlations",
         "q91_custkey_skew",
+    )},
+    # the r5 re-confirmation wave that came due at round 9 (50 entries
+    # reach wait > MAX_WAIT there) but did not fit the 50-seat window
+    # behind the 40 mandatory target-9 seats: the 10 oldest (added r2)
+    # are seated (_R9_WINDOW); the remainder takes round-10 targets
+    # (33 — exactly filling the round-10 window behind its 17 standing
+    # seats above) and round-11 targets (7)
+    **{k: 10 for k in (
+        "q50_train_val_test_split", "q51_stratified_sample",
+        "q53_cosine_near_dup_pairs", "q54_pii_scrub_stats",
+        "q55_session_window_details", "q57_repetition_quality",
+        "q62_source_mixing", "q66_doc_chunks",
+        "q68_shard_manifest", "q69_sliding_rollup",
+        "q74_segment_dedup", "q93_binational_volume",
+        "q94_returned_items", "q95_order_count_distribution",
+        "q96_large_quantity_orders", "q97_market_share",
+        "q98_idle_rich_customers", "q99_dup_span_stats",
+        "q100_curriculum_order", "q101_enriched_events",
+        "q102_cosine_range", "q103_event_transitions",
+        "q104_label_profile", "q105_event_anomalies",
+        "q106_hourly_first_events", "q107_knn_graph",
+        "q108_mutual_knn_clusters", "q109_rolling_user_value",
+        "q111_incremental_profile", "q112_term_pmi",
+        "q114_doc_lookup_rollup", "q117_window_zoo",
+        "q118_grouping_sets",
+    )},
+    **{k: 11 for k in (
+        "q119_corpus_report", "q120_bpe_encode_stats",
+        "q121_promo_revenue_share", "q122_top_suppliers",
+        "q123_small_quantity_revenue",
+        "nl45_customers_acctbal_recorded", "nl46_orders_big_or_small",
     )},
 }
 
@@ -139,9 +136,9 @@ def test_no_overdue_entries():
 def test_window_is_exactly_the_declared_list():
     """The first 50 registry keys ARE the explicit window list — the
     dict reordering did what the policy comment says."""
-    from dbt_nlp_sqlizer_team04_spark.queries import _R8_WINDOW, SPARK_QUERIES
+    from dbt_nlp_sqlizer_team04_spark.queries import _R9_WINDOW, SPARK_QUERIES
 
-    assert list(SPARK_QUERIES)[:50] == _R8_WINDOW
+    assert list(SPARK_QUERIES)[:50] == _R9_WINDOW
 
 
 def test_differential_ledger_consistency():
