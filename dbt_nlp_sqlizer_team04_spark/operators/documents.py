@@ -488,9 +488,36 @@ def _ref(arg: Any, resolve=None) -> Column:
     tokens become Columns — the correlated-$lookup compiler uses it to
     bind '$field' to the foreign side and '$$var' to the local side."""
     if isinstance(arg, str) and arg.startswith("$"):
-        return resolve(arg) if resolve is not None else F.col(arg[1:])
+        if resolve is not None:
+            return resolve(arg)
+        if arg.startswith("$$"):
+            raise DocumentQueryError(f"Unbound expression variable: {arg}")
+        return F.col(arg[1:])
     if isinstance(arg, dict):
-        return _expr(arg, resolve)
+        if len(arg) == 1 and next(iter(arg)).startswith("$"):
+            return _expr(arg, resolve)
+        # document literal (Mongo's object construction in expression
+        # position): {"k": e, …} → a struct with each value compiled —
+        # what $arrayToObject/$objectToArray/$getField compose over
+        if not arg:
+            raise DocumentQueryError(
+                "empty document literal is not a compilable expression"
+            )
+        bad = [k for k in arg if k.startswith("$")]
+        if bad:
+            raise DocumentQueryError(
+                f"document literal keys may not start with '$': {bad} "
+                "(a single-key $-dict is an operator expression)"
+            )
+        return F.struct(
+            *[_ref(v, resolve).alias(k) for k, v in arg.items()]
+        )
+    if isinstance(arg, list):
+        # array literal: each element compiles as an expression (Mongo
+        # semantics — '$refs' and document literals nest inside)
+        if not arg:
+            return F.array().cast("array<string>")
+        return F.array(*[_ref(e, resolve) for e in arg])
     return F.lit(arg)
 
 
@@ -543,6 +570,20 @@ _EXPR_OPS = {
     "$concatArrays": lambda *xs: F.concat(*xs),
     "$ifNull": lambda *xs: F.coalesce(*xs),
     "$in": lambda v, arr: F.array_contains(arr, v),
+    "$not": lambda a: ~a.cast("boolean"),
+    # ---- object/map (r9): the doc plane's dynamic-key objects are MAP
+    # columns; $objectToArray emits Mongo's [{k, v}, …] shape in the
+    # map's entry order (map_from_entries preserves insertion order, so
+    # a build→entries round-trip is order-stable). $arrayToObject takes
+    # the same {k, v} shape back. Struct inputs fail at analysis time
+    # with Spark's type error — dynamic keys belong in maps.
+    "$objectToArray": lambda m: F.transform(
+        F.map_entries(m),
+        lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+    ),
+    "$arrayToObject": lambda a: F.map_from_entries(
+        F.transform(a, lambda e: F.struct(e["k"], e["v"]))
+    ),
     "$setUnion": lambda *xs: F.array_sort(F.array_distinct(F.concat(*xs))),
     "$setIntersection": lambda a, b: F.array_sort(F.array_intersect(a, b)),
     "$setDifference": lambda a, b: F.array_sort(F.array_except(a, b)),
@@ -593,6 +634,88 @@ _START_OF_WEEK = {
     "thursday": 5, "friday": 6, "saturday": 7,
     "sun": 1, "mon": 2, "tue": 3, "wed": 4, "thu": 5, "fri": 6, "sat": 7,
 }
+
+
+# Mongo $dateToString/$dateFromString format specifiers → Spark
+# datetime-pattern fields (Spark's DateTimeFormatter dialect). Only
+# specifiers with an exact Spark field are mapped; %G/%V/%u (ISO week
+# dialect) and %z/%Z (offset rendering) have no loss-free Spark
+# equivalent under the proleptic calendar and are refused loudly.
+_MONGO_FMT_SPECS = {
+    "Y": "yyyy", "m": "MM", "d": "dd", "H": "HH", "M": "mm", "S": "ss",
+    "L": "SSS", "j": "DDD",
+}
+
+
+def _mongo_datetime_fmt(fmt: str, op: str) -> str:
+    """Translate a Mongo %-format string into a Spark datetime pattern.
+    Literal runs are single-quoted so format text can never collide
+    with pattern letters ('T' in ISO strings, stray 'y', …)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            if i + 1 >= len(fmt):
+                raise DocumentQueryError(
+                    f"{op}: dangling '%' in format {fmt!r}"
+                )
+            spec = fmt[i + 1]
+            if spec == "%":
+                lit.append("%")
+            else:
+                pat = _MONGO_FMT_SPECS.get(spec)
+                if pat is None:
+                    raise DocumentQueryError(
+                        f"{op}: unsupported format specifier %{spec} "
+                        f"in {fmt!r} (supported: "
+                        f"%{'/%'.join(sorted(_MONGO_FMT_SPECS))}, %%)"
+                    )
+                flush()
+                out.append(pat)
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+# Mongo $regexMatch/$regexFind options → Java inline-flag letters
+# (identical meanings: i=case-insensitive, m=multiline anchors,
+# s=dotall, x=comments)
+_REGEX_OPTIONS = {"i", "m", "s", "x"}
+
+
+def _regex_operands(op: str, operands: Any) -> tuple[Any, str]:
+    """Validate {input, regex, options} for the $regex* expression ops.
+    The pattern and options must be COMPILE-TIME literals: the engine
+    folds them into the Catalyst expression (and counts capture
+    groups), so a field-path regex cannot be compiled — refuse loudly
+    rather than treating it as literal text."""
+    if not (isinstance(operands, dict) and "input" in operands
+            and "regex" in operands):
+        raise DocumentQueryError(f"{op} needs input+regex: {operands!r}")
+    pattern = operands["regex"]
+    if not isinstance(pattern, str) or pattern.startswith("$"):
+        raise DocumentQueryError(
+            f"{op} regex must be a literal string: {pattern!r}"
+        )
+    opts = operands.get("options", "")
+    if not isinstance(opts, str) or not set(opts) <= _REGEX_OPTIONS:
+        raise DocumentQueryError(
+            f"{op} bad options {opts!r} (supported: i, m, s, x)"
+        )
+    if opts:
+        pattern = "(?" + "".join(sorted(set(opts))) + ")" + pattern
+    return operands["input"], pattern
 
 
 def _expr(spec: dict[str, Any], resolve=None) -> Column:
@@ -839,6 +962,169 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
                         "hour", "minute", "second"):
             raise DocumentQueryError(f"{op} bad unit: {unit!r}")
         return d + F.expr(f"interval {amt} {unit}")
+    if op == "$dateToString":
+        # {"format": "%Y-%m-%d…", "date": e, "onNull": e?} →
+        # date_format under a translated Spark pattern (literal runs
+        # quoted). Default format is Mongo's ISO shape. "timezone" is
+        # refused (the engine normalizes timestamps to UTC on ingest —
+        # sources/parquet.py — so a per-expression zone would silently
+        # double-shift).
+        if not (isinstance(operands, dict) and "date" in operands):
+            raise DocumentQueryError(f"$dateToString needs date: {spec!r}")
+        if "timezone" in operands:
+            raise DocumentQueryError(
+                "$dateToString timezone is not supported: timestamps "
+                "are UTC-normalized on ingest"
+            )
+        fmt = operands.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+        if not isinstance(fmt, str):
+            raise DocumentQueryError(f"$dateToString bad format: {fmt!r}")
+        rendered = F.date_format(
+            _ref(operands["date"], resolve),
+            _mongo_datetime_fmt(fmt, "$dateToString"),
+        )
+        if "onNull" in operands:
+            rendered = F.coalesce(rendered, _ref(operands["onNull"], resolve))
+        return rendered
+    if op == "$dateFromString":
+        # {"dateString": e, "format": literal?, "onError": e?,
+        # "onNull": e?} → to_timestamp. Without onError the parse is
+        # STRICT (ANSI to_timestamp raises on malformed input — Mongo
+        # throws too); with onError the try_ variant substitutes the
+        # fallback for parse failures only. onNull handles null INPUT
+        # before the parse, mirroring Mongo's precedence.
+        if not (isinstance(operands, dict) and "dateString" in operands):
+            raise DocumentQueryError(
+                f"$dateFromString needs dateString: {spec!r}"
+            )
+        if "timezone" in operands:
+            raise DocumentQueryError(
+                "$dateFromString timezone is not supported: timestamps "
+                "are UTC-normalized on ingest"
+            )
+        s = _ref(operands["dateString"], resolve)
+        fmt = operands.get("format")
+        if fmt is not None:
+            if not isinstance(fmt, str) or fmt.startswith("$"):
+                raise DocumentQueryError(
+                    f"$dateFromString format must be a literal: {fmt!r}"
+                )
+            pat = _mongo_datetime_fmt(fmt, "$dateFromString")
+            parsed = (F.try_to_timestamp(s, F.lit(pat))
+                      if "onError" in operands
+                      else F.to_timestamp(s, pat))
+        else:
+            parsed = (F.try_to_timestamp(s) if "onError" in operands
+                      else F.to_timestamp(s))
+        if "onError" in operands:
+            parsed = F.coalesce(parsed, _ref(operands["onError"], resolve))
+        if "onNull" in operands:
+            parsed = F.when(s.isNull(),
+                            _ref(operands["onNull"], resolve)
+                            ).otherwise(parsed)
+        return parsed
+    if op == "$regexMatch":
+        inp, pattern = _regex_operands(op, operands)
+        return F.regexp_like(_ref(inp, resolve), F.lit(pattern))
+    if op == "$regexFind":
+        # First-match document {match, idx, captures} or null when
+        # nothing matches — Mongo's shape, all native regexp_* calls on
+        # ONE input expression (codegen CSEs the repeated pattern).
+        # idx is the 0-based match offset (regexp_instr is 1-based).
+        # Documented divergence: a non-participating capture group
+        # yields '' (regexp_extract's convention), not null.
+        import re as _re_mod
+
+        inp, pattern = _regex_operands(op, operands)
+        try:
+            n_groups = _re_mod.compile(pattern).groups
+        except _re_mod.error as exc:
+            raise DocumentQueryError(
+                f"$regexFind bad pattern {pattern!r}: {exc}"
+            ) from exc
+        s = _ref(inp, resolve)
+        lit_pat = F.lit(pattern)
+        doc = F.struct(
+            F.regexp_extract(s, pattern, 0).alias("match"),
+            (F.regexp_instr(s, lit_pat) - F.lit(1)).cast("long").alias("idx"),
+            F.array(*[
+                F.regexp_extract(s, pattern, g)
+                for g in range(1, n_groups + 1)
+            ]).cast("array<string>").alias("captures"),
+        )
+        return F.when(F.regexp_like(s, lit_pat), doc)
+    if op == "$let":
+        # {"vars": {name: e, …}, "in": body} — vars evaluate in the
+        # ENCLOSING scope (Mongo's rule: a var may not see its
+        # siblings), then the body resolves '$$name' through the same
+        # scoped-resolver machinery the array lambdas use.
+        if not (isinstance(operands, dict)
+                and isinstance(operands.get("vars"), dict)
+                and "in" in operands):
+            raise DocumentQueryError(f"Bad $let: {spec!r}")
+        bindings = {
+            name: _ref(val, resolve)
+            for name, val in operands["vars"].items()
+        }
+        return _ref(operands["in"], _scoped_resolve(resolve, bindings))
+    if op == "$getField":
+        # {"field": literal, "input": e} pulls a struct field / map key;
+        # the string shorthand reads a top-level field of the current
+        # document (dots are LITERAL in Mongo's $getField — that is its
+        # reason to exist — so the shorthand refuses them rather than
+        # silently nesting).
+        if isinstance(operands, str):
+            if "." in operands:
+                raise DocumentQueryError(
+                    "$getField shorthand with a dotted name needs the "
+                    "{field, input} form"
+                )
+            return _ref("$" + operands, resolve)
+        if not (isinstance(operands, dict) and "field" in operands
+                and "input" in operands):
+            raise DocumentQueryError(f"Bad $getField: {spec!r}")
+        field = operands["field"]
+        if not isinstance(field, str) or field.startswith("$"):
+            raise DocumentQueryError(
+                f"$getField field must be a literal string: {field!r}"
+            )
+        return _ref(operands["input"], resolve)[field]
+    if op == "$replaceAll":
+        # {"input", "find", "replacement"} — Mongo replaces LITERAL
+        # substrings; F.replace is the non-regex replacement (all three
+        # operands may be expressions).
+        if not (isinstance(operands, dict) and "input" in operands
+                and "find" in operands and "replacement" in operands):
+            raise DocumentQueryError(f"Bad $replaceAll: {spec!r}")
+        return F.replace(
+            _ref(operands["input"], resolve),
+            _ref(operands["find"], resolve),
+            _ref(operands["replacement"], resolve),
+        )
+    if op == "$indexOfCP":
+        # [string, substring, start?, end?] → 0-based index of the
+        # first occurrence, -1 when absent (locate's 0 → -1). The
+        # substring and bounds must be literals: locate() folds the
+        # needle into the codegen'd expression.
+        if not (isinstance(operands, list) and len(operands) in (2, 3, 4)):
+            raise DocumentQueryError(f"$indexOfCP needs 2-4 operands: {spec!r}")
+        needle = operands[1]
+        if not isinstance(needle, str) or needle.startswith("$"):
+            raise DocumentQueryError(
+                f"$indexOfCP substring must be a literal string: {needle!r}"
+            )
+        s = _ref(operands[0], resolve)
+        if len(operands) == 4:
+            end = _int_literal(operands[3], "$indexOfCP")
+            # Mongo's end bound is exclusive and CONTAINING: the whole
+            # match must lie within [start, end) — searching the
+            # end-length prefix reproduces that exactly
+            s = F.substring(s, 1, end)
+        start = (_int_literal(operands[2], "$indexOfCP")
+                 if len(operands) >= 3 else 0)
+        if start < 0:
+            raise DocumentQueryError("$indexOfCP start must be >= 0")
+        return (F.locate(needle, s, start + 1) - F.lit(1)).cast("long")
     fn = _EXPR_OPS.get(op)
     if fn is None:
         raise DocumentQueryError(f"Unsupported expression operator: {op}")
@@ -4733,4 +5019,140 @@ Q190_ORACLE_SQL = """
              AS earliest_key,
            count(*) AS n
     FROM t GROUP BY o_custkey ORDER BY _id
+"""
+
+
+def q193_doc_expr_dialect2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 expression-dialect surface in one $addFields projection:
+    $dateToString/$dateFromString (Mongo %-formats translated to Spark
+    datetime patterns, literal runs quoted, strict parse + onError),
+    $regexMatch (with options) and $regexFind (match/idx/captures doc),
+    $let ($$-scoped vars), $getField over struct results, $replaceAll,
+    $indexOfCP (plain and [start, end)-bounded), and the object plane —
+    document literals → $arrayToObject → map → $objectToArray round-trip.
+    Everything compiles to native Catalyst (date_format, to_timestamp,
+    regexp_like/extract/instr, locate, replace, map_* functions) inside
+    ONE whole-stage-codegen projection — zero UDFs, zero extra stages.
+    Oracle: DuckDB strftime/strptime/regexp/strpos/list twins.
+    Reference parity: extends the expression dialect of the reference's
+    Mongo surface (backend/mongo_translator.py) the same way q184 does."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    kv_map = {"$arrayToObject": {"$map": {
+        "input": {"$split": ["$o_orderpriority", "-"]},
+        "as": "w",
+        "in": {"k": "$$w", "v": {"$toLong": {"$strLenCP": "$$w"}}},
+    }}}
+    out = store.aggregate(
+        "orders",
+        [
+            {"$match": {"o_orderkey": {"$lte": 300}}},
+            {"$addFields": {
+                "odate_str": {"$dateToString": {
+                    "format": "%j/%Y %m-%d", "date": "$o_orderdate"}},
+                "roundtrip": {"$toDate": {"$dateFromString": {
+                    "dateString": {"$dateToString": {
+                        "format": "%Y/%m/%d", "date": "$o_orderdate"}},
+                    "format": "%Y/%m/%d"}}},
+                "fallback_day": {"$toDate": {"$dateFromString": {
+                    "dateString": "$o_orderpriority",
+                    "onError": {"$toDate": "1999-01-01"}}}},
+                "is_urgent": {"$regexMatch": {
+                    "input": "$o_orderpriority", "regex": "^[1-2]-"}},
+                "has_urgent_ci": {"$regexMatch": {
+                    "input": "$o_orderpriority", "regex": "urgent",
+                    "options": "i"}},
+                "prio_num": {"$toInt": {"$arrayElemAt": [
+                    {"$getField": {
+                        "field": "captures",
+                        "input": {"$regexFind": {
+                            "input": "$o_orderpriority",
+                            "regex": "^([0-9]+)-"}}}}, 0]}},
+                "word_match": {"$getField": {
+                    "field": "match",
+                    "input": {"$regexFind": {
+                        "input": "$o_orderpriority",
+                        "regex": "[A-Z]{5,}"}}}},
+                "word_idx": {"$ifNull": [
+                    {"$getField": {
+                        "field": "idx",
+                        "input": {"$regexFind": {
+                            "input": "$o_orderpriority",
+                            "regex": "[A-Z]{5,}"}}}},
+                    -1]},
+                "capped": {"$let": {
+                    "vars": {"t": {"$divide": ["$o_totalprice", 7]}},
+                    "in": {"$round": [{"$add": ["$$t", "$$t"]}, 2]}}},
+                "replaced": {"$replaceAll": {
+                    "input": "$o_orderpriority", "find": "-",
+                    "replacement": "::"}},
+                "idx_e": {"$indexOfCP": ["$o_orderpriority", "E"]},
+                "idx_e_bounded": {"$indexOfCP":
+                                  ["$o_orderpriority", "E", 3, 7]},
+                "n_keys": {"$size": {"$objectToArray": kv_map}},
+                "first_k": {"$getField": {
+                    "field": "k",
+                    "input": {"$arrayElemAt":
+                              [{"$objectToArray": kv_map}, 0]}}},
+                "second_v": {"$getField": {
+                    "field": "v",
+                    "input": {"$arrayElemAt":
+                              [{"$objectToArray": kv_map}, 1]}}},
+            }},
+            {"$project": {"o_orderkey": 1, "odate_str": 1, "roundtrip": 1,
+                          "fallback_day": 1, "is_urgent": 1,
+                          "has_urgent_ci": 1, "prio_num": 1,
+                          "word_match": 1, "word_idx": 1, "capped": 1,
+                          "replaced": 1, "idx_e": 1,
+                          "idx_e_bounded": 1, "n_keys": 1,
+                          "first_k": 1, "second_v": 1}},
+            {"$sort": {"o_orderkey": 1}},
+            {"$limit": 150},
+        ],
+    )
+    return out
+
+
+Q193_ORACLE_SQL = """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%j/%Y %m-%d') AS odate_str,
+           CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'),
+                         '%Y/%m/%d') AS DATE) AS roundtrip,
+           CAST(coalesce(TRY_CAST(o_orderpriority AS TIMESTAMP),
+                         TIMESTAMP '1999-01-01') AS DATE)
+             AS fallback_day,
+           regexp_matches(o_orderpriority, '^[1-2]-') AS is_urgent,
+           regexp_matches(o_orderpriority, 'urgent', 'i')
+             AS has_urgent_ci,
+           CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS INT)
+             AS prio_num,
+           CASE WHEN regexp_matches(o_orderpriority, '[A-Z]{5,}')
+                THEN regexp_extract(o_orderpriority, '[A-Z]{5,}', 0)
+           END AS word_match,
+           CAST(CASE WHEN regexp_matches(o_orderpriority, '[A-Z]{5,}')
+                     THEN strpos(o_orderpriority,
+                          regexp_extract(o_orderpriority,
+                                         '[A-Z]{5,}', 0)) - 1
+                     ELSE -1
+                END AS BIGINT) AS word_idx,
+           round_even(o_totalprice / 7 * 2, 2) AS capped,
+           replace(o_orderpriority, '-', '::') AS replaced,
+           CAST(strpos(o_orderpriority, 'E') - 1 AS BIGINT) AS idx_e,
+           CAST(CASE WHEN strpos(substring(o_orderpriority, 4, 4),
+                                 'E') = 0
+                     THEN -1
+                     ELSE strpos(substring(o_orderpriority, 4, 4), 'E')
+                          + 2
+                END AS BIGINT) AS idx_e_bounded,
+           CAST(len(string_split(o_orderpriority, '-')) AS BIGINT)
+             AS n_keys,
+           string_split(o_orderpriority, '-')[1] AS first_k,
+           CAST(length(string_split(o_orderpriority, '-')[2]) AS BIGINT)
+             AS second_v
+    FROM orders
+    WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    LIMIT 150
 """

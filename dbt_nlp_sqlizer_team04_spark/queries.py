@@ -1338,6 +1338,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # in the harness — NEW r8.
     "q191_wordpiece_merges": X.q191_wordpiece_merges,
     "q192_wordpiece_encode_stats": X.q192_wordpiece_encode_stats,
+    # r9 expression-dialect surface ($dateToString/$dateFromString/
+    # $regexMatch/$regexFind/$let/$getField/$replaceAll/$indexOfCP +
+    # document literals → $arrayToObject/$objectToArray) in one
+    # whole-stage-codegen projection — NEW r9.
+    "q193_doc_expr_dialect2": DOC.q193_doc_expr_dialect2,
 }
 
 # --- round-9 driver window (explicit form of the rotation policy at the
@@ -2824,6 +2829,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q180_doc_window_stats": DOC.Q180_ORACLE_SQL,
     "q181_doc_lookup_group_keyed": DOC.Q181_ORACLE_SQL,
     "q184_doc_expr_dialect": DOC.Q184_ORACLE_SQL,
+    "q193_doc_expr_dialect2": DOC.Q193_ORACLE_SQL,
     "q185_doc_window_rates": DOC.Q185_ORACLE_SQL,
     # per-row EMA recursion has no SQL analog -> rows-only to the
     # driver; value-checked by the harness DIFFERENTIAL pandas replay

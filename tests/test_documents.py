@@ -2336,6 +2336,126 @@ def test_expr_dialect_r8_errors(spark):
             "input": "$a", "as": "v", "in": "$$nope"}}}}]).collect()
 
 
+# --------------------------------- r9: expression dialect extensions
+
+
+def test_expr_dialect_r9_values(spark):
+    """The r9 expression operators: $dateToString (%-specifiers, %%
+    escape, literal-run quoting, onNull), $dateFromString (format,
+    onError vs onNull precedence), $regexMatch options, $regexFind's
+    {match, idx, captures} document and no-match null, $let, $getField
+    (both forms), $replaceAll, $indexOfCP (plain, start, and the
+    [start, end)-containment bound), and document literals feeding
+    $arrayToObject → $objectToArray round-trips."""
+    import datetime
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "foo123bar", "a-b-c", datetime.date(2026, 1, 31), "abcabc")],
+        "id int, s string, h string, d date, q string"))
+    r = s.aggregate("t", [{"$addFields": {
+        "dts": {"$dateToString": {"format": "%Y-%m-%d %j",
+                                  "date": "$d"}},
+        "dts_pct": {"$dateToString": {"format": "%d%%", "date": "$d"}},
+        "dts_lit": {"$dateToString": {"format": "on %Y year",
+                                      "date": "$d"}},
+        "dts_onnull": {"$dateToString": {"format": "%Y",
+                                         "date": {"$toDate": None},
+                                         "onNull": "missing"}},
+        "dfs": {"$toDate": {"$dateFromString": {
+            "dateString": "2026/01/31", "format": "%Y/%m/%d"}}},
+        "dfs_onerr": {"$toDate": {"$dateFromString": {
+            "dateString": "$h", "format": "%Y/%m/%d",
+            "onError": {"$toDate": "1999-01-01"}}}},
+        "dfs_onnull": {"$toDate": {"$dateFromString": {
+            "dateString": {"$toString": None},
+            "onError": {"$toDate": "1999-01-01"},
+            "onNull": {"$toDate": "2000-01-01"}}}},
+        "rm_ci": {"$regexMatch": {"input": "$h", "regex": "A-B",
+                                  "options": "i"}},
+        "rm_cs": {"$regexMatch": {"input": "$h", "regex": "A-B"}},
+        "rf": {"$regexFind": {"input": "$s",
+                              "regex": "([0-9]+)([a-z]+)"}},
+        "rf_none": {"$regexFind": {"input": "$s", "regex": "zz"}},
+        "lt": {"$let": {"vars": {"a": 2, "b": {"$add": ["$id", 2]}},
+                        "in": {"$multiply": ["$$a", "$$b"]}}},
+        "gf_short": {"$getField": "id"},
+        "ra": {"$replaceAll": {"input": "$h", "find": "-",
+                               "replacement": "+"}},
+        "ix": {"$indexOfCP": ["$q", "bc"]},
+        "ix_start": {"$indexOfCP": ["$q", "bc", 2]},
+        "ix_out": {"$indexOfCP": ["$q", "bc", 0, 2]},
+        "ix_in": {"$indexOfCP": ["$q", "bc", 0, 3]},
+        "kv": {"$arrayToObject": [[{"k": "x", "v": 1},
+                                   {"k": "y", "v": 2}]]},
+    }}, {"$addFields": {
+        "rf_match": {"$getField": {"field": "match", "input": "$rf"}},
+        "rf_idx": {"$getField": {"field": "idx", "input": "$rf"}},
+        "rf_caps": {"$getField": {"field": "captures", "input": "$rf"}},
+        "kv_entries": {"$objectToArray": "$kv"},
+        "kv_y": {"$getField": {"field": "y", "input": "$kv"}},
+    }}])
+    row = r.collect()[0].asDict()
+    assert row["dts"] == "2026-01-31 031"
+    assert row["dts_pct"] == "31%"
+    assert row["dts_lit"] == "on 2026 year"
+    assert row["dts_onnull"] == "missing"
+    assert str(row["dfs"]) == "2026-01-31"
+    assert str(row["dfs_onerr"]) == "1999-01-01"
+    assert str(row["dfs_onnull"]) == "2000-01-01"
+    assert row["rm_ci"] is True and row["rm_cs"] is False
+    assert row["rf_match"] == "123bar" and row["rf_idx"] == 3
+    assert row["rf_caps"] == ["123", "bar"]
+    assert row["rf_none"] is None
+    assert row["lt"] == 6
+    assert row["gf_short"] == 1
+    assert row["ra"] == "a+b+c"
+    assert row["ix"] == 1 and row["ix_start"] == 4
+    assert row["ix_out"] == -1 and row["ix_in"] == 1
+    assert [e.asDict() for e in row["kv_entries"]] == [
+        {"k": "x", "v": 1}, {"k": "y", "v": 2}]
+    assert row["kv_y"] == 2
+
+
+def test_expr_dialect_r9_errors(spark):
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1.0, "a-b", [1])], "x double, s string, a array<int>"))
+    cases = [
+        ({"$dateToString": {"format": "%Q", "date": "$x"}},
+         "unsupported format specifier"),
+        ({"$dateToString": {"format": "%Y-%", "date": "$x"}},
+         "dangling"),
+        ({"$dateToString": {"format": "%Y", "date": "$x",
+                            "timezone": "America/New_York"}},
+         "timezone"),
+        ({"$dateFromString": {"dateString": "$s", "format": "$s"}},
+         "literal"),
+        ({"$regexMatch": {"input": "$s", "regex": "$s"}},
+         "literal string"),
+        ({"$regexMatch": {"input": "$s", "regex": "a",
+                          "options": "iz"}}, "bad options"),
+        ({"$regexFind": {"input": "$s", "regex": "("}}, "bad pattern"),
+        ({"$let": {"vars": {"a": 1}}}, "Bad \\$let"),
+        ({"$getField": {"field": "$s", "input": "$s"}},
+         "literal string"),
+        ({"$getField": "a.b"}, "dotted"),
+        ({"$indexOfCP": ["$s", "$s"]}, "literal string"),
+        ({"$indexOfCP": ["$s", "b", -1]}, ">= 0"),
+        ({"$ifNull": [{}, 1]}, "empty document literal"),
+        ({"$ifNull": [{"a": 1, "$bad": 2}, 1]}, "may not start"),
+    ]
+    for bad, msg in cases:
+        with pytest.raises(DocumentQueryError, match=msg):
+            s.aggregate("t", [{"$addFields": {"z": bad}}]).collect()
+    # $let vars evaluate in the ENCLOSING scope: a sibling reference
+    # is unbound (Mongo's rule), not silently resolved
+    with pytest.raises(DocumentQueryError, match="Unbound"):
+        s.aggregate("t", [{"$addFields": {"z": {"$let": {
+            "vars": {"a": 1, "b": "$$a"},
+            "in": "$$b"}}}}]).collect()
+
+
 def test_group_stddev_accumulators(spark):
     """$stdDevSamp/$stdDevPop in $group (and inside $facet's masked
     form) — the same accumulator table serves both."""

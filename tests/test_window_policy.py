@@ -83,6 +83,11 @@ PLANNED: dict[str, int] = {
         "q123_small_quantity_revenue",
         "nl45_customers_acctbal_recorded", "nl46_orders_big_or_small",
     )},
+    # round-9 additions — the two-round rotation contract gives them
+    # round-11 targets (round 10 is already full)
+    **{k: 11 for k in (
+        "q193_doc_expr_dialect2",
+    )},
 }
 
 
