@@ -1173,8 +1173,10 @@ def _acc_selection_ops(
     if op in ("$firstN", "$lastN"):
         raise DocumentQueryError(
             f"{op} is document-order defined — a distributed group has "
-            "no deterministic document order; use $minN/$maxN (value "
-            "order) or $setWindowFields with sortBy"
+            "no deterministic document order; precede the $group with "
+            "a $sort (the sorted form compiles, see _first_last_agg), "
+            "or use $minN/$maxN (value order) / $setWindowFields with "
+            "sortBy"
         )
     if not isinstance(arg, dict):
         raise DocumentQueryError(f"Bad {op} spec: {arg!r}")
@@ -1489,9 +1491,10 @@ def facet_group(df: DataFrame, facets: dict[str, list[dict]]) -> DataFrame:
 def _first_last_agg(
     df: DataFrame, alias: str, spec: dict[str, Any], sort_ctx: dict | None
 ) -> Column:
-    """``$first``/``$last`` in ``$group`` — Mongo's sort-then-group
-    top-1-per-group idiom. Document order is undefined in a distributed
-    group, so these REQUIRE the immediately preceding ``$sort``'s keys
+    """``$first``/``$last`` (and the N-forms ``$firstN``/``$lastN``) in
+    ``$group`` — Mongo's sort-then-group idiom. Document order is
+    undefined in a distributed group, so these REQUIRE the immediately
+    preceding ``$sort``'s keys
     (threaded through by ``_apply_pipeline``; a $match/$limit/$skip in
     between preserves the context, anything else clears it): the
     translation is ``min_by``/``max_by`` over a direction-normalized
@@ -1510,6 +1513,18 @@ def _first_last_agg(
             "sort keys define it; $match/$limit/$skip in between are "
             "fine)"
         )
+    if op in ("$firstN", "$lastN"):
+        if not (isinstance(arg, dict) and "input" in arg):
+            raise DocumentQueryError(f"Bad {op} spec: {arg!r}")
+        n = arg.get("n")
+        if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+            raise DocumentQueryError(
+                f"{op} needs a literal positive integer n, got {n!r}"
+            )
+        in_spec = arg["input"]
+    else:
+        n = None
+        in_spec = arg
     keys: list[Column] = []
     for f, d in sort_ctx.items():
         if f not in df.columns:
@@ -1532,10 +1547,31 @@ def _first_last_agg(
                 f"{dt.simpleString()} has no order inversion — sort "
                 "ascending or use a numeric/date key"
             )
-    out = _ref(arg)
-    ordc = F.struct(*keys, out)
-    agg = F.min_by(out, ordc) if op == "$first" else F.max_by(out, ordc)
-    return agg.alias(alias)
+    out = _ref(in_spec)
+    if n is None:
+        ordc = F.struct(*keys, out)
+        agg = F.min_by(out, ordc) if op == "$first" else F.max_by(out, ordc)
+        return agg.alias(alias)
+    # $firstN/$lastN: ONE collect_list of (normalized keys…, value)
+    # structs per group (map-side combinable), array_sort into document
+    # (= sort) order, slice the head or tail — the tail slice keeps
+    # ascending order, matching Mongo's "last n, in order" contract.
+    # The collect is group-sized before the slice; same $match/$sample
+    # shaping guidance as $push/$topN for pathological groups.
+    pair = F.struct(
+        *[k.alias(f"__k{i}") for i, k in enumerate(keys)],
+        out.alias("__v"),
+    )
+    arr = F.array_sort(F.collect_list(pair))
+    if op == "$firstN":
+        sliced = F.slice(arr, 1, n)
+    else:
+        sliced = F.slice(
+            arr,
+            F.greatest(F.size(arr) - F.lit(n - 1), F.lit(1)),
+            F.lit(n),
+        )
+    return F.transform(sliced, lambda x: x["__v"]).alias(alias)
 
 
 def apply_group(
@@ -1555,7 +1591,7 @@ def apply_group(
     aggs = [
         _first_last_agg(df, a, s, sort_ctx)
         if isinstance(s, dict) and len(s) == 1
-        and next(iter(s)) in ("$first", "$last")
+        and next(iter(s)) in ("$first", "$last", "$firstN", "$lastN")
         else _acc_to_agg(a, s)
         for a, s in spec.items()
         if a != "_id"
@@ -5155,4 +5191,56 @@ Q193_ORACLE_SQL = """
     WHERE o_orderkey <= 300
     ORDER BY o_orderkey
     LIMIT 150
+"""
+
+
+def q194_doc_group_first_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$firstN``/``$lastN`` in ``$group`` under the sort-then-group
+    idiom (r9: the refusal lifts when a preceding ``$sort`` defines
+    document order): per customer, the latest-3 and earliest-2 order
+    keys in (o_orderdate DESC, o_orderkey) order. Compiles to ONE
+    map-side-combinable collect_list of direction-normalized key
+    structs per accumulator, array_sort, head/tail slice — no window,
+    no re-join; the unsorted form still refuses loudly. Oracle:
+    DuckDB ordered-list slices (head / clamped negative tail).
+    Reference parity: completes the $group accumulator table of the
+    reference's Mongo surface (backend/mongo_translator.py)."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "orders",
+        [
+            {"$match": {"o_custkey": {"$lte": 200}}},
+            {"$sort": {"o_orderdate": -1, "o_orderkey": 1}},
+            {"$group": {
+                "_id": "$o_custkey",
+                "latest3": {"$firstN": {"input": "$o_orderkey", "n": 3}},
+                "earliest2": {"$lastN": {"input": "$o_orderkey", "n": 2}},
+                "n": {"$sum": 1},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+    return out.select(
+        "_id",
+        F.col("latest3").cast("array<long>").alias("latest3"),
+        F.col("earliest2").cast("array<long>").alias("earliest2"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+Q194_ORACLE_SQL = """
+    WITH t AS (
+      SELECT o_custkey, o_orderkey, o_orderdate
+      FROM orders WHERE o_custkey <= 200
+    )
+    SELECT o_custkey AS _id,
+           (list(o_orderkey ORDER BY o_orderdate DESC, o_orderkey))[1:3]
+             AS latest3,
+           (list(o_orderkey ORDER BY o_orderdate DESC, o_orderkey))[-2:]
+             AS earliest2,
+           count(*) AS n
+    FROM t GROUP BY o_custkey ORDER BY _id
 """

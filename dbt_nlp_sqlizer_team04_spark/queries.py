@@ -1343,6 +1343,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # document literals → $arrayToObject/$objectToArray) in one
     # whole-stage-codegen projection — NEW r9.
     "q193_doc_expr_dialect2": DOC.q193_doc_expr_dialect2,
+    # $firstN/$lastN in $group under the sort-then-group idiom (the
+    # q190 machinery generalized to N-slices) — NEW r9.
+    "q194_doc_group_first_last_n": DOC.q194_doc_group_first_last_n,
 }
 
 # --- round-9 driver window (explicit form of the rotation policy at the
@@ -2830,6 +2833,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q181_doc_lookup_group_keyed": DOC.Q181_ORACLE_SQL,
     "q184_doc_expr_dialect": DOC.Q184_ORACLE_SQL,
     "q193_doc_expr_dialect2": DOC.Q193_ORACLE_SQL,
+    "q194_doc_group_first_last_n": DOC.Q194_ORACLE_SQL,
     "q185_doc_window_rates": DOC.Q185_ORACLE_SQL,
     # per-row EMA recursion has no SQL analog -> rows-only to the
     # driver; value-checked by the harness DIFFERENTIAL pandas replay

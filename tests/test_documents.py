@@ -2861,6 +2861,36 @@ def test_group_first_last_sort_idiom(spark):
             {"$group": {"_id": "$g", "x": {"$first": "$id"}}}])
 
 
+def test_group_first_last_n_sorted(spark):
+    """$firstN/$lastN in $group under the sort-then-group idiom (r9):
+    head/tail slices in the preceding $sort's order, clamped on small
+    groups, descending keys normalized; unsorted stays the loud
+    document-order refusal; n must be a literal positive int."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0), (4, "b", 7.0)],
+        "id int, g string, v double"))
+    rows = s.aggregate("t", [
+        {"$sort": {"v": -1}},
+        {"$group": {"_id": "$g",
+                    "top2": {"$firstN": {"input": "$id", "n": 2}},
+                    "tail2": {"$lastN": {"input": "$id", "n": 2}},
+                    "vals3": {"$firstN": {"input": "$v", "n": 3}}}},
+        {"$sort": {"_id": 1}},
+    ]).collect()
+    got = {r["_id"]: r for r in rows}
+    assert got["a"]["top2"] == [2, 3]            # v desc: 30, 20
+    assert got["a"]["tail2"] == [3, 1]           # last two, IN order
+    assert got["a"]["vals3"] == [30.0, 20.0, 10.0]
+    assert got["b"]["top2"] == [4] and got["b"]["tail2"] == [4]
+    with pytest.raises(DocumentQueryError, match="preceding .sort"):
+        s.aggregate("t", [{"$group": {
+            "_id": "$g", "x": {"$firstN": {"input": "$id", "n": 2}}}}])
+    with pytest.raises(DocumentQueryError, match="positive integer"):
+        s.aggregate("t", [{"$sort": {"v": 1}}, {"$group": {
+            "_id": "$g", "x": {"$lastN": {"input": "$id", "n": 0}}}}])
+
+
 def test_nl2doc_latest_per_group_compiles(store):
     """'<latest|earliest> <field> per <g>' compiles to $sort + $group
     $first (q190's idiom); 'earliest' flips the date direction."""

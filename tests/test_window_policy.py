@@ -86,7 +86,7 @@ PLANNED: dict[str, int] = {
     # round-9 additions — the two-round rotation contract gives them
     # round-11 targets (round 10 is already full)
     **{k: 11 for k in (
-        "q193_doc_expr_dialect2",
+        "q193_doc_expr_dialect2", "q194_doc_group_first_last_n",
     )},
 }
 
