@@ -2861,6 +2861,32 @@ def test_group_first_last_sort_idiom(spark):
             {"$group": {"_id": "$g", "x": {"$first": "$id"}}}])
 
 
+def test_lookup_uncorrelated_broadcast_bound(spark):
+    """The uncorrelated $lookup pipeline form materializes its payload
+    on the driver before broadcasting; a hostile sub-pipeline (no
+    $limit, huge foreign collection) must hit the threshold-derived
+    row cap as a loud typed error — one bounded fetch, not a driver
+    OOM. A shaped ($sort+$limit) sub-pipeline under the same threshold
+    still works."""
+    s = DocumentStore(spark)
+    s.register("l", spark.createDataFrame([(1,)], "id int"))
+    s.register("f", spark.range(1100).selectExpr("id", "id * 2 AS v"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+    try:
+        with pytest.raises(DocumentQueryError,
+                           match="broadcast payload bound"):
+            s.aggregate("l", [{"$lookup": {
+                "from": "f", "pipeline": [], "as": "all_rows"}}])
+        r = s.aggregate("l", [{"$lookup": {
+            "from": "f",
+            "pipeline": [{"$sort": {"id": 1}}, {"$limit": 5}],
+            "as": "top"}}]).collect()
+        assert [x["id"] for x in r[0]["top"]] == [0, 1, 2, 3, 4]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_group_first_last_n_sorted(spark):
     """$firstN/$lastN in $group under the sort-then-group idiom (r9):
     head/tail slices in the preceding $sort's order, clamped on small
