@@ -504,6 +504,113 @@ class NL2DocEngine:
                     ],
                 }
 
+        # graph-traversal phrasing — "all <ancestors|descendants> of
+        # <idword> <value> [up to <n> levels]" compiles to $graphLookup
+        # (q172/q179's walker from NL): BFS from the anchored row along
+        # the collection's self-referential parent field; the depth
+        # phrase caps maxDepth (Mongo's 0-based depth ⇒ n levels =
+        # maxDepth n-1); $unwind + $addFields flatten (anchor, node,
+        # depth) rows in a deterministic sort
+        gl = _re.search(
+            r"\ball (ancestors|descendants) of (?:([a-z_]+)\s+)?(\d+)"
+            r"(?:\s+up to (\d+) levels?)?",
+            ql,
+        )
+        if gl:
+            kind, id_word, id_val, levels = gl.groups()
+            parent = next(
+                (f for f in fields if "parent" in f.lower()), None
+            )
+            idf = best_field(
+                exclude_id=False,
+                exclude=({parent} if parent else set()) | filtered,
+                text=id_word or "id",
+            )
+            if parent is not None and idf is not None and idf != parent:
+                if kind == "ancestors":
+                    start, c_from, c_to = f"${parent}", parent, idf
+                else:
+                    start, c_from, c_to = f"${idf}", idf, parent
+                gspec: dict = {
+                    "from": coll,
+                    "startWith": start,
+                    "connectFromField": c_from,
+                    "connectToField": c_to,
+                    "as": "chain",
+                    "depthField": "depth",
+                }
+                if levels:
+                    gspec["maxDepth"] = int(levels) - 1
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$match": {idf: int(id_val)}},
+                        {"$graphLookup": gspec},
+                        {"$unwind": "$chain"},
+                        {"$addFields": {"node": f"$chain.{idf}",
+                                        "depth": "$chain.depth"}},
+                        {"$project": {idf: 1, "node": 1, "depth": 1}},
+                        {"$sort": {idf: 1, "depth": 1, "node": 1}},
+                    ],
+                }
+
+        # smoothing phrasing — "<n>-day|point exponential (moving)
+        # average of <m> [per <p>]" compiles to $setWindowFields
+        # $expMovingAvg (q186's surface from NL): N from the span word
+        # (Mongo's α = 2/(N+1)), partition from the (possibly
+        # non-adjacent) 'per' phrase, sorted by the collection's date
+        # field; the final unique sort keeps the injected limit
+        # deterministic
+        em = _re.search(
+            r"\b(\d+)[- ](?:day|point|document)\s+exponential"
+            r"(?:\s+moving)?\s+average of ([a-z_]+)"
+            r"(?:\s+per\s+([a-z_]+))?",
+            ql,
+        )
+        if em:
+            n_span, m_word, p_word = em.groups()
+            if p_word is None and pm:
+                p_word = pm.group(1).split()[0]
+            measure = best_field(numeric=True, exclude=filtered,
+                                 text=m_word)
+            dfld = self._date_field(coll)
+            if measure is not None and dfld is not None \
+                    and int(n_span) >= 1:
+                part = (
+                    best_field(exclude_id=False,
+                               exclude=filtered | {measure},
+                               text=p_word)
+                    if p_word
+                    else None
+                )
+                alias = f"ema{n_span}_{measure}"
+                swf: dict = {
+                    "sortBy": {dfld: 1},
+                    "output": {alias: {"$expMovingAvg": {
+                        "input": f"${measure}", "N": int(n_span)}}},
+                }
+                if part:
+                    swf["partitionBy"] = f"${part}"
+                idf = next(
+                    (x for x in fields if x.endswith("id")), None
+                )
+                proj = {dfld: 1, measure: 1, alias: 1}
+                if part:
+                    proj[part] = 1
+                if idf:
+                    proj[idf] = 1
+                sort: dict[str, int] = {dfld: 1}
+                if idf and idf != dfld:
+                    sort[idf] = 1
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$setWindowFields": swf},
+                        {"$project": proj},
+                        {"$sort": sort},
+                    ],
+                }
+
         # latest-per-group phrasing — "<latest|most recent|newest|
         # earliest|oldest> <field> per <g>" compiles to the
         # sort-then-group $first idiom (q190's surface from NL):

@@ -429,6 +429,61 @@ def _nl65_doc_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl66_doc_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc graph-traversal phrasing compiles to $graphLookup (q172's
+    walker from NL): BFS ancestor chain in the derived 4-ary doc
+    forest, the depth phrase capping maxDepth ('up to 3 levels' →
+    maxDepth 2 → depths 0..2). Oracle: WITH RECURSIVE twin with the
+    same depth cap; unique tree paths make the row set exact."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tree = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") > 0,
+            F.floor((F.col("doc_id") - 1) / 4).cast("long"),
+        ).alias("parent"),
+        "source",
+    )
+    store = DocumentStore(spark)
+    store.register("doc_tree", tree)
+    df, _q = NL2DocEngine(store).ask(
+        "all ancestors of doc 450 up to 3 levels for doc_tree"
+    )
+    return df
+
+
+def _nl67_doc_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc smoothing phrasing compiles to $setWindowFields
+    $expMovingAvg (q186's surface from NL): N from the span word
+    (α = 2/(N+1) = 0.25 at N=7), partition from the 'per' phrase,
+    sorted by the collection's ts with the unique event_id tiebreak so
+    the injected limit is deterministic. Rows-only to the driver; the
+    harness value-checks it DIFFERENTIALLY against an independent
+    pandas groupby-ewm replay (same recursion → bit-identical doubles
+    before the 6dp round)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "7 day exponential moving average of value per event_type "
+        "for events"
+    )
+    return df.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("ema7_value", 6).alias("ema7_value"),
+    )
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1346,6 +1401,13 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $firstN/$lastN in $group under the sort-then-group idiom (the
     # q190 machinery generalized to N-slices) — NEW r9.
     "q194_doc_group_first_last_n": DOC.q194_doc_group_first_last_n,
+    # NL tier for graph traversal ("all ancestors of X up to N
+    # levels" → $graphLookup with maxDepth) — NEW r9.
+    "nl66_doc_ancestors": _nl66_doc_ancestors,
+    # NL tier for exponential smoothing ("7 day exponential moving
+    # average of X per Y" → $expMovingAvg; rows-only to the driver,
+    # DIFFERENTIAL pandas-ewm replay in the harness) — NEW r9.
+    "nl67_doc_ema": _nl67_doc_ema,
 }
 
 # --- round-9 driver window (explicit form of the rotation policy at the
@@ -2834,6 +2896,26 @@ ORACLE_SQL: dict[str, str | None] = {
     "q184_doc_expr_dialect": DOC.Q184_ORACLE_SQL,
     "q193_doc_expr_dialect2": DOC.Q193_ORACLE_SQL,
     "q194_doc_group_first_last_n": DOC.Q194_ORACLE_SQL,
+    "nl66_doc_ancestors": """
+        WITH RECURSIVE tree AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id > 0
+                      THEN CAST(floor((doc_id - 1) / 4) AS BIGINT)
+                 END AS parent
+          FROM documents
+        ), anc AS (
+          SELECT t.doc_id AS doc_id, p.doc_id AS node,
+                 0 AS depth, p.parent AS up
+          FROM tree t JOIN tree p ON p.doc_id = t.parent
+          WHERE t.doc_id = 450
+          UNION ALL
+          SELECT a.doc_id, p.doc_id, a.depth + 1, p.parent
+          FROM anc a JOIN tree p ON p.doc_id = a.up
+          WHERE a.depth < 2
+        )
+        SELECT doc_id, node, CAST(depth AS BIGINT) AS depth
+        FROM anc ORDER BY doc_id, depth, node
+    """,
     "q185_doc_window_rates": DOC.Q185_ORACLE_SQL,
     # per-row EMA recursion has no SQL analog -> rows-only to the
     # driver; value-checked by the harness DIFFERENTIAL pandas replay

@@ -1203,6 +1203,36 @@ def _q186_reference(spark, sf_dir: str):
     return ["event_id", "user_id", "ema5", "ema_a"], rows
 
 
+def _nl67_reference(spark, sf_dir: str):
+    """Pandas groupby-ewm replay of nl67's NL-compiled $expMovingAvg:
+    the template emits N=7 (α = 2/8 = 0.25) per event_type over the ts
+    sort with the {ts, event_id} final sort and the injected LIMIT 100
+    — an independent pandas pass over the same parquet reproduces the
+    recursion bit-for-bit before the HALF_UP 6dp round (ts is unique
+    at every SF, so the order and the head-100 cut are exact)."""
+    import pandas as pd
+
+    pdf = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+    pdf = pdf.sort_values("ts")
+    pdf["ema7_value"] = pdf.groupby("event_type")["value"].transform(
+        lambda s: s.ewm(alpha=0.25, adjust=False).mean()
+    )
+    pdf = pdf.sort_values(["ts", "event_id"]).head(100)
+    rows = [
+        (
+            int(r.event_id),
+            str(r.event_type),
+            float(r.value),
+            _spark_round(r.ema7_value, 6),
+        )
+        for r in pdf.itertuples()
+    ]
+    return ["event_id", "event_type", "value", "ema7_value"], rows
+
+
 DIFFERENTIAL = {
     "q39_media_decode_stats": _q39_reference,
     "q65_ann_pq_topk": _q65_reference,
@@ -1221,6 +1251,7 @@ DIFFERENTIAL = {
     "q67_chunk_retrieval": _q67_reference,
     "q183_unigram_encode_stats": _q183_reference,
     "q186_doc_ema": _q186_reference,
+    "nl67_doc_ema": _nl67_reference,
     "q191_wordpiece_merges": _q191_reference,
     "q192_wordpiece_encode_stats": _q192_reference,
 }

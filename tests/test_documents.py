@@ -2934,6 +2934,57 @@ def test_nl2doc_latest_per_group_compiles(store):
         "$first": "$event_id"}
 
 
+def test_nl2doc_graph_traversal_compiles(store):
+    """'all ancestors/descendants of X [up to N levels]' compiles to
+    $graphLookup along the collection's self-referential parent field;
+    the depth phrase becomes maxDepth (N levels → maxDepth N-1), and
+    descendants swap the walk direction."""
+    from pyspark.sql import SparkSession
+
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentStore,
+    )
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    spark = SparkSession.getActiveSession()
+    s = DocumentStore(spark)
+    s.register("doc_tree", spark.createDataFrame(
+        [(1, 0, "a")], "doc_id long, parent long, source string"))
+    eng = NL2DocEngine(s)
+    q = eng.template_query("all ancestors of doc 450 up to 3 levels "
+                           "for doc_tree")
+    assert q["pipeline"][0] == {"$match": {"doc_id": 450}}
+    g = q["pipeline"][1]["$graphLookup"]
+    assert g["startWith"] == "$parent"
+    assert g["connectFromField"] == "parent"
+    assert g["connectToField"] == "doc_id"
+    assert g["maxDepth"] == 2 and g["depthField"] == "depth"
+    q2 = eng.template_query("all descendants of doc 7 for doc_tree")
+    g2 = q2["pipeline"][1]["$graphLookup"]
+    assert g2["startWith"] == "$doc_id"
+    assert g2["connectFromField"] == "doc_id"
+    assert g2["connectToField"] == "parent"
+    assert "maxDepth" not in g2
+
+
+def test_nl2doc_ema_compiles(store):
+    """'<N> day exponential moving average of <m> per <g>' compiles to
+    $setWindowFields $expMovingAvg with N from the span word, the date
+    sortBy, and a unique final sort for the injected limit."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    eng = NL2DocEngine(store)
+    q = eng.template_query(
+        "7 day exponential moving average of value per event_type "
+        "for events")
+    swf = q["pipeline"][0]["$setWindowFields"]
+    assert swf["partitionBy"] == "$event_type"
+    assert swf["sortBy"] == {"ts": 1}
+    assert swf["output"]["ema7_value"] == {
+        "$expMovingAvg": {"input": "$value", "N": 7}}
+    assert q["pipeline"][-1] == {"$sort": {"ts": 1, "event_id": 1}}
+
+
 def test_r8_window_ops_plan_contracts(spark):
     """Machine-checked 100 TB plan shapes for the r8 window/group
     additions: the calculus trio + N-selection share ONE hash exchange
