@@ -521,6 +521,21 @@ def _ref(arg: Any, resolve=None) -> Column:
     return F.lit(arg)
 
 
+def _merge_two_maps(a: Column, b: Column) -> Column:
+    """Later-wins merge of two MAP columns (Mongo $mergeObjects): keep
+    a's entries whose key b does not define, then append b's — avoids
+    map_concat's duplicate-key policy dependence entirely."""
+    return F.map_from_entries(
+        F.concat(
+            F.filter(
+                F.map_entries(a),
+                lambda e: ~F.array_contains(F.map_keys(b), e["key"]),
+            ),
+            F.map_entries(b),
+        )
+    )
+
+
 # Mongo aggregation expression operators → Column expressions. Every
 # operand recurses through _ref, so field refs, literals, and nested
 # operator dicts compose ("$cond" over "$eq" over "$multiply"). All of
@@ -571,6 +586,55 @@ _EXPR_OPS = {
     "$ifNull": lambda *xs: F.coalesce(*xs),
     "$in": lambda v, arr: F.array_contains(arr, v),
     "$not": lambda a: ~a.cast("boolean"),
+    # ---- comparison / boolean (r9 wave 2). $cmp/$strcasecmp return
+    # -1/0/1; a null operand yields null (documented divergence —
+    # Mongo totally orders null below numbers, a per-type order no
+    # single Catalyst expression reproduces; $ifNull the operands if
+    # null ranking matters).
+    "$cmp": lambda a, b: (
+        F.when(a.eqNullSafe(b) & a.isNotNull(), 0)
+        .when(a < b, -1).when(a > b, 1).cast("int")
+    ),
+    "$strcasecmp": lambda a, b: (
+        F.when(F.lower(a) == F.lower(b), 0)
+        .when(F.lower(a) < F.lower(b), -1)
+        .when(F.lower(a) > F.lower(b), 1).cast("int")
+    ),
+    # Mongo's arg shape is [array] — the list unwraps to one operand
+    "$anyElementTrue": lambda a: F.exists(a, lambda x: x.cast("boolean")),
+    "$allElementsTrue": lambda a: F.forall(a, lambda x: x.cast("boolean")),
+    # ---- arrays (r9 wave 2)
+    "$indexOfArray": lambda arr, v: (
+        (F.array_position(arr, v) - F.lit(1)).cast("long")
+    ),
+    "$setEquals": lambda a, b: (
+        F.array_sort(F.array_distinct(a)) == F.array_sort(F.array_distinct(b))
+    ),
+    "$setIsSubset": lambda a, b: F.size(F.array_except(a, b)) == 0,
+    # ---- math (r9 wave 2) — all 1:1 native
+    "$sin": lambda a: F.sin(a), "$cos": lambda a: F.cos(a),
+    "$tan": lambda a: F.tan(a), "$asin": lambda a: F.asin(a),
+    "$acos": lambda a: F.acos(a), "$atan": lambda a: F.atan(a),
+    "$atan2": lambda a, b: F.atan2(a, b),
+    "$sinh": lambda a: F.sinh(a), "$cosh": lambda a: F.cosh(a),
+    "$tanh": lambda a: F.tanh(a),
+    "$degreesToRadians": lambda a: F.radians(a),
+    "$radiansToDegrees": lambda a: F.degrees(a),
+    # [num, base] — computed as ln(x)/ln(b), the same identity Mongo's
+    # and DuckDB's arbitrary-base logs use
+    "$log": lambda x, b: F.log(x) / F.log(b),
+    "$bitAnd": lambda *xs: __import__("functools").reduce(
+        lambda p, x: p.bitwiseAND(x), xs
+    ),
+    "$bitOr": lambda *xs: __import__("functools").reduce(
+        lambda p, x: p.bitwiseOR(x), xs
+    ),
+    "$bitXor": lambda *xs: __import__("functools").reduce(
+        lambda p, x: p.bitwiseXOR(x), xs
+    ),
+    "$bitNot": lambda a: F.bitwise_not(a),
+    # ---- strings (r9 wave 2)
+    "$strLenBytes": lambda a: F.octet_length(a),
     # ---- object/map (r9): the doc plane's dynamic-key objects are MAP
     # columns; $objectToArray emits Mongo's [{k, v}, …] shape in the
     # map's entry order (map_from_entries preserves insertion order, so
@@ -584,6 +648,12 @@ _EXPR_OPS = {
     "$arrayToObject": lambda a: F.map_from_entries(
         F.transform(a, lambda e: F.struct(e["k"], e["v"]))
     ),
+    # later-wins variadic merge over MAP columns; a null operand
+    # propagates null (Mongo skips nulls — $ifNull an empty map if
+    # that matters)
+    "$mergeObjects": lambda *xs: __import__("functools").reduce(
+        _merge_two_maps, xs
+    ),
     "$setUnion": lambda *xs: F.array_sort(F.array_distinct(F.concat(*xs))),
     "$setIntersection": lambda a, b: F.array_sort(F.array_intersect(a, b)),
     "$setDifference": lambda a, b: F.array_sort(F.array_except(a, b)),
@@ -596,6 +666,26 @@ _EXPR_OPS = {
     "$minute": lambda a: F.minute(a),
     "$second": lambda a: F.second(a),
     "$dayOfWeek": lambda a: F.dayofweek(a),
+    "$dayOfYear": lambda a: F.dayofyear(a),
+    # ISO fields: weekofyear IS the ISO week; ISO weekday is Mon=1..
+    # Sun=7 (weekday() is 0-based Monday); the ISO week-year is the
+    # calendar year of that week's THURSDAY (d + (4 - isoDow) days) —
+    # the standard identity, no Spark pattern needed
+    "$isoWeek": lambda a: F.weekofyear(a),
+    "$isoDayOfWeek": lambda a: F.weekday(a) + F.lit(1),
+    "$isoWeekYear": lambda a: F.year(
+        F.date_add(F.to_date(a), F.lit(4) - (F.weekday(a) + F.lit(1)))
+    ).cast("long"),
+    # Mongo's $week: Sunday-start, week 1 begins at the first Sunday,
+    # earlier days are week 0 — floor((doy-1 - (dayofweek-1) + 7) / 7)
+    "$week": lambda a: F.floor(
+        (F.dayofyear(a) - F.lit(1) - (F.dayofweek(a) - F.lit(1)) + F.lit(7))
+        / F.lit(7)
+    ).cast("int"),
+    "$millisecond": lambda a: F.floor(
+        (F.unix_micros(a.cast("timestamp")) % F.lit(1_000_000))
+        / F.lit(1000)
+    ).cast("int"),
 }
 
 
@@ -1089,6 +1179,127 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
                 f"$getField field must be a literal string: {field!r}"
             )
         return _ref(operands["input"], resolve)[field]
+    if op == "$literal":
+        # verbatim value, no '$' interpretation — scalars, flat lists,
+        # and document literals compile to lit/array/struct of literals
+        def build(v: Any) -> Column:
+            if isinstance(v, dict):
+                if not v:
+                    raise DocumentQueryError("$literal: empty document")
+                return F.struct(*[build(x).alias(k) for k, x in v.items()])
+            if isinstance(v, list):
+                return F.array(*[build(x) for x in v])
+            return F.lit(v)
+
+        return build(operands)
+    if op in ("$trim", "$ltrim", "$rtrim") and isinstance(operands, dict):
+        # Mongo's canonical {input, chars?} form; the chars set trims
+        # via an anchored character-class regexp_replace (codegen
+        # native). The bare-operand form stays in _EXPR_OPS.
+        import re as _re_mod
+
+        if "input" not in operands:
+            raise DocumentQueryError(f"{op} needs input: {spec!r}")
+        s = _ref(operands["input"], resolve)
+        chars = operands.get("chars")
+        if chars is None:
+            return {"$trim": F.trim, "$ltrim": F.ltrim,
+                    "$rtrim": F.rtrim}[op](s)
+        if not isinstance(chars, str) or chars.startswith("$") or not chars:
+            raise DocumentQueryError(
+                f"{op} chars must be a non-empty literal string: {chars!r}"
+            )
+        cls = "[" + "".join(_re_mod.escape(c) for c in set(chars)) + "]+"
+        pat = {"$trim": f"^{cls}|{cls}$", "$ltrim": f"^{cls}",
+               "$rtrim": f"{cls}$"}[op]
+        return F.regexp_replace(s, pat, "")
+    if op == "$sortArray":
+        # {input, sortBy: 1|-1} — scalar element sort only; the
+        # field-spec sortBy form (document elements) is refused: a
+        # comparator over arbitrary struct shapes is not compilable
+        # without the element schema
+        if not (isinstance(operands, dict) and "input" in operands
+                and operands.get("sortBy") in (1, -1)):
+            raise DocumentQueryError(
+                f"$sortArray needs input + sortBy 1|-1: {spec!r}"
+            )
+        arr = F.array_sort(_ref(operands["input"], resolve))
+        return arr if operands["sortBy"] == 1 else F.reverse(arr)
+    if op == "$range":
+        # [start, end, step?] — end-exclusive, literal nonzero step;
+        # an empty range is [] (the CASE branch keeps sequence() from
+        # evaluating with inverted bounds)
+        if not (isinstance(operands, list) and len(operands) in (2, 3)):
+            raise DocumentQueryError(f"$range needs 2-3 operands: {spec!r}")
+        step = _int_literal(operands[2], "$range") if len(operands) == 3 else 1
+        if step == 0:
+            raise DocumentQueryError("$range step must be nonzero")
+        a = _ref(operands[0], resolve).cast("int")
+        b = _ref(operands[1], resolve).cast("int")
+        if step > 0:
+            cond, stop = a < b, b - F.lit(1)
+        else:
+            cond, stop = a > b, b + F.lit(1)
+        return F.when(cond, F.sequence(a, stop, F.lit(step))).otherwise(
+            F.array().cast("array<int>")
+        )
+    if op == "$zip":
+        # {"inputs": [a, b], "useLongestLength": bool} — two inputs,
+        # pairs as 2-element arrays (Mongo's shape). Shortest-length
+        # truncation by default; longest pads with null via zip_with's
+        # own convention. Element types must share a common Spark type
+        # (heterogeneous zips fail analysis loudly).
+        if not (isinstance(operands, dict)
+                and isinstance(operands.get("inputs"), list)
+                and len(operands["inputs"]) == 2):
+            raise DocumentQueryError(
+                f"$zip compiles exactly 2 inputs: {spec!r}"
+            )
+        a = _ref(operands["inputs"][0], resolve)
+        b = _ref(operands["inputs"][1], resolve)
+        if not operands.get("useLongestLength", False):
+            n = F.least(F.size(a), F.size(b))
+            a, b = F.slice(a, 1, n), F.slice(b, 1, n)
+        return F.zip_with(a, b, lambda x, y: F.array(x, y))
+    if op == "$replaceOne":
+        # {input, find (literal), replacement} — locate the FIRST
+        # occurrence, splice around it; no match returns the input
+        # unchanged (Mongo's contract)
+        if not (isinstance(operands, dict) and "input" in operands
+                and "find" in operands and "replacement" in operands):
+            raise DocumentQueryError(f"Bad $replaceOne: {spec!r}")
+        find = operands["find"]
+        if not isinstance(find, str) or find.startswith("$") or not find:
+            raise DocumentQueryError(
+                f"$replaceOne find must be a non-empty literal string: "
+                f"{find!r}"
+            )
+        s = _ref(operands["input"], resolve)
+        repl = _ref(operands["replacement"], resolve)
+        pos = F.locate(find, s)
+        spliced = F.concat(
+            F.substring(s, F.lit(1), pos - F.lit(1)),
+            repl,
+            F.substring(s, pos + F.lit(len(find)), F.length(s)),
+        )
+        return F.when(pos == 0, s).otherwise(spliced)
+    if op == "$dateToParts":
+        # {date} → Mongo's parts document (calendar form; iso8601
+        # variant not compiled)
+        if not (isinstance(operands, dict) and "date" in operands):
+            raise DocumentQueryError(f"$dateToParts needs date: {spec!r}")
+        if operands.get("iso8601"):
+            raise DocumentQueryError(
+                "$dateToParts iso8601 form is not compiled — use "
+                "$isoWeek/$isoDayOfWeek/$isoWeekYear"
+            )
+        d = _ref(operands["date"], resolve)
+        return F.struct(
+            F.year(d).alias("year"), F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day"), F.hour(d).alias("hour"),
+            F.minute(d).alias("minute"), F.second(d).alias("second"),
+            _EXPR_OPS["$millisecond"](d).alias("millisecond"),
+        )
     if op == "$replaceAll":
         # {"input", "find", "replacement"} — Mongo replaces LITERAL
         # substrings; F.replace is the non-regex replacement (all three
@@ -5289,4 +5500,110 @@ Q194_ORACLE_SQL = """
              AS earliest2,
            count(*) AS n
     FROM t GROUP BY o_custkey ORDER BY _id
+"""
+
+
+def q195_doc_expr_dialect3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 wave-2 expression surface in one $addFields projection:
+    the date-part zoo ($dayOfYear/$week/$isoWeek/$isoDayOfWeek/
+    $isoWeekYear/$dateToParts), trichotomy ($cmp/$strcasecmp), array
+    construction and predicates ($range/$sortArray/$zip via $map
+    flattening/$setIsSubset), arbitrary-base $log, bit ops,
+    $strLenBytes, $replaceOne (first occurrence only), and chars-form
+    $ltrim. All native Catalyst in one whole-stage-codegen projection.
+    Oracle: DuckDB calendar/bit/list twins (dayofweek Sunday=0 matches
+    Spark's dayofweek-1; both engines compare strings bytewise)."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    split = {"$split": ["$o_orderpriority", "-"]}
+    out = store.aggregate(
+        "orders",
+        [
+            {"$match": {"o_orderkey": {"$lte": 400}}},
+            {"$addFields": {
+                "doy": {"$toLong": {"$dayOfYear": "$o_orderdate"}},
+                "wk": {"$toLong": {"$week": "$o_orderdate"}},
+                "iw": {"$toLong": {"$isoWeek": "$o_orderdate"}},
+                "idw": {"$toLong": {"$isoDayOfWeek": "$o_orderdate"}},
+                "iwy": {"$isoWeekYear": "$o_orderdate"},
+                "p_month": {"$toLong": {"$getField": {
+                    "field": "month",
+                    "input": {"$dateToParts": {"date": "$o_orderdate"}}}}},
+                "cmp_hi": {"$cmp": ["$o_totalprice", 150000]},
+                "sc": {"$strcasecmp": ["$o_orderstatus", "f"]},
+                "rng": {"$range": [0, {"$toInt": {"$mod":
+                                                  ["$o_orderkey", 5]}}]},
+                "sorted_parts": {"$sortArray": {"input": split,
+                                                "sortBy": -1}},
+                "pairs": {"$map": {
+                    "input": {"$zip": {"inputs":
+                                       [split,
+                                        {"$reverseArray": split}]}},
+                    "as": "p",
+                    "in": {"$concat": [{"$arrayElemAt": ["$$p", 0]},
+                                       "|",
+                                       {"$arrayElemAt": ["$$p", 1]}]}}},
+                "has_urgent": {"$setIsSubset": [["URGENT"], split]},
+                "lg2": {"$round": [{"$log": [{"$add": ["$o_orderkey", 2]},
+                             2]}, 6]},
+                "low_bits": {"$bitAnd": ["$o_orderkey", 255]},
+                "neg_key": {"$bitNot": "$o_orderkey"},
+                "blen": {"$toLong": {"$strLenBytes":
+                                     "$o_orderpriority"}},
+                "ro": {"$replaceOne": {"input": "$o_orderpriority",
+                                       "find": "-",
+                                       "replacement": ":"}},
+                "lt": {"$ltrim": {"input": "$o_orderpriority",
+                                  "chars": "0123456789-"}},
+            }},
+            {"$project": {"o_orderkey": 1, "doy": 1, "wk": 1, "iw": 1,
+                          "idw": 1, "iwy": 1, "p_month": 1,
+                          "cmp_hi": 1, "sc": 1, "rng": 1,
+                          "sorted_parts": 1, "pairs": 1,
+                          "has_urgent": 1, "lg2": 1, "low_bits": 1,
+                          "neg_key": 1, "blen": 1, "ro": 1, "lt": 1}},
+            {"$sort": {"o_orderkey": 1}},
+            {"$limit": 200},
+        ],
+    )
+    return out
+
+
+Q195_ORACLE_SQL = """
+    SELECT o_orderkey,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(floor((dayofyear(o_orderdate) - 1
+                       - dayofweek(o_orderdate) + 7) / 7) AS BIGINT)
+             AS wk,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iw,
+           CAST(isodow(o_orderdate) AS BIGINT) AS idw,
+           CAST(isoyear(o_orderdate) AS BIGINT) AS iwy,
+           CAST(month(o_orderdate) AS BIGINT) AS p_month,
+           CASE WHEN o_totalprice = 150000 THEN 0
+                WHEN o_totalprice < 150000 THEN -1 ELSE 1 END AS cmp_hi,
+           CASE WHEN lower(o_orderstatus) = 'f' THEN 0
+                WHEN lower(o_orderstatus) < 'f' THEN -1
+                ELSE 1 END AS sc,
+           range(0, CAST(o_orderkey % 5 AS INT)) AS rng,
+           list_reverse_sort(string_split(o_orderpriority, '-'))
+             AS sorted_parts,
+           list_transform(
+             range(1, len(string_split(o_orderpriority, '-')) + 1),
+             i -> string_split(o_orderpriority, '-')[i] || '|'
+                  || list_reverse(string_split(o_orderpriority, '-'))[i]
+           ) AS pairs,
+           list_has_all(string_split(o_orderpriority, '-'), ['URGENT'])
+             AS has_urgent,
+           round(ln(o_orderkey + 2) / ln(2), 6) AS lg2,
+           o_orderkey & 255 AS low_bits,
+           ~o_orderkey AS neg_key,
+           strlen(o_orderpriority) AS blen,
+           regexp_replace(o_orderpriority, '-', ':') AS ro,
+           ltrim(o_orderpriority, '0123456789-') AS lt
+    FROM orders
+    WHERE o_orderkey <= 400
+    ORDER BY o_orderkey
+    LIMIT 200
 """

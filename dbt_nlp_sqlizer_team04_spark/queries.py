@@ -1401,6 +1401,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $firstN/$lastN in $group under the sort-then-group idiom (the
     # q190 machinery generalized to N-slices) — NEW r9.
     "q194_doc_group_first_last_n": DOC.q194_doc_group_first_last_n,
+    # r9 wave-2 expression surface (date-part zoo, trichotomy, array
+    # construction/predicates, arbitrary-base log, bit ops,
+    # $replaceOne, chars-form trims) — NEW r9.
+    "q195_doc_expr_dialect3": DOC.q195_doc_expr_dialect3,
     # NL tier for graph traversal ("all ancestors of X up to N
     # levels" → $graphLookup with maxDepth) — NEW r9.
     "nl66_doc_ancestors": _nl66_doc_ancestors,
@@ -2896,6 +2900,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q184_doc_expr_dialect": DOC.Q184_ORACLE_SQL,
     "q193_doc_expr_dialect2": DOC.Q193_ORACLE_SQL,
     "q194_doc_group_first_last_n": DOC.Q194_ORACLE_SQL,
+    "q195_doc_expr_dialect3": DOC.Q195_ORACLE_SQL,
     "nl66_doc_ancestors": """
         WITH RECURSIVE tree AS (
           SELECT doc_id,

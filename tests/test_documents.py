@@ -2456,6 +2456,115 @@ def test_expr_dialect_r9_errors(spark):
             "in": "$$b"}}}}]).collect()
 
 
+def test_expr_dialect_r9b_values(spark):
+    """The r9 wave-2 operators: $cmp/$strcasecmp trichotomy,
+    $anyElementTrue/$allElementsTrue, $indexOfArray, $sortArray,
+    $range (end-exclusive, empty-safe, negative step), $zip (shortest
+    + longest), set predicates, trig/$log/bit ops, byte lengths, the
+    date-part zoo ($dayOfYear/$week/iso fields/$millisecond/
+    $dateToParts), $mergeObjects later-wins, $replaceOne first-only,
+    chars-form trims, and $literal verbatim."""
+    import datetime
+    import math
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a-b-a", datetime.date(2027, 1, 1),
+          datetime.datetime(2026, 1, 3, 7, 8, 9, 123456))],
+        "id int, h string, d date, ts timestamp"))
+    r = s.aggregate("t", [{"$addFields": {
+        "c_lt": {"$cmp": [3, 5]}, "c_eq": {"$cmp": [5, 5]},
+        "c_gt": {"$cmp": ["b", "a"]},
+        "sc": {"$strcasecmp": ["Hello", "hello"]},
+        "anyt": {"$anyElementTrue": [[0, 1]]},
+        "allt": {"$allElementsTrue": [[1, 0]]},
+        "ia": {"$indexOfArray": [["a", "b", "c"], "b"]},
+        "ia_miss": {"$indexOfArray": [["a"], "z"]},
+        "sa": {"$sortArray": {"input": [3, 1, 2], "sortBy": -1}},
+        "rg": {"$range": [0, 10, 3]},
+        "rg_neg": {"$range": [5, 0, -2]},
+        "rg_empty": {"$range": [3, 3]},
+        "zp": {"$zip": {"inputs": [[1, 2, 3], [10, 20]]}},
+        "zp_long": {"$zip": {"inputs": [[1, 2, 3], [10, 20]],
+                             "useLongestLength": True}},
+        "se": {"$setEquals": [[1, 2, 2], [2, 1]]},
+        "ss": {"$setIsSubset": [[1, 2], [1, 2, 3]]},
+        "rad": {"$degreesToRadians": 180},
+        "lg": {"$log": [8, 2]},
+        "ba": {"$bitAnd": [12, 10]}, "bo": {"$bitOr": [12, 10]},
+        "bx": {"$bitXor": [12, 10]}, "bn": {"$bitNot": 5},
+        "blen": {"$strLenBytes": "héllo"},
+        "doy": {"$dayOfYear": "$d"},
+        "iw": {"$isoWeek": "$d"}, "idw": {"$isoDayOfWeek": "$d"},
+        "iwy": {"$isoWeekYear": "$d"},
+        "wk0": {"$week": "$ts"},
+        "ms": {"$millisecond": "$ts"},
+        "parts": {"$dateToParts": {"date": "$ts"}},
+        "mo": {"$mergeObjects": [
+            {"$arrayToObject": [[{"k": "x", "v": 1}, {"k": "y", "v": 2}]]},
+            {"$arrayToObject": [[{"k": "y", "v": 9}, {"k": "z", "v": 3}]]},
+        ]},
+        "ro": {"$replaceOne": {"input": "$h", "find": "a",
+                               "replacement": "Z"}},
+        "ro_miss": {"$replaceOne": {"input": "$h", "find": "q",
+                                    "replacement": "Z"}},
+        "tc": {"$trim": {"input": "xxhixx", "chars": "x"}},
+        "tl": {"$ltrim": {"input": "xxhi", "chars": "x"}},
+        "tr": {"$rtrim": {"input": "hixx", "chars": "x"}},
+        "litv": {"$literal": "$not_a_field"},
+    }}, {"$addFields": {
+        "mo_y": {"$getField": {"field": "y", "input": "$mo"}},
+        "mo_n": {"$size": {"$objectToArray": "$mo"}},
+        "p_day": {"$getField": {"field": "day", "input": "$parts"}},
+        "p_ms": {"$getField": {"field": "millisecond",
+                               "input": "$parts"}},
+    }}])
+    row = r.collect()[0].asDict()
+    assert (row["c_lt"], row["c_eq"], row["c_gt"]) == (-1, 0, 1)
+    assert row["sc"] == 0
+    assert row["anyt"] is True and row["allt"] is False
+    assert row["ia"] == 1 and row["ia_miss"] == -1
+    assert row["sa"] == [3, 2, 1]
+    assert row["rg"] == [0, 3, 6, 9] and row["rg_neg"] == [5, 3, 1]
+    assert row["rg_empty"] == []
+    assert row["zp"] == [[1, 10], [2, 20]]
+    assert row["zp_long"] == [[1, 10], [2, 20], [3, None]]
+    assert row["se"] is True and row["ss"] is True
+    assert math.isclose(row["rad"], math.pi)
+    assert math.isclose(row["lg"], 3.0)
+    assert (row["ba"], row["bo"], row["bx"], row["bn"]) == (8, 14, 6, -6)
+    assert row["blen"] == 6
+    assert row["doy"] == 1
+    # 2027-01-01 is a Friday: ISO week 53 of ISO year 2026
+    assert row["iw"] == 53 and row["idw"] == 5 and row["iwy"] == 2026
+    # 2026-01-03 is a Saturday before the year's first Sunday: week 0
+    assert row["wk0"] == 0
+    assert row["ms"] == 123
+    assert row["mo_y"] == 9 and row["mo_n"] == 3
+    assert row["p_day"] == 3 and row["p_ms"] == 123
+    assert row["ro"] == "Z-b-a" and row["ro_miss"] == "a-b-a"
+    assert row["tc"] == "hi" and row["tl"] == "hi" and row["tr"] == "hi"
+    assert row["litv"] == "$not_a_field"
+
+
+def test_expr_dialect_r9b_errors(spark):
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame([("a",)], "s string"))
+    cases = [
+        ({"$sortArray": {"input": [1], "sortBy": 2}}, "sortBy 1\\|-1"),
+        ({"$range": [0, 5, 0]}, "nonzero"),
+        ({"$zip": {"inputs": [[1], [2], [3]]}}, "exactly 2"),
+        ({"$replaceOne": {"input": "$s", "find": "$s",
+                          "replacement": "x"}}, "literal string"),
+        ({"$trim": {"input": "$s", "chars": "$s"}}, "literal"),
+        ({"$dateToParts": {"date": "$s", "iso8601": True}},
+         "not compiled"),
+    ]
+    for bad, msg in cases:
+        with pytest.raises(DocumentQueryError, match=msg):
+            s.aggregate("t", [{"$addFields": {"z": bad}}]).collect()
+
+
 def test_group_stddev_accumulators(spark):
     """$stdDevSamp/$stdDevPop in $group (and inside $facet's masked
     form) — the same accumulator table serves both."""
@@ -2673,8 +2782,12 @@ def test_group_selection_accumulators(spark):
     assert row["bot2"] == [2, 1]       # reversed ascending slice
     import pytest as _pt
     for bad, msg in [
-        ({"$firstN": {"input": "$v", "n": 2}}, "document-order"),
-        ({"$lastN": {"input": "$v", "n": 2}}, "document-order"),
+        # r9: unsorted $firstN/$lastN now point at the sorted form
+        # ($group's dispatch routes them to _first_last_agg); the
+        # document-order refusal message survives on the masked/$facet
+        # path only
+        ({"$firstN": {"input": "$v", "n": 2}}, "preceding .sort"),
+        ({"$lastN": {"input": "$v", "n": 2}}, "preceding .sort"),
         ({"$median": {"input": "$v"}}, "method"),
         ({"$percentile": {"input": "$v", "p": [0.5]}}, "method"),
         ({"$percentile": {"input": "$v", "p": [1.5],

@@ -87,7 +87,7 @@ PLANNED: dict[str, int] = {
     # round-11 targets (round 10 is already full)
     **{k: 11 for k in (
         "q193_doc_expr_dialect2", "q194_doc_group_first_last_n",
-        "nl66_doc_ancestors", "nl67_doc_ema",
+        "nl66_doc_ancestors", "nl67_doc_ema", "q195_doc_expr_dialect3",
     )},
 }
 
