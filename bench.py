@@ -204,6 +204,11 @@ HEADLINE = [
     "q190_doc_group_first_last",
     "q191_wordpiece_merges",
     "q192_wordpiece_encode_stats",
+    "q193_doc_expr_dialect2",
+    "q194_doc_group_first_last_n",
+    "q195_doc_expr_dialect3",
+    "nl66_doc_ancestors",
+    "nl67_doc_ema",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

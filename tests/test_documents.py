@@ -3151,6 +3151,56 @@ def test_r8_window_ops_plan_contracts(spark):
     assert "Window" not in fp and "Join" not in fp, fp
 
 
+def test_r9_ops_plan_contracts(spark):
+    """Machine-checked 100 TB plan shapes for the r9 additions: both
+    expression-dialect waves compile to projections with ZERO
+    exchanges, zero Python evals, and zero joins over the scan (pure
+    whole-stage codegen); $firstN/$lastN in $group ride the ordinary
+    partial→final aggregate — exactly one hash exchange, no window, no
+    join, and map-side partial aggregation present."""
+    import datetime as dt
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", dt.date(2026, 1, 1 + i),
+          float(i), f"{i}-WORD")
+         for i in range(8)],
+        "id int, g string, d date, v double, h string"))
+
+    def final_plan(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return p.split("== Initial Plan ==")[0]
+
+    proj = s.aggregate("t", [{"$addFields": {
+        "ds": {"$dateToString": {"format": "%Y/%m", "date": "$d"}},
+        "rm": {"$regexMatch": {"input": "$h", "regex": "WORD$"}},
+        "rf": {"$getField": {"field": "idx", "input": {"$regexFind": {
+            "input": "$h", "regex": "([0-9]+)"}}}},
+        "lt": {"$let": {"vars": {"t": {"$divide": ["$v", 7]}},
+                        "in": {"$add": ["$$t", "$$t"]}}},
+        "wk": {"$week": "$d"}, "iwy": {"$isoWeekYear": "$d"},
+        "rg": {"$range": [0, "$id"]},
+        "zp": {"$zip": {"inputs": [["a"], ["b"]]}},
+        "ro": {"$replaceOne": {"input": "$h", "find": "-",
+                               "replacement": ":"}},
+    }}])
+    fp = final_plan(proj)
+    assert "Exchange" not in fp, fp
+    assert "BatchEvalPython" not in fp and "ArrowEvalPython" not in fp, fp
+    assert "Join" not in fp, fp
+
+    fl = s.aggregate("t", [
+        {"$sort": {"v": -1}},
+        {"$group": {"_id": "$g",
+                    "top2": {"$firstN": {"input": "$id", "n": 2}},
+                    "tail2": {"$lastN": {"input": "$id", "n": 2}}}},
+    ])
+    fp = final_plan(fl)
+    assert fp.count("Exchange hashpartitioning") == 1, fp
+    assert "Window" not in fp and "Join" not in fp, fp
+    assert "partial_" in fp or "ObjectHashAggregate" in fp, fp
+
+
 def test_nl2doc_topn_per_group_compiles(store):
     """'top <n> <o> by <m> per <g>' compiles to the $topN accumulator
     with the measure descending."""
