@@ -209,6 +209,8 @@ HEADLINE = [
     "q195_doc_expr_dialect3",
     "nl66_doc_ancestors",
     "nl67_doc_ema",
+    "nl68_doc_latest_n_per_group",
+    "nl69_doc_descendants",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

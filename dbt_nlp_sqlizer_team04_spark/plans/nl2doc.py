@@ -615,13 +615,16 @@ class NL2DocEngine:
         # earliest|oldest> <field> per <g>" compiles to the
         # sort-then-group $first idiom (q190's surface from NL):
         # $sort {date ∓1, field 1} → $group {$first} + count
+        # an optional count widens the idiom to the N-form: "latest 3
+        # event_id per user_id" → $firstN over the same threaded sort
+        # (q194's surface from NL)
         lt = _re.search(
             r"\b(latest|most recent|newest|earliest|oldest)\s+"
-            r"([a-z_]+)\s+per\s+([a-z_]+)",
+            r"(?:(\d+)\s+)?([a-z_]+)\s+per\s+([a-z_]+)",
             ql,
         )
         if lt:
-            word, f_word, g_word = lt.groups()
+            word, n_s, f_word, g_word = lt.groups()
             dfld = self._date_field(coll)
             # exclude_id=False: "per user_id" names an id-suffixed
             # group key, which the default resolver filters out
@@ -633,13 +636,20 @@ class NL2DocEngine:
             if dfld is not None and g is not None and pick is not None \
                     and pick != dfld:
                 desc = word in ("latest", "most recent", "newest")
-                label = ("latest" if desc else "earliest") + f"_{pick}"
+                stem = "latest" if desc else "earliest"
+                if n_s:
+                    label = f"{stem}{n_s}_{pick}"
+                    acc: dict = {"$firstN": {"input": f"${pick}",
+                                             "n": int(n_s)}}
+                else:
+                    label = f"{stem}_{pick}"
+                    acc = {"$first": f"${pick}"}
                 return {
                     "collection": coll,
                     "pipeline": prelude + [
                         {"$sort": {dfld: -1 if desc else 1, pick: 1}},
                         {"$group": {"_id": f"${g}",
-                                    label: {"$first": f"${pick}"},
+                                    label: acc,
                                     "n": {"$sum": 1}}},
                         {"$sort": {"_id": 1}},
                     ],

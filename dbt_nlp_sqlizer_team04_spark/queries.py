@@ -484,6 +484,52 @@ def _nl67_doc_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nl69_doc_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc graph-traversal phrasing, downward direction: descendants
+    walk $graphLookup with the connect fields swapped (startWith the
+    node's own id, connectTo the parent field), depth-capped at 2
+    levels (maxDepth 1 → children + grandchildren). Oracle: the
+    WITH RECURSIVE twin descending the same derived 4-ary forest."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tree = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") > 0,
+            F.floor((F.col("doc_id") - 1) / 4).cast("long"),
+        ).alias("parent"),
+        "source",
+    )
+    store = DocumentStore(spark)
+    store.register("doc_tree", tree)
+    df, _q = NL2DocEngine(store).ask(
+        "all descendants of doc 27 up to 2 levels for doc_tree"
+    )
+    return df
+
+
+def _nl68_doc_latest_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc latest-N-per-group phrasing compiles to the sorted
+    $firstN idiom (q194's surface from NL): $sort {ts desc, id asc} →
+    $group $firstN n=3 + count. The array arrives JSON-flattened
+    through the executor's S10 coercion (nl65's precedent); oracle:
+    DuckDB ordered-list head slice rendered with to_json."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "latest 3 event_id per user_id for events"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1412,6 +1458,12 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # average of X per Y" → $expMovingAvg; rows-only to the driver,
     # DIFFERENTIAL pandas-ewm replay in the harness) — NEW r9.
     "nl67_doc_ema": _nl67_doc_ema,
+    # NL tier for latest-N per group ("latest 3 X per Y" → sorted
+    # $firstN, q194's surface from NL) — NEW r9.
+    "nl68_doc_latest_n_per_group": _nl68_doc_latest_n_per_group,
+    # NL graph traversal, downward direction (descendants walk with
+    # swapped connect fields) — NEW r9.
+    "nl69_doc_descendants": _nl69_doc_descendants,
 }
 
 # --- round-9 driver window (explicit form of the rotation policy at the
@@ -3058,6 +3110,32 @@ ORACLE_SQL: dict[str, str | None] = {
                to_json((list(event_id ORDER BY value DESC, event_id))[1:3])
                  ::VARCHAR AS top3_event_id
         FROM events GROUP BY event_type ORDER BY _id
+    """,
+    "nl69_doc_descendants": """
+        WITH RECURSIVE tree AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id > 0
+                      THEN CAST(floor((doc_id - 1) / 4) AS BIGINT)
+                 END AS parent
+          FROM documents
+        ), dn AS (
+          SELECT t.doc_id AS doc_id, c.doc_id AS node, 0 AS depth
+          FROM tree t JOIN tree c ON c.parent = t.doc_id
+          WHERE t.doc_id = 27
+          UNION ALL
+          SELECT d.doc_id, c.doc_id, d.depth + 1
+          FROM dn d JOIN tree c ON c.parent = d.node
+          WHERE d.depth < 1
+        )
+        SELECT doc_id, node, CAST(depth AS BIGINT) AS depth
+        FROM dn ORDER BY doc_id, depth, node
+    """,
+    "nl68_doc_latest_n_per_group": """
+        SELECT user_id AS _id,
+               to_json((list(event_id ORDER BY ts DESC, event_id))[1:3])
+                 ::VARCHAR AS latest3_event_id,
+               count(*) AS n
+        FROM events GROUP BY user_id ORDER BY _id
     """,
     "nl64_doc_latest_per_group": """
         SELECT user_id AS _id,

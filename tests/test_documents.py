@@ -3045,6 +3045,11 @@ def test_nl2doc_latest_per_group_compiles(store):
     assert q2["pipeline"][0] == {"$sort": {"ts": 1, "event_id": 1}}
     assert q2["pipeline"][1]["$group"]["earliest_event_id"] == {
         "$first": "$event_id"}
+    # the optional count widens the idiom to the sorted $firstN N-form
+    q3 = eng.template_query("latest 3 event_id per user_id for events")
+    assert q3["pipeline"][0] == {"$sort": {"ts": -1, "event_id": 1}}
+    assert q3["pipeline"][1]["$group"]["latest3_event_id"] == {
+        "$firstN": {"input": "$event_id", "n": 3}}
 
 
 def test_nl2doc_graph_traversal_compiles(store):
