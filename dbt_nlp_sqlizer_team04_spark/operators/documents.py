@@ -1340,7 +1340,14 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
     if fn is None:
         raise DocumentQueryError(f"Unsupported expression operator: {op}")
     args = operands if isinstance(operands, list) else [operands]
-    return fn(*[_ref(a, resolve) for a in args])
+    try:
+        return fn(*[_ref(a, resolve) for a in args])
+    except TypeError as exc:
+        # a fixed-arity lambda called with the wrong operand count —
+        # surface the dialect's typed error, not a raw TypeError
+        raise DocumentQueryError(
+            f"{op}: bad operand count ({len(args)}): {exc}"
+        ) from exc
 
 
 def _acc_selection_ops(
@@ -1759,6 +1766,41 @@ def _first_last_agg(
                 "ascending or use a numeric/date key"
             )
     out = _ref(in_spec)
+    if op == "$mergeObjects":
+        # later-wins fold over the maps in sort (= document) order:
+        # collect (keys…, map) structs, sort, strip the keys, drop null
+        # documents (Mongo ignores them), then aggregate() the tail
+        # onto the head — one map-side-combinable collect per group.
+        pair = F.struct(
+            *[k.alias(f"__k{i}") for i, k in enumerate(keys)],
+            out.alias("__v"),
+        )
+
+        # maps are not orderable, so the struct can't use array_sort's
+        # default ordering — compare the (already direction-normalized)
+        # key fields explicitly, first difference wins
+        def _key_cmp(left, right):
+            cmp = F.lit(0)
+            for i in reversed(range(len(keys))):
+                ki = f"__k{i}"
+                cmp = (
+                    F.when(left[ki] < right[ki], -1)
+                    .when(left[ki] > right[ki], 1)
+                    .otherwise(cmp)
+                )
+            return cmp.cast("int")
+
+        arr = F.filter(
+            F.transform(F.array_sort(F.collect_list(pair), _key_cmp),
+                        lambda x: x["__v"]),
+            lambda m: m.isNotNull(),
+        )
+        merged = F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - F.lit(1), F.lit(0))),
+            F.get(arr, 0),
+            _merge_two_maps,
+        )
+        return merged.alias(alias)
     if n is None:
         ordc = F.struct(*keys, out)
         agg = F.min_by(out, ordc) if op == "$first" else F.max_by(out, ordc)
@@ -1802,7 +1844,8 @@ def apply_group(
     aggs = [
         _first_last_agg(df, a, s, sort_ctx)
         if isinstance(s, dict) and len(s) == 1
-        and next(iter(s)) in ("$first", "$last", "$firstN", "$lastN")
+        and next(iter(s)) in ("$first", "$last", "$firstN", "$lastN",
+                              "$mergeObjects")
         else _acc_to_agg(a, s)
         for a, s in spec.items()
         if a != "_id"

@@ -3030,6 +3030,40 @@ def test_group_first_last_n_sorted(spark):
             "_id": "$g", "x": {"$lastN": {"input": "$id", "n": 0}}}}])
 
 
+def test_group_merge_objects_sorted(spark):
+    """$mergeObjects in $group rides the same sort-threading as
+    $first/$firstN: later documents (in sort order) win on key
+    collisions, null documents are ignored, and the unsorted form
+    raises the preceding-$sort contract. Wrong operand counts on
+    fixed-arity expression ops surface as the dialect's typed error."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", [[1, 10], [2, 20]]),
+         (2, "a", [[2, 99], [3, 30]]),
+         (3, "b", [[7, 70]])],
+        "id int, g string, kvs array<array<int>>"))
+    # build a map column from the kv pairs through the dialect itself
+    mapped = [
+        {"$addFields": {"m": {"$arrayToObject": {"$map": {
+            "input": "$kvs", "as": "p",
+            "in": {"k": {"$toString": {"$arrayElemAt": ["$$p", 0]}},
+                   "v": {"$arrayElemAt": ["$$p", 1]}}}}}}},
+    ]
+    rows = {r["_id"]: r for r in s.aggregate("t", mapped + [
+        {"$sort": {"id": 1}},
+        {"$group": {"_id": "$g", "mo": {"$mergeObjects": "$m"}}},
+        {"$sort": {"_id": 1}},
+    ]).collect()}
+    assert rows["a"]["mo"] == {"1": 10, "2": 99, "3": 30}
+    assert rows["b"]["mo"] == {"7": 70}
+    with pytest.raises(DocumentQueryError, match="preceding .sort"):
+        s.aggregate("t", mapped + [
+            {"$group": {"_id": "$g", "mo": {"$mergeObjects": "$m"}}}])
+    with pytest.raises(DocumentQueryError, match="bad operand count"):
+        s.aggregate("t", [{"$addFields": {
+            "z": {"$atan2": [1.0, 2.0, 3.0]}}}])
+
+
 def test_nl2doc_latest_per_group_compiles(store):
     """'<latest|earliest> <field> per <g>' compiles to $sort + $group
     $first (q190's idiom); 'earliest' flips the date direction."""
