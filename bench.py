@@ -211,6 +211,7 @@ HEADLINE = [
     "nl67_doc_ema",
     "nl68_doc_latest_n_per_group",
     "nl69_doc_descendants",
+    "q196_dsir_selection",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

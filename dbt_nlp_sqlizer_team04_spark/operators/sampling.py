@@ -577,3 +577,114 @@ def source_token_budget_sql(budget: int = TOKEN_BUDGET) -> str:
         GROUP BY source
         ORDER BY source
     """
+
+
+# --------------------------------------------------------------- DSIR
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+# arXiv:2302.03169): score each RAW-pool document by the hashed-n-gram
+# bag log-likelihood ratio between a small TARGET corpus and the raw
+# pool, then keep the highest-weight documents.  The published recipe
+# is exactly this shape — unigram+bigram features hashed into B
+# buckets, two multinomial distributions estimated with add-one
+# smoothing, per-document importance = Σ_features log(p_target/p_raw).
+DSIR_BUCKETS = 1024
+
+
+def dsir_features(text: Column) -> Column:
+    """Hashed unigram+bigram bag (array of bucket ids in
+    [0, DSIR_BUCKETS)): lowercase, split on non-alphanumerics, pair
+    adjacent words, xxhash64 → pmod.  Pure projection — at 100 TB this
+    is a narrow map inside the scan stage, no shuffle."""
+    w = F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    n1 = F.greatest(F.size(w) - F.lit(1), F.lit(0))
+    bi = F.zip_with(
+        F.slice(w, 1, n1),
+        F.slice(w, 2, n1),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    return F.transform(
+        F.concat(w, bi),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(DSIR_BUCKETS)).cast("int"),
+    )
+
+
+def dsir_selection(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = "src1",
+    k: int = 20,
+) -> DataFrame:
+    """DSIR document selection: target = the ``target_source`` slice of
+    the documents corpus, raw pool = every other document; return the
+    top-``k`` raw documents by importance weight.
+
+    Spark shape (scales to 100 TB):
+    - ONE explode of the hashed feature bag feeds BOTH distribution
+      estimates (map-side-combinable groupBy over ≤ B buckets each) and
+      the scoring join — the corpus is scanned once for counts, once
+      for scoring;
+    - the per-bucket log-ratio table is ≤ B rows, built with two
+      1-row total aggregates (metadata-bounded driver reads, same class
+      as the IVF centroid collects) and broadcast onto the feature
+      stream — the scoring pass is scan → broadcast hash join →
+      per-doc partial sum, no wide shuffle beyond the doc_id regroup;
+    - the final top-k is a rank-limited sort on k rows.
+
+    Rows-only to the driver (xxhash64 has no DuckDB analog — the q28
+    precedent); the harness value-checks it DIFFERENTIALLY against a
+    pure-Python xxh64 + math.log replay of the published recipe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.explode(dsir_features(F.col("text"))).alias("b"),
+    )
+    is_target = F.col("source") == target_source
+    counts = feats.groupBy("b").agg(
+        F.count(F.when(is_target, 1)).alias("ct"),
+        F.count(F.when(~is_target, 1)).alias("cr"),
+    )
+    totals = counts.agg(F.sum("ct"), F.sum("cr")).collect()[0]
+    n_t, n_r = int(totals[0] or 0), int(totals[1] or 0)
+    spine = spark.range(DSIR_BUCKETS).select(
+        F.col("id").cast("int").alias("b")
+    )
+    ratios = (
+        spine.join(counts, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                      / F.lit(float(n_t + DSIR_BUCKETS)))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+                        / F.lit(float(n_r + DSIR_BUCKETS)))
+            ).alias("w_b"),
+        )
+    )
+    scored = (
+        feats.filter(~is_target)
+        .join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_b").alias("w"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "source", "n_feats", F.round("w", 6).alias("w")
+        )
+        .orderBy(F.desc("w"), "doc_id")
+        .limit(k)
+    )
+
+
+def q196_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (arXiv:2302.03169) — top-20
+    raw-pool documents most target-like under hashed unigram+bigram
+    log-likelihood ratios (target = source 'src1')."""
+    return dsir_selection(spark, sf_dir, target_source="src1", k=20)

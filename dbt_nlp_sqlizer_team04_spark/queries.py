@@ -1464,6 +1464,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # NL graph traversal, downward direction (descendants walk with
     # swapped connect fields) — NEW r9.
     "nl69_doc_descendants": _nl69_doc_descendants,
+    # DSIR importance-resampling selection (Xie et al. 2023) — hashed
+    # n-gram log-likelihood-ratio document scoring; rows-only to the
+    # driver, DIFFERENTIAL pure-Python xxh64 replay — NEW r9.
+    "q196_dsir_selection": SMP.q196_dsir_selection,
 }
 
 # --- round-9 driver window (explicit form of the rotation policy at the

@@ -1203,6 +1203,56 @@ def _q186_reference(spark, sf_dir: str):
     return ["event_id", "user_id", "ema5", "ema_a"], rows
 
 
+def _q196_reference(spark, sf_dir: str):
+    """Pure-Python replay of the DSIR selection (arXiv:2302.03169
+    recipe as implemented): unigram+bigram features hashed with the
+    spec-level xxh64 (unsigned % B ≡ Spark's pmod-of-signed since
+    2^64 ≡ 0 mod B), add-one-smoothed target/raw multinomials,
+    per-document Σ log-ratio, ordered by the ROUNDED weight (the
+    operator rounds before its final sort) with doc_id tiebreak."""
+    import math
+    import re
+
+    import pandas as pd
+
+    B = 1024
+    pdf = pd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"],
+    )
+
+    def buckets(text: str) -> list[int]:
+        w = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        feats = w + [f"{a}_{b}" for a, b in zip(w, w[1:])]
+        return [xxh64_bytes(t.encode("utf-8")) % B for t in feats]
+
+    ct = [0] * B
+    cr = [0] * B
+    docfeats: dict[int, tuple[str, list[int]]] = {}
+    for r in pdf.itertuples():
+        bs = buckets(r.text)
+        if r.source == "src1":
+            for b in bs:
+                ct[b] += 1
+        else:
+            docfeats[int(r.doc_id)] = (str(r.source), bs)
+            for b in bs:
+                cr[b] += 1
+    n_t, n_r = sum(ct), sum(cr)
+    wb = [
+        math.log((ct[b] + 1.0) / (n_t + B))
+        - math.log((cr[b] + 1.0) / (n_r + B))
+        for b in range(B)
+    ]
+    rows = [
+        (doc_id, source, len(bs),
+         _spark_round(math.fsum(wb[b] for b in bs), 6))
+        for doc_id, (source, bs) in docfeats.items()
+    ]
+    rows.sort(key=lambda t: (-t[3], t[0]))
+    return ["doc_id", "source", "n_feats", "w"], rows[:20]
+
+
 def _nl67_reference(spark, sf_dir: str):
     """Pandas groupby-ewm replay of nl67's NL-compiled $expMovingAvg:
     the template emits N=7 (α = 2/8 = 0.25) per event_type over the ts
@@ -1252,6 +1302,7 @@ DIFFERENTIAL = {
     "q183_unigram_encode_stats": _q183_reference,
     "q186_doc_ema": _q186_reference,
     "nl67_doc_ema": _nl67_reference,
+    "q196_dsir_selection": _q196_reference,
     "q191_wordpiece_merges": _q191_reference,
     "q192_wordpiece_encode_stats": _q192_reference,
 }

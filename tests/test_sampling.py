@@ -262,3 +262,28 @@ def test_source_token_budget_partition_invariant(spark, sf_check):
     a = source_token_budget(docs.repartition(1)).collect()
     b = source_token_budget(docs.repartition(16)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dsir_selection(spark, sf_smoke):
+    """DSIR selection (q196): 20 raw-pool rows, target source excluded,
+    ordered by rounded weight desc with doc_id tiebreak; the plan
+    broadcasts the bucket-ratio table (no wide join) and keeps the
+    hashed-feature projection JVM-side (no Python eval)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.sampling import (
+        dsir_selection,
+    )
+
+    df = dsir_selection(spark, sf_smoke, target_source="src1", k=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r["source"] != "src1" for r in rows)
+    ws = [r["w"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    # partition-invariance of the weights (pure function of content)
+    again = {r["doc_id"]: r["w"]
+             for r in dsir_selection(spark, sf_smoke).collect()}
+    assert {r["doc_id"]: r["w"] for r in rows} == again
