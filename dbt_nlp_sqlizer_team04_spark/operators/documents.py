@@ -737,16 +737,16 @@ _MONGO_FMT_SPECS = {
 }
 
 
-def _mongo_datetime_fmt(fmt: str, op: str) -> str:
-    """Translate a Mongo %-format string into a Spark datetime pattern.
-    Literal runs are single-quoted so format text can never collide
-    with pattern letters ('T' in ISO strings, stray 'y', …)."""
-    out: list[str] = []
+def _mongo_fmt_tokens(fmt: str, op: str) -> list[tuple[str, str]]:
+    """Scan a Mongo %-format string into ('lit', text) / ('pat',
+    spark_pattern) tokens; unknown specifiers and a dangling '%' are
+    loud."""
+    toks: list[tuple[str, str]] = []
     lit: list[str] = []
 
     def flush() -> None:
         if lit:
-            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            toks.append(("lit", "".join(lit)))
             lit.clear()
 
     i = 0
@@ -769,12 +769,41 @@ def _mongo_datetime_fmt(fmt: str, op: str) -> str:
                         f"%{'/%'.join(sorted(_MONGO_FMT_SPECS))}, %%)"
                     )
                 flush()
-                out.append(pat)
+                toks.append(("pat", pat))
             i += 2
         else:
             lit.append(ch)
             i += 1
     flush()
+    return toks
+
+
+def _mongo_datetime_fmt(fmt: str, op: str) -> str:
+    """Translate a Mongo %-format string into ONE Spark datetime
+    pattern (the PARSE side needs a single pattern). Literal runs are
+    single-quoted so format text can never collide with pattern
+    letters ('T' in ISO strings, stray 'y', …). ADJACENT specifiers of
+    the same field ('%m%m') would silently merge into one longer
+    pattern field ('MM'+'MM' = 'MMMM', the text month) — the pattern
+    language has no empty separator, so that shape is refused loudly
+    (found by the r9 property sweep; the RENDER side sidesteps the
+    problem entirely by concatenating per-specifier date_format
+    pieces — see $dateToString)."""
+    out: list[str] = []
+    prev_pat: str | None = None
+    for kind, text in _mongo_fmt_tokens(fmt, op):
+        if kind == "lit":
+            out.append("'" + text.replace("'", "''") + "'")
+            prev_pat = None
+            continue
+        if prev_pat is not None and prev_pat[0] == text[0]:
+            raise DocumentQueryError(
+                f"{op}: adjacent identical specifiers in {fmt!r} have "
+                "no single-pattern representation — separate them "
+                "with literal text"
+            )
+        out.append(text)
+        prev_pat = text
     return "".join(out)
 
 
@@ -1053,12 +1082,17 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
             raise DocumentQueryError(f"{op} bad unit: {unit!r}")
         return d + F.expr(f"interval {amt} {unit}")
     if op == "$dateToString":
-        # {"format": "%Y-%m-%d…", "date": e, "onNull": e?} →
-        # date_format under a translated Spark pattern (literal runs
-        # quoted). Default format is Mongo's ISO shape. "timezone" is
-        # refused (the engine normalizes timestamps to UTC on ingest —
-        # sources/parquet.py — so a per-expression zone would silently
-        # double-shift).
+        # {"format": "%Y-%m-%d…", "date": e, "onNull": e?} — rendered
+        # PIECE-WISE: each %-specifier becomes its own date_format()
+        # and literal runs become plain lit()s, concatenated. One
+        # translated pattern would silently merge adjacent same-field
+        # specifiers ('%m%m' → 'MMMM' → 'March' — caught by the r9
+        # property sweep); the piece-wise concat has no such ambiguity
+        # and needs no literal quoting at all. Still one codegen
+        # projection. Default format is Mongo's ISO shape. "timezone"
+        # is refused (the engine normalizes timestamps to UTC on
+        # ingest — sources/parquet.py — so a per-expression zone would
+        # silently double-shift).
         if not (isinstance(operands, dict) and "date" in operands):
             raise DocumentQueryError(f"$dateToString needs date: {spec!r}")
         if "timezone" in operands:
@@ -1069,12 +1103,18 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         fmt = operands.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
         if not isinstance(fmt, str):
             raise DocumentQueryError(f"$dateToString bad format: {fmt!r}")
-        rendered = F.date_format(
-            _ref(operands["date"], resolve),
-            _mongo_datetime_fmt(fmt, "$dateToString"),
-        )
+        dcol = _ref(operands["date"], resolve)
+        pieces = [
+            F.lit(text) if kind == "lit" else F.date_format(dcol, text)
+            for kind, text in _mongo_fmt_tokens(fmt, "$dateToString")
+        ]
+        body = F.concat(*pieces) if pieces else F.lit("")
+        # a literal-only format never nulls out on its own — gate on
+        # the date so a null input still follows Mongo's null/onNull
+        # contract
+        rendered = F.when(dcol.isNotNull(), body)
         if "onNull" in operands:
-            rendered = F.coalesce(rendered, _ref(operands["onNull"], resolve))
+            rendered = rendered.otherwise(_ref(operands["onNull"], resolve))
         return rendered
     if op == "$dateFromString":
         # {"dateString": e, "format": literal?, "onError": e?,

@@ -2431,6 +2431,11 @@ def test_expr_dialect_r9_errors(spark):
          "timezone"),
         ({"$dateFromString": {"dateString": "$s", "format": "$s"}},
          "literal"),
+        # adjacent identical specifiers merge into one longer pattern
+        # field on the single-pattern PARSE side — refused loudly (the
+        # render side concatenates per-specifier pieces instead)
+        ({"$dateFromString": {"dateString": "$s", "format": "%m%m"}},
+         "adjacent identical"),
         ({"$regexMatch": {"input": "$s", "regex": "$s"}},
          "literal string"),
         ({"$regexMatch": {"input": "$s", "regex": "a",

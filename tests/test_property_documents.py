@@ -135,3 +135,47 @@ def test_expr_dialect_matches_reference(spark, fixture_df, spec):
         _ref_eval(spec, row) for row in sorted(ROWS, key=lambda r: r["a"])
     ]
     assert got == want, spec
+
+
+# ---- r9: %-format translator property --------------------------------
+_SPEC_EXPECT = {
+    "%Y": "2026", "%m": "03", "%d": "05", "%H": "07", "%M": "08",
+    "%S": "09", "%L": "123", "%j": "064", "%%": "%",
+}
+# literal alphabet deliberately includes Spark datetime pattern letters
+# (y/M/d/H/m/s), the quote char, and separators — the translator must
+# quote literal runs so none of them are interpreted as pattern fields
+_LITERALS = list("yMdHmsT 'Z:/-_.!")
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.sampled_from(sorted(_SPEC_EXPECT)),
+        st.sampled_from(_LITERALS),
+    ),
+    min_size=1, max_size=12,
+))
+def test_date_to_string_format_translation(spark, tokens):
+    """$dateToString renders any mix of supported %-specifiers and
+    literal text (including pattern letters and quotes) exactly as the
+    spec-level expansion predicts — the literal-quoting in
+    _mongo_datetime_fmt is what this sweeps."""
+    import datetime
+
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentStore,
+    )
+
+    fmt = "".join(tokens)
+    expected = "".join(
+        _SPEC_EXPECT.get(t, t) for t in tokens
+    )
+    s = DocumentStore(spark)
+    s.register("t1", spark.createDataFrame(
+        [(datetime.datetime(2026, 3, 5, 7, 8, 9, 123000),)],
+        "ts timestamp"))
+    row = s.aggregate("t1", [{"$addFields": {
+        "out": {"$dateToString": {"format": fmt, "date": "$ts"}}}}]
+    ).collect()[0]
+    assert row["out"] == expected, (fmt, row["out"], expected)
