@@ -2570,6 +2570,67 @@ def test_expr_dialect_r9b_errors(spark):
             s.aggregate("t", [{"$addFields": {"z": bad}}]).collect()
 
 
+def test_expr_dialect_r9_random_sweep(spark):
+    """Seeded 300-row differential sweep of the r9 operators whose
+    semantics have exact stdlib references: $indexOfCP (plain/start/
+    [start,end)-containment) vs str.find, $range vs range(),
+    $replaceOne vs str.replace(…, 1), and the calendar zoo
+    ($dayOfYear/$isoWeek/$isoDayOfWeek/$isoWeekYear vs isocalendar,
+    Mongo's Sunday-based $week vs the first-Sunday count) — one Spark
+    job, row-wise equality."""
+    import datetime
+    import random
+
+    rng = random.Random(1234)
+    rows = []
+    for i in range(300):
+        s = "".join(rng.choice("abcx-") for _ in range(rng.randrange(13)))
+        a = rng.randrange(-5, 16)
+        b = rng.randrange(-5, 16)
+        d = datetime.date(1990, 1, 1) + datetime.timedelta(
+            days=rng.randrange(0, 365 * 40))
+        rows.append((i, s, a, b, d))
+    s_ = DocumentStore(spark)
+    s_.register("t", spark.createDataFrame(
+        rows, "i int, s string, a int, b int, d date"))
+    out = {r["i"]: r for r in s_.aggregate("t", [{"$addFields": {
+        "ix0": {"$indexOfCP": ["$s", "a"]},
+        "ix1": {"$indexOfCP": ["$s", "bc", 2]},
+        "ix2": {"$indexOfCP": ["$s", "bc", 0, 4]},
+        "ix3": {"$indexOfCP": ["$s", "x-", 1, 6]},
+        "rg1": {"$range": ["$a", "$b"]},
+        "rg2": {"$range": ["$a", "$b", 3]},
+        "rg3": {"$range": ["$a", "$b", -2]},
+        "ro": {"$replaceOne": {"input": "$s", "find": "bc",
+                               "replacement": "+"}},
+        "doy": {"$dayOfYear": "$d"},
+        "iw": {"$isoWeek": "$d"},
+        "idw": {"$isoDayOfWeek": "$d"},
+        "iwy": {"$isoWeekYear": "$d"},
+        "wk": {"$week": "$d"},
+    }}, {"$limit": 1000}]).collect()}
+    for i, s, a, b, d in rows:
+        r = out[i]
+        assert r["ix0"] == s.find("a"), (s,)
+        assert r["ix1"] == s.find("bc", 2), (s,)
+        assert r["ix2"] == s.find("bc", 0, 4), (s,)
+        assert r["ix3"] == s.find("x-", 1, 6), (s,)
+        assert r["rg1"] == list(range(a, b)), (a, b)
+        assert r["rg2"] == list(range(a, b, 3)), (a, b)
+        assert r["rg3"] == list(range(a, b, -2)), (a, b)
+        assert r["ro"] == s.replace("bc", "+", 1), (s,)
+        assert r["doy"] == d.timetuple().tm_yday, (d,)
+        iso = d.isocalendar()
+        assert r["iw"] == iso[1] and r["idw"] == iso[2], (d,)
+        assert r["iwy"] == iso[0], (d,)
+        jan1 = datetime.date(d.year, 1, 1)
+        first_sunday = jan1 + datetime.timedelta(
+            days=(6 - jan1.weekday()) % 7)
+        expect_wk = (0 if d < first_sunday
+                     else (d - first_sunday).days // 7 + 1)
+        assert r["wk"] == expect_wk, (d, r["wk"], expect_wk)
+
+
 def test_group_stddev_accumulators(spark):
     """$stdDevSamp/$stdDevPop in $group (and inside $facet's masked
     form) — the same accumulator table serves both."""
