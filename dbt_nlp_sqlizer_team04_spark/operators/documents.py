@@ -1219,6 +1219,43 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
                 f"$getField field must be a literal string: {field!r}"
             )
         return _ref(operands["input"], resolve)[field]
+    if op == "$convert":
+        # {"input": e, "to": name|bson-id, "onError": e?, "onNull": e?}
+        # — the general cast behind the $toX sugar. Strict cast (ANSI:
+        # malformed input throws, Mongo's behavior) unless onError is
+        # given, then try_cast + fallback; onNull takes precedence for
+        # null INPUT (Mongo's rule). String→bool follows Spark's cast
+        # table ('true'/'false'/'1'/'0'), a documented divergence from
+        # Mongo's any-string-is-true.
+        if not (isinstance(operands, dict) and "input" in operands
+                and "to" in operands):
+            raise DocumentQueryError(f"$convert needs input+to: {spec!r}")
+        to_names = {
+            "double": "double", "string": "string", "int": "int",
+            "long": "long", "bool": "boolean", "date": "date",
+            "timestamp": "timestamp", "decimal": "decimal(38,10)",
+            # Mongo's numeric BSON type ids
+            1: "double", 2: "string", 8: "boolean", 9: "timestamp",
+            16: "int", 18: "long", 19: "decimal(38,10)",
+        }
+        t = to_names.get(operands["to"])
+        if t is None:
+            raise DocumentQueryError(
+                f"$convert bad 'to' {operands['to']!r} (supported: "
+                f"{sorted(k for k in to_names if isinstance(k, str))})"
+            )
+        base = _ref(operands["input"], resolve)
+        if "onError" in operands:
+            casted = F.coalesce(
+                base.try_cast(t), _ref(operands["onError"], resolve)
+            )
+        else:
+            casted = base.cast(t)
+        if "onNull" in operands:
+            casted = F.when(
+                base.isNull(), _ref(operands["onNull"], resolve)
+            ).otherwise(casted)
+        return casted
     if op == "$literal":
         # verbatim value, no '$' interpretation — scalars, flat lists,
         # and document literals compile to lit/array/struct of literals

@@ -2517,6 +2517,14 @@ def test_expr_dialect_r9b_values(spark):
         "tl": {"$ltrim": {"input": "xxhi", "chars": "x"}},
         "tr": {"$rtrim": {"input": "hixx", "chars": "x"}},
         "litv": {"$literal": "$not_a_field"},
+        "cv_s": {"$convert": {"input": 42, "to": "string"}},
+        "cv_i": {"$convert": {"input": "17", "to": "int"}},
+        "cv_err": {"$convert": {"input": "$h", "to": "int",
+                                "onError": -1}},
+        "cv_null": {"$convert": {"input": {"$toString": None},
+                                 "to": "int", "onError": -1,
+                                 "onNull": -9}},
+        "cv_id": {"$convert": {"input": 3.7, "to": 16}},
     }}, {"$addFields": {
         "mo_y": {"$getField": {"field": "y", "input": "$mo"}},
         "mo_n": {"$size": {"$objectToArray": "$mo"}},
@@ -2550,6 +2558,9 @@ def test_expr_dialect_r9b_values(spark):
     assert row["ro"] == "Z-b-a" and row["ro_miss"] == "a-b-a"
     assert row["tc"] == "hi" and row["tl"] == "hi" and row["tr"] == "hi"
     assert row["litv"] == "$not_a_field"
+    assert row["cv_s"] == "42" and row["cv_i"] == 17
+    assert row["cv_err"] == -1 and row["cv_null"] == -9
+    assert row["cv_id"] == 3  # BSON id 16 = int; cast truncates
 
 
 def test_expr_dialect_r9b_errors(spark):
@@ -2564,6 +2575,7 @@ def test_expr_dialect_r9b_errors(spark):
         ({"$trim": {"input": "$s", "chars": "$s"}}, "literal"),
         ({"$dateToParts": {"date": "$s", "iso8601": True}},
          "not compiled"),
+        ({"$convert": {"input": "$s", "to": "uuid"}}, "bad 'to'"),
     ]
     for bad, msg in cases:
         with pytest.raises(DocumentQueryError, match=msg):
@@ -2629,6 +2641,19 @@ def test_expr_dialect_r9_random_sweep(spark):
         expect_wk = (0 if d < first_sunday
                      else (d - first_sunday).days // 7 + 1)
         assert r["wk"] == expect_wk, (d, r["wk"], expect_wk)
+    # render → parse round-trip across format shapes (incl. the
+    # no-separator yyyyMMdd form — adjacent DIFFERENT fields are fine,
+    # only same-field adjacency is refused)
+    rts = s_.aggregate("t", [{"$addFields": {
+        f"rt{j}": {"$toDate": {"$dateFromString": {
+            "dateString": {"$dateToString": {"format": f,
+                                             "date": "$d"}},
+            "format": f}}}
+        for j, f in enumerate(("%Y/%m/%d", "%d-%m-%Y", "%Y%m%d"))
+    }}, {"$limit": 1000}]).collect()
+    for r in rts:
+        assert r["rt0"] == r["d"] and r["rt1"] == r["d"] \
+            and r["rt2"] == r["d"], r
 
 
 def test_group_stddev_accumulators(spark):
