@@ -2656,6 +2656,55 @@ def test_expr_dialect_r9_random_sweep(spark):
             and r["rt2"] == r["d"], r
 
 
+def test_expr_dialect_string_array_random_sweep(spark):
+    """Seeded 300-row differential sweep of the string/array dialect
+    against exact stdlib references: chars-form trims vs str.strip
+    family (set semantics on both sides), $split vs str.split
+    (empties kept), $regexFind match/idx vs re.search, $slice /
+    $arrayElemAt vs list slicing, and the set operators vs sorted
+    set algebra."""
+    import random
+    import re as _re
+
+    rng = random.Random(4321)
+    rows = []
+    for i in range(300):
+        s = "".join(rng.choice("abx-") for _ in range(rng.randrange(12)))
+        rows.append((i, s))
+    s_ = DocumentStore(spark)
+    s_.register("t", spark.createDataFrame(rows, "i int, s string"))
+    split = {"$split": ["$s", "-"]}
+    out = {r["i"]: r for r in s_.aggregate("t", [{"$addFields": {
+        "tc": {"$trim": {"input": "$s", "chars": "x-"}},
+        "tl": {"$ltrim": {"input": "$s", "chars": "x-"}},
+        "tr": {"$rtrim": {"input": "$s", "chars": "x-"}},
+        "sp": split,
+        "rf": {"$regexFind": {"input": "$s", "regex": "[ab]+"}},
+        "sl": {"$slice": [split, 1, 2]},
+        "el": {"$arrayElemAt": [split, -1]},
+        "su": {"$setUnion": [split, ["ab", "x"]]},
+        "si": {"$setIntersection": [split, ["ab", "x", ""]]},
+        "sd": {"$setDifference": [split, [""]]},
+    }}, {"$limit": 1000}]).collect()}
+    for i, s in rows:
+        r = out[i]
+        assert r["tc"] == s.strip("x-"), (s,)
+        assert r["tl"] == s.lstrip("x-") and r["tr"] == s.rstrip("x-")
+        parts = s.split("-")
+        assert r["sp"] == parts, (s,)
+        m = _re.search("[ab]+", s)
+        if m is None:
+            assert r["rf"] is None, (s,)
+        else:
+            assert r["rf"]["match"] == m.group(0), (s,)
+            assert r["rf"]["idx"] == m.start(), (s,)
+        assert r["sl"] == parts[1:3], (s,)
+        assert r["el"] == parts[-1], (s,)
+        assert r["su"] == sorted(set(parts) | {"ab", "x"}), (s,)
+        assert r["si"] == sorted(set(parts) & {"ab", "x", ""}), (s,)
+        assert r["sd"] == sorted(set(parts) - {""}), (s,)
+
+
 def test_group_stddev_accumulators(spark):
     """$stdDevSamp/$stdDevPop in $group (and inside $facet's masked
     form) — the same accumulator table serves both."""
