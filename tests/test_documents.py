@@ -2656,6 +2656,62 @@ def test_expr_dialect_r9_random_sweep(spark):
             and r["rt2"] == r["d"], r
 
 
+def test_expr_dialect_datediff_trunc_random_sweep(spark):
+    """Seeded 300-pair sweep of the calendar arithmetic: $dateDiff
+    (day/month/week/hour boundary-crossing semantics) and $dateTrunc
+    week under each startOfWeek, against direct datetime references —
+    the boundary conventions (Sunday default, crossings not spans) are
+    exactly where hand reasoning slips."""
+    import datetime
+    import random
+
+    rng = random.Random(999)
+    rows = []
+    for i in range(300):
+        a = datetime.datetime(2000, 1, 1) + datetime.timedelta(
+            days=rng.randrange(0, 365 * 30), hours=rng.randrange(24),
+            minutes=rng.randrange(60))
+        b = a + datetime.timedelta(days=rng.randrange(-900, 900),
+                                   hours=rng.randrange(24))
+        rows.append((i, a, b))
+    s_ = DocumentStore(spark)
+    s_.register("t", spark.createDataFrame(
+        rows, "i int, a timestamp, b timestamp"))
+    out = {r["i"]: r for r in s_.aggregate("t", [{"$addFields": {
+        "dd": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                             "unit": "day"}},
+        "dm": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                             "unit": "month"}},
+        "dw": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                             "unit": "week"}},
+        "dh": {"$dateDiff": {"startDate": "$a", "endDate": "$b",
+                             "unit": "hour"}},
+        "tw_sun": {"$dateTrunc": {"date": "$a", "unit": "week"}},
+        "tw_mon": {"$dateTrunc": {"date": "$a", "unit": "week",
+                                  "startOfWeek": "monday"}},
+        "tw_thu": {"$dateTrunc": {"date": "$a", "unit": "week",
+                                  "startOfWeek": "thu"}},
+    }}, {"$limit": 1000}]).collect()}
+
+    def last_dow(d: datetime.date, dow: int) -> datetime.date:
+        # most recent date with weekday() == dow (Mon=0..Sun=6)
+        return d - datetime.timedelta(days=(d.weekday() - dow) % 7)
+
+    for i, a, b in rows:
+        r = out[i]
+        assert r["dd"] == (b.date() - a.date()).days, (a, b)
+        assert r["dm"] == (b.year - a.year) * 12 + (b.month - a.month)
+        sun_a, sun_b = last_dow(a.date(), 6), last_dow(b.date(), 6)
+        assert r["dw"] == (sun_b - sun_a).days // 7, (a, b)
+        # the engine casts the fractional hour count to long —
+        # truncation toward zero, not floor (matters for negatives)
+        eh = int((b - a).total_seconds() / 3600)
+        assert r["dh"] == eh, (a, b, r["dh"], eh)
+        assert r["tw_sun"] == last_dow(a.date(), 6), (a,)
+        assert r["tw_mon"] == last_dow(a.date(), 0), (a,)
+        assert r["tw_thu"] == last_dow(a.date(), 3), (a,)
+
+
 def test_expr_dialect_string_array_random_sweep(spark):
     """Seeded 300-row differential sweep of the string/array dialect
     against exact stdlib references: chars-form trims vs str.strip
