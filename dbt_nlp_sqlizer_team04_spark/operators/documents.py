@@ -3360,13 +3360,17 @@ class DocumentStore:
                 # — keyset pagination (a $match on the sort key) is the
                 # 100 TB shape; $skip exists for dialect completeness.
                 df = df.offset(int(spec))
-            elif op == "$replaceRoot":
+            elif op in ("$replaceRoot", "$replaceWith"):
                 # {"newRoot": "$field"} — promote a struct column to the
-                # document root (the standard post-$lookup+$unwind move)
+                # document root (the standard post-$lookup+$unwind move).
+                # $replaceWith (Mongo 4.2) is the shorthand alias: its
+                # operand IS the newRoot expression.
+                if op == "$replaceWith":
+                    spec = {"newRoot": spec}
                 nr = spec.get("newRoot") if isinstance(spec, dict) else None
                 if not (isinstance(nr, str) and nr.startswith("$")):
                     raise DocumentQueryError(
-                        f"$replaceRoot expects {{'newRoot': '$field'}}: "
+                        f"{op} expects {{'newRoot': '$field'}}: "
                         f"{spec!r}"
                     )
                 field = nr[1:]
@@ -3379,12 +3383,12 @@ class DocumentStore:
                     # contract that nl2doc's ask() fall-through
                     # reports via __cause__
                     raise DocumentQueryError(
-                        f"$replaceRoot unknown field {field!r} "
+                        f"{op} unknown field {field!r} "
                         "(top-level struct columns only)"
                     ) from exc
                 if not isinstance(ftype, T.StructType):
                     raise DocumentQueryError(
-                        f"$replaceRoot field {field!r} is not a document"
+                        f"{op} field {field!r} is not a document"
                     )
                 df = df.select(F.col(f"{field}.*"))
             elif op == "$project":

@@ -1093,6 +1093,14 @@ def test_skip_and_replace_root(store, spark):
                                   {"$limit": 5}]).collect()
     assert out[0].asDict() == {"a": 1, "b": "y"}
 
+    # $replaceWith (Mongo 4.2) is the shorthand alias — operand IS the
+    # newRoot expression
+    out2 = s.aggregate("wrapped", [{"$replaceWith": "$doc"},
+                                   {"$limit": 5}]).collect()
+    assert out2[0].asDict() == {"a": 1, "b": "y"}
+    with pytest.raises(DocumentQueryError, match="replaceWith expects"):
+        s.aggregate("wrapped", [{"$replaceWith": 7}])
+
     with pytest.raises(DocumentQueryError, match="not a document"):
         s.aggregate("wrapped", [{"$replaceRoot": {"newRoot": "$x"}}])
 
