@@ -85,6 +85,57 @@ def _field_condition(field: str, spec: Any) -> Column:
                 # match — including null/missing fields, where the inner
                 # condition evaluates to NULL rather than false.
                 conds.append(~F.coalesce(_field_condition(field, val), F.lit(False)))
+            elif op == "$all":
+                # array field contains every listed value
+                if not isinstance(val, list) or not val:
+                    raise DocumentQueryError(
+                        f"$all expects a non-empty literal list: {val!r}"
+                    )
+                c = F.array_contains(col, val[0])
+                for v in val[1:]:
+                    c = c & F.array_contains(col, v)
+                conds.append(c)
+            elif op == "$size":
+                # query-form $size: exact element count (literal int,
+                # like Mongo — no range form exists in the query language)
+                conds.append(F.size(col) == _int_literal(val, "$size"))
+            elif op == "$mod":
+                if not (isinstance(val, list) and len(val) == 2):
+                    raise DocumentQueryError(
+                        f"$mod expects [divisor, remainder]: {val!r}"
+                    )
+                d, r = (_int_literal(x, "$mod") for x in val)
+                if d == 0:
+                    raise DocumentQueryError("$mod divisor must be nonzero")
+                conds.append(col % F.lit(d) == F.lit(r))
+            elif op == "$elemMatch":
+                # {field: {$elemMatch: {$gte: a, $lt: b}}} — one array
+                # element satisfies ALL the operator conditions. The
+                # operator-dict form only (scalar elements); the nested
+                # document form needs element schemas and is refused.
+                if not (isinstance(val, dict) and val
+                        and all(k.startswith("$") for k in val)):
+                    raise DocumentQueryError(
+                        "$elemMatch compiles the operator-dict form "
+                        f"({{'$gte': …}}), got: {val!r}"
+                    )
+                bad = [k for k in val if k not in _CMP_OPS]
+                if bad:
+                    raise DocumentQueryError(
+                        f"$elemMatch unsupported operators: {bad}"
+                    )
+
+                def make_pred(_spec):
+                    def pred(x):
+                        c = None
+                        for o, v in _spec.items():
+                            piece = _CMP_OPS[o](x, v)
+                            c = piece if c is None else c & piece
+                        return c
+
+                    return pred
+
+                conds.append(F.exists(col, make_pred(val)))
             else:
                 raise DocumentQueryError(f"Unsupported filter operator: {op}")
         out = conds[0]

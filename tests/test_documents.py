@@ -2769,6 +2769,37 @@ def test_expr_dialect_string_array_random_sweep(spark):
         assert r["sd"] == sorted(set(parts) - {""}), (s,)
 
 
+def test_find_array_query_operators(spark):
+    """r9 find/$match additions: $all, query-form $size, $mod, and
+    operator-dict $elemMatch over array columns; malformed specs are
+    the dialect's typed errors."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [2, 4]), (3, []), (4, [7])],
+        "id int, a array<int>"))
+
+    def ids(flt):
+        return sorted(r["id"] for r in s.find("t", flt).collect())
+
+    assert ids({"a": {"$all": [2, 3]}}) == [1]
+    assert ids({"a": {"$all": [2]}}) == [1, 2]
+    assert ids({"a": {"$size": 2}}) == [2]
+    assert ids({"a": {"$size": 0}}) == [3]
+    assert ids({"id": {"$mod": [2, 0]}}) == [2, 4]
+    assert ids({"a": {"$elemMatch": {"$gte": 3, "$lt": 5}}}) == [1, 2]
+    assert ids({"a": {"$elemMatch": {"$gt": 10}}}) == []
+    for bad, msg in [
+        ({"a": {"$all": []}}, "non-empty"),
+        ({"a": {"$size": "x"}}, "integer literal"),
+        ({"id": {"$mod": [0, 1]}}, "nonzero"),
+        ({"a": {"$elemMatch": {"x": 1}}}, "operator-dict"),
+        ({"a": {"$elemMatch": {"$exists": True}}},
+         "unsupported operators"),
+    ]:
+        with pytest.raises(DocumentQueryError, match=msg):
+            s.find("t", bad).collect()
+
+
 def test_group_stddev_accumulators(spark):
     """$stdDevSamp/$stdDevPop in $group (and inside $facet's masked
     form) — the same accumulator table serves both."""
