@@ -2596,10 +2596,13 @@ def test_expr_dialect_r9_random_sweep(spark):
     [start,end)-containment) vs str.find, $range vs range(),
     $replaceOne vs str.replace(…, 1), and the calendar zoo
     ($dayOfYear/$isoWeek/$isoDayOfWeek/$isoWeekYear vs isocalendar,
-    Mongo's Sunday-based $week vs the first-Sunday count) — one Spark
-    job, row-wise equality."""
+    Mongo's Sunday-based $week vs the first-Sunday count, $mod's
+    dividend-sign contract vs math.fmod, HALF_EVEN $round vs Decimal,
+    $trunc toward zero) — one Spark job, row-wise equality."""
     import datetime
+    import math
     import random
+    from decimal import ROUND_HALF_EVEN, Decimal
 
     rng = random.Random(1234)
     rows = []
@@ -2628,6 +2631,12 @@ def test_expr_dialect_r9_random_sweep(spark):
         "idw": {"$isoDayOfWeek": "$d"},
         "iwy": {"$isoWeekYear": "$d"},
         "wk": {"$week": "$d"},
+        # $mod keeps the DIVIDEND's sign (Java %, = Mongo, = C fmod —
+        # NOT Python's flooring %)
+        "md1": {"$mod": ["$a", 7]},
+        "md2": {"$mod": ["$a", -4]},
+        "rnd": {"$round": [{"$divide": ["$a", 7]}, 2]},
+        "trc": {"$trunc": [{"$divide": ["$a", 7]}, 2]},
     }}, {"$limit": 1000}]).collect()}
     for i, s, a, b, d in rows:
         r = out[i]
@@ -2649,6 +2658,13 @@ def test_expr_dialect_r9_random_sweep(spark):
         expect_wk = (0 if d < first_sunday
                      else (d - first_sunday).days // 7 + 1)
         assert r["wk"] == expect_wk, (d, r["wk"], expect_wk)
+        assert r["md1"] == int(math.fmod(a, 7)), (a,)
+        assert r["md2"] == int(math.fmod(a, -4)), (a,)
+        q = a / 7
+        assert r["rnd"] == float(
+            Decimal(repr(q)).quantize(Decimal("0.01"),
+                                      rounding=ROUND_HALF_EVEN)), (a,)
+        assert r["trc"] == math.trunc(q * 100) / 100, (a,)
     # render → parse round-trip across format shapes (incl. the
     # no-separator yyyyMMdd form — adjacent DIFFERENT fields are fine,
     # only same-field adjacency is refused)
