@@ -212,6 +212,7 @@ HEADLINE = [
     "nl68_doc_latest_n_per_group",
     "nl69_doc_descendants",
     "q196_dsir_selection",
+    "q197_rep_ngram_char_fractions",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -1973,3 +1973,151 @@ def q192_wordpiece_encode_stats(
     return wordpiece_encode_stats(
         load_table(spark, sf_dir, "documents"), vocab
     )
+
+
+def rep_ngram_char_fractions(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 3,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Character-fraction repetition metrics (the Gopher repetition
+    table's char-attribution family — Rae et al. 2021 §A1.1, kept by
+    RefinedWeb): alongside q57's COUNT fractions, these weight each
+    repeated n-gram by the characters its occurrences cover.
+
+    Spec (explicit where the papers leave room):
+    - ``top{top_n}_char_frac`` = max over n-grams of
+      ``count · length(gram) / chars``, capped at 1 — the most
+      character-covering repeated ``top_n``-gram (a max of products,
+      so ties can't make it nondeterministic);
+    - ``dup{dup_n}_char_frac`` = Σ over n-grams with count ≥ 2 of
+      ``count · length(gram) / chars``, capped at 1;
+    - ``chars`` = length of the single-space-joined token stream (the
+      same normalization both metrics' grams are built from).
+
+    Plan: one token projection; per n, n-gram explode → (doc, gram)
+    count → per-doc aggregate (both shuffles keyed by doc-sized keys,
+    map-side combinable); docs too short for an n-gram keep 0.0 via
+    the left joins back onto the doc base. Text itself never shuffles.
+    """
+    from .dedup import bind
+
+    toks = tokens_expr(F.col(text_col))
+    base = df.select("doc_id", toks.alias("__t")).withColumn(
+        "__chars", F.length(F.array_join(F.col("__t"), " "))
+    ).persist()
+
+    def grams(n: int) -> Column:
+        def mk(ts: Column) -> Column:
+            g = F.transform(
+                F.sequence(F.lit(1), F.size(ts) - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ts, i + F.lit(j))
+                           for j in range(n)]
+                ),
+            )
+            return F.when(F.size(ts) >= n, g).otherwise(
+                F.array().cast("array<string>")
+            )
+
+        return bind(F.col("__t"), mk)
+
+    def per_doc(n: int, agg_mode: str, out: str) -> DataFrame:
+        g = base.select(
+            "doc_id", "__chars", F.explode(grams(n)).alias("gram")
+        )
+        counts = g.groupBy("doc_id", "__chars", "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        covered = F.col("c") * F.length("gram")
+        if agg_mode == "top":
+            val = F.max(covered)
+        else:
+            val = F.sum(F.when(F.col("c") >= 2, covered))
+        return counts.groupBy("doc_id").agg(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(
+                    val / F.nullif(F.first("__chars"), F.lit(0)),
+                    F.lit(0.0),
+                ),
+            ).alias(out)
+        )
+
+    top_col = f"top{top_n}_char_frac"
+    dup_col = f"dup{dup_n}_char_frac"
+    return (
+        base.select("doc_id", "__chars")
+        .join(per_doc(top_n, "top", top_col), "doc_id", "left")
+        .join(per_doc(dup_n, "dup", dup_col), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("__chars").alias("chars"),
+            F.round(F.coalesce(top_col, F.lit(0.0)), 6).alias(top_col),
+            F.round(F.coalesce(dup_col, F.lit(0.0)), 6).alias(dup_col),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+def q197_rep_ngram_char_fractions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Char-fraction repetition metrics over documents (top-trigram
+    coverage + duplicated-5-gram coverage; oracle: DuckDB n-gram
+    twins)."""
+    return rep_ngram_char_fractions(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+Q197_ORACLE_SQL = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS t,
+             length(array_to_string(
+               string_split_regex(trim(lower(text)), '\s+'), ' '))
+               AS chars
+      FROM documents
+    ), g3 AS (
+      SELECT doc_id, chars,
+             unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM base WHERE len(t) >= 3
+    ), c3 AS (
+      SELECT doc_id, chars, gram, count(*) AS c
+      FROM g3 GROUP BY 1, 2, 3
+    ), a3 AS (
+      SELECT doc_id,
+             least(1.0, max(c * length(gram)) / nullif(chars, 0))
+               AS top3
+      FROM c3 GROUP BY doc_id, chars
+    ), g5 AS (
+      SELECT doc_id, chars,
+             unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4])) AS gram
+      FROM base WHERE len(t) >= 5
+    ), c5 AS (
+      SELECT doc_id, chars, gram, count(*) AS c
+      FROM g5 GROUP BY 1, 2, 3
+    ), a5 AS (
+      SELECT doc_id,
+             -- DuckDB least() IGNORES nulls (least(1.0, NULL) = 1.0),
+             -- so the no-duplicates NULL sum must be zeroed BEFORE the
+             -- cap, mirroring the Spark side's coalesce-then-least
+             least(1.0, coalesce(sum(CASE WHEN c >= 2
+                                          THEN c * length(gram) END), 0)
+                        / nullif(chars, 0)) AS dup5
+      FROM c5 GROUP BY doc_id, chars
+    )
+    SELECT b.doc_id, b.chars,
+           round(coalesce(a3.top3, 0), 6) AS top3_char_frac,
+           round(coalesce(a5.dup5, 0), 6) AS dup5_char_frac
+    FROM base b
+    LEFT JOIN a3 USING (doc_id)
+    LEFT JOIN a5 USING (doc_id)
+    ORDER BY b.doc_id
+"""

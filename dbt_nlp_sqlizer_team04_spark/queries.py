@@ -1468,6 +1468,9 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # n-gram log-likelihood-ratio document scoring; rows-only to the
     # driver, DIFFERENTIAL pure-Python xxh64 replay — NEW r9.
     "q196_dsir_selection": SMP.q196_dsir_selection,
+    # Gopher/RefinedWeb char-fraction repetition metrics (top-trigram
+    # + duplicated-5-gram character coverage) — NEW r9.
+    "q197_rep_ngram_char_fractions": X.q197_rep_ngram_char_fractions,
 }
 
 # --- round-9 driver window (explicit form of the rotation policy at the
@@ -3115,6 +3118,7 @@ ORACLE_SQL: dict[str, str | None] = {
                  ::VARCHAR AS top3_event_id
         FROM events GROUP BY event_type ORDER BY _id
     """,
+    "q197_rep_ngram_char_fractions": X.Q197_ORACLE_SQL,
     "nl69_doc_descendants": """
         WITH RECURSIVE tree AS (
           SELECT doc_id,

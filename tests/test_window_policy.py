@@ -89,7 +89,7 @@ PLANNED: dict[str, int] = {
         "q193_doc_expr_dialect2", "q194_doc_group_first_last_n",
         "nl66_doc_ancestors", "nl67_doc_ema", "q195_doc_expr_dialect3",
         "nl68_doc_latest_n_per_group", "nl69_doc_descendants",
-        "q196_dsir_selection",
+        "q196_dsir_selection", "q197_rep_ngram_char_fractions",
     )},
 }
 
