@@ -28,3 +28,36 @@ def test_wordpiece_train_and_encode(spark):
     assert stats["s1"]["n_tokens"] == 4
     assert stats["s1"]["unk_rate"] == 0.0
     assert stats["s2"]["n_tokens"] == 1
+
+
+def test_rep_ngram_char_fractions_planted(spark):
+    """q197's char-fraction metrics on hand-computable docs: a
+    perfectly looping doc caps at 1.0 on the dup-5-gram axis, a
+    dup-free doc reads 0.0, and the top-trigram coverage is the exact
+    count*length / chars ratio; empty text stays 0.0 with chars 0."""
+    from dbt_nlp_sqlizer_team04_spark.operators.text import (
+        rep_ngram_char_fractions,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b"),      # every trigram repeats
+         (2, "one two three four"),   # no repeats, no 5-grams dup
+         (3, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            rep_ngram_char_fractions(df).collect()}
+    r1 = rows[1]
+    # chars = 15; top trigram "a b c" (len 5) occurs 2x -> 10/15
+    assert r1["chars"] == 15
+    assert r1["top3_char_frac"] == round(10 / 15, 6)
+    # 5-grams: "a b c a b" x2 (18 chars covered) but also every other
+    # 5-gram... only "a b c a b" repeats -> 18/15 capped at 1.0
+    assert r1["dup5_char_frac"] == 1.0
+    r2 = rows[2]
+    assert r2["dup5_char_frac"] == 0.0
+    # max of count*length picks the LONGEST covering trigram here
+    assert r2["top3_char_frac"] == round(
+        len("two three four") / len("one two three four"), 6)
+    r3 = rows[3]
+    assert r3["chars"] == 0
+    assert r3["top3_char_frac"] == 0.0 and r3["dup5_char_frac"] == 0.0
