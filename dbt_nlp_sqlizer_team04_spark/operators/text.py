@@ -2004,9 +2004,13 @@ def rep_ngram_char_fractions(
     from .dedup import bind
 
     toks = tokens_expr(F.col(text_col))
+    # deliberately NOT persisted: base is corpus-token-sized, and the
+    # three consumers each need only a narrow projection — re-running
+    # the cheap split beats caching a corpus-sized frame at 100 TB
+    # (contrast the DSIR counts cache, which is a <=1024-row aggregate)
     base = df.select("doc_id", toks.alias("__t")).withColumn(
         "__chars", F.length(F.array_join(F.col("__t"), " "))
-    ).persist()
+    )
 
     def grams(n: int) -> Column:
         def mk(ts: Column) -> Column:
