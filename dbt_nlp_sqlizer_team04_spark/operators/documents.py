@@ -169,10 +169,41 @@ def filter_condition(filter_dict: dict[str, Any]) -> Column:
             # dialect accumulators use — still a codegen Column, so
             # Catalyst can push what is pushable
             conds.append(_ref(spec).cast("boolean"))
+        elif key == "$text":
+            # {"$search": "w1 w2 …"} — Mongo's text-index OR-of-terms
+            # semantics over the corpus's conventional ``text`` column
+            # (the engine's documents schema; a collection without one
+            # fails analysis loudly). Whole-token matching on the same
+            # lowercase \s+ tokenization the text operators use; no
+            # relevance score (use the BM25 retrieval operator for
+            # ranked search).
+            if not (isinstance(spec, dict)
+                    and isinstance(spec.get("$search"), str)
+                    and spec["$search"].strip()):
+                raise DocumentQueryError(
+                    f"$text expects {{'$search': 'terms'}}: {spec!r}"
+                )
+            from .dedup import tokens_expr as _toks
+
+            terms = spec["$search"].lower().split()
+            toks = _toks(F.col("text"))
+            c = F.array_contains(toks, terms[0])
+            for t in terms[1:]:
+                c = c | F.array_contains(toks, t)
+            conds.append(c)
+        elif key == "$comment":
+            continue  # annotation only — no semantic effect (Mongo parity)
+        elif key == "$where":
+            raise DocumentQueryError(
+                "$where executes JavaScript, which this engine does not "
+                "ship — express the predicate with $expr"
+            )
         elif key.startswith("$"):
             raise DocumentQueryError(f"Unsupported top-level operator: {key}")
         else:
             conds.append(_field_condition(key, spec))
+    if not conds:  # e.g. a filter that is ONLY a $comment
+        return F.lit(True)
     out = conds[0]
     for c in conds[1:]:
         out = out & c

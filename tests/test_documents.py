@@ -2816,6 +2816,29 @@ def test_find_array_query_operators(spark):
             s.find("t", bad).collect()
 
 
+def test_find_text_comment_where(spark):
+    """$text OR-of-terms whole-token matching over the text column,
+    $comment as a semantic no-op (alone or alongside predicates), and
+    the $where JavaScript refusal."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "spark joins data"), (2, "fast scans"), (3, "slow Spark")],
+        "id int, text string"))
+
+    def ids(flt):
+        return sorted(r["id"] for r in s.find("t", flt).collect())
+
+    assert ids({"$text": {"$search": "spark"}}) == [1, 3]
+    assert ids({"$text": {"$search": "spark scans"}}) == [1, 2, 3]
+    assert ids({"$text": {"$search": "spar"}}) == []  # whole tokens
+    assert ids({"$comment": "why not"}) == [1, 2, 3]
+    assert ids({"id": {"$gte": 2}, "$comment": "x"}) == [2, 3]
+    with pytest.raises(DocumentQueryError, match="expects"):
+        s.find("t", {"$text": {"$search": "  "}}).collect()
+    with pytest.raises(DocumentQueryError, match="JavaScript"):
+        s.find("t", {"$where": "this.id > 1"}).collect()
+
+
 def test_group_stddev_accumulators(spark):
     """$stdDevSamp/$stdDevPop in $group (and inside $facet's masked
     form) — the same accumulator table serves both."""
