@@ -163,6 +163,18 @@ def filter_condition(filter_dict: dict[str, Any]) -> Column:
             for s in sub[1:]:
                 c = c | s
             conds.append(c)
+        elif key == "$nor":
+            # matches documents that fail EVERY clause — including
+            # rows where a clause evaluates to NULL (missing/null
+            # fields), which Mongo counts as not-matching
+            sub = [
+                ~F.coalesce(filter_condition(s), F.lit(False))
+                for s in spec
+            ]
+            c = sub[0]
+            for s in sub[1:]:
+                c = c & s
+            conds.append(c)
         elif key == "$expr":
             # Mongo's aggregation-expression filter: cross-field
             # predicates in $match ("n_chars > 2 * x") via the same

@@ -2833,6 +2833,9 @@ def test_find_text_comment_where(spark):
     assert ids({"$text": {"$search": "spar"}}) == []  # whole tokens
     assert ids({"$comment": "why not"}) == [1, 2, 3]
     assert ids({"id": {"$gte": 2}, "$comment": "x"}) == [2, 3]
+    # $nor: fails every clause (null sub-conditions count as no-match)
+    assert ids({"$nor": [{"id": 1}, {"text": {"$regex": "scans"}}]}) \
+        == [3]
     with pytest.raises(DocumentQueryError, match="expects"):
         s.find("t", {"$text": {"$search": "  "}}).collect()
     with pytest.raises(DocumentQueryError, match="JavaScript"):
