@@ -1473,67 +1473,69 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "q197_rep_ngram_char_fractions": X.q197_rep_ngram_char_fractions,
 }
 
-# --- round-9 driver window (explicit form of the rotation policy at the
-# top of this dict; the driver hash-checks the FIRST 50 entries only).
-# This round executes the machine-planned rotation from
-# tests/test_window_policy.py PLANNED (targets written r7/r8 for round
-# 9):
-#   - the r7 additions owed a first driver seat: q172-q178, nl57-nl60
-#     (q176 rows-only — _ROWS_ONLY_SEATS);
-#   - the r8 additions q179-q184, nl61 (q182/q183 rows-only —
-#     _ROWS_ONLY_SEATS; both carry DIFFERENTIAL replays locally);
-#   - the r4 re-confirmation remainder that took round-9 targets when
-#     the r8 window filled: nl23, q38, q52, q56, q58-q61, q64,
-#     q70-q72, q75-q77, q79-q85.
-# That is 40 mandatory seats; the remaining 10 go to the oldest slice
-# (added r2, last green r5) of the r5 re-confirmation wave that comes
-# due this round (50 entries reach wait > MAX_WAIT at round 9):
-# q23/q25/q27/q30/q33/q36/q44-q47. The rest of that wave takes
-# machine-checked round-10 targets (33, filling the round-10 window
-# behind its 17 standing seats) and round-11 targets (7) in PLANNED —
-# deferral is allowed, silence is not.
+# --- round-10 driver window (explicit form of the rotation policy at
+# the top of this dict; the driver hash-checks the FIRST 50 entries
+# only). This round executes the machine-planned rotation from
+# tests/test_window_policy.py PLANNED (targets written r8/r9 for round
+# 10) — the 50 target-10 entries exactly fill the window:
+#   - the 12 late-r8 additions owed a first driver seat: q185-q192,
+#     nl62-nl65 (q186/q191/q192 rows-only — _ROWS_ONLY_SEATS; all
+#     three carry DIFFERENTIAL replays locally);
+#   - the r4-wave tail deferred r8 -> r10: q86-q88, q90, q91;
+#   - the 33-entry remainder of the r5 re-confirmation wave that came
+#     due at round 9 (the 10 oldest were seated there).
+# The cp=6 re-confirmation wave (50 entries, last driver-green r6)
+# comes due THIS round (wait reaches 4 > MAX_WAIT at round 10); the
+# window is full, so all 50 take machine-checked PLANNED targets:
+# the oldest 34 (added r2/r5: q24/q28/q29/q32/q39/q40/q43, nl47-nl53,
+# q124-q143) target round 11 — exactly filling the r11 window behind
+# its 16 standing target-11 seats — and the youngest 16 (q144-q159)
+# target round 12. The cp=7 wave (50 entries, last green r7) comes due
+# at round 11 and must take target-12+ entries in the r11 rotation;
+# expect r12 overflow to spread to r13 — deferral is allowed, silence
+# is not.
 # tests/test_window_policy.py enforces all of this mechanically: an
 # entry may not wait more than 3 rounds without either a driver-green
 # record (tests/driver_manifest.json) or a seat in the current window,
 # and a PLANNED target that comes due fails the build. Every tail entry
 # stays locally hash-verified per round by test_relational_oracle.py.
-_R9_WINDOW = [
-    # PLANNED target-9: r7 additions owed a first driver seat
-    "q172_doc_graph_lookup", "q173_doc_bucket_auto",
-    "q174_doc_sample", "q175_doc_trailing_window",
-    "q176_ann_ivfpq_topk", "q177_doc_lookup_topn",
-    "q178_doc_lookup_group",
-    "nl57_doc_running_total", "nl58_doc_daily_gapfill",
-    "nl59_doc_equal_buckets", "nl60_doc_sample",
-    # PLANNED target-9: r8 additions rotating in
-    "q179_doc_graph_lookup_array", "q180_doc_window_stats",
-    "q181_doc_lookup_group_keyed", "q182_unigram_lm_vocab",
-    "q183_unigram_encode_stats", "q184_doc_expr_dialect",
-    "nl61_doc_union",
-    # PLANNED target-9: the r4 re-confirmation remainder
-    "nl23_priority_with_most_orders",
-    "q38_events_stream_rollup", "q52_ngram_jaccard_pairs",
-    "q56_sequence_packing", "q58_materialized_sequences",
-    "q59_contamination_check", "q60_dup_clusters",
-    "q61_corpus_funnel", "q64_incremental_rollup",
-    "q70_incremental_dedup", "q71_vocab_head",
-    "q72_unigram_doc_scores", "q75_bm25_topk",
-    "q76_gopher_quality", "q77_int8_quant_topk",
-    "q79_bigram_doc_scores", "q80_hybrid_rrf_topk",
-    "q81_price_histogram", "q82_best_docs_per_source",
-    "q83_local_supplier_volume", "q84_media_decode_rollup",
-    "q85_dataset_diff",
-    # r5 re-confirmation debt coming due this round (oldest slice,
-    # added r2)
-    "q23_cosine_topk", "q25_sim_pairs_blocked",
-    "q27_dedup_normalized", "q30_text_stats",
-    "q33_tfidf_top_terms", "q36_doc_pipeline",
-    "q44_asof_last_click", "q45_user_sessions",
-    "q46_range_join_nearby", "q47_rollup_cascade_daily",
+_R10_WINDOW = [
+    # PLANNED target-10: the 12 late-r8 additions owed a first seat
+    "q185_doc_window_rates", "q186_doc_ema",
+    "nl62_doc_rate_of_change", "q187_doc_selection_accs",
+    "nl63_doc_percentile", "q188_doc_window_nselect",
+    "q189_doc_window_fill", "q190_doc_group_first_last",
+    "nl64_doc_latest_per_group",
+    "q191_wordpiece_merges", "q192_wordpiece_encode_stats",
+    "nl65_doc_topn_per_group",
+    # PLANNED target-10: the r4-wave tail deferred r8 -> r10
+    "q86_bpe_pair_stats", "q87_conversion_funnel",
+    "q88_cohort_retention", "q90_lineitem_correlations",
+    "q91_custkey_skew",
+    # PLANNED target-10: the r5 re-confirmation wave remainder (came
+    # due r9; the 10 oldest were seated there, these 33 took
+    # machine-checked round-10 targets)
+    "q50_train_val_test_split", "q51_stratified_sample",
+    "q53_cosine_near_dup_pairs", "q54_pii_scrub_stats",
+    "q55_session_window_details", "q57_repetition_quality",
+    "q62_source_mixing", "q66_doc_chunks",
+    "q68_shard_manifest", "q69_sliding_rollup",
+    "q74_segment_dedup", "q93_binational_volume",
+    "q94_returned_items", "q95_order_count_distribution",
+    "q96_large_quantity_orders", "q97_market_share",
+    "q98_idle_rich_customers", "q99_dup_span_stats",
+    "q100_curriculum_order", "q101_enriched_events",
+    "q102_cosine_range", "q103_event_transitions",
+    "q104_label_profile", "q105_event_anomalies",
+    "q106_hourly_first_events", "q107_knn_graph",
+    "q108_mutual_knn_clusters", "q109_rolling_user_value",
+    "q111_incremental_profile", "q112_term_pmi",
+    "q114_doc_lookup_rollup", "q117_window_zoo",
+    "q118_grouping_sets",
 ]
-assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
-SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R9_WINDOW} | {
-    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R9_WINDOW)
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R10_WINDOW} | {
+    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R10_WINDOW)
 }
 
 def _TS_cohort_oracle() -> str:

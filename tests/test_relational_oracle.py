@@ -62,6 +62,12 @@ _ROWS_ONLY_SEATS = {
     # replays in tests/oracle_harness.py
     "q176_ann_ivfpq_topk", "q182_unigram_lm_vocab",
     "q183_unigram_encode_stats",
+    # r10 window seats: the document-plane EMA and the WordPiece
+    # tokenizer pair — all three carry DIFFERENTIAL replays (pandas
+    # ewm; merge-for-merge pure-Python WordPiece) in
+    # tests/oracle_harness.py
+    "q186_doc_ema", "q191_wordpiece_merges",
+    "q192_wordpiece_encode_stats",
 }
 
 

@@ -27,56 +27,17 @@ import os
 MANIFEST = os.path.join(os.path.dirname(__file__), "driver_manifest.json")
 MAX_WAIT = 3
 
-# The r9+ window plan (mirrors the policy comment at queries.py's
-# _R9_WINDOW). The round-9 window seats every target-9 entry plus the
-# oldest slice (added r2) of the r5 re-confirmation wave; what did not
-# fit takes round-10/11 targets below. When a target round arrives and
-# the entry is neither driver-green nor seated, test_no_overdue_entries
-# fails the build.
+# The r10+ window plan (mirrors the policy comment at queries.py's
+# _R10_WINDOW). The round-10 window seats exactly the 50 target-10
+# entries written r8/r9 (now removed from this table — seating
+# discharges the plan); the cp=6 re-confirmation wave (50 entries,
+# last driver-green r6) comes due at round 10 with a full window, so
+# it takes the round-11/12 targets below. When a target round arrives
+# and the entry is neither driver-green nor seated,
+# test_no_overdue_entries fails the build.
 PLANNED: dict[str, int] = {
-    # late-r8 additions (landed after the r8 window was frozen) — the
-    # two-round rotation contract gives them round-10 targets
-    **{k: 10 for k in (
-        "q185_doc_window_rates", "q186_doc_ema",
-        "nl62_doc_rate_of_change", "q187_doc_selection_accs",
-        "nl63_doc_percentile", "q188_doc_window_nselect",
-        "q189_doc_window_fill", "q190_doc_group_first_last",
-        "nl64_doc_latest_per_group",
-        "q191_wordpiece_merges", "q192_wordpiece_encode_stats",
-        "nl65_doc_topn_per_group",
-    )},
-    # the r4-wave tail deferred r8 -> r10 (did not fit behind the 28
-    # mandatory r8 seats, nor the 40 mandatory r9 seats)
-    **{k: 10 for k in (
-        "q86_bpe_pair_stats", "q87_conversion_funnel",
-        "q88_cohort_retention", "q90_lineitem_correlations",
-        "q91_custkey_skew",
-    )},
-    # the r5 re-confirmation wave that came due at round 9 (50 entries
-    # reach wait > MAX_WAIT there) but did not fit the 50-seat window
-    # behind the 40 mandatory target-9 seats: the 10 oldest (added r2)
-    # are seated (_R9_WINDOW); the remainder takes round-10 targets
-    # (33 — exactly filling the round-10 window behind its 17 standing
-    # seats above) and round-11 targets (7)
-    **{k: 10 for k in (
-        "q50_train_val_test_split", "q51_stratified_sample",
-        "q53_cosine_near_dup_pairs", "q54_pii_scrub_stats",
-        "q55_session_window_details", "q57_repetition_quality",
-        "q62_source_mixing", "q66_doc_chunks",
-        "q68_shard_manifest", "q69_sliding_rollup",
-        "q74_segment_dedup", "q93_binational_volume",
-        "q94_returned_items", "q95_order_count_distribution",
-        "q96_large_quantity_orders", "q97_market_share",
-        "q98_idle_rich_customers", "q99_dup_span_stats",
-        "q100_curriculum_order", "q101_enriched_events",
-        "q102_cosine_range", "q103_event_transitions",
-        "q104_label_profile", "q105_event_anomalies",
-        "q106_hourly_first_events", "q107_knn_graph",
-        "q108_mutual_knn_clusters", "q109_rolling_user_value",
-        "q111_incremental_profile", "q112_term_pmi",
-        "q114_doc_lookup_rollup", "q117_window_zoo",
-        "q118_grouping_sets",
-    )},
+    # the r5 re-confirmation stragglers deferred r9 -> r11 (did not
+    # fit the r10 window behind its 17 standing seats)
     **{k: 11 for k in (
         "q119_corpus_report", "q120_bpe_encode_stats",
         "q121_promo_revenue_share", "q122_top_suppliers",
@@ -84,12 +45,53 @@ PLANNED: dict[str, int] = {
         "nl45_customers_acctbal_recorded", "nl46_orders_big_or_small",
     )},
     # round-9 additions — the two-round rotation contract gives them
-    # round-11 targets (round 10 is already full)
+    # round-11 targets (round 10 was already full)
     **{k: 11 for k in (
         "q193_doc_expr_dialect2", "q194_doc_group_first_last_n",
         "nl66_doc_ancestors", "nl67_doc_ema", "q195_doc_expr_dialect3",
         "nl68_doc_latest_n_per_group", "nl69_doc_descendants",
         "q196_dsir_selection", "q197_rep_ngram_char_fractions",
+    )},
+    # the cp=6 re-confirmation wave due at round 10 (wait reaches 4 >
+    # MAX_WAIT) — the r10 window is full, so the oldest 34 (added
+    # r2/r5) take round-11 targets, exactly filling the r11 window
+    # behind the 16 standing target-11 seats above
+    **{k: 11 for k in (
+        "q24_ann_lsh_topk", "q28_near_dup_minhash",
+        "q29_simhash_fingerprints", "q32_lang_id_dist",
+        "q39_media_decode_stats", "q40_media_embedding_topk",
+        "q43_ann_ivf_topk",
+        "nl47_doc_facet_breakdown", "nl48_orders_facet_breakdown",
+        "nl49_month_over_month_revenue", "nl50_running_monthly_revenue",
+        "nl51_totalprice_histogram", "nl52_doc_length_histogram",
+        "nl53_pct_urgent_orders",
+        "q124_knn_graph_ivf", "q125_min_cost_supplier",
+        "q126_sole_returner_suppliers", "q127_part_volume_suppliers",
+        "q128_expectation_suite", "q129_measure_unpivot",
+        "q130_mmr_topk", "q131_lateral_topn", "q132_doc_facet",
+        "q133_token_entropy", "q134_doc_expectations",
+        "q135_cdc_merge_snapshot", "q136_scd2_intervals",
+        "q137_disjunctive_revenue", "q138_priority_order_check",
+        "q139_filtered_cosine_topk", "q140_canonical_selection",
+        "q141_source_overlap", "q142_source_token_budget",
+        "q143_doc_length_buckets",
+    )},
+    # ... and the youngest 16 of the cp=6 wave take round-12 targets
+    # (the r11 window is now fully spoken for). NOTE for the r11
+    # rotation: the cp=7 wave (50 entries, last green r7) comes due at
+    # round 11 and must take target-12+ entries then; with these 16
+    # already at target-12, expect the cp=7 overflow to spread into
+    # round 13 explicitly.
+    **{k: 12 for k in (
+        "q144_winsorized_stats", "q145_drift_psi",
+        "q146_label_centroids", "q147_stream_drift",
+        "q148_forecast_revenue", "q149_top_sources",
+        "q150_hotkey_audit", "q151_variant_props_rollup",
+        "q152_month_spine_rollup", "q153_equidepth_histogram",
+        "q154_doc_lang_ratio",
+        "q155_winsorized_stats_sketch", "q156_equidepth_histogram_sketch",
+        "q157_doc_lookup_pipeline", "q158_doc_facet_prefiltered",
+        "q159_cdc_stream_snapshot",
     )},
 }
 
@@ -144,9 +146,9 @@ def test_no_overdue_entries():
 def test_window_is_exactly_the_declared_list():
     """The first 50 registry keys ARE the explicit window list — the
     dict reordering did what the policy comment says."""
-    from dbt_nlp_sqlizer_team04_spark.queries import _R9_WINDOW, SPARK_QUERIES
+    from dbt_nlp_sqlizer_team04_spark.queries import _R10_WINDOW, SPARK_QUERIES
 
-    assert list(SPARK_QUERIES)[:50] == _R9_WINDOW
+    assert list(SPARK_QUERIES)[:50] == _R10_WINDOW
 
 
 def test_differential_ledger_consistency():
