@@ -145,20 +145,35 @@ def _field_condition(field: str, spec: Any) -> Column:
     return col == F.lit(spec)
 
 
-def filter_condition(filter_dict: dict[str, Any]) -> Column:
-    """Translate a Mongo-style filter document into one boolean Column."""
+def filter_condition(
+    filter_dict: dict[str, Any], columns: list[str] | None = None
+) -> Column:
+    """Translate a Mongo-style filter document into one boolean Column.
+
+    ``columns`` — when the caller knows the collection schema — lets
+    schema-dependent operators ($text reads the conventional ``text``
+    column) fail with the module's typed error instead of a raw Spark
+    AnalysisException at execution time."""
     if not filter_dict:
         return F.lit(True)
     conds: list[Column] = []
     for key, spec in filter_dict.items():
+        if key in ("$and", "$or", "$nor") and not (
+            isinstance(spec, list) and spec
+        ):
+            # Mongo rejects an empty (or non-array) clause list too —
+            # keep the error typed instead of an IndexError on sub[0]
+            raise DocumentQueryError(
+                f"{key} needs a non-empty array of clauses: {spec!r}"
+            )
         if key == "$and":
-            sub = [filter_condition(s) for s in spec]
+            sub = [filter_condition(s, columns) for s in spec]
             c = sub[0]
             for s in sub[1:]:
                 c = c & s
             conds.append(c)
         elif key == "$or":
-            sub = [filter_condition(s) for s in spec]
+            sub = [filter_condition(s, columns) for s in spec]
             c = sub[0]
             for s in sub[1:]:
                 c = c | s
@@ -168,7 +183,7 @@ def filter_condition(filter_dict: dict[str, Any]) -> Column:
             # rows where a clause evaluates to NULL (missing/null
             # fields), which Mongo counts as not-matching
             sub = [
-                ~F.coalesce(filter_condition(s), F.lit(False))
+                ~F.coalesce(filter_condition(s, columns), F.lit(False))
                 for s in spec
             ]
             c = sub[0]
@@ -185,7 +200,8 @@ def filter_condition(filter_dict: dict[str, Any]) -> Column:
             # {"$search": "w1 w2 …"} — Mongo's text-index OR-of-terms
             # semantics over the corpus's conventional ``text`` column
             # (the engine's documents schema; a collection without one
-            # fails analysis loudly). Whole-token matching on the same
+            # raises the typed error below when the caller supplied its
+            # schema). Whole-token matching on the same
             # lowercase \s+ tokenization the text operators use; no
             # relevance score (use the BM25 retrieval operator for
             # ranked search).
@@ -194,6 +210,12 @@ def filter_condition(filter_dict: dict[str, Any]) -> Column:
                     and spec["$search"].strip()):
                 raise DocumentQueryError(
                     f"$text expects {{'$search': 'terms'}}: {spec!r}"
+                )
+            if columns is not None and "text" not in columns:
+                raise DocumentQueryError(
+                    "$text searches the conventional 'text' column, "
+                    "which this collection does not have (columns: "
+                    + ", ".join(sorted(columns)) + ")"
                 )
             from .dedup import tokens_expr as _toks
 
@@ -615,6 +637,25 @@ def _ref(arg: Any, resolve=None) -> Column:
     return F.lit(arg)
 
 
+def _typeof_to_bson(t: Column) -> Column:
+    """Map Spark typeof() names onto Mongo $type names (int/long/
+    double/decimal/string/bool/date/array/object/binData); unknown
+    Spark types pass through under their Spark name."""
+    return (
+        F.when(t.isin("tinyint", "smallint", "int"), F.lit("int"))
+        .when(t == "bigint", F.lit("long"))
+        .when(t.isin("float", "double"), F.lit("double"))
+        .when(t.startswith("decimal"), F.lit("decimal"))
+        .when(t == "string", F.lit("string"))
+        .when(t == "boolean", F.lit("bool"))
+        .when(t.isin("date", "timestamp", "timestamp_ntz"), F.lit("date"))
+        .when(t.startswith("array"), F.lit("array"))
+        .when(t.startswith("struct") | t.startswith("map"), F.lit("object"))
+        .when(t == "binary", F.lit("binData"))
+        .otherwise(t)
+    )
+
+
 def _merge_two_maps(a: Column, b: Column) -> Column:
     """Later-wins merge of two MAP columns (Mongo $mergeObjects): keep
     a's entries whose key b does not define, then append b's — avoids
@@ -729,6 +770,25 @@ _EXPR_OPS = {
     "$bitNot": lambda a: F.bitwise_not(a),
     # ---- strings (r9 wave 2)
     "$strLenBytes": lambda a: F.octet_length(a),
+    # ---- r10: byte-indexed substring + type introspection.
+    # $substrBytes slices the UTF-8 BYTES (substring over a binary
+    # cast — native); a slice that splits a multi-byte character
+    # yields replacement characters where Mongo errors (documented
+    # divergence — Spark's binary→string cast does not validate).
+    "$substrBytes": lambda s, start, cnt: F.substring(
+        s.cast("binary"), start.cast("int") + F.lit(1), cnt.cast("int")
+    ).cast("string"),
+    # $isNumber/$type read the COLUMN type via typeof() (constant per
+    # expression — Catalyst folds it) plus a per-row null gate: in a
+    # typed columnar engine a value's BSON type is its column type,
+    # and null is the only per-row variation. Mongo's 'missing' is
+    # not representable (columns always exist) — documented.
+    "$isNumber": lambda a: a.isNotNull() & F.typeof(a).rlike(
+        r"^(tinyint|smallint|int|bigint|float|double)$|^decimal\("
+    ),
+    "$type": lambda a: F.when(a.isNull(), F.lit("null")).otherwise(
+        _typeof_to_bson(F.typeof(a))
+    ),
     # ---- object/map (r9): the doc plane's dynamic-key objects are MAP
     # columns; $objectToArray emits Mongo's [{k, v}, …] shape in the
     # map's entry order (map_from_entries preserves insertion order, so
@@ -739,8 +799,18 @@ _EXPR_OPS = {
         F.map_entries(m),
         lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
     ),
+    # duplicate keys follow Mongo's documented LAST-value-wins: an
+    # entry survives only when no later entry redefines its key (the
+    # _merge_two_maps key-filter pattern, indexed) — otherwise Spark's
+    # default map_from_entries duplicate-key policy would throw
     "$arrayToObject": lambda a: F.map_from_entries(
-        F.transform(a, lambda e: F.struct(e["k"], e["v"]))
+        F.filter(
+            F.transform(a, lambda e: F.struct(e["k"], e["v"])),
+            lambda e, i: ~F.exists(
+                F.slice(a, i + F.lit(2), F.greatest(F.size(a), F.lit(1))),
+                lambda later: later["k"] == e["k"],
+            ),
+        )
     ),
     # later-wins variadic merge over MAP columns; a null operand
     # propagates null (Mongo skips nulls — $ifNull an empty map if
@@ -905,6 +975,35 @@ def _mongo_datetime_fmt(fmt: str, op: str) -> str:
 # (identical meanings: i=case-insensitive, m=multiline anchors,
 # s=dotall, x=comments)
 _REGEX_OPTIONS = {"i", "m", "s", "x"}
+
+
+def _has_left_context_assertion(pattern: str) -> bool:
+    """True when the pattern contains a zero-width assertion that
+    consults text to the LEFT of the match position — '^' (outside a
+    character class, where it means negation), \\b/\\B, or a
+    lookbehind. $regexFindAll's per-match offset fold re-searches the
+    suffix after each match, where such assertions would see a spurious
+    string-start; right-context assertions ($, lookahead) are safe."""
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            if not in_class and pattern[i + 1] in ("b", "B"):
+                return True
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "^":
+            return True
+        elif c == "(" and pattern[i:i + 4] in ("(?<=", "(?<!"):
+            return True
+        i += 1
+    return False
 
 
 def _regex_operands(op: str, operands: Any) -> tuple[Any, str]:
@@ -1242,11 +1341,77 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
                       else F.to_timestamp(s))
         if "onError" in operands:
             parsed = F.coalesce(parsed, _ref(operands["onError"], resolve))
-        if "onNull" in operands:
-            parsed = F.when(s.isNull(),
-                            _ref(operands["onNull"], resolve)
-                            ).otherwise(parsed)
+        if "onError" in operands or "onNull" in operands:
+            # null INPUT is not a parse failure: Mongo's onNull —
+            # defaulting to null — takes precedence over onError, so
+            # gate before the coalesce above can see the null-input
+            # miss
+            on_null = (_ref(operands["onNull"], resolve)
+                       if "onNull" in operands
+                       else F.lit(None).cast("timestamp"))
+            parsed = F.when(s.isNull(), on_null).otherwise(parsed)
         return parsed
+    if op == "$dateFromParts":
+        # {"year": e, "month": e?, "day": e?, "hour": e?, "minute": e?,
+        # "second": e?, "millisecond": e?} → make_timestamp (ONE native
+        # Catalyst call; milliseconds ride the fractional-seconds
+        # argument). STRICT by default: an out-of-range part (month 13)
+        # throws under ANSI — a documented divergence from Mongo's
+        # carry-and-pin coercion (month 13 → January of year+1), which
+        # no single Catalyst expression reproduces. The engine-extension
+        # "onError"/"onNull" keys mirror the sibling $dateFromString
+        # contract: onError switches to try_make_timestamp + fallback
+        # for out-of-range parts; a null YEAR returns onNull (default
+        # null) first. The ISO week-date form and timezone are refused
+        # pointedly.
+        if not isinstance(operands, dict):
+            raise DocumentQueryError(f"$dateFromParts needs year: {spec!r}")
+        if "timezone" in operands:
+            raise DocumentQueryError(
+                "$dateFromParts timezone is not supported: timestamps "
+                "are UTC-normalized on ingest"
+            )
+        iso_keys = sorted(k for k in operands if k.startswith("iso"))
+        if iso_keys:
+            raise DocumentQueryError(
+                f"$dateFromParts ISO week-date fields {iso_keys} are "
+                "not supported — build the date from year/month/day"
+            )
+        if "year" not in operands:
+            raise DocumentQueryError(f"$dateFromParts needs year: {spec!r}")
+        known = {"year", "month", "day", "hour", "minute", "second",
+                 "millisecond", "onError", "onNull"}
+        bad_keys = sorted(set(operands) - known)
+        if bad_keys:
+            raise DocumentQueryError(
+                f"$dateFromParts unknown fields: {bad_keys}"
+            )
+        part = {
+            k: (_ref(operands[k], resolve) if k in operands else F.lit(d))
+            for k, d in (("year", 0), ("month", 1), ("day", 1),
+                         ("hour", 0), ("minute", 0), ("second", 0),
+                         ("millisecond", 0))
+        }
+        secs = (
+            part["second"].cast("decimal(16,6)")
+            + part["millisecond"].cast("decimal(16,6)") / F.lit(1000)
+        ).cast("decimal(16,6)")
+        made_args = [part["year"].cast("int"), part["month"].cast("int"),
+                     part["day"].cast("int"), part["hour"].cast("int"),
+                     part["minute"].cast("int"), secs]
+        if "onError" in operands:
+            made = F.coalesce(
+                F.try_make_timestamp(*made_args),
+                _ref(operands["onError"], resolve).cast("timestamp"),
+            )
+        else:
+            made = F.make_timestamp(*made_args)
+        if "onError" in operands or "onNull" in operands:
+            on_null = (_ref(operands["onNull"], resolve)
+                       if "onNull" in operands
+                       else F.lit(None).cast("timestamp"))
+            made = F.when(part["year"].isNull(), on_null).otherwise(made)
+        return made
     if op == "$regexMatch":
         inp, pattern = _regex_operands(op, operands)
         return F.regexp_like(_ref(inp, resolve), F.lit(pattern))
@@ -1277,6 +1442,84 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
             ]).cast("array<string>").alias("captures"),
         )
         return F.when(F.regexp_like(s, lit_pat), doc)
+    if op == "$regexFindAll":
+        # Array of Mongo's {match, idx, captures} docs for EVERY match.
+        # regexp_extract_all pulls the full match and each capture
+        # group (the per-group arrays align by match ordinal — one
+        # codegen scan per group), and idx comes from a left-fold over
+        # the matches that re-searches the remaining suffix with
+        # regexp_instr from the previous match's end (empty matches
+        # advance one position, Java's rule). All native Catalyst
+        # lambdas — no UDF, no extra stage. Null input returns [] (the
+        # Mongo contract; $regexFind returns null). Patterns with
+        # left-context assertions are refused: the suffix re-search
+        # would see a spurious string-start and could misreport idx —
+        # $regexFind's regexp_instr idx is exact for the first match.
+        import re as _re_mod
+
+        inp, pattern = _regex_operands(op, operands)
+        try:
+            n_groups = _re_mod.compile(pattern).groups
+        except _re_mod.error as exc:
+            raise DocumentQueryError(
+                f"$regexFindAll bad pattern {pattern!r}: {exc}"
+            ) from exc
+        if _has_left_context_assertion(pattern):
+            raise DocumentQueryError(
+                "$regexFindAll cannot compute exact per-match offsets "
+                "for patterns with left-context assertions (^, \\b, "
+                "\\B, lookbehind) — use $regexFind (first match) or "
+                "$regexMatch (predicate)"
+            )
+        s = _ref(inp, resolve)
+        lit_pat = F.lit(pattern)
+        matches = F.regexp_extract_all(s, lit_pat, F.lit(0))
+
+        def _idx_step(acc: Column, m: Column) -> Column:
+            found = (
+                acc["pos"]
+                + F.regexp_instr(
+                    s.substr(acc["pos"] + F.lit(1), F.length(s)), lit_pat
+                ).cast("int")
+                - F.lit(1)
+            )
+            return F.struct(
+                (found + F.greatest(F.length(m), F.lit(1))).alias("pos"),
+                F.concat(
+                    acc["out"], F.array(found.cast("long"))
+                ).alias("out"),
+            )
+
+        idxs = F.aggregate(
+            matches,
+            F.struct(
+                F.lit(0).cast("int").alias("pos"),
+                F.array().cast("array<long>").alias("out"),
+            ),
+            _idx_step,
+            lambda acc: acc["out"],
+        )
+        docs = F.transform(
+            matches,
+            lambda m, i: F.struct(
+                m.alias("match"),
+                F.element_at(idxs, i + F.lit(1)).alias("idx"),
+                F.array(*[
+                    F.element_at(
+                        F.regexp_extract_all(s, lit_pat, F.lit(g)),
+                        i + F.lit(1),
+                    )
+                    for g in range(1, n_groups + 1)
+                ]).cast("array<string>").alias("captures"),
+            ),
+        )
+        return F.coalesce(
+            docs,
+            F.array().cast(
+                "array<struct<match:string,idx:bigint,"
+                "captures:array<string>>>"
+            ),
+        )
     if op == "$let":
         # {"vars": {name: e, …}, "in": body} — vars evaluate in the
         # ENCLOSING scope (Mongo's rule: a var may not see its
@@ -1345,10 +1588,13 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
             )
         else:
             casted = base.cast(t)
-        if "onNull" in operands:
-            casted = F.when(
-                base.isNull(), _ref(operands["onNull"], resolve)
-            ).otherwise(casted)
+        if "onError" in operands or "onNull" in operands:
+            # null INPUT is not a cast failure: onNull (default null)
+            # takes precedence over onError — Mongo's rule; without the
+            # gate the try_cast coalesce above would claim null inputs
+            on_null = (_ref(operands["onNull"], resolve)
+                       if "onNull" in operands else F.lit(None).cast(t))
+            casted = F.when(base.isNull(), on_null).otherwise(casted)
         return casted
     if op == "$literal":
         # verbatim value, no '$' interpretation — scalars, flat lists,
@@ -1509,6 +1755,13 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         return (F.locate(needle, s, start + 1) - F.lit(1)).cast("long")
     fn = _EXPR_OPS.get(op)
     if fn is None:
+        if op == "$function":
+            raise DocumentQueryError(
+                "$function executes JavaScript, which this engine does "
+                "not ship — express the computation with aggregation "
+                "expression operators (the dialect covers the string/"
+                "array/date/object surface)"
+            )
         raise DocumentQueryError(f"Unsupported expression operator: {op}")
     args = operands if isinstance(operands, list) else [operands]
     try:
@@ -1726,6 +1979,13 @@ def _acc_to_agg_masked(
         return F.stddev_samp(masked).alias(alias)
     if op == "$stdDevPop":
         return F.stddev_pop(masked).alias(alias)
+    if op == "$accumulator":
+        raise DocumentQueryError(
+            "$accumulator executes JavaScript, which this engine does "
+            "not ship — compose the built-in accumulators ($sum/$avg/"
+            "$push/$firstN/$mergeObjects/…) with dialect expressions "
+            "instead"
+        )
     raise DocumentQueryError(f"Unsupported accumulator: {op}")
 
 
@@ -3206,7 +3466,7 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
             )
     restrict = spec.get("restrictSearchWithMatch")
     if restrict is not None:
-        fdf = fdf.filter(filter_condition(restrict))
+        fdf = fdf.filter(filter_condition(restrict, fdf.columns))
     max_depth = spec.get("maxDepth")
     if max_depth is not None and (
         not isinstance(max_depth, int) or isinstance(max_depth, bool)
@@ -3387,7 +3647,7 @@ class DocumentStore:
     ) -> DataFrame:
         df = self.collection(collection)
         if filter_dict:
-            df = df.filter(filter_condition(filter_dict))
+            df = df.filter(filter_condition(filter_dict, df.columns))
         df = apply_projection(df, projection)
         df = apply_sort(df, sort)
         if skip:  # pymongo's find(skip=N): applied before the limit
@@ -3436,7 +3696,7 @@ class DocumentStore:
             if op not in ("$match", "$limit", "$skip", "$sort", "$group"):
                 last_sort = None
             if op == "$match":
-                df = df.filter(filter_condition(spec))
+                df = df.filter(filter_condition(spec, df.columns))
             elif op == "$group":
                 df = apply_group(df, spec, sort_ctx=last_sort)
                 last_sort = None
@@ -3785,6 +4045,14 @@ class DocumentStore:
                     f"{op} is a write stage; this engine executes "
                     "read-only pipelines (write/DDL denial, same "
                     "policy as the SQL safety gate)"
+                )
+            elif op == "$redact":
+                # $redact's $$DESCEND/$$PRUNE walk needs per-subtree
+                # re-evaluation, which a columnar plan cannot express;
+                # its two practical uses map 1:1 onto supported stages
+                raise DocumentQueryError(
+                    "$redact is not supported — filter whole documents "
+                    "with $match, or drop fields with $project/$unset"
                 )
             else:
                 raise DocumentQueryError(f"Unsupported pipeline stage: {op}")
@@ -5546,7 +5814,7 @@ def q193_doc_expr_dialect2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE whole-stage-codegen projection — zero UDFs, zero extra stages.
     Oracle: DuckDB strftime/strptime/regexp/strpos/list twins.
     Reference parity: extends the expression dialect of the reference's
-    Mongo surface (backend/mongo_translator.py) the same way q184 does."""
+    Mongo surface (backend/app/ai/nl2mongo.py + backend/app/mongodb_adapter.py) the same way q184 does."""
     from ..sources.parquet import load_table
 
     store = DocumentStore(spark)
@@ -5679,7 +5947,7 @@ def q194_doc_group_first_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     no re-join; the unsorted form still refuses loudly. Oracle:
     DuckDB ordered-list slices (head / clamped negative tail).
     Reference parity: completes the $group accumulator table of the
-    reference's Mongo surface (backend/mongo_translator.py)."""
+    reference's Mongo surface (backend/app/ai/nl2mongo.py + backend/app/mongodb_adapter.py)."""
     from ..sources.parquet import load_table
 
     store = DocumentStore(spark)
@@ -5824,4 +6092,111 @@ Q195_ORACLE_SQL = """
     WHERE o_orderkey <= 400
     ORDER BY o_orderkey
     LIMIT 200
+"""
+
+
+def q198_doc_expr_dialect4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 expression-dialect tail in one $addFields projection:
+    $dateFromParts (make_timestamp — full parts, year-only defaults,
+    and the try-mode onError tier where an out-of-range month falls
+    back), $regexFindAll (all-match array with per-match offsets and
+    capture groups — one regexp_extract_all scan per group plus a
+    native left-fold for offsets), $substrBytes (binary-cast
+    substring), and the $isNumber/$type introspection pair (typeof()
+    + per-row null gate). All native Catalyst inside ONE
+    whole-stage-codegen projection — zero UDFs. Oracle: DuckDB
+    make_timestamp / regexp_extract_all / substring / CASE twins.
+    Reference parity: extends the expression dialect of the
+    reference's Mongo surface (backend/app/ai/nl2mongo.py +
+    backend/app/mongodb_adapter.py) the same way q184/q193/q195 do."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    findall_words = {"$regexFindAll": {
+        "input": "$o_orderpriority", "regex": "[A-Z]+"}}
+    out = store.aggregate(
+        "orders",
+        [
+            {"$match": {"o_orderkey": {"$lte": 300}}},
+            {"$addFields": {
+                "built_ts": {"$dateFromParts": {
+                    "year": {"$year": "$o_orderdate"},
+                    "month": {"$month": "$o_orderdate"},
+                    "day": {"$dayOfMonth": "$o_orderdate"},
+                    "hour": 6, "minute": 30, "second": 15}},
+                "built_day": {"$dateFromParts": {
+                    "year": {"$year": "$o_orderdate"}}},
+                "carried": {"$dateFromParts": {
+                    "year": {"$year": "$o_orderdate"},
+                    "month": {"$add": [{"$month": "$o_orderdate"}, 6]},
+                    "onError": {"$toDate": "1999-01-01"}}},
+                "words": {"$map": {
+                    "input": findall_words, "as": "m",
+                    "in": {"$getField": {"field": "match",
+                                         "input": "$$m"}}}},
+                "word_idxs": {"$map": {
+                    "input": findall_words, "as": "m",
+                    "in": {"$getField": {"field": "idx",
+                                         "input": "$$m"}}}},
+                "n_words": {"$size": findall_words},
+                "caps": {"$getField": {
+                    "field": "captures",
+                    "input": {"$arrayElemAt": [
+                        {"$regexFindAll": {
+                            "input": "$o_orderpriority",
+                            "regex": "([0-9]+)-([A-Z]+)"}}, 0]}}},
+                "sb": {"$substrBytes": ["$o_orderpriority", 2, 4]},
+                "isnum_price": {"$isNumber": "$o_totalprice"},
+                "isnum_prio": {"$isNumber": "$o_orderpriority"},
+                "t_key": {"$type": "$o_orderkey"},
+                "t_mixed": {"$type": {"$cond": [
+                    {"$gte": ["$o_orderkey", 150]},
+                    "$o_totalprice",
+                    {"$literal": None}]}},
+            }},
+            {"$project": {"o_orderkey": 1, "built_ts": 1, "built_day": 1,
+                          "carried": 1, "words": 1, "word_idxs": 1,
+                          "n_words": 1, "caps": 1, "sb": 1,
+                          "isnum_price": 1, "isnum_prio": 1,
+                          "t_key": 1, "t_mixed": 1}},
+            {"$sort": {"o_orderkey": 1}},
+            {"$limit": 150},
+        ],
+    )
+    return out
+
+
+Q198_ORACLE_SQL = """
+    SELECT o_orderkey,
+           make_timestamp(year(o_orderdate), month(o_orderdate),
+                          day(o_orderdate), 6, 30, 15) AS built_ts,
+           make_timestamp(year(o_orderdate), 1, 1, 0, 0, 0)
+             AS built_day,
+           CASE WHEN month(o_orderdate) + 6 <= 12
+                THEN make_timestamp(year(o_orderdate),
+                                    month(o_orderdate) + 6,
+                                    1, 0, 0, 0)
+                ELSE TIMESTAMP '1999-01-01' END AS carried,
+           regexp_extract_all(o_orderpriority, '[A-Z]+') AS words,
+           list_transform(
+             regexp_extract_all(o_orderpriority, '[A-Z]+'),
+             w -> CAST(strpos(o_orderpriority, w) - 1 AS BIGINT)
+           ) AS word_idxs,
+           CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]+'))
+                AS INT) AS n_words,
+           list_value(
+             regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 1),
+             regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 2)
+           ) AS caps,
+           substring(o_orderpriority, 3, 4) AS sb,
+           TRUE AS isnum_price,
+           FALSE AS isnum_prio,
+           'long' AS t_key,
+           CASE WHEN o_orderkey >= 150 THEN 'double' ELSE 'null' END
+             AS t_mixed
+    FROM orders
+    WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    LIMIT 150
 """

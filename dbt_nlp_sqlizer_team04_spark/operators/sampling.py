@@ -674,10 +674,23 @@ def dsir_selection(
         .join(F.broadcast(ratios), "b")
         .groupBy("doc_id")
         .agg(
-            F.first("source").alias("source"),
             F.count(F.lit(1)).alias("n_feats"),
             F.sum("w_b").alias("w"),
         )
+    )
+    # a raw document whose feature bag is EMPTY (no alphanumeric
+    # character) vanishes in the explode; re-anchor on the raw doc base
+    # so it scores w=0.0 / n_feats=0 — which outranks negative-weight
+    # docs, matching the differential replay's behavior. Same doc_id
+    # key as the scoring regroup, so no new partitioning is introduced.
+    raw_docs = docs.filter(F.col("source") != target_source).select(
+        "doc_id", "source"
+    )
+    scored = raw_docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("n_feats"), F.lit(0).cast("long")).alias("n_feats"),
+        F.coalesce(F.col("w"), F.lit(0.0)).alias("w"),
     )
     return (
         scored.select(

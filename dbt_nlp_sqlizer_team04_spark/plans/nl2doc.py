@@ -679,6 +679,83 @@ class NL2DocEngine:
                     ],
                 }
 
+        # date-formatted grain — "… per month as YYYY-MM" / "… by
+        # year-month" compiles to a $dateToString group key (q193's
+        # render surface from NL): $addFields the formatted month, then
+        # the ordinary count (plus "total <m>" sum) rollup — the SQL
+        # plane's nl13 date_format grain, on the document plane
+        if _re.search(
+            r"\bper\s+month\s+as\s+yyyy-mm\b|\bby\s+year-month\b", ql
+        ):
+            dfld = self._date_field(coll)
+            if dfld is not None:
+                group: dict = {"_id": "$month", "n": {"$sum": 1}}
+                tm = _re.search(r"\b(?:total|sum of)\s+([a-z_]+)", ql)
+                if tm:
+                    m_f = best_field(numeric=True, exclude=filtered,
+                                     text=tm.group(1))
+                    if m_f is not None:
+                        group[f"total_{m_f}"] = {"$sum": f"${m_f}"}
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$addFields": {"month": {"$dateToString": {
+                            "format": "%Y-%m", "date": f"${dfld}"}}}},
+                        {"$group": group},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+
+        # regex-predicate phrasing — "<field> matching '<pattern>'"
+        # (pattern read case-sensitively from the RAW question) or the
+        # "containing a number" sugar compiles to $regexMatch inside a
+        # $expr $match (q193's predicate surface from NL), with the
+        # usual count rollup — per-group when a 'per <g>' phrase
+        # follows, else one total row
+        rxm = _re.search(
+            r"\b([a-z_]+?)s?\s+match(?:es|ing)\s+'([^']+)'",
+            question,
+            _re.IGNORECASE,
+        )
+        nsug = _re.search(r"\b([a-z_]+?)s?\s+containing\s+a\s+number\b", ql)
+        if rxm or nsug:
+            f_word = (rxm.group(1) if rxm else nsug.group(1)).lower()
+            pat = rxm.group(2) if rxm else "[0-9]"
+            # no `filtered` exclusion here: the phrase names its target
+            # field directly, and the filter extractor may have already
+            # spent that very field on the spurious substring evidence
+            # this tier subtracts below
+            f = best_field(exclude_id=False, text=f_word)
+            # the regex needs a real string column — read the store's
+            # actual dtype (the _date_field convention), not the
+            # model-gated _is_numeric heuristic whose no-model default
+            # is permissive-True
+            if f is not None and dict(
+                self.store.collection(coll).dtypes
+            ).get(f) == "string":
+                # the generic filter extractor reads "containing a
+                # number" as substring-'a' evidence on the same field —
+                # that evidence is THIS tier's, so drop it from the
+                # prelude rather than double-filtering
+                m2 = {k: v for k, v in match.items() if k != f}
+                cond: dict = {"$expr": {"$regexMatch": {
+                    "input": f"${f}", "regex": pat}}}
+                g = (
+                    best_field(exclude_id=False,
+                               exclude=filtered | {f}, text=group_text)
+                    if pm
+                    else None
+                )
+                gid = f"${g}" if g is not None else None
+                return {
+                    "collection": coll,
+                    "pipeline": ([{"$match": m2}] if m2 else []) + [
+                        {"$match": cond},
+                        {"$group": {"_id": gid, "n": {"$sum": 1}}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+
         # sample phrasing — "(random) sample of N <coll>" compiles to
         # $sample (q174's deterministic md5 draw; "random" is accepted
         # in the phrasing, determinism is the engine's documented

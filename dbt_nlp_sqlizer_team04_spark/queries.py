@@ -530,6 +530,48 @@ def _nl68_doc_latest_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl70_doc_monthly_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc date-formatted-grain phrasing ("per month as YYYY-MM")
+    compiles to a $dateToString group key (q193's render surface from
+    NL): $addFields the formatted month → count + total rollup — the
+    SQL plane's nl13 grain on the document plane. One shuffle on the
+    rendered key; the render itself is a codegen date_format concat.
+    Oracle: DuckDB strftime twin. The float total is post-rounded on
+    both sides (sum order is partition-dependent)."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "total value per month as YYYY-MM for events"
+    )
+    return df.select(
+        "_id", "n", F.round("total_value", 4).alias("total_value")
+    )
+
+
+def _nl71_doc_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc regex-predicate phrasing ("<field> matching '<pattern>'")
+    compiles to $regexMatch inside an $expr $match (q193's predicate
+    surface from NL) with a per-group count rollup — the regexp_like
+    predicate stays a codegen Column, so Catalyst keeps the scan
+    projection pruned. Oracle: DuckDB regexp_matches twin."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "documents whose text matches 'data.*data' per lang"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1471,6 +1513,16 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # Gopher/RefinedWeb char-fraction repetition metrics (top-trigram
     # + duplicated-5-gram character coverage) — NEW r9.
     "q197_rep_ngram_char_fractions": X.q197_rep_ngram_char_fractions,
+    # r10 expression-dialect tail ($dateFromParts strict/try tiers,
+    # $regexFindAll match/idx/captures arrays, $substrBytes,
+    # $isNumber/$type introspection) — NEW r10.
+    "q198_doc_expr_dialect4": DOC.q198_doc_expr_dialect4,
+    # NL tier for the date-formatted grain ("per month as YYYY-MM" →
+    # $dateToString group key, q193's render surface from NL) — NEW r10.
+    "nl70_doc_monthly_grain": _nl70_doc_monthly_grain,
+    # NL tier for regex predicates ("matching '<pattern>'" →
+    # $regexMatch in the $match prelude) — NEW r10.
+    "nl71_doc_regex_predicate": _nl71_doc_regex_predicate,
 }
 
 # --- round-10 driver window (explicit form of the rotation policy at
@@ -2962,6 +3014,19 @@ ORACLE_SQL: dict[str, str | None] = {
     "q193_doc_expr_dialect2": DOC.Q193_ORACLE_SQL,
     "q194_doc_group_first_last_n": DOC.Q194_ORACLE_SQL,
     "q195_doc_expr_dialect3": DOC.Q195_ORACLE_SQL,
+    "q198_doc_expr_dialect4": DOC.Q198_ORACLE_SQL,
+    "nl70_doc_monthly_grain": """
+        SELECT strftime(ts, '%Y-%m') AS _id,
+               count(*) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1 ORDER BY _id
+    """,
+    "nl71_doc_regex_predicate": """
+        SELECT lang AS _id, count(*) AS n
+        FROM documents
+        WHERE regexp_matches(text, 'data.*data')
+        GROUP BY lang ORDER BY _id
+    """,
     "nl66_doc_ancestors": """
         WITH RECURSIVE tree AS (
           SELECT doc_id,

@@ -3528,3 +3528,277 @@ def test_nl2doc_topn_per_group_compiles(store):
     assert g["_id"] == "$event_type"
     assert g["top3_event_id"] == {"$topN": {
         "output": "$event_id", "sortBy": {"value": -1}, "n": 3}}
+
+
+def test_javascript_surface_pointed_refusals(spark):
+    """$function/$accumulator/$redact get one-line redirects (the $where
+    precedent): each names the alternative instead of the generic
+    unsupported-operator error."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame([(1, 2.0)], "id int, v double"))
+    with pytest.raises(DocumentQueryError, match="expression operators"):
+        s.aggregate("t", [{"$project": {
+            "x": {"$function": {"body": "f", "args": [], "lang": "js"}}
+        }}]).collect()
+    with pytest.raises(DocumentQueryError, match="built-in accumulators"):
+        s.aggregate("t", [{"$group": {"_id": None, "x": {
+            "$accumulator": {"init": "f", "lang": "js"}
+        }}}]).collect()
+    with pytest.raises(DocumentQueryError, match=r"\$match.*\$project"):
+        s.aggregate("t", [{"$redact": "$$PRUNE"}]).collect()
+
+
+def test_text_without_text_column_typed_error(spark):
+    """$text on a collection lacking the conventional ``text`` column
+    raises the module's typed error (naming the available columns), not
+    a raw Spark AnalysisException."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame([(1, "x")], "id int, body string"))
+    with pytest.raises(DocumentQueryError, match="'text' column"):
+        s.find("t", {"$text": {"$search": "spark"}})
+    # aggregate $match goes through the same guard
+    with pytest.raises(DocumentQueryError, match="'text' column"):
+        s.aggregate("t", [{"$match": {"$text": {"$search": "spark"}}}])
+
+
+def test_logical_operators_empty_list_typed_error(spark):
+    """$and/$or/$nor with an empty (or non-array) clause list raise the
+    typed error, mirroring Mongo's validation — not an IndexError."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame([(1,)], "id int"))
+    for op in ("$and", "$or", "$nor"):
+        with pytest.raises(DocumentQueryError, match="non-empty array"):
+            s.find("t", {op: []})
+        with pytest.raises(DocumentQueryError, match="non-empty array"):
+            s.find("t", {op: {"id": 1}})
+
+
+def test_on_null_takes_precedence_over_on_error(spark):
+    """Null INPUT is not a parse/cast failure: $dateFromString and
+    $convert return onNull (default null) for null inputs even when
+    onError is present — onError claims parse failures only."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "2024-03-05 00:00:00", "7"), (2, None, None), (3, "bogus", "x")],
+        "id int, ds string, n string"))
+    rows = {r["id"]: r for r in s.aggregate("t", [
+        {"$project": {
+            "id": 1,
+            "d_err": {"$dateFromString": {
+                "dateString": "$ds",
+                "onError": {"$toDate": "1999-01-01 00:00:00"}}},
+            "d_both": {"$dateFromString": {
+                "dateString": "$ds",
+                "onError": {"$toDate": "1999-01-01 00:00:00"},
+                "onNull": {"$toDate": "2001-01-01 00:00:00"}}},
+            "n_err": {"$convert": {"input": "$n", "to": "int",
+                                   "onError": -1}},
+            "n_both": {"$convert": {"input": "$n", "to": "int",
+                                    "onError": -1, "onNull": -2}},
+        }},
+        {"$sort": {"id": 1}},
+    ]).collect()}
+    assert rows[1]["d_err"].year == 2024 and rows[1]["n_err"] == 7
+    # null input: onNull (default null) wins over onError
+    assert rows[2]["d_err"] is None and rows[2]["n_err"] is None
+    assert rows[2]["d_both"].year == 2001 and rows[2]["n_both"] == -2
+    # genuine parse/cast failure: onError
+    assert rows[3]["d_err"].year == 1999 and rows[3]["n_err"] == -1
+    assert rows[3]["d_both"].year == 1999 and rows[3]["n_both"] == -1
+
+
+def test_array_to_object_duplicate_keys_last_wins(spark):
+    """$arrayToObject follows Mongo's documented last-value-wins on
+    duplicate keys (Spark's map_from_entries default would throw)."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame([(1,)], "id int"))
+    out = s.aggregate("t", [{"$project": {
+        "m": {"$arrayToObject": {"$literal": [
+            {"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "a", "v": 3},
+        ]}},
+    }}]).collect()
+    assert out[0]["m"] == {"a": 3, "b": 2}
+
+
+def test_date_from_parts(spark):
+    """$dateFromParts: full parts, defaults (year-only → Jan 1), null
+    year → onNull-or-null even with onError, try-mode onError for
+    out-of-range parts, and the pointed refusals (ISO week-date form,
+    timezone, unknown fields); the strict tier throws loudly on a bad
+    month (ANSI make_timestamp — documented divergence from Mongo's
+    carry)."""
+    import datetime as dt
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, 2024, 3, 5), (2, 2023, None, 9), (3, None, 1, 1)],
+        "id int, y int, mo int, d int"))
+    rows = {r["id"]: r for r in s.aggregate("t", [
+        {"$project": {
+            "id": 1,
+            "full": {"$dateFromParts": {
+                "year": "$y", "month": "$mo", "day": "$d",
+                "hour": 7, "minute": 45, "second": 30,
+                "millisecond": 250, "onNull": {"$toDate": "2001-01-01"}}},
+            "y_only": {"$dateFromParts": {"year": {"$ifNull": ["$y", 1999]}}},
+            "guarded": {"$dateFromParts": {
+                "year": {"$ifNull": ["$y", 1999]},
+                "month": {"$multiply": [{"$ifNull": ["$mo", 1]}, 5]},
+                "onError": {"$toDate": "1990-06-15"}}},
+        }},
+        {"$sort": {"id": 1}}]).collect()}
+    assert rows[1]["full"] == dt.datetime(2024, 3, 5, 7, 45, 30, 250000)
+    assert rows[1]["y_only"] == dt.datetime(2024, 1, 1)
+    # month 3*5=15 out of range -> onError; month 1*5=5 fine (row 3)
+    assert rows[1]["guarded"] == dt.datetime(1990, 6, 15)
+    assert rows[3]["guarded"] == dt.datetime(1999, 5, 1)
+    # null month propagates null through make_timestamp
+    assert rows[2]["full"] is None
+    # null YEAR -> onNull wins (not onError, not a throw)
+    assert rows[3]["full"] == dt.datetime(2001, 1, 1)
+    # strict tier: out-of-range month throws at execution (ANSI)
+    with pytest.raises(Exception):
+        s.aggregate("t", [{"$project": {"x": {"$dateFromParts": {
+            "year": 2024, "month": 13}}}}]).collect()
+    for bad, msg in [
+        ({"isoWeekYear": 2024}, "ISO week-date"),
+        ({"year": 2024, "timezone": "UTC"}, "timezone"),
+        ({"year": 2024, "frobs": 1}, "unknown fields"),
+        ({"month": 5}, "needs year"),
+    ]:
+        with pytest.raises(DocumentQueryError, match=msg):
+            s.aggregate("t", [{"$project": {
+                "x": {"$dateFromParts": bad}}}]).collect()
+
+
+def test_regex_find_all(spark):
+    """$regexFindAll: every match as {match, idx, captures}, exact
+    0-based offsets for repeated matches, capture-group alignment,
+    [] on null input and on no-match, empty-match advance, and the
+    left-context-assertion refusal (while '^' inside a character
+    class — negation — stays allowed)."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "ab ab cab"), (2, "no digits"), (3, None)],
+        "id int, txt string"))
+    rows = {r["id"]: r for r in s.aggregate("t", [
+        {"$project": {
+            "id": 1,
+            "all": {"$regexFindAll": {"input": "$txt",
+                                      "regex": "a(b)"}},
+            "negcls": {"$map": {
+                "input": {"$regexFindAll": {"input": "$txt",
+                                            "regex": "[^ ]+"}},
+                "as": "m",
+                "in": {"$getField": {"field": "idx", "input": "$$m"}}}},
+        }},
+        {"$sort": {"id": 1}}]).collect()}
+    got = [(m["match"], m["idx"], list(m["captures"]))
+           for m in rows[1]["all"]]
+    assert got == [("ab", 0, ["b"]), ("ab", 3, ["b"]), ("ab", 7, ["b"])]
+    assert list(rows[1]["negcls"]) == [0, 3, 6]
+    assert list(rows[2]["all"]) == []   # no match -> []
+    assert list(rows[3]["all"]) == []   # null input -> [] (Mongo)
+    for pat in ("^a", r"\bword", r"x\By", "(?<=a)b"):
+        with pytest.raises(DocumentQueryError, match="left-context"):
+            s.aggregate("t", [{"$project": {"x": {"$regexFindAll": {
+                "input": "$txt", "regex": pat}}}}]).collect()
+    # lookAHEAD consults right context only — allowed and exact
+    out = s.aggregate("t", [
+        {"$match": {"id": 1}},
+        {"$project": {"x": {"$regexFindAll": {
+            "input": "$txt", "regex": "a(?=b)"}}}}]).collect()
+    assert [(m["match"], m["idx"]) for m in out[0]["x"]] \
+        == [("a", 0), ("a", 3), ("a", 7)]
+
+
+def test_substr_bytes_and_type_introspection(spark):
+    """$substrBytes slices UTF-8 bytes (2-byte é shifts following
+    bytes); $isNumber/$type map the column type per row with a null
+    gate."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "héllo", 2.5, [1, 2]), (2, "plain", None, None)],
+        "id int, txt string, v double, arr array<int>"))
+    rows = {r["id"]: r for r in s.aggregate("t", [
+        {"$project": {
+            "id": 1,
+            "sb": {"$substrBytes": ["$txt", 3, 3]},
+            "nbytes": {"$toLong": {"$strLenBytes": "$txt"}},
+            "in_v": {"$isNumber": "$v"},
+            "in_txt": {"$isNumber": "$txt"},
+            "t_v": {"$type": "$v"},
+            "t_id": {"$type": "$id"},
+            "t_txt": {"$type": "$txt"},
+            "t_arr": {"$type": "$arr"},
+        }},
+        {"$sort": {"id": 1}}]).collect()}
+    # "héllo" = h(1) é(2) l l o -> bytes 3..5 are "llo"
+    assert rows[1]["sb"] == "llo" and rows[1]["nbytes"] == 6
+    assert rows[2]["sb"] == "in"  # ASCII: bytes==chars, 2 bytes left
+    assert rows[1]["in_v"] is True and rows[1]["in_txt"] is False
+    assert rows[2]["in_v"] is False            # null is not a number
+    assert rows[1]["t_v"] == "double" and rows[2]["t_v"] == "null"
+    assert rows[1]["t_id"] == "int" and rows[1]["t_txt"] == "string"
+    assert rows[1]["t_arr"] == "array" and rows[2]["t_arr"] == "null"
+
+
+def test_nl2doc_monthly_grain_compile_shape(spark):
+    """'per month as YYYY-MM' compiles to the $dateToString group key
+    ($addFields month render → $group count/total → sort), and the
+    'by year-month' synonym reaches the same tier."""
+    import datetime as dt
+
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    s = DocumentStore(spark)
+    s.register("events", spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 5), 10.0),
+         (2, dt.datetime(2024, 1, 20), 5.0),
+         (3, dt.datetime(2024, 3, 2), 7.0)],
+        "event_id int, ts timestamp, value double"))
+    eng = NL2DocEngine(s)
+    q = eng.template_query("total value per month as YYYY-MM for events")
+    stages = q["pipeline"]
+    assert stages[0] == {"$addFields": {"month": {"$dateToString": {
+        "format": "%Y-%m", "date": "$ts"}}}}
+    assert stages[1]["$group"] == {
+        "_id": "$month", "n": {"$sum": 1}, "total_value": {"$sum": "$value"}}
+    q2 = eng.template_query("counts by year-month for events")
+    assert q2["pipeline"][0]["$addFields"]["month"]["$dateToString"][
+        "format"] == "%Y-%m"
+    rows = {r["_id"]: r for r in s.aggregate("events", stages).collect()}
+    assert rows["2024-01"]["n"] == 2 and rows["2024-01"]["total_value"] == 15.0
+    assert rows["2024-03"]["n"] == 1
+
+
+def test_nl2doc_regex_predicate_compile_shape(spark):
+    """"<field> matching '<pattern>'" compiles to $regexMatch inside an
+    $expr $match (pattern read case-SENSITIVELY from the raw question),
+    per-group when a 'per' phrase follows; the 'containing a number'
+    sugar maps to [0-9] and drops the filter extractor's spurious
+    substring-'a' evidence; a numeric target field refuses the tier
+    (falls through, no $regexMatch)."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "Call 911 now", "en"), (2, "no digits here", "de"),
+         (3, "agent 007", "de")],
+        "id int, body string, lang string"))
+    eng = NL2DocEngine(s)
+    q = eng.template_query("t rows whose body matches 'Call [0-9]+' per lang")
+    assert q["pipeline"][0] == {"$match": {"$expr": {"$regexMatch": {
+        "input": "$body", "regex": "Call [0-9]+"}}}}
+    assert q["pipeline"][1]["$group"]["_id"] == "$lang"
+    out = {r["_id"]: r["n"] for r in s.aggregate("t", q["pipeline"]).collect()}
+    assert out == {"en": 1}
+    # sugar: 'containing a number' -> [0-9], total row when no 'per'
+    q2 = eng.template_query("count of t rows with body containing a number")
+    assert q2["pipeline"][0]["$match"]["$expr"]["$regexMatch"]["regex"] \
+        == "[0-9]"
+    assert q2["pipeline"][1]["$group"]["_id"] is None
+    assert s.aggregate("t", q2["pipeline"]).collect()[0]["n"] == 2
+    # numeric field: the tier declines
+    q3 = eng.template_query("t rows whose id matches '42' per lang")
+    assert "$regexMatch" not in str(q3)

@@ -82,6 +82,12 @@ PLANNED: dict[str, int] = {
     # round 11 and must take target-12+ entries then; with these 16
     # already at target-12, expect the cp=7 overflow to spread into
     # round 13 explicitly.
+    # round-10 additions — the two-round rotation contract gives them
+    # round-12 targets (rounds 10 and 11 are already full)
+    **{k: 12 for k in (
+        "q198_doc_expr_dialect4", "nl70_doc_monthly_grain",
+        "nl71_doc_regex_predicate",
+    )},
     **{k: 12 for k in (
         "q144_winsorized_stats", "q145_drift_psi",
         "q146_label_centroids", "q147_stream_drift",
