@@ -130,6 +130,15 @@ _YEAR_CMP_OPS = {
     "until": "<=", "through": "<=",
 }
 
+# "orders after 1996-03-15" — a full-date predicate (the document
+# plane's before/after/since tier on the SQL side). Extracted and
+# MASKED before the year tier runs: _YEAR_CMP_RE would otherwise
+# silently claim the year prefix of the ISO literal and drop the
+# month/day — found by the r10 NL property sweep.
+_DATE_CMP_RE = re.compile(
+    r"\b(before|after|since|until|through)\s+(\d{4}-\d{2}-\d{2})\b"
+)
+
 # "priorities with more than 3000 orders" — aggregate-filtered groups
 # (the HAVING tier): a count threshold over an entity, grouped by the
 # leading noun phrase
@@ -608,6 +617,10 @@ class NL2SQLEngine:
                 expr = f"{table}.{ycol}"
         if expr is None:
             return out
+        if dcol is not None:
+            for word, iso in _DATE_CMP_RE.findall(ql):
+                out.append(f"{dcol} {_YEAR_CMP_OPS[word]} DATE '{iso}'")
+            ql = _DATE_CMP_RE.sub(" ", ql)
         for a, b in _YEAR_RANGE_RE.findall(ql):
             out.append(f"{expr} BETWEEN {a} AND {b}")
         ql = _YEAR_RANGE_RE.sub(" ", ql)
