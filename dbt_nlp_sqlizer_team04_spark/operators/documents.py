@@ -232,6 +232,12 @@ def filter_condition(
                 "$where executes JavaScript, which this engine does not "
                 "ship — express the predicate with $expr"
             )
+        elif key == "$sampleRate":
+            raise DocumentQueryError(
+                "$sampleRate is nondeterministic; this engine's "
+                "sampling contract is deterministic — use $sample "
+                "(md5-keyed draw) for a fixed-size sample"
+            )
         elif key.startswith("$"):
             raise DocumentQueryError(f"Unsupported top-level operator: {key}")
         else:
@@ -1761,6 +1767,12 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
                 "not ship — express the computation with aggregation "
                 "expression operators (the dialect covers the string/"
                 "array/date/object surface)"
+            )
+        if op == "$rand":
+            raise DocumentQueryError(
+                "$rand is nondeterministic; this engine's sampling "
+                "contract is deterministic — use $sample (md5-keyed "
+                "draw) or an md5/xxhash64 expression over a key column"
             )
         raise DocumentQueryError(f"Unsupported expression operator: {op}")
     args = operands if isinstance(operands, list) else [operands]

@@ -1276,6 +1276,119 @@ def q77_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_topk(int8_codes(emb), q, k=20)
 
 
+# ------------------------------------------ binary (sign) quantization
+def binary_sign_codes(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<long>) — sign bits packed 64-per-long: bit i of
+    word w is set when embedding[w*64+i] > 0. One bit per dimension —
+    64× smaller than the doubles Spark computes in (8× vs float32, 8×
+    vs the int8 tier), the coarsest compression rung under int8 (q77)
+    and PQ (q65). The packing is a static fold of per-element literal
+    powers (dim is known at plan time), all whole-stage codegen; like
+    the IVF/PQ/int8 tables this is the persisted index artifact a
+    deployment writes once at ingest."""
+    v = _as_double(emb_col)
+    words = []
+    for w in range((dim + 63) // 64):
+        lo, n = w * 64, min(64, dim - w * 64)
+        word = F.lit(0).cast("long")
+        for i in range(n):
+            # bit 63 is the sign bit: its power literal must enter as
+            # the signed long Spark stores, not the Python 1<<63
+            power = (1 << i) if i < 63 else -(1 << 63)
+            word = word.bitwiseOR(
+                F.when(
+                    F.element_at(v, lo + i + 1) > 0,
+                    F.lit(power).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        words.append(word.alias(f"w{w}"))
+    return df.select(F.col(id_col), F.array(*words).alias("code"))
+
+
+def _pack_signs_py(vec: list[float]) -> list[int]:
+    """Driver-side twin of :func:`binary_sign_codes` for probe vectors
+    (same sign rule, same packing; word 63 wraps to the signed long)."""
+    out = []
+    for w in range((len(vec) + 63) // 64):
+        word = 0
+        for i, x in enumerate(vec[w * 64:(w + 1) * 64]):
+            if float(x) > 0:
+                word |= (1 << i) if i < 63 else -(1 << 63)
+        out.append(word)
+    return out
+
+
+def binary_hamming_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Binary-quantized ANN: Hamming shortlist over packed sign codes
+    (xor + bit_count per 64-dim word — the cheapest possible scan),
+    then EXACT cosine rerank of the ``shortlist`` survivors.
+
+    Spark shape (scales to 100 TB): the scan stage reads only the
+    code column of the persisted sign index (1 bit/dim), the shortlist
+    is a rank-limited TakeOrderedAndProject (no full sort), and the
+    rerank broadcasts the shortlist ids back onto the embedding table
+    — full-precision vectors are touched for ``shortlist`` rows only.
+    Deterministic: Hamming ties break on id, cosine ties on id."""
+    codes = binary_sign_codes(emb, dim=len(query_vec),
+                              id_col=id_col, emb_col=emb_col)
+    pw = _pack_signs_py(query_vec)
+    ham = F.lit(0)
+    for w, p in enumerate(pw):
+        ham = ham + F.bit_count(
+            F.element_at(F.col("code"), w + 1).bitwiseXOR(
+                F.lit(p).cast("long")
+            )
+        )
+    if exclude_id is not None:
+        codes = codes.filter(F.col(id_col) != exclude_id)
+    short = (
+        codes.select(F.col(id_col), ham.cast("long").alias("hamming"))
+        .orderBy("hamming", id_col)
+        .limit(shortlist)
+    )
+    pq = _vector_lit(query_vec)
+    return (
+        emb.join(F.broadcast(short), id_col)
+        .select(
+            F.col(id_col),
+            F.col("hamming"),
+            F.round(cosine_expr(_as_double(emb_col), pq), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def q199_ann_binary_hamming_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-quantization ANN tier: top-10 neighbors of vec_id=0 via a
+    100-candidate Hamming shortlist over packed sign bits, exact-cosine
+    reranked. Completes the compression ladder exact (q23) → int8
+    (q77) → PQ (q65) → IVFADC (q176) with the 1-bit rung. Oracle:
+    DuckDB reproduces the whole pipeline (sign-disagreement count via
+    list_transform, same shortlist order, list_cosine_similarity
+    rerank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir, 0)
+    return binary_hamming_topk(emb, q, k=10, shortlist=100, exclude_id=0)
+
+
 # --------------------------------------------------- k-means clustering
 def _kmeans_seeds(
     vecs: DataFrame, k: int, id_col: str, emb_col: str

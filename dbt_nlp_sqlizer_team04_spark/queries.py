@@ -1523,6 +1523,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # NL tier for regex predicates ("matching '<pattern>'" →
     # $regexMatch in the $match prelude) — NEW r10.
     "nl71_doc_regex_predicate": _nl71_doc_regex_predicate,
+    # binary (1-bit sign) quantization ANN: Hamming shortlist over
+    # packed codes (xor + bit_count), exact-cosine rerank — the
+    # coarsest rung of the compression ladder (64× vs doubles) — NEW
+    # r10.
+    "q199_ann_binary_hamming_topk": V.q199_ann_binary_hamming_topk,
 }
 
 # --- round-10 driver window (explicit form of the rotation policy at
@@ -2180,6 +2185,28 @@ ORACLE_SQL: dict[str, str | None] = {
         WHERE vec_id <> 0
           AND round({_cos_sql("embedding::DOUBLE[]", "qe")}, 6) >= 0.2
         ORDER BY cosine DESC, vec_id
+    """,
+    "q199_ann_binary_hamming_topk": f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id = 0),
+        ham AS (
+          SELECT e.vec_id,
+                 CAST(list_sum(list_transform(range(1, len(q.qe) + 1),
+                       i -> CASE WHEN (e.embedding[i] > 0)
+                                      <> (q.qe[i] > 0)
+                                 THEN 1 ELSE 0 END)) AS BIGINT)
+                   AS hamming
+          FROM embeddings e, q
+          WHERE e.vec_id <> 0
+        ),
+        short AS (SELECT * FROM ham ORDER BY hamming, vec_id LIMIT 100)
+        SELECT s.vec_id, s.hamming,
+               round({_cos_sql("e.embedding::DOUBLE[]", "q.qe")}, 6)
+                 AS cosine
+        FROM short s, embeddings e, q
+        WHERE e.vec_id = s.vec_id
+        ORDER BY cosine DESC, s.vec_id
+        LIMIT 10
     """,
     "q24_ann_lsh_topk": None,  # LSH bucketing: rows-only (pytest checks recall)
     "q43_ann_ivf_topk": None,  # IVF k-means cells: rows-only (pytest checks recall)

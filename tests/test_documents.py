@@ -3802,3 +3802,15 @@ def test_nl2doc_regex_predicate_compile_shape(spark):
     # numeric field: the tier declines
     q3 = eng.template_query("t rows whose id matches '42' per lang")
     assert "$regexMatch" not in str(q3)
+
+
+def test_rand_sample_rate_pointed_refusals(spark):
+    """$rand (expression) and $sampleRate ($match operator) are
+    nondeterministic — both get pointed redirects to the engine's
+    deterministic $sample contract."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame([(1,)], "id int"))
+    with pytest.raises(DocumentQueryError, match="deterministic"):
+        s.aggregate("t", [{"$project": {"r": {"$rand": {}}}}]).collect()
+    with pytest.raises(DocumentQueryError, match="deterministic"):
+        s.find("t", {"$sampleRate": 0.3})

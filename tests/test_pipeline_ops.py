@@ -1243,3 +1243,39 @@ def test_ivfpq_recall_pruning_and_exact_rerank(spark, sf_check):
         spark, sf_check, q, k=10, exclude_id=0
     ).collect()]
     assert got == again
+
+
+def test_binary_hamming_recall_and_packing(spark, sf_check):
+    """1-bit sign quantization: the Hamming-shortlist + exact-rerank
+    top-10 must recall most of the exact cosine top-10 at 64× the
+    compression; the packed codes round-trip bit-for-bit against a
+    pure-Python repack (incl. the signed bit-63 wrap), and the final
+    scores ARE the exact cosines."""
+    emb = load_table(spark, sf_check, "embeddings")
+    q = V._query_vector(spark, sf_check, 0)
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in V.cosine_topk(emb, q, k=10, exclude_id=0).collect()
+    }
+    got = V.binary_hamming_topk(
+        emb, q, k=10, shortlist=100, exclude_id=0
+    ).collect()
+    recall = len({r["vec_id"] for r in got} & set(exact)) / 10
+    assert recall >= 0.7
+    # rerank scores are exact cosines (same rounding) for shared ids
+    for r in got:
+        if r["vec_id"] in exact:
+            assert r["cosine"] == exact[r["vec_id"]]
+    # packing parity vs the driver-side twin, incl. a bit-63 exercise
+    sample = emb.limit(5).collect()
+    codes = {
+        r["vec_id"]: list(r["code"])
+        for r in V.binary_sign_codes(emb.limit(5), dim=64).collect()
+    }
+    for row in sample:
+        assert codes[row["vec_id"]] == V._pack_signs_py(
+            [float(x) for x in row["embedding"]]
+        )
+    vec = [1.0] * 64  # all-positive: every bit set -> signed -1
+    assert V._pack_signs_py(vec) == [-1]
+    assert V._pack_signs_py([-1.0] * 64) == [0]

@@ -86,7 +86,7 @@ PLANNED: dict[str, int] = {
     # round-12 targets (rounds 10 and 11 are already full)
     **{k: 12 for k in (
         "q198_doc_expr_dialect4", "nl70_doc_monthly_grain",
-        "nl71_doc_regex_predicate",
+        "nl71_doc_regex_predicate", "q199_ann_binary_hamming_topk",
     )},
     **{k: 12 for k in (
         "q144_winsorized_stats", "q145_drift_psi",
