@@ -1279,3 +1279,13 @@ def test_binary_hamming_recall_and_packing(spark, sf_check):
     vec = [1.0] * 64  # all-positive: every bit set -> signed -1
     assert V._pack_signs_py(vec) == [-1]
     assert V._pack_signs_py([-1.0] * 64) == [0]
+    # plan contracts: the shortlist is a rank-limited top-k (never a
+    # full sort) and the rerank broadcasts the shortlist onto the
+    # embedding table — full-precision rows touched for 100 ids only
+    plan = (
+        V.binary_hamming_topk(emb, q, k=10, shortlist=100, exclude_id=0)
+        ._jdf.queryExecution().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "BroadcastHashJoin" in final or "BroadcastExchange" in final

@@ -211,3 +211,100 @@ def test_nl2sql_iso_date_filter_regression(sql_engine, oracle):
     got = dict((r[0], r[1]) if r[0] in gold else (r[1], r[0])
                for r in res.rows)
     assert got == gold
+
+
+_LATEST_WORDS = {"latest": True, "newest": True, "earliest": False,
+                 "oldest": False}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    word=st.sampled_from(sorted(_LATEST_WORDS)),
+    n=st.sampled_from([None, 2, 3]),
+    grp=st.sampled_from(["user_id", "event_type"]),
+)
+def test_nl2doc_latest_per_group_sweep(doc_engine, oracle, word, n, grp):
+    """The latest/earliest[-N]-per-group grammar family: every combo
+    compiles to the sort-then-group $first/$firstN idiom and matches
+    the DuckDB ordered-list twin (scalar for the 1-form, JSON array
+    for the N-form through the executor's S10 coercion)."""
+    import json as _json
+
+    q = f"{word} {f'{n} ' if n else ''}event_id per {grp} for events"
+    df, compiled = doc_engine.ask(q)
+    rows = {r["_id"]: r for r in df.collect()}
+    assert rows
+    desc = _LATEST_WORDS[word]
+    order = f"ts {'DESC' if desc else 'ASC'}, event_id"
+    stem = "latest" if desc else "earliest"
+    if n:
+        gold = oracle.execute(
+            f"SELECT {grp}, to_json((list(event_id ORDER BY {order}))"
+            f"[1:{n}]) FROM events GROUP BY {grp}"
+        ).fetchall()
+        col = f"{stem}{n}_event_id"
+        for g, arr in gold:
+            assert _json.loads(rows[g][col]) == _json.loads(arr), q
+    else:
+        gold = oracle.execute(
+            f"SELECT {grp}, (list(event_id ORDER BY {order}))[1] "
+            f"FROM events GROUP BY {grp}"
+        ).fetchall()
+        col = f"{stem}_event_id"
+        for g, v in gold:
+            assert rows[g][col] == v, q
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fam=st.one_of(
+        st.tuples(st.just("topn"), st.sampled_from([2, 3, 5]),
+                  st.sampled_from(["user_id", "event_type"])),
+        st.tuples(st.just("median"), st.none(), st.none()),
+        st.tuples(st.just("pct"), st.sampled_from([25, 50, 90, 99]),
+                  st.none()),
+    )
+)
+def test_nl2doc_topn_and_percentile_sweep(doc_engine, oracle, fam):
+    """The top-N-per-group and median/percentile grammar families
+    against DuckDB ordered-list-slice / quantile_cont twins (the
+    engine computes the exact interpolated percentile)."""
+    import json as _json
+
+    kind, p1, p2 = fam
+    if kind == "topn":
+        n, grp = p1, p2
+        q = f"top {n} event_id by value per {grp} for events"
+        df, _c = doc_engine.ask(q)
+        rows = {r["_id"]: r for r in df.collect()}
+        gold = oracle.execute(
+            f"SELECT {grp}, to_json((list(event_id "
+            f"ORDER BY value DESC, event_id))[1:{n}]) "
+            f"FROM events GROUP BY {grp}"
+        ).fetchall()
+        col = f"top{n}_event_id"
+        for g, arr in gold:
+            assert _json.loads(rows[g][col]) == _json.loads(arr), q
+        return
+    if kind == "median":
+        q = "median value per event_type for events"
+        col, gold_expr = "median_value", "quantile_cont(value, 0.5)"
+    else:
+        q = f"{p1}th percentile of value per event_type for events"
+        col, gold_expr = f"p{p1}_value", f"quantile_cont(value, {p1/100})"
+    df, _c = doc_engine.ask(q)
+    rows = {r["_id"]: r for r in df.collect()}
+    gold = oracle.execute(
+        f"SELECT event_type, {gold_expr} FROM events GROUP BY event_type"
+    ).fetchall()
+    assert rows
+    for g, v in gold:
+        assert round(rows[g][col], 6) == round(v, 6), q
