@@ -218,6 +218,7 @@ HEADLINE = [
     "q199_ann_binary_hamming_topk",
     "nl70_doc_monthly_grain",
     "nl71_doc_regex_predicate",
+    "nl72_doc_distinct_count",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

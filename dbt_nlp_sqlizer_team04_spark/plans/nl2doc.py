@@ -756,6 +756,39 @@ class NL2DocEngine:
                     ],
                 }
 
+        # distinct-count phrasing — "how many distinct <f> [per <g>]"
+        # compiles to $addToSet → $size (the SQL plane's nl24 COUNT
+        # DISTINCT on the document plane): collect_set map-side
+        # combines like a partial distinct-aggregate, so the shuffle
+        # carries per-group sets, never rows
+        dc = _re.search(
+            r"\b(?:how many|number of|count of)\s+(?:distinct|unique)\s+"
+            r"([a-z_]+?)s?(?:\s+per\s+([a-z_]+))?(?:\s+for\b|$)",
+            ql,
+        )
+        if dc:
+            f_word, g_word = dc.groups()
+            f = best_field(exclude_id=False, exclude=filtered,
+                           text=f_word)
+            if f is not None:
+                g = (
+                    best_field(exclude_id=False,
+                               exclude=filtered | {f}, text=g_word)
+                    if g_word
+                    else None
+                )
+                label = f"n_distinct_{f}"
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$group": {"_id": f"${g}" if g else None,
+                                    "__set": {"$addToSet": f"${f}"}}},
+                        {"$addFields": {label: {"$size": "$__set"}}},
+                        {"$project": {"_id": 1, label: 1}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+
         # sample phrasing — "(random) sample of N <coll>" compiles to
         # $sample (q174's deterministic md5 draw; "random" is accepted
         # in the phrasing, determinism is the engine's documented

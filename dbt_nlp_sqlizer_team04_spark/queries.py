@@ -572,6 +572,25 @@ def _nl71_doc_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl72_doc_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc distinct-count phrasing ("how many distinct <f> per <g>")
+    compiles to $addToSet → $size — the SQL plane's nl24 COUNT DISTINCT
+    on the document plane; collect_set map-side combines so the
+    shuffle carries per-group sets, never rows. Oracle: DuckDB
+    count(DISTINCT) twin."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "how many distinct user_id per event_type for events"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1528,6 +1547,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # coarsest rung of the compression ladder (64× vs doubles) — NEW
     # r10.
     "q199_ann_binary_hamming_topk": V.q199_ann_binary_hamming_topk,
+    # NL tier for distinct counts ("how many distinct X per Y" →
+    # $addToSet → $size, nl24's surface on the document plane) — NEW
+    # r10.
+    "nl72_doc_distinct_count": _nl72_doc_distinct_count,
 }
 
 # --- round-10 driver window (explicit form of the rotation policy at
@@ -3053,6 +3076,12 @@ ORACLE_SQL: dict[str, str | None] = {
         FROM documents
         WHERE regexp_matches(text, 'data.*data')
         GROUP BY lang ORDER BY _id
+    """,
+    "nl72_doc_distinct_count": """
+        SELECT event_type AS _id,
+               CAST(count(DISTINCT user_id) AS INT)
+                 AS n_distinct_user_id
+        FROM events GROUP BY event_type ORDER BY _id
     """,
     "nl66_doc_ancestors": """
         WITH RECURSIVE tree AS (

@@ -3814,3 +3814,27 @@ def test_rand_sample_rate_pointed_refusals(spark):
         s.aggregate("t", [{"$project": {"r": {"$rand": {}}}}]).collect()
     with pytest.raises(DocumentQueryError, match="deterministic"):
         s.find("t", {"$sampleRate": 0.3})
+
+
+def test_nl2doc_distinct_count_compile_shape(spark):
+    """'how many distinct <f> per <g>' compiles to $addToSet → $size
+    (nl24's COUNT DISTINCT surface on the document plane); the
+    group-less form collapses to one total row."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "u1", "click"), (2, "u2", "click"), (3, "u1", "view"),
+         (4, "u1", "click")],
+        "id int, who string, kind string"))
+    eng = NL2DocEngine(s)
+    q = eng.template_query("how many distinct who per kind for t")
+    g = q["pipeline"][0]["$group"]
+    assert g["_id"] == "$kind" and g["__set"] == {"$addToSet": "$who"}
+    rows = {r["_id"]: r["n_distinct_who"]
+            for r in s.aggregate("t", q["pipeline"]).collect()}
+    assert rows == {"click": 2, "view": 1}
+    q2 = eng.template_query("number of unique kind for t")
+    assert q2["pipeline"][0]["$group"]["_id"] is None
+    assert s.aggregate("t", q2["pipeline"]).collect()[0][
+        "n_distinct_kind"] == 2
