@@ -219,6 +219,7 @@ HEADLINE = [
     "nl70_doc_monthly_grain",
     "nl71_doc_regex_predicate",
     "nl72_doc_distinct_count",
+    "nl73_doc_pct_share",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -756,6 +756,38 @@ class NL2DocEngine:
                     ],
                 }
 
+        # share-of-total phrasing — "percentage of <coll> per <g>"
+        # compiles to group counts + an uncorrelated $lookup of the
+        # one-row total (broadcast-bounded, q157's machinery) +
+        # $unwind + a computed pct — never a global window, so the
+        # pinned allowlist stays closed; the SQL plane's nl53 surface
+        # on the document plane. A filter prelude applies to BOTH the
+        # groups and the total (share within the filtered set).
+        if _re.search(
+            r"\b(?:percentage|percent|share|proportion)\s+of\b", ql
+        ) and pm:
+            g = best_field(exclude_id=False, exclude=filtered,
+                           text=group_text)
+            if g is not None:
+                tot_pipe: list[dict] = (
+                    [{"$match": match}] if match else []
+                ) + [{"$group": {"_id": None, "total": {"$sum": 1}}}]
+                return {
+                    "collection": coll,
+                    "pipeline": prelude + [
+                        {"$group": {"_id": f"${g}", "n": {"$sum": 1}}},
+                        {"$lookup": {"from": coll, "as": "__tot",
+                                     "pipeline": tot_pipe}},
+                        {"$unwind": "$__tot"},
+                        {"$addFields": {"pct": {"$round": [
+                            {"$multiply": [
+                                {"$divide": ["$n", "$__tot.total"]},
+                                100]}, 6]}}},
+                        {"$project": {"_id": 1, "n": 1, "pct": 1}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+
         # distinct-count phrasing — "how many distinct <f> [per <g>]"
         # compiles to $addToSet → $size (the SQL plane's nl24 COUNT
         # DISTINCT on the document plane): collect_set map-side

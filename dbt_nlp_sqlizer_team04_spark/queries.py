@@ -591,6 +591,25 @@ def _nl72_doc_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl73_doc_pct_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc share-of-total phrasing ("percentage of <coll> per <g>")
+    compiles to group counts + an uncorrelated one-row-total $lookup
+    (broadcast-bounded) + computed pct — never a global window, so the
+    pinned unpartitioned-window allowlist stays closed. Oracle: DuckDB
+    scalar-subquery share twin."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "percentage of events per event_type"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1551,6 +1570,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # $addToSet → $size, nl24's surface on the document plane) — NEW
     # r10.
     "nl72_doc_distinct_count": _nl72_doc_distinct_count,
+    # NL tier for share-of-total ("percentage of X per Y" → group
+    # counts + broadcast one-row-total $lookup, nl53's surface on the
+    # document plane) — NEW r10.
+    "nl73_doc_pct_share": _nl73_doc_pct_share,
 }
 
 # --- round-10 driver window (explicit form of the rotation policy at
@@ -3081,6 +3104,12 @@ ORACLE_SQL: dict[str, str | None] = {
         SELECT event_type AS _id,
                CAST(count(DISTINCT user_id) AS INT)
                  AS n_distinct_user_id
+        FROM events GROUP BY event_type ORDER BY _id
+    """,
+    "nl73_doc_pct_share": """
+        SELECT event_type AS _id, count(*) AS n,
+               round(100.0 * count(*)
+                     / (SELECT count(*) FROM events), 6) AS pct
         FROM events GROUP BY event_type ORDER BY _id
     """,
     "nl66_doc_ancestors": """

@@ -3838,3 +3838,32 @@ def test_nl2doc_distinct_count_compile_shape(spark):
     assert q2["pipeline"][0]["$group"]["_id"] is None
     assert s.aggregate("t", q2["pipeline"]).collect()[0][
         "n_distinct_kind"] == 2
+
+
+def test_nl2doc_pct_share_compile_shape(spark):
+    """'percentage of <coll> per <g>' compiles to group counts + an
+    uncorrelated one-row-total $lookup + computed pct (no global
+    window); a filter prelude applies to both the groups and the
+    total."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 400)],
+        "id int, kind string, v int"))
+    eng = NL2DocEngine(s)
+    q = eng.template_query("percentage of t per kind")
+    stages = q["pipeline"]
+    assert stages[0]["$group"] == {"_id": "$kind", "n": {"$sum": 1}}
+    assert stages[1]["$lookup"]["pipeline"][-1]["$group"]["total"] == {
+        "$sum": 1}
+    rows = {r["_id"]: r for r in s.aggregate("t", stages).collect()}
+    assert rows["a"]["pct"] == 50.0 and rows["b"]["n"] == 2
+    # filtered form: share within the filtered set (both sides match)
+    q2 = eng.template_query("percentage of t with v over 15 per kind")
+    assert q2["pipeline"][0] == {"$match": {"v": {"$gt": 15}}}
+    lk = [st for st in q2["pipeline"] if "$lookup" in st][0]
+    assert lk["$lookup"]["pipeline"][0] == {"$match": {"v": {"$gt": 15}}}
+    rows2 = {r["_id"]: r for r in s.aggregate("t", q2["pipeline"]).collect()}
+    assert rows2["a"]["n"] == 1 and rows2["b"]["n"] == 2
+    assert round(rows2["a"]["pct"], 4) == round(100 / 3, 4)

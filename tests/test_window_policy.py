@@ -87,7 +87,7 @@ PLANNED: dict[str, int] = {
     **{k: 12 for k in (
         "q198_doc_expr_dialect4", "nl70_doc_monthly_grain",
         "nl71_doc_regex_predicate", "q199_ann_binary_hamming_topk",
-        "nl72_doc_distinct_count",
+        "nl72_doc_distinct_count", "nl73_doc_pct_share",
     )},
     **{k: 12 for k in (
         "q144_winsorized_stats", "q145_drift_psi",
