@@ -463,3 +463,33 @@ def test_plan_contracts_r6_analogs(spark, sf_smoke):
     assert "CartesianProduct" not in p163
     pushed163 = [l for l in p163.splitlines() if "PushedFilters" in l]
     assert any("p_brand" in l for l in pushed163)
+
+
+def test_plan_contracts_r10(spark, sf_smoke):
+    """Plan contracts for the r10 additions: q198's dialect projection
+    stays one UDF-free codegen stage over a pushed-filter scan with a
+    rank-limited top-k (no full sort); nl70's formatted-grain rollup
+    pays exactly one shuffle; nl72's distinct count aggregates
+    map-side (partial collect_set before its single exchange)."""
+    from dbt_nlp_sqlizer_team04_spark.queries import SPARK_QUERIES
+
+    def final_plan(name):
+        df = SPARK_QUERIES[name](spark, sf_smoke)
+        return df._jdf.queryExecution().toString().split(
+            "== Initial Plan =="
+        )[0]
+
+    p198 = final_plan("q198_doc_expr_dialect4")
+    assert "BatchEvalPython" not in p198 and "ArrowEvalPython" not in p198
+    assert "TakeOrderedAndProject" in p198
+    assert "PushedFilters: [" in p198 and "o_orderkey" in p198.split(
+        "PushedFilters: ["
+    )[1].split("]")[0]
+
+    p70 = final_plan("nl70_doc_monthly_grain")
+    assert p70.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p70
+
+    p72 = final_plan("nl72_doc_distinct_count")
+    assert "partial_collect_set" in p72 or "ObjectHashAggregate" in p72
+    assert p72.count("Exchange hashpartitioning") == 1
