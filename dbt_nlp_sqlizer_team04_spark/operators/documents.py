@@ -1976,6 +1976,10 @@ def _acc_to_agg_masked(
         return _acc_selection_ops(alias, op, arg, cond, resolve)
     masked = F.when(cond, _ref(arg, resolve))
     if op == "$sum":
+        # documented divergence: Mongo's $sum returns 0 when a group
+        # has no numeric values; Spark's sum (and the DuckDB oracle
+        # twins) return NULL there — the SQL convention this engine
+        # keeps (coalescing would desync every existing facet twin)
         return F.sum(masked).alias(alias)
     if op == "$avg":
         return F.avg(masked).alias(alias)
