@@ -3867,3 +3867,67 @@ def test_nl2doc_pct_share_compile_shape(spark):
     rows2 = {r["_id"]: r for r in s.aggregate("t", q2["pipeline"]).collect()}
     assert rows2["a"]["n"] == 1 and rows2["b"]["n"] == 2
     assert round(rows2["a"]["pct"], 4) == round(100 / 3, 4)
+
+
+def test_expr_dialect_r10_random_sweep(spark):
+    """Seeded 300-row differential sweep of the r10 operators whose
+    semantics have exact stdlib references: $regexFindAll's
+    match/idx/captures triples vs re.finditer (incl. empty-matchable
+    patterns — the one-position advance — alternation whose branches
+    reorder the leftmost match, non-participating capture groups
+    mapped to '' per the documented regexp_extract convention, and a
+    right-context $ anchor, which the left-context guard allows), and
+    $dateFromParts vs datetime() over valid random parts — one Spark
+    job, row-wise equality."""
+    import datetime
+    import random
+    import re as _re
+
+    rng = random.Random(4321)
+    rows = []
+    for i in range(300):
+        s = "".join(rng.choice("aabbc x") for _ in range(rng.randrange(16)))
+        y = rng.randrange(1, 9999)
+        mo = rng.randrange(1, 13)
+        d = rng.randrange(1, 29)
+        h = rng.randrange(0, 24)
+        rows.append((i, s, y, mo, d, h))
+    pats = {
+        "p0": "a",
+        "p1": "a+",
+        "p2": "a*b",
+        "p3": "[ab]+",
+        "p4": "a|bb",
+        "p5": "(a)(b+)?",
+        "p6": "a.b",
+        "p7": "(ab)+",
+        "p8": "a{2,3}",
+        "p9": "b+$",
+        "p10": "a*",  # empty-matchable: pins the advance-one rule
+        "p11": "c(?= )",  # lookAHEAD (right context) stays allowed
+    }
+    s_ = DocumentStore(spark)
+    s_.register("t", spark.createDataFrame(
+        rows, "i int, s string, y int, mo int, d int, h int"))
+    fields = {
+        k: {"$regexFindAll": {"input": "$s", "regex": p}}
+        for k, p in pats.items()
+    }
+    fields["ts"] = {"$dateFromParts": {
+        "year": "$y", "month": "$mo", "day": "$d", "hour": "$h",
+        "minute": 30, "second": 15}}
+    out = {r["i"]: r for r in s_.aggregate(
+        "t", [{"$addFields": fields}, {"$limit": 1000}]
+    ).collect()}
+    for i, s, y, mo, d, h in rows:
+        r = out[i]
+        for k, p in pats.items():
+            want = [
+                (m.group(0), m.start(),
+                 [g if g is not None else "" for g in m.groups()])
+                for m in _re.finditer(p, s)
+            ]
+            got = [(m["match"], m["idx"], list(m["captures"]))
+                   for m in r[k]]
+            assert got == want, (p, s, got, want)
+        assert r["ts"] == datetime.datetime(y, mo, d, h, 30, 15), (i,)
