@@ -776,6 +776,10 @@ _EXPR_OPS = {
     "$bitNot": lambda a: F.bitwise_not(a),
     # ---- strings (r9 wave 2)
     "$strLenBytes": lambda a: F.octet_length(a),
+    # $binarySize: byte size of a string (UTF-8) or binary value —
+    # octet_length covers both input types natively; Mongo returns an
+    # int, null for null input (octet_length's contract too)
+    "$binarySize": lambda a: F.octet_length(a).cast("long"),
     # ---- r10: byte-indexed substring + type introspection.
     # $substrBytes slices the UTF-8 BYTES (substring over a binary
     # cast — native); a slice that splits a multi-byte character

@@ -3931,3 +3931,19 @@ def test_expr_dialect_r10_random_sweep(spark):
                    for m in r[k]]
             assert got == want, (p, s, got, want)
         assert r["ts"] == datetime.datetime(y, mo, d, h, 30, 15), (i,)
+
+
+def test_binary_size(spark):
+    """$binarySize: UTF-8 byte size for strings, raw length for binary
+    columns, null-propagating."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "héllo", b"\x00\x01\x02"), (2, None, None)],
+        "id int, txt string, blob binary"))
+    rows = {r["id"]: r for r in s.aggregate("t", [
+        {"$project": {"id": 1,
+                      "bs": {"$binarySize": "$txt"},
+                      "bb": {"$binarySize": "$blob"}}},
+        {"$sort": {"id": 1}}]).collect()}
+    assert rows[1]["bs"] == 6 and rows[1]["bb"] == 3
+    assert rows[2]["bs"] is None and rows[2]["bb"] is None
