@@ -308,3 +308,43 @@ def test_nl2doc_topn_and_percentile_sweep(doc_engine, oracle, fam):
     assert rows
     for g, v in gold:
         assert round(rows[g][col], 6) == round(v, 6), q
+
+
+_SALAD = [
+    "count", "of", "orders", "events", "documents", "per", "priority",
+    "status", "total", "average", "sum", "distinct", "unique", "latest",
+    "earliest", "3", "5", "top", "percentage", "share", "matching",
+    "'a+'", "'[0-9'", "containing", "a", "number", "median", "90th",
+    "percentile", "buckets", "by", "sample", "page", "second", "combine",
+    "with", "before", "after", "1995-06-01", "1996", "running", "total",
+    "exponential", "moving", "day", "ancestors", "descendants", "of",
+    "450", "levels", "up", "to", "how", "many", "missing", "days",
+    "daily", "year-month", "month", "as", "yyyy-mm", "value", "balance",
+    "user_id", "event_type", "totalprice", "for", "their", "counts",
+    "over", "under", "between", "and", "without", "$where", "--", ";",
+]
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=st.lists(st.sampled_from(_SALAD), min_size=1, max_size=12))
+def test_nl_compilers_never_crash_on_word_salad(
+    sql_engine, doc_engine, words
+):
+    """Robustness: arbitrary keyword-salad questions — tier-regex
+    fragments colliding in any order, broken quotes, SQL-comment
+    tokens — must either compile (a query dict / candidate list) or
+    raise the modules' typed ValueErrors. Never an IndexError,
+    KeyError, TypeError, or re.error out of the compilers."""
+    q = " ".join(words)
+    try:
+        out = doc_engine.template_query(q)
+        assert isinstance(out, dict)
+    except ValueError:
+        pass  # typed compiler errors (incl. DocumentQueryError) allowed
+    cands = sql_engine.generate(q)
+    for c in cands:
+        assert isinstance(c.sql, str) and c.sql
