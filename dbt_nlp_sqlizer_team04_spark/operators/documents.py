@@ -2538,7 +2538,9 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     - rank family ($rank/$denseRank/$documentNumber) — requires
       ``sortBy``, takes no frame (Mongo contract, enforced loudly);
     - $shift {output, by, default} — ``lead`` for positive ``by``,
-      ``lag`` for negative, null-filled with ``default`` (coalesce);
+      ``lag`` for negative; ``default`` fills only positions OUTSIDE
+      the partition (lead/lag's native third argument — Mongo's
+      contract; a null value at a valid position stays null);
     - accumulators ($sum/$avg/$min/$max/$count/$first/$last, plus
       $push/$addToSet — sorted arrays, the module's determinism
       convention — $stdDevSamp/$stdDevPop and the two-operand
@@ -2741,15 +2743,17 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             if not isinstance(by, int) or isinstance(by, bool):
                 raise DocumentQueryError(f"$shift 'by' must be an int: {by!r}")
             src = _ref(arg["output"])
-            shifted = (
-                F.lead(src, by) if by >= 0 else F.lag(src, -by)
-            ).over(sorted_w)
+            # lead/lag's NATIVE default applies only when the shifted
+            # position falls outside the partition — Mongo's contract.
+            # (A coalesce would also claim legitimately-null values at
+            # valid positions; the r10 window property sweep caught
+            # that conflation.)
             default = arg.get("default")
-            out_cols[name] = (
-                F.coalesce(shifted, F.lit(default))
-                if default is not None
-                else shifted
-            )
+            shifted = (
+                F.lead(src, by, default) if by >= 0
+                else F.lag(src, -by, default)
+            ).over(sorted_w)
+            out_cols[name] = shifted
             continue
         if op == "$expMovingAvg":
             if frame is not None:

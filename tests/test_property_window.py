@@ -166,9 +166,10 @@ def test_window_rank_and_shift_match_reference(wstore, op, direction, by):
         for g, part in _parts(direction).items():
             for i, row in enumerate(part):
                 j = i + by
+                # Mongo's contract (lead/lag's native default): the
+                # default fills only positions OUTSIDE the partition;
+                # a null value at a valid position stays null
                 want = part[j][2] if 0 <= j < len(part) else -99.0
-                # a null value at the shifted position falls to default
-                want = -99.0 if want is None else want
                 assert _close(got[row[0]], want), (op, by, direction,
                                                    row[0])
         return
