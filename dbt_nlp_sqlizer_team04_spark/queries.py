@@ -1576,69 +1576,66 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     "nl73_doc_pct_share": _nl73_doc_pct_share,
 }
 
-# --- round-10 driver window (explicit form of the rotation policy at
+# --- round-11 driver window (explicit form of the rotation policy at
 # the top of this dict; the driver hash-checks the FIRST 50 entries
 # only). This round executes the machine-planned rotation from
-# tests/test_window_policy.py PLANNED (targets written r8/r9 for round
-# 10) — the 50 target-10 entries exactly fill the window:
-#   - the 12 late-r8 additions owed a first driver seat: q185-q192,
-#     nl62-nl65 (q186/q191/q192 rows-only — _ROWS_ONLY_SEATS; all
-#     three carry DIFFERENTIAL replays locally);
-#   - the r4-wave tail deferred r8 -> r10: q86-q88, q90, q91;
-#   - the 33-entry remainder of the r5 re-confirmation wave that came
-#     due at round 9 (the 10 oldest were seated there).
-# The cp=6 re-confirmation wave (50 entries, last driver-green r6)
-# comes due THIS round (wait reaches 4 > MAX_WAIT at round 10); the
-# window is full, so all 50 take machine-checked PLANNED targets:
-# the oldest 34 (added r2/r5: q24/q28/q29/q32/q39/q40/q43, nl47-nl53,
-# q124-q143) target round 11 — exactly filling the r11 window behind
-# its 16 standing target-11 seats — and the youngest 16 (q144-q159)
-# target round 12. The cp=7 wave (50 entries, last green r7) comes due
-# at round 11 and must take target-12+ entries in the r11 rotation;
-# expect r12 overflow to spread to r13 — deferral is allowed, silence
-# is not.
+# tests/test_window_policy.py PLANNED (targets written r9/r10 for
+# round 11) — the 50 target-11 entries exactly fill the window:
+#   - the 7 r5 re-confirmation stragglers deferred r9 -> r11:
+#     q119-q123, nl45, nl46;
+#   - the 9 round-9 additions owed a first driver seat: q193-q197,
+#     nl66-nl69 (nl67/q196 rows-only — _ROWS_ONLY_SEATS; both carry
+#     DIFFERENTIAL replays locally);
+#   - the oldest 34 of the cp=6 re-confirmation wave (added r2/r5:
+#     q24/q28/q29/q32/q39/q40/q43, nl47-nl53, q124-q143; q24/q28/q29/
+#     q39/q40/q43/q124/q130 rows-only with DIFFERENTIAL replays).
+# The cp=7 re-confirmation wave (50 entries, last driver-green r7)
+# comes due THIS round (wait reaches 4 > MAX_WAIT at round 11); the
+# window is full, so all 50 take machine-checked PLANNED targets: the
+# oldest 28 (added r1-r4) target round 12 — exactly filling the r12
+# window behind its 22 standing target-12 seats — and the youngest 22
+# (added r4/r6) target round 13. Deferral is allowed, silence is not.
 # tests/test_window_policy.py enforces all of this mechanically: an
 # entry may not wait more than 3 rounds without either a driver-green
 # record (tests/driver_manifest.json) or a seat in the current window,
 # and a PLANNED target that comes due fails the build. Every tail entry
 # stays locally hash-verified per round by test_relational_oracle.py.
-_R10_WINDOW = [
-    # PLANNED target-10: the 12 late-r8 additions owed a first seat
-    "q185_doc_window_rates", "q186_doc_ema",
-    "nl62_doc_rate_of_change", "q187_doc_selection_accs",
-    "nl63_doc_percentile", "q188_doc_window_nselect",
-    "q189_doc_window_fill", "q190_doc_group_first_last",
-    "nl64_doc_latest_per_group",
-    "q191_wordpiece_merges", "q192_wordpiece_encode_stats",
-    "nl65_doc_topn_per_group",
-    # PLANNED target-10: the r4-wave tail deferred r8 -> r10
-    "q86_bpe_pair_stats", "q87_conversion_funnel",
-    "q88_cohort_retention", "q90_lineitem_correlations",
-    "q91_custkey_skew",
-    # PLANNED target-10: the r5 re-confirmation wave remainder (came
-    # due r9; the 10 oldest were seated there, these 33 took
-    # machine-checked round-10 targets)
-    "q50_train_val_test_split", "q51_stratified_sample",
-    "q53_cosine_near_dup_pairs", "q54_pii_scrub_stats",
-    "q55_session_window_details", "q57_repetition_quality",
-    "q62_source_mixing", "q66_doc_chunks",
-    "q68_shard_manifest", "q69_sliding_rollup",
-    "q74_segment_dedup", "q93_binational_volume",
-    "q94_returned_items", "q95_order_count_distribution",
-    "q96_large_quantity_orders", "q97_market_share",
-    "q98_idle_rich_customers", "q99_dup_span_stats",
-    "q100_curriculum_order", "q101_enriched_events",
-    "q102_cosine_range", "q103_event_transitions",
-    "q104_label_profile", "q105_event_anomalies",
-    "q106_hourly_first_events", "q107_knn_graph",
-    "q108_mutual_knn_clusters", "q109_rolling_user_value",
-    "q111_incremental_profile", "q112_term_pmi",
-    "q114_doc_lookup_rollup", "q117_window_zoo",
-    "q118_grouping_sets",
+_R11_WINDOW = [
+    # PLANNED target-11: the r5 re-confirmation stragglers (r9 -> r11)
+    "q119_corpus_report", "q120_bpe_encode_stats",
+    "q121_promo_revenue_share", "q122_top_suppliers",
+    "q123_small_quantity_revenue",
+    "nl45_customers_acctbal_recorded", "nl46_orders_big_or_small",
+    # PLANNED target-11: the round-9 additions owed a first seat
+    "q193_doc_expr_dialect2", "q194_doc_group_first_last_n",
+    "nl66_doc_ancestors", "nl67_doc_ema",
+    "q195_doc_expr_dialect3", "nl68_doc_latest_n_per_group",
+    "nl69_doc_descendants", "q196_dsir_selection",
+    "q197_rep_ngram_char_fractions",
+    # PLANNED target-11: the oldest 34 of the cp=6 wave (came due r10;
+    # the youngest 16 took machine-checked round-12 targets)
+    "q24_ann_lsh_topk", "q28_near_dup_minhash",
+    "q29_simhash_fingerprints", "q32_lang_id_dist",
+    "q39_media_decode_stats", "q40_media_embedding_topk",
+    "q43_ann_ivf_topk",
+    "nl47_doc_facet_breakdown", "nl48_orders_facet_breakdown",
+    "nl49_month_over_month_revenue", "nl50_running_monthly_revenue",
+    "nl51_totalprice_histogram", "nl52_doc_length_histogram",
+    "nl53_pct_urgent_orders",
+    "q124_knn_graph_ivf", "q125_min_cost_supplier",
+    "q126_sole_returner_suppliers", "q127_part_volume_suppliers",
+    "q128_expectation_suite", "q129_measure_unpivot",
+    "q130_mmr_topk", "q131_lateral_topn", "q132_doc_facet",
+    "q133_token_entropy", "q134_doc_expectations",
+    "q135_cdc_merge_snapshot", "q136_scd2_intervals",
+    "q137_disjunctive_revenue", "q138_priority_order_check",
+    "q139_filtered_cosine_topk", "q140_canonical_selection",
+    "q141_source_overlap", "q142_source_token_budget",
+    "q143_doc_length_buckets",
 ]
-assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
-SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R10_WINDOW} | {
-    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R10_WINDOW)
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R11_WINDOW} | {
+    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R11_WINDOW)
 }
 
 def _TS_cohort_oracle() -> str:

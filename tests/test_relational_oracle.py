@@ -68,6 +68,10 @@ _ROWS_ONLY_SEATS = {
     # tests/oracle_harness.py
     "q186_doc_ema", "q191_wordpiece_merges",
     "q192_wordpiece_encode_stats",
+    # r11 window seats: the document-plane NL EMA tier and the DSIR
+    # selection — both carry DIFFERENTIAL replays (pandas ewm;
+    # importance-weight replay) in tests/oracle_harness.py
+    "nl67_doc_ema", "q196_dsir_selection",
 }
 
 

@@ -27,68 +27,23 @@ import os
 MANIFEST = os.path.join(os.path.dirname(__file__), "driver_manifest.json")
 MAX_WAIT = 3
 
-# The r10+ window plan (mirrors the policy comment at queries.py's
-# _R10_WINDOW). The round-10 window seats exactly the 50 target-10
-# entries written r8/r9 (now removed from this table — seating
-# discharges the plan); the cp=6 re-confirmation wave (50 entries,
-# last driver-green r6) comes due at round 10 with a full window, so
-# it takes the round-11/12 targets below. When a target round arrives
+# The r11+ window plan (mirrors the policy comment at queries.py's
+# _R11_WINDOW). The round-11 window seats exactly the 50 target-11
+# entries written r9/r10 (now removed from this table — seating
+# discharges the plan); the cp=7 re-confirmation wave (50 entries,
+# last driver-green r7) comes due at round 11 with a full window, so
+# it takes the round-12/13 targets below. When a target round arrives
 # and the entry is neither driver-green nor seated,
 # test_no_overdue_entries fails the build.
 PLANNED: dict[str, int] = {
-    # the r5 re-confirmation stragglers deferred r9 -> r11 (did not
-    # fit the r10 window behind its 17 standing seats)
-    **{k: 11 for k in (
-        "q119_corpus_report", "q120_bpe_encode_stats",
-        "q121_promo_revenue_share", "q122_top_suppliers",
-        "q123_small_quantity_revenue",
-        "nl45_customers_acctbal_recorded", "nl46_orders_big_or_small",
-    )},
-    # round-9 additions — the two-round rotation contract gives them
-    # round-11 targets (round 10 was already full)
-    **{k: 11 for k in (
-        "q193_doc_expr_dialect2", "q194_doc_group_first_last_n",
-        "nl66_doc_ancestors", "nl67_doc_ema", "q195_doc_expr_dialect3",
-        "nl68_doc_latest_n_per_group", "nl69_doc_descendants",
-        "q196_dsir_selection", "q197_rep_ngram_char_fractions",
-    )},
-    # the cp=6 re-confirmation wave due at round 10 (wait reaches 4 >
-    # MAX_WAIT) — the r10 window is full, so the oldest 34 (added
-    # r2/r5) take round-11 targets, exactly filling the r11 window
-    # behind the 16 standing target-11 seats above
-    **{k: 11 for k in (
-        "q24_ann_lsh_topk", "q28_near_dup_minhash",
-        "q29_simhash_fingerprints", "q32_lang_id_dist",
-        "q39_media_decode_stats", "q40_media_embedding_topk",
-        "q43_ann_ivf_topk",
-        "nl47_doc_facet_breakdown", "nl48_orders_facet_breakdown",
-        "nl49_month_over_month_revenue", "nl50_running_monthly_revenue",
-        "nl51_totalprice_histogram", "nl52_doc_length_histogram",
-        "nl53_pct_urgent_orders",
-        "q124_knn_graph_ivf", "q125_min_cost_supplier",
-        "q126_sole_returner_suppliers", "q127_part_volume_suppliers",
-        "q128_expectation_suite", "q129_measure_unpivot",
-        "q130_mmr_topk", "q131_lateral_topn", "q132_doc_facet",
-        "q133_token_entropy", "q134_doc_expectations",
-        "q135_cdc_merge_snapshot", "q136_scd2_intervals",
-        "q137_disjunctive_revenue", "q138_priority_order_check",
-        "q139_filtered_cosine_topk", "q140_canonical_selection",
-        "q141_source_overlap", "q142_source_token_budget",
-        "q143_doc_length_buckets",
-    )},
-    # ... and the youngest 16 of the cp=6 wave take round-12 targets
-    # (the r11 window is now fully spoken for). NOTE for the r11
-    # rotation: the cp=7 wave (50 entries, last green r7) comes due at
-    # round 11 and must take target-12+ entries then; with these 16
-    # already at target-12, expect the cp=7 overflow to spread into
-    # round 13 explicitly.
     # round-10 additions — the two-round rotation contract gives them
-    # round-12 targets (rounds 10 and 11 are already full)
+    # round-12 targets (rounds 10 and 11 were already full)
     **{k: 12 for k in (
         "q198_doc_expr_dialect4", "nl70_doc_monthly_grain",
         "nl71_doc_regex_predicate", "q199_ann_binary_hamming_topk",
         "nl72_doc_distinct_count", "nl73_doc_pct_share",
     )},
+    # the youngest 16 of the cp=6 wave (planned r10, standing)
     **{k: 12 for k in (
         "q144_winsorized_stats", "q145_drift_psi",
         "q146_label_centroids", "q147_stream_drift",
@@ -99,6 +54,43 @@ PLANNED: dict[str, int] = {
         "q155_winsorized_stats_sketch", "q156_equidepth_histogram_sketch",
         "q157_doc_lookup_pipeline", "q158_doc_facet_prefiltered",
         "q159_cdc_stream_snapshot",
+    )},
+    # the cp=7 re-confirmation wave due at round 11 (wait reaches 4 >
+    # MAX_WAIT) — the r11 window is full, so the oldest 28 (added
+    # r1-r4) take round-12 targets, exactly filling the r12 window
+    # behind the 22 standing target-12 seats above ...
+    **{k: 12 for k in (
+        "q02_filter_topn", "q04_like_search", "q05_null_handling",
+        "q06_date_rollup", "q09_distinct_segments", "q10_union_names",
+        "q13_case_when", "q18_categorical_domain",
+        "q20_events_json_props", "q21_pivot_status",
+        "q26_exact_dup_groups", "q31_quality_by_source",
+        "q34_doc_fingerprints", "q35_doc_find", "q37_doc_find_or_regex",
+        "q63_semantic_dedup", "q65_ann_pq_topk", "q67_chunk_retrieval",
+        "nl24_distinct_customers_in_orders", "nl25_most_recent_orders",
+        "nl26_pct_orders_per_status", "nl27_customers_without_orders",
+        "nl28_doc_top5_longest", "nl29_nations_with_min_customers",
+        "nl30_rich_segments", "nl31_events_per_day",
+        "nl32_minmax_balance_per_segment", "nl33_customer_share_per_nation",
+    )},
+    # ... and the youngest 22 (added r4/r6) take round-13 targets (the
+    # r12 window is now fully spoken for). NOTE for the r12 rotation:
+    # the cp=8 wave (entries last green r8) comes due at round 12 and
+    # must take target-13+ entries then; with these 22 already at
+    # target-13, expect the cp=8 overflow to spread into round 14
+    # explicitly.
+    **{k: 13 for k in (
+        "nl34_orders_before_1997", "nl35_cheapest_orders",
+        "nl36_richest_nation", "nl37_doc_events_before_date",
+        "nl38_big_building_segments", "nl39_top3_nations_by_customers",
+        "nl40_top5_parts_by_price", "nl41_above_avg_orders",
+        "nl42_union_names_like", "nl43_customers_with_nation_avg",
+        "nl44_rank_orders_by_price", "nl54_totalprice_deciles",
+        "q73_learned_quality_scores", "q78_kmeans_clusters",
+        "q89_neardup_pagerank", "q92_quality_weighted_sample",
+        "q110_bpe_merges", "q113_salted_segment_sales",
+        "q115_frame_sample_rollup", "q116_resize_rollup",
+        "q164_token_coverage", "q166_edit_distance_pairs",
     )},
 }
 
@@ -153,9 +145,9 @@ def test_no_overdue_entries():
 def test_window_is_exactly_the_declared_list():
     """The first 50 registry keys ARE the explicit window list — the
     dict reordering did what the policy comment says."""
-    from dbt_nlp_sqlizer_team04_spark.queries import _R10_WINDOW, SPARK_QUERIES
+    from dbt_nlp_sqlizer_team04_spark.queries import _R11_WINDOW, SPARK_QUERIES
 
-    assert list(SPARK_QUERIES)[:50] == _R10_WINDOW
+    assert list(SPARK_QUERIES)[:50] == _R11_WINDOW
 
 
 def test_differential_ledger_consistency():
