@@ -1288,9 +1288,10 @@ def binary_sign_codes(
     64× smaller than the doubles Spark computes in (8× vs float32, 8×
     vs the int8 tier), the coarsest compression rung under int8 (q77)
     and PQ (q65). The packing is a static fold of per-element literal
-    powers (dim is known at plan time), all whole-stage codegen; like
-    the IVF/PQ/int8 tables this is the persisted index artifact a
-    deployment writes once at ingest."""
+    powers (dim is known at plan time), all whole-stage codegen. This
+    builds the code frame; :func:`sign_codes_table_for` is what
+    persists it once at ingest like the IVF/PQ/MinHash tables — query
+    paths read the persisted codes, they never re-pack the corpus."""
     v = _as_double(emb_col)
     words = []
     for w in range((dim + 63) // 64):
@@ -1323,6 +1324,42 @@ def _pack_signs_py(vec: list[float]) -> list[int]:
     return out
 
 
+_SIGN_TABLE_CACHE: dict = {}
+
+
+def sign_codes_table_for(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """Persisted 1-bit sign index ``(vec_id, code array<long>)`` —
+    built ONCE per corpus at ingest (same adopt-don't-rewrite contract
+    as the IVF/PQ/MinHash tables: construction params live in the
+    ``_sf_tag`` name, the source parquet is immutable, steady state is
+    read-only). The point of the tier is that the Hamming scan reads
+    1 bit/dim instead of the 64-bit doubles — which only holds if the
+    scan targets this table, never the embedding column; the query
+    path (:func:`binary_hamming_topk` via q199) reads codes only."""
+    from .dedup import _sf_tag, reuse_persisted_table
+
+    key = (id(spark), sf_dir)
+    if key not in _SIGN_TABLE_CACHE:
+        name = f"embeddings_signbits_{_sf_tag(sf_dir)}"
+        if not reuse_persisted_table(spark, name):
+            emb = load_table(spark, sf_dir, "embeddings")
+            (
+                binary_sign_codes(emb, dim=dim, id_col=id_col,
+                                  emb_col=emb_col)
+                .write.mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        _SIGN_TABLE_CACHE[key] = name
+    return _SIGN_TABLE_CACHE[key]
+
+
 def binary_hamming_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -1331,19 +1368,25 @@ def binary_hamming_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     exclude_id: int | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Binary-quantized ANN: Hamming shortlist over packed sign codes
     (xor + bit_count per 64-dim word — the cheapest possible scan),
     then EXACT cosine rerank of the ``shortlist`` survivors.
 
-    Spark shape (scales to 100 TB): the scan stage reads only the
-    code column of the persisted sign index (1 bit/dim), the shortlist
-    is a rank-limited TakeOrderedAndProject (no full sort), and the
-    rerank broadcasts the shortlist ids back onto the embedding table
-    — full-precision vectors are touched for ``shortlist`` rows only.
-    Deterministic: Hamming ties break on id, cosine ties on id."""
-    codes = binary_sign_codes(emb, dim=len(query_vec),
-                              id_col=id_col, emb_col=emb_col)
+    Spark shape (scales to 100 TB): pass ``codes`` = the persisted
+    sign index (``sign_codes_table_for``) so the scan stage reads only
+    the code column (1 bit/dim — the tier's 64×-smaller-scan story);
+    with ``codes=None`` the codes are packed inline from ``emb``
+    (ad-hoc/test path — reads full-precision vectors, do not use at
+    scale). The shortlist is a rank-limited TakeOrderedAndProject (no
+    full sort), and the rerank broadcasts the shortlist ids back onto
+    the embedding table — full-precision vectors are touched for
+    ``shortlist`` rows only. Deterministic: Hamming ties break on id,
+    cosine ties on id."""
+    if codes is None:
+        codes = binary_sign_codes(emb, dim=len(query_vec),
+                                  id_col=id_col, emb_col=emb_col)
     pw = _pack_signs_py(query_vec)
     ham = F.lit(0)
     for w, p in enumerate(pw):
@@ -1380,13 +1423,18 @@ def q199_ann_binary_hamming_topk(
     """Binary-quantization ANN tier: top-10 neighbors of vec_id=0 via a
     100-candidate Hamming shortlist over packed sign bits, exact-cosine
     reranked. Completes the compression ladder exact (q23) → int8
-    (q77) → PQ (q65) → IVFADC (q176) with the 1-bit rung. Oracle:
-    DuckDB reproduces the whole pipeline (sign-disagreement count via
+    (q77) → PQ (q65) → IVFADC (q176) with the 1-bit rung. Runs against
+    the PERSISTED sign-code table (``sign_codes_table_for`` — built
+    once per corpus at ingest); the Hamming stage scans codes only,
+    never the embedding column (plan-pinned in pytest). Oracle: DuckDB
+    reproduces the whole pipeline (sign-disagreement count via
     list_transform, same shortlist order, list_cosine_similarity
     rerank)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir, 0)
-    return binary_hamming_topk(emb, q, k=10, shortlist=100, exclude_id=0)
+    codes = spark.table(sign_codes_table_for(spark, sf_dir, dim=len(q)))
+    return binary_hamming_topk(emb, q, k=10, shortlist=100,
+                               exclude_id=0, codes=codes)
 
 
 # --------------------------------------------------- k-means clustering

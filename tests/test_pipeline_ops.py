@@ -1289,3 +1289,33 @@ def test_binary_hamming_recall_and_packing(spark, sf_check):
     final = plan.split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in final
     assert "BroadcastHashJoin" in final or "BroadcastExchange" in final
+
+
+def test_binary_hamming_persisted_index_contract(spark, sf_check):
+    """q199's scale contract: the Hamming shortlist stage reads the
+    PERSISTED sign-code table (1 bit/dim), never re-packing codes from
+    the full-precision embedding column — the 64×-smaller-scan story.
+    Pinned by plan: the signbits scan's column list carries `code` and
+    NOT `embedding`; the only embedding scan is the broadcast rerank.
+    The query answer is identical to the inline-packed path."""
+    from dbt_nlp_sqlizer_team04_spark.operators import similarity as V
+    from dbt_nlp_sqlizer_team04_spark.sources.parquet import load_table
+
+    df = V.q199_ann_binary_hamming_topk(spark, sf_check)
+    plan = df._jdf.queryExecution().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    sign_scans = [
+        line for line in final.splitlines()
+        if "embeddings_signbits" in line and "Scan" in line
+    ]
+    assert sign_scans, final[:3000]
+    for line in sign_scans:
+        assert "code" in line and "embedding#" not in line, line
+    # inline-packed path agrees row-for-row (same shortlist, same rerank)
+    emb = load_table(spark, sf_check, "embeddings")
+    q = V._query_vector(spark, sf_check, 0)
+    inline = V.binary_hamming_topk(emb, q, k=10, shortlist=100,
+                                   exclude_id=0)
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
