@@ -1037,6 +1037,17 @@ def _regex_operands(op: str, operands: Any) -> tuple[Any, str]:
         )
     if opts:
         pattern = "(?" + "".join(sorted(set(opts))) + ")" + pattern
+    # compile-validate here so EVERY $regex* op (incl. $regexMatch,
+    # which never needs a group count) refuses a malformed pattern
+    # with the module's typed error instead of surfacing a raw Spark
+    # execution exception — the NL regex tier (nl71) feeds the
+    # user-quoted pattern straight through this path
+    try:
+        re.compile(pattern)
+    except re.error as exc:
+        raise DocumentQueryError(
+            f"{op} bad pattern {pattern!r}: {exc}"
+        ) from exc
     return operands["input"], pattern
 
 
@@ -1429,7 +1440,14 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         # First-match document {match, idx, captures} or null when
         # nothing matches — Mongo's shape, all native regexp_* calls on
         # ONE input expression (codegen CSEs the repeated pattern).
-        # idx is the 0-based match offset (regexp_instr is 1-based).
+        # idx is the 0-based CODE-POINT offset of the match — Mongo's
+        # contract ("the code point index of the matching string").
+        # regexp_instr would report Java UTF-16 units (diverging on
+        # astral-plane input); instead idx = length(s) -
+        # length(regexp_replace(s, '(?s)^.*?(?=pat)', '')): the lazy
+        # anchored prefix up to the first match is stripped and both
+        # length() calls count code points. The lookahead evaluates
+        # over the FULL string, so assertions keep their left context.
         # Documented divergence: a non-participating capture group
         # yields '' (regexp_extract's convention), not null.
         import re as _re_mod
@@ -1443,9 +1461,15 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
             ) from exc
         s = _ref(inp, resolve)
         lit_pat = F.lit(pattern)
+        first_idx = (
+            F.length(s)
+            - F.length(
+                F.regexp_replace(s, F.lit(f"(?s)^.*?(?={pattern})"), F.lit(""))
+            )
+        )
         doc = F.struct(
             F.regexp_extract(s, pattern, 0).alias("match"),
-            (F.regexp_instr(s, lit_pat) - F.lit(1)).cast("long").alias("idx"),
+            first_idx.cast("long").alias("idx"),
             F.array(*[
                 F.regexp_extract(s, pattern, g)
                 for g in range(1, n_groups + 1)
@@ -1457,14 +1481,26 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         # regexp_extract_all pulls the full match and each capture
         # group (the per-group arrays align by match ordinal — one
         # codegen scan per group), and idx comes from a left-fold over
-        # the matches that re-searches the remaining suffix with
-        # regexp_instr from the previous match's end (empty matches
-        # advance one position, Java's rule). All native Catalyst
-        # lambdas — no UDF, no extra stage. Null input returns [] (the
-        # Mongo contract; $regexFind returns null). Patterns with
-        # left-context assertions are refused: the suffix re-search
-        # would see a spurious string-start and could misreport idx —
-        # $regexFind's regexp_instr idx is exact for the first match.
+        # the matches that re-searches the remaining suffix from the
+        # previous match's end (empty matches advance one position,
+        # Java's rule). Offsets are 0-based CODE-POINT indexes —
+        # Mongo's contract — via the $regexFind trick: the lazy
+        # anchored prefix up to the next match is stripped and the two
+        # length() calls count code points (regexp_instr would report
+        # UTF-16 units, diverging on astral-plane input; the property
+        # sweep pins code points with a non-BMP case). All native
+        # Catalyst lambdas — no UDF, no extra stage. Null input
+        # returns [] (the Mongo contract; $regexFind returns null).
+        # Patterns with left-context assertions are refused: the
+        # suffix re-search would see a spurious string-start and could
+        # misreport idx — $regexFind's full-string search stays exact
+        # for the first match. REMAINING DOCUMENTED DIVERGENCE: an
+        # EMPTY-MATCHABLE pattern (e.g. 'a*') over astral-plane input
+        # yields one extra zero-length match per astral char — Java's
+        # Matcher advances by UTF-16 code unit after an empty match and
+        # so also matches inside the surrogate pair, where Mongo's
+        # PCRE advances by code point. Non-empty matches and all BMP
+        # input are exact (sweep-pinned).
         import re as _re_mod
 
         inp, pattern = _regex_operands(op, operands)
@@ -1485,14 +1521,15 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         lit_pat = F.lit(pattern)
         matches = F.regexp_extract_all(s, lit_pat, F.lit(0))
 
+        prefix_pat = F.lit(f"(?s)^.*?(?={pattern})")
+
         def _idx_step(acc: Column, m: Column) -> Column:
+            suffix = s.substr(acc["pos"] + F.lit(1), F.length(s))
             found = (
                 acc["pos"]
-                + F.regexp_instr(
-                    s.substr(acc["pos"] + F.lit(1), F.length(s)), lit_pat
-                ).cast("int")
-                - F.lit(1)
-            )
+                + F.length(suffix)
+                - F.length(F.regexp_replace(suffix, prefix_pat, F.lit("")))
+            ).cast("int")
             return F.struct(
                 (found + F.greatest(F.length(m), F.lit(1))).alias("pos"),
                 F.concat(
@@ -2747,8 +2784,33 @@ def set_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             # position falls outside the partition — Mongo's contract.
             # (A coalesce would also claim legitimately-null values at
             # valid positions; the r10 window property sweep caught
-            # that conflation.)
+            # that conflation.) The default must be a CONSTANT scalar
+            # (Mongo rejects non-constant expressions loudly); a bare
+            # {$literal: scalar} wrapper is unwrapped, anything else —
+            # expression docs, '$field' paths — is refused rather than
+            # silently treated as a Python literal or dying in py4j.
             default = arg.get("default")
+            if isinstance(default, str) and default.startswith("$"):
+                raise DocumentQueryError(
+                    f"$shift 'default' must be a constant scalar, not a "
+                    f"field path: {default!r} (use {{'$literal': ...}} "
+                    f"for a literal string starting with '$')"
+                )
+            if isinstance(default, dict):
+                if set(default) == {"$literal"} and not isinstance(
+                    default["$literal"], (dict, list)
+                ):
+                    default = default["$literal"]
+                else:
+                    raise DocumentQueryError(
+                        f"$shift 'default' must be a constant scalar: "
+                        f"{default!r}"
+                    )
+            if isinstance(default, list):
+                raise DocumentQueryError(
+                    f"$shift 'default' must be a constant scalar: "
+                    f"{default!r}"
+                )
             shifted = (
                 F.lead(src, by, default) if by >= 0
                 else F.lag(src, -by, default)

@@ -3804,6 +3804,55 @@ def test_nl2doc_regex_predicate_compile_shape(spark):
     assert "$regexMatch" not in str(q3)
 
 
+def test_regex_bad_pattern_typed_error(spark):
+    """ADVICE r11: a malformed regex raises the module's typed error
+    for EVERY $regex* op — including $regexMatch, which needs no group
+    count — instead of a raw Spark execution exception; the nl71 NL
+    tier feeds user-quoted patterns straight through this path."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "abc", "en")], "id int, body string, lang string"))
+    for op in ("$regexMatch", "$regexFind", "$regexFindAll"):
+        with pytest.raises(DocumentQueryError, match="bad pattern"):
+            s.aggregate("t", [{"$project": {"x": {op: {
+                "input": "$body", "regex": "["}}}}])
+    # end-to-end: the NL tier compiles the quoted pattern verbatim and
+    # execution surfaces the typed error, never a py4j traceback
+    eng = NL2DocEngine(s)
+    q = eng.template_query("t rows whose body matches '[' per lang")
+    if "$regexMatch" in str(q):
+        with pytest.raises(DocumentQueryError, match="bad pattern"):
+            s.aggregate(q["collection"], q["pipeline"])
+
+
+def test_shift_default_must_be_constant_scalar(spark):
+    """ADVICE r11: $shift's 'default' is a CONSTANT scalar (Mongo
+    rejects non-constant expressions loudly) — expression documents,
+    arrays, and '$field' paths get the typed error instead of being
+    silently treated as Python literals or dying in py4j; a bare
+    {$literal: scalar} unwraps."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, 10), (2, 20)], "id int, v int"))
+
+    def swf(default):
+        return [{"$setWindowFields": {
+            "sortBy": {"id": 1},
+            "output": {"nxt": {"$shift": {
+                "output": "$v", "by": 1, "default": default}}},
+        }}, {"$sort": {"id": 1}}]
+
+    for bad in ({"$add": [1, 2]}, "$v", [1], {"$literal": {"a": 1}}):
+        with pytest.raises(DocumentQueryError, match="constant scalar"):
+            s.aggregate("t", swf(bad))
+    rows = s.aggregate("t", swf({"$literal": -1})).collect()
+    assert [r["nxt"] for r in rows] == [20, -1]
+    rows2 = s.aggregate("t", swf(-1)).collect()
+    assert [r["nxt"] for r in rows2] == [20, -1]
+
+
 def test_rand_sample_rate_pointed_refusals(spark):
     """$rand (expression) and $sampleRate ($match operator) are
     nondeterministic — both get pointed redirects to the engine's
@@ -3875,8 +3924,15 @@ def test_expr_dialect_r10_random_sweep(spark):
     match/idx/captures triples vs re.finditer (incl. empty-matchable
     patterns — the one-position advance — alternation whose branches
     reorder the leftmost match, non-participating capture groups
-    mapped to '' per the documented regexp_extract convention, and a
-    right-context $ anchor, which the left-context guard allows), and
+    mapped to '' per the documented regexp_extract convention, a
+    right-context $ anchor, which the left-context guard allows, AND
+    astral-plane input: a second string column carries U+1F600, so idx
+    parity vs Python's m.start() pins Mongo's CODE-POINT offset
+    contract — a UTF-16 implementation would report emoji as 2
+    positions and fail here. The one empty-matchable pattern (p10) is
+    swept on the BMP column only: Java's code-unit advance after an
+    empty match adds a spurious zero-length match inside each
+    surrogate pair — the documented residual divergence. Also
     $dateFromParts vs datetime() over valid random parts — one Spark
     job, row-wise equality."""
     import datetime
@@ -3887,11 +3943,14 @@ def test_expr_dialect_r10_random_sweep(spark):
     rows = []
     for i in range(300):
         s = "".join(rng.choice("aabbc x") for _ in range(rng.randrange(16)))
+        sx = "".join(
+            rng.choice("aabbc x\U0001f600") for _ in range(rng.randrange(16))
+        )
         y = rng.randrange(1, 9999)
         mo = rng.randrange(1, 13)
         d = rng.randrange(1, 29)
         h = rng.randrange(0, 24)
-        rows.append((i, s, y, mo, d, h))
+        rows.append((i, s, sx, y, mo, d, h))
     pats = {
         "p0": "a",
         "p1": "a+",
@@ -3908,10 +3967,16 @@ def test_expr_dialect_r10_random_sweep(spark):
     }
     s_ = DocumentStore(spark)
     s_.register("t", spark.createDataFrame(
-        rows, "i int, s string, y int, mo int, d int, h int"))
+        rows, "i int, s string, sx string, y int, mo int, d int, h int"))
     fields = {
         k: {"$regexFindAll": {"input": "$s", "regex": p}}
         for k, p in pats.items()
+    }
+    # astral column: every pattern except the empty-matchable p10
+    # (Java's code-unit advance — documented residual divergence)
+    fields |= {
+        f"{k}x": {"$regexFindAll": {"input": "$sx", "regex": p}}
+        for k, p in pats.items() if k != "p10"
     }
     fields["ts"] = {"$dateFromParts": {
         "year": "$y", "month": "$mo", "day": "$d", "hour": "$h",
@@ -3919,17 +3984,24 @@ def test_expr_dialect_r10_random_sweep(spark):
     out = {r["i"]: r for r in s_.aggregate(
         "t", [{"$addFields": fields}, {"$limit": 1000}]
     ).collect()}
-    for i, s, y, mo, d, h in rows:
+
+    def ref(p, text):
+        return [
+            (m.group(0), m.start(),
+             [g if g is not None else "" for g in m.groups()])
+            for m in _re.finditer(p, text)
+        ]
+
+    for i, s, sx, y, mo, d, h in rows:
         r = out[i]
         for k, p in pats.items():
-            want = [
-                (m.group(0), m.start(),
-                 [g if g is not None else "" for g in m.groups()])
-                for m in _re.finditer(p, s)
-            ]
             got = [(m["match"], m["idx"], list(m["captures"]))
                    for m in r[k]]
-            assert got == want, (p, s, got, want)
+            assert got == ref(p, s), (p, s, got)
+            if k != "p10":
+                gotx = [(m["match"], m["idx"], list(m["captures"]))
+                        for m in r[f"{k}x"]]
+                assert gotx == ref(p, sx), (p, sx, gotx)
         assert r["ts"] == datetime.datetime(y, mo, d, h, 30, 15), (i,)
 
 
