@@ -220,6 +220,8 @@ HEADLINE = [
     "nl71_doc_regex_predicate",
     "nl72_doc_distinct_count",
     "nl73_doc_pct_share",
+    # r11 additions
+    "q200_doc_documents_stage",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

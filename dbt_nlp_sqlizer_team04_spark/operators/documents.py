@@ -3652,6 +3652,139 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
 
 
 # ---------------------------------------------------------------- store
+def _lit_merge_type(a, b, path: str):
+    """Union two inferred literal types (None/NullType = no evidence
+    yet); long+double widens, structs merge field-wise, anything else
+    is the loud type-drift error."""
+    if a is None or isinstance(a, T.NullType):
+        return b
+    if b is None or isinstance(b, T.NullType):
+        return a
+    if a == b:
+        return a
+    if {a, b} == {T.LongType(), T.DoubleType()}:
+        return T.DoubleType()
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        am = {f.name: f.dataType for f in a.fields}
+        bm = {f.name: f.dataType for f in b.fields}
+        names = list(dict.fromkeys(list(am) + list(bm)))
+        return T.StructType([
+            T.StructField(
+                n, _lit_merge_type(am.get(n), bm.get(n), f"{path}.{n}"),
+                True,
+            )
+            for n in names
+        ])
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(
+            _lit_merge_type(a.elementType, b.elementType, path + "[]"),
+            True,
+        )
+    raise DocumentQueryError(
+        f"$documents type drift at {path!r}: {a.simpleString()} vs "
+        f"{b.simpleString()} — make the literal values a consistent type"
+    )
+
+
+def _lit_type(v, path: str):
+    """Spark type of one literal value — the dialect's type rules
+    (int→long, float→double, datetime→timestamp, dict→struct).
+    Expressions are refused: $documents here takes LITERAL docs."""
+    import datetime as _dt
+
+    if v is None:
+        return T.NullType()
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        if v.startswith("$"):
+            raise DocumentQueryError(
+                f"$documents takes literal documents only; {v!r} at "
+                f"{path!r} looks like a field path — there is no input "
+                "document to resolve it against"
+            )
+        return T.StringType()
+    if isinstance(v, _dt.datetime):
+        return T.TimestampType()
+    if isinstance(v, _dt.date):
+        return T.DateType()
+    if isinstance(v, list):
+        et = None
+        for i, x in enumerate(v):
+            et = _lit_merge_type(et, _lit_type(x, f"{path}[{i}]"), path)
+        return T.ArrayType(et or T.NullType(), True)
+    if isinstance(v, dict):
+        bad = [k for k in v if isinstance(k, str) and k.startswith("$")]
+        if bad:
+            raise DocumentQueryError(
+                f"$documents takes LITERAL documents — expression "
+                f"operators are not supported (found {bad} at {path!r})"
+            )
+        return T.StructType([
+            T.StructField(str(k), _lit_type(x, f"{path}.{k}"), True)
+            for k, x in v.items()
+        ])
+    raise DocumentQueryError(
+        f"$documents cannot type literal {type(v).__name__} at {path!r}"
+    )
+
+
+def _lit_resolve_null(t):
+    """All-null fields default to string (the JSON reader's rule)."""
+    if t is None or isinstance(t, T.NullType):
+        return T.StringType()
+    if isinstance(t, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, _lit_resolve_null(f.dataType), True)
+            for f in t.fields
+        ])
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_lit_resolve_null(t.elementType), True)
+    return t
+
+
+def _lit_to_row(v, t):
+    if v is None:
+        return None
+    if isinstance(t, T.StructType):
+        return tuple(_lit_to_row(v.get(f.name), f.dataType) for f in t.fields)
+    if isinstance(t, T.ArrayType):
+        return [_lit_to_row(x, t.elementType) for x in v]
+    if isinstance(t, T.DoubleType):
+        return float(v)
+    return v
+
+
+def _literal_docs_frame(spark: SparkSession, docs) -> DataFrame:
+    """``$documents`` (Mongo 5.1): an inline literal collection —
+    ``spark.createDataFrame`` over the docs with the dialect's type
+    rules (schema = first-seen key order, types unioned across docs,
+    missing fields null, long+double widens, drift is a loud typed
+    error). Driver-sized BY CONSTRUCTION: the literals live in the
+    query text, so the broadcast-sized frame is the right plan at any
+    corpus scale — prototyping pipelines and seeding $lookup/$unionWith
+    probes, never a data path."""
+    if not isinstance(docs, list) or not docs:
+        raise DocumentQueryError(
+            f"$documents expects a non-empty list of documents: {docs!r}"
+        )
+    bad = [d for d in docs if not isinstance(d, dict) or not d]
+    if bad:
+        raise DocumentQueryError(
+            f"$documents entries must be non-empty documents: {bad[0]!r}"
+        )
+    merged = None
+    for i, d in enumerate(docs):
+        merged = _lit_merge_type(merged, _lit_type(d, f"docs[{i}]"), "$documents")
+    schema = _lit_resolve_null(merged)
+    rows = [_lit_to_row(d, schema) for d in docs]
+    return spark.createDataFrame(rows, schema)
+
+
 class DocumentStore:
     """Collections = named DataFrames; the Mongo-analog façade (C9).
 
@@ -3741,8 +3874,14 @@ class DocumentStore:
         return df.limit(limit if limit is not None else DEFAULT_LIMIT)
 
     # -- aggregate (C5)
-    def aggregate(self, collection: str, pipeline: list[dict]) -> DataFrame:
-        df = self._apply_pipeline(self.collection(collection), pipeline)
+    def aggregate(
+        self, collection: str | None, pipeline: list[dict]
+    ) -> DataFrame:
+        """collection=None is the db-level aggregate (Mongo's
+        ``db.aggregate``): the pipeline must then start with a source
+        stage — ``$documents`` is the one this engine supports."""
+        src = self.collection(collection) if collection is not None else None
+        df = self._apply_pipeline(src, pipeline)
         has_limit = any("$limit" in st for st in pipeline if isinstance(st, dict))
         # aggregate-shaped pipelines are bounded by their GROUP KEY
         # cardinality, and truncating one at 100 rows silently drops
@@ -3764,23 +3903,54 @@ class DocumentStore:
             df = df.limit(DEFAULT_LIMIT)  # $limit injection, nl2mongo.py:171-174
         return df
 
-    def _apply_pipeline(self, df: DataFrame, pipeline: list[dict]) -> DataFrame:
+    def _apply_pipeline(
+        self, df: DataFrame | None, pipeline: list[dict]
+    ) -> DataFrame:
         """Run the stage list with NO limit injection — shared by
         :meth:`aggregate` (which injects the cap afterwards) and the
         ``$lookup`` pipeline form (a sub-pipeline must never be
-        truncated: its result is the join payload)."""
+        truncated: its result is the join payload). ``df=None`` is the
+        no-input-collection form: the first stage must be
+        ``$documents``."""
+        if df is None and not (
+            pipeline
+            and isinstance(pipeline[0], dict)
+            and "$documents" in pipeline[0]
+        ):
+            raise DocumentQueryError(
+                "a pipeline with no input collection must start with "
+                "$documents"
+            )
         # the most recent $sort's spec, kept alive across the
         # order-preserving stages ($match/$limit/$skip) so a following
         # $group can compile $first/$last against its keys; any stage
         # that reshapes rows or columns clears it (a $project could
         # silently overwrite a sort key)
         last_sort: dict | None = None
-        for stage in pipeline:
+        for stage_idx, stage in enumerate(pipeline):
             if not isinstance(stage, dict) or len(stage) != 1:
                 raise DocumentQueryError(f"Bad pipeline stage: {stage!r}")
             op, spec = next(iter(stage.items()))
             if op not in ("$match", "$limit", "$skip", "$sort", "$group"):
                 last_sort = None
+            if op == "$documents":
+                # inline literal collection (Mongo 5.1) — a SOURCE
+                # stage: only legal first, and only when the pipeline
+                # has no input collection (Mongo's contract: $documents
+                # runs against the database, $unionWith/$lookup
+                # sub-pipelines without a coll/from)
+                if stage_idx != 0:
+                    raise DocumentQueryError(
+                        "$documents must be the first stage"
+                    )
+                if df is not None:
+                    raise DocumentQueryError(
+                        "$documents runs against the database, not a "
+                        "collection — use aggregate(None, pipeline) or "
+                        "a $unionWith {'pipeline': ...} without 'coll'"
+                    )
+                df = _literal_docs_frame(self.spark, spec)
+                continue
             if op == "$match":
                 df = df.filter(filter_condition(spec, df.columns))
             elif op == "$group":
@@ -3996,6 +4166,11 @@ class DocumentStore:
                         other = self._apply_pipeline(
                             other, spec["pipeline"]
                         )
+                elif isinstance(spec, dict) and spec.get("pipeline"):
+                    # coll-less form (Mongo 6.0): the sub-pipeline has
+                    # no input collection, so it must start with
+                    # $documents — the literal-docs union seam
+                    other = self._apply_pipeline(None, spec["pipeline"])
                 else:
                     raise DocumentQueryError(
                         "$unionWith expects a collection name or "
@@ -6285,4 +6460,47 @@ Q198_ORACLE_SQL = """
     WHERE o_orderkey <= 300
     ORDER BY o_orderkey
     LIMIT 150
+"""
+
+
+def q200_doc_documents_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$documents`` (Mongo 5.1 inline literal collection — the last
+    applicable aggregate stage): a db-level ``aggregate(None, ...)``
+    whose source is literal documents, seeding a $lookup probe against
+    the real corpus — the prototyping shape a user hits first. Spark
+    shape: the literal frame is driver-sized BY CONSTRUCTION (the docs
+    live in the query text), so at 100 TB the $lookup equi-join keeps
+    the literal side broadcast-sized and the corpus is scanned once
+    with the join filter pushed to the probe. Oracle: DuckDB VALUES +
+    LEFT JOIN + COUNT. Reference parity: completes the aggregate-stage
+    census of the reference's Mongo surface
+    (backend/app/mongodb_adapter.py) — $collStats/$indexStats/$geoNear
+    remain the only absences, all server/geo introspection."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    return store.aggregate(None, [
+        {"$documents": [
+            {"src": "src1", "w": 2},
+            {"src": "src7", "w": 3},
+            {"src": "src19", "w": 5},
+            {"src": "srcX", "w": 7},
+        ]},
+        {"$lookup": {"from": "documents", "localField": "src",
+                     "foreignField": "source", "as": "hits"}},
+        {"$addFields": {"n_docs": {"$size": "$hits"}}},
+        {"$project": {"src": 1, "w": 1, "n_docs": 1}},
+        {"$sort": {"src": 1}},
+    ])
+
+
+Q200_ORACLE_SQL = """
+    SELECT t.src AS src, CAST(t.w AS BIGINT) AS w,
+           CAST(count(d.doc_id) AS INTEGER) AS n_docs
+    FROM (VALUES ('src1', 2), ('src7', 3), ('src19', 5), ('srcX', 7))
+         AS t(src, w)
+    LEFT JOIN documents d ON d.source = t.src
+    GROUP BY t.src, t.w
+    ORDER BY src
 """

@@ -1574,6 +1574,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # counts + broadcast one-row-total $lookup, nl53's surface on the
     # document plane) — NEW r10.
     "nl73_doc_pct_share": _nl73_doc_pct_share,
+    # $documents (inline literal collection, Mongo 5.1) — db-level
+    # aggregate over literal docs seeding a $lookup probe against the
+    # corpus; completes the applicable aggregate-stage census — NEW
+    # r11.
+    "q200_doc_documents_stage": DOC.q200_doc_documents_stage,
 }
 
 # --- round-11 driver window (explicit form of the rotation policy at
@@ -3085,6 +3090,7 @@ ORACLE_SQL: dict[str, str | None] = {
     "q194_doc_group_first_last_n": DOC.Q194_ORACLE_SQL,
     "q195_doc_expr_dialect3": DOC.Q195_ORACLE_SQL,
     "q198_doc_expr_dialect4": DOC.Q198_ORACLE_SQL,
+    "q200_doc_documents_stage": DOC.Q200_ORACLE_SQL,
     "nl70_doc_monthly_grain": """
         SELECT strftime(ts, '%Y-%m') AS _id,
                count(*) AS n,

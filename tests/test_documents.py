@@ -3804,6 +3804,61 @@ def test_nl2doc_regex_predicate_compile_shape(spark):
     assert "$regexMatch" not in str(q3)
 
 
+def test_documents_stage(spark):
+    """$documents (Mongo 5.1): db-level aggregate over literal docs —
+    schema = first-seen key order with the dialect's type rules
+    (int→long, long+double widens, missing→null, nested dict→struct);
+    works as the coll-less $unionWith source; every misuse is a loud
+    typed error (mid-pipeline, against a collection, expression
+    values, field paths, drift)."""
+    s = DocumentStore(spark)
+    out = s.aggregate(None, [
+        {"$documents": [
+            {"k": "a", "v": 1, "tags": ["x", "y"]},
+            {"k": "b", "v": 2.5, "extra": {"deep": 7}},
+        ]},
+        {"$sort": {"k": 1}},
+    ])
+    assert [f.name for f in out.schema.fields] == ["k", "v", "tags", "extra"]
+    assert str(out.schema["v"].dataType) == "DoubleType()"
+    rows = out.collect()
+    assert rows[0]["k"] == "a" and rows[0]["v"] == 1.0
+    assert rows[0]["extra"] is None and list(rows[0]["tags"]) == ["x", "y"]
+    assert rows[1]["extra"]["deep"] == 7 and rows[1]["tags"] is None
+    # groupable like any collection
+    [tot] = s.aggregate(None, [
+        {"$documents": [{"v": 1}, {"v": 2}, {"v": 3}]},
+        {"$group": {"_id": None, "total": {"$sum": "$v"}}},
+    ]).collect()
+    assert tot["total"] == 6
+    # coll-less $unionWith whose sub-pipeline starts with $documents
+    s.register("t", spark.createDataFrame([(1, "real")], "v long, k string"))
+    got = s.aggregate("t", [
+        {"$unionWith": {"pipeline": [
+            {"$documents": [{"k": "lit", "v": 9}]},
+            {"$project": {"v": 1, "k": 1}},
+        ]}},
+        {"$sort": {"v": 1}},
+    ]).collect()
+    assert [(r["v"], r["k"]) for r in got] == [(1, "real"), (9, "lit")]
+    # error contracts
+    with pytest.raises(DocumentQueryError, match="first stage"):
+        s.aggregate(None, [{"$documents": [{"a": 1}]},
+                           {"$documents": [{"a": 2}]}])
+    with pytest.raises(DocumentQueryError, match="database"):
+        s.aggregate("t", [{"$documents": [{"a": 1}]}])
+    with pytest.raises(DocumentQueryError, match="start with"):
+        s.aggregate(None, [{"$match": {"a": 1}}])
+    with pytest.raises(DocumentQueryError, match="LITERAL"):
+        s.aggregate(None, [{"$documents": [{"a": {"$add": [1, 2]}}]}])
+    with pytest.raises(DocumentQueryError, match="field path"):
+        s.aggregate(None, [{"$documents": [{"a": "$b"}]}])
+    with pytest.raises(DocumentQueryError, match="type drift"):
+        s.aggregate(None, [{"$documents": [{"a": 1}, {"a": "x"}]}])
+    with pytest.raises(DocumentQueryError, match="non-empty"):
+        s.aggregate(None, [{"$documents": []}])
+
+
 def test_regex_bad_pattern_typed_error(spark):
     """ADVICE r11: a malformed regex raises the module's typed error
     for EVERY $regex* op — including $regexMatch, which needs no group

@@ -79,6 +79,11 @@ PLANNED: dict[str, int] = {
     # must take target-13+ entries then; with these 22 already at
     # target-13, expect the cp=8 overflow to spread into round 14
     # explicitly.
+    # round-11 additions — the two-round rotation contract gives them
+    # round-13 targets (rounds 11 and 12 are already full)
+    **{k: 13 for k in (
+        "q200_doc_documents_stage",
+    )},
     **{k: 13 for k in (
         "nl34_orders_before_1997", "nl35_cheapest_orders",
         "nl36_richest_nation", "nl37_doc_events_before_date",
