@@ -238,7 +238,10 @@ NOTES: dict[str, str] = {
         "bucketed (16 dirs, per-bucket rename-aside swap), so each "
         "epoch pays more local file ops to buy partial rewrites at "
         "scale — an epoch touching one bucket leaves the others "
-        "byte-identical (pytest-pinned)."
+        "byte-identical (pytest-pinned). r10's recorded 12.12s was "
+        "adjudicated r11 as environment noise: an isolated clean "
+        "re-run (code untouched) measured min 4.5s, in line with the "
+        "r7+ design number."
     ),
     "q165_hotkey_sketch": (
         "r6 1.0s -> r7+ ~1.4s by design: the sketch input is persisted "
@@ -267,6 +270,7 @@ def ingest(spark, sf_dir: str) -> None:
         ivf_table_for,
         ivfpq_table_for,
         knn_table_for,
+        sign_codes_table_for,
     )
 
     minhash_table_for(spark, sf_dir)
@@ -277,6 +281,7 @@ def ingest(spark, sf_dir: str) -> None:
     knn_table_for(spark, sf_dir)  # q108's persisted neighbor graph
     chunk_index_for(spark, sf_dir)  # q67's chunk vectors + encoder
     ivfpq_table_for(spark, sf_dir)  # q176's cell-partitioned PQ codes
+    sign_codes_table_for(spark, sf_dir)  # q199's persisted 1-bit codes
 
 
 def main() -> None:
