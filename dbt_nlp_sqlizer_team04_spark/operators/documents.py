@@ -258,10 +258,17 @@ def apply_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFr
     projection keeps ``_id`` by default when the collection has one."""
     if not projection:
         return df
+    # computed values are EXPRESSIONS (Mongo's rule): operator dicts,
+    # document literals, arrays, '$'-paths, AND bare strings — {out:
+    # "hello"} assigns the constant, it does not include a column
+    # named 'out' (the r11 projection property sweep caught the
+    # bare-string/array forms compiling to an unresolved include).
+    # Numbers and booleans stay include/exclude flags: 1/true/any
+    # truthy number includes, 0/false excludes (use $literal for a
+    # constant number, exactly Mongo's escape hatch).
     computed = {
         f: v for f, v in projection.items()
-        if isinstance(v, (dict, str)) and v not in (1, 0)
-        and (isinstance(v, dict) or str(v).startswith("$"))
+        if isinstance(v, (dict, list, str))
     }
     if computed:
         # Mongo computed projection: {alias: <expression>} rides the
@@ -1181,13 +1188,18 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         start = _ref(operands[1], resolve) + F.lit(1)
         return F.substring(s, start, _ref(operands[2], resolve))
     if op == "$arrayElemAt":
-        # Mongo: 0-based, negative counts from the end; element_at is
-        # 1-based with the same negative convention
+        # Mongo: 0-based, negative counts from the end, OUT-OF-RANGE
+        # yields missing (null here) — try_element_at, because Spark
+        # 4's plain element_at THROWS on an out-of-bounds index (the
+        # r11 projection property sweep caught [-4] over a 3-element
+        # array dying with SparkArrayIndexOutOfBoundsException).
+        # element_at is 1-based with the same negative convention; the
+        # +1 shift means the compiled index is never 0.
         if not (isinstance(operands, list) and len(operands) == 2):
             raise DocumentQueryError(f"$arrayElemAt needs 2 operands: {spec!r}")
         arr = _ref(operands[0], resolve)
         idx = _ref(operands[1], resolve)
-        return F.element_at(
+        return F.try_element_at(
             arr, F.when(idx >= 0, idx + F.lit(1)).otherwise(idx).cast("int")
         )
     if op == "$slice":
