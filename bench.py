@@ -222,6 +222,7 @@ HEADLINE = [
     "nl73_doc_pct_share",
     # r11 additions
     "q200_doc_documents_stage",
+    "nl74_doc_pct_share_filtered",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -562,6 +562,51 @@ class NL2SQLEngine:
                 out.append(f"{best} {_CMP_OPS[cmp_word]} {num.replace(',', '')}")
         return out
 
+    def _value_numeric_column(self, table: str) -> str | None:
+        """The table's VALUE column for entity-anchored comparisons
+        ("orders over 400000" — the word names the table, not a
+        column): the best numeric non-key column scored against the
+        monetary vocabulary. None when nothing clears the shared ≥70
+        bar — the phrase is then ignored, the no-guessing rule."""
+        best, best_score = None, -1.0
+        for c in self._cols(table):
+            if not any(s in c.type_str.lower() for s in _NUMERIC_SUBSTR):
+                continue
+            if c.name.lower().endswith("key"):
+                continue  # surrogate keys are never the asked measure
+            f = max(
+                partial_ratio(c.name, w)
+                for w in ("price", "total", "amount", "value", "balance")
+            )
+            for syn in self.metadata.synonyms.get(c.name, []):
+                f = max(f, partial_ratio(syn, "value"))
+            if f > best_score:
+                best, best_score = c.name, f
+        return best if best is not None and best_score >= 70.0 else None
+
+    def _share_comparison_filters(
+        self, table: str, question: str
+    ) -> list[str]:
+        """Comparison predicates for the share-of-total tier (r11):
+        ``<col-word> over <n>`` via the shared numeric extractor's
+        resolution, EXCEPT that a word naming the base table itself
+        ("orders over 400000") remaps to the table's value column —
+        the fuzzy column pass would land on a surrogate key. Year/date
+        phrases ride the shared year extractor."""
+        out: list[str] = []
+        ql = question.lower()
+        for word, cmp_word, num in _CMP_RE.findall(ql):
+            if self._entity_table(word) == table:
+                col = self._value_numeric_column(table)
+            else:
+                col = self._best_numeric_column(table, word)
+            if col is not None:
+                out.append(
+                    f"{col} {_CMP_OPS[cmp_word]} {num.replace(',', '')}"
+                )
+        out.extend(self._extract_year_filters(table, question))
+        return out
+
     def _entity_table(self, word: str) -> str | None:
         """Resolve a question word to a TABLE by stem equality or high
         fuzzy affinity (the shared convention of the entity-anchored
@@ -831,12 +876,19 @@ class NL2SQLEngine:
                     )
             g0 = self._group_column(t, question, preferred=relevant.get(t))
             if g0 is not None:
+                # comparison-filtered share (r11, nl74's surface): a
+                # "<col> over <n>" / "before <year>" phrase narrows
+                # BOTH the numerator and the denominator — share
+                # within the filtered set, the nl73 doc-plane contract
+                where = self._share_comparison_filters(t, question)
+                wsql = f" WHERE {' AND '.join(where)}" if where else ""
                 # CAST to DOUBLE: ANSI decimal literal arithmetic would
                 # type pct as DECIMAL(..,4) and serialize '33.9200'
                 sql = (
                     f"SELECT {g0}, COUNT(*) AS cnt, "
                     f"CAST(ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4)"
-                    f" AS DOUBLE) AS pct FROM {t} GROUP BY {g0} ORDER BY {g0}"
+                    f" AS DOUBLE) AS pct FROM {t}{wsql} "
+                    f"GROUP BY {g0} ORDER BY {g0}"
                 )
                 out.append(Candidate(sql, "template_pct_of_total", 0.8))
 

@@ -610,6 +610,26 @@ def _nl73_doc_pct_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl74_doc_pct_share_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc FILTERED share-of-total with an explicit comparison
+    ("percentage of <coll> with <f> over <n> per <g>", r11): the
+    comparison predicate narrows BOTH the group counts and the
+    one-row-total $lookup — share within the filtered set. Same
+    broadcast-bounded shape as nl73, never a global window. Oracle:
+    DuckDB scalar-subquery share twin with the WHERE on both sides."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "percentage of events with value over 50 per event_type"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1579,6 +1599,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # corpus; completes the applicable aggregate-stage census — NEW
     # r11.
     "q200_doc_documents_stage": DOC.q200_doc_documents_stage,
+    # NL tier for comparison-FILTERED share-of-total ("percentage of X
+    # with f over n per Y" — the filter narrows both the groups and
+    # the broadcast one-row total; nl73's surface + the comparison
+    # predicate extractors, mirrored on the SQL plane) — NEW r11.
+    "nl74_doc_pct_share_filtered": _nl74_doc_pct_share_filtered,
 }
 
 # --- round-11 driver window (explicit form of the rotation policy at
@@ -3114,6 +3139,14 @@ ORACLE_SQL: dict[str, str | None] = {
                round(100.0 * count(*)
                      / (SELECT count(*) FROM events), 6) AS pct
         FROM events GROUP BY event_type ORDER BY _id
+    """,
+    "nl74_doc_pct_share_filtered": """
+        SELECT event_type AS _id, count(*) AS n,
+               round(100.0 * count(*)
+                     / (SELECT count(*) FROM events WHERE value > 50),
+                     6) AS pct
+        FROM events WHERE value > 50
+        GROUP BY event_type ORDER BY _id
     """,
     "nl66_doc_ancestors": """
         WITH RECURSIVE tree AS (

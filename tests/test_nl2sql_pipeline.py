@@ -400,6 +400,34 @@ def test_percentage_template(spark, sf_smoke):
     assert abs(sum(r["pct"] for r in rows) - 100.0) < 0.01
 
 
+def test_percentage_filtered_template(spark, sf_smoke):
+    """r11 (nl74's SQL surface): a comparison phrase narrows BOTH the
+    numerator and the denominator of the grouped share — share within
+    the filtered set. The entity-anchored form ("orders over 400000")
+    remaps the table word to the VALUE column (o_totalprice), never
+    the surrogate key the fuzzy column pass would land on; the
+    named-column and year forms ride the shared extractors; the
+    unfiltered question keeps its original shape."""
+    from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
+
+    eng = _engine_for(spark, sf_smoke)
+    _df, s1 = eng.query_df("percentage of orders over 400000 per priority")
+    assert "WHERE o_totalprice > 400000" in " ".join(s1.split())
+    assert "o_orderkey" not in s1
+    _df, s2 = eng.query_df(
+        "percentage of orders with totalprice over 400000 per orderpriority"
+    )
+    assert "WHERE o_totalprice > 400000" in " ".join(s2.split())
+    df3, s3 = eng.query_df(
+        "percentage of orders before 1997 per orderpriority"
+    )
+    assert "WHERE year(o_orderdate) < 1997" in " ".join(s3.split())
+    rows = df3.collect()
+    assert abs(sum(r["pct"] for r in rows) - 100.0) < 0.01
+    _df, s4 = eng.query_df("percentage of orders per orderstatus")
+    assert "WHERE" not in s4.upper()
+
+
 def test_anti_join_template(spark, sf_smoke):
     from dbt_nlp_sqlizer_team04_spark.queries import _engine_for
 

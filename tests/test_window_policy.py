@@ -82,7 +82,7 @@ PLANNED: dict[str, int] = {
     # round-11 additions — the two-round rotation contract gives them
     # round-13 targets (rounds 11 and 12 are already full)
     **{k: 13 for k in (
-        "q200_doc_documents_stage",
+        "q200_doc_documents_stage", "nl74_doc_pct_share_filtered",
     )},
     **{k: 13 for k in (
         "nl34_orders_before_1997", "nl35_cheapest_orders",
