@@ -1291,11 +1291,15 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
                                     "unit": "week"}}, resolve)
                 return (F.datediff(eow, sow) / F.lit(7)).cast("long")
             if unit in ("hour", "minute", "second"):
+                # Mongo counts unit BOUNDARY crossings for every unit,
+                # not elapsed spans — truncate both ends to the unit
+                # first (10:59→11:01 is ONE hour boundary, not zero;
+                # the r11 date property sweep's contract). For
+                # 'second' trunc-then-diff and span coincide.
                 secs = {"hour": 3600, "minute": 60, "second": 1}[unit]
-                return (
-                    (b.cast("timestamp").cast("long")
-                     - a.cast("timestamp").cast("long")) / F.lit(secs)
-                ).cast("long")
+                ta = F.date_trunc(unit, a.cast("timestamp")).cast("long")
+                tb = F.date_trunc(unit, b.cast("timestamp")).cast("long")
+                return ((tb - ta) / F.lit(secs)).cast("long")
             raise DocumentQueryError(f"{op} bad unit: {unit!r}")
         if "startDate" not in operands or "amount" not in operands:
             raise DocumentQueryError(f"{op} needs startDate+amount")
@@ -1306,6 +1310,12 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         if unit not in ("year", "quarter", "month", "week", "day",
                         "hour", "minute", "second"):
             raise DocumentQueryError(f"{op} bad unit: {unit!r}")
+        if unit == "quarter":
+            # Spark's interval literal has no 'quarter' unit — the
+            # bare f-string compiled a PARSE_SYNTAX_ERROR (caught by
+            # the r11 date property sweep); a quarter IS 3 calendar
+            # months, same clamping
+            unit, amt = "month", amt * 3
         return d + F.expr(f"interval {amt} {unit}")
     if op == "$dateToString":
         # {"format": "%Y-%m-%d…", "date": e, "onNull": e?} — rendered
