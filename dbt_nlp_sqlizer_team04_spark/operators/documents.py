@@ -6493,7 +6493,10 @@ def q200_doc_documents_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the literal frame is driver-sized BY CONSTRUCTION (the docs
     live in the query text), so at 100 TB the $lookup equi-join keeps
     the literal side broadcast-sized and the corpus is scanned once
-    with the join filter pushed to the probe. Oracle: DuckDB VALUES +
+    with the join filter pushed to the probe; the sub-pipeline's
+    include-$project narrows the lookup payload to doc_id, so COLUMN
+    PRUNING reaches the corpus scan — counting matches never reads
+    the text column (plan-pinned in pytest). Oracle: DuckDB VALUES +
     LEFT JOIN + COUNT. Reference parity: completes the aggregate-stage
     census of the reference's Mongo surface
     (backend/app/mongodb_adapter.py) — $collStats/$indexStats/$geoNear
@@ -6510,7 +6513,8 @@ def q200_doc_documents_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"src": "srcX", "w": 7},
         ]},
         {"$lookup": {"from": "documents", "localField": "src",
-                     "foreignField": "source", "as": "hits"}},
+                     "foreignField": "source", "as": "hits",
+                     "pipeline": [{"$project": {"doc_id": 1}}]}},
         {"$addFields": {"n_docs": {"$size": "$hits"}}},
         {"$project": {"src": 1, "w": 1, "n_docs": 1}},
         {"$sort": {"src": 1}},

@@ -1291,6 +1291,25 @@ def test_binary_hamming_recall_and_packing(spark, sf_check):
     assert "BroadcastHashJoin" in final or "BroadcastExchange" in final
 
 
+def test_documents_stage_lookup_prunes_corpus_scan(spark, sf_check):
+    """q200's scale contract: the $lookup sub-pipeline's include-
+    $project narrows the payload struct to doc_id, so Catalyst prunes
+    the corpus scan to [doc_id, source] — counting matches never
+    reads the text column. Values pinned against the known corpus
+    (25 docs per source at any SF tag here, 0 for the unknown seed)."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        q200_doc_documents_stage,
+    )
+
+    df = q200_doc_documents_stage(spark, sf_check)
+    plan = df._jdf.queryExecution().toString().split("== Initial Plan ==")[0]
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l or "FileScan" in l]
+    assert reads and all("text" not in l for l in reads), reads
+    rows = {r["src"]: r["n_docs"] for r in df.collect()}
+    assert rows["srcX"] == 0 and rows["src1"] > 0
+    assert set(rows) == {"src1", "src7", "src19", "srcX"}
+
+
 def test_binary_hamming_persisted_index_contract(spark, sf_check):
     """q199's scale contract: the Hamming shortlist stage reads the
     PERSISTED sign-code table (1 bit/dim), never re-packing codes from
