@@ -338,11 +338,17 @@ def test_nl_compilers_never_crash_on_word_salad(
     fragments colliding in any order, broken quotes, SQL-comment
     tokens — must either compile (a query dict / candidate list) or
     raise the modules' typed ValueErrors. Never an IndexError,
-    KeyError, TypeError, or re.error out of the compilers."""
+    KeyError, TypeError, or re.error out of the compilers. A compiled
+    document pipeline is also BUILT (Column construction, no job):
+    the r11 ADVICE case — a user-quoted malformed regex like '[0-9'
+    riding the nl71 tier — must surface as the typed
+    DocumentQueryError at build, never a raw Spark exception."""
     q = " ".join(words)
     try:
         out = doc_engine.template_query(q)
         assert isinstance(out, dict)
+        if out.get("pipeline") is not None:
+            doc_engine.store.aggregate(out["collection"], out["pipeline"])
     except ValueError:
         pass  # typed compiler errors (incl. DocumentQueryError) allowed
     cands = sql_engine.generate(q)
