@@ -189,3 +189,54 @@ def test_window_rank_and_shift_match_reference(wstore, op, direction, by):
                     else keys.index(r[3]) + 1)
             assert got[r[0]] == want, (op, direction, r[0], got[r[0]],
                                        want, ordered)
+
+
+_RANGE_ACC = st.sampled_from(["$sum", "$avg", "$min", "$max", "$push",
+                              "$addToSet", "$stdDevSamp", "$stdDevPop"])
+_R_LOWS = st.sampled_from(["unbounded", -4, -2, "current"])
+_R_HIGHS = st.sampled_from(["current", 1, 3, "unbounded"])
+
+
+@settings(
+    max_examples=35,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(acc=_RANGE_ACC, lo=_R_LOWS, hi=_R_HIGHS)
+def test_window_range_frame_matches_reference(wstore, acc, lo, hi):
+    """RANGE frames (r11 — the r10 sweep covered documents-frames
+    only): value-based bounds over the single ascending numeric sort
+    key t, which carries DUPLICATES, so peer semantics are exercised —
+    'current' in a range window spans ALL documents sharing the
+    current sortBy value (both engines' contract), and numeric bounds
+    select by key distance, not row position. $first/$last are
+    deliberately absent: frame endpoints among tied peers are
+    unspecified on both engines."""
+    out = wstore.aggregate("t", [
+        {"$setWindowFields": {
+            "partitionBy": "$g",
+            "sortBy": {"t": 1},
+            "output": {"x": {
+                acc: "$v",
+                "window": {"range": [lo, hi]},
+            }},
+        }},
+        {"$sort": {"id": 1}}, {"$limit": 100},
+    ]).collect()
+    got = {r["id"]: r["x"] for r in out}
+    parts: dict = {}
+    for r in ROWS:
+        parts.setdefault(r[1], []).append(r)
+    for g, part in parts.items():
+        for row in part:
+            k = row[3]
+            a = float("-inf") if lo == "unbounded" else (
+                k if lo == "current" else k + lo)
+            b = float("inf") if hi == "unbounded" else (
+                k if hi == "current" else k + hi)
+            frame_rows = [r for r in part if a <= r[3] <= b]
+            want = _ref_window(acc, frame_rows)
+            gv = got[row[0]]
+            if hasattr(gv, "__iter__"):
+                gv = list(gv)
+            assert _close(gv, want), (acc, lo, hi, row[0], gv, want)
