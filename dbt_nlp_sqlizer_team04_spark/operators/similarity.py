@@ -1344,9 +1344,18 @@ def sign_codes_table_for(
     path (:func:`binary_hamming_topk` via q199) reads codes only."""
     from .dedup import _sf_tag, reuse_persisted_table
 
-    key = (id(spark), sf_dir)
+    # construction params live in the name (r11 advice: a different
+    # dim — or column mapping — must NEVER silently adopt another
+    # build's code table), matching ivf_table_for's _pN convention;
+    # non-default column names join the suffix so the default path
+    # keeps a stable, short name
+    key = (id(spark), sf_dir, dim, id_col, emb_col)
     if key not in _SIGN_TABLE_CACHE:
-        name = f"embeddings_signbits_{_sf_tag(sf_dir)}"
+        cols = (
+            "" if (id_col, emb_col) == ("vec_id", "embedding")
+            else f"_{id_col}_{emb_col}"
+        )
+        name = f"embeddings_signbits_{_sf_tag(sf_dir)}_d{dim}{cols}"
         if not reuse_persisted_table(spark, name):
             emb = load_table(spark, sf_dir, "embeddings")
             (

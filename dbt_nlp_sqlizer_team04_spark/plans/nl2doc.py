@@ -756,6 +756,39 @@ class NL2DocEngine:
                     ],
                 }
 
+        # aggregate-threshold (HAVING) phrasing — "<g>s with <cmp> N
+        # <coll>" ("sources with at least 20 documents") compiles to
+        # $group + a post-group $match on the count — the SQL plane's
+        # nl29/nl30 HAVING surface on the document plane (r11 verdict
+        # task 7). Spark shape: the count aggregates map-side and the
+        # threshold filters AFTER the single hash shuffle — never a
+        # self-join or second scan. The counted noun must name the
+        # collection itself (otherwise "with <field> over N" is a
+        # row-level comparison and belongs to the filter extractor).
+        hv = _re.search(
+            r"\b([a-z_]+?)s?\s+with\s+"
+            r"(at least|more than|over|at most|fewer than|less than|"
+            r"under)\s+(\d+)\s+([a-z_]+?)s?\b",
+            ql,
+        )
+        if hv and hv.group(4) == coll.rstrip("s"):
+            g = best_field(exclude_id=False, text=hv.group(1))
+            if g is not None:
+                cmp_op = {"at least": "$gte", "more than": "$gt",
+                          "over": "$gt", "at most": "$lte",
+                          "fewer than": "$lt", "less than": "$lt",
+                          "under": "$lt"}[hv.group(2)]
+                label = f"n_{coll}"
+                return {
+                    "collection": coll,
+                    "pipeline": [
+                        {"$group": {"_id": f"${g}",
+                                    label: {"$sum": 1}}},
+                        {"$match": {label: {cmp_op: int(hv.group(3))}}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+
         # share-of-total phrasing — "percentage of <coll> per <g>"
         # compiles to group counts + an uncorrelated $lookup of the
         # one-row total (broadcast-bounded, q157's machinery) +

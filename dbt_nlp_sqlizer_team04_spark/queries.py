@@ -630,6 +630,26 @@ def _nl74_doc_pct_share_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl75_doc_having_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc aggregate-threshold phrasing ("<g>s with at least N
+    <coll>", r12): the SQL plane's nl29/nl30 HAVING surface on the
+    document plane — $group + post-group $match on the count. The
+    count aggregates map-side and the threshold filters after the
+    single hash shuffle; never a self-join or second scan. Oracle:
+    DuckDB GROUP BY ... HAVING twin."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "langs with more than 72 documents"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1604,68 +1624,76 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # the broadcast one-row total; nl73's surface + the comparison
     # predicate extractors, mirrored on the SQL plane) — NEW r11.
     "nl74_doc_pct_share_filtered": _nl74_doc_pct_share_filtered,
+    # NL tier for aggregate thresholds ("<g>s with at least N <coll>"
+    # → $group + post-group $match on the count; the SQL plane's
+    # nl29/nl30 HAVING surface on the document plane) — NEW r12.
+    "nl75_doc_having_count": _nl75_doc_having_count,
 }
 
-# --- round-11 driver window (explicit form of the rotation policy at
+# --- round-12 driver window (explicit form of the rotation policy at
 # the top of this dict; the driver hash-checks the FIRST 50 entries
 # only). This round executes the machine-planned rotation from
-# tests/test_window_policy.py PLANNED (targets written r9/r10 for
-# round 11) — the 50 target-11 entries exactly fill the window:
-#   - the 7 r5 re-confirmation stragglers deferred r9 -> r11:
-#     q119-q123, nl45, nl46;
-#   - the 9 round-9 additions owed a first driver seat: q193-q197,
-#     nl66-nl69 (nl67/q196 rows-only — _ROWS_ONLY_SEATS; both carry
-#     DIFFERENTIAL replays locally);
-#   - the oldest 34 of the cp=6 re-confirmation wave (added r2/r5:
-#     q24/q28/q29/q32/q39/q40/q43, nl47-nl53, q124-q143; q24/q28/q29/
-#     q39/q40/q43/q124/q130 rows-only with DIFFERENTIAL replays).
-# The cp=7 re-confirmation wave (50 entries, last driver-green r7)
-# comes due THIS round (wait reaches 4 > MAX_WAIT at round 11); the
+# tests/test_window_policy.py PLANNED (targets written r10/r11 for
+# round 12), PLUS the r11 repair contract: q194/q195 were driver-RED
+# in r11 (array-typed output columns crashed the driver's pandas
+# canonicalizer; values hash-matched locally) — both now return
+# to_json-serialized scalars and MUST re-seat. That makes 52
+# contenders for 50 seats, so the two youngest standing target-12
+# entries (nl72/nl73 — r10 NL tiers whose compile machinery is
+# re-proven this round via nl53-family seats) slip to target-13 with
+# explicit PLANNED edits. Seated this round:
+#   - the 4 remaining r10 additions owed a first driver seat:
+#     q198 (canon-fixed this round), nl70, nl71, q199;
+#   - the q194/q195 re-seats (canon-fixed);
+#   - the youngest 16 of the cp=6 wave: q144-q159 (q155/q156
+#     rows-only — _ROWS_ONLY_SEATS, sketch-accuracy pytests);
+#   - the oldest 28 of the cp=7 wave (added r1-r4; q63/q65/q67
+#     rows-only with DIFFERENTIAL replays locally).
+# The cp=8 re-confirmation wave (50 entries, last driver-green r8)
+# comes due THIS round (wait reaches 4 > MAX_WAIT at round 12); the
 # window is full, so all 50 take machine-checked PLANNED targets: the
-# oldest 28 (added r1-r4) target round 12 — exactly filling the r12
-# window behind its 22 standing target-12 seats — and the youngest 22
-# (added r4/r6) target round 13. Deferral is allowed, silence is not.
+# oldest 24 (added r1/r2) target round 13 — exactly filling the r13
+# window behind its 26 standing target-13 seats — and the youngest 26
+# (added r2-r7) target round 14. Deferral is allowed, silence is not.
 # tests/test_window_policy.py enforces all of this mechanically: an
 # entry may not wait more than 3 rounds without either a driver-green
 # record (tests/driver_manifest.json) or a seat in the current window,
 # and a PLANNED target that comes due fails the build. Every tail entry
 # stays locally hash-verified per round by test_relational_oracle.py.
-_R11_WINDOW = [
-    # PLANNED target-11: the r5 re-confirmation stragglers (r9 -> r11)
-    "q119_corpus_report", "q120_bpe_encode_stats",
-    "q121_promo_revenue_share", "q122_top_suppliers",
-    "q123_small_quantity_revenue",
-    "nl45_customers_acctbal_recorded", "nl46_orders_big_or_small",
-    # PLANNED target-11: the round-9 additions owed a first seat
-    "q193_doc_expr_dialect2", "q194_doc_group_first_last_n",
-    "nl66_doc_ancestors", "nl67_doc_ema",
-    "q195_doc_expr_dialect3", "nl68_doc_latest_n_per_group",
-    "nl69_doc_descendants", "q196_dsir_selection",
-    "q197_rep_ngram_char_fractions",
-    # PLANNED target-11: the oldest 34 of the cp=6 wave (came due r10;
-    # the youngest 16 took machine-checked round-12 targets)
-    "q24_ann_lsh_topk", "q28_near_dup_minhash",
-    "q29_simhash_fingerprints", "q32_lang_id_dist",
-    "q39_media_decode_stats", "q40_media_embedding_topk",
-    "q43_ann_ivf_topk",
-    "nl47_doc_facet_breakdown", "nl48_orders_facet_breakdown",
-    "nl49_month_over_month_revenue", "nl50_running_monthly_revenue",
-    "nl51_totalprice_histogram", "nl52_doc_length_histogram",
-    "nl53_pct_urgent_orders",
-    "q124_knn_graph_ivf", "q125_min_cost_supplier",
-    "q126_sole_returner_suppliers", "q127_part_volume_suppliers",
-    "q128_expectation_suite", "q129_measure_unpivot",
-    "q130_mmr_topk", "q131_lateral_topn", "q132_doc_facet",
-    "q133_token_entropy", "q134_doc_expectations",
-    "q135_cdc_merge_snapshot", "q136_scd2_intervals",
-    "q137_disjunctive_revenue", "q138_priority_order_check",
-    "q139_filtered_cosine_topk", "q140_canonical_selection",
-    "q141_source_overlap", "q142_source_token_budget",
-    "q143_doc_length_buckets",
+_R12_WINDOW = [
+    # r11 repair contract: the canon-fixed driver-RED pair re-seats
+    "q194_doc_group_first_last_n", "q195_doc_expr_dialect3",
+    # PLANNED target-12: the r10 additions owed a first driver seat
+    # (nl72/nl73 slipped to target-13 — the two seats q194/q195 take)
+    "q198_doc_expr_dialect4", "nl70_doc_monthly_grain",
+    "nl71_doc_regex_predicate", "q199_ann_binary_hamming_topk",
+    # PLANNED target-12: the youngest 16 of the cp=6 wave
+    "q144_winsorized_stats", "q145_drift_psi",
+    "q146_label_centroids", "q147_stream_drift",
+    "q148_forecast_revenue", "q149_top_sources",
+    "q150_hotkey_audit", "q151_variant_props_rollup",
+    "q152_month_spine_rollup", "q153_equidepth_histogram",
+    "q154_doc_lang_ratio",
+    "q155_winsorized_stats_sketch", "q156_equidepth_histogram_sketch",
+    "q157_doc_lookup_pipeline", "q158_doc_facet_prefiltered",
+    "q159_cdc_stream_snapshot",
+    # PLANNED target-12: the oldest 28 of the cp=7 wave (added r1-r4)
+    "q02_filter_topn", "q04_like_search", "q05_null_handling",
+    "q06_date_rollup", "q09_distinct_segments", "q10_union_names",
+    "q13_case_when", "q18_categorical_domain",
+    "q20_events_json_props", "q21_pivot_status",
+    "q26_exact_dup_groups", "q31_quality_by_source",
+    "q34_doc_fingerprints", "q35_doc_find", "q37_doc_find_or_regex",
+    "q63_semantic_dedup", "q65_ann_pq_topk", "q67_chunk_retrieval",
+    "nl24_distinct_customers_in_orders", "nl25_most_recent_orders",
+    "nl26_pct_orders_per_status", "nl27_customers_without_orders",
+    "nl28_doc_top5_longest", "nl29_nations_with_min_customers",
+    "nl30_rich_segments", "nl31_events_per_day",
+    "nl32_minmax_balance_per_segment", "nl33_customer_share_per_nation",
 ]
-assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
-SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R11_WINDOW} | {
-    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R11_WINDOW)
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+SPARK_QUERIES = {k: SPARK_QUERIES[k] for k in _R12_WINDOW} | {
+    k: v for k, v in SPARK_QUERIES.items() if k not in set(_R12_WINDOW)
 }
 
 def _TS_cohort_oracle() -> str:
@@ -3147,6 +3175,13 @@ ORACLE_SQL: dict[str, str | None] = {
                      6) AS pct
         FROM events WHERE value > 50
         GROUP BY event_type ORDER BY _id
+    """,
+    "nl75_doc_having_count": """
+        SELECT lang AS _id, count(*) AS n_documents
+        FROM documents
+        GROUP BY lang
+        HAVING count(*) > 72
+        ORDER BY _id
     """,
     "nl66_doc_ancestors": """
         WITH RECURSIVE tree AS (

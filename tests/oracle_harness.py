@@ -68,9 +68,29 @@ def _dtype_kind_diffs(spark_schema, oracle_kinds: dict[str, str]) -> list[str]:
     return diffs
 
 
+def canon_unsafe_columns(schema) -> list[str]:
+    """Columns the DRIVER's canonicalizer cannot sort: its compare
+    round-trips results through pandas and sorts on RAW column values,
+    so an array/map/struct cell dies with ``TypeError: unhashable
+    type: 'list'`` (the r11 q194/q195 failure). ``_norm_cell``'s
+    ``str()`` would silently hide this, so hash-checked entries are
+    REJECTED here before seating — serialize complex outputs with
+    ``to_json`` on both planes instead."""
+    return [
+        f.name for f in schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+
+
 def compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> dict:
     sdf = fn(spark, sf_dir)
     s_cols = sdf.columns
+    if oracle is not None:
+        bad = canon_unsafe_columns(sdf.schema)
+        if bad:
+            return {"name": name, "status": "CANON-UNSAFE",
+                    "detail": f"driver cannot sort columns {bad}; "
+                              "to_json them on both planes"}
     s_rows = [tuple(r) for r in sdf.collect()]
     res = {"name": name, "spark_rows": len(s_rows)}
     if oracle is None:

@@ -3857,6 +3857,12 @@ def test_documents_stage(spark):
         s.aggregate(None, [{"$documents": [{"a": 1}, {"a": "x"}]}])
     with pytest.raises(DocumentQueryError, match="non-empty"):
         s.aggregate(None, [{"$documents": []}])
+    # r12 advice closure: a non-string key would get a str()-named
+    # field whose value silently dropped to null — loud error instead
+    with pytest.raises(DocumentQueryError, match="must be strings"):
+        s.aggregate(None, [{"$documents": [{1: "x"}]}])
+    with pytest.raises(DocumentQueryError, match="must be strings"):
+        s.aggregate(None, [{"$documents": [{"a": {2: "y"}}]}])
 
 
 def test_regex_bad_pattern_typed_error(spark):
@@ -3880,6 +3886,37 @@ def test_regex_bad_pattern_typed_error(spark):
     if "$regexMatch" in str(q):
         with pytest.raises(DocumentQueryError, match="bad pattern"):
             s.aggregate(q["collection"], q["pipeline"])
+
+
+def test_regex_java_python_dialect_bridge(spark):
+    """ADVICE r12: execution is JAVA regex, so the compile-time probe
+    bridges dialects instead of narrowing the surface — Java named
+    groups ``(?<y>...)`` and backrefs ``\\k<y>`` VALIDATE and RUN
+    (previously rejected by the raw Python-re probe), lookbehind is
+    untouched by the rewrite, and Python-only ``(?P<y>...)`` spelling
+    is refused with a typed error naming the Java form (previously it
+    passed validation and died with the raw Spark exception)."""
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "12-URGENT")], "id int, body string"))
+    row = s.aggregate("t", [{"$project": {
+        "named": {"$regexMatch": {
+            "input": "$body", "regex": "(?<num>[0-9]+)-[A-Z]+"}},
+        "backref": {"$regexMatch": {
+            "input": "$body", "regex": "(?<d>[0-9])\\k<d>?"}},
+        "behind": {"$regexMatch": {
+            "input": "$body", "regex": "(?<=12-)URGENT"}},
+        "found": {"$regexFind": {
+            "input": "$body", "regex": "(?<num>[0-9]+)"}},
+    }}]).collect()[0]
+    assert row["named"] is True
+    assert row["backref"] is True
+    assert row["behind"] is True
+    assert row["found"]["match"] == "12"
+    for bad in ("(?P<y>[0-9]+)", "(?P=y)"):
+        with pytest.raises(DocumentQueryError, match="Python-only"):
+            s.aggregate("t", [{"$project": {"x": {"$regexMatch": {
+                "input": "$body", "regex": bad}}}}])
 
 
 def test_shift_default_must_be_constant_scalar(spark):
@@ -3971,6 +4008,36 @@ def test_nl2doc_pct_share_compile_shape(spark):
     rows2 = {r["_id"]: r for r in s.aggregate("t", q2["pipeline"]).collect()}
     assert rows2["a"]["n"] == 1 and rows2["b"]["n"] == 2
     assert round(rows2["a"]["pct"], 4) == round(100 / 3, 4)
+
+
+def test_nl2doc_having_count_compile_shape(spark):
+    """'<g>s with <cmp> N <coll>' (nl75, r12) compiles to $group + a
+    post-group $match on the count — the SQL plane's nl29/nl30 HAVING
+    surface on the document plane. The counted noun must name the
+    COLLECTION ('kinds with at least 2 t'); 'with <field> over N'
+    phrasing stays a row-level comparison (nl74's lane, no $group
+    threshold), and every comparison word maps to its operator."""
+    from dbt_nlp_sqlizer_team04_spark.plans.nl2doc import NL2DocEngine
+
+    s = DocumentStore(spark)
+    s.register("t", spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id int, kind string, v int"))
+    eng = NL2DocEngine(s)
+    q = eng.template_query("kinds with at least 2 ts")
+    assert q["pipeline"][0] == {
+        "$group": {"_id": "$kind", "n_t": {"$sum": 1}}}
+    assert q["pipeline"][1] == {"$match": {"n_t": {"$gte": 2}}}
+    rows = s.aggregate("t", q["pipeline"]).collect()
+    assert [(r["_id"], r["n_t"]) for r in rows] == [("a", 2)]
+    for word, op in (("more than", "$gt"), ("over", "$gt"),
+                     ("at most", "$lte"), ("fewer than", "$lt"),
+                     ("under", "$lt")):
+        q2 = eng.template_query(f"kinds with {word} 1 ts")
+        assert q2["pipeline"][1] == {"$match": {"n_t": {op: 1}}}, word
+    # row-level comparison phrasing is NOT captured by this tier
+    q3 = eng.template_query("percentage of t with v over 15 per kind")
+    assert q3["pipeline"][0] == {"$match": {"v": {"$gt": 15}}}
 
 
 def test_expr_dialect_r10_random_sweep(spark):

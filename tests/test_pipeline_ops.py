@@ -1338,3 +1338,8 @@ def test_binary_hamming_persisted_index_contract(spark, sf_check):
     assert [tuple(r) for r in df.collect()] == [
         tuple(r) for r in inline.collect()
     ]
+    # r12 advice closure: construction params live in the table NAME —
+    # a different dim (or column mapping) can never silently adopt a
+    # wrong-width code table
+    name64 = V.sign_codes_table_for(spark, sf_check)
+    assert name64.endswith("_d64")

@@ -17,7 +17,7 @@ inside $map (inner binding wins, outer restored)."""
 from __future__ import annotations
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 ROWS = [
@@ -210,6 +210,11 @@ def _ref_eval(e, doc, env):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(e=out_expr)
+# the r11 judge's failing draw, pinned forever: an int-literal
+# initialValue over the bigint column array must WIDEN (Mongo's
+# int32 -> long promotion), not throw DATATYPE_MISMATCH
+@example(e={"$reduce": {"input": "$arr", "initialValue": 0,
+            "in": {"$add": ["$$value", "$$this"]}}})
 def test_array_lambda_matches_reference(arr_store, e):
     rows = {
         r["_id"]: r["out"]
@@ -243,6 +248,37 @@ def test_let_shadowing_inside_map(arr_store):
                   {"$project": {"_id": 1, "out": e}}]).collect()
     }
     assert list(rows[1]) == [4, 2, 5, 2, 6, 101]
+
+
+def test_reduce_init_widening(spark):
+    """The r11 judge find as a directed regression, plus the rest of
+    Mongo's promotion ladder: a bare ``initialValue: 0`` (int32
+    literal) over long / double / decimal arrays must adopt the
+    fold's element type (int32 -> long -> double widening), never
+    throw ``DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE``; a typed
+    (float) literal over an int array widens the fold to double."""
+    from dbt_nlp_sqlizer_team04_spark.operators.documents import (
+        DocumentStore,
+    )
+
+    s = DocumentStore(spark)
+    s.register("w", spark.createDataFrame(
+        [(1, [1, 2, 3], [1.5, 2.5], [4, 5])],
+        "_id int, la array<long>, da array<double>, ia array<int>"))
+    sum_of = lambda col, init: {"$reduce": {  # noqa: E731
+        "input": col, "initialValue": init,
+        "in": {"$add": ["$$value", "$$this"]}}}
+    row = s.aggregate("w", [{"$project": {
+        "_id": 1,
+        "s_long": sum_of("$la", 0),
+        "s_dbl": sum_of("$da", 0),
+        "s_int": sum_of("$ia", 0),
+        "s_float_init": sum_of("$ia", 0.5),
+    }}]).collect()[0]
+    assert row["s_long"] == 6
+    assert row["s_dbl"] == 4.0
+    assert row["s_int"] == 9
+    assert row["s_float_init"] == 9.5
 
 
 def test_zip_shapes(arr_store):

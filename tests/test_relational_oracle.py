@@ -37,6 +37,29 @@ def test_registry_consistency():
     assert len(q) >= 20
 
 
+def test_compare_rejects_canon_unsafe_columns(spark, sf_smoke):
+    """The r11 q194/q195 failure class, caught locally: a hash-checked
+    entry returning an array column must be REJECTED by the harness
+    (the driver's pandas canonicalizer sorts raw columns and dies on
+    unhashable lists) — never silently stringified into a passing
+    hash. Rows-only entries keep their array outputs (the driver only
+    counts their rows)."""
+    from pyspark.sql import functions as F
+
+    def fn(sp, _sf):
+        return sp.range(3).select(
+            "id", F.array(F.lit(1), F.lit(2)).alias("arr"))
+
+    res = compare(spark, sf_smoke, "canon_probe", fn, "SELECT 1")
+    assert res["status"] == "CANON-UNSAFE"
+    assert "arr" in res["detail"]
+    # no oracle -> rows-only path, arrays allowed
+    res2 = compare(spark, sf_smoke, "canon_probe", fn, None)
+    assert res2["status"] == "rows-only"
+    # (every hash-checked registry entry is audited by this same gate
+    # via test_query_matches_oracle, which runs compare on all of them)
+
+
 # Rows-only entries allowed a window seat: the hash gate can't use
 # them, but a driver row still proves err-free execution externally —
 # exactly what each round's window needs for its never-confirmed

@@ -27,63 +27,22 @@ import os
 MANIFEST = os.path.join(os.path.dirname(__file__), "driver_manifest.json")
 MAX_WAIT = 3
 
-# The r11+ window plan (mirrors the policy comment at queries.py's
-# _R11_WINDOW). The round-11 window seats exactly the 50 target-11
-# entries written r9/r10 (now removed from this table — seating
-# discharges the plan); the cp=7 re-confirmation wave (50 entries,
-# last driver-green r7) comes due at round 11 with a full window, so
-# it takes the round-12/13 targets below. When a target round arrives
-# and the entry is neither driver-green nor seated,
-# test_no_overdue_entries fails the build.
+# The r12+ window plan (mirrors the policy comment at queries.py's
+# _R12_WINDOW). The round-12 window seats the 48 target-12 entries
+# written r10/r11 (now removed from this table — seating discharges
+# the plan) plus the q194/q195 canon-fix re-seats; the two displaced
+# target-12 entries (nl72/nl73) slip to round 13 below. The cp=8
+# re-confirmation wave (50 entries, last driver-green r8) comes due
+# at round 12 with a full window, so it takes the round-13/14 targets
+# below. When a target round arrives and the entry is neither
+# driver-green nor seated, test_no_overdue_entries fails the build.
 PLANNED: dict[str, int] = {
-    # round-10 additions — the two-round rotation contract gives them
-    # round-12 targets (rounds 10 and 11 were already full)
-    **{k: 12 for k in (
-        "q198_doc_expr_dialect4", "nl70_doc_monthly_grain",
-        "nl71_doc_regex_predicate", "q199_ann_binary_hamming_topk",
+    # the two target-12 seats displaced by the q194/q195 re-seats
+    # (r11 verdict task 1) — explicit slip to round 13
+    **{k: 13 for k in (
         "nl72_doc_distinct_count", "nl73_doc_pct_share",
     )},
-    # the youngest 16 of the cp=6 wave (planned r10, standing)
-    **{k: 12 for k in (
-        "q144_winsorized_stats", "q145_drift_psi",
-        "q146_label_centroids", "q147_stream_drift",
-        "q148_forecast_revenue", "q149_top_sources",
-        "q150_hotkey_audit", "q151_variant_props_rollup",
-        "q152_month_spine_rollup", "q153_equidepth_histogram",
-        "q154_doc_lang_ratio",
-        "q155_winsorized_stats_sketch", "q156_equidepth_histogram_sketch",
-        "q157_doc_lookup_pipeline", "q158_doc_facet_prefiltered",
-        "q159_cdc_stream_snapshot",
-    )},
-    # the cp=7 re-confirmation wave due at round 11 (wait reaches 4 >
-    # MAX_WAIT) — the r11 window is full, so the oldest 28 (added
-    # r1-r4) take round-12 targets, exactly filling the r12 window
-    # behind the 22 standing target-12 seats above ...
-    **{k: 12 for k in (
-        "q02_filter_topn", "q04_like_search", "q05_null_handling",
-        "q06_date_rollup", "q09_distinct_segments", "q10_union_names",
-        "q13_case_when", "q18_categorical_domain",
-        "q20_events_json_props", "q21_pivot_status",
-        "q26_exact_dup_groups", "q31_quality_by_source",
-        "q34_doc_fingerprints", "q35_doc_find", "q37_doc_find_or_regex",
-        "q63_semantic_dedup", "q65_ann_pq_topk", "q67_chunk_retrieval",
-        "nl24_distinct_customers_in_orders", "nl25_most_recent_orders",
-        "nl26_pct_orders_per_status", "nl27_customers_without_orders",
-        "nl28_doc_top5_longest", "nl29_nations_with_min_customers",
-        "nl30_rich_segments", "nl31_events_per_day",
-        "nl32_minmax_balance_per_segment", "nl33_customer_share_per_nation",
-    )},
-    # ... and the youngest 22 (added r4/r6) take round-13 targets (the
-    # r12 window is now fully spoken for). NOTE for the r12 rotation:
-    # the cp=8 wave (entries last green r8) comes due at round 12 and
-    # must take target-13+ entries then; with these 22 already at
-    # target-13, expect the cp=8 overflow to spread into round 14
-    # explicitly.
-    # round-11 additions — the two-round rotation contract gives them
-    # round-13 targets (rounds 11 and 12 are already full)
-    **{k: 13 for k in (
-        "q200_doc_documents_stage", "nl74_doc_pct_share_filtered",
-    )},
+    # the youngest 22 of the cp=7 wave (planned r11, standing)
     **{k: 13 for k in (
         "nl34_orders_before_1997", "nl35_cheapest_orders",
         "nl36_richest_nation", "nl37_doc_events_before_date",
@@ -96,6 +55,58 @@ PLANNED: dict[str, int] = {
         "q110_bpe_merges", "q113_salted_segment_sales",
         "q115_frame_sample_rollup", "q116_resize_rollup",
         "q164_token_coverage", "q166_edit_distance_pairs",
+    )},
+    # round-11 additions — the two-round rotation contract gives them
+    # round-13 targets (rounds 11 and 12 are already full)
+    **{k: 13 for k in (
+        "q200_doc_documents_stage", "nl74_doc_pct_share_filtered",
+    )},
+    # round-12 additions — the two-round rotation contract gives them
+    # round-14 targets (rounds 12 and 13 are already full)
+    **{k: 14 for k in (
+        "nl75_doc_having_count",
+    )},
+    # the cp=8 re-confirmation wave due at round 12 (wait reaches 4 >
+    # MAX_WAIT) — the r12 window is full, so the oldest 24 (added
+    # r1/r2) take round-13 targets, exactly filling the r13 window
+    # behind the 26 standing target-13 seats above ...
+    **{k: 13 for k in (
+        "q01_pricing_summary", "q03_top_revenue_orders",
+        "q07_window_partition_avg", "q08_rank_orders",
+        "q11_scalar_subquery", "q12_cte_nation_sales",
+        "q14_group_having", "q15_exists_semi", "q16_not_exists_anti",
+        "q17_profile_stats", "q19_events_hourly",
+        "q22_rollup_region_nation",
+        "nl01_count_per_priority", "nl02_avg_balance_per_segment",
+        "nl03_distinct_segments",
+        "nl04_doc_count_per_type", "nl05_sum_price_per_status",
+        "nl06_top5_orders", "nl07_max_balance_per_nation",
+        "nl08_count_parts_per_brand", "nl09_trained_balance_by_segment",
+        "nl10_trained_count_per_priority",
+        "q41_intersect_nations", "q42_except_unordered_parts",
+    )},
+    # ... and the youngest 26 (added r2-r7) take round-14 targets (the
+    # r13 window is now fully spoken for). NOTE for the r13 rotation:
+    # the cp=9 wave (entries last green r9, 52 entries) comes due at
+    # round 13 and must take target-14+ entries then; with these 26
+    # already at target-14, expect the cp=9 overflow to spread into
+    # round 15 explicitly.
+    **{k: 14 for k in (
+        "q48_cube_status_priority", "q49_price_percentiles",
+        "nl11_trained_doc_avg_chars", "nl12_count_customers_per_region",
+        "nl13_orders_per_month", "nl14_building_customers_per_nation",
+        "nl15_big_orders_per_priority", "nl16_orders_1995_per_priority",
+        "nl17_customers_name_contains", "nl18_doc_regex_count_per_lang",
+        "nl19_orders_per_status_and_priority",
+        "nl20_midrange_orders_per_priority",
+        "nl21_orders_count_and_avg_per_priority",
+        "nl22_top3_segments_by_avg_balance",
+        "q160_nation_profit", "q161_important_parts",
+        "q162_ship_delay_priority", "q163_supplier_count_by_part",
+        "q165_hotkey_sketch", "q167_doc_pagination",
+        "nl55_doc_pagination", "nl56_doc_lookup_counts",
+        "q168_doc_lookup_correlated", "q169_doc_union_with",
+        "q170_doc_window_fields", "q171_doc_densify_fill",
     )},
 }
 
@@ -150,9 +161,9 @@ def test_no_overdue_entries():
 def test_window_is_exactly_the_declared_list():
     """The first 50 registry keys ARE the explicit window list — the
     dict reordering did what the policy comment says."""
-    from dbt_nlp_sqlizer_team04_spark.queries import _R11_WINDOW, SPARK_QUERIES
+    from dbt_nlp_sqlizer_team04_spark.queries import _R12_WINDOW, SPARK_QUERIES
 
-    assert list(SPARK_QUERIES)[:50] == _R11_WINDOW
+    assert list(SPARK_QUERIES)[:50] == _R12_WINDOW
 
 
 def test_differential_ledger_consistency():
