@@ -729,6 +729,11 @@ _EXPR_OPS = {
     "$toLong": lambda a: a.cast("long"),
     "$toDouble": lambda a: a.cast("double"),
     "$toDate": lambda a: a.cast("date"),
+    # Mongo defines $toBool/$toDecimal as $convert shorthands; ANSI
+    # cast is loud on unconvertible input (Mongo errors there too) —
+    # use $convert's onError for the recovering form
+    "$toBool": lambda a: a.cast("boolean"),
+    "$toDecimal": lambda a: a.cast("decimal(38,10)"),
     # ---- array (r8)
     "$concatArrays": lambda *xs: F.concat(*xs),
     "$ifNull": lambda *xs: F.coalesce(*xs),
@@ -992,6 +997,16 @@ def _mongo_datetime_fmt(fmt: str, op: str) -> str:
 # (identical meanings: i=case-insensitive, m=multiline anchors,
 # s=dotall, x=comments)
 _REGEX_OPTIONS = {"i", "m", "s", "x"}
+
+# $convert targets: Mongo type name -> Spark cast type ("date" is the
+# try-parse cascade, handled in _expr), plus Mongo's numeric type codes
+_CONVERT_TYPES = {
+    "double": "double", "string": "string", "bool": "boolean",
+    "date": "date", "int": "int", "long": "long",
+    "decimal": "decimal(38,10)",
+}
+_CONVERT_CODES = {1: "double", 2: "string", 8: "bool", 9: "date",
+                  16: "int", 18: "long", 19: "decimal"}
 
 
 def _has_left_context_assertion(pattern: str) -> bool:
@@ -1304,6 +1319,92 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
             return merge
 
         return F.aggregate(inp, init, make_merge(body, resolve))
+    if op == "$convert":
+        # {"input": e, "to": t, "onError": e?, "onNull": e?} — the
+        # general form of the $toX family (Mongo 4.0). `to` is a
+        # compile-time literal: a type name or Mongo's numeric code.
+        # Conversion failures are LOUD without onError (ANSI cast
+        # throws; Mongo errors there too); with onError the try_cast
+        # substitutes the fallback for failures ONLY — null INPUT is
+        # not a failure and follows onNull (default null), mirroring
+        # the $dateFromString precedence contract. to:"date" accepts
+        # both date-strings (parse) and numerics (MILLIS since epoch —
+        # Mongo's convention; a bare Spark cast would read seconds)
+        # via a try-parse cascade, and returns a timestamp.
+        # Documented divergences: string→bool follows Spark's cast
+        # table ('true'/'false'/'1'… convert; Mongo rejects every
+        # string), decimal is decimal(38,10) not decimal128, and a
+        # date→string render uses Spark's ISO form.
+        if not (isinstance(operands, dict) and "input" in operands
+                and "to" in operands):
+            raise DocumentQueryError(f"Bad $convert: {spec!r}")
+        to = operands["to"]
+        if isinstance(to, int) and not isinstance(to, bool):
+            to = _CONVERT_CODES.get(to, to)
+        if not isinstance(to, str) or to not in _CONVERT_TYPES:
+            raise DocumentQueryError(
+                f"$convert unsupported 'to': {operands['to']!r} "
+                f"(supported: {sorted(_CONVERT_TYPES)} or Mongo codes "
+                f"{sorted(_CONVERT_CODES)})"
+            )
+        # Mongo's onError/onNull may be ANY type (a heterogeneous
+        # result column) — a DataFrame column is single-typed, so a
+        # fallback literal outside the target's type family either
+        # runtime-crashes (ANSI casts 'missing' to double under
+        # when()-coercion), dies in analysis (int vs boolean has no
+        # common type), or SILENTLY RE-TYPES the whole column (an int
+        # fallback with to:"string" coerced every success row back to
+        # int) — all three shapes sweep-found (r12). Loud typed error
+        # for literal fallbacks outside the family; expression
+        # fallbacks must analyze to the target type.
+        for fb_key in ("onError", "onNull"):
+            fb = operands.get(fb_key)
+            if fb is None or isinstance(fb, dict) or (
+                    isinstance(fb, str) and fb.startswith("$")):
+                continue  # absent / expression / field path
+            if to in ("string", "date"):
+                ok = isinstance(fb, str)
+            elif to == "bool":
+                ok = isinstance(fb, bool)
+            else:
+                ok = isinstance(fb, (int, float)) and not isinstance(
+                    fb, bool)
+            if not ok:
+                raise DocumentQueryError(
+                    f"$convert {fb_key} {fb!r} does not match target "
+                    f"{to!r}: a DataFrame column is single-typed "
+                    "(Mongo's heterogeneous fallback has no Spark "
+                    "analog) — use a target-typed fallback"
+                )
+        x = _ref(operands["input"], resolve)
+        if to == "date":
+            s = x.cast("string")
+            conv = F.coalesce(
+                F.try_to_timestamp(s),
+                F.timestamp_millis(s.try_cast("long")),
+            )
+        elif "onError" in operands:
+            conv = x.try_cast(_CONVERT_TYPES[to])
+        else:
+            conv = x.cast(_CONVERT_TYPES[to])
+        failed = x.isNotNull() & conv.isNull()
+        if "onError" in operands:
+            conv = F.when(
+                failed, _ref(operands["onError"], resolve)
+            ).otherwise(conv)
+        elif to == "date":
+            # the loud no-onError contract for the cascade path, where
+            # try-parses would otherwise swallow the failure silently
+            conv = F.when(
+                failed,
+                F.raise_error(F.lit(
+                    "$convert: unparseable date input (use onError)")),
+            ).otherwise(conv)
+        if "onNull" in operands:
+            conv = F.when(
+                x.isNull(), _ref(operands["onNull"], resolve)
+            ).otherwise(conv)
+        return conv
     if op in ("$dateDiff", "$dateAdd", "$dateSubtract"):
         if not (isinstance(operands, dict) and "unit" in operands):
             raise DocumentQueryError(f"Bad {op}: {spec!r}")
@@ -6548,6 +6649,77 @@ Q198_ORACLE_SQL = """
            'long' AS t_key,
            CASE WHEN o_orderkey >= 150 THEN 'double' ELSE 'null' END
              AS t_mixed
+    FROM orders
+    WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    LIMIT 150
+"""
+
+
+def q201_doc_convert_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$convert`` — the general form of the $toX family (Mongo 4.0,
+    NEW r12) in one $addFields projection: string→int parse of the
+    split-first priority digit, truncation-toward-zero double→long,
+    numeric→bool, numeric→date under Mongo's MILLIS convention (the
+    try-parse cascade — a bare Spark cast would read seconds), the
+    onError recovery tier (unparseable priority string → -1), and the
+    onNull tier over a conditionally-null input. All native Catalyst
+    in one whole-stage-codegen projection — zero UDFs. Oracle: DuckDB
+    try_cast / trunc / make_timestamp(µs) twins. Reference parity:
+    extends the expression dialect of the reference's Mongo surface
+    (backend/app/ai/nl2mongo.py + backend/app/mongodb_adapter.py) the
+    same way q184/q193/q195/q198 do."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    out = store.aggregate(
+        "orders",
+        [
+            {"$match": {"o_orderkey": {"$lte": 300}}},
+            {"$addFields": {
+                "pk_int": {"$convert": {
+                    "input": {"$arrayElemAt": [
+                        {"$split": ["$o_orderpriority", "-"]}, 0]},
+                    "to": "int"}},
+                "trunc_long": {"$convert": {
+                    "input": "$o_totalprice", "to": "long"}},
+                "nonzero": {"$convert": {
+                    "input": "$o_orderkey", "to": "bool"}},
+                "d": {"$convert": {
+                    "input": {"$multiply": ["$o_orderkey", 86400000]},
+                    "to": "date"}},
+                "bad_int": {"$convert": {
+                    "input": "$o_orderpriority", "to": 16,
+                    "onError": -1}},
+                "maybe_str": {"$convert": {
+                    "input": {"$cond": [
+                        {"$gte": ["$o_orderkey", 100]},
+                        "$o_totalprice",
+                        {"$literal": None}]},
+                    "to": "string", "onNull": "absent"}},
+            }},
+            {"$project": {"o_orderkey": 1, "pk_int": 1,
+                          "trunc_long": 1, "nonzero": 1, "d": 1,
+                          "bad_int": 1, "maybe_str": 1}},
+            {"$sort": {"o_orderkey": 1}},
+            {"$limit": 150},
+        ],
+    )
+    return out
+
+
+Q201_ORACLE_SQL = """
+    SELECT o_orderkey,
+           CAST(string_split(o_orderpriority, '-')[1] AS INTEGER)
+             AS pk_int,
+           CAST(trunc(o_totalprice) AS BIGINT) AS trunc_long,
+           (o_orderkey <> 0) AS nonzero,
+           make_timestamp(o_orderkey * 86400000000) AS d,
+           COALESCE(try_cast(o_orderpriority AS INTEGER), -1) AS bad_int,
+           CASE WHEN o_orderkey >= 100
+                THEN CAST(o_totalprice AS VARCHAR)
+                ELSE 'absent' END AS maybe_str
     FROM orders
     WHERE o_orderkey <= 300
     ORDER BY o_orderkey

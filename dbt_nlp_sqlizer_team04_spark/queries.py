@@ -1628,6 +1628,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # → $group + post-group $match on the count; the SQL plane's
     # nl29/nl30 HAVING surface on the document plane) — NEW r12.
     "nl75_doc_having_count": _nl75_doc_having_count,
+    # $convert (the general $toX form, Mongo 4.0): string parses,
+    # truncation-toward-zero, numeric→date under the MILLIS
+    # convention, onError/onNull tiers with the single-typed-column
+    # fallback contract — NEW r12.
+    "q201_doc_convert_dialect": DOC.q201_doc_convert_dialect,
 }
 
 # --- round-12 driver window (explicit form of the rotation policy at
@@ -3183,6 +3188,7 @@ ORACLE_SQL: dict[str, str | None] = {
         HAVING count(*) > 72
         ORDER BY _id
     """,
+    "q201_doc_convert_dialect": DOC.Q201_ORACLE_SQL,
     "nl66_doc_ancestors": """
         WITH RECURSIVE tree AS (
           SELECT doc_id,
