@@ -226,6 +226,7 @@ HEADLINE = [
     # r12 additions
     "nl75_doc_having_count",
     "q201_doc_convert_dialect",
+    "nl76_doc_having_measure",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

@@ -754,8 +754,14 @@ _EXPR_OPS = {
         .when(F.lower(a) > F.lower(b), 1).cast("int")
     ),
     # Mongo's arg shape is [array] — the list unwraps to one operand
-    "$anyElementTrue": lambda a: F.exists(a, lambda x: x.cast("boolean")),
-    "$allElementsTrue": lambda a: F.forall(a, lambda x: x.cast("boolean")),
+    # Mongo TRUTHINESS in the element predicate: null (and 0/false)
+    # elements are FALSY — without the coalesce, Spark's 3VL
+    # exists/forall returns NULL for [1, null] where Mongo says
+    # false/true by the falsy rule (r12 set-sweep find)
+    "$anyElementTrue": lambda a: F.exists(
+        a, lambda x: F.coalesce(x.cast("boolean"), F.lit(False))),
+    "$allElementsTrue": lambda a: F.forall(
+        a, lambda x: F.coalesce(x.cast("boolean"), F.lit(False))),
     # ---- arrays (r9 wave 2)
     "$indexOfArray": lambda arr, v: (
         (F.array_position(arr, v) - F.lit(1)).cast("long")
@@ -1290,25 +1296,33 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
             raise DocumentQueryError(f"Bad $reduce: {spec!r}")
         inp = _ref(operands["input"], resolve)
         init_spec = operands["initialValue"]
+        body = operands["in"]
         if isinstance(init_spec, (int, float)) and not isinstance(
                 init_spec, bool):
             # Mongo silently WIDENS the accumulator (int32 -> long ->
-            # double) to the fold's element type; Spark's F.aggregate
+            # double) as the fold proceeds; Spark's F.aggregate
             # demands the init's type EQUAL the merge lambda's return
             # type, so a bare `initialValue: 0` over a bigint array
             # throws DATATYPE_MISMATCH (r11 judge find). Derive the
-            # init's type from the array itself: get(arr, -1) is a
+            # init's type from the fold itself: get(arr, -1) is a
             # guaranteed-null column OF THE ELEMENT TYPE (no ANSI
-            # error), when(False, ...) never evaluates it, and
-            # coalesce unifies the literal with the element type --
-            # int literal over array<long> folds as long, over
-            # array<double> as double, matching Mongo's promotion.
+            # error), a probe-compiled BODY (both lambda vars bound to
+            # the element probe) carries the merge's RESULT type (the
+            # r12 suite caught an int-literal array whose body
+            # references a LONG outer column — element type alone is
+            # not enough), when(False, ...) never evaluates either,
+            # and coalesce unifies the literal with both: the
+            # accumulator adopts the widest of (literal, element,
+            # body) exactly like Mongo's promotion ladder.
             probe = F.get(inp, F.lit(-1))
+            body_probe = _ref(body, _scoped_resolve(
+                resolve, {"value": probe, "this": probe}))
             init = F.coalesce(
-                F.when(F.lit(False), probe), F.lit(init_spec))
+                F.when(F.lit(False), probe),
+                F.when(F.lit(False), body_probe),
+                F.lit(init_spec))
         else:
             init = _ref(init_spec, resolve)
-        body = operands["in"]
 
         def make_merge(_body, _resolve):
             def merge(acc, x):
@@ -1341,9 +1355,11 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
         to = operands["to"]
         if isinstance(to, int) and not isinstance(to, bool):
             to = _CONVERT_CODES.get(to, to)
+        if to == "timestamp":  # r9b alias — same cascade as "date"
+            to = "date"
         if not isinstance(to, str) or to not in _CONVERT_TYPES:
             raise DocumentQueryError(
-                f"$convert unsupported 'to': {operands['to']!r} "
+                f"$convert bad 'to' {operands['to']!r} "
                 f"(supported: {sorted(_CONVERT_TYPES)} or Mongo codes "
                 f"{sorted(_CONVERT_CODES)})"
             )
@@ -1768,46 +1784,9 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
                 f"$getField field must be a literal string: {field!r}"
             )
         return _ref(operands["input"], resolve)[field]
-    if op == "$convert":
-        # {"input": e, "to": name|bson-id, "onError": e?, "onNull": e?}
-        # — the general cast behind the $toX sugar. Strict cast (ANSI:
-        # malformed input throws, Mongo's behavior) unless onError is
-        # given, then try_cast + fallback; onNull takes precedence for
-        # null INPUT (Mongo's rule). String→bool follows Spark's cast
-        # table ('true'/'false'/'1'/'0'), a documented divergence from
-        # Mongo's any-string-is-true.
-        if not (isinstance(operands, dict) and "input" in operands
-                and "to" in operands):
-            raise DocumentQueryError(f"$convert needs input+to: {spec!r}")
-        to_names = {
-            "double": "double", "string": "string", "int": "int",
-            "long": "long", "bool": "boolean", "date": "date",
-            "timestamp": "timestamp", "decimal": "decimal(38,10)",
-            # Mongo's numeric BSON type ids
-            1: "double", 2: "string", 8: "boolean", 9: "timestamp",
-            16: "int", 18: "long", 19: "decimal(38,10)",
-        }
-        t = to_names.get(operands["to"])
-        if t is None:
-            raise DocumentQueryError(
-                f"$convert bad 'to' {operands['to']!r} (supported: "
-                f"{sorted(k for k in to_names if isinstance(k, str))})"
-            )
-        base = _ref(operands["input"], resolve)
-        if "onError" in operands:
-            casted = F.coalesce(
-                base.try_cast(t), _ref(operands["onError"], resolve)
-            )
-        else:
-            casted = base.cast(t)
-        if "onError" in operands or "onNull" in operands:
-            # null INPUT is not a cast failure: onNull (default null)
-            # takes precedence over onError — Mongo's rule; without the
-            # gate the try_cast coalesce above would claim null inputs
-            on_null = (_ref(operands["onNull"], resolve)
-                       if "onNull" in operands else F.lit(None).cast(t))
-            casted = F.when(base.isNull(), on_null).otherwise(casted)
-        return casted
+    # NOTE: $convert compiles in the r12 branch above (millis-date
+    # cascade, single-typed fallback guard) — the earlier r9b cast
+    # form was folded into it.
     if op == "$literal":
         # verbatim value, no '$' interpretation — scalars, flat lists,
         # and document literals compile to lit/array/struct of literals

@@ -756,6 +756,49 @@ class NL2DocEngine:
                     ],
                 }
 
+        # aggregate-threshold (HAVING) on a MEASURE — "<g>s with
+        # average <m> above N" ("event_types with average value above
+        # 50") compiles to $group {$avg/$sum/$max/$min} + a post-group
+        # $match on the RAW aggregate (the rounded render ships after
+        # the threshold, nl30's convention) — the SQL plane's nl30
+        # surface on the document plane. Same single-shuffle shape as
+        # the count form below.
+        hvm = _re.search(
+            r"\b([a-z_]+?)s?\s+with\s+(?:an?\s+)?"
+            r"(average|avg|mean|total|sum of|maximum|max|minimum|min)"
+            r"\s+([a-z_]+)\s+"
+            r"(above|over|more than|at least|below|under|less than|"
+            r"at most)\s+(\d+(?:\.\d+)?)\b",
+            ql,
+        )
+        if hvm:
+            g_word, agg_word, m_word, cmp_word, n_word = hvm.groups()
+            f = best_field(exclude_id=False, numeric=True, text=m_word)
+            g = best_field(exclude_id=False,
+                           exclude={f} if f else None, text=g_word)
+            if f is not None and g is not None and f != g:
+                acc = {"average": "$avg", "avg": "$avg", "mean": "$avg",
+                       "total": "$sum", "sum of": "$sum",
+                       "maximum": "$max", "max": "$max",
+                       "minimum": "$min", "min": "$min"}[agg_word]
+                cmp_op = {"above": "$gt", "over": "$gt",
+                          "more than": "$gt", "at least": "$gte",
+                          "below": "$lt", "under": "$lt",
+                          "less than": "$lt", "at most": "$lte"}[cmp_word]
+                n_val = float(n_word) if "." in n_word else int(n_word)
+                label = f"{acc[1:]}_{f}"
+                return {
+                    "collection": coll,
+                    "pipeline": [
+                        {"$group": {"_id": f"${g}",
+                                    label: {acc: f"${f}"}}},
+                        {"$match": {label: {cmp_op: n_val}}},
+                        {"$addFields": {label: {"$round": [f"${label}",
+                                                           4]}}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                }
+
         # aggregate-threshold (HAVING) phrasing — "<g>s with <cmp> N
         # <coll>" ("sources with at least 20 documents") compiles to
         # $group + a post-group $match on the count — the SQL plane's

@@ -650,6 +650,26 @@ def _nl75_doc_having_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _nl76_doc_having_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL2Doc aggregate-threshold on a MEASURE ("<g>s with average
+    <m> above N", r12): the SQL plane's nl30 HAVING-on-aggregate
+    surface on the document plane — $group $avg + post-group $match
+    on the raw aggregate, rounded render after the threshold. Same
+    single-shuffle shape as nl75's count form. Oracle: DuckDB
+    GROUP BY ... HAVING avg twin."""
+    from .operators.documents import DocumentStore
+    from .plans.nl2doc import NL2DocEngine
+    from .sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("documents", load_table(spark, sf_dir, "documents"))
+    store.register("events", load_table(spark, sf_dir, "events"))
+    df, _q = NL2DocEngine(store).ask(
+        "event_types with average value above 50"
+    )
+    return df
+
+
 def _nl52_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL2Doc histogram phrasing compiles to a $bucket pipeline (the
     document-plane twin of nl51; oracle: the CASE-chain SQL the bucket
@@ -1633,6 +1653,10 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # convention, onError/onNull tiers with the single-typed-column
     # fallback contract — NEW r12.
     "q201_doc_convert_dialect": DOC.q201_doc_convert_dialect,
+    # NL tier for aggregate thresholds on a MEASURE ("<g>s with
+    # average <m> above N" → $group $avg + post-group $match; the SQL
+    # plane's nl30 surface on the document plane) — NEW r12.
+    "nl76_doc_having_measure": _nl76_doc_having_measure,
 }
 
 # --- round-12 driver window (explicit form of the rotation policy at
@@ -3189,6 +3213,13 @@ ORACLE_SQL: dict[str, str | None] = {
         ORDER BY _id
     """,
     "q201_doc_convert_dialect": DOC.Q201_ORACLE_SQL,
+    "nl76_doc_having_measure": """
+        SELECT event_type AS _id, round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY event_type
+        HAVING avg(value) > 50
+        ORDER BY _id
+    """,
     "nl66_doc_ancestors": """
         WITH RECURSIVE tree AS (
           SELECT doc_id,

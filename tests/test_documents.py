@@ -4038,6 +4038,25 @@ def test_nl2doc_having_count_compile_shape(spark):
     # row-level comparison phrasing is NOT captured by this tier
     q3 = eng.template_query("percentage of t with v over 15 per kind")
     assert q3["pipeline"][0] == {"$match": {"v": {"$gt": 15}}}
+    # measure form (nl76): "<g>s with average <m> above N" -> $group
+    # $avg + post-group $match on the RAW aggregate, rounded render
+    # after the threshold (nl30's convention on the document plane)
+    q4 = eng.template_query("kinds with average v above 12")
+    assert q4["pipeline"][0] == {
+        "$group": {"_id": "$kind", "avg_v": {"$avg": "$v"}}}
+    assert q4["pipeline"][1] == {"$match": {"avg_v": {"$gt": 12}}}
+    assert q4["pipeline"][2] == {
+        "$addFields": {"avg_v": {"$round": ["$avg_v", 4]}}}
+    rows4 = s.aggregate("t", q4["pipeline"]).collect()
+    assert [(r["_id"], r["avg_v"]) for r in rows4] == [
+        ("a", 15.0), ("b", 30.0)]
+    for word, acc in (("total", "$sum"), ("maximum", "$max"),
+                      ("min", "$min")):
+        q5 = eng.template_query(f"kinds with {word} v at least 20")
+        assert q5["pipeline"][0]["$group"][f"{acc[1:]}_v"] == {
+            acc: "$v"}, word
+        assert q5["pipeline"][1] == {
+            "$match": {f"{acc[1:]}_v": {"$gte": 20}}}, word
 
 
 def test_expr_dialect_r10_random_sweep(spark):

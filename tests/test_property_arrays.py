@@ -215,6 +215,12 @@ def _ref_eval(e, doc, env):
 # int32 -> long promotion), not throw DATATYPE_MISMATCH
 @example(e={"$reduce": {"input": "$arr", "initialValue": 0,
             "in": {"$add": ["$$value", "$$this"]}}})
+# the r12 suite's falsifying draw: an INT-literal array whose body
+# references a LONG outer column — the accumulator must widen to the
+# BODY's type, element type alone is not enough
+@example(e={"$reduce": {"input": [4, 2, 8], "initialValue": 0,
+            "in": {"$add": ["$$value",
+                            {"$add": ["$$this", "$k"]}]}}})
 def test_array_lambda_matches_reference(arr_store, e):
     rows = {
         r["_id"]: r["out"]

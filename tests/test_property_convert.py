@@ -216,10 +216,10 @@ def test_convert_error_contracts(conv_store, spark):
         [(1, "x"), (2, None)], "_id int, bad string"))
     with pytest.raises(DocumentQueryError, match="Bad \\$convert"):
         s.aggregate("w", [{"$project": {"o": {"$convert": {"to": "int"}}}}])
-    with pytest.raises(DocumentQueryError, match="unsupported 'to'"):
+    with pytest.raises(DocumentQueryError, match="bad 'to'"):
         s.aggregate("w", [{"$project": {"o": {"$convert": {
             "input": "$bad", "to": "objectId"}}}}])
-    with pytest.raises(DocumentQueryError, match="unsupported 'to'"):
+    with pytest.raises(DocumentQueryError, match="bad 'to'"):
         s.aggregate("w", [{"$project": {"o": {"$convert": {
             "input": "$bad", "to": 7}}}}])  # code 7 = objectId
     # loud on unconvertible input without onError (ANSI cast throws)
