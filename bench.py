@@ -227,6 +227,7 @@ HEADLINE = [
     "nl75_doc_having_count",
     "q201_doc_convert_dialect",
     "nl76_doc_having_measure",
+    "q202_doc_set_object_dialect",
 ]
 
 # Round-over-round comparability (VERDICT r6 task 9): when a query's

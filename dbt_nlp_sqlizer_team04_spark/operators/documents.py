@@ -6706,6 +6706,97 @@ Q201_ORACLE_SQL = """
 """
 
 
+def q202_doc_set_object_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set + object expression surface in one $addFields projection
+    (NEW r12 — driver presence for the r12-swept ops): $setUnion /
+    $setIntersection / $setDifference over the split priority tokens
+    vs a literal set (deterministically sorted outputs, shipped as
+    to_json scalars per the driver-canon contract), $setEquals /
+    $setIsSubset booleans, the FIXED Mongo-truthiness
+    $anyElementTrue/$allElementsTrue pair over a $map whose branches
+    produce nulls (null elements are FALSY — the r12 set-sweep find,
+    here on the driver plane), and a $getField over an
+    $arrayToObject-built map (absent key → null). All native Catalyst
+    in one codegen projection. Oracle: DuckDB list_sort/list_distinct/
+    list_filter twins."""
+    from ..sources.parquet import load_table
+
+    store = DocumentStore(spark)
+    store.register("orders", load_table(spark, sf_dir, "orders"))
+    split = {"$split": ["$o_orderpriority", "-"]}
+    lit_set = ["URGENT", "X"]
+    out = store.aggregate(
+        "orders",
+        [
+            {"$match": {"o_orderkey": {"$lte": 300}}},
+            {"$addFields": {
+                "su": {"$setUnion": [split, lit_set]},
+                "si": {"$setIntersection": [split, lit_set]},
+                "sd": {"$setDifference": [split, lit_set]},
+                "seq": {"$setEquals": [split, split]},
+                "ssub": {"$setIsSubset": [["URGENT"], split]},
+                # null-bearing predicate arrays: the $cond's else arm
+                # is null, so Mongo truthiness (null is FALSY) decides
+                "any_urgent": {"$anyElementTrue": {"$map": {
+                    "input": split, "as": "w",
+                    "in": {"$cond": [{"$eq": ["$$w", "URGENT"]},
+                                     True, {"$literal": None}]}}}},
+                "all_long": {"$allElementsTrue": {"$map": {
+                    "input": split, "as": "w",
+                    "in": {"$cond": [
+                        {"$gte": [{"$strLenCP": "$$w"}, 2]},
+                        True, {"$literal": None}]}}}},
+                # absent key -> null; -1 sentinel keeps the column
+                # int-kind on both engines (a nullable int comes back
+                # float64 from the oracle's pandas fetch)
+                "val_urgent": {"$ifNull": [{"$getField": {
+                    "field": "URGENT",
+                    "input": {"$arrayToObject": {"$map": {
+                        "input": split, "as": "w",
+                        "in": {"k": "$$w",
+                               "v": {"$strLenCP": "$$w"}}}}}}}, -1]},
+            }},
+            {"$project": {"o_orderkey": 1, "su": 1, "si": 1, "sd": 1,
+                          "seq": 1, "ssub": 1, "any_urgent": 1,
+                          "all_long": 1, "val_urgent": 1}},
+            {"$sort": {"o_orderkey": 1}},
+            {"$limit": 150},
+        ],
+    )
+    # driver-canon contract: array outputs ship as to_json strings
+    return (out.withColumn("su", F.to_json("su"))
+               .withColumn("si", F.to_json("si"))
+               .withColumn("sd", F.to_json("sd")))
+
+
+Q202_ORACLE_SQL = """
+    WITH t AS (
+      SELECT o_orderkey,
+             string_split(o_orderpriority, '-') AS sp
+      FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           to_json(list_sort(list_distinct(sp || ['URGENT', 'X'])))
+             AS su,
+           to_json(list_sort(list_distinct(
+             list_filter(sp, w -> list_contains(['URGENT', 'X'], w))
+           ))) AS si,
+           to_json(list_sort(list_distinct(
+             list_filter(sp, w -> NOT list_contains(['URGENT', 'X'], w))
+           ))) AS sd,
+           TRUE AS seq,
+           list_contains(sp, 'URGENT') AS ssub,
+           list_contains(sp, 'URGENT') AS any_urgent,
+           (len(list_filter(sp, w -> length(w) < 2)) = 0) AS all_long,
+           COALESCE(CASE WHEN list_contains(sp, 'URGENT')
+                         THEN CAST(length('URGENT') AS INTEGER) END,
+                    -1) AS val_urgent
+    FROM t
+    ORDER BY o_orderkey
+    LIMIT 150
+"""
+
+
 def q200_doc_documents_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``$documents`` (Mongo 5.1 inline literal collection — the last
     applicable aggregate stage): a db-level ``aggregate(None, ...)``

@@ -1657,6 +1657,11 @@ SPARK_QUERIES: dict[str, QueryFn] = {
     # average <m> above N" → $group $avg + post-group $match; the SQL
     # plane's nl30 surface on the document plane) — NEW r12.
     "nl76_doc_having_measure": _nl76_doc_having_measure,
+    # set + object expression surface (sorted set ops as to_json
+    # scalars, the fixed Mongo-truthiness any/all pair over
+    # null-bearing predicate arrays, $getField over an
+    # $arrayToObject-built map) — NEW r12.
+    "q202_doc_set_object_dialect": DOC.q202_doc_set_object_dialect,
 }
 
 # --- round-12 driver window (explicit form of the rotation policy at
@@ -3213,6 +3218,7 @@ ORACLE_SQL: dict[str, str | None] = {
         ORDER BY _id
     """,
     "q201_doc_convert_dialect": DOC.Q201_ORACLE_SQL,
+    "q202_doc_set_object_dialect": DOC.Q202_ORACLE_SQL,
     "nl76_doc_having_measure": """
         SELECT event_type AS _id, round(avg(value), 4) AS avg_value
         FROM events

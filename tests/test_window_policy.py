@@ -65,7 +65,7 @@ PLANNED: dict[str, int] = {
     # round-14 targets (rounds 12 and 13 are already full)
     **{k: 14 for k in (
         "nl75_doc_having_count", "q201_doc_convert_dialect",
-        "nl76_doc_having_measure",
+        "nl76_doc_having_measure", "q202_doc_set_object_dialect",
     )},
     # the cp=8 re-confirmation wave due at round 12 (wait reaches 4 >
     # MAX_WAIT) — the r12 window is full, so the oldest 24 (added
