@@ -3730,6 +3730,15 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
     fkeyed = fdf.withColumn(
         "__to", F.explode(F.col(cto)) if cto_arr else F.col(cto)
     )
+    # NOTE (r13 optimization round): keeping the growing accumulators
+    # (matched, visited) as LAZY unions of the per-round checkpointed
+    # leaves — avoiding the O(d²) re-materialization these eager
+    # re-checkpoints pay — was tried and MEASURED SLOWER at sf0.1
+    # (q172 1.89 s → 2.95 s, q179 1.02 s → 1.35 s in the full bench):
+    # every superstep re-plans a union tree that grows with depth, and
+    # at realistic graph depths the per-round planning/stage overhead
+    # of the bigger plan dwarfs the copied bytes. The eager collapse
+    # keeps every round's plan O(1)-sized; reverted.
     matched = None
     depth = 0
     while True:

@@ -732,7 +732,13 @@ def cosine_near_dup_pairs(
         left.groupBy("bi", "bj")
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(tile, "id_a long, id_b long, cosine double")
-        .orderBy("id_a", "id_b")
+        # survivors are pair-sized (≪ corpus): one-partition sort gives
+        # the same deterministic global order as orderBy WITHOUT the
+        # range-partitioner sampling pass — orderBy's bounds sampling
+        # sits directly above the tile stage, so it re-runs every
+        # cogroup matmul a second time (the q52 convention)
+        .repartition(1)
+        .sortWithinPartitions("id_a", "id_b")
     )
 
 

@@ -38,6 +38,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Parquet-footer schema cache, keyed by (path, size, mtime_ns): the
+# driver-side footer read + schema inference costs ~130-270 ms per
+# `spark.read.parquet` call in this environment vs ~20-40 ms with an
+# explicit schema (guide §6: file listing/metadata work is driver-side,
+# single-process, and paid per query without a catalog). A real
+# deployment registers these tables in a catalog exactly so that query
+# N never re-infers what query 1 already knew; this cache is that
+# catalog's schema entry. The (size, mtime_ns) signature invalidates on
+# any in-place regeneration of the corpus — same contract as
+# operators/dedup._sf_tag. No data rows are cached: every query still
+# scans parquet.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _read_with_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return spark.read.parquet(path)  # missing file: loud error as before
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table, normalizing physical-type quirks.
 
@@ -57,7 +85,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from ..session import ensure_event_time_confs
 
         ensure_event_time_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
+    df = _read_with_cached_schema(spark, table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer division: `/` promotes to double, and nanos-since-epoch
         # (~1.7e18) exceeds double's exact-integer range (2^53), which
