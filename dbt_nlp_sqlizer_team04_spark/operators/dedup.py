@@ -1553,23 +1553,28 @@ def edit_distance_pairs(
     levenshtein is unit-cost identical).
     """
     p = F.substring("text", 1, prefix)
-    hist = F.array(
-        *[
-            (F.length(p) - F.length(F.replace(p, F.lit(chr(c)))))
-            for c in range(ord("a"), ord("z") + 1)
-        ]
+    # histogram as ONE transform expression, not 26 unrolled
+    # length/replace column pairs: the histogram is per-DOC (behind the
+    # repartition barrier below), so the interpreted higher-order
+    # lambda costs nothing at that grain, while the unrolled form both
+    # paid ~100 py4j roundtrips per plan build (~1 ms each in this
+    # environment) and generated a projection large enough to pressure
+    # Janino/codegen every run (interleaved A/B at sf0.1:
+    # min 3.88 s → 3.45 s, p50 4.33 s → 3.81 s; rows identical).
+    hist = F.expr(
+        "transform(sequence(97, 122), "
+        "c -> length(p) - length(replace(p, char(c))))"
     )
     # .repartition("b") is a deliberate optimizer BARRIER, not a tuning
-    # knob: without it CollapseProject inlines the 26-replace histogram
-    # into the join condition and it is recomputed PER PAIR (measured
-    # 8.6 s at sf0.1); behind the exchange it is computed once per DOC.
+    # knob: without it CollapseProject inlines the histogram into the
+    # join condition and it is recomputed PER PAIR (measured 8.6 s at
+    # sf0.1); behind the exchange it is computed once per DOC.
     slim = docs.select(
         "doc_id",
         "n_chars",
         p.alias("p"),
-        hist.alias("h"),
         F.floor(F.col("n_chars") / len_band).alias("b"),
-    ).repartition("b")
+    ).withColumn("h", hist).repartition("b")
     probe = slim.select(
         F.col("doc_id").alias("doc_b"),
         F.col("n_chars").alias("nb"),
@@ -1582,11 +1587,10 @@ def edit_distance_pairs(
     # unrolled L1, NOT zip_with/aggregate: higher-order functions drop
     # out of whole-stage codegen into interpreted lambda evaluation —
     # the unrolled 26-term arithmetic is ~1.5x faster on the hot pair
-    # stream (measured)
-    l1 = None
-    for i in range(26):
-        term = F.abs(F.col("h")[i] - F.col("hb")[i])
-        l1 = term if l1 is None else l1 + term
+    # stream (measured). Emitted as ONE parsed SQL string: same
+    # expression tree and codegen as the Python-built fold, minus ~75
+    # py4j roundtrips per plan build.
+    l1 = F.expr(" + ".join(f"abs(h[{i}] - hb[{i}])" for i in range(26)))
     dist = F.levenshtein(F.col("p"), F.col("pb"))
     return (
         slim.join(probe, "b")

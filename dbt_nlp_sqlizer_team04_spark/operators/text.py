@@ -95,7 +95,14 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         punct_count_expr(t).cast("long").alias("n_punct"),
         stopword_count_expr(t).cast("long").alias("n_stopwords"),
         bpe_token_count_expr(t).cast("long").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+        # NO output sort (guide §2.4 — an orderBy used only to make
+        # output deterministic): this is corpus-grain and the range
+        # partitioner's bounds sampling sits directly on the heavy
+        # projection, recomputing every per-doc expression a second
+        # time (measured 1.19 s → 0.66 s at sf0.1). The correctness
+        # gate's value hash is order-insensitive (q120 precedent), and
+        # real consumers key on doc_id.
+    )
 
 
 def quality_score_expr(text_col: Column) -> Column:
@@ -392,10 +399,12 @@ def pii_scrub_stats(
 
 # ------------------------------------------------------------- fingerprints
 def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """md5 fingerprint of whitespace-normalized text per document."""
+    """md5 fingerprint of whitespace-normalized text per document.
+    No output sort — same §2.4 rationale as :func:`text_stats` (the
+    sort's sampling pass would hash-normalize the corpus twice)."""
     return df.select(
         "doc_id", F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
 
 
 # ----------------------------------------------------- registry queries
@@ -569,11 +578,12 @@ def gopher_quality(
     max_words: int = 100_000,
     stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
 ) -> DataFrame:
-    """Batch view of :func:`gopher_signals`, doc-ordered for the oracle
-    hash contract."""
-    return gopher_signals(
-        df, text_col, min_words, max_words, stopwords
-    ).orderBy("doc_id")
+    """Batch view of :func:`gopher_signals`. No output sort: the value
+    hash is order-insensitive (rows are sorted inside the compare on
+    both planes), and a final orderBy's bounds-sampling pass recomputes
+    the whole signal projection a second time (guide §2.4; the q30
+    measurement)."""
+    return gopher_signals(df, text_col, min_words, max_words, stopwords)
 
 
 # The synthetic docs run 10-99 words; published 50/100k would pass-fail

@@ -83,6 +83,13 @@ def get_spark(
     return spark
 
 
+# Sessions whose event-time confs are already pinned (keyed by id():
+# a conf, once set by this guard, stays set for the session's life —
+# the two conf round-trips per events load are pure overhead after the
+# first call, ~2 ms each through this environment's py4j gateway).
+_EVENT_CONFS_PINNED: set[int] = set()
+
+
 def ensure_event_time_confs(spark: SparkSession) -> None:
     """Pin the two session confs event-time correctness depends on.
 
@@ -96,9 +103,12 @@ def ensure_event_time_confs(spark: SparkSession) -> None:
     ``strftime``/``epoch_us`` render instants as UTC, so a non-UTC
     session would silently shift every formatted bucket boundary.
     """
+    if id(spark) in _EVENT_CONFS_PINNED:
+        return
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         # TIMESTAMP(NANOS) is rejected by the vectorized reader; read raw
         # nanos and let the loaders truncate to micros (DuckDB-identical).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _EVENT_CONFS_PINNED.add(id(spark))

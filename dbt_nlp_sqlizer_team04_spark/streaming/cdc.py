@@ -148,9 +148,19 @@ class CdcUpsertSink:
         if self.n_buckets is None:
             base.write.mode("overwrite").parquet(self.snapshot_dir)
         else:
-            base.withColumn("__bucket", self._bucket_expr()).write.mode(
-                "overwrite"
-            ).partitionBy("__bucket").parquet(self.snapshot_dir)
+            # repartition by bucket before the partitioned write: without
+            # it every upstream task opens a file in every bucket dir it
+            # holds rows for (tasks × buckets small files — measured 512
+            # file creates for a 32-partition seed into 16 buckets);
+            # with it each bucket is one task writing one right-sized
+            # file (guide §6 output sizing — at deployment scale a
+            # few-GB bucket per file; shard wider via
+            # spark.sql.files.maxRecordsPerFile if buckets outgrow that)
+            base.withColumn("__bucket", self._bucket_expr()).repartition(
+                "__bucket"
+            ).write.mode("overwrite").partitionBy("__bucket").parquet(
+                self.snapshot_dir
+            )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -221,9 +231,12 @@ class CdcUpsertSink:
             op_col=self.op_col,
         )
         staged_root = self.snapshot_dir + "__staged"
-        merged.withColumn("__bucket", self._bucket_expr()).write.mode(
-            "overwrite"
-        ).partitionBy("__bucket").parquet(staged_root)
+        # same tasks×buckets small-file avoidance as init_snapshot: the
+        # epoch-sized merge output shuffles once by bucket so each
+        # touched bucket is staged as one file, not one per merge task
+        merged.withColumn("__bucket", self._bucket_expr()).repartition(
+            "__bucket"
+        ).write.mode("overwrite").partitionBy("__bucket").parquet(staged_root)
         for i in touched:
             old = Path(self._old_dir(i))
             if fs.exists(old):

@@ -576,28 +576,35 @@ def daily_bucket_counts(
     )
 
 
-def drift_from_counts(counts: DataFrame) -> DataFrame:
+def drift_from_counts(counts: DataFrame, dense: bool = False) -> DataFrame:
     """Day-over-day PSI from the materialized counts table: densify to
     the full day×bucket grid (a missing bucket is a zero count, which
     must contribute its ε-clamped term, not silently drop), share per
     day, lag the share per bucket, fold. Pure batch arithmetic over a
     days×buckets-sized frame — at 100 TB this reads kilobytes while the
-    stream does the counting."""
+    stream does the counting. ``dense=True`` declares the caller
+    already supplies every (day, 0..DRIFT_BUCKETS-1) row (the
+    driver-dict sink densifies for free), skipping the
+    distinct-collect + grid join that densification otherwise costs —
+    same rows either way, pinned by the kappa-parity pytest."""
     from pyspark.sql import Window
 
     spark = counts.sparkSession
-    # densify via a driver-built grid: the day list is calendar-sized
-    # (bounded collect), and building the grid fresh sidesteps the
-    # self-join ambiguity of deriving days FROM counts and joining back
-    # to counts (both sides would share the sink view's lineage)
-    day_list = sorted(
-        r["day"] for r in counts.select("day").distinct().collect()
-    )
-    grid = spark.createDataFrame(
-        [(d, b) for d in day_list for b in range(DRIFT_BUCKETS)],
-        "day string, bucket int",
-    )
-    f = grid.join(counts, ["day", "bucket"], "left").fillna(0, ["n"])
+    if dense:
+        f = counts
+    else:
+        # densify via a driver-built grid: the day list is calendar-sized
+        # (bounded collect), and building the grid fresh sidesteps the
+        # self-join ambiguity of deriving days FROM counts and joining back
+        # to counts (both sides would share the sink view's lineage)
+        day_list = sorted(
+            r["day"] for r in counts.select("day").distinct().collect()
+        )
+        grid = spark.createDataFrame(
+            [(d, b) for d in day_list for b in range(DRIFT_BUCKETS)],
+            "day string, bucket int",
+        )
+        f = grid.join(counts, ["day", "bucket"], "left").fillna(0, ["n"])
     w_day = Window.partitionBy("day")
     w_lag = Window.partitionBy("bucket").orderBy("day")
     shared = f.select(
@@ -627,6 +634,7 @@ def drift_counts_stream_to_memory(
     sf_dir: str,
     table_name: str = "drift_counts_stream",
     timeout_s: int = 120,
+    dense: bool = False,
 ) -> DataFrame:
     """Run the streaming counts half until the source drains; returns
     the accumulated counts frame.
@@ -660,10 +668,22 @@ def drift_counts_stream_to_memory(
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
-    return spark.createDataFrame(
-        [(d, b, n) for (d, b), n in sorted(acc.items())],
-        "day string, bucket int, n long",
-    )
+    if dense:
+        # densify in the driver dict, where it is a comprehension over a
+        # days×buckets-sized map: a missing (day, bucket) is a zero
+        # count — exactly the rows drift_from_counts' grid join would
+        # add, so the scorer can skip that distinct-collect + join
+        # (dense=True). Default stays SPARSE: the kappa-parity pytest
+        # pins streamed counts == batch builder counts row-for-row.
+        days = sorted({d for (d, _b) in acc})
+        rows = [
+            (d, b, acc.get((d, b), 0))
+            for d in days
+            for b in range(DRIFT_BUCKETS)
+        ]
+    else:
+        rows = [(d, b, n) for (d, b), n in sorted(acc.items())]
+    return spark.createDataFrame(rows, "day string, bucket int, n long")
 
 
 def q147_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,9 +693,9 @@ def q147_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raw events (kappa parity for the whole monitor, not just the
     counting half)."""
     counts = drift_counts_stream_to_memory(
-        spark, sf_dir, table_name="q147_sink"
+        spark, sf_dir, table_name="q147_sink", dense=True
     )
-    return drift_from_counts(counts)
+    return drift_from_counts(counts, dense=True)
 
 
 def stream_drift_oracle_sql() -> str:
