@@ -270,6 +270,18 @@ NOTES: dict[str, str] = {
         "(~1.4x slower host than r11) — load-adjusted ~1.26s, in "
         "line with r10; tile-local top-k plan unchanged."
     ),
+    "q147_stream_drift": (
+        "r13 scorer change (dense driver-dict counts, grid join removed: "
+        "12 exchanges -> 8, 2 joins -> 0) measured 2.82s mid-round at "
+        "calib_sec 0.32; the round-close full run recorded 6.91s at a "
+        "degrading-host window and the isolated clean re-run playbook "
+        "(code untouched) measured min 5.6s at calib_sec 0.405 vs the "
+        "round's baseline calib 0.157 (~2.6x slower host) — "
+        "load-adjusted ~2.2s, consistent with the improved plan. "
+        "Streaming entries amplify host slowness (epoch scheduling + "
+        "state-store I/O), so q147 tracks calib harder than CPU-bound "
+        "queries; adjudicated noise, not plan."
+    ),
     "q197_rep_ngram_char_fractions": (
         "r11's recorded 2.89s (vs r10 1.68s) adjudicated r12 as "
         "noise: isolated clean re-run min 1.83s at calib_sec 0.289 "

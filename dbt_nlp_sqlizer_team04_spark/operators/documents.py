@@ -1052,7 +1052,17 @@ def _python_probe(pattern: str) -> str:
     rewrite requires a leading letter) and named backrefs
     ``\\k<name>`` → ``(?P=name)``."""
     probe = re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", pattern)
-    return re.sub(r"\\k<([A-Za-z][A-Za-z0-9]*)>", r"(?P=\1)", probe)
+    # escape-aware: only rewrite \k that is itself an ESCAPE — i.e.
+    # preceded by an even number of backslashes. A literal-backslash
+    # pattern like \\k<x> (escaped backslash, then plain text k<x>)
+    # must pass through untouched or the probe becomes uncompilable
+    # and a valid Java pattern gets a false typed rejection (r13
+    # advice find).
+    return re.sub(
+        r"(?<!\\)((?:\\\\)*)\\k<([A-Za-z][A-Za-z0-9]*)>",
+        r"\1(?P=\2)",
+        probe,
+    )
 
 
 def _regex_operands(op: str, operands: Any) -> tuple[Any, str]:
@@ -1378,7 +1388,15 @@ def _expr(spec: dict[str, Any], resolve=None) -> Column:
             if fb is None or isinstance(fb, dict) or (
                     isinstance(fb, str) and fb.startswith("$")):
                 continue  # absent / expression / field path
-            if to in ("string", "date"):
+            if to == "date":
+                # the date cascade yields a TIMESTAMP column and no
+                # scalar literal is timestamp-typed: a bare string
+                # fallback would silently re-type the whole column to
+                # string under when()-coercion — the exact class this
+                # guard exists to block (r13 advice find). Use an
+                # expression fallback ({"$toDate": ...} / field path).
+                ok = False
+            elif to == "string":
                 ok = isinstance(fb, str)
             elif to == "bool":
                 ok = isinstance(fb, bool)

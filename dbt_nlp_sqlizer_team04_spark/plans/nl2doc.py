@@ -814,7 +814,12 @@ class NL2DocEngine:
             r"under)\s+(\d+)\s+([a-z_]+?)s?\b",
             ql,
         )
-        if hv and hv.group(4) == coll.rstrip("s"):
+        # removesuffix, NOT rstrip: rstrip("s") strips EVERY trailing
+        # 's' ("address" -> "addre"), so a double-s collection could
+        # never match its counted noun and the tier silently failed to
+        # fire (r13 advice find). Accept the noun matching either the
+        # collection or its singular.
+        if hv and hv.group(4) in (coll, coll.removesuffix("s")):
             g = best_field(exclude_id=False, text=hv.group(1))
             if g is not None:
                 cmp_op = {"at least": "$gte", "more than": "$gt",

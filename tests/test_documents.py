@@ -3917,6 +3917,24 @@ def test_regex_java_python_dialect_bridge(spark):
         with pytest.raises(DocumentQueryError, match="Python-only"):
             s.aggregate("t", [{"$project": {"x": {"$regexMatch": {
                 "input": "$body", "regex": bad}}}}])
+    # r13 advice fix: an ESCAPED backslash followed by plain-text k<x>
+    # (pattern chars \\k<x>) is valid Java regex and must NOT be
+    # rewritten as a named backref — the naive rewrite produced an
+    # uncompilable probe and a false typed rejection. It validates and
+    # runs (no row contains a literal backslash, so it matches False),
+    # while a REAL backref after an escaped backslash still rewrites.
+    s2 = DocumentStore(spark)
+    s2.register("u", spark.createDataFrame(
+        [(1, "\\k<x>"), (2, "a77b")], "id int, body string"))
+    rows = {r["id"]: r for r in s2.aggregate("u", [{"$project": {
+        "id": 1,
+        "lit_bs": {"$regexMatch": {
+            "input": "$body", "regex": "\\\\k<x>"}},
+        "bs_then_backref": {"$regexMatch": {
+            "input": "$body", "regex": "(?<d>[0-9])\\\\?\\k<d>"}},
+    }}]).collect()}
+    assert rows[1]["lit_bs"] is True and rows[2]["lit_bs"] is False
+    assert rows[2]["bs_then_backref"] is True
 
 
 def test_shift_default_must_be_constant_scalar(spark):

@@ -67,7 +67,14 @@ def _fb_ok(fb, to) -> bool:
     family (the single-typed-column contract; sweep-found r12)."""
     if fb is None:
         return True
-    if to in ("string", "date"):
+    if to == "date":
+        # no scalar literal is timestamp-typed: the engine rejects ALL
+        # literal fallbacks for to:'date' (r13 advice fix — a string
+        # literal previously slipped through and silently re-typed the
+        # whole column under when()-coercion); expression fallbacks
+        # ({"$toDate": ...}) remain the supported form
+        return False
+    if to == "string":
         return isinstance(fb, str)
     if to == "bool":
         return isinstance(fb, bool)
@@ -253,6 +260,24 @@ def test_convert_error_contracts(conv_store, spark):
                       "td": {"$toDecimal": {"$literal": 2.5}}}},
     ]).collect()[0]
     assert got["tb"] is True and float(got["td"]) == 2.5
+
+
+def test_convert_date_literal_fallback_rejected(conv_store):
+    """r13 advice fix: to:'date' yields a TIMESTAMP column, so a bare
+    string (or numeric) onError/onNull literal — previously accepted by
+    the guard — would silently re-type the whole column under
+    when()-coercion. Both are now a typed compile-time error; an
+    expression fallback still works."""
+    for fb in ("1999-01-01", -1, True):
+        for key in ("onError", "onNull"):
+            with pytest.raises(DocumentQueryError, match="does not match"):
+                conv_store.aggregate("t", [{"$project": {"o": {"$convert": {
+                    "input": "$s_date", "to": "date", key: fb}}}}])
+    # the supported form: an expression fallback of the target type
+    rows = conv_store.aggregate("t", [{"$project": {"o": {"$convert": {
+        "input": "$s_num", "to": "date",
+        "onError": {"$convert": {"input": 0, "to": "date"}}}}}}]).collect()
+    assert len(rows) > 0
 
 
 def test_q201_plan_contract(spark, sf_smoke):
