@@ -388,11 +388,15 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
     total = round(sum(timings.values()), 4)
     # The driver records only the TAIL of this output (observed cap:
-    # 2000 chars in r4 — the full 86-query dict overflowed it and the
-    # recorded line didn't parse). Keep the printed JSON line comfortably
-    # under that window: if the full per-query dict would overflow, keep
-    # the slowest entries (the ones a judge actually reads) and write the
-    # complete detail to bench_full.json next to this script.
+    # 2000 chars — in r12/r13 the NOTES dict inlined into the line pushed
+    # it past that window, the tail truncated the opening '{"metric"',
+    # and the recorded line no longer parsed, killing the driver's
+    # round-over-round comparison). So: the printed line NEVER carries
+    # notes and stays comfortably under the window (trimming the
+    # per-query dict to the slowest entries when needed), while the
+    # COMPLETE payload — all per-query timings plus NOTES — is always
+    # written to bench_full.json next to this script for per-query
+    # round-over-round comparison.
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -405,20 +409,21 @@ def main() -> None:
         "sf": sf,
         "calib_sec": calib_sec,
     }
+    full = dict(payload)
     if NOTES:
-        payload["notes"] = NOTES
+        full["notes"] = NOTES
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
     line = json.dumps(payload)
     if len(line) > 1800:
-        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "bench_full.json")
-        with open(full_path, "w") as f:
-            json.dump(payload, f, indent=1)
         slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+        payload["full_detail"] = "bench_full.json"
         while len(line) > 1800 and len(slowest) > 5:
             slowest.pop(next(reversed(slowest)))
             payload["queries"] = slowest
             payload["queries_omitted"] = len(timings) - len(slowest)
-            payload["full_detail"] = "bench_full.json"
             line = json.dumps(payload)
     print(line)
 

@@ -615,7 +615,17 @@ def _ref(arg: Any, resolve=None) -> Column:
     dicts recurse into the expression language (:func:`_expr`). An
     optional ``resolve`` callable overrides how '$field' / '$$var'
     tokens become Columns — the correlated-$lookup compiler uses it to
-    bind '$field' to the foreign side and '$$var' to the local side."""
+    bind '$field' to the foreign side and '$$var' to the local side.
+
+    With the default resolver, a supported expression document compiles
+    through the SQL-text fast path (ONE F.expr parse instead of a py4j
+    roundtrip per node — see ``_sql_of``); the trees are identical by
+    the canonicalized-plan test contract, and anything unsupported
+    falls through to the Column path below unchanged."""
+    if resolve is None and _SQL_FAST_PATH:
+        s = _sql_of(arg, None)
+        if s is not None:
+            return F.expr(s)
     if isinstance(arg, str) and arg.startswith("$"):
         if resolve is not None:
             return resolve(arg)
@@ -1111,6 +1121,946 @@ def _regex_operands(op: str, operands: Any) -> tuple[Any, str]:
             f"{op} bad pattern {pattern!r}: {exc}"
         ) from exc
     return operands["input"], pattern
+
+
+# ------------------------------------------------------------------ r14
+# SQL-text fast path for expression compilation (guide §4/§5: the
+# driver should do almost no work — through this environment's ~1-2 ms
+# py4j gateway every Column operation is a JVM roundtrip, so a deep
+# expression document costs 0.2-0.6 s of PURE plan construction when
+# built node-by-node). The emitter below renders a supported expression
+# document to ONE SQL string, compiled with a single F.expr() parse.
+#
+# Equivalence contract: every template here parses to the EXACT
+# Catalyst tree the Column path builds — verified by canonicalized-
+# optimized-plan equality in tests/test_documents.py
+# (test_sql_fast_path_tree_equivalence) over the full op battery, so
+# plans, results and hashes are unchanged by construction. Anything
+# not provably identical (document literals — struct() vs
+# named_struct() render differently — $convert's cascade, the regex
+# family, date arithmetic, $let, …) returns None and falls back to the
+# Column path, which also keeps every typed-error contract: the
+# emitter only fires on specs it has fully validated, so malformed
+# input always reaches the Column path's DocumentQueryError.
+_SQL_FAST_PATH = True
+
+_SQL_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_SQL_CASTS = {
+    "$toString": "STRING", "$toInt": "INT", "$toLong": "BIGINT",
+    "$toDouble": "DOUBLE", "$toDate": "DATE", "$toBool": "BOOLEAN",
+    "$toDecimal": "DECIMAL(38,10)",
+}
+
+_SQL_DATE_FNS = {
+    "$year": "year", "$month": "month", "$dayOfMonth": "dayofmonth",
+    "$hour": "hour", "$minute": "minute", "$second": "second",
+    "$dayOfWeek": "dayofweek", "$dayOfYear": "dayofyear",
+    "$isoWeek": "weekofyear",
+}
+
+_SQL_FN1 = {
+    "$toUpper": "upper", "$toLower": "lower", "$strLenCP": "length",
+    "$abs": "abs", "$ceil": "ceil", "$floor": "floor", "$sqrt": "sqrt",
+    "$exp": "exp", "$ln": "ln", "$log10": "log10", "$trim": "trim",
+    "$ltrim": "ltrim", "$rtrim": "rtrim", "$strLenBytes": "octet_length",
+    "$reverseArray": "reverse", "$sin": "sin", "$cos": "cos",
+    "$tan": "tan", "$asin": "asin", "$acos": "acos", "$atan": "atan",
+    "$sinh": "sinh", "$cosh": "cosh", "$tanh": "tanh",
+    "$degreesToRadians": "radians", "$radiansToDegrees": "degrees",
+    "$bitNot": None,  # rendered as ~x below
+}
+
+
+def _sql_lit(v: Any) -> str | None:
+    """SQL literal with the same Catalyst type F.lit() would produce
+    (bool before int — bool is an int subclass; D-suffixed doubles —
+    a bare 1.5 parses as DECIMAL; L-suffix only past int32 — F.lit
+    makes IntegerType literals in range)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        if -(2**31) <= v < 2**31:
+            return str(v)
+        if -(2**63) <= v < 2**63:
+            return f"{v}L"
+        return None
+    if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):
+            return None
+        return repr(v) + "D"
+    if isinstance(v, str):
+        if any(ord(c) < 32 or ord(c) == 127 for c in v):
+            return None  # keep control-char escaping out of scope
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None  # dates/datetimes/bytes: Column path
+
+
+def _sql_ident(path: str) -> str | None:
+    if not path or "`" in path or path.startswith("__m_"):
+        # "__m_" is the emitter's lambda-parameter namespace: a column
+        # of that name would be shadowed inside lambda bodies
+        return None
+    return ".".join("`" + seg + "`" for seg in path.split("."))
+
+
+def _sql_of(arg: Any, env: dict[str, str] | None) -> str | None:
+    """SQL text for an expression document under the DEFAULT resolver
+    ('$f' → column f; '$$v' → the lambda binding in ``env``), or None
+    when any node lacks a verified SQL twin."""
+    if isinstance(arg, str):
+        if arg.startswith("$$"):
+            if env and arg[2:] in env:
+                return env[arg[2:]]
+            return None
+        if arg.startswith("$"):
+            return _sql_ident(arg[1:])
+        return _sql_lit(arg)
+    if isinstance(arg, dict):
+        if len(arg) == 1 and next(iter(arg)).startswith("$"):
+            return _sql_expr_text(arg, env)
+        # document literal → struct with aliases (struct(e AS `k`, …)
+        # parses to the same CreateStruct F.struct(e.alias(k)) builds)
+        if not arg or any(k.startswith("$") or "`" in k for k in arg):
+            return None
+        parts = [(k, _sql_of(v, env)) for k, v in arg.items()]
+        if any(p is None for _, p in parts):
+            return None
+        return ("struct("
+                + ", ".join(f"{p} AS `{k}`" for k, p in parts) + ")")
+    if isinstance(arg, list):
+        if not arg:
+            return "CAST(array() AS ARRAY<STRING>)"
+        parts = [_sql_of(e, env) for e in arg]
+        if any(p is None for p in parts):
+            return None
+        return "array(" + ", ".join(parts) + ")"
+    return _sql_lit(arg)
+
+
+def _sql_literal_tree(v: Any) -> str | None:
+    """$literal body: scalars, lists and documents, NO '$'
+    interpretation (keys and strings stay verbatim text)."""
+    if isinstance(v, dict):
+        if not v or any("`" in k for k in v):
+            return None
+        parts = [(k, _sql_literal_tree(x)) for k, x in v.items()]
+        if any(p is None for _, p in parts):
+            return None
+        return ("struct("
+                + ", ".join(f"{p} AS `{k}`" for k, p in parts) + ")")
+    if isinstance(v, list):
+        if not v:
+            return "CAST(array() AS ARRAY<STRING>)"
+        parts = [_sql_literal_tree(x) for x in v]
+        if any(p is None for p in parts):
+            return None
+        return "array(" + ", ".join(parts) + ")"
+    return _sql_lit(v)
+
+
+def _sql_bool(x: str) -> str:
+    return f"CAST({x} AS BOOLEAN)"
+
+
+def _sql_expr_text(  # noqa: C901 — one dispatcher, mirror of _expr
+    spec: dict[str, Any], env: dict[str, str] | None
+) -> str | None:
+    if len(spec) != 1:
+        return None
+    op, operands = next(iter(spec.items()))
+
+    def sub(a: Any) -> str | None:
+        return _sql_of(a, env)
+
+    # ---- special forms -------------------------------------------
+    if op == "$cond":
+        if isinstance(operands, dict):
+            parts = [operands.get("if"), operands.get("then"),
+                     operands.get("else")]
+            if any(p is None for p in parts):
+                return None
+        else:
+            parts = list(operands) if isinstance(operands, list) else None
+            if parts is None or len(parts) != 3:
+                return None
+        c, t, e = (sub(p) for p in parts)
+        if None in (c, t, e):
+            return None
+        return f"CASE WHEN {c} THEN {t} ELSE {e} END"
+    if op in ("$and", "$or"):
+        if not isinstance(operands, list) or not operands:
+            return None
+        xs = [sub(a) for a in operands]
+        if any(x is None for x in xs):
+            return None
+        word = "AND" if op == "$and" else "OR"
+        out = _sql_bool(xs[0])
+        for x in xs[1:]:
+            out = f"({out} {word} {_sql_bool(x)})"
+        return out
+    if op == "$switch":
+        if not (isinstance(operands, dict)
+                and isinstance(operands.get("branches"), list)
+                and operands["branches"]):
+            return None
+        pieces = []
+        for br in operands["branches"]:
+            if not (isinstance(br, dict) and "case" in br and "then" in br):
+                return None
+            c, t = sub(br["case"]), sub(br["then"])
+            if c is None or t is None:
+                return None
+            pieces.append(f"WHEN {_sql_bool(c)} THEN {t}")
+        tail = ""
+        if "default" in operands:
+            d = sub(operands["default"])
+            if d is None:
+                return None
+            tail = f" ELSE {d}"
+        return "CASE " + " ".join(pieces) + tail + " END"
+    if op == "$literal":
+        return _sql_literal_tree(operands)
+    if op in ("$round", "$trunc"):
+        args = operands if isinstance(operands, list) else [operands]
+        if len(args) > 1 and not (isinstance(args[1], int)
+                                  and not isinstance(args[1], bool)):
+            return None
+        place = args[1] if len(args) > 1 else 0
+        v = sub(args[0])
+        if v is None:
+            return None
+        if op == "$round":
+            return f"bround({v}, {place})"
+        sd = repr(float(10**place)) + "D"
+        return (f"(CASE WHEN (({v} * {sd}) >= 0) THEN floor(({v} * {sd}))"
+                f" ELSE ceil(({v} * {sd})) END / {sd})")
+    if op == "$split":
+        import re as _re_mod
+
+        if not (isinstance(operands, list) and len(operands) == 2
+                and isinstance(operands[1], str)
+                and not operands[1].startswith("$")):
+            return None
+        s = sub(operands[0])
+        pat = _sql_lit(_re_mod.escape(operands[1]))
+        if s is None or pat is None:
+            return None
+        return f"split({s}, {pat}, -1)"
+    if op == "$substrCP":
+        if not (isinstance(operands, list) and len(operands) == 3):
+            return None
+        s, start, cnt = (sub(a) for a in operands)
+        if None in (s, start, cnt):
+            return None
+        return f"substring({s}, ({start} + 1), {cnt})"
+    if op == "$substrBytes":
+        args = operands if isinstance(operands, list) else [operands]
+        if len(args) != 3:
+            return None
+        s, start, cnt = (sub(a) for a in args)
+        if None in (s, start, cnt):
+            return None
+        return (f"CAST(substring(CAST({s} AS BINARY), "
+                f"(CAST({start} AS INT) + 1), CAST({cnt} AS INT)) "
+                f"AS STRING)")
+    if op == "$arrayElemAt":
+        if not (isinstance(operands, list) and len(operands) == 2):
+            return None
+        arr, idx = sub(operands[0]), sub(operands[1])
+        if arr is None or idx is None:
+            return None
+        return (f"try_element_at({arr}, CAST(CASE WHEN ({idx} >= 0) "
+                f"THEN ({idx} + 1) ELSE {idx} END AS INT))")
+    if op == "$slice":
+        if not (isinstance(operands, list) and len(operands) in (2, 3)):
+            return None
+        arr = sub(operands[0])
+        tail_ints = operands[1:]
+        if arr is None or not all(
+            isinstance(x, int) and not isinstance(x, bool)
+            for x in tail_ints
+        ):
+            return None
+        if len(operands) == 2:
+            n = operands[1]
+            if n >= 0:
+                return f"slice({arr}, 1, {n})"
+            return (f"slice({arr}, greatest((size({arr}) + {n + 1}), 1), "
+                    f"{-n})")
+        pos, n = operands[1], operands[2]
+        if n <= 0:
+            return None
+        start = pos + 1 if pos >= 0 else pos
+        return f"slice({arr}, {start}, {n})"
+    if op == "$getField":
+        if isinstance(operands, str):
+            if "." in operands:
+                return None
+            return _sql_of("$" + operands, env)
+        if not (isinstance(operands, dict) and "field" in operands
+                and "input" in operands):
+            return None
+        field = operands["field"]
+        if not isinstance(field, str) or field.startswith("$"):
+            return None
+        inp = sub(operands["input"])
+        f_lit = _sql_lit(field)
+        if inp is None or f_lit is None:
+            return None
+        return f"{inp}[{f_lit}]"
+    if op == "$dateTrunc":
+        if not (isinstance(operands, dict) and "date" in operands
+                and "unit" in operands):
+            return None
+        unit = operands["unit"]
+        if unit not in _DATE_TRUNC_UNITS:
+            return None
+        d = sub(operands["date"])
+        if d is None:
+            return None
+        if unit == "week":
+            idx = _START_OF_WEEK.get(
+                str(operands.get("startOfWeek", "sunday")).lower()
+            )
+            if idx is None:
+                return None
+            day = f"to_date({d})"
+            return (f"date_sub({day}, (((dayofweek({day}) - {idx}) + 7) "
+                    f"% 7))")
+        t = f"date_trunc('{unit}', {d})"
+        if unit in ("year", "quarter", "month", "day"):
+            return f"CAST({t} AS DATE)"
+        return t
+    if op == "$sortArray":
+        if not (isinstance(operands, dict) and "input" in operands
+                and operands.get("sortBy") in (1, -1)):
+            return None
+        arr = sub(operands["input"])
+        if arr is None:
+            return None
+        s = f"array_sort({arr})"
+        return s if operands["sortBy"] == 1 else f"reverse({s})"
+    if op == "$replaceAll":
+        if not (isinstance(operands, dict) and "input" in operands
+                and "find" in operands and "replacement" in operands):
+            return None
+        i, f_, r = (sub(operands[k])
+                    for k in ("input", "find", "replacement"))
+        if None in (i, f_, r):
+            return None
+        return f"replace({i}, {f_}, {r})"
+    if op == "$indexOfCP":
+        if not (isinstance(operands, list) and len(operands) in (2, 3, 4)):
+            return None
+        needle = operands[1]
+        if not isinstance(needle, str) or needle.startswith("$"):
+            return None
+        tail_ints = operands[2:]
+        if not all(isinstance(x, int) and not isinstance(x, bool)
+                   for x in tail_ints):
+            return None
+        s = sub(operands[0])
+        n_lit = _sql_lit(needle)
+        if s is None or n_lit is None:
+            return None
+        if len(operands) == 4:
+            s = f"substring({s}, 1, {operands[3]})"
+        start = operands[2] if len(operands) >= 3 else 0
+        if start < 0:
+            return None
+        return f"CAST((locate({n_lit}, {s}, {start + 1}) - 1) AS BIGINT)"
+    if op in ("$trim", "$ltrim", "$rtrim") and isinstance(operands, dict):
+        import re as _re_mod
+
+        if "input" not in operands:
+            return None
+        s = sub(operands["input"])
+        if s is None:
+            return None
+        chars = operands.get("chars")
+        if chars is None:
+            return f"{_SQL_FN1[op]}({s})"
+        if not isinstance(chars, str) or chars.startswith("$") or not chars:
+            return None
+        cls = "[" + "".join(_re_mod.escape(c) for c in set(chars)) + "]+"
+        pat = {"$trim": f"^{cls}|{cls}$", "$ltrim": f"^{cls}",
+               "$rtrim": f"{cls}$"}[op]
+        p_lit = _sql_lit(pat)
+        if p_lit is None:
+            return None
+        return f"regexp_replace({s}, {p_lit}, '')"
+    if op in ("$filter", "$map"):
+        if not (isinstance(operands, dict) and "input" in operands):
+            return None
+        var = operands.get("as", "this")
+        if not (isinstance(var, str) and _SQL_IDENT_RE.match(var)):
+            return None
+        body_key = "cond" if op == "$filter" else "in"
+        if body_key not in operands:
+            return None
+        inp = sub(operands["input"])
+        if inp is None:
+            return None
+        param = f"__m_{var}"
+        body = _sql_of(operands[body_key], {**(env or {}), var: param})
+        if body is None:
+            return None
+        if op == "$filter":
+            return f"filter({inp}, {param} -> {_sql_bool(body)})"
+        return f"transform({inp}, {param} -> {body})"
+    if op == "$reduce":
+        if not (isinstance(operands, dict) and "input" in operands
+                and "initialValue" in operands and "in" in operands):
+            return None
+        inp = sub(operands["input"])
+        if inp is None:
+            return None
+        init_spec = operands["initialValue"]
+        body = operands["in"]
+        scoped = {**(env or {}), "value": "__m_value", "this": "__m_this"}
+        body_sql = _sql_of(body, scoped)
+        if body_sql is None:
+            return None
+        if isinstance(init_spec, (int, float)) and not isinstance(
+                init_spec, bool):
+            probe = f"get({inp}, -1)"
+            body_probe = _sql_of(
+                body, {**(env or {}), "value": probe, "this": probe}
+            )
+            i_lit = _sql_lit(init_spec)
+            if body_probe is None or i_lit is None:
+                return None
+            init = (f"coalesce(CASE WHEN FALSE THEN {probe} END, "
+                    f"CASE WHEN FALSE THEN {body_probe} END, {i_lit})")
+        else:
+            init = sub(init_spec)
+            if init is None:
+                return None
+        return (f"aggregate({inp}, {init}, "
+                f"(__m_value, __m_this) -> {body_sql})")
+    if op == "$let":
+        if not (isinstance(operands, dict)
+                and isinstance(operands.get("vars"), dict)
+                and "in" in operands):
+            return None
+        # vars evaluate in the ENCLOSING scope (Mongo's rule); inlining
+        # each binding's SQL text wherever '$$name' appears duplicates
+        # the subtree exactly like the Column path's reuse of one
+        # Column object does
+        scoped = dict(env or {})
+        for name, val in operands["vars"].items():
+            if not isinstance(name, str) or not _SQL_IDENT_RE.match(name):
+                return None
+            v = _sql_of(val, env)
+            if v is None:
+                return None
+            scoped[name] = v
+        return _sql_of(operands["in"], scoped)
+    if op in ("$dateDiff", "$dateAdd", "$dateSubtract"):
+        if not (isinstance(operands, dict) and "unit" in operands):
+            return None
+        unit = operands["unit"]
+        if op == "$dateDiff":
+            if not ("startDate" in operands and "endDate" in operands):
+                return None
+            a = sub(operands["startDate"])
+            b = sub(operands["endDate"])
+            if a is None or b is None:
+                return None
+            if unit == "day":
+                return f"CAST(datediff(to_date({b}), to_date({a})) AS BIGINT)"
+            if unit == "year":
+                return f"CAST((year({b}) - year({a})) AS BIGINT)"
+            if unit == "month":
+                return (f"CAST((((year({b}) - year({a})) * 12) + "
+                        f"(month({b}) - month({a}))) AS BIGINT)")
+            if unit == "week":
+                sow = _sql_expr_text(
+                    {"$dateTrunc": {"date": operands["startDate"],
+                                    "unit": "week"}}, env)
+                eow = _sql_expr_text(
+                    {"$dateTrunc": {"date": operands["endDate"],
+                                    "unit": "week"}}, env)
+                if sow is None or eow is None:
+                    return None
+                return f"CAST((datediff({eow}, {sow}) / 7) AS BIGINT)"
+            if unit in ("hour", "minute", "second"):
+                secs = {"hour": 3600, "minute": 60, "second": 1}[unit]
+                ta = (f"CAST(date_trunc('{unit}', "
+                      f"CAST({a} AS TIMESTAMP)) AS BIGINT)")
+                tb = (f"CAST(date_trunc('{unit}', "
+                      f"CAST({b} AS TIMESTAMP)) AS BIGINT)")
+                return f"CAST((({tb} - {ta}) / {secs}) AS BIGINT)"
+            return None
+        if "startDate" not in operands or "amount" not in operands:
+            return None
+        amt = operands["amount"]
+        if not isinstance(amt, int) or isinstance(amt, bool):
+            return None
+        if op == "$dateSubtract":
+            amt = -amt
+        if unit not in ("year", "quarter", "month", "week", "day",
+                        "hour", "minute", "second"):
+            return None
+        if unit == "quarter":
+            unit, amt = "month", amt * 3
+        d = sub(operands["startDate"])
+        if d is None:
+            return None
+        return f"({d} + interval {amt} {unit})"
+    if op == "$dateToString":
+        if not (isinstance(operands, dict) and "date" in operands
+                and "timezone" not in operands):
+            return None
+        fmt = operands.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+        if not isinstance(fmt, str):
+            return None
+        d = sub(operands["date"])
+        if d is None:
+            return None
+        try:
+            toks = _mongo_fmt_tokens(fmt, "$dateToString")
+        except DocumentQueryError:
+            return None  # Column path raises the same typed error
+        pieces = []
+        for kind, text in toks:
+            t_lit = _sql_lit(text)
+            if t_lit is None:
+                return None
+            pieces.append(t_lit if kind == "lit"
+                          else f"date_format({d}, {t_lit})")
+        body = ("concat(" + ", ".join(pieces) + ")") if pieces else "''"
+        rendered = f"CASE WHEN ({d} IS NOT NULL) THEN {body}"
+        if "onNull" in operands:
+            on = sub(operands["onNull"])
+            if on is None:
+                return None
+            rendered += f" ELSE {on}"
+        return rendered + " END"
+    if op == "$dateFromString":
+        if not (isinstance(operands, dict) and "dateString" in operands
+                and "timezone" not in operands):
+            return None
+        s = sub(operands["dateString"])
+        if s is None:
+            return None
+        fmt = operands.get("format")
+        if fmt is not None:
+            if not isinstance(fmt, str) or fmt.startswith("$"):
+                return None
+            try:
+                pat = _mongo_datetime_fmt(fmt, "$dateFromString")
+            except DocumentQueryError:
+                return None
+            p_lit = _sql_lit(pat)
+            if p_lit is None:
+                return None
+            parsed = (f"try_to_timestamp({s}, {p_lit})"
+                      if "onError" in operands
+                      else f"to_timestamp({s}, {p_lit})")
+        else:
+            parsed = (f"try_to_timestamp({s})" if "onError" in operands
+                      else f"to_timestamp({s})")
+        if "onError" in operands:
+            on_err = sub(operands["onError"])
+            if on_err is None:
+                return None
+            parsed = f"coalesce({parsed}, {on_err})"
+        if "onError" in operands or "onNull" in operands:
+            if "onNull" in operands:
+                on_null = sub(operands["onNull"])
+                if on_null is None:
+                    return None
+            else:
+                on_null = "CAST(NULL AS TIMESTAMP)"
+            parsed = (f"CASE WHEN ({s} IS NULL) THEN {on_null} "
+                      f"ELSE {parsed} END")
+        return parsed
+    if op == "$dateFromParts":
+        if not (isinstance(operands, dict) and "year" in operands):
+            return None
+        known = {"year", "month", "day", "hour", "minute", "second",
+                 "millisecond", "onError", "onNull"}
+        if set(operands) - known:  # timezone/iso*/unknown → Column path
+            return None
+        part = {}
+        for k, dflt in (("year", 0), ("month", 1), ("day", 1),
+                        ("hour", 0), ("minute", 0), ("second", 0),
+                        ("millisecond", 0)):
+            part[k] = (sub(operands[k]) if k in operands else str(dflt))
+            if part[k] is None:
+                return None
+        secs = (f"CAST((CAST({part['second']} AS DECIMAL(16,6)) + "
+                f"(CAST({part['millisecond']} AS DECIMAL(16,6)) / 1000)) "
+                f"AS DECIMAL(16,6))")
+        made_args = ", ".join(
+            [f"CAST({part[k]} AS INT)"
+             for k in ("year", "month", "day", "hour", "minute")]
+            + [secs]
+        )
+        if "onError" in operands:
+            on_err = sub(operands["onError"])
+            if on_err is None:
+                return None
+            made = (f"coalesce(try_make_timestamp({made_args}), "
+                    f"CAST({on_err} AS TIMESTAMP))")
+        else:
+            made = f"make_timestamp({made_args})"
+        if "onError" in operands or "onNull" in operands:
+            if "onNull" in operands:
+                on_null = sub(operands["onNull"])
+                if on_null is None:
+                    return None
+            else:
+                on_null = "CAST(NULL AS TIMESTAMP)"
+            made = (f"CASE WHEN ({part['year']} IS NULL) THEN {on_null} "
+                    f"ELSE {made} END")
+        return made
+    if op in ("$regexMatch", "$regexFind", "$regexFindAll"):
+        try:
+            inp, pattern = _regex_operands(op, operands)
+        except DocumentQueryError:
+            return None  # Column path raises the same typed error
+        s = sub(inp)
+        p_lit = _sql_lit(pattern)
+        if s is None or p_lit is None:
+            return None
+        if op == "$regexMatch":
+            return f"regexp_like({s}, {p_lit})"
+        import re as _re_mod
+
+        try:
+            n_groups = _re_mod.compile(_python_probe(pattern)).groups
+        except _re_mod.error:
+            return None  # Column path raises the typed error
+        pref_lit = _sql_lit(f"(?s)^.*?(?={pattern})")
+        if pref_lit is None:
+            return None
+        if op == "$regexFind":
+            caps = ", ".join(
+                f"regexp_extract({s}, {p_lit}, {g})"
+                for g in range(1, n_groups + 1)
+            )
+            doc = (
+                f"struct(regexp_extract({s}, {p_lit}, 0) AS `match`, "
+                f"CAST((length({s}) - length(regexp_replace({s}, "
+                f"{pref_lit}, ''))) AS BIGINT) AS `idx`, "
+                f"CAST(array({caps}) AS ARRAY<STRING>) AS `captures`)"
+            )
+            return f"CASE WHEN regexp_like({s}, {p_lit}) THEN {doc} END"
+        if _has_left_context_assertion(pattern):
+            return None  # Column path raises the typed refusal
+        matches = f"regexp_extract_all({s}, {p_lit}, 0)"
+        suffix = f"substr({s}, (__m_acc['pos'] + 1), length({s}))"
+        found = (f"CAST(((__m_acc['pos'] + length({suffix})) - "
+                 f"length(regexp_replace({suffix}, {pref_lit}, ''))) "
+                 f"AS INT)")
+        step = (f"struct(({found} + greatest(length(__m_m), 1)) AS `pos`, "
+                f"concat(__m_acc['out'], array(CAST({found} AS BIGINT))) "
+                f"AS `out`)")
+        idxs = (f"aggregate({matches}, "
+                f"struct(CAST(0 AS INT) AS `pos`, "
+                f"CAST(array() AS ARRAY<BIGINT>) AS `out`), "
+                f"(__m_acc, __m_m) -> {step}, "
+                f"__m_acc -> __m_acc['out'])")
+        caps = ", ".join(
+            f"element_at(regexp_extract_all({s}, {p_lit}, {g}), "
+            f"(__m_i + 1))"
+            for g in range(1, n_groups + 1)
+        )
+        docs = (f"transform({matches}, (__m_m, __m_i) -> "
+                f"struct(__m_m AS `match`, "
+                f"element_at({idxs}, (__m_i + 1)) AS `idx`, "
+                f"CAST(array({caps}) AS ARRAY<STRING>) AS `captures`))")
+        return (f"coalesce({docs}, CAST(array() AS "
+                f"array<struct<match:string,idx:bigint,"
+                f"captures:array<string>>>))")
+    if op == "$convert":
+        if not (isinstance(operands, dict) and "input" in operands
+                and "to" in operands):
+            return None
+        to = operands["to"]
+        if isinstance(to, int) and not isinstance(to, bool):
+            to = _CONVERT_CODES.get(to, to)
+        if to == "timestamp":
+            to = "date"
+        if not isinstance(to, str) or to not in _CONVERT_TYPES:
+            return None
+        for fb_key in ("onError", "onNull"):
+            fb = operands.get(fb_key)
+            if fb is None or isinstance(fb, dict) or (
+                    isinstance(fb, str) and fb.startswith("$")):
+                continue
+            if to == "date":
+                return None  # Column path raises the typed guard
+            if to == "string":
+                ok = isinstance(fb, str)
+            elif to == "bool":
+                ok = isinstance(fb, bool)
+            else:
+                ok = isinstance(fb, (int, float)) and not isinstance(
+                    fb, bool)
+            if not ok:
+                return None  # Column path raises the typed guard
+        x = sub(operands["input"])
+        if x is None:
+            return None
+        if to == "date":
+            s = f"CAST({x} AS STRING)"
+            conv = (f"coalesce(try_to_timestamp({s}), "
+                    f"timestamp_millis(try_cast({s} AS BIGINT)))")
+        elif "onError" in operands:
+            conv = f"try_cast({x} AS {_CONVERT_TYPES[to]})"
+        else:
+            conv = f"CAST({x} AS {_CONVERT_TYPES[to]})"
+        failed = f"(({x} IS NOT NULL) AND ({conv} IS NULL))"
+        if "onError" in operands:
+            on_err = sub(operands["onError"])
+            if on_err is None:
+                return None
+            conv = f"CASE WHEN {failed} THEN {on_err} ELSE {conv} END"
+        elif to == "date":
+            conv = (f"CASE WHEN {failed} THEN raise_error("
+                    f"'$convert: unparseable date input (use onError)') "
+                    f"ELSE {conv} END")
+        if "onNull" in operands:
+            on_null = sub(operands["onNull"])
+            if on_null is None:
+                return None
+            conv = (f"CASE WHEN ({x} IS NULL) THEN {on_null} "
+                    f"ELSE {conv} END")
+        return conv
+    if op == "$dateToParts":
+        if not (isinstance(operands, dict) and "date" in operands
+                and not operands.get("iso8601")):
+            return None
+        d = sub(operands["date"])
+        if d is None:
+            return None
+        ms = (f"CAST(floor(((unix_micros(CAST({d} AS TIMESTAMP)) "
+              f"% 1000000) / 1000)) AS INT)")
+        return (f"struct(year({d}) AS `year`, month({d}) AS `month`, "
+                f"dayofmonth({d}) AS `day`, hour({d}) AS `hour`, "
+                f"minute({d}) AS `minute`, second({d}) AS `second`, "
+                f"{ms} AS `millisecond`)")
+    if op == "$zip":
+        if not (isinstance(operands, dict)
+                and isinstance(operands.get("inputs"), list)
+                and len(operands["inputs"]) == 2):
+            return None
+        a = sub(operands["inputs"][0])
+        b = sub(operands["inputs"][1])
+        if a is None or b is None:
+            return None
+        if not operands.get("useLongestLength", False):
+            n = f"least(size({a}), size({b}))"
+            a, b = f"slice({a}, 1, {n})", f"slice({b}, 1, {n})"
+        return f"zip_with({a}, {b}, (__m_x, __m_y) -> array(__m_x, __m_y))"
+    if op == "$range":
+        if not (isinstance(operands, list) and len(operands) in (2, 3)):
+            return None
+        step = operands[2] if len(operands) == 3 else 1
+        if not isinstance(step, int) or isinstance(step, bool) or step == 0:
+            return None
+        a0, b0 = sub(operands[0]), sub(operands[1])
+        if a0 is None or b0 is None:
+            return None
+        a = f"CAST({a0} AS INT)"
+        b = f"CAST({b0} AS INT)"
+        if step > 0:
+            cond, stop = f"({a} < {b})", f"({b} - 1)"
+        else:
+            cond, stop = f"({a} > {b})", f"({b} + 1)"
+        return (f"CASE WHEN {cond} THEN sequence({a}, {stop}, {step}) "
+                f"ELSE CAST(array() AS ARRAY<INT>) END")
+    if op == "$replaceOne":
+        if not (isinstance(operands, dict) and "input" in operands
+                and "find" in operands and "replacement" in operands):
+            return None
+        find = operands["find"]
+        if not isinstance(find, str) or find.startswith("$") or not find:
+            return None
+        s = sub(operands["input"])
+        repl = sub(operands["replacement"])
+        f_lit = _sql_lit(find)
+        if None in (s, repl, f_lit):
+            return None
+        pos = f"locate({f_lit}, {s})"
+        spliced = (f"concat(substring({s}, 1, ({pos} - 1)), {repl}, "
+                   f"substring({s}, ({pos} + {len(find)}), length({s})))")
+        return f"CASE WHEN ({pos} = 0) THEN {s} ELSE {spliced} END"
+    if op == "$mergeObjects":
+        args_m = operands if isinstance(operands, list) else [operands]
+        xs_m = [_sql_of(a, env) for a in args_m]
+        if not xs_m or any(x is None for x in xs_m):
+            return None
+        out = xs_m[0]
+        for b in xs_m[1:]:
+            out = (f"map_from_entries(concat(filter(map_entries({out}), "
+                   f"__m_e -> (NOT array_contains(map_keys({b}), "
+                   f"__m_e['key']))), map_entries({b})))")
+        return out
+    if op == "$objectToArray":
+        if isinstance(operands, list) and len(operands) != 1:
+            return None  # Column path raises the arity error
+        m_sql = sub(operands[0] if isinstance(operands, list) else operands)
+        if m_sql is None:
+            return None
+        return (f"transform(map_entries({m_sql}), __m_e -> "
+                f"struct(__m_e['key'] AS `k`, __m_e['value'] AS `v`))")
+    if op == "$arrayToObject":
+        if isinstance(operands, list) and len(operands) != 1:
+            return None  # Column path raises the arity error
+        a_sql = sub(operands[0] if isinstance(operands, list) else operands)
+        if a_sql is None:
+            return None
+        return (
+            f"map_from_entries(filter(transform({a_sql}, __m_e -> "
+            f"struct(__m_e['k'] AS `k`, __m_e['v'] AS `v`)), "
+            f"(__m_e, __m_i) -> (NOT exists(slice({a_sql}, (__m_i + 2), "
+            f"greatest(size({a_sql}), 1)), "
+            f"__m_later -> (__m_later['k'] = __m_e['k'])))))"
+        )
+    if op == "$isNumber":
+        args_n = operands if isinstance(operands, list) else [operands]
+        if len(args_n) != 1:
+            return None
+        x = _sql_of(args_n[0], env)
+        if x is None:
+            return None
+        return (f"(({x} IS NOT NULL) AND (typeof({x}) RLIKE "
+                f"'^(tinyint|smallint|int|bigint|float|double)$"
+                f"|^decimal\\\\('))")
+    if op == "$type":
+        args_t = operands if isinstance(operands, list) else [operands]
+        if len(args_t) != 1:
+            return None
+        x = _sql_of(args_t[0], env)
+        if x is None:
+            return None
+        t = f"typeof({x})"
+        bson = (
+            f"CASE WHEN ({t} IN ('tinyint', 'smallint', 'int')) "
+            f"THEN 'int' "
+            f"WHEN ({t} = 'bigint') THEN 'long' "
+            f"WHEN ({t} IN ('float', 'double')) THEN 'double' "
+            f"WHEN startswith({t}, 'decimal') THEN 'decimal' "
+            f"WHEN ({t} = 'string') THEN 'string' "
+            f"WHEN ({t} = 'boolean') THEN 'bool' "
+            f"WHEN ({t} IN ('date', 'timestamp', 'timestamp_ntz')) "
+            f"THEN 'date' "
+            f"WHEN startswith({t}, 'array') THEN 'array' "
+            f"WHEN (startswith({t}, 'struct') OR startswith({t}, 'map')) "
+            f"THEN 'object' "
+            f"WHEN ({t} = 'binary') THEN 'binData' "
+            f"ELSE {t} END"
+        )
+        return f"CASE WHEN ({x} IS NULL) THEN 'null' ELSE {bson} END"
+    # ---- table ops ------------------------------------------------
+    args = operands if isinstance(operands, list) else [operands]
+    xs = [_sql_of(a, env) for a in args]
+    if any(x is None for x in xs):
+        return None
+    n = len(xs)
+
+    def fold(sym: str) -> str:
+        out = xs[0]
+        for x in xs[1:]:
+            out = f"({out} {sym} {x})"
+        return out
+
+    if op == "$eq" and n == 2:
+        return f"({xs[0]} <=> {xs[1]})"
+    if op == "$ne" and n == 2:
+        return f"(NOT ({xs[0]} <=> {xs[1]}))"
+    if op in ("$gt", "$gte", "$lt", "$lte") and n == 2:
+        sym = {"$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<="}[op]
+        return f"({xs[0]} {sym} {xs[1]})"
+    if op == "$add" and n >= 1:
+        return fold("+")
+    if op == "$subtract" and n == 2:
+        return fold("-")
+    if op == "$multiply" and n >= 1:
+        return fold("*")
+    if op == "$divide" and n == 2:
+        return fold("/")
+    if op == "$mod" and n == 2:
+        return fold("%")
+    if op == "$pow" and n == 2:
+        return f"power({xs[0]}, {xs[1]})"
+    if op == "$atan2" and n == 2:
+        return f"atan2({xs[0]}, {xs[1]})"
+    if op == "$log" and n == 2:
+        return f"(ln({xs[0]}) / ln({xs[1]}))"
+    if op in _SQL_FN1 and n == 1:
+        if op == "$bitNot":
+            return f"~{xs[0]}"
+        return f"{_SQL_FN1[op]}({xs[0]})"
+    if op in _SQL_CASTS and n == 1:
+        return f"CAST({xs[0]} AS {_SQL_CASTS[op]})"
+    if op in ("$concat", "$concatArrays") and n >= 1:
+        return "concat(" + ", ".join(xs) + ")"
+    if op == "$ifNull" and n >= 1:
+        return "coalesce(" + ", ".join(xs) + ")"
+    if op == "$size" and n == 1:
+        return f"CAST(size({xs[0]}) AS BIGINT)"
+    if op == "$binarySize" and n == 1:
+        return f"CAST(octet_length({xs[0]}) AS BIGINT)"
+    if op == "$in" and n == 2:
+        return f"array_contains({xs[1]}, {xs[0]})"
+    if op == "$not" and n == 1:
+        return f"(NOT {_sql_bool(xs[0])})"
+    if op in ("$bitAnd", "$bitOr", "$bitXor") and n >= 1:
+        return fold({"$bitAnd": "&", "$bitOr": "|", "$bitXor": "^"}[op])
+    if op == "$cmp" and n == 2:
+        a, b = xs
+        return (f"CAST(CASE WHEN (({a} <=> {b}) AND ({a} IS NOT NULL)) "
+                f"THEN 0 WHEN ({a} < {b}) THEN -1 "
+                f"WHEN ({a} > {b}) THEN 1 END AS INT)")
+    if op == "$strcasecmp" and n == 2:
+        a, b = xs
+        return (f"CAST(CASE WHEN (lower({a}) = lower({b})) THEN 0 "
+                f"WHEN (lower({a}) < lower({b})) THEN -1 "
+                f"WHEN (lower({a}) > lower({b})) THEN 1 END AS INT)")
+    if op == "$indexOfArray" and n == 2:
+        return f"CAST((array_position({xs[0]}, {xs[1]}) - 1) AS BIGINT)"
+    if op == "$setEquals" and n == 2:
+        return (f"(array_sort(array_distinct({xs[0]})) = "
+                f"array_sort(array_distinct({xs[1]})))")
+    if op == "$setIsSubset" and n == 2:
+        return f"(size(array_except({xs[0]}, {xs[1]})) = 0)"
+    if op == "$setUnion" and n >= 1:
+        return ("array_sort(array_distinct(concat("
+                + ", ".join(xs) + ")))")
+    if op == "$setIntersection" and n == 2:
+        return f"array_sort(array_intersect({xs[0]}, {xs[1]}))"
+    if op == "$setDifference" and n == 2:
+        return f"array_sort(array_except({xs[0]}, {xs[1]}))"
+    if op in ("$anyElementTrue", "$allElementsTrue") and n == 1:
+        hof = "exists" if op == "$anyElementTrue" else "forall"
+        return (f"{hof}({xs[0]}, __m_x -> "
+                f"coalesce(CAST(__m_x AS BOOLEAN), FALSE))")
+    if op in _SQL_DATE_FNS and n == 1:
+        return f"{_SQL_DATE_FNS[op]}({xs[0]})"
+    if op == "$isoDayOfWeek" and n == 1:
+        return f"(weekday({xs[0]}) + 1)"
+    if op == "$isoWeekYear" and n == 1:
+        a = xs[0]
+        return (f"CAST(year(date_add(to_date({a}), "
+                f"(4 - (weekday({a}) + 1)))) AS BIGINT)")
+    if op == "$week" and n == 1:
+        a = xs[0]
+        return (f"CAST(floor(((((dayofyear({a}) - 1) - "
+                f"(dayofweek({a}) - 1)) + 7) / 7)) AS INT)")
+    if op == "$millisecond" and n == 1:
+        return (f"CAST(floor(((unix_micros(CAST({xs[0]} AS TIMESTAMP)) "
+                f"% 1000000) / 1000)) AS INT)")
+    return None
 
 
 def _expr(spec: dict[str, Any], resolve=None) -> Column:

@@ -72,6 +72,19 @@ def get_spark(
             os.environ.get("SPARK_OPEN_COST_BYTES", "1048576"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 wraps every Column/DataFrame op in a call-site
+        # capture (errors/utils._with_origin): a conf read + origin
+        # set/clear — ~3 extra py4j roundtrips PER expression node —
+        # purely to decorate error messages with user line numbers.
+        # Through this environment's ~1-2 ms gateway that tripled plan
+        # construction cost (measured: q198 build 0.79 s → 0.48 s,
+        # q146 0.77 s → 0.39 s with it off). Guide §5: the driver
+        # should do almost no work. Overridable for interactive
+        # debugging sessions via env.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_DF_DEBUGGING", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
@@ -83,11 +96,14 @@ def get_spark(
     return spark
 
 
-# Sessions whose event-time confs are already pinned (keyed by id():
-# a conf, once set by this guard, stays set for the session's life —
+# The pinned-memo lives as a sentinel attribute ON the session object
+# (not a module-level id() set: id() values are reused after GC, so a
+# stopped session could mask a fresh one and leave nanosAsLong/UTC
+# unset — the exact silent corruption this guard exists to prevent).
+# A conf, once set by this guard, stays set for the session's life —
 # the two conf round-trips per events load are pure overhead after the
-# first call, ~2 ms each through this environment's py4j gateway).
-_EVENT_CONFS_PINNED: set[int] = set()
+# first call, ~2 ms each through this environment's py4j gateway.
+_EVENT_CONFS_SENTINEL = "_dbt_nlp_event_confs_pinned"
 
 
 def ensure_event_time_confs(spark: SparkSession) -> None:
@@ -103,12 +119,15 @@ def ensure_event_time_confs(spark: SparkSession) -> None:
     ``strftime``/``epoch_us`` render instants as UTC, so a non-UTC
     session would silently shift every formatted bucket boundary.
     """
-    if id(spark) in _EVENT_CONFS_PINNED:
+    if getattr(spark, _EVENT_CONFS_SENTINEL, False):
         return
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         # TIMESTAMP(NANOS) is rejected by the vectorized reader; read raw
         # nanos and let the loaders truncate to micros (DuckDB-identical).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Keep the schema-cache's conf memo in sync with the value just
+    # pinned (sources/parquet keys cached schemas on it).
+    setattr(spark, "_dbt_nlp_nanos_as_long_conf", "true")
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    _EVENT_CONFS_PINNED.add(id(spark))
+    setattr(spark, _EVENT_CONFS_SENTINEL, True)

@@ -38,24 +38,55 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Parquet-footer schema cache, keyed by (path, size, mtime_ns): the
-# driver-side footer read + schema inference costs ~130-270 ms per
-# `spark.read.parquet` call in this environment vs ~20-40 ms with an
-# explicit schema (guide §6: file listing/metadata work is driver-side,
-# single-process, and paid per query without a catalog). A real
-# deployment registers these tables in a catalog exactly so that query
-# N never re-infers what query 1 already knew; this cache is that
-# catalog's schema entry. The (size, mtime_ns) signature invalidates on
-# any in-place regeneration of the corpus — same contract as
-# operators/dedup._sf_tag. No data rows are cached: every query still
-# scans parquet.
-_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+# Parquet-footer schema cache: the driver-side footer read + schema
+# inference costs ~130-270 ms per `spark.read.parquet` call in this
+# environment vs ~20-40 ms with an explicit schema (guide §6: file
+# listing/metadata work is driver-side, single-process, and paid per
+# query without a catalog). A real deployment registers these tables in
+# a catalog exactly so that query N never re-infers what query 1
+# already knew; this cache is that catalog's schema entry. The key
+# signature (size, mtime_ns — plus the newest/biggest part file for a
+# directory dataset, whose root stat does not change when a part file
+# is rewritten in place) invalidates on any in-place regeneration of
+# the corpus — same contract as operators/dedup._sf_tag. The key also
+# carries the nanosAsLong conf value inference depends on, so a schema
+# inferred before the event-time guard pinned the conf can never be
+# served after it. No data rows are cached: every query still scans
+# parquet.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+_NANOS_CONF_MEMO = "_dbt_nlp_nanos_as_long_conf"
+
+
+def _nanos_conf(spark: SparkSession) -> str:
+    """nanosAsLong conf value, memoized on the session object.
+
+    The only in-engine mutator (``session.ensure_event_time_confs``)
+    refreshes this memo when it pins the conf, so the memo tracks the
+    live value without a py4j conf read per table load.
+    """
+    v = getattr(spark, _NANOS_CONF_MEMO, None)
+    if v is None:
+        v = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        setattr(spark, _NANOS_CONF_MEMO, v)
+    return v
 
 
 def _read_with_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     try:
         st = os.stat(path)
-        key = (path, st.st_size, st.st_mtime_ns)
+        key: tuple = (path, st.st_size, st.st_mtime_ns, _nanos_conf(spark))
+        if os.path.isdir(path):
+            # A rewritten part file changes neither the dir's size nor
+            # mtime; fold the max part-file signature into the key.
+            parts = [
+                e.stat() for e in os.scandir(path) if e.is_file()
+            ]
+            key += (
+                len(parts),
+                max((p.st_mtime_ns for p in parts), default=0),
+                max((p.st_size for p in parts), default=0),
+            )
     except OSError:
         return spark.read.parquet(path)  # missing file: loud error as before
     schema = _SCHEMA_CACHE.get(key)

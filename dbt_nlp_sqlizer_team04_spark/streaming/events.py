@@ -607,13 +607,31 @@ def drift_from_counts(counts: DataFrame, dense: bool = False) -> DataFrame:
         f = grid.join(counts, ["day", "bucket"], "left").fillna(0, ["n"])
     w_day = Window.partitionBy("day")
     w_lag = Window.partitionBy("bucket").orderBy("day")
+    q_expr = F.greatest(
+        F.col("n") / F.sum("n").over(w_day), F.lit(DRIFT_EPS)
+    )
+    if dense:
+        # The dense contract (every day carries all DRIFT_BUCKETS rows)
+        # is otherwise enforced only by caller convention; a sparse
+        # frame would silently drop its zero-count ε-terms and skew the
+        # PSI. Validate in-plan on the SAME day window the share
+        # already computes (no extra exchange, kilobyte frame): a
+        # short-bucketed day fails loudly instead of mis-scoring.
+        q_expr = F.when(
+            F.count(F.lit(1)).over(w_day) == DRIFT_BUCKETS, q_expr
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "drift_from_counts(dense=True) received a sparse "
+                    f"grid: expected {DRIFT_BUCKETS} buckets per day"
+                )
+            )
+        )
     shared = f.select(
         "day",
         "bucket",
         "n",
-        F.greatest(
-            F.col("n") / F.sum("n").over(w_day), F.lit(DRIFT_EPS)
-        ).alias("q"),
+        q_expr.alias("q"),
     ).withColumn("p", F.lag("q").over(w_lag))
     return (
         shared.filter(F.col("p").isNotNull())

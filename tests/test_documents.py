@@ -4178,3 +4178,247 @@ def test_binary_size(spark):
         {"$sort": {"id": 1}}]).collect()}
     assert rows[1]["bs"] == 6 and rows[1]["bb"] == 3
     assert rows[2]["bs"] is None and rows[2]["bb"] is None
+
+
+# ------------------------------------------------- r14: SQL fast path
+# The expression compiler's SQL-text emitter (documents._sql_of) must
+# produce the EXACT Catalyst tree the Column path builds — one parse
+# replaces a py4j roundtrip per node, nothing else may change. The
+# battery below covers every op family the emitter supports; for each
+# spec it asserts (a) the emitter fired (no silent fallback
+# regression), (b) canonicalized optimized plans are identical, and
+# (c) collected rows are identical.
+_FAST_PATH_SPECS = [
+    # comparisons / boolean / cond
+    {"$eq": ["$n_chars", 100]},
+    {"$ne": ["$lang", "en"]},
+    {"$gt": ["$n_chars", {"$add": [100, 1]}]},
+    {"$and": [{"$gte": ["$n_chars", 10]}, {"$lt": ["$n_chars", 500]}]},
+    {"$or": [{"$eq": ["$lang", "en"]}, {"$eq": ["$lang", "de"]}]},
+    {"$not": [{"$eq": ["$lang", "en"]}]},
+    {"$cond": [{"$gt": ["$n_chars", 100]}, "big", "small"]},
+    {"$cond": [{"$gt": ["$n_chars", 100]}, 1, None]},
+    {"$cond": {"if": {"$gt": ["$n_chars", 100]}, "then": 1, "else": 0}},
+    {"$switch": {"branches": [
+        {"case": {"$lt": ["$n_chars", 50]}, "then": "xs"},
+        {"case": {"$lt": ["$n_chars", 200]}, "then": "m"}],
+        "default": "xl"}},
+    {"$switch": {"branches": [
+        {"case": {"$lt": ["$n_chars", 50]}, "then": "xs"}]}},
+    {"$cmp": ["$n_chars", 150]},
+    {"$strcasecmp": ["$lang", "EN"]},
+    {"$ifNull": ["$lang", "??"]},
+    # arithmetic / math
+    {"$add": ["$n_chars", 1, 2.5]},
+    {"$subtract": ["$n_chars", 7]},
+    {"$multiply": ["$n_chars", 2, 3]},
+    {"$divide": ["$n_chars", 4]},
+    {"$mod": ["$n_chars", 10]},
+    {"$abs": {"$subtract": ["$n_chars", 200]}},
+    {"$ceil": {"$divide": ["$n_chars", 7]}},
+    {"$floor": {"$divide": ["$n_chars", 7]}},
+    {"$round": [{"$divide": ["$n_chars", 7]}, 2]},
+    {"$trunc": [{"$divide": ["$n_chars", 7]}, 1]},
+    {"$pow": ["$n_chars", 2]},
+    {"$sqrt": "$n_chars"},
+    {"$exp": {"$divide": ["$n_chars", 1000]}},
+    {"$ln": "$n_chars"},
+    {"$log10": "$n_chars"},
+    {"$log": ["$n_chars", 2]},
+    {"$sin": "$n_chars"}, {"$cos": "$n_chars"}, {"$tan": "$n_chars"},
+    {"$atan2": ["$n_chars", 3]},
+    {"$degreesToRadians": "$n_chars"},
+    {"$bitAnd": ["$n_chars", 12, 6]},
+    {"$bitOr": ["$n_chars", 1]},
+    {"$bitXor": ["$n_chars", 255]},
+    {"$bitNot": "$n_chars"},
+    # strings
+    {"$toUpper": "$lang"}, {"$toLower": "$text"},
+    {"$concat": ["$lang", "-", "$source"]},
+    {"$strLenCP": "$text"}, {"$strLenBytes": "$text"},
+    {"$binarySize": "$text"},
+    {"$trim": " x "}, {"$ltrim": " x "}, {"$rtrim": " x "},
+    {"$trim": {"input": "$lang", "chars": "ne"}},
+    {"$split": ["$text", " "]},
+    {"$substrCP": ["$text", 2, 5]},
+    {"$substrBytes": ["$text", 0, 4]},
+    {"$indexOfCP": ["$text", "the"]},
+    {"$indexOfCP": ["$text", "the", 2, 40]},
+    {"$replaceAll": {"input": "$lang", "find": "e", "replacement": "E"}},
+    {"$replaceOne": {"input": "$text", "find": "the",
+                     "replacement": "THE"}},
+    # casts
+    {"$toString": "$n_chars"}, {"$toInt": {"$divide": ["$n_chars", 2]}},
+    {"$toLong": "$n_chars"}, {"$toDouble": "$n_chars"},
+    {"$toBool": {"$mod": ["$n_chars", 2]}},
+    {"$toDecimal": "$n_chars"},
+    {"$toDate": "2024-01-02"},
+    # arrays / sets / lambdas
+    {"$size": {"$split": ["$text", " "]}},
+    {"$in": ["$lang", ["en", "de", "fr"]]},
+    {"$arrayElemAt": [{"$split": ["$text", " "]}, 1]},
+    {"$arrayElemAt": [{"$split": ["$text", " "]}, -1]},
+    {"$slice": [{"$split": ["$text", " "]}, 3]},
+    {"$slice": [{"$split": ["$text", " "]}, -2]},
+    {"$slice": [{"$split": ["$text", " "]}, 1, 2]},
+    {"$concatArrays": [{"$split": ["$lang", "-"]}, ["x"]]},
+    {"$reverseArray": {"$split": ["$text", " "]}},
+    {"$sortArray": {"input": {"$split": ["$text", " "]}, "sortBy": 1}},
+    {"$sortArray": {"input": {"$split": ["$text", " "]}, "sortBy": -1}},
+    {"$indexOfArray": [{"$split": ["$text", " "]}, "the"]},
+    {"$setEquals": [{"$split": ["$lang", "-"]}, ["en"]]},
+    {"$setIsSubset": [["en"], {"$split": ["$lang", "-"]}]},
+    {"$setUnion": [{"$split": ["$lang", "-"]}, ["xx"]]},
+    {"$setIntersection": [{"$split": ["$lang", "-"]}, ["en", "de"]]},
+    {"$setDifference": [{"$split": ["$lang", "-"]}, ["en"]]},
+    {"$anyElementTrue": [{"$map": {
+        "input": {"$split": ["$text", " "]}, "as": "w",
+        "in": {"$gt": [{"$strLenCP": "$$w"}, 5]}}}]},
+    {"$allElementsTrue": [{"$map": {
+        "input": {"$split": ["$text", " "]}, "as": "w",
+        "in": {"$gt": [{"$strLenCP": "$$w"}, 0]}}}]},
+    {"$filter": {"input": {"$split": ["$text", " "]}, "as": "w",
+                 "cond": {"$gt": [{"$strLenCP": "$$w"}, 3]}}},
+    {"$map": {"input": {"$split": ["$text", " "]},
+              "in": {"$toUpper": "$$this"}}},
+    {"$reduce": {"input": {"$split": ["$text", " "]},
+                 "initialValue": 0,
+                 "in": {"$add": ["$$value", {"$strLenCP": "$$this"}]}}},
+    {"$reduce": {"input": {"$split": ["$text", " "]},
+                 "initialValue": "",
+                 "in": {"$concat": ["$$value", "$$this"]}}},
+    {"$zip": {"inputs": [{"$split": ["$text", " "]},
+                         {"$split": ["$lang", "-"]}]}},
+    {"$zip": {"inputs": [{"$split": ["$text", " "]},
+                         {"$split": ["$lang", "-"]}],
+              "useLongestLength": True}},
+    {"$range": [0, {"$mod": ["$n_chars", 5]}]},
+    {"$range": [5, 0, -2]},
+    {"$let": {"vars": {"half": {"$divide": ["$n_chars", 2]}},
+              "in": {"$add": ["$$half", "$$half"]}}},
+    # literals and document literals
+    {"$literal": [1, 2, 3]},
+    {"$literal": ["a", "b"]},
+    {"$literal": [True, False]},
+    {"$literal": [1.5, 2.5]},
+    {"$literal": {"k": 1, "s": "x"}},
+    {"$cond": [{"$gt": ["$n_chars", 100]},
+               {"k": "$lang", "n": {"$add": ["$n_chars", 1]}},
+               {"k": "x", "n": 0}]},
+    # dates
+    {"$year": "$ts"}, {"$month": "$ts"}, {"$dayOfMonth": "$ts"},
+    {"$hour": "$ts"}, {"$minute": "$ts"}, {"$second": "$ts"},
+    {"$millisecond": "$ts"}, {"$dayOfWeek": "$ts"},
+    {"$dayOfYear": "$ts"}, {"$week": "$ts"}, {"$isoWeek": "$ts"},
+    {"$isoDayOfWeek": "$ts"}, {"$isoWeekYear": "$ts"},
+    {"$dateTrunc": {"date": "$ts", "unit": "day"}},
+    {"$dateTrunc": {"date": "$ts", "unit": "hour"}},
+    {"$dateTrunc": {"date": "$ts", "unit": "week"}},
+    {"$dateTrunc": {"date": "$ts", "unit": "week",
+                    "startOfWeek": "monday"}},
+    {"$dateToParts": {"date": "$ts"}},
+    {"$dateToString": {"date": "$ts", "format": "%Y-%m (%d)"}},
+    {"$dateToString": {"date": "$ts", "onNull": "missing"}},
+    {"$dateFromString": {"dateString": {"$concat": [
+        {"$dateToString": {"date": "$ts", "format": "%Y-%m-%d"}},
+        " 00:00:00"]}}},
+    {"$dateFromString": {"dateString": "2024-13-01 00:00:00",
+                         "onError": {"$toDate": "1999-01-01"}}},
+    {"$dateDiff": {"startDate": "$ts", "endDate": "$ts", "unit": "day"}},
+    {"$dateDiff": {"startDate": "$ts", "endDate": "$ts", "unit": "month"}},
+    {"$dateDiff": {"startDate": "$ts", "endDate": "$ts", "unit": "week"}},
+    {"$dateDiff": {"startDate": "$ts", "endDate": "$ts", "unit": "hour"}},
+    {"$dateAdd": {"startDate": "$ts", "unit": "month", "amount": 2}},
+    {"$dateAdd": {"startDate": "$ts", "unit": "quarter", "amount": 1}},
+    {"$dateSubtract": {"startDate": "$ts", "unit": "day", "amount": 3}},
+    {"$dateFromParts": {"year": {"$year": "$ts"},
+                        "month": {"$month": "$ts"}, "day": 5,
+                        "hour": 6, "minute": 30, "second": 15}},
+    {"$dateFromParts": {"year": {"$year": "$ts"}}},
+    {"$dateFromParts": {"year": {"$year": "$ts"},
+                        "month": {"$add": [{"$month": "$ts"}, 9]},
+                        "onError": {"$toDate": "1999-01-01"}}},
+    # regex
+    {"$regexMatch": {"input": "$text", "regex": "[a-z]+ing"}},
+    {"$regexFind": {"input": "$text", "regex": "([a-z]+)ing"}},
+    {"$regexFindAll": {"input": "$lang", "regex": "[a-z]+"}},
+    {"$regexFindAll": {"input": "$text", "regex": "([a-z])([a-z]+)"}},
+    # conversion / introspection
+    {"$convert": {"input": "$n_chars", "to": "string"}},
+    {"$convert": {"input": "$lang", "to": "int", "onError": -1}},
+    {"$convert": {"input": "$lang", "to": "int", "onError": -1,
+                  "onNull": 0}},
+    {"$convert": {"input": {"$toString": "$ts"}, "to": "date",
+                  "onError": {"$toDate": "1999-01-01"}}},
+    {"$isNumber": "$n_chars"}, {"$isNumber": "$lang"},
+    {"$type": "$n_chars"}, {"$type": "$lang"},
+    {"$getField": {"field": "match",
+                   "input": {"$regexFind": {"input": "$text",
+                                            "regex": "[a-z]+"}}}},
+    # object/map ops over $objectToArray round-trips
+    {"$objectToArray": {"$arrayToObject": {"$map": {
+        "input": {"$split": ["$text", " "]}, "as": "w",
+        "in": {"k": "$$w", "v": "$$w"}}}}},
+    {"$mergeObjects": [
+        {"$arrayToObject": [[{"k": "a", "v": "1"}]]},
+        {"$arrayToObject": [[{"k": "a", "v": "2"}, {"k": "b", "v": "3"}]]},
+    ]},
+]
+
+
+def test_sql_fast_path_tree_equivalence(spark, sf_check):
+    import dbt_nlp_sqlizer_team04_spark.operators.documents as D
+
+    df = load_table(spark, sf_check, "documents").withColumn(
+        "ts", F.to_timestamp(F.lit("2024-03-05 10:11:12"))
+    ).limit(50)
+    df = df.localCheckpoint()  # freeze lineage so plans compare cleanly
+    failures = []
+    for spec in _FAST_PATH_SPECS:
+        sql = D._sql_of(spec, None)
+        if sql is None:
+            failures.append((spec, "emitter did not fire"))
+            continue
+        old = D._SQL_FAST_PATH
+        try:
+            D._SQL_FAST_PATH = False
+            col_slow = D._ref(spec)
+            D._SQL_FAST_PATH = True
+            col_fast = D._ref(spec)
+        finally:
+            D._SQL_FAST_PATH = old
+        slow_df = df.select(col_slow.alias("out"))
+        fast_df = df.select(col_fast.alias("out"))
+        p_slow = (slow_df._jdf.queryExecution().optimizedPlan()
+                  .canonicalized().toString())
+        p_fast = (fast_df._jdf.queryExecution().optimizedPlan()
+                  .canonicalized().toString())
+        if p_slow != p_fast:
+            failures.append((spec, "plan mismatch"))
+            continue
+        if slow_df.collect() != fast_df.collect():
+            failures.append((spec, "row mismatch"))
+    assert not failures, failures
+
+
+def test_sql_fast_path_falls_back_not_breaks(spark):
+    """Typed-error parity: specs the emitter refuses must still raise
+    the Column path's DocumentQueryError, and unsupported-but-valid
+    shapes must still compile (fast path simply not firing)."""
+    import dbt_nlp_sqlizer_team04_spark.operators.documents as D
+
+    # malformed specs → typed error (the emitter returns None first)
+    for bad in [
+        {"$cond": [1, 2]},                      # wrong arity
+        {"$dateTrunc": {"date": "$ts", "unit": "fortnight"}},
+        {"$split": ["$text", "$lang"]},         # field-path delimiter
+        {"$rand": {}},
+        {"$convert": {"input": "$x", "to": "date", "onError": "oops"}},
+    ]:
+        assert D._sql_of(bad, None) is None
+        with pytest.raises(DocumentQueryError):
+            D._ref(bad)
+    # unbound $$var must stay a typed error, not an emitted SQL ref
+    assert D._sql_of("$$loose", None) is None
+    with pytest.raises(DocumentQueryError):
+        D._ref("$$loose")
