@@ -106,6 +106,28 @@ def get_spark(
 _EVENT_CONFS_SENTINEL = "_dbt_nlp_event_confs_pinned"
 
 
+def scratch_dir_base() -> str:
+    """Fast local scratch for per-run streaming work dirs (file-drop
+    stages, checkpoints, staged snapshots). These are EPHEMERAL
+    per-process artifacts — recreated on entry, deleted at exit — so a
+    RAM-backed tmpfs is the right default where one exists: the
+    crash-safety contracts (rename-aside swap, checkpoint replay)
+    protect against process crashes, and a machine reboot clears the
+    whole run anyway. A deployment that needs durable checkpoints or
+    snapshots passes explicit paths to the operators (run_cdc_stream
+    and the export sinks take them as parameters); this helper only
+    picks where the REGISTRY entries put their throwaway work.
+    Override via SPARK_GRAFT_SCRATCH."""
+    import tempfile
+
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return tempfile.gettempdir()
+
+
 def ensure_event_time_confs(spark: SparkSession) -> None:
     """Pin the two session confs event-time correctness depends on.
 

@@ -325,15 +325,17 @@ def q159_cdc_stream_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     session never accumulate snapshot-sized temp dirs."""
     import atexit
     import shutil
-    import tempfile
 
     from ..operators.cdc import _orders_changelog, snapshot_rollup
+    from ..session import scratch_dir_base
     from ..sources.parquet import load_table
 
     orders = load_table(spark, sf_dir, "orders").withColumn("__v", F.lit(1))
     changelog = _orders_changelog(orders)
+    # per-run throwaway work (changes drop, snapshot, checkpoint) on the
+    # fast scratch base (tmpfs where present — session.scratch_dir_base)
     work = os.path.join(
-        tempfile.gettempdir(), f"cdc_stream_q159_{os.getpid()}"
+        scratch_dir_base(), f"cdc_stream_q159_{os.getpid()}"
     )
     shutil.rmtree(work, ignore_errors=True)
     global _Q159_CLEANUP_REGISTERED

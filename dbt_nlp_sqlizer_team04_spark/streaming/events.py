@@ -27,6 +27,44 @@ from pyspark.sql import types as T
 # sf_dir -> staging dir for the file-source stream (atexit-cleaned)
 _STAGE_DIRS: dict[str, str] = {}
 
+
+def _bounded_state_partitions(spark: SparkSession):
+    """Run a bounded-cardinality streaming aggregation with a SMALL
+    state-store partition count.
+
+    The memory-sink runners here aggregate keys whose cardinality is
+    bounded by construction (hours×event_types, days×drift_buckets,
+    sessions inside the watermark horizon) — yet the state store
+    inherits ``spark.sql.shuffle.partitions`` (32 here, thousands on a
+    cluster), so every micro-batch pays per-partition state-store
+    open/commit/checkpoint I/O for mostly-empty stores. Guide §2.2:
+    fewer, larger partitions; the per-epoch fixed cost scales with the
+    partition count, not the data. Measured on q147: 2.82 s → 1.64 s
+    min (interleaved A/B) at 8 vs 32. Results are identical — only
+    state layout changes. Scale note: the right number tracks the
+    AGGREGATE's key count, not the cluster size, so a small constant is
+    the scale-correct default for these bounded aggregations;
+    env-overridable for deployments with wider key spaces.
+
+    Returns a context manager that pins the conf around the stream's
+    whole lifecycle (Spark records the shuffle-partition count in the
+    query's offset log at start) and restores it after.
+    """
+    import contextlib
+    import os as _os
+
+    @contextlib.contextmanager
+    def cm():
+        n = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return cm()
+
 def events_stream_schema(path: str) -> T.StructType:
     """Stream-source schema matching the file's actual ``ts`` layout.
 
@@ -121,7 +159,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
         import tempfile
 
-        stage = tempfile.mkdtemp(prefix="events_stream_")
+        from ..session import scratch_dir_base
+
+        stage = tempfile.mkdtemp(
+            prefix="events_stream_", dir=scratch_dir_base()
+        )
         os.symlink(
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(stage, "events.parquet"),
@@ -147,17 +189,18 @@ def run_to_memory_sink(
     source is exhausted (complete mode: windows re-emit as they close);
     returns the sink contents as a DataFrame. Test/demo harness — a real
     deployment writes append-mode to a table/queue."""
-    q = (
-        hourly_rollup_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    with _bounded_state_partitions(spark):
+        q = (
+            hourly_rollup_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
     return spark.table(table_name)
 
 
@@ -205,17 +248,18 @@ def sessions_stream_to_memory(
     sinks only; complete mode re-emits the merged session set each
     micro-batch, so after the source drains the sink holds exactly the
     batch q55 result (the parity test asserts equality)."""
-    q = (
-        session_agg(read_events_stream(spark, sf_dir), streaming=True)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    with _bounded_state_partitions(spark):
+        q = (
+            session_agg(read_events_stream(spark, sf_dir), streaming=True)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
     return spark.table(table_name)
 
 
@@ -675,17 +719,20 @@ def drift_counts_stream_to_memory(
         for r in batch_df.collect():  # ≤ days×buckets rows per epoch
             acc[(r["day"], r["bucket"])] = r["n"]
 
-    q = (
-        daily_bucket_counts(read_events_stream(spark, sf_dir), streaming=True)
-        .writeStream.foreachBatch(upsert)
-        .queryName(table_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    with _bounded_state_partitions(spark):
+        q = (
+            daily_bucket_counts(
+                read_events_stream(spark, sf_dir), streaming=True
+            )
+            .writeStream.foreachBatch(upsert)
+            .queryName(table_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
     if dense:
         # densify in the driver dict, where it is a comprehension over a
         # days×buckets-sized map: a missing (day, bucket) is a zero
