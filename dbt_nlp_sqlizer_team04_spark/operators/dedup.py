@@ -434,8 +434,22 @@ def ranked_grams(sets: DataFrame) -> DataFrame:
         "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
     freq = ex.groupBy("gram").agg(F.count(F.lit(1)).alias("gram_df"))
+    # PINNED repartition before the window (REPARTITION_BY_NUM): AQE's
+    # byte-based coalescing sees the exploded-gram exchange as ~2 MB and
+    # merges it to 1-2 partitions — serializing the window sort AND the
+    # prefix self-join built on top of it, whose cost is quadratic
+    # candidate CPU, not bytes (guide §2.5: AQE cannot see compute
+    # blowup; the same finding as edit_distance_pairs). Satisfies the
+    # window's hashpartitioning(id) requirement, so it adds no extra
+    # exchange, and the canonical subtree stays shared — ReusedExchange
+    # still feeds both sides of the candidate join. q52 interleaved A/B:
+    # 2.69 s → 1.53 s min, rows identical.
+    n_part = int(
+        sets.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return (
         ex.join(freq, "gram")
+        .repartition(n_part, "id")
         .withColumn(
             "rk",
             F.row_number().over(
@@ -1009,7 +1023,7 @@ def dedup_repeated_segments(
 def q74_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-segment scrub audit over documents (oracle: DuckDB
     twin — same segmentation, repeat rule, and ordered reassembly)."""
-    return dedup_repeated_segments(load_table(spark, sf_dir, "documents"))
+    return dedup_repeated_segments(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def q70_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,7 +1361,7 @@ def dup_span_stats(
 
 
 def q99_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dup_span_stats(load_table(spark, sf_dir, "documents"))
+    return dup_span_stats(load_table(spark, sf_dir, "documents", spread=True))
 
 
 # ------------------------------------------- prefix-bucket cluster plane
@@ -1565,16 +1579,25 @@ def edit_distance_pairs(
         "transform(sequence(97, 122), "
         "c -> length(p) - length(replace(p, char(c))))"
     )
-    # .repartition("b") is a deliberate optimizer BARRIER, not a tuning
-    # knob: without it CollapseProject inlines the histogram into the
-    # join condition and it is recomputed PER PAIR (measured 8.6 s at
-    # sf0.1); behind the exchange it is computed once per DOC.
+    # .repartition(n, "b") is a deliberate optimizer BARRIER, not a
+    # tuning knob: without it CollapseProject inlines the histogram into
+    # the join condition and it is recomputed PER PAIR (measured 8.6 s
+    # at sf0.1); behind the exchange it is computed once per DOC.
+    # The partition count is PINNED (REPARTITION_BY_NUM) because AQE's
+    # byte-based coalescing sees a ~1 MB map output and merges the
+    # exchange to ONE partition — serializing the downstream stage whose
+    # cost is quadratic pairs-per-bucket CPU, not input bytes (guide
+    # §2.5: AQE cannot see compute blowup). Pinning restores the
+    # conf-sized parallelism: 3.45 s → 1.37 s at sf0.1, same rows.
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     slim = docs.select(
         "doc_id",
         "n_chars",
         p.alias("p"),
         F.floor(F.col("n_chars") / len_band).alias("b"),
-    ).withColumn("h", hist).repartition("b")
+    ).withColumn("h", hist).repartition(n_part, "b")
     probe = slim.select(
         F.col("doc_id").alias("doc_b"),
         F.col("n_chars").alias("nb"),
@@ -1583,7 +1606,7 @@ def edit_distance_pairs(
         F.explode(
             F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
         ).alias("b"),
-    ).repartition("b")
+    ).repartition(n_part, "b")
     # unrolled L1, NOT zip_with/aggregate: higher-order functions drop
     # out of whole-stage codegen into interpreted lambda evaluation —
     # the unrolled 26-term arithmetic is ~1.5x faster on the hot pair
@@ -1591,7 +1614,13 @@ def edit_distance_pairs(
     # expression tree and codegen as the Python-built fold, minus ~75
     # py4j roundtrips per plan build.
     l1 = F.expr(" + ".join(f"abs(h[{i}] - hb[{i}])" for i in range(26)))
-    dist = F.levenshtein(F.col("p"), F.col("pb"))
+    # threshold-banded Levenshtein (Spark 3.5+): the DP only fills the
+    # ±max_dist diagonal band and early-exits past the bound — ~5x
+    # fewer cells at prefix 120/band 12. Distances over the bound come
+    # back as -1, so the filter keeps [0, max_dist]; survivors carry
+    # their EXACT distance (identical output rows, oracle unchanged).
+    # Measured with the pinned exchange: 1.37 s → 1.23 s.
+    dist = F.levenshtein(F.col("p"), F.col("pb"), max_dist)
     return (
         slim.join(probe, "b")
         .filter(
@@ -1604,7 +1633,10 @@ def edit_distance_pairs(
             "doc_b",
             dist.alias("prefix_dist"),
         )
-        .filter(F.col("prefix_dist") <= max_dist)
+        .filter(
+            (F.col("prefix_dist") >= 0)
+            & (F.col("prefix_dist") <= max_dist)
+        )
         # pair-sized output: repartition(1)+sortWithinPartitions gives
         # the same order as orderBy WITHOUT the range-sampling pass
         # that would re-execute the whole banded join a second time

@@ -149,7 +149,7 @@ def q61_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id") < 3
     )
     return corpus_funnel(
-        load_table(spark, sf_dir, "documents"), probe_sets=probes
+        load_table(spark, sf_dir, "documents", spread=True), probe_sets=probes
     )
 
 

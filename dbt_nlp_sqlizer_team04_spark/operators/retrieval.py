@@ -266,7 +266,7 @@ def q75_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 docs for a fixed probe query (oracle-checked: DuckDB
     reproduces tf/df/avgdl and the per-term scoring sum exactly)."""
     return bm25_topk(
-        load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS
+        load_table(spark, sf_dir, "documents", spread=True), BM25_QUERY_TERMS
     )
 
 

@@ -378,7 +378,7 @@ def quality_weighted_sample(
 def q92_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-tilted deterministic subsample of the corpus
     (oracle-checked)."""
-    return quality_weighted_sample(load_table(spark, sf_dir, "documents"))
+    return quality_weighted_sample(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def quality_weighted_oracle_sql(alpha: float = 2.0) -> str:
@@ -453,7 +453,7 @@ def curriculum_order(
 
 def q100_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head of the curriculum-ordered training stream (oracle-checked)."""
-    return curriculum_order(load_table(spark, sf_dir, "documents"))
+    return curriculum_order(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def curriculum_oracle_sql(
@@ -636,7 +636,7 @@ def dsir_selection(
     precedent); the harness value-checks it DIFFERENTIALLY against a
     pure-Python xxh64 + math.log replay of the published recipe.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     feats = docs.select(
         "doc_id",
         "source",

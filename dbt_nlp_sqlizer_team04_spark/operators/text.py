@@ -410,7 +410,7 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ----------------------------------------------------- registry queries
 def q30_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token/char/punct/stopword stats (oracle-checked)."""
-    return text_stats(load_table(spark, sf_dir, "documents"))
+    return text_stats(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def q31_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +442,7 @@ def q34_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q57_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc bigram repetition signals (oracle-checked: DuckDB unnest
     over the same bigram construction)."""
-    return repetition_stats(load_table(spark, sf_dir, "documents"))
+    return repetition_stats(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def q54_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,7 +451,7 @@ def q54_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (email + phone + IP derived from doc_id/source — the identical
     expression exists in the DuckDB oracle) and audits the scrubber on
     it: per-source match counts and exact before/after char volume."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     d = F.col("doc_id").cast("string")
     contact = F.concat(
         F.lit("user"), d, F.lit("@"), F.col("source"), F.lit(".example.com"),
@@ -600,7 +600,7 @@ GOPHER_Q76_STOPWORDS = ("the", "a", "to", "of", "and", "that", "have", "with")
 def q76_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Gopher rule audit + pass flag (oracle-checked)."""
     return gopher_quality(
-        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "documents", spread=True),
         min_words=GOPHER_Q76_MIN_WORDS,
         max_words=GOPHER_Q76_MAX_WORDS,
         stopwords=GOPHER_Q76_STOPWORDS,
@@ -1280,7 +1280,7 @@ def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def q119_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus_report(load_table(spark, sf_dir, "documents"))
+    return corpus_report(load_table(spark, sf_dir, "documents", spread=True))
 
 
 def corpus_report_oracle_sql() -> str:
@@ -2083,7 +2083,7 @@ def q197_rep_ngram_char_fractions(
     coverage + duplicated-5-gram coverage; oracle: DuckDB n-gram
     twins)."""
     return rep_ngram_char_fractions(
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", spread=True)
     )
 
 

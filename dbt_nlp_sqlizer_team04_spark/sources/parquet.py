@@ -97,7 +97,46 @@ def _read_with_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Ceiling for the opt-in post-scan spread below: tables past this size
+# parallelize natively at the scan (many splits/row groups), so the
+# spread exchange would be a pointless full shuffle — the check is what
+# makes the knob scale-adaptive rather than a local[32] constant.
+_SPREAD_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _spread_small(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin the rows of a TINY single-row-group scan across the
+    configured partition count. The testdata parquet files are one row
+    group each, so a scan is read by exactly ONE task no matter how
+    split sizes are tuned — and an operator whose cost is per-row CPU
+    (tokenization folds, n-gram maps, quality scoring) then runs
+    single-threaded on a 32-core session (guide §2.5: input skew;
+    measured q119 1.63 s → 1.01 s, q99 1.83 s → 0.96 s). The shuffle
+    this inserts moves only the tiny file's bytes; above
+    ``_SPREAD_MAX_BYTES`` the scan already parallelizes and the spread
+    is skipped, so at deployment scale this is a no-op. Opt-in per
+    operator: only per-row-CPU-bound consumers ask for it (a cheap
+    filter/limit path must keep the bare scan)."""
+    try:
+        st = os.stat(path)
+        total = st.st_size
+        if os.path.isdir(path):
+            total = sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+    except OSError:
+        return df
+    if total >= _SPREAD_MAX_BYTES:
+        return df
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Read a testdata table, normalizing physical-type quirks.
 
     The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
@@ -108,6 +147,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     confs are pinned via the one shared setup path,
     ``session.ensure_event_time_confs`` — the streaming reader applies
     the same guard.
+
+    ``spread=True`` (opt-in, for per-row-CPU-bound consumers) round-
+    robins a tiny single-row-group scan across the configured partition
+    count — see :func:`_spread_small` for the scale-adaptive contract.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -128,6 +171,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # timezone is pinned to UTC so this cast is value-identical to
         # what DuckDB's epoch_us sees.
         df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if spread:
+        df = _spread_small(spark, df, table_path(sf_dir, name))
     return df
 
 
