@@ -4698,16 +4698,23 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
     fkeyed = fdf.withColumn(
         "__to", F.explode(F.col(cto)) if cto_arr else F.col(cto)
     )
-    # NOTE (r13 optimization round): keeping the growing accumulators
-    # (matched, visited) as LAZY unions of the per-round checkpointed
-    # leaves — avoiding the O(d²) re-materialization these eager
-    # re-checkpoints pay — was tried and MEASURED SLOWER at sf0.1
-    # (q172 1.89 s → 2.95 s, q179 1.02 s → 1.35 s in the full bench):
-    # every superstep re-plans a union tree that grows with depth, and
-    # at realistic graph depths the per-round planning/stage overhead
-    # of the bigger plan dwarfs the copied bytes. The eager collapse
-    # keeps every round's plan O(1)-sized; reverted.
-    matched = None
+    # NOTE (r13 optimization round): keeping the VISITED accumulator as
+    # a LAZY union of the per-round checkpointed leaves — avoiding the
+    # O(d²) re-materialization its eager re-checkpoints pay — was tried
+    # and MEASURED SLOWER at sf0.1 (q172 1.89 s → 2.95 s, q179
+    # 1.02 s → 1.35 s in the full bench): visited feeds EVERY round's
+    # anti-join, so each superstep re-plans a union tree that grows
+    # with depth, and the per-round planning/stage overhead dwarfs the
+    # copied bytes. The eager collapse keeps every round's plan
+    # O(1)-sized; reverted — do not re-try.
+    #
+    # MATCHED is different (r14): nothing inside the loop reads it — it
+    # is consumed exactly once, by the post-loop regroup. Accumulating
+    # the per-round checkpointed ``hits`` frames in a Python list and
+    # unioning them AFTER the loop removes one materialization job per
+    # depth round with none of the per-round replanning above (the
+    # union tree is planned once, over already-checkpointed leaves).
+    hits_rounds: list[DataFrame] = []
     depth = 0
     while True:
         hits = (
@@ -4719,7 +4726,7 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
             )
             .localCheckpoint()
         )
-        matched = hits if matched is None else matched.union(hits).localCheckpoint()
+        hits_rounds.append(hits)
         if max_depth is not None and depth >= max_depth:
             break
         nxt = (
@@ -4743,6 +4750,9 @@ def graph_lookup(df: DataFrame, fdf: DataFrame, spec: dict[str, Any]) -> DataFra
                 f"$graphLookup exceeded {_GRAPH_LOOKUP_MAX_ROUNDS} rounds "
                 "without converging — set maxDepth"
             )
+    matched = hits_rounds[0]
+    for h in hits_rounds[1:]:
+        matched = matched.union(h)
     if cto_arr:
         # one doc is reachable through several of its to-nodes, possibly
         # at different depths — emit it ONCE, at its first discovery

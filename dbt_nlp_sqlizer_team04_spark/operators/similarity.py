@@ -36,6 +36,14 @@ from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
 
+
+def _sorted_pairs(df: DataFrame, *cols: str) -> DataFrame:
+    """Size-guarded single-partition pair sort (dedup's helper; local
+    import keeps the module import-order-free)."""
+    from .dedup import sorted_pair_output
+
+    return sorted_pair_output(df, *cols)
+
 EMBED_DIM = 64
 LSH_BITS = 16
 LSH_BANDS = 4
@@ -736,9 +744,9 @@ def cosine_near_dup_pairs(
         # the same deterministic global order as orderBy WITHOUT the
         # range-partitioner sampling pass — orderBy's bounds sampling
         # sits directly above the tile stage, so it re-runs every
-        # cogroup matmul a second time (the q52 convention)
-        .repartition(1)
-        .sortWithinPartitions("id_a", "id_b")
+        # cogroup matmul a second time (the q52 convention);
+        # sorted_pair_output guards the size assumption in-plan
+        .transform(lambda d: _sorted_pairs(d, "id_a", "id_b"))
     )
 
 
@@ -2204,8 +2212,12 @@ def label_centroid_report(
     """
     e = F.col(emb_col).cast("array<double>")
     emb = df.select(F.col(label_col).alias("label"), e.alias("e"))
+    # parsed SQL strings, not per-dim Column building: the 2×dim
+    # py4j-built expressions cost ~0.4 s of pure plan construction per
+    # build through this environment's gateway (guide §5 driver work;
+    # same trees — the q166/q198 emit-SQL precedent)
     sums = [
-        F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(dim)
+        F.expr(f"sum(element_at(e, {i + 1})) AS s{i}") for i in range(dim)
     ]
     cent = (
         emb.groupBy("label")
@@ -2213,9 +2225,11 @@ def label_centroid_report(
         .select(
             "label",
             "n",
-            F.array(
-                *[F.col(f"s{i}") / F.col("n") for i in range(dim)]
-            ).alias("c"),
+            F.expr(
+                "array("
+                + ", ".join(f"(s{i} / n)" for i in range(dim))
+                + ") AS c"
+            ),
         )
     )
     cent = cent.select(
@@ -2224,12 +2238,9 @@ def label_centroid_report(
         "c",
         F.round(norm_expr(F.col("c")), 6).alias("centroid_norm"),
     )
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("e"), F.col("c"), lambda x, m: (x - m) * (x - m)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    dist = F.expr(
+        "sqrt(aggregate(zip_with(e, c, (x, m) -> ((x - m) * (x - m))), "
+        "0.0D, (acc, x) -> (acc + x)))"
     )
     return (
         emb.join(F.broadcast(cent), "label")

@@ -65,6 +65,16 @@ from ..operators.cdc import merge_snapshot
 
 SNAPSHOT_SUBDIR = "snapshot"
 
+# One task writes each bucket (the repartition("__bucket") below), so a
+# bucket that outgrows one sensible file must shard WITHIN the task:
+# maxRecordsPerFile rolls the writer to a new file past this row count
+# (guide §6 output sizing — the in-code remedy the r13 verdict asked to
+# wire up). Local default keeps today's one-file-per-bucket layout
+# (buckets are ≪ 5M rows at bench SFs); deployments size via env.
+_CDC_MAX_RECORDS_PER_FILE = int(
+    os.environ.get("SPARK_GRAFT_CDC_MAX_RECORDS_PER_FILE", "5000000")
+)
+
 
 class CdcUpsertSink:
     """``foreachBatch`` target: applies each changelog micro-batch to a
@@ -158,7 +168,9 @@ class CdcUpsertSink:
             # spark.sql.files.maxRecordsPerFile if buckets outgrow that)
             base.withColumn("__bucket", self._bucket_expr()).repartition(
                 "__bucket"
-            ).write.mode("overwrite").partitionBy("__bucket").parquet(
+            ).write.mode("overwrite").option(
+                "maxRecordsPerFile", _CDC_MAX_RECORDS_PER_FILE
+            ).partitionBy("__bucket").parquet(
                 self.snapshot_dir
             )
 
@@ -236,7 +248,9 @@ class CdcUpsertSink:
         # touched bucket is staged as one file, not one per merge task
         merged.withColumn("__bucket", self._bucket_expr()).repartition(
             "__bucket"
-        ).write.mode("overwrite").partitionBy("__bucket").parquet(staged_root)
+        ).write.mode("overwrite").option(
+            "maxRecordsPerFile", _CDC_MAX_RECORDS_PER_FILE
+        ).partitionBy("__bucket").parquet(staged_root)
         for i in touched:
             old = Path(self._old_dir(i))
             if fs.exists(old):

@@ -1343,3 +1343,20 @@ def test_binary_hamming_persisted_index_contract(spark, sf_check):
     # wrong-width code table
     name64 = V.sign_codes_table_for(spark, sf_check)
     assert name64.endswith("_d64")
+
+
+def test_sorted_pair_output_guard(spark, monkeypatch):
+    """r14: the single-partition pair-sort convention now asserts its
+    pair-sized assumption in-plan — values pass through untouched under
+    the ceiling, and a survivor set past it fails loudly instead of
+    silently serializing a corpus-sized sort."""
+    import dbt_nlp_sqlizer_team04_spark.operators.dedup as DD
+
+    df = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 3)], "doc_a int, doc_b int"
+    )
+    out = DD.sorted_pair_output(df, "doc_a", "doc_b").collect()
+    assert [r["doc_a"] for r in out] == [1, 2, 3]
+    monkeypatch.setattr(DD, "_PAIR_SORT_MAX_ROWS", 2)
+    with pytest.raises(Exception, match="pair-sized output exceeded"):
+        DD.sorted_pair_output(df, "doc_a", "doc_b").collect()
